@@ -1,0 +1,16 @@
+"""Import every query module so REGISTRY is fully populated."""
+
+from . import relational  # noqa: F401
+
+try:  # modules added incrementally; keep import robust mid-build
+    from . import llm  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
+try:
+    from . import etl_flavored  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
+try:
+    from . import events_queries  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass

@@ -1,0 +1,50 @@
+"""Central query registry.
+
+Every capability from SURVEY.md §2 that is demonstrable on the driver's
+testdata tables registers here as a (spark_fn, oracle_sql) pair. The driver
+contract (__spark_entry__.py) is generated from this registry, so the Spark
+implementation and its DuckDB oracle can never drift apart by name.
+
+Conventions (driver compare = row-count + schema + order-insensitive
+value-hash with columns sorted by name):
+- alias every computed column identically in Spark and SQL;
+- aggregate doubles via per-row cast to DECIMAL then exact decimal SUM,
+  cast back to DOUBLE (order-independent => bit-exact across engines);
+- ties in any top-k are broken by a unique key column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB; None => rows-only check
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Decorator: register fn(spark, sf_dir) -> DataFrame under `name`."""
+
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(
+            name=name, fn=fn, oracle=oracle, tags=tags, doc=(fn.__doc__ or "").strip()
+        )
+        return fn
+
+    return deco
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver parquet table (lazy scan; pushdown-friendly)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -1,0 +1,513 @@
+"""Relational query surface: joins, aggregations, windows, sorts, set ops.
+
+The reference has NO joins/aggregations/windows (SURVEY.md §2.3-2.7 — its only
+multi-input op is a union); this module supplies the full Spark-native
+relational surface the capability target mandates, demonstrated on the
+driver's TPC-H-ish tables and oracle-checked against DuckDB.
+
+Scale notes (100 TB):
+- dimension joins (region/nation/customer/supplier/part) are broadcast —
+  Catalyst picks BroadcastHashJoin under the configured threshold and we
+  hint `F.broadcast` explicitly on the provably-small sides;
+- fact-fact joins (orders x lineitem) shuffle on the join key; AQE handles
+  skew/coalescing;
+- aggregates use hash aggregation with partial (map-side) combine — free in
+  Spark for all F.* aggregate functions;
+- doubles are aggregated via per-row DECIMAL cast -> exact decimal SUM ->
+  DOUBLE, which is order-independent (bit-exact vs the oracle) AND avoids
+  a second pass; avg = exact_sum / count in IEEE double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .registry import register, table
+
+
+def _dsum(col, scale: int = 2):
+    """Order-independent SUM of a double column: exact decimal accumulate."""
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+
+
+def _dsum_expr(col, scale: int = 6):
+    """Same for a computed double expression. Scale 6 because TPC-H-ish
+    money products have <=6 exact decimal digits (2dp x 2dp x 2dp) -> the
+    double->decimal cast is exact, never at a rounding boundary."""
+    return F.sum(col.cast(f"decimal(28,{scale})")).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Q1 — pricing summary (scan + filter + hash agg; TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "filter", "scan"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary report. Single scan, filter pushed to parquet,
+    partial+final hash aggregation (no reference analogue; SURVEY §2.4)."""
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsum_expr(disc_price).alias("sum_disc_price"),
+            _dsum_expr(charge).alias("sum_charge"),
+            (_dsum(F.col("l_quantity")) / F.count("*")).alias("avg_qty"),
+            (_dsum(F.col("l_extendedprice")) / F.count("*")).alias("avg_price"),
+            (_dsum(F.col("l_discount"), 4) / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q3 — shipping priority (3-way join + agg + top-k)
+# ---------------------------------------------------------------------------
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT
+      l.l_orderkey AS l_orderkey,
+      CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+      o.o_orderdate AS o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "agg", "topk"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unshipped-orders revenue top-10. customer is broadcast (small dim);
+    orders x lineitem shuffles on orderkey. Tie-broken by l_orderkey."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    l = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            _dsum_expr(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q5 — local supplier volume (6-way star join)
+# ---------------------------------------------------------------------------
+@register(
+    "q5_local_supplier",
+    oracle="""
+    SELECT
+      n.n_name AS n_name,
+      CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC
+    """,
+    tags=("join", "agg", "star"),
+)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by nation where supplier and customer share a nation.
+    All dims broadcast; the single shuffle is lineitem x orders on orderkey."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            _dsum_expr(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q6 — forecast revenue (pure scan+filter+agg; pushdown showcase)
+# ---------------------------------------------------------------------------
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("agg", "filter", "pushdown"),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-increase forecast. All four predicates + the 2-column
+    projection reach the parquet scan (PushedFilters / ReadSchema)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        _dsum_expr(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top customers by spend (join + agg + top-k with tiebreak)
+# ---------------------------------------------------------------------------
+@register(
+    "q_top_customers",
+    oracle="""
+    SELECT c.c_custkey AS c_custkey,
+           c.c_name AS c_name,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+           COUNT(*) AS n_orders
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY total_spend DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("join", "agg", "topk"),
+)
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by lifetime spend. Aggregate orders FIRST (shrinks
+    the fact side before the join), then broadcast-join the dim."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        _dsum(F.col("o_totalprice")).alias("total_spend"),
+        F.count("*").alias("n_orders"),
+    )
+    return (
+        spend.join(F.broadcast(c), spend.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "total_spend", "n_orders")
+        .orderBy(F.desc("total_spend"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions: rank / lag over partitions
+# ---------------------------------------------------------------------------
+@register(
+    "q_window_order_rank",
+    oracle="""
+    SELECT * FROM (
+      SELECT
+        o_custkey,
+        o_orderkey,
+        CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+        ROW_NUMBER() OVER w AS rn,
+        RANK() OVER w AS rnk,
+        CAST(LAG(o_totalprice) OVER w AS DOUBLE) AS prev_price,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+          AS running_spend
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ) t WHERE rn <= 3
+    """,
+    tags=("window",),
+)
+def q_window_order_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 3 orders per customer with rank, previous price, running spend.
+    One shuffle on o_custkey shared by all four window functions
+    (same partitioning/ordering => single Window exchange). SURVEY §2.5."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.lag("o_totalprice").over(w).cast("double").alias("prev_price"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .over(wsum)
+            .cast("double")
+            .alias("running_spend"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP (grouping sets)
+# ---------------------------------------------------------------------------
+@register(
+    "q_rollup_returnflag",
+    oracle="""
+    SELECT
+      COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+      COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+      COUNT(*) AS n_items,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "rollup"),
+)
+def q_rollup_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals via ROLLUP — grouping-set expansion happens in a
+    single aggregation pass (Spark Expand operator), not N scans."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "n_items",
+            "sum_qty",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUBE
+# ---------------------------------------------------------------------------
+@register(
+    "q_cube_orders",
+    oracle="""
+    SELECT
+      COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+      COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+      COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "cube"),
+)
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cube over status x priority."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dsum(F.col("o_totalprice")).alias("sum_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            "n_orders",
+            "sum_price",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct aggregation
+# ---------------------------------------------------------------------------
+@register(
+    "q_distinct_customers",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("agg", "distinct"),
+)
+def q_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count per group (Spark expands to a two-phase agg)."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins
+# ---------------------------------------------------------------------------
+@register(
+    "q_semi_anti_customers",
+    oracle="""
+    SELECT c_custkey, c_name, has_order FROM (
+      SELECT c_custkey, c_name, TRUE AS has_order
+      FROM customer c WHERE EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                                 AND o.o_orderstatus = 'F')
+      UNION ALL
+      SELECT c_custkey, c_name, FALSE AS has_order
+      FROM customer c WHERE NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                                 AND o.o_orderstatus = 'F')
+    ) t
+    """,
+    tags=("join", "semi", "anti"),
+)
+def q_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI + LEFT ANTI join against finished orders, unioned with a
+    flag. Semi/anti avoid materializing the probe side's payload."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", F.lit(True).alias("has_order")
+    )
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", F.lit(False).alias("has_order")
+    )
+    return semi.unionByName(anti)
+
+
+# ---------------------------------------------------------------------------
+# Set operations: INTERSECT / EXCEPT
+# ---------------------------------------------------------------------------
+@register(
+    "q_setops_parts",
+    oracle="""
+    SELECT p_partkey, 'both' AS which FROM (
+      SELECT DISTINCT l_partkey AS p_partkey FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'F'
+      INTERSECT
+      SELECT DISTINCT l_partkey FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'O'
+    ) a
+    UNION ALL
+    SELECT p_partkey, 'f_only' AS which FROM (
+      SELECT DISTINCT l_partkey AS p_partkey FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'F'
+      EXCEPT
+      SELECT DISTINCT l_partkey FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'O'
+    ) b
+    """,
+    tags=("setop",),
+)
+def q_setops_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts appearing in both finished and open orders (INTERSECT) vs only
+    finished (EXCEPT). SURVEY §2.7."""
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    lo = l.join(o, l.l_orderkey == o.o_orderkey)
+    f_parts = (
+        lo.filter(F.col("o_orderstatus") == "F")
+        .select(F.col("l_partkey").alias("p_partkey"))
+        .distinct()
+    )
+    o_parts = (
+        lo.filter(F.col("o_orderstatus") == "O")
+        .select(F.col("l_partkey").alias("p_partkey"))
+        .distinct()
+    )
+    both = f_parts.intersect(o_parts).select("p_partkey", F.lit("both").alias("which"))
+    f_only = f_parts.exceptAll(o_parts).select(
+        "p_partkey", F.lit("f_only").alias("which")
+    )
+    return both.unionByName(f_only)
+
+
+# ---------------------------------------------------------------------------
+# Theta / range join: lineitems shipped long after order date
+# ---------------------------------------------------------------------------
+@register(
+    "q_ship_lag",
+    oracle="""
+    SELECT o.o_orderpriority AS o_orderpriority,
+           COUNT(*) AS n_late,
+           CAST(SUM(CAST((EPOCH(l.l_shipdate) - EPOCH(o.o_orderdate)) / 86400.0
+                AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_lag_days
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("join", "range", "agg"),
+)
+def q_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipments >90 days after order date: equi-join on orderkey with a
+    non-equi residual predicate (stays a hash join, NOT a nested loop —
+    the range condition is applied as a post-join filter)."""
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    lag_days = (
+        F.unix_timestamp("l_shipdate") - F.unix_timestamp("o_orderdate")
+    ) / 86400.0
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_late"),
+            (_dsum_expr(lag_days) / F.count("*")).alias("avg_lag_days"),
+        )
+    )
