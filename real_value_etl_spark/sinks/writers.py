@@ -1,0 +1,79 @@
+"""Sinks for the unified table.
+
+Reference: ClickHouseLoader (src/etl/loading.py:14-53) — TRUNCATE then
+~50k-row chunked inserts (non-atomic, SURVEY §1.4.9) — and CSVLoader
+(loading.py:56-75) for test mode.
+
+Spark-first:
+- parquet/csv writers for local + test use;
+- a JDBC writer shape for ClickHouse with the atomicity fix: load into a
+  staging table then swap, instead of truncate-then-insert. Gated behind an
+  import/availability check since no JDBC driver ships in this container.
+- chunk size control == partition count (`repartition`), not driver-side
+  np.array_split: each executor partition inserts independently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Test-mode CSV sink (reference loading.py:56-75). Arrays/JSON columns
+    are serialized to JSON strings first (CSV has no nested types)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    cols = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+            cols.append(F.to_json(F.col(f.name)).alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    df.select(*cols).write.mode(mode).option("header", True).csv(path)
+
+
+def write_clickhouse_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    *,
+    user: str,
+    password: str,
+    batch_rows: int = 50_000,
+    staging_swap: bool = True,
+) -> None:
+    """ClickHouse sink via JDBC (requires clickhouse-jdbc on the classpath;
+    raises RuntimeError otherwise — this container ships no JDBC driver).
+
+    `batch_rows` mirrors the reference's 50k insert chunks
+    (loading.py:38-46); `staging_swap=True` writes to `<table>__staging`
+    and issues an EXCHANGE TABLES, fixing the reference's non-atomic
+    truncate-then-insert (loading.py:36; SURVEY §1.4.9). The swap statement
+    must be run by the caller's ClickHouse client; this function writes the
+    staging table and returns the DDL to execute.
+    """
+    target = f"{table}__staging" if staging_swap else table
+    try:
+        (
+            df.write.format("jdbc")
+            .option("url", url)
+            .option("dbtable", target)
+            .option("user", user)
+            .option("password", password)
+            .option("batchsize", batch_rows)
+            .option("truncate", not staging_swap)
+            .mode("overwrite")
+            .save()
+        )
+    except Exception as exc:  # pragma: no cover - no driver in container
+        raise RuntimeError(
+            "ClickHouse JDBC driver unavailable; add clickhouse-jdbc to "
+            "spark.jars to enable this sink"
+        ) from exc
+    if staging_swap:  # pragma: no cover
+        return f"EXCHANGE TABLES {target} AND {table}"

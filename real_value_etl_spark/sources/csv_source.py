@@ -1,0 +1,53 @@
+"""Platform CSV sources.
+
+Reference: one boto3 get_object + pd.read_csv per platform file
+(src/etl/extraction.py:17-112 — four identical subclasses) pulling the whole
+object through the driver. Spark-first replacement: one parametrized
+`spark.read.csv` against local paths or s3a:// URIs — distributed reads,
+header handling, and missing-partition tolerance via a catalog check
+(sources/resolver.py) rather than a NoSuchKey catch.
+
+All columns are read as STRING (the transformers own type coercion with
+null-on-failure semantics, matching pandas errors='coerce'; SURVEY §1.3).
+A file-order column is injected for deterministic keep-first dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.transformers import ROW_ORDER_COL
+
+
+def read_platform_csv(
+    spark: SparkSession,
+    path: str,
+    limit: int | None = None,
+) -> DataFrame | None:
+    """Read one platform snapshot CSV (local path or s3a:// URI).
+
+    Returns None when the path doesn't exist — the reference tolerates a
+    missing platform file (extraction.py:50-53 NoSuchKey -> None) and the
+    pipeline skips that platform (datapipeline.py:85-91).
+    `limit` mirrors test-mode nrows=5000 (datapipeline.py:93-108).
+    """
+    try:
+        df = (
+            spark.read.option("header", True)
+            .option("multiLine", True)
+            .option("escape", '"')
+            .option("inferSchema", False)  # strings in, expressions coerce
+            .csv(path)
+        )
+        df.schema  # force analysis so a missing path surfaces here
+    except Exception as e:  # AnalysisException: PATH_NOT_FOUND
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return None
+        raise
+    if limit is not None:
+        df = df.limit(limit)
+    # File order id for keep-first dedup determinism: increasing within each
+    # file split, and splits are ordered — good enough to reproduce pandas'
+    # keep='first' on single-snapshot reads.
+    return df.withColumn(ROW_ORDER_COL, F.monotonically_increasing_id())

@@ -1,0 +1,190 @@
+"""End-to-end + operator-level tests for the reference-parity ETL
+(SURVEY.md §2.1-2.2, §2.8, §2.10-2.11 semantics)."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_value_etl_spark.functions.cleaning import (
+    bool_flag,
+    bounded_hash,
+    extract_offer_id,
+    norm_ts,
+    parse_str_list,
+)
+from real_value_etl_spark.functions.ids import uuid5_expr
+from real_value_etl_spark.plans.pipeline import PipelineConfig, run_pipeline
+from real_value_etl_spark.sources.resolver import (
+    ResolutionError,
+    list_local_catalog,
+    resolve_dates,
+)
+
+from .fixtures_etl import make_platform_dir
+
+
+@pytest.fixture(scope="module")
+def platform_dir(tmp_path_factory):
+    return make_platform_dir(str(tmp_path_factory.mktemp("platforms")))
+
+
+@pytest.fixture(scope="module")
+def unified(spark, platform_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("out") / "listings")
+    result = run_pipeline(
+        spark,
+        PipelineConfig(data_dir=platform_dir, output_path=out),
+        request={"domclick": "latest", "yandex": "latest", "cian": "skip",
+                 "avito": "latest"},
+    )
+    assert result["status"] == "success", result
+    return spark.read.parquet(out)
+
+
+# --- expression library -----------------------------------------------------
+
+def test_uuid5_expr_matches_rfc(spark):
+    names = ["2035127354_1", "4455667788_2", "42_4", "0_1", "пример_2"]
+    df = spark.createDataFrame([(n,) for n in names], ["name"])
+    got = {r["name"]: r["u"] for r in
+           df.select("name", uuid5_expr(F.col("name")).alias("u")).collect()}
+    for n in names:
+        assert got[n] == str(uuid.uuid5(uuid.NAMESPACE_DNS, n)), n
+
+
+def test_parse_str_list(spark):
+    rows = [
+        ("['a', 'b']",), ("[1.5, 2]",), ("not a list",), (None,), ("[]",),
+        ("['it\\'s', 'x']",),
+    ]
+    df = spark.createDataFrame(rows, ["v"])
+    out = df.select(parse_str_list("v", "string").alias("s")).collect()
+    assert out[0]["s"] == ["a", "b"]
+    assert out[2]["s"] == []
+    assert out[3]["s"] == []
+    assert out[4]["s"] == []
+    assert out[5]["s"] == ["it's", "x"]
+    nums = df.select(parse_str_list("v", "double").alias("d")).collect()
+    assert nums[1]["d"] == [1.5, 2.0]
+
+
+def test_norm_ts_and_flags_and_ids(spark):
+    df = spark.createDataFrame(
+        [("2024-12-01T10:15:30+03:00", "True", "//realty.yandex.ru/offer/55"),
+         ("garbage", "False", "no-id-here")],
+        ["ts", "flag", "url"],
+    )
+    rows = df.select(
+        norm_ts("ts").alias("ts"),
+        bool_flag("flag").alias("flag"),
+        extract_offer_id("url").alias("oid"),
+        bounded_hash(F.lit("Компания X")).alias("h"),
+    ).collect()
+    assert str(rows[0]["ts"]) == "2024-12-01 07:15:30"  # UTC, tz dropped
+    assert str(rows[1]["ts"]) == "1970-01-01 00:00:00"  # coerce -> epoch
+    assert (rows[0]["flag"], rows[1]["flag"]) == (1, 0)
+    assert rows[0]["oid"] == 55 and rows[1]["oid"] is None
+    assert 0 <= rows[0]["h"] < 10**10
+    assert rows[0]["h"] == rows[1]["h"]  # deterministic (not salted hash())
+
+
+# --- resolver (S7) ----------------------------------------------------------
+
+def test_resolver_latest_skip_and_reject(platform_dir):
+    catalog = list_local_catalog(platform_dir, ("domclick", "yandex", "cian", "avito"))
+    assert catalog["yandex"] == ["20241201", "20241208"]
+    resolved = resolve_dates(
+        {"domclick": "latest", "yandex": None, "cian": "skip", "avito": "20250319"},
+        catalog,
+    )
+    assert resolved == {"domclick": "20241214", "yandex": "20241208",
+                        "cian": None, "avito": "20250319"}
+    with pytest.raises(ResolutionError):
+        resolve_dates({"yandex": "20991231"}, catalog)  # future date
+    with pytest.raises(ResolutionError):
+        resolve_dates({"yandex": "20240101"}, catalog)  # no snapshot
+    with pytest.raises(ResolutionError):
+        resolve_dates({"nope": "latest"}, catalog)  # unknown platform
+
+
+# --- end-to-end unified output ----------------------------------------------
+
+def test_row_counts_and_gates(unified):
+    # domclick: 3 rows - 1 null-price = 2; yandex: 4 - 1 dup - 1 null = 2;
+    # avito: 3 - 1 dup = 2 (zero-square row passes: Area=0.0 is not null)
+    by_platform = {r["platform_id"]: r["n"] for r in
+                   unified.groupBy("platform_id").agg(F.count("*").alias("n")).collect()}
+    assert by_platform == {1: 2, 4: 2, 2: 2}
+
+
+def test_domclick_semantics(unified):
+    r = unified.filter(F.col("listing_id") == 2035127354).collect()[0]
+    assert r["listing_url"] == "https://domclick.ru/card/sale__flat__2035127354"
+    assert r["price"] == 12500000.0
+    assert str(r["published_date"]) == "2024-12-01 07:15:30"
+    assert r["subway_names"] == ["Тверская", "Пушкинская"]
+    assert r["subway_distances"] == [350.0, 1200.5]
+    assert r["photo_urls"] == ["https://img.dmclk.ru/s/123.jpg",
+                               "https://img.dmclk.ru/s/124.jpg"]
+    assert r["placement_paid"] == 1 and r["big_card"] == 0
+    assert r["company_id"] == 5512
+    assert r["uid"] == str(uuid.uuid5(uuid.NAMESPACE_DNS, "2035127354_1"))
+    # fallback company id row: hashed, bounded
+    r2 = unified.filter(F.col("listing_id") == 222).collect()[0]
+    assert 0 < r2["company_id"] < 10**10
+    assert str(r2["published_date"]) == "1970-01-01 00:00:00"
+
+
+def test_yandex_semantics(unified):
+    r = unified.filter(F.col("listing_id") == 5227641546799531676).collect()[0]
+    assert r["platform_id"] == 4
+    assert r["listing_url"] == "https://realty.yandex.ru/offer/5227641546799531676"
+    assert r["address"] == "Санкт-Петербург, Невский пр., 10"  # keep-first won
+    assert r["property_type"] == "flat"
+    assert r["photo_urls"] == ["https:avatars.mds.yandex.net/1.jpg"]
+    assert r["subway_time"] == '{"Маяковская":["ON_FOOT","7"]}'
+    assert r["price_per_sqm"] == pytest.approx(9800000 / 44.3)
+    r2 = unified.filter(F.col("listing_id") == 42).collect()[0]
+    assert r2["property_type"] == "layout"  # NEW_FLAT branch
+    assert r2["seller_type"] == "DEVELOPER"
+
+
+def test_avito_semantics(unified):
+    r = unified.filter(F.col("listing_id") == 4455667788).collect()[0]
+    assert r["platform_id"] == 2
+    assert r["listing_url"] == "https://avito.ru/kvartiry/123456"
+    # faithful dead-store quirk: computed per-sqm/address id never reach output
+    assert r["price_per_sqm"] is None or r["price_per_sqm"] != r["price_per_sqm"]
+    assert r["address_id"] == 0
+    assert r["property_type"] == "flat"  # lowercased
+    assert r["deal_type"] == "sale"
+    assert r["subway_names"] == ["Кремлёвская"]
+    assert r["subway_distances"] == [450.0]
+    assert r["built_year_offer"] == 2015 % 256  # uint8 wrap (SURVEY §1.4.3)
+    assert r["seller_type"] == "АГЕНТСТВО"
+    r2 = unified.filter(F.col("listing_id") == 999).collect()[0]
+    assert r2["seller_type"] == "ПИК"
+    assert r2["deal_type"] == "rent"
+
+
+def test_cian_aborts_run(spark, platform_dir, tmp_path):
+    result = run_pipeline(
+        spark,
+        PipelineConfig(data_dir=platform_dir, output_path=str(tmp_path / "x")),
+        request={"domclick": "skip", "yandex": "skip", "cian": "latest",
+                 "avito": "skip"},
+    )
+    assert result["status"] == "error"
+    assert result["stage"] == "transform"
+    assert result["platform"] == "cian"
+
+
+def test_schema_is_unified(unified):
+    from real_value_etl_spark.schema import TARGET_COLUMNS
+
+    assert unified.columns == TARGET_COLUMNS
+    assert unified.schema["subway_distances"].dataType.simpleString() == "array<double>"
+    assert unified.schema["uid"].dataType.simpleString() == "string"
