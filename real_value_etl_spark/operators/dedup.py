@@ -1,0 +1,251 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+The reference's only dedup is pandas ``drop_duplicates(keep='first')``
+(reference src/etl/transformation.py:224-228, :395 — SURVEY.md §2.7 D1/D2);
+everything else here is the north-star LLM-pipeline surface (SURVEY §2.12).
+
+Scale design (100 TB):
+- exact dedup: one hash-shuffle on the digest; map-side partial agg shrinks
+  the shuffle to (#distinct) rows. Keep-first is a window over the digest —
+  same single shuffle.
+- MinHash+LSH: signatures are computed in one hash-aggregate over exploded
+  shingles (k min-aggregations share the shuffle); candidate generation
+  joins on (band, band_key) so only same-bucket docs ever meet — no O(n^2)
+  cross join anywhere. Verification re-joins candidates to the shingle
+  inverted index (shuffle on shingle, then on pair).
+- SimHash: 32 conditional-sum aggregations over one exploded pass; banding
+  on 8-bit fingerprint slices bounds candidate pairs.
+- All arithmetic is int64 Catalyst expressions (no UDFs) and every constant
+  is shared with the DuckDB oracle mirrors in functions/text.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    LSH_BANDS,
+    LSH_ROWS,
+    MINHASH_K,
+    minhash_expr,
+    portable_hash32,
+    shingles,
+)
+
+
+def exact_dedup_keepfirst(
+    df: DataFrame, keys: list[str], order_by: list[str]
+) -> DataFrame:
+    """Keep the first row per key (deterministic: explicit order columns).
+
+    Spark-native form of the reference's drop_duplicates(keep='first') —
+    one shuffle on `keys`; at scale prefer orderBy columns with high
+    selectivity so the window sort stays cheap per group.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group rows by content digest: (text_hash, keeper_id, n_dups).
+
+    md5 digest => shuffle keys are 32-byte strings regardless of document
+    size; partial aggregation makes the shuffle O(#groups).
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").alias("n_dups"),
+        )
+    )
+
+
+def shingle_index(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exploded (id, shingle) inverted index — the base relation for both
+    exact-Jaccard and MinHash paths."""
+    return df.select(
+        F.col(id_col).alias("did"),
+        F.explode(shingles(F.col(text_col))).alias("sh"),
+    )
+
+
+def _pair_jaccard(
+    idx: DataFrame, candidates: DataFrame | None = None
+) -> DataFrame:
+    """(doc_a, doc_b, inter, n_a, n_b, jac) for candidate pairs (or all pairs
+    sharing >= 1 shingle when candidates is None). jac is computed with ONE
+    double division so the oracle matches bit-exactly."""
+    sizes = idx.groupBy("did").agg(F.count("*").alias("n"))
+    a = idx.alias("a")
+    b = idx.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.did") < F.col("b.did")))
+        .groupBy(F.col("a.did").alias("doc_a"), F.col("b.did").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    if candidates is not None:
+        pairs = pairs.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    na = sizes.select(F.col("did").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("did").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("inter").cast("double").alias("inter_d"),
+            "n_a",
+            "n_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("inter_d") / (F.col("n_a") + F.col("n_b") - F.col("inter_d"))).alias(
+                "jac"
+            ),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float
+) -> DataFrame:
+    """Exact n-gram (3-word shingle) Jaccard near-dup pairs >= threshold via
+    the inverted-index join — the exact baseline the LSH path approximates."""
+    idx = shingle_index(df, id_col, text_col)
+    return _pair_jaccard(idx).filter(F.col("jac") >= threshold)
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """k=16 minhash signature columns mh0..mh15 per document, one aggregate
+    pass over the exploded shingle hashes."""
+    idx = shingle_index(df, id_col, text_col).select(
+        "did", portable_hash32(F.col("sh")).alias("h")
+    )
+    aggs = [
+        F.min(minhash_expr(F.col("h"), i)).alias(f"mh{i}") for i in range(MINHASH_K)
+    ]
+    return idx.groupBy("did").agg(*aggs)
+
+
+def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """Banded-LSH candidates: docs sharing any of the 8 (2-row) band keys.
+
+    Implemented as explode-to-(band, key) then a self-equi-join — a plain
+    shuffled hash join on the band key, never a cross join.
+    """
+    bands = sig.select(
+        "did",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col(f"mh{b * LSH_ROWS + r}")
+                                for r in range(LSH_ROWS)
+                            ],
+                        ).alias("bkey"),
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("did", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    x = bands.alias("x")
+    y = bands.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bkey") == F.col("y.bkey"))
+            & (F.col("x.did") < F.col("y.did")),
+        )
+        .select(F.col("x.did").alias("doc_a"), F.col("y.did").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signature -> banded candidates ->
+    exact-Jaccard verification >= threshold (verification only touches
+    candidate pairs, which is what makes this the 100 TB path)."""
+    sig = minhash_signatures(df, id_col, text_col)
+    cands = lsh_candidate_pairs(sig)
+    idx = shingle_index(df, id_col, text_col)
+    return _pair_jaccard(idx, candidates=cands).filter(F.col("jac") >= threshold)
+
+
+def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """32-bit SimHash per doc: bit j is set iff sum over shingles of
+    (+1 if hash bit j else -1) is positive. One exploded aggregate pass."""
+    idx = shingle_index(df, id_col, text_col).select(
+        "did", portable_hash32(F.col("sh")).alias("h")
+    )
+    bit_sums = [
+        F.sum(
+            (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"s{j}")
+        for j in range(32)
+    ]
+    sums = idx.groupBy("did").agg(*bit_sums)
+    fp: Column = F.lit(0).cast("long")
+    for j in range(32):
+        fp = fp + F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return sums.select("did", fp.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int
+) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates share one of four 8-bit bands of
+    the fingerprint (pigeonhole: hamming<=4 implies one identical band; wider
+    distances trade recall for candidate count), verified by popcount."""
+    fps = simhash_fingerprints(df, id_col, text_col)
+    bands = fps.select(
+        "did",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), 8 * b)
+                        .bitwiseAND(F.lit(255))
+                        .alias("bkey"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("did", "simhash", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    x = bands.alias("x")
+    y = bands.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bkey") == F.col("y.bkey"))
+            & (F.col("x.did") < F.col("y.did")),
+        )
+        .select(
+            F.col("x.did").alias("doc_a"),
+            F.col("y.did").alias("doc_b"),
+            F.bit_count(
+                F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

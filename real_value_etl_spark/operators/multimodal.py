@@ -1,0 +1,84 @@
+"""Multimodal (binary) column plumbing: opaque bytes + typed metadata.
+
+SURVEY.md §2.12: image/audio/video payloads are opaque ``BinaryType``
+columns with struct metadata; decode / feature-extract runs as Arrow-batched
+``mapInPandas`` so each Python invocation sees a columnar batch, never a row.
+
+The actual codec libraries are not in this container, so ``decode_image``
+is a clearly-marked deterministic STUB (see DECODE_IS_STUB): it derives
+width/height/digest from the bytes themselves. The Spark-side plumbing —
+binary schema, Arrow batch shape, partition-parallel UDF execution — is
+real and is what the operator is testing.
+
+Scale design: binary payloads never pass through the driver; mapInPandas
+streams Arrow batches per partition, and metadata-only queries prune the
+binary column at the parquet scan (column pruning => bytes not even read).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODE_IS_STUB = True  # real codecs (PIL/ffmpeg) are not available here
+
+DECODED_SCHEMA = (
+    "doc_id bigint, byte_len bigint, content_md5 string, width int, height int"
+)
+
+
+def attach_binary(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Materialize an opaque binary payload column (utf-8 bytes of the text —
+    a deterministic stand-in for real image bytes) plus typed metadata."""
+    return df.select(
+        F.col(id_col),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.struct(
+            F.octet_length(F.col(text_col)).alias("byte_len"),
+            F.lit("application/octet-stream").alias("mime"),
+        ).alias("meta"),
+    )
+
+
+def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: per Arrow batch, 'decode' each payload.
+
+    STUB decode: width/height are deterministic functions of the byte
+    length; content_md5 is the md5 of the payload bytes (byte-identical to
+    SQL ``md5(text)`` because the payload is the utf-8 encoding).
+    """
+    import hashlib
+
+    for pdf in batches:
+        payloads = pdf["payload"]
+        out = pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "byte_len": payloads.map(len).astype("int64"),
+                "content_md5": payloads.map(
+                    lambda b: hashlib.md5(bytes(b)).hexdigest()
+                ),
+                # deterministic fake dimensions (NotImplementedError-free
+                # stand-in for a real image decode)
+                "width": payloads.map(lambda b: len(b) % 640 + 16).astype("int32"),
+                "height": payloads.map(lambda b: (len(b) * 7) % 480 + 16).astype(
+                    "int32"
+                ),
+            }
+        )
+        yield out
+
+
+def decode_image(binary_df: DataFrame) -> DataFrame:
+    """Arrow-batched decode of the payload column -> typed feature rows.
+
+    Expects columns (doc_id, payload). Runs partition-parallel; no driver
+    collect. Swap `_decode_batches` for a real codec kernel in production.
+    """
+    return binary_df.select("doc_id", "payload").mapInPandas(
+        _decode_batches, schema=DECODED_SCHEMA
+    )

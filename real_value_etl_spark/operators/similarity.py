@@ -1,0 +1,123 @@
+"""Similarity search over embedding columns: brute-force top-k + IVF pruning.
+
+North-star operators (SURVEY.md §2.12) — the reference has no vector
+surface. All distance math is Catalyst higher-order-function expressions
+(functions/vectors.py), bit-exact with the DuckDB oracle.
+
+Scale design (100 TB):
+- brute-force: the query set is broadcast (it is small by construction);
+  each executor scans its partition of the corpus once; top-k is a
+  per-query window (rank over sim) — shuffle only (n_queries x k) rows.
+- IVF: corpus vectors are assigned once to their nearest centroid (a
+  broadcast of the tiny centroid set), queries probe only `nprobe`
+  nearest centroid lists — candidate count drops by ~|centroids|/nprobe.
+  At real scale the assignment is written bucketed-by-cluster so a probe
+  reads only matching buckets (partition pruning on cluster_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine
+
+
+def _as_double(df: DataFrame, id_col: str, vec_col: str, out: str) -> DataFrame:
+    return df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias(out)
+    )
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors per query vector (self excluded).
+
+    Output: (qid, vec_id, sim, rnk). Queries are broadcast; ranking is a
+    window per qid with vec_id as the deterministic tiebreak.
+    """
+    corpus = _as_double(emb, id_col, vec_col, "v")
+    q = _as_double(queries, id_col, vec_col, "qv").select(
+        F.col(id_col).alias("qid"), "qv"
+    )
+    scored = (
+        corpus.join(F.broadcast(q), F.col(id_col) != F.col("qid"))
+        .select("qid", id_col, cosine(F.col("v"), F.col("qv")).alias("sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid by cosine (deterministic
+    tiebreak on centroid id). Output: (vec_id, v, cluster_id)."""
+    corpus = _as_double(emb, id_col, vec_col, "v")
+    cents = _as_double(centroids, id_col, vec_col, "cv").select(
+        F.col(id_col).alias("cid"), "cv"
+    )
+    scored = corpus.join(F.broadcast(cents)).select(
+        id_col, "v", "cid", cosine(F.col("v"), F.col("cv")).alias("csim")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("cid"))
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select(id_col, "v", F.col("cid").alias("cluster_id"))
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: probe the nprobe nearest centroid lists only.
+
+    Output: (qid, vec_id, sim, rnk) — rank over candidates from probed
+    clusters. Deterministic: every argmax/top-k tiebreaks on ids, so the
+    DuckDB oracle reproduces it exactly.
+    """
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    cents = _as_double(centroids, id_col, vec_col, "cv").select(
+        F.col(id_col).alias("cid"), "cv"
+    )
+    q = _as_double(queries, id_col, vec_col, "qv").select(
+        F.col(id_col).alias("qid"), "qv"
+    )
+    qprobe_scored = q.join(F.broadcast(cents)).select(
+        "qid", "qv", "cid", cosine(F.col("qv"), F.col("cv")).alias("csim")
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("csim"), F.asc("cid"))
+    probes = (
+        qprobe_scored.withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= nprobe)
+        .select("qid", "qv", F.col("cid").alias("cluster_id"))
+    )
+    cands = assigned.join(
+        F.broadcast(probes), on="cluster_id"
+    ).filter(F.col(id_col) != F.col("qid"))
+    scored = cands.select(
+        "qid", id_col, cosine(F.col("v"), F.col("qv")).alias("sim")
+    ).distinct()
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )

@@ -1,0 +1,343 @@
+"""Event-stream analytics (batch form): tumbling/sliding windows, gap
+sessionization (custom + built-in session_window), as-of join, JSON
+extraction, keep-first dedup.
+
+The reference is strictly batch with zero time-series operators
+(SURVEY.md §2.9); this module is the batch semantics that streaming/
+re-implements incrementally — same queries, same oracles.
+
+Scale notes: every query here shuffles at most once on its natural key
+(window bucket / user_id); the as-of join is the union+window form (one
+shuffle, no pair explosion) from operators/asof.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join_backward
+from ..operators.dedup import exact_dedup_keepfirst
+from ..operators.sessionize import session_stats
+from .registry import register, table
+
+SESSION_GAP_SEC = 1800  # 30 min
+
+
+# ---------------------------------------------------------------------------
+# Tumbling window aggregation (1 hour)
+# ---------------------------------------------------------------------------
+@register(
+    "events_tumbling_agg",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("events", "window", "agg"),
+)
+def events_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows per event type via F.window (epoch-aligned,
+    identical to date_trunc('hour')). Single hash-agg shuffle."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "n_users",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding window aggregation (1 hour window, 15 min slide)
+# ---------------------------------------------------------------------------
+@register(
+    "events_sliding_agg",
+    oracle="""
+    WITH slid AS (
+      SELECT ws AS window_start, e.value
+      FROM events e,
+           unnest(generate_series(
+             time_bucket(INTERVAL '15 minutes', e.ts) - INTERVAL '45 minutes',
+             time_bucket(INTERVAL '15 minutes', e.ts),
+             INTERVAL '15 minutes')) AS g(ws)
+      WHERE e.ts >= ws AND e.ts < ws + INTERVAL '1 hour'
+    )
+    SELECT window_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM slid GROUP BY 1
+    """,
+    tags=("events", "window", "sliding"),
+)
+def events_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/15min windows: each event lands in 4 buckets (Spark Expand
+    then one hash-agg — not 4 scans)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gap-based sessionization (custom lag+cumsum operator)
+# ---------------------------------------------------------------------------
+_SESSIONIZE_ORACLE = f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > {SESSION_GAP_SEC}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id, session_seq,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM sess GROUP BY 1, 2
+"""
+
+
+@register("events_sessionize", oracle=_SESSIONIZE_ORACLE, tags=("events", "session"))
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-min-gap sessions per user (lag + running-sum operator; one shuffle
+    shared by both window passes). SURVEY §2.9 batch analogue."""
+    ev = table(spark, sf_dir, "events")
+    return session_stats(ev, "user_id", "ts", SESSION_GAP_SEC, value_col="value")
+
+
+# ---------------------------------------------------------------------------
+# Built-in session_window — same semantics, Spark-native operator
+# ---------------------------------------------------------------------------
+@register(
+    "events_session_window",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > {SESSION_GAP_SEC}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, session_seq
+    """,
+    tags=("events", "session", "builtin"),
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.session_window(gap=30 min) — Spark's native merging session window;
+    must agree exactly with the custom lag+cumsum operator (cross-check)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join: latest click at-or-before each purchase (per user)
+# ---------------------------------------------------------------------------
+@register(
+    "asof_purchase_login",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           c.ts AS asof_ts,
+           c.value AS asof_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    tags=("events", "asof", "join"),
+)
+def asof_purchase_login(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (SURVEY §2.3 — the one custom operator): for each
+    purchase, the latest click at-or-before it for the same user. Union +
+    last(ignorenulls) over one (user_id) shuffle — no pair explosion."""
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join_backward(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        right_value_cols=["value"],
+    )
+    return joined.select("event_id", "user_id", "ts", "asof_ts", "asof_value")
+
+
+# ---------------------------------------------------------------------------
+# JSON property extraction + aggregation
+# ---------------------------------------------------------------------------
+@register(
+    "events_json_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+    tags=("events", "json"),
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction (SURVEY §2.8 J1/A1 family) aggregated per type —
+    get_json_object stays in codegen; ints aggregate exactly."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Keep-first dedup (reference D1/D2 semantics, deterministic order)
+# ---------------------------------------------------------------------------
+@register(
+    "events_dedup_keepfirst",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts, value FROM (
+      SELECT event_id, user_id, event_type, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ) t WHERE rn = 1
+    """,
+    tags=("events", "dedup", "keepfirst"),
+)
+def events_dedup_keepfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """drop_duplicates(keep='first') with an explicit deterministic order —
+    the Spark-native form of reference src/etl/transformation.py:224-228,
+    :395 (SURVEY §2.7 D1/D2): row_number over (key) ordered by (ts, id)."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    return exact_dedup_keepfirst(
+        ev, keys=["user_id", "event_type"], order_by=["ts", "event_id"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function showcase (SURVEY §2.8: X2/X3/X5/X6, T3/T4, M1/M4)
+# ---------------------------------------------------------------------------
+@register(
+    "etl_scalar_funcs",
+    oracle="""
+    SELECT event_id,
+           upper(event_type) AS type_upper,
+           CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k_extracted,
+           COALESCE(CAST(NULLIF(event_type, 'error') AS VARCHAR), 'UNKNOWN') AS type_clean,
+           CAST(('0x' || substring(md5(event_type), 1, 8)) AS BIGINT) % 10000000000 AS type_hash,
+           date_trunc('second', ts) AS ts_floor,
+           CASE WHEN value > 50 THEN 1 ELSE 0 END AS high_flag,
+           CAST(floor(value) AS BIGINT) AS value_int
+    FROM events
+    """,
+    tags=("etl", "scalar"),
+)
+def etl_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference scalar-operator family on one row-level query: regex
+    extract (X2), upper (X3), coalesce-default (X5), bounded string hash
+    (X6, deterministic replacement for §1.4.1), floor-to-second (T4),
+    bool->flag (M4), floor-cast (M1/M2)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.upper("event_type").alias("type_upper"),
+        F.regexp_extract("props", r'"k": (\d+)', 1).cast("long").alias("k_extracted"),
+        F.coalesce(
+            F.when(F.col("event_type") != "error", F.col("event_type")),
+            F.lit("UNKNOWN"),
+        ).alias("type_clean"),
+        (
+            F.conv(F.substring(F.md5("event_type"), 1, 8), 16, 10).cast("long")
+            % F.lit(10_000_000_000)
+        ).alias("type_hash"),
+        F.date_trunc("second", "ts").alias("ts_floor"),
+        F.when(F.col("value") > 50, 1).otherwise(0).alias("high_flag"),
+        F.floor("value").cast("long").alias("value_int"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array-function showcase (SURVEY §2.8: A1-A5, O2)
+# ---------------------------------------------------------------------------
+@register(
+    "etl_array_funcs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+      FROM documents
+    )
+    SELECT doc_id,
+           ts[1:3] AS first3,
+           list_transform(ts[1:3], x -> 'w:' || x) AS prefixed,
+           [CAST(doc_id AS VARCHAR)] AS wrapped,
+           len(ts) AS n
+    FROM toks
+    """,
+    tags=("etl", "array"),
+)
+def etl_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-operator family: slice/truncate (O2), element-wise transform
+    with prefix (A2), scalar wrap (A4), size — all higher-order Catalyst
+    expressions (reference did these as per-row Python lambdas)."""
+    docs = table(spark, sf_dir, "documents")
+    ts = F.filter(F.split("text", " "), lambda x: x != "")
+    first3 = F.slice(ts, 1, 3)
+    return docs.select(
+        "doc_id",
+        first3.alias("first3"),
+        F.transform(first3, lambda x: F.concat(F.lit("w:"), x)).alias("prefixed"),
+        F.array(F.col("doc_id").cast("string")).alias("wrapped"),
+        F.size(ts).alias("n"),
+    )

@@ -1,0 +1,437 @@
+"""LLM-data-pipeline queries: dedup family, similarity search, text
+analysis, multimodal plumbing (SURVEY.md §2.12 — north-star operators, no
+reference analogue).
+
+Every oracle below is GENERATED from the same constants/SQL builders the
+Spark operators use (functions/text.py, functions/vectors.py), so the two
+sides cannot drift. All float outputs are produced by identical operation
+orders in both engines (verified bit-exact at sf0.01).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..functions import vectors as V
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import similarity as S
+from .registry import register, table
+
+JACCARD_THRESHOLD = 0.5
+SIMHASH_MAX_HAMMING = 8
+ANN_K = 5
+ANN_QUERY_MOD = 50  # queries = vec_id % 50 == 0
+IVF_CENTROID_MOD = 25  # centroid seeds = vec_id % 25 == 0
+IVF_NPROBE = 3
+
+# --- shared oracle CTE fragments ------------------------------------------
+
+_SHINGLE_IDX_CTE = f"""
+toks AS (SELECT doc_id, {T.tokens_sql("text")} AS ts FROM documents),
+sh AS (SELECT doc_id, {T.shingles_sql()} AS shs FROM toks),
+idx AS (SELECT doc_id AS did, unnest(shs) AS sh FROM sh)
+"""
+
+_JACCARD_TAIL_SQL = f"""
+sizes AS (SELECT did, count(*) AS n FROM idx GROUP BY did),
+pairs AS (
+  SELECT a.did AS doc_a, b.did AS doc_b, count(*) AS inter
+  FROM idx a JOIN idx b ON a.sh = b.sh AND a.did < b.did
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT doc_a, doc_b,
+         (CAST(inter AS DOUBLE) / (na.n + nb.n - CAST(inter AS DOUBLE))) AS jac
+  FROM pairs
+  JOIN sizes na ON na.did = doc_a
+  JOIN sizes nb ON nb.did = doc_b
+)
+"""
+
+_HASHES_CTE = f"hashes AS (SELECT did, {T.portable_hash32_sql('sh')} AS h FROM idx)"
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact_docs",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           min(doc_id) AS keeper_id,
+           count(*) AS n_dups
+    FROM documents GROUP BY md5(text)
+    """,
+    tags=("dedup", "llm"),
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: md5 digest groups with keeper id + group size.
+    Single hash-shuffle on the 32-byte digest (SURVEY §2.12)."""
+    return D.exact_dup_groups(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard near-dup (the baseline the LSH path approximates)
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLE_IDX_CTE}, {_JACCARD_TAIL_SQL}
+    SELECT doc_a, doc_b, jac FROM jac WHERE jac >= {JACCARD_THRESHOLD}
+    """,
+    tags=("dedup", "llm", "join"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-word-shingle Jaccard pairs >= 0.5 via the shingle inverted-index
+    join (no cross join; candidate pairs only where shingles collide)."""
+    return D.ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text", JACCARD_THRESHOLD
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH near-dup (the 100 TB path)
+# ---------------------------------------------------------------------------
+def _minhash_oracle() -> str:
+    sig_cols = ",\n         ".join(
+        f"min({T.minhash_sql('h', i)}) AS mh{i}" for i in range(T.MINHASH_K)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        "SELECT did, {b} AS band, {key} AS bkey FROM sig".format(
+            b=b,
+            key="CAST(mh{0} AS VARCHAR) || '_' || CAST(mh{1} AS VARCHAR)".format(
+                b * T.LSH_ROWS, b * T.LSH_ROWS + 1
+            ),
+        )
+        for b in range(T.LSH_BANDS)
+    )
+    return f"""
+    WITH {_SHINGLE_IDX_CTE},
+    {_HASHES_CTE},
+    sig AS (SELECT did, {sig_cols} FROM hashes GROUP BY did),
+    bands AS ({band_selects}),
+    cand AS (
+      SELECT DISTINCT x.did AS doc_a, y.did AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.bkey = y.bkey AND x.did < y.did
+    ),
+    {_JACCARD_TAIL_SQL.lstrip()}
+    SELECT j.doc_a, j.doc_b, j.jac
+    FROM jac j JOIN cand USING (doc_a, doc_b)
+    WHERE j.jac >= {JACCARD_THRESHOLD}
+    """
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_oracle(), tags=("dedup", "llm", "lsh"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(k=16) -> 8x2 banded LSH candidates -> exact-Jaccard verify.
+    Verification cost scales with candidates, not pairs — the scale path."""
+    return D.minhash_lsh_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text", JACCARD_THRESHOLD
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup
+# ---------------------------------------------------------------------------
+def _simhash_oracle() -> str:
+    bit_sums = ",\n         ".join(
+        f"sum(((h >> {j}) & 1) * 2 - 1) AS s{j}" for j in range(32)
+    )
+    fp = " + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(32))
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT did, simhash, {b} AS band, (simhash >> {8 * b}) & 255 AS bkey FROM fps"
+        for b in range(4)
+    )
+    return f"""
+    WITH {_SHINGLE_IDX_CTE},
+    {_HASHES_CTE},
+    sums AS (SELECT did, {bit_sums} FROM hashes GROUP BY did),
+    fps AS (SELECT did, CAST({fp} AS BIGINT) AS simhash FROM sums),
+    bands AS ({band_selects}),
+    pairs AS (
+      SELECT DISTINCT x.did AS doc_a, y.did AS doc_b,
+             bit_count(xor(x.simhash, y.simhash)) AS hamming
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.bkey = y.bkey AND x.did < y.did
+    )
+    SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= {SIMHASH_MAX_HAMMING}
+    """
+
+
+@register("dedup_simhash", oracle=_simhash_oracle(), tags=("dedup", "llm", "simhash"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash near-dup pairs (hamming <= 8) with 8-bit-band
+    candidate generation — constant-size fingerprints, one agg pass."""
+    return D.simhash_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text", SIMHASH_MAX_HAMMING
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity: brute-force top-k (exact baseline)
+# ---------------------------------------------------------------------------
+_COS_EQ = V.cosine_sql("e.v", "q.qv")
+
+
+@register(
+    "sim_embedding_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % {ANN_QUERY_MOD} = 0),
+    scored AS (
+      SELECT q.qid, e.vec_id, {_COS_EQ} AS sim
+      FROM e, q WHERE e.vec_id <> q.qid
+    ),
+    ranked AS (
+      SELECT qid, vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
+      FROM scored
+    )
+    SELECT qid, vec_id, sim, rnk FROM ranked WHERE rnk <= {ANN_K}
+    """,
+    tags=("similarity", "llm", "vector"),
+)
+def sim_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for every 50th vector. Query side is
+    broadcast; corpus scanned once; only (q x k) rows shuffle for ranking."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % ANN_QUERY_MOD == 0)
+    return S.brute_force_topk(emb, queries, ANN_K)
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity: IVF-pruned top-k (the scale path)
+# ---------------------------------------------------------------------------
+def _ivf_oracle() -> str:
+    cos_vc = V.cosine_sql("e.v", "c.cv")
+    cos_qc = V.cosine_sql("q.qv", "c.cv")
+    cos_qv = V.cosine_sql("a.v", "p.qv")
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {IVF_CENTROID_MOD} = 0),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % {ANN_QUERY_MOD} = 0),
+    assigned AS (
+      SELECT vec_id, v, cid AS cluster_id FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos_vc} DESC, c.cid) AS r
+        FROM e, cents c
+      ) WHERE r = 1
+    ),
+    probes AS (
+      SELECT qid, qv, cid AS cluster_id FROM (
+        SELECT q.qid, q.qv, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                                  ORDER BY {cos_qc} DESC, c.cid) AS r
+        FROM q, cents c
+      ) WHERE r <= {IVF_NPROBE}
+    ),
+    scored AS (
+      SELECT DISTINCT p.qid, a.vec_id, {cos_qv} AS sim
+      FROM assigned a JOIN probes p USING (cluster_id)
+      WHERE a.vec_id <> p.qid
+    ),
+    ranked AS (
+      SELECT qid, vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
+      FROM scored
+    )
+    SELECT qid, vec_id, sim, rnk FROM ranked WHERE rnk <= {ANN_K}
+    """
+
+
+@register("sim_ann_ivf", oracle=_ivf_oracle(), tags=("similarity", "llm", "ann"))
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5: assign corpus to 20 seeded centroids, probe the
+    3 nearest centroid lists per query — candidates shrink ~7x vs brute
+    force here, ~|centroids|/nprobe at scale."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % ANN_QUERY_MOD == 0)
+    cents = emb.filter(F.col("vec_id") % IVF_CENTROID_MOD == 0)
+    return S.ivf_topk(emb, queries, cents, ANN_K, IVF_NPROBE)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: token stats
+# ---------------------------------------------------------------------------
+@register(
+    "text_token_stats",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, n_chars, {T.tokens_sql("text")} AS ts,
+                         len(regexp_extract_all(text, '[a-z0-9]+')) AS n_bpe
+                  FROM documents)
+    SELECT doc_id,
+           len(ts) AS n_tokens,
+           len(list_distinct(ts)) AS n_distinct,
+           n_bpe,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(ts, t -> CAST(len(t) AS BIGINT))),
+                  (a, b) -> a + b) AS DOUBLE) / len(ts) AS avg_tok_len
+    FROM toks
+    """,
+    tags=("text", "llm"),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, distinct types, regex (BPE-ish)
+    token count, mean token length — all codegen'd expressions."""
+    docs = table(spark, sf_dir, "documents")
+    ts = T.tokens(F.col("text"))
+    sum_len = F.aggregate(
+        ts, F.lit(0).cast("long"), lambda a, t: a + F.length(t).cast("long")
+    )
+    return docs.select(
+        "doc_id",
+        F.size(ts).alias("n_tokens"),
+        F.size(F.array_distinct(ts)).alias("n_distinct"),
+        F.regexp_count(F.col("text"), F.lit("[a-z0-9]+")).alias("n_bpe"),
+        (sum_len.cast("double") / F.size(ts)).alias("avg_tok_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: quality scoring
+# ---------------------------------------------------------------------------
+_EN_STOPS = T.LANG_STOPWORDS["en"]
+_EN_STOPS_SQL = "[" + ", ".join(f"'{w}'" for w in _EN_STOPS) + "]"
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {T.tokens_sql("text")} AS ts FROM documents),
+    feats AS (
+      SELECT doc_id,
+             len(ts) AS n_tokens,
+             CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) AS ttr,
+             CAST(len(list_intersect(list_distinct(ts), {_EN_STOPS_SQL})) AS DOUBLE)
+               / len(list_distinct(ts)) AS stop_ratio
+      FROM toks
+    )
+    SELECT doc_id, n_tokens, ttr, stop_ratio,
+           (CASE WHEN n_tokens BETWEEN 20 AND 400 THEN 0.5 ELSE 0.0 END)
+             + 0.25 * ttr + 0.25 * stop_ratio AS quality
+    FROM feats
+    """,
+    tags=("text", "llm"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: length gate + type-token ratio + stopword
+    ratio, combined with fixed weights (identical op order to the oracle)."""
+    docs = table(spark, sf_dir, "documents")
+    ts = T.tokens(F.col("text"))
+    dts = F.array_distinct(ts)
+    stops = F.array(*[F.lit(w) for w in _EN_STOPS])
+    feats = docs.select(
+        "doc_id",
+        F.size(ts).alias("n_tokens"),
+        (F.size(dts).cast("double") / F.size(ts)).alias("ttr"),
+        (F.size(F.array_intersect(dts, stops)).cast("double") / F.size(dts)).alias(
+            "stop_ratio"
+        ),
+    )
+    return feats.select(
+        "doc_id",
+        "n_tokens",
+        "ttr",
+        "stop_ratio",
+        (
+            F.when(F.col("n_tokens").between(20, 400), F.lit(0.5)).otherwise(0.0)
+            + F.lit(0.25) * F.col("ttr")
+            + F.lit(0.25) * F.col("stop_ratio")
+        ).alias("quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: language-ID heuristic
+# ---------------------------------------------------------------------------
+def _lang_oracle() -> str:
+    score_cols = ",\n           ".join(
+        "len(list_intersect(dts, {lst})) AS s_{lang}".format(
+            lst="[" + ", ".join(f"'{w}'" for w in ws) + "]", lang=lang
+        )
+        for lang, ws in T.LANG_STOPWORDS.items()
+    )
+    langs = sorted(T.LANG_STOPWORDS)  # tiebreak: alphabetical wins
+    mx = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = " ".join(f"WHEN s_{lang} = {mx} THEN '{lang}'" for lang in langs)
+    s_out = ", ".join(f"s_{lang}" for lang in langs)
+    return f"""
+    WITH toks AS (SELECT doc_id, lang, {T.distinct_tokens_sql("text")} AS dts
+                  FROM documents),
+    scores AS (SELECT doc_id, lang, {score_cols} FROM toks)
+    SELECT doc_id, lang, {s_out},
+           CASE {case} END AS predicted_lang
+    FROM scores
+    """
+
+
+@register("text_lang_id", oracle=_lang_oracle(), tags=("text", "llm", "langid"))
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/function-word language heuristic: per-language stopword-hit
+    scores, argmax with alphabetical tiebreak. (The synthetic corpus shares
+    one vocabulary across langs, so this measures the operator, not the
+    labels.)"""
+    docs = table(spark, sf_dir, "documents")
+    scores = T.lang_scores(F.col("text"))
+    scored = docs.select(
+        "doc_id", "lang", *[s.alias(f"s_{lang}") for lang, s in scores]
+    )
+    langs = sorted(T.LANG_STOPWORDS)
+    mx = F.greatest(*[F.col(f"s_{lang}") for lang in langs])
+    expr = None
+    for lang in langs:
+        cond = F.col(f"s_{lang}") == mx
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    return scored.select(
+        "doc_id", "lang", *[f"s_{lang}" for lang in langs], expr.alias("predicted_lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: document fingerprint (rolling hash)
+# ---------------------------------------------------------------------------
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id, {T.rolling_fingerprint_sql("text")} AS fingerprint
+    FROM documents
+    """,
+    tags=("text", "llm", "hash"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive polynomial rolling hash over the token stream —
+    a content fingerprint that distinguishes reorderings (unlike md5 of
+    the sorted token set)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", T.rolling_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: binary payload + Arrow-batched decode stub
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           md5(text) AS content_md5,
+           octet_length(encode(text)) % 640 + 16 AS width,
+           (octet_length(encode(text)) * 7) % 480 + 16 AS height
+    FROM documents
+    """,
+    tags=("multimodal", "llm", "pandas_udf"),
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline: attach opaque payload bytes, then decode via
+    Arrow-batched mapInPandas (deterministic STUB decode — the Spark
+    plumbing is real: BinaryType schema, partition-parallel batches)."""
+    docs = table(spark, sf_dir, "documents")
+    binary = M.attach_binary(docs, "doc_id", "text")
+    return M.decode_image(binary)

@@ -46,5 +46,15 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver parquet table (lazy scan; pushdown-friendly)."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Load one driver parquet table (lazy scan; pushdown-friendly).
+
+    `events.ts` is physically TIMESTAMP(NANOS); with nanosAsLong it arrives
+    as int64 nanos — convert via integer division (`div`, exact on int64,
+    unlike a double divide) to micros, matching DuckDB's truncation.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df

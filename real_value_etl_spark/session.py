@@ -41,6 +41,10 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # events.parquet stores TIMESTAMP(NANOS) which Spark refuses by
+        # default; read as int64 nanos and convert (registry.table) with
+        # exact integer division — matches DuckDB's truncate-to-micros.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
     )
     for k, v in (extra_conf or {}).items():
