@@ -14,3 +14,7 @@ try:
     from . import events_queries  # noqa: F401
 except ImportError:  # pragma: no cover
     pass
+try:
+    from . import streaming_queries  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass

@@ -1,0 +1,57 @@
+"""Streaming query registrations (SURVEY.md §2.9).
+
+Each callable drains a Structured Streaming job (file source -> watermark ->
+stateful op -> AvailableNow -> memory sink) and returns the drained batch
+DataFrame, so streaming results face the SAME DuckDB oracle as batch — the
+strongest correctness statement available for the streaming path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..streaming import jobs
+from .registry import register
+
+
+@register(
+    "stream_tumbling_agg",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("stream", "window", "agg"),
+)
+def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation, streaming == batch."""
+    return jobs.stream_tumbling_agg(spark, sf_dir)
+
+
+@register(
+    "stream_dedup_keys",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    tags=("stream", "dedup"),
+)
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming stateful dedup — emitted key set equals batch DISTINCT."""
+    return jobs.stream_dedup_keys(spark, sf_dir)
+
+
+@register(
+    "stream_user_totals",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY user_id
+    """,
+    tags=("stream", "stateful", "pandas_udf"),
+)
+def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState running totals — final state equals batch
+    groupBy (exact-cents state => bit-exact doubles)."""
+    return jobs.stream_user_totals(spark, sf_dir)

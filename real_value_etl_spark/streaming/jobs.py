@@ -1,0 +1,169 @@
+"""Structured Streaming jobs over the `events` table (SURVEY.md §2.9 —
+absent in the strictly-batch reference; north-star capability).
+
+Each job reads the events parquet through the FILE STREAM source (the same
+code would tail an s3a:// drop directory or Kafka at production scale),
+applies watermark + windowed/stateful operators, and drains with
+Trigger.AvailableNow into an in-memory sink. The drained result is returned
+as a batch DataFrame, so every streaming query still goes through the
+DuckDB value-hash oracle — the streaming implementation must agree with the
+declarative batch semantics.
+
+Scale/ops design:
+- watermarks bound state (10 min on event time);
+- windowed aggregation state is keyed by (window, type) — partitioned
+  across executors by the same hash shuffle as batch;
+- dropDuplicates state is keyed by the dedup columns;
+- applyInPandasWithState demonstrates the arbitrary-stateful extension
+  point (Arrow-batched per group);
+- in production the memory sink becomes a kafka/parquet/foreachBatch sink;
+  checkpointLocation gives exactly-once restart (omitted here: the memory
+  sink is test-only by definition).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+WATERMARK = "10 minutes"
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the events table. The nanos `ts` arrives as
+    int64 (nanosAsLong) and is converted with exact integer division —
+    identical to the batch reader in queries/registry.py."""
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # The file stream source requires a DIRECTORY (in production: the s3a://
+    # drop prefix new snapshot files land in). Stage a symlink dir per sf.
+    import hashlib
+    import os
+
+    stage = f"/tmp/rve_stream/{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}/events"
+    os.makedirs(stage, exist_ok=True)
+    link = f"{stage}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    stream = spark.readStream.schema(schema).parquet(stage)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def _drain(spark: SparkSession, result: DataFrame, name: str, mode: str) -> DataFrame:
+    """Run the stream to completion (AvailableNow) into a memory sink and
+    return the sink contents as a batch DataFrame."""
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    query = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
+
+
+def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked 1-hour tumbling windows per event type, complete mode.
+    Must equal the batch date_trunc aggregation exactly."""
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", WATERMARK)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _drain(spark, agg, "mem_stream_tumbling", "complete")
+
+
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming stateful dedup on (user_id, event_type): emits the first
+    occurrence of each key; the emitted KEY SET equals batch DISTINCT."""
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", WATERMARK)
+    deduped = ev.dropDuplicates(["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    return _drain(spark, deduped, "mem_stream_dedup", "append")
+
+
+_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("total_cents", LongType())]
+)
+_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+
+
+def _user_totals(
+    key: Tuple[int], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState kernel: running per-user (count, sum) with the
+    sum kept in integer cents so the emitted double is exact."""
+    n, cents = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        # per-element cents rounding (2dp inputs) — exact regardless of
+        # batch size, unlike rounding a float batch sum
+        cents += int((pdf["value"] * 100).round().astype("int64").sum())
+    state.update((n, cents))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "sum_value": [cents / 100.0]}
+    )
+
+
+def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom arbitrary-stateful operator (applyInPandasWithState): running
+    per-user totals; the final emission per user equals the batch groupBy.
+
+    The exact-cents state representation means the emitted double matches
+    DuckDB's DECIMAL sum cast to double bit-for-bit.
+    """
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", WATERMARK)
+    totals = ev.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
+        _user_totals,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    drained = _drain(spark, totals, "mem_stream_user_totals", "update")
+    # A multi-file source would emit one running row per (user, batch); keep
+    # the final (max n_events) row per user so semantics are batch-equal
+    # regardless of how the source splits batches.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        drained.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .drop("__r")
+    )
