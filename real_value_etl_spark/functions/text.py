@@ -69,13 +69,12 @@ def distinct_tokens(col: Column) -> Column:
     return F.array_distinct(tokens(col))
 
 
-def shingles(col: Column, n: int = 3) -> Column:
-    """Distinct n-word shingles ('w1 w2 w3') — the near-dup unit.
-
-    Built as array expressions (sequence + transform + element_at), all
-    JVM-side; equivalent oracle uses a lateral range.
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles ('w1 w2 w3') from an ALREADY-MATERIALIZED
+    token array column. Pass a plain column reference, not an inline
+    tokens(...) expression — Catalyst inlines lambda arguments, so an inline
+    split would be re-evaluated per element_at (quadratic per row).
     """
-    toks = tokens(col)
     # guard: sequence(1, x) DESCENDS for x<1, so short docs need an explicit
     # empty result (oracle mirror: end-exclusive range() is naturally empty)
     idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
@@ -87,6 +86,12 @@ def shingles(col: Column, n: int = 3) -> Column:
             ),
         )
     )).otherwise(F.array().cast("array<string>"))
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Single-expression form (convenient but re-splits per element_at —
+    prefer a two-step projection via shingles_from_tokens on hot paths)."""
+    return shingles_from_tokens(tokens(col), n)
 
 
 def portable_hash32(col: Column) -> Column:

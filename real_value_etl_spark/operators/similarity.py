@@ -5,9 +5,13 @@ surface. All distance math is Catalyst higher-order-function expressions
 (functions/vectors.py), bit-exact with the DuckDB oracle.
 
 Scale design (100 TB):
+- vector norms are computed ONCE per side and reused, so each candidate
+  pair costs a single dot-product fold (sim = dot / (norm_a * norm_b) is
+  bit-identical to computing cosine per pair — sqrt/mult/div are exact
+  IEEE ops on the same inputs);
 - brute-force: the query set is broadcast (it is small by construction);
   each executor scans its partition of the corpus once; top-k is a
-  per-query window (rank over sim) — shuffle only (n_queries x k) rows.
+  per-query window (rank over sim) — shuffle only (n_queries x k) rows;
 - IVF: corpus vectors are assigned once to their nearest centroid (a
   broadcast of the tiny centroid set), queries probe only `nprobe`
   nearest centroid lists — candidate count drops by ~|centroids|/nprobe.
@@ -20,13 +24,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine
+from ..functions.vectors import dot, norm
 
 
-def _as_double(df: DataFrame, id_col: str, vec_col: str, out: str) -> DataFrame:
+def _with_norm(
+    df: DataFrame, id_col: str, vec_col: str, v: str, n: str
+) -> DataFrame:
     return df.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias(out)
-    )
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias(v),
+    ).withColumn(n, norm(F.col(v)))
 
 
 def brute_force_topk(
@@ -41,19 +48,17 @@ def brute_force_topk(
     Output: (qid, vec_id, sim, rnk). Queries are broadcast; ranking is a
     window per qid with vec_id as the deterministic tiebreak.
     """
-    corpus = _as_double(emb, id_col, vec_col, "v")
-    q = _as_double(queries, id_col, vec_col, "qv").select(
-        F.col(id_col).alias("qid"), "qv"
+    corpus = _with_norm(emb, id_col, vec_col, "v", "nv")
+    q = _with_norm(queries, id_col, vec_col, "qv", "nq").select(
+        F.col(id_col).alias("qid"), "qv", "nq"
     )
-    scored = (
-        corpus.join(F.broadcast(q), F.col(id_col) != F.col("qid"))
-        .select("qid", id_col, cosine(F.col("v"), F.col("qv")).alias("sim"))
+    scored = corpus.join(F.broadcast(q), F.col(id_col) != F.col("qid")).select(
+        "qid",
+        id_col,
+        (dot(F.col("v"), F.col("qv")) / (F.col("nv") * F.col("nq"))).alias("sim"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc(id_col))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-    )
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
 
 
 def ivf_assign(
@@ -63,19 +68,23 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Assign every vector to its nearest centroid by cosine (deterministic
-    tiebreak on centroid id). Output: (vec_id, v, cluster_id)."""
-    corpus = _as_double(emb, id_col, vec_col, "v")
-    cents = _as_double(centroids, id_col, vec_col, "cv").select(
-        F.col(id_col).alias("cid"), "cv"
+    tiebreak on centroid id). Output: (vec_id, v, nv, cluster_id)."""
+    corpus = _with_norm(emb, id_col, vec_col, "v", "nv")
+    cents = _with_norm(centroids, id_col, vec_col, "cv", "nc").select(
+        F.col(id_col).alias("cid"), "cv", "nc"
     )
     scored = corpus.join(F.broadcast(cents)).select(
-        id_col, "v", "cid", cosine(F.col("v"), F.col("cv")).alias("csim")
+        id_col,
+        "v",
+        "nv",
+        "cid",
+        (dot(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("nc"))).alias("csim"),
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("cid"))
     return (
         scored.withColumn("__r", F.row_number().over(w))
         .filter(F.col("__r") == 1)
-        .select(id_col, "v", F.col("cid").alias("cluster_id"))
+        .select(id_col, "v", "nv", F.col("cid").alias("cluster_id"))
     )
 
 
@@ -95,29 +104,32 @@ def ivf_topk(
     DuckDB oracle reproduces it exactly.
     """
     assigned = ivf_assign(emb, centroids, id_col, vec_col)
-    cents = _as_double(centroids, id_col, vec_col, "cv").select(
-        F.col(id_col).alias("cid"), "cv"
+    cents = _with_norm(centroids, id_col, vec_col, "cv", "nc").select(
+        F.col(id_col).alias("cid"), "cv", "nc"
     )
-    q = _as_double(queries, id_col, vec_col, "qv").select(
-        F.col(id_col).alias("qid"), "qv"
+    q = _with_norm(queries, id_col, vec_col, "qv", "nq").select(
+        F.col(id_col).alias("qid"), "qv", "nq"
     )
     qprobe_scored = q.join(F.broadcast(cents)).select(
-        "qid", "qv", "cid", cosine(F.col("qv"), F.col("cv")).alias("csim")
+        "qid",
+        "qv",
+        "nq",
+        "cid",
+        (dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc"))).alias("csim"),
     )
     wq = Window.partitionBy("qid").orderBy(F.desc("csim"), F.asc("cid"))
     probes = (
         qprobe_scored.withColumn("__r", F.row_number().over(wq))
         .filter(F.col("__r") <= nprobe)
-        .select("qid", "qv", F.col("cid").alias("cluster_id"))
+        .select("qid", "qv", "nq", F.col("cid").alias("cluster_id"))
     )
-    cands = assigned.join(
-        F.broadcast(probes), on="cluster_id"
-    ).filter(F.col(id_col) != F.col("qid"))
+    cands = assigned.join(F.broadcast(probes), on="cluster_id").filter(
+        F.col(id_col) != F.col("qid")
+    )
     scored = cands.select(
-        "qid", id_col, cosine(F.col("v"), F.col("qv")).alias("sim")
+        "qid",
+        id_col,
+        (dot(F.col("v"), F.col("qv")) / (F.col("nv") * F.col("nq"))).alias("sim"),
     ).distinct()
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc(id_col))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-    )
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
