@@ -18,3 +18,7 @@ try:
     from . import streaming_queries  # noqa: F401
 except ImportError:  # pragma: no cover
     pass
+try:
+    from . import subqueries  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass

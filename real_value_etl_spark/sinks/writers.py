@@ -37,6 +37,38 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.select(*cols).write.mode(mode).option("header", True).csv(path)
 
 
+def write_partitioned_parquet(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned layout (e.g. platform=/date=): queries that
+    filter on the partition columns read ONLY matching directories
+    (Catalyst PartitionFilters — verified by tests/test_plans.py). This is
+    the 100 TB layout for the reference's (platform, snapshot-date)
+    catalog (SURVEY §1.1.2)."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed + sorted managed table: joins/aggregations on `bucket_col`
+    between co-bucketed tables skip the shuffle entirely (Exchange elided —
+    the bucketing IS the pre-shuffle). Use for repeatedly-joined fact
+    tables (lineitem.orderkey x orders.orderkey)."""
+    w = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.format("parquet").saveAsTable(table)
+
+
 def write_clickhouse_jdbc(
     df: DataFrame,
     url: str,

@@ -1,0 +1,101 @@
+"""Unit tests for the custom operators on tiny inline frames — the operator
+semantics independent of the driver tables (SURVEY §5 strategy)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from real_value_etl_spark.operators.asof import asof_join_backward
+from real_value_etl_spark.operators.dedup import exact_dedup_keepfirst
+from real_value_etl_spark.operators.sessionize import session_stats
+from real_value_etl_spark.operators.skew import salted_agg, salted_broadcast_join
+
+
+def ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def test_asof_backward_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00:00"), "p1"),
+         (1, ts("2024-01-01 12:00:00"), "p2"),
+         (2, ts("2024-01-01 09:00:00"), "p3")],
+        "k long, lts timestamp, pid string",
+    )
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01 09:30:00"), 10.0),
+         (1, ts("2024-01-01 11:00:00"), 20.0),
+         (1, ts("2024-01-01 12:00:00"), 30.0),  # tie: <= includes it
+         (2, ts("2024-01-01 09:30:00"), 40.0)],  # after left -> no match
+        "k long, rts timestamp, v double",
+    )
+    out = asof_join_backward(left, right, "k", "lts", "rts", ["v"])
+    got = {r["pid"]: (r["asof_v"]) for r in out.collect()}
+    assert got == {"p1": 10.0, "p2": 30.0, "p3": None}
+
+
+def test_keepfirst_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, 2, "b"), (1, 1, "a"), (2, 5, "c")], "k long, ord long, v string"
+    )
+    out = exact_dedup_keepfirst(df, keys=["k"], order_by=["ord"])
+    assert {(r["k"], r["v"]) for r in out.collect()} == {(1, "a"), (2, "c")}
+
+
+def test_sessionize_gap(spark):
+    df = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00:00"), 1.0),
+         (1, ts("2024-01-01 10:10:00"), 1.0),   # same session (10 min)
+         (1, ts("2024-01-01 11:30:00"), 1.0),   # gap 80 min -> new session
+         (2, ts("2024-01-01 10:00:00"), 1.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    out = session_stats(df, "user_id", "ts", 1800, value_col="value").collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r["n_events"])
+    assert sorted(by_user[1]) == [1, 2]
+    assert by_user[2] == [1]
+
+
+def test_salted_agg_matches_plain(spark):
+    df = spark.range(0, 10_000).select(
+        (F.col("id") % 3).alias("k"),
+        F.col("id").alias("uid"),
+        (F.col("id") % 100 / 4).cast("double").alias("v"),
+    )
+    plain = {
+        (r["k"]): (r["s"], r["n"])
+        for r in df.groupBy("k")
+        .agg(
+            F.sum(F.col("v").cast("decimal(18,2)")).cast("double").alias("s"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    salted = {
+        (r["k"]): (r["s"], r["n"])
+        for r in salted_agg(
+            df, ["k"], "uid", buckets=8, sums={"v": "s"}, count_alias="n"
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_join_matches_plain(spark):
+    big = spark.range(0, 5_000).select(
+        (F.col("id") % 4).alias("k"), F.col("id").alias("uid")
+    )
+    small = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c"), (3, "d")], "k long, label string"
+    )
+    plain = sorted(
+        (r["uid"], r["label"]) for r in big.join(small, "k").collect()
+    )
+    salted = sorted(
+        (r["uid"], r["label"])
+        for r in salted_broadcast_join(big, small, "k", "uid", buckets=4).collect()
+    )
+    assert plain == salted

@@ -1,0 +1,114 @@
+"""Physical-plan assertions: the scale properties the engine promises must
+be visible in the executed plans, not just claimed in docstrings.
+
+These tests pin: predicate pushdown + column pruning to the parquet scan,
+broadcast joins for dimensions, shuffle-sharing for windows, partial
+aggregation, partition pruning on partitioned layouts, and the absence of
+cartesian products on the LSH path.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from real_value_etl_spark.queries import all_queries  # noqa: F401
+from real_value_etl_spark.queries.registry import REGISTRY
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_pushdown_and_pruning(spark, sf_dir):
+    """All four q6 predicates and the 3-column projection reach the scan."""
+    plan = plan_of(REGISTRY["q6_forecast_revenue"].fn(spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1].split("]")[0]
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" in read_schema
+    # pruned: none of the untouched wide columns are read
+    assert "l_returnflag" not in read_schema
+    assert "l_orderkey" not in read_schema
+
+
+def test_q3_broadcasts_dimension(spark, sf_dir):
+    """customer (filtered dim) must broadcast; the only shuffled join is
+    orders x lineitem."""
+    plan = plan_of(REGISTRY["q3_shipping_priority"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q5_star_join_broadcasts_all_dims(spark, sf_dir):
+    plan = plan_of(REGISTRY["q5_local_supplier"].fn(spark, sf_dir))
+    # 4+ broadcast joins (customer, supplier, nation, region)
+    assert plan.count("BroadcastHashJoin") >= 4
+    # exactly one shuffled join (lineitem x orders)
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_window_query_single_exchange(spark, sf_dir):
+    """All four window functions share one hashpartitioning exchange."""
+    plan = plan_of(REGISTRY["q_window_order_rank"].fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    """Hash aggregation must be two-phase (map-side partial combine)."""
+    plan = plan_of(REGISTRY["q1_pricing_summary"].fn(spark, sf_dir))
+    assert "partial" in plan.lower()
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_lsh_path_no_cartesian(spark, sf_dir):
+    """MinHash-LSH must never degrade to a cartesian/nested-loop join."""
+    plan = plan_of(REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_whole_stage_codegen_on_scan_paths(spark, sf_dir):
+    """Codegen spans only materialize in the AQE final plan — execute
+    first, then inspect."""
+    df = REGISTRY["q1_pricing_summary"].fn(spark, sf_dir)
+    df.collect()
+    plan = plan_of(df)
+    assert "isFinalPlan=true" in plan
+    # codegen'd operators are star-annotated: *(stage_id) Operator
+    assert "*(1)" in plan
+    # and both aggregate phases are inside codegen stages
+    assert "*(1) HashAggregate" in plan and "*(2) HashAggregate" in plan
+
+
+def test_partition_pruning(spark, sf_dir, tmp_path):
+    """Partitioned layout + partition-column filter => pruned scan."""
+    from real_value_etl_spark.sinks.writers import write_partitioned_parquet
+
+    ev = REGISTRY["events_tumbling_agg"].fn.__globals__["table"](
+        spark, sf_dir, "events"
+    ).withColumn("day", F.to_date("ts"))
+    out = str(tmp_path / "events_part")
+    write_partitioned_parquet(ev, out, ["event_type"])
+    back = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = plan_of(back)
+    assert "PartitionFilters" in plan
+    # pruning happened: only 1 of 5 event_type partitions is scanned
+    assert back.select("event_type").distinct().count() == 1
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    """The as-of join is one window pass: exactly one hashpartitioning
+    exchange over the union, no join operator at all."""
+    plan = plan_of(REGISTRY["asof_purchase_login"].fn(spark, sf_dir))
+    assert "Join" not in plan  # union+window, not a pairwise join
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+@pytest.mark.parametrize("name", ["dedup_exact_docs", "events_sessionize"])
+def test_no_python_udfs_on_hot_paths(spark, sf_dir, name):
+    """Dedup/sessionize stay JVM-side (no BatchEvalPython / ArrowEvalPython
+    in the plan) — Python appears only in the sanctioned mapInPandas ops."""
+    plan = plan_of(REGISTRY[name].fn(spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
