@@ -1,0 +1,50 @@
+"""REST control plane — reference parity for `POST /etl/start`
+(reference main.py:10-65; SURVEY.md §2.11 C1).
+
+The service owns a long-lived SparkSession and submits the ETL pipeline per
+request; platform dates resolve exactly like the reference
+(`latest` / `skip` / explicit `YYYYMMDD` / null, checking_s3_data.py:94-144)
+via sources/resolver.py. Import-gated: fastapi is not part of the engine's
+core dependencies (this container ships none), so `create_app` raises a
+clear error instead of failing at import time.
+
+Run: `uvicorn 'real_value_etl_spark.api:create_app(...)'` after
+`pip install fastapi uvicorn`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+
+def create_app(data_dir: str, output_path: str, output_format: str = "parquet"):
+    try:
+        from fastapi import FastAPI
+        from pydantic import BaseModel
+    except ImportError as exc:  # pragma: no cover - not shipped here
+        raise RuntimeError(
+            "fastapi/pydantic are required for the REST control plane: "
+            "pip install fastapi uvicorn"
+        ) from exc
+
+    from .plans.pipeline import PipelineConfig, run_pipeline
+    from .session import get_spark
+
+    class PlatformRequest(BaseModel):  # reference main.py:10-21
+        platforms: dict[str, Optional[str]]
+
+    app = FastAPI(title="real-value-etl-spark")
+    spark = get_spark(app_name="rve-api")
+    config = PipelineConfig(
+        data_dir=data_dir, output_path=output_path, output_format=output_format
+    )
+
+    @app.get("/")  # reference main.py:27-31
+    def root():
+        return {"message": "real-value-etl-spark control plane"}
+
+    @app.post("/etl/start")  # reference main.py:34-65
+    def etl_start(req: PlatformRequest):
+        return run_pipeline(spark, config, req.platforms)
+
+    return app

@@ -22,3 +22,7 @@ try:
     from . import subqueries  # noqa: F401
 except ImportError:  # pragma: no cover
     pass
+try:
+    from . import stats  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass

@@ -256,6 +256,66 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (cluster-blocked pairs)
+# ---------------------------------------------------------------------------
+COSINE_DUP_THRESHOLD = 0.4
+
+
+def _emb_neardup_oracle() -> str:
+    cos_vc = V.cosine_sql("e.v", "c.cv")
+    cos_ab = V.cosine_sql("a.v", "b.v")
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {IVF_CENTROID_MOD} = 0),
+    assigned AS (
+      SELECT vec_id, v, cid AS cluster_id FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos_vc} DESC, c.cid) AS r
+        FROM e, cents c
+      ) WHERE r = 1
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos_ab} AS sim
+    FROM assigned a JOIN assigned b
+      ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+    WHERE {cos_ab} >= {COSINE_DUP_THRESHOLD}
+    """
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=_emb_neardup_oracle(),
+    tags=("dedup", "llm", "vector"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by IVF cluster: candidate
+    pairs only form INSIDE a centroid bucket (|pairs| ~ n^2/|clusters|
+    instead of n^2 — at 100 TB the buckets are written partitioned so the
+    pair join is shuffle-local). Verification threshold 0.4."""
+    from ..functions.vectors import dot
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") % IVF_CENTROID_MOD == 0)
+    assigned = S.ivf_assign(emb, cents)
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    sim = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nv") * F.col("b.nv"))
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= COSINE_DUP_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Text analysis: token stats
 # ---------------------------------------------------------------------------
 @register(
