@@ -41,6 +41,68 @@ HEADLINE = [
 ]
 
 
+ETL_ROWS_PER_PLATFORM = 50_000
+
+
+def _etl_fixture_dir() -> str:
+    """Generate (once, cached) scaled platform CSVs by cycling the test
+    fixtures with unique ids/urls — the same data shape the reference's
+    pandas pipeline processes, at 10x its 5k test-mode size."""
+    import csv
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__))))
+    from tests.fixtures_etl import AVITO_ROWS, DOMCLICK_ROWS, YANDEX_ROWS
+
+    base = f"/tmp/rve_etl_bench_{ETL_ROWS_PER_PLATFORM}"
+    marker = os.path.join(base, ".done")
+    if os.path.exists(marker):
+        return base
+    os.makedirs(base, exist_ok=True)
+    specs = [
+        ("domclick_20241214.csv", DOMCLICK_ROWS,
+         lambda r, i: r.update({"Object ID": str(1_000_000 + i)})),
+        ("yandex_20241208.csv", YANDEX_ROWS,
+         lambda r, i: r.update({"url_offer_yand": f"//realty.yandex.ru/offer/{i}/"})),
+        ("avito_20250319.csv", AVITO_ROWS,
+         lambda r, i: r.update({"url_offer": f"https://avito.ru/kvartiry/{i}",
+                                "id_offer": str(i)})),
+    ]
+    for fname, rows, mutate in specs:
+        cols = list(rows[0].keys())
+        with open(os.path.join(base, fname), "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=cols, extrasaction="ignore")
+            w.writeheader()
+            for i in range(ETL_ROWS_PER_PLATFORM):
+                r = dict(rows[i % len(rows)])
+                mutate(r, i)
+                w.writerow(r)
+    open(marker, "w").close()
+    return base
+
+
+def bench_etl_pipeline(spark) -> tuple[float, int]:
+    """Full 3-platform ETL (extract->transform->merge->cast->parquet) —
+    the apples-to-apples comparison against the reference's pandas run."""
+    import shutil
+
+    from real_value_etl_spark.plans.pipeline import PipelineConfig, run_pipeline
+
+    data_dir = _etl_fixture_dir()
+    out = "/tmp/rve_etl_bench_out"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.perf_counter()
+    result = run_pipeline(
+        spark,
+        PipelineConfig(data_dir=data_dir, output_path=out),
+        request={"domclick": "latest", "yandex": "latest", "cian": "skip",
+                 "avito": "latest"},
+    )
+    elapsed = time.perf_counter() - t0
+    assert result["status"] == "success", result
+    n = spark.read.parquet(out).count()
+    return elapsed, n
+
+
 def main() -> None:
     from real_value_etl_spark.queries import all_queries  # noqa: F401
     from real_value_etl_spark.queries.registry import REGISTRY
@@ -60,6 +122,14 @@ def main() -> None:
         n = df.count() if "stream" not in spec.tags else -1
         timings[name] = round(time.perf_counter() - t0, 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    etl_sec, etl_rows = bench_etl_pipeline(spark)
+    timings["etl_pipeline_150k"] = round(etl_sec, 4)
+    print(
+        f"# etl_pipeline_150k: {etl_sec:.3f}s "
+        f"({etl_rows} rows out, {3 * ETL_ROWS_PER_PLATFORM / etl_sec:,.0f} rows/s in)",
+        file=sys.stderr,
+    )
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
