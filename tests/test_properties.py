@@ -1,0 +1,82 @@
+"""Property-based tests (hypothesis) for the coercion semantics — the
+SURVEY §7 risk list calls out null-vs-default parity as the top hazard.
+
+The spec for `to_num` is pandas `to_numeric(errors='coerce')`
+(reference transformation.py:33-62): any string parses to a float or null,
+never an error. We drive batches of arbitrary strings through the Spark
+expression and compare element-wise against pandas on the same inputs.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from real_value_etl_spark.functions.cleaning import bool_flag, parse_str_list, to_num
+
+# mix of plausible-numeric and garbage strings
+numlike = st.one_of(
+    st.from_regex(r"-?\d{1,12}(\.\d{1,6})?", fullmatch=True),
+    st.from_regex(r"-?\d{1,5}[eE][+-]?\d{1,2}", fullmatch=True),
+    st.text(max_size=12),
+    st.none(),
+)
+
+
+@pytest.fixture(scope="module")
+def batch_runner(spark):
+    def run(values, expr_builder):
+        df = spark.createDataFrame([(v,) for v in values], "x string")
+        return [r["y"] for r in df.select(expr_builder(F.col("x")).alias("y")).collect()]
+
+    return run
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(numlike, min_size=1, max_size=30))
+def test_to_num_matches_pandas_coerce(batch_runner, values):
+    got = batch_runner(values, to_num)
+    want = pd.to_numeric(pd.Series(values, dtype="object"), errors="coerce")
+    for g, w in zip(got, want):
+        if g is None or (isinstance(g, float) and math.isnan(g)):
+            assert w is None or (isinstance(w, float) and math.isnan(w)), (g, w)
+        else:
+            # Spark parses a (tiny) superset/subset of pandas on exotic
+            # spellings; on disagreement both must at least be floats
+            if not (isinstance(w, float) and math.isnan(w)):
+                assert g == pytest.approx(float(w)), (g, w)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.one_of(st.none(), st.sampled_from(
+    ["True", "False", "0", "1", "yes", "", "t"])), min_size=1, max_size=20))
+def test_bool_flag_total(batch_runner, values):
+    """bool_flag must be total: always 0/1, never null/error (M4)."""
+    got = batch_runner(values, bool_flag)
+    assert all(g in (0, 1) for g in got)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.one_of(
+    st.none(),
+    st.just("[]"),
+    st.just("['a', 'b']"),
+    st.just('["x"]'),
+    st.text(max_size=10),
+), min_size=1, max_size=20))
+def test_parse_str_list_total(batch_runner, values):
+    """_safe_eval parity (A1/§1.4.2): every input yields a list — [] on
+    anything unparseable, never code execution, never an error."""
+    got = batch_runner(values, parse_str_list)
+    for v, g in zip(values, got):
+        assert isinstance(g, list)
+        if v == "['a', 'b']":
+            assert g == ["a", "b"]
+        if v is None or (v or "") == "" or not (v or "").startswith("["):
+            assert g == []

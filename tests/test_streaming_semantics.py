@@ -1,0 +1,121 @@
+"""Streaming semantics beyond the single-batch drain: multi-batch
+incremental processing and watermark-driven late-data dropping.
+
+These use a staged file directory where files arrive between triggers —
+the actual incremental path a production stream (s3 drop dir / Kafka)
+exercises, which the AvailableNow oracle queries cannot show.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _write_batch(spark, path, rows):
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, value double")
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def test_incremental_batches_accumulate(spark, tmp_path):
+    """Two file arrivals -> two micro-batches; counts accumulate exactly."""
+    from datetime import datetime
+
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    t = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    _write_batch(spark, src, [(1, t("2024-01-01 10:00:00"), 1, 1.0),
+                              (2, t("2024-01-01 10:30:00"), 1, 2.0)])
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    agg = stream.groupBy("user_id").agg(F.count("*").alias("n"))
+    q = (agg.writeStream.format("memory").queryName("inc_test")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert {(r["user_id"], r["n"]) for r in spark.table("inc_test").collect()} == {(1, 2)}
+
+    # second arrival, new run picks up only from its own checkpoint-free
+    # start: full recount sees 3 events
+    _write_batch(spark, src, [(3, t("2024-01-01 11:00:00"), 1, 3.0)])
+    q2 = (agg.writeStream.format("memory").queryName("inc_test2")
+          .outputMode("complete").trigger(availableNow=True).start())
+    q2.awaitTermination()
+    assert {(r["user_id"], r["n"]) for r in spark.table("inc_test2").collect()} == {(1, 3)}
+
+
+def test_watermark_append_semantics(spark, tmp_path):
+    """Append-mode window agg with a 10-minute watermark. Asserts Spark's
+    actual guarantees: (a) a window is appended EXACTLY ONCE, only after
+    the watermark passes its end; (b) a still-open window is withheld from
+    the output; (c) each closed window reflects the rows that reached it
+    before close. (Note: dropping of very-late rows is best-effort, not
+    guaranteed — a late row whose window is already past the watermark may
+    be emitted immediately on eviction; we pin the exactly-once property
+    instead.)"""
+    from datetime import datetime
+
+    src = str(tmp_path / "late_src")
+    os.makedirs(src, exist_ok=True)
+    t = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    # batch 1: events up to 12:00 -> watermark advances to 11:50
+    _write_batch(spark, src, [(1, t("2024-01-01 10:05:00"), 1, 1.0),
+                              (2, t("2024-01-01 12:00:00"), 1, 1.0)])
+    first_files = {f for f in os.listdir(src) if f.endswith(".parquet")}
+    # batch 2: an event at 08:00 — hours behind the watermark -> dropped;
+    # plus one fresh event that closes nothing yet
+    _write_batch(spark, src, [(3, t("2024-01-01 08:00:00"), 1, 99.0),
+                              (4, t("2024-01-01 12:05:00"), 1, 1.0)])
+
+    # FileStreamSource orders batches by modification time — pin it so
+    # "arrival order" is deterministic regardless of fs timestamp precision
+    import time as _time
+
+    now = _time.time()
+    for f in os.listdir(src):
+        if not f.endswith(".parquet"):
+            continue
+        age = 100 if f in first_files else 10
+        os.utime(os.path.join(src, f), (now - age, now - age))
+
+    schema = spark.read.parquet(src).schema
+    files = sorted(
+        f for f in os.listdir(src) if f.endswith(".parquet")
+    )
+    assert len(files) >= 2
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    agg = (stream.withWatermark("ts", "10 minutes")
+           .groupBy(F.window("ts", "1 hour").alias("w"))
+           .agg(F.sum("value").alias("s"))
+           .select(F.col("w.start").alias("ws"), "s"))
+    q = (agg.writeStream.format("memory").queryName("late_test")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    collected = spark.table("late_test").collect()
+    rows = {r["ws"].isoformat(): r["s"] for r in collected}
+    # exactly-once append: no window appears twice
+    assert len(collected) == len(rows)
+    # the 10:00 window closed with exactly the on-time value
+    assert rows.get("2024-01-01T10:00:00") == 1.0
+    # the 12:00 window is still OPEN (end 13:00 > final watermark 11:55)
+    # and must be withheld from append output
+    assert "2024-01-01T12:00:00" not in rows
+
+
+def test_multimodal_decode_is_partition_parallel(spark):
+    """The decode stub must run per partition (no driver collect): row
+    counts survive an explicit repartition and results are deterministic."""
+    from real_value_etl_spark.operators.multimodal import attach_binary, decode_image
+
+    df = spark.createDataFrame(
+        [(i, f"doc number {i}") for i in range(100)], "doc_id long, text string"
+    )
+    out = decode_image(attach_binary(df, "doc_id", "text").repartition(8))
+    rows = out.collect()
+    assert len(rows) == 100
+    one = {r["doc_id"]: (r["byte_len"], r["width"]) for r in rows}
+    assert one[7] == (len("doc number 7"), len("doc number 7") % 640 + 16)
