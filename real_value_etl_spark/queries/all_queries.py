@@ -26,3 +26,7 @@ try:
     from . import stats  # noqa: F401
 except ImportError:  # pragma: no cover
     pass
+try:
+    from . import tpch_more  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass

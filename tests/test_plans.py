@@ -9,6 +9,8 @@ cartesian products on the LSH path.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from pyspark.sql import functions as F
@@ -103,6 +105,44 @@ def test_asof_join_single_shuffle(spark, sf_dir):
     plan = plan_of(REGISTRY["asof_purchase_login"].fn(spark, sf_dir))
     assert "Join" not in plan  # union+window, not a pairwise join
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_bucketed_join_elides_shuffle(spark, sf_dir):
+    """Co-bucketed tables joined on the bucket column need NO exchange —
+    the write-time bucketing IS the shuffle, amortized across every later
+    join (the 100 TB pattern for repeatedly-joined fact tables)."""
+    from real_value_etl_spark.queries.registry import table
+    from real_value_etl_spark.sinks.writers import write_bucketed_table
+
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("b_orders", "b_lineitem"):  # orphan locations from dead runs
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+    write_bucketed_table(
+        table(spark, sf_dir, "orders"), "b_orders", "o_orderkey", 8
+    )
+    write_bucketed_table(
+        table(spark, sf_dir, "lineitem"), "b_lineitem", "l_orderkey", 8
+    )
+    # disable broadcast so the planner actually faces the shuffle choice
+    # (at real scale both sides are far beyond any broadcast threshold)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = plan_of(joined)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "Exchange hashpartitioning" not in plan
+    # sanity: it is a real join over bucketed scans
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "Bucketed: true" in plan
 
 
 @pytest.mark.parametrize("name", ["dedup_exact_docs", "events_sessionize"])
