@@ -208,10 +208,26 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signature -> banded candidates ->
     exact-Jaccard verification >= threshold (verification only touches
-    candidate pairs, which is what makes this the 100 TB path)."""
-    sig = minhash_signatures(df, id_col, text_col)
+    candidate pairs, which is what makes this the 100 TB path).
+
+    The shingle index (consumed 3x: signatures + both verification sides)
+    and the signature table (consumed twice by the band self-join) are
+    persisted — both are O(corpus) side tables; at warehouse scale these
+    become checkpointed/bucketed intermediate datasets instead.
+    """
+    idx = shingle_index(df, id_col, text_col).persist()
+    sig = (
+        idx.select("did", portable_hash32(F.col("sh")).alias("h"))
+        .groupBy("did")
+        .agg(
+            *[
+                F.min(minhash_expr(F.col("h"), i)).alias(f"mh{i}")
+                for i in range(MINHASH_K)
+            ]
+        )
+        .persist()
+    )
     cands = lsh_candidate_pairs(sig)
-    idx = shingle_index(df, id_col, text_col)
     return _pair_jaccard(idx, candidates=cands).filter(F.col("jac") >= threshold)
 
 
@@ -240,7 +256,10 @@ def simhash_pairs(
     """Near-dup pairs by SimHash: candidates share one of four 8-bit bands of
     the fingerprint (pigeonhole: hamming<=4 implies one identical band; wider
     distances trade recall for candidate count), verified by popcount."""
-    fps = simhash_fingerprints(df, id_col, text_col)
+    # fps feeds both sides of the band self-join — persist the tiny
+    # (one row per doc) fingerprint table instead of recomputing the
+    # exploded 32-sum aggregation twice
+    fps = simhash_fingerprints(df, id_col, text_col).persist()
     bands = fps.select(
         "did",
         "simhash",
