@@ -45,6 +45,15 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     return deco
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Set the runtime confs this engine's semantics depend on — the
+    harness may hand us a session built WITHOUT our session.py factory
+    (verified: a plain session fails on events.parquet and both confs are
+    runtime-settable)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver parquet table (lazy scan; pushdown-friendly).
 
@@ -52,6 +61,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     as int64 nanos — convert via integer division (`div`, exact on int64,
     unlike a double divide) to micros, matching DuckDB's truncation.
     """
+    ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F

@@ -44,6 +44,9 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream of the events table. The nanos `ts` arrives as
     int64 (nanosAsLong) and is converted with exact integer division —
     identical to the batch reader in queries/registry.py."""
+    from ..queries.registry import ensure_session_confs
+
+    ensure_session_confs(spark)
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
     # The file stream source requires a DIRECTORY (in production: the s3a://
