@@ -214,6 +214,33 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# PIVOT (reshape: one column per status value)
+# ---------------------------------------------------------------------------
+@register(
+    "q_pivot_status",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
+           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg", "pivot"),
+)
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot on order status with an EXPLICIT value list — Spark then skips
+    the extra distinct-values job and keeps output columns deterministic
+    (required at scale AND for a stable schema)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Documents analytics (group-by over the LLM corpus dims)
 # ---------------------------------------------------------------------------
 @register(
