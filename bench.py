@@ -29,11 +29,12 @@ HEADLINE = [
     "q_window_order_rank",
     "q_rollup_returnflag",
     "q_ship_lag",
-    # appended as families land (llm/dedup/events); missing names skipped
+    "q17_small_quantity",
     "dedup_exact_docs",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "sim_embedding_topk",
+    "sim_ann_ivf",
     "text_quality_score",
     "events_tumbling_agg",
     "events_sessionize",
