@@ -1,0 +1,81 @@
+"""Connected components over a pair/edge list — dedup CLUSTERS from
+near-dup PAIRS (the step after MinHash/SimHash: each component keeps one
+canonical document).
+
+Algorithm: iterative min-label propagation to a fixpoint — every node's
+label converges to the minimum doc id reachable from it, which is exactly
+the component id a recursive-CTE oracle computes. The driver loop runs
+O(diameter) Spark jobs; near-dup components are tiny (pairs/triples), so
+2-3 iterations converge. At 100 TB scale swap in the large-star/small-star
+variant (alternating conditional propagation halves long chains) — the
+per-iteration dataflow (join edges→labels, min-aggregate) is identical.
+
+Each iteration: one join of the edge list against current labels + one
+min-aggregate — two shuffles on node id, both AQE-coalesced. Labels are
+persisted per iteration (consumed by the join, the aggregate, and the
+convergence check).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(node, component) for every node in the edge list; component = min
+    node id in the connected component. Deterministic."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iterations):
+        # candidate labels: own label + each neighbor's label
+        neighbor_labels = (
+            sym.join(labels, sym.b == labels.node)
+            .select(F.col("a").alias("node"), "component")
+        )
+        new_labels = (
+            labels.select("node", "component")
+            .unionByName(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select("node", "component")
+
+
+def dedup_clusters(pairs: DataFrame, id_col_a: str, id_col_b: str) -> DataFrame:
+    """Dedup groups from near-dup pairs: (node, component, is_keeper) where
+    the keeper is the minimum id of each component."""
+    comp = connected_components(pairs, id_col_a, id_col_b)
+    return comp.select(
+        "node",
+        "component",
+        (F.col("node") == F.col("component")).alias("is_keeper"),
+    )

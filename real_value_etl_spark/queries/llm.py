@@ -256,6 +256,48 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Dedup clusters: connected components over the near-dup pair graph
+# ---------------------------------------------------------------------------
+def _clusters_oracle() -> str:
+    return f"""
+    WITH {_SHINGLE_IDX_CTE}, {_JACCARD_TAIL_SQL},
+    pairs_t AS (SELECT doc_a, doc_b FROM jac WHERE jac >= {JACCARD_THRESHOLD}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs_t
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs_t
+    ),
+    reach(src, node) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node
+    )
+    SELECT src AS node,
+           MIN(node) AS component,
+           (src = MIN(node)) AS is_keeper
+    FROM reach GROUP BY src
+    """
+
+
+@register(
+    "dedup_clusters",
+    oracle="WITH RECURSIVE" + _clusters_oracle().split("WITH", 1)[1],
+    tags=("dedup", "llm", "graph", "iterative"),
+)
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from pair edges: iterative min-label propagation
+    (connected components) — each component's minimum doc id is the keeper.
+    The step that turns pairwise similarity into an actual dedup decision.
+    Oracle: recursive-CTE reachability (same min-reachable-id semantics)."""
+    from ..operators.components import dedup_clusters
+
+    pairs = D.ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text", JACCARD_THRESHOLD
+    ).select("doc_a", "doc_b")
+    return dedup_clusters(pairs, "doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
 # Embedding-cosine near-dup (cluster-blocked pairs)
 # ---------------------------------------------------------------------------
 COSINE_DUP_THRESHOLD = 0.4

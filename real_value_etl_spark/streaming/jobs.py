@@ -114,6 +114,48 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(spark, deduped, "mem_stream_dedup", "append")
 
 
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: each purchase joined with the same user's
+    clicks from the preceding hour. Both sides are watermarked and the join
+    carries a time-range condition, so Spark bounds BOTH state stores
+    (click state older than purchase-watermark - 1h is evicted) — the
+    canonical pattern for joining two unbounded streams with finite state.
+    The drained append output must equal the batch join exactly."""
+    p = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", WATERMARK)
+    )
+    c = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", WATERMARK)
+    )
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        "p_ts",
+        "c_ts",
+    )
+    return _drain(spark, joined, "mem_stream_stream_join", "append")
+
+
 _STATE_SCHEMA = StructType(
     [StructField("n", LongType()), StructField("total_cents", LongType())]
 )
