@@ -73,6 +73,37 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield out
 
 
+FRAME_BYTES = 256
+FRAMES_SCHEMA = "doc_id bigint, frame_idx int, frame_len int, frame_md5 string"
+
+
+def _frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """One-to-MANY mapInPandas kernel: split each payload into fixed-size
+    frames (the audio/video frame-sampling shape — output rows > input
+    rows, which a scalar UDF cannot express)."""
+    import hashlib
+
+    for pdf in batches:
+        out = {"doc_id": [], "frame_idx": [], "frame_len": [], "frame_md5": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)
+            for i in range(0, max(len(b), 1), FRAME_BYTES):
+                chunk = b[i : i + FRAME_BYTES]
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(i // FRAME_BYTES)
+                out["frame_len"].append(len(chunk))
+                out["frame_md5"].append(hashlib.md5(chunk).hexdigest())
+        yield pd.DataFrame(out)
+
+
+def sample_frames(binary_df: DataFrame) -> DataFrame:
+    """Arrow-batched frame sampling: (doc_id, frame_idx, frame_len,
+    frame_md5) — partition-parallel, no driver materialization."""
+    return binary_df.select("doc_id", "payload").mapInPandas(
+        _frame_batches, schema=FRAMES_SCHEMA
+    )
+
+
 def decode_image(binary_df: DataFrame) -> DataFrame:
     """Arrow-batched decode of the payload column -> typed feature rows.
 

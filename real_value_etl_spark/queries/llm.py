@@ -519,6 +519,29 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Multimodal: binary payload + Arrow-batched decode stub
 # ---------------------------------------------------------------------------
 @register(
+    "multimodal_frames",
+    oracle="""
+    SELECT doc_id,
+           CAST(i AS INT) AS frame_idx,
+           CAST(least(256, length(text) - i * 256) AS INT) AS frame_len,
+           md5(substring(text, CAST(i * 256 + 1 AS BIGINT), 256)) AS frame_md5
+    FROM documents,
+         unnest(range(0, CAST(ceil(length(text) / 256.0) AS BIGINT))) AS t(i)
+    """,
+    tags=("multimodal", "llm", "pandas_udf", "one_to_many"),
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling over binary payloads (the audio/video pattern):
+    one-to-MANY Arrow-batched mapInPandas — each document yields
+    ceil(bytes/256) frame rows with per-frame digests. (Oracle slices the
+    string; byte-exact because the corpus is ASCII — with real media the
+    oracle would be rows-only.)"""
+    docs = table(spark, sf_dir, "documents")
+    binary = M.attach_binary(docs, "doc_id", "text")
+    return M.sample_frames(binary)
+
+
+@register(
     "multimodal_decode",
     oracle="""
     SELECT doc_id,
