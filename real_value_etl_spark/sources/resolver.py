@@ -55,6 +55,35 @@ def list_local_catalog(folder: str, platforms: Iterable[str]) -> dict[str, list[
     return parse_catalog(keys, platforms)
 
 
+def list_s3_catalog(
+    bucket: str,
+    prefix: str,
+    platforms: Iterable[str],
+    client=None,
+) -> dict[str, list[str]]:
+    """S3 catalog backend (reference checking_s3_data.py:57-92): paginate
+    `list_objects_v2` under the snapshot prefix and parse platform/date
+    keys. `client` is injectable for tests; defaults to boto3 (which is a
+    control-plane dependency only — executors never touch it: the actual
+    data reads go through Spark's s3a connector)."""
+    if client is None:  # pragma: no cover - needs live credentials
+        import boto3
+
+        client = boto3.client("s3")
+    keys: list[str] = []
+    token: str | None = None
+    while True:
+        kwargs = {"Bucket": bucket, "Prefix": prefix}
+        if token:
+            kwargs["ContinuationToken"] = token
+        resp = client.list_objects_v2(**kwargs)
+        keys.extend(obj["Key"] for obj in resp.get("Contents", []))
+        if not resp.get("IsTruncated"):
+            break
+        token = resp.get("NextContinuationToken")
+    return parse_catalog(keys, platforms)
+
+
 def resolve_dates(
     request: dict[str, str | None], catalog: dict[str, list[str]]
 ) -> dict[str, str | None]:
