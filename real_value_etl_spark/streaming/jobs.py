@@ -114,6 +114,33 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(spark, deduped, "mem_stream_dedup", "append")
 
 
+def stream_events_to_parquet(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Exactly-once file-to-file streaming: parquet source -> hourly-
+    partitioned parquet sink with a real checkpoint. Re-running after
+    completion (or a crash) processes ONLY unseen input files — the source
+    offsets and sink commit log live in the checkpoint, which is the
+    restart/idempotency contract a production pipeline relies on.
+    """
+    ev = _events_stream(spark, sf_dir).withColumn(
+        "event_hour", F.date_trunc("hour", F.col("ts"))
+    )
+    query = (
+        ev.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("event_type")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join: each purchase joined with the same user's
     clicks from the preceding hour. Both sides are watermarked and the join

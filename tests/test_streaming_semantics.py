@@ -106,6 +106,26 @@ def test_watermark_append_semantics(spark, tmp_path):
     assert "2024-01-01T12:00:00" not in rows
 
 
+def test_checkpointed_sink_is_exactly_once(spark, tmp_path, sf_dir):
+    """Re-running a checkpointed file-to-file stream must be a no-op:
+    the checkpoint records consumed source files and committed sink files,
+    so a restart neither reprocesses nor duplicates."""
+    from real_value_etl_spark.streaming.jobs import stream_events_to_parquet
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream_events_to_parquet(spark, sf_dir, out, ckpt)
+    n1 = spark.read.parquet(out).count()
+    expected = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert n1 == expected
+    # second run: checkpoint says everything is processed -> no new rows
+    stream_events_to_parquet(spark, sf_dir, out, ckpt)
+    assert spark.read.parquet(out).count() == expected
+    # partitioned layout materialized (partition pruning works on read)
+    pruned = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    assert "PartitionFilters" in pruned._jdf.queryExecution().executedPlan().toString()
+
+
 def test_multimodal_decode_is_partition_parallel(spark):
     """The decode stub must run per partition (no driver collect): row
     counts survive an explicit repartition and results are deterministic."""
