@@ -516,6 +516,46 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Deterministic train/val/test split (hash-mod sampling)
+# ---------------------------------------------------------------------------
+@register(
+    "docs_train_test_split",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_id
+    FROM b GROUP BY 1, 2
+    """,
+    tags=("llm", "sampling", "split"),
+)
+def docs_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment via hash-mod bucketing — unlike
+    rand()-based sampling this is deterministic, stable under re-runs and
+    repartitioning, and portable across engines (the property a training
+    pipeline actually needs: a document's split never changes)."""
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return d.groupBy("lang", split.alias("split")).agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Multimodal: binary payload + Arrow-batched decode stub
 # ---------------------------------------------------------------------------
 @register(
