@@ -30,3 +30,7 @@ try:
     from . import tpch_more  # noqa: F401
 except ImportError:  # pragma: no cover
     pass
+try:
+    from . import tpch_rest  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
