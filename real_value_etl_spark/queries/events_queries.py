@@ -341,3 +341,43 @@ def etl_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(F.col("doc_id").cast("string")).alias("wrapped"),
         F.size(ts).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Trailing time-range window (RANGE frame, not ROWS)
+# ---------------------------------------------------------------------------
+@register(
+    "events_trailing_1h",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS trailing_1h_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             AS trailing_1h_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "range_frame", "events"),
+)
+def events_trailing_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-hour activity (count + exact-cents value sum):
+    a RANGE frame over microsecond event time — the frame is defined by a
+    time interval, not a row count, so ties and irregular spacing are
+    handled identically in both engines. One shuffle on user_id; the
+    decimal window sum is order-free, so parallel frame evaluation cannot
+    perturb the double result."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("trailing_1h_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_1h_value"),
+    )

@@ -600,3 +600,42 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     binary = M.attach_binary(docs, "doc_id", "text")
     return M.decode_image(binary)
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary: term frequency + document frequency (explode + top-k)
+# ---------------------------------------------------------------------------
+@register(
+    "text_term_frequency",
+    oracle="""
+    SELECT token,
+           COUNT(*) AS n_total,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ) t
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY n_total DESC, token
+    LIMIT 50
+    """,
+    tags=("llm", "text", "explode", "topk"),
+)
+def text_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 corpus vocabulary with term and document frequencies — the
+    tokenize-explode-count pass every BPE/vocab build starts from. The
+    explode never materializes per-doc token lists driver-side; partial
+    aggregation folds counts map-side before the single token shuffle,
+    and ties at the cut are broken by token text."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_total"), F.asc("token"))
+        .limit(50)
+    )
