@@ -99,3 +99,43 @@ def test_salted_join_matches_plain(spark):
         for r in salted_broadcast_join(big, small, "k", "uid", buckets=4).collect()
     )
     assert plain == salted
+
+
+def test_jsonl_roundtrip_and_quarantine(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from real_value_etl_spark.sources.jsonl_source import (
+        CORRUPT_COL,
+        read_jsonl,
+        split_corrupt,
+        write_jsonl,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    src = tmp_path / "in.jsonl"
+    src.write_text(
+        '{"doc_id": 1, "text": "alpha"}\n'
+        'not json at all\n'
+        '{"doc_id": 2, "text": "beta"}\n'
+    )
+    df = read_jsonl(spark, str(src), schema)
+    clean, bad = split_corrupt(df)
+    assert clean.columns == ["doc_id", "text"]
+    assert sorted(r.doc_id for r in clean.collect()) == [1, 2]
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 1 and "not json" in bad_rows[0][CORRUPT_COL]
+
+    out = tmp_path / "out"
+    write_jsonl(clean, str(out), partitions=2)
+    back = read_jsonl(spark, str(out), schema)
+    clean2, bad2 = split_corrupt(back)
+    assert len(bad2.collect()) == 0
+    assert sorted((r.doc_id, r.text) for r in clean2.collect()) == [
+        (1, "alpha"),
+        (2, "beta"),
+    ]
