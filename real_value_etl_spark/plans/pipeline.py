@@ -38,6 +38,7 @@ class PipelineConfig:
     test_row_limit: int | None = None  # reference test mode: 5000
     uint8_wrap: bool = True
     count_rows: bool = False  # opt-in: each count is an extra job (C3)
+    csv_multiline: bool = False  # opt-in: unsplittable reads (csv_source)
 
 
 def run_pipeline(
@@ -65,7 +66,9 @@ def run_pipeline(
             statuses[platform] = {"status": "skipped", "reason": "no transformer"}
             continue
         path = os.path.join(config.data_dir, f"{platform}_{date}.csv")
-        raw = read_platform_csv(spark, path, limit=config.test_row_limit)
+        raw = read_platform_csv(
+            spark, path, limit=config.test_row_limit, multiline=config.csv_multiline
+        )
         if raw is None:
             statuses[platform] = {"status": "skipped", "reason": "missing file"}
             continue

@@ -24,6 +24,7 @@ def read_platform_csv(
     spark: SparkSession,
     path: str,
     limit: int | None = None,
+    multiline: bool = False,
 ) -> DataFrame | None:
     """Read one platform snapshot CSV (local path or s3a:// URI).
 
@@ -31,15 +32,21 @@ def read_platform_csv(
     missing platform file (extraction.py:50-53 NoSuchKey -> None) and the
     pipeline skips that platform (datapipeline.py:85-91).
     `limit` mirrors test-mode nrows=5000 (datapipeline.py:93-108).
+
+    `multiline` (quoted embedded newlines) is OPT-IN: it forces one split
+    per file — a 10 GB snapshot becomes a single task — so the default is
+    the splittable line-oriented parser; enable it only for sources whose
+    free-text columns actually embed newlines.
     """
     try:
-        df = (
+        reader = (
             spark.read.option("header", True)
-            .option("multiLine", True)
             .option("escape", '"')
             .option("inferSchema", False)  # strings in, expressions coerce
-            .csv(path)
         )
+        if multiline:
+            reader = reader.option("multiLine", True)
+        df = reader.csv(path)
         df.schema  # force analysis so a missing path surfaces here
     except Exception as e:  # AnalysisException: PATH_NOT_FOUND
         if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
