@@ -511,3 +511,38 @@ def q_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             (_dsum_expr(lag_days) / F.count("*")).alias("avg_lag_days"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS (arbitrary aggregation lattice + GROUPING() disambiguation)
+# ---------------------------------------------------------------------------
+@register(
+    "q_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           GROUPING(l_returnflag) AS g_rf,
+           GROUPING(l_linestatus) AS g_ls
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    tags=("agg", "grouping_sets", "sql"),
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary grouping lattice — finer than ROLLUP/CUBE lets the engine
+    compute exactly the requested combinations in ONE pass (Expand + single
+    shuffle, not one job per set); GROUPING() distinguishes a grouped-out
+    NULL from a data NULL, which ROLLUP output alone cannot."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               GROUPING(l_returnflag) AS g_rf,
+               GROUPING(l_linestatus) AS g_ls
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )

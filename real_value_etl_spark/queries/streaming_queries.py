@@ -77,3 +77,32 @@ def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState running totals — final state equals batch
     groupBy (exact-cents state => bit-exact doubles)."""
     return jobs.stream_user_totals(spark, sf_dir)
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, session_seq
+    """,
+    tags=("stream", "session", "window"),
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming merging session windows == batch sessionization oracle."""
+    return jobs.stream_session_window(spark, sf_dir)

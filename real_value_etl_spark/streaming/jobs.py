@@ -114,6 +114,24 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(spark, deduped, "mem_stream_dedup", "append")
 
 
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming merging session windows (30-min gap) per user: session
+    state merges adjacent windows as events arrive; watermark closes and
+    evicts sessions whose gap has definitely passed. Complete-mode drain
+    must equal the batch session_window aggregation exactly."""
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", WATERMARK)
+    agg = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+        )
+    )
+    return _drain(spark, agg, "mem_stream_session", "complete")
+
+
 def stream_events_to_parquet(
     spark: SparkSession,
     sf_dir: str,
