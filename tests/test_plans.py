@@ -152,3 +152,37 @@ def test_no_python_udfs_on_hot_paths(spark, sf_dir, name):
     plan = plan_of(REGISTRY[name].fn(spark, sf_dir))
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_q21_semi_anti_shape(spark, sf_dir):
+    """EXISTS/NOT EXISTS compile to semi/anti hash joins with the supplier
+    inequality as a residual — never a cartesian/nested-loop product."""
+    plan = plan_of(REGISTRY["q21_waiting_suppliers"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q13_outer_join_keeps_on_clause(spark, sf_dir):
+    """The priority predicate stays in the LEFT JOIN condition (a WHERE
+    would drop orderless customers and change the histogram)."""
+    plan = plan_of(REGISTRY["q13_customer_distribution"].fn(spark, sf_dir))
+    assert "LeftOuter" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q8_only_fact_join_shuffles(spark, sf_dir):
+    """Every dimension of the 8-way star broadcasts; at most one shuffled
+    join (lineitem x orders) survives."""
+    plan = plan_of(REGISTRY["q8_market_share"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 6
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_term_frequency_partial_agg(spark, sf_dir):
+    """The explode feeds a two-phase aggregate: token counts fold map-side
+    (partial_count) before the single token shuffle."""
+    plan = plan_of(REGISTRY["text_term_frequency"].fn(spark, sf_dir))
+    assert "partial_count" in plan or "partial_finalmerge" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # token agg + distinct
