@@ -639,3 +639,75 @@ def text_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_total"), F.asc("token"))
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition (Gopher-style quality signal)
+# ---------------------------------------------------------------------------
+@register(
+    "text_repetition_ratio",
+    oracle="""
+    SELECT doc_id,
+           len(list_distinct(string_split(text, ' '))) AS n_unique,
+           len(string_split(text, ' ')) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS unique_ratio
+    FROM documents
+    ORDER BY unique_ratio, doc_id
+    LIMIT 100
+    """,
+    tags=("llm", "text", "quality"),
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 most-repetitive documents by unique-token ratio — the
+    repetition filter every pre-training cleanup applies (boilerplate and
+    generated spam score low). Pure array expressions per row: no explode,
+    no shuffle except the final top-k."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    uniq = F.size(F.array_distinct(toks))
+    return (
+        d.select(
+            "doc_id",
+            uniq.alias("n_unique"),
+            F.size(toks).alias("n_tokens"),
+            (uniq.cast("double") / F.size(toks)).alias("unique_ratio"),
+        )
+        .orderBy(F.asc("unique_ratio"), F.asc("doc_id"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source contamination: near-dup text under two different sources
+# ---------------------------------------------------------------------------
+@register(
+    "docs_cross_source_overlap",
+    oracle=f"""
+    WITH {_SHINGLE_IDX_CTE}, {_JACCARD_TAIL_SQL}
+    SELECT j.doc_a, j.doc_b,
+           d1.source AS src_a, d2.source AS src_b, j.jac
+    FROM jac j
+    JOIN documents d1 ON d1.doc_id = j.doc_a
+    JOIN documents d2 ON d2.doc_id = j.doc_b
+    WHERE j.jac >= {JACCARD_THRESHOLD} AND d1.source <> d2.source
+    """,
+    tags=("llm", "dedup", "contamination"),
+)
+def docs_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs whose two documents come from DIFFERENT sources
+    — dedup turned into contamination detection (the same text sitting in
+    two corpora, e.g. a benchmark leaking into a training mix). Reuses the
+    shingle inverted-index pair generator; the tiny (doc_id, source) map
+    broadcasts onto both pair sides."""
+    d = table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(d, "doc_id", "text", JACCARD_THRESHOLD)
+    src = d.select("doc_id", "source")
+    a = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
+    b = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    return (
+        pairs.join(F.broadcast(a), "doc_a")
+        .join(F.broadcast(b), "doc_b")
+        .filter(F.col("src_a") != F.col("src_b"))
+        .select("doc_a", "doc_b", "src_a", "src_b", "jac")
+    )
