@@ -110,8 +110,11 @@ def main() -> None:
     from real_value_etl_spark.session import get_spark
 
     spark = get_spark(app_name="rve-bench")
-    # warm-up: JVM + parquet footer caches, not measured
-    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    # warm-up: JVM + parquet footers + page cache for every input table,
+    # not measured — the bench reports engine time, not cold-I/O time
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
