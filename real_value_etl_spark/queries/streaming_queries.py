@@ -106,3 +106,27 @@ def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming merging session windows == batch sessionization oracle."""
     return jobs.stream_session_window(spark, sf_dir)
+
+
+@register(
+    "stream_sliding_agg",
+    oracle="""
+    WITH slid AS (
+      SELECT ws AS window_start, e.value
+      FROM events e,
+           unnest(generate_series(
+             time_bucket(INTERVAL '15 minutes', e.ts) - INTERVAL '45 minutes',
+             time_bucket(INTERVAL '15 minutes', e.ts),
+             INTERVAL '15 minutes')) AS g(ws)
+      WHERE e.ts >= ws AND e.ts < ws + INTERVAL '1 hour'
+    )
+    SELECT window_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM slid GROUP BY 1
+    """,
+    tags=("stream", "window", "sliding"),
+)
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding windows == batch sliding aggregation oracle."""
+    return jobs.stream_sliding_agg(spark, sf_dir)

@@ -114,6 +114,25 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(spark, deduped, "mem_stream_dedup", "append")
 
 
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked sliding windows (1 h window / 15 min slide): each event
+    updates 4 window states (Expand before the stateful agg, same as batch);
+    the watermark bounds how many open windows the store holds. Complete-
+    mode drain must equal the batch sliding aggregation exactly."""
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", WATERMARK)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+    return _drain(spark, agg, "mem_stream_sliding", "complete")
+
+
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming merging session windows (30-min gap) per user: session
     state merges adjacent windows as events arrive; watermark closes and
