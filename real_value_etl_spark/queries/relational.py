@@ -546,3 +546,46 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Top-k per group (rank filter -> WindowGroupLimit pushdown)
+# ---------------------------------------------------------------------------
+@register(
+    "q_topk_per_group",
+    oracle="""
+    SELECT c_mktsegment, o_orderkey, rnk,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM (
+      SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                                ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rnk
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ) t
+    WHERE rnk <= 3
+    """,
+    tags=("window", "topk", "join"),
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per market segment. The rank<=k predicate triggers
+    Spark's WindowGroupLimit: each task keeps only its local top-3 per
+    group BEFORE the window shuffle and sort, so the exchange moves
+    O(groups x k x tasks) rows, not the whole orders table — the
+    difference between a window and a full sort at 100 TB. Tie-broken
+    on orderkey for a deterministic result."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_mktsegment",
+            "o_orderkey",
+            F.row_number().over(w).alias("rnk"),
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )

@@ -186,3 +186,10 @@ def test_term_frequency_partial_agg(spark, sf_dir):
     plan = plan_of(REGISTRY["text_term_frequency"].fn(spark, sf_dir))
     assert "partial_count" in plan or "partial_finalmerge" in plan
     assert plan.count("Exchange hashpartitioning") <= 2  # token agg + distinct
+
+
+def test_topk_per_group_window_group_limit(spark, sf_dir):
+    """rank<=k must trigger WindowGroupLimit (partial per-task top-k before
+    the window shuffle) — the property that keeps the exchange small."""
+    plan = plan_of(REGISTRY["q_topk_per_group"].fn(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
