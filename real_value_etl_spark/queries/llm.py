@@ -711,3 +711,81 @@ def docs_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("src_a") != F.col("src_b"))
         .select("doc_a", "doc_b", "src_a", "src_b", "jac")
     )
+
+
+# ---------------------------------------------------------------------------
+# Capstone: pretraining-mix pipeline (filter -> dedup -> split -> account)
+# ---------------------------------------------------------------------------
+@register(
+    "docs_pretraining_mix",
+    oracle=f"""
+    WITH {_SHINGLE_IDX_CTE}, {_JACCARD_TAIL_SQL},
+    victims AS (
+      SELECT DISTINCT doc_b AS doc_id FROM jac WHERE jac >= {JACCARD_THRESHOLD}
+    ),
+    kept AS (
+      SELECT d.doc_id, d.lang, d.n_chars,
+             len(string_split(d.text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(d.text, ' '))) AS n_unique
+      FROM documents d
+      WHERE NOT EXISTS (SELECT 1 FROM victims v WHERE v.doc_id = d.doc_id)
+    ),
+    filtered AS (
+      SELECT doc_id, lang, n_chars
+      FROM kept
+      WHERE n_tokens >= 10
+        AND CAST(n_unique AS DOUBLE) / n_tokens >= 0.3
+    ),
+    split_assigned AS (
+      SELECT lang, n_chars,
+             CASE WHEN b < 80 THEN 'train'
+                  WHEN b < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT lang, n_chars,
+               CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 100 AS b
+        FROM filtered
+      )
+    )
+    SELECT lang, split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    FROM split_assigned GROUP BY lang, split
+    """,
+    tags=("llm", "pipeline", "dedup", "sampling"),
+)
+def docs_pretraining_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus preparation in one lazy plan: near-dup removal
+    (keep the lower doc_id of each >=0.5-Jaccard pair, via anti join),
+    quality gate (>=10 tokens, unique-token ratio >=0.3), deterministic
+    hash-mod split, and the per-(lang, split) mix accounting a training
+    run consumes. Composed entirely from this engine's operators — one
+    Catalyst plan, no intermediate materialization."""
+    d = table(spark, sf_dir, "documents")
+    victims = (
+        D.ngram_jaccard_pairs(d, "doc_id", "text", JACCARD_THRESHOLD)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    toks = F.split(F.col("text"), " ")
+    kept = d.join(victims, "doc_id", "left_anti").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+    )
+    filtered = kept.filter(
+        (F.col("n_tokens") >= 10)
+        & (F.col("n_unique").cast("double") / F.col("n_tokens") >= 0.3)
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return filtered.groupBy("lang", split.alias("split")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
