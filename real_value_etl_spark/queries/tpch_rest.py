@@ -1,4 +1,6 @@
-"""Remaining TPC-H-shaped queries (Q8/Q9/Q12/Q13/Q21/Q22 analogues).
+"""Remaining TPC-H-shaped queries (Q2/Q8/Q9/Q12/Q13/Q20/Q21/Q22 analogues)
+— with these, all 22 TPC-H query shapes are represented on the driver's
+star schema.
 
 The driver star schema has no partsupp and no commit/receipt dates, so the
 shapes are preserved with available columns: Q9's supplycost becomes a
@@ -350,4 +352,137 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_bal"),
         )
         .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2 — cheapest qualifying supplier per part (argmin-per-group + join-back)
+# ---------------------------------------------------------------------------
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH shipped AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ),
+    cand AS (
+      SELECT sh.l_partkey AS p_key, s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+      FROM shipped sh
+      JOIN supplier s ON s.s_suppkey = sh.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ),
+    mn AS (SELECT p_key, MIN(s_acctbal) AS min_bal FROM cand GROUP BY p_key)
+    SELECT c.p_key AS p_partkey, c.s_suppkey, c.s_name, c.n_name,
+           CAST(c.s_acctbal AS DOUBLE) AS s_acctbal
+    FROM cand c
+    JOIN mn ON c.p_key = mn.p_key AND c.s_acctbal = mn.min_bal
+    JOIN part p ON p.p_partkey = c.p_key
+    WHERE p.p_size <= 5
+    ORDER BY s_acctbal, p_partkey, s_suppkey
+    LIMIT 20
+    """,
+    tags=("join", "argmin", "subquery", "topk"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2's correlated-min shape without partsupp (min supply cost becomes
+    min account balance among suppliers who actually shipped the part):
+    the per-part minimum is computed ONCE in a group-by and joined back —
+    never a per-row correlated rescan. Supplier/nation/region broadcast;
+    the raw s_acctbal value joins on exact equality (no arithmetic, so no
+    float divergence)."""
+    l = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = table(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    cand = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            F.col("l_partkey").alias("p_key"),
+            "s_suppkey",
+            "s_name",
+            "s_acctbal",
+            "n_name",
+        )
+    )
+    mn = cand.groupBy("p_key").agg(F.min("s_acctbal").alias("min_bal"))
+    return (
+        cand.join(
+            mn.withColumnRenamed("p_key", "mk"),
+            (F.col("p_key") == F.col("mk")) & (F.col("s_acctbal") == F.col("min_bal")),
+        )
+        .join(F.broadcast(p), F.col("p_key") == p.p_partkey)
+        .select(
+            F.col("p_key").alias("p_partkey"),
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+        )
+        .orderBy(F.asc("s_acctbal"), F.asc("p_partkey"), F.asc("s_suppkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 — suppliers shipping well above the per-part average (nested agg semi)
+# ---------------------------------------------------------------------------
+@register(
+    "q20_excess_suppliers",
+    oracle="""
+    WITH ship AS (
+      SELECT l.l_suppkey, l.l_partkey,
+             SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS qty
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE '%widget%'
+      GROUP BY 1, 2
+    ),
+    avg_per_part AS (
+      SELECT l_partkey, CAST(SUM(qty) AS DOUBLE) / COUNT(*) AS avg_qty
+      FROM ship GROUP BY 1
+    ),
+    heavy AS (
+      SELECT DISTINCT s.l_suppkey
+      FROM ship s JOIN avg_per_part a ON s.l_partkey = a.l_partkey
+      WHERE CAST(s.qty AS DOUBLE) > 1.5 * a.avg_qty
+    )
+    SELECT s.s_suppkey AS s_suppkey, s.s_name AS s_name
+    FROM supplier s
+    WHERE EXISTS (SELECT 1 FROM heavy h WHERE h.l_suppkey = s.s_suppkey)
+    ORDER BY s.s_suppkey
+    """,
+    tags=("join", "semi", "nested_agg"),
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20's nested-aggregate shape without partsupp (availqty > half of
+    shipped becomes shipped > 1.5x the per-part average): two stacked
+    aggregations over the SAME (suppkey, partkey) shuffle, then a semi
+    join into supplier. Exact-decimal per-pair sums make the derived
+    average — and therefore the qualifying set — identical across
+    engines."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = table(spark, sf_dir, "supplier")
+    ship = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
+    )
+    avg_per_part = ship.groupBy("l_partkey").agg(
+        (F.sum("qty").cast("double") / F.count("*")).alias("avg_qty")
+    )
+    heavy = (
+        ship.join(avg_per_part.withColumnRenamed("l_partkey", "pk"),
+                  F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("qty").cast("double") > 1.5 * F.col("avg_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
     )
