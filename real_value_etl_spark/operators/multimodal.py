@@ -113,3 +113,64 @@ def decode_image(binary_df: DataFrame) -> DataFrame:
     return binary_df.select("doc_id", "payload").mapInPandas(
         _decode_batches, schema=DECODED_SCHEMA
     )
+
+
+RESIZE_SCHEMA = "doc_id bigint, payload binary, byte_len bigint, thumb_md5 string"
+THUMB_BYTES = 256  # stub "thumbnail": the leading bytes of the payload
+
+FEATURE_DIM = 16
+FEATURES_LONG_SCHEMA = "doc_id bigint, feature_idx int, value double"
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Binary-in/binary-out mapInPandas kernel (the resize shape): each
+    payload is reduced to a THUMB_BYTES prefix — a deterministic stand-in
+    for a real downscale; swap in PIL/ffmpeg in production. Output stays
+    binary so further kernels (decode, features) compose downstream."""
+    import hashlib
+
+    for pdf in batches:
+        thumbs = [bytes(p)[:THUMB_BYTES] for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "payload": thumbs,
+                "byte_len": [len(t) for t in thumbs],
+                "thumb_md5": [hashlib.md5(t).hexdigest() for t in thumbs],
+            }
+        )
+
+
+def resize_image(binary_df: DataFrame) -> DataFrame:
+    """Arrow-batched stub resize: payload -> THUMB_BYTES thumbnail payload
+    (binary in, binary out, partition-parallel)."""
+    return binary_df.select("doc_id", "payload").mapInPandas(
+        _resize_batches, schema=RESIZE_SCHEMA
+    )
+
+
+def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Feature-extraction kernel: payload -> FEATURE_DIM floats in long form
+    (doc_id, feature_idx, value). STUB features are md5-derived byte pairs
+    scaled to [0, 1] — deterministic and reproducible in SQL — standing in
+    for a real vision/audio encoder; the output feeds the similarity /
+    ANN operators unchanged."""
+    import hashlib
+
+    for pdf in batches:
+        out = {"doc_id": [], "feature_idx": [], "value": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            h = hashlib.md5(bytes(payload)).hexdigest()
+            for i in range(FEATURE_DIM):
+                out["doc_id"].append(doc_id)
+                out["feature_idx"].append(i)
+                out["value"].append(int(h[i * 2 : i * 2 + 2], 16) / 255.0)
+        yield pd.DataFrame(out)
+
+
+def extract_features(binary_df: DataFrame) -> DataFrame:
+    """Arrow-batched stub feature extraction: payload -> FEATURE_DIM-float
+    vector in long form, partition-parallel, no driver materialization."""
+    return binary_df.select("doc_id", "payload").mapInPandas(
+        _feature_batches, schema=FEATURES_LONG_SCHEMA
+    )

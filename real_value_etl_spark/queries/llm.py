@@ -789,3 +789,49 @@ def docs_pretraining_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: resize (binary -> binary) and feature extraction (binary -> vec)
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_resize",
+    oracle="""
+    SELECT doc_id,
+           CAST(least(256, octet_length(encode(text))) AS BIGINT) AS byte_len,
+           md5(substring(text, 1, 256)) AS thumb_md5
+    FROM documents
+    """,
+    tags=("multimodal", "llm", "pandas_udf"),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stub resize: binary-in/binary-out Arrow kernel producing a 256-byte
+    'thumbnail' payload per document (the downscale shape; PIL/ffmpeg slot
+    in here in production). The binary output column is dropped for the
+    oracle compare — the digest proves the bytes. ASCII corpus => the
+    string-slice oracle is byte-exact."""
+    docs = table(spark, sf_dir, "documents")
+    binary = M.attach_binary(docs, "doc_id", "text")
+    return M.resize_image(binary).select("doc_id", "byte_len", "thumb_md5")
+
+
+@register(
+    "multimodal_features",
+    oracle="""
+    SELECT d.doc_id,
+           CAST(i AS INT) AS feature_idx,
+           CAST(('0x' || substring(md5(d.text), CAST(i * 2 + 1 AS BIGINT), 2))
+                AS BIGINT) / 255.0 AS value
+    FROM documents d, unnest(range(0, 16)) AS t(i)
+    """,
+    tags=("multimodal", "llm", "pandas_udf", "embedding"),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stub feature extraction: payload -> 16-dim vector (long form) via an
+    Arrow-batched kernel — the binary-to-embedding bridge whose output
+    feeds the similarity/ANN operators. STUB features are md5 byte pairs
+    scaled to [0,1]; int/255.0 is exact in both engines, so a full
+    value-hash oracle applies (a real encoder would be rows-only)."""
+    docs = table(spark, sf_dir, "documents")
+    binary = M.attach_binary(docs, "doc_id", "text")
+    return M.extract_features(binary)
