@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import pii as P
 from ..functions import text as T
 from ..functions import vectors as V
 from ..operators import dedup as D
@@ -835,3 +836,58 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     binary = M.attach_binary(docs, "doc_id", "text")
     return M.extract_features(binary)
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (regex redaction — the pre-training privacy gate)
+# ---------------------------------------------------------------------------
+_CONTACT_SQL = (
+    "lower(c_name) || ' reach user' || CAST(c_custkey AS VARCHAR)"
+    " || '@example.com or 555-'"
+    " || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-'"
+    " || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')"
+    " || CASE WHEN c_custkey % 3 = 0 THEN ' cc admin@corp.io' ELSE '' END"
+    " || ' segment ' || lower(c_mktsegment)"
+)
+_PII_COUNT_COLS_SQL = ",\n           ".join(
+    f"{expr} AS n_{kind}" for kind, expr in P.pii_counts_sql("txt")
+)
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH contact AS (SELECT c_custkey, {_CONTACT_SQL} AS txt FROM customer)
+    SELECT c_custkey,
+           {_PII_COUNT_COLS_SQL},
+           md5({P.scrub_sql("txt")}) AS clean_md5
+    FROM contact
+    """,
+    tags=("llm", "text", "pii"),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: per-kind match counts + digest of the scrubbed
+    text. The testdata carries no real PII, so a deterministic contact blob
+    (name + synthesized email/phone) is built IDENTICALLY on both sides
+    in-query; the operator under test is functions/pii.py — shared regex
+    constants, all-occurrence masking, UDF-free codegen expressions."""
+    c = table(spark, sf_dir, "customer")
+    key = F.col("c_custkey")
+    txt = F.concat(
+        F.lower(F.col("c_name")),
+        F.lit(" reach user"),
+        key.cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((key % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((key % 10000).cast("string"), 4, "0"),
+        F.when(key % 3 == 0, F.lit(" cc admin@corp.io")).otherwise(F.lit("")),
+        F.lit(" segment "),
+        F.lower(F.col("c_mktsegment")),
+    )
+    contact = c.select("c_custkey", txt.alias("txt"))
+    return contact.select(
+        "c_custkey",
+        *[cnt.alias(f"n_{kind}") for kind, cnt in P.pii_counts(F.col("txt"))],
+        F.md5(P.scrub(F.col("txt"))).alias("clean_md5"),
+    )

@@ -304,6 +304,50 @@ def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Unpivot / melt (wide measures -> long form; the inverse reshape of pivot)
+# ---------------------------------------------------------------------------
+_MEASURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_UNPIVOT_UNION = "\n      UNION ALL ".join(
+    f"SELECT l_returnflag, '{m}' AS measure, {m} AS val FROM lineitem"
+    for m in _MEASURES
+)
+
+
+@register(
+    "q_unpivot_measures",
+    oracle=f"""
+    WITH long AS (
+      {_UNPIVOT_UNION}
+    )
+    SELECT l_returnflag, measure,
+           CAST(SUM(CAST(val AS DECIMAL(18,4))) AS DOUBLE) AS total,
+           COUNT(*) AS n
+    FROM long GROUP BY l_returnflag, measure
+    """,
+    tags=("agg", "unpivot", "reshape"),
+)
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt four lineitem measure columns into (measure, val) long form,
+    then aggregate per (returnflag, measure) — the wide->long reshape that
+    feeds metric stores and per-measure statistics. Spark's native
+    `unpivot` (Expand node) emits the long rows WITHOUT materializing them
+    (one scan, rows x 4 only inside the pipeline, map-side partial agg
+    before the single shuffle) — the oracle's UNION ALL of 4 scans is the
+    plan shape unpivot avoids at scale."""
+    li = table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_returnflag"],
+        values=list(_MEASURES),
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        F.sum(F.col("val").cast("decimal(18,4)")).cast("double").alias("total"),
+        F.count("*").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Documents analytics (group-by over the LLM corpus dims)
 # ---------------------------------------------------------------------------
 @register(
