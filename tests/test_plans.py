@@ -193,3 +193,24 @@ def test_topk_per_group_window_group_limit(spark, sf_dir):
     the window shuffle) — the property that keeps the exchange small."""
     plan = plan_of(REGISTRY["q_topk_per_group"].fn(spark, sf_dir))
     assert "WindowGroupLimit" in plan
+
+
+def test_unpivot_single_scan_partial_agg(spark, sf_dir):
+    """Native unpivot must be ONE lineitem scan feeding an Expand node (not
+    the oracle's 4x UNION ALL re-scan), with map-side partial aggregation
+    before the single group-by shuffle."""
+    plan = plan_of(REGISTRY["q_unpivot_measures"].fn(spark, sf_dir))
+    assert "Expand" in plan
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_pii_scrub_udf_free_single_pass(spark, sf_dir):
+    """PII redaction compiles to pure codegen'd regexp expressions: no
+    Python eval, no shuffle — a per-row map over one scan."""
+    plan = plan_of(REGISTRY["text_pii_scrub"].fn(spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan
+    assert plan.count("FileScan parquet") == 1
