@@ -381,3 +381,64 @@ def events_trailing_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("trailing_1h_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gap-filled time series (dense hourly spine, zero-filled missing buckets)
+# ---------------------------------------------------------------------------
+@register(
+    "events_gapfill_hourly",
+    oracle="""
+    WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+                      date_trunc('hour', max(ts)) AS hi FROM events),
+    spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b),
+    types AS (SELECT DISTINCT event_type FROM events),
+    counts AS (
+      SELECT date_trunc('hour', ts) AS h, event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+      FROM events GROUP BY 1, 2
+    )
+    SELECT s.h AS window_start, t.event_type,
+           COALESCE(c.n, 0) AS n_events,
+           COALESCE(c.sv, CAST(0 AS DOUBLE)) AS sum_value,
+           (c.n IS NULL) AS is_gap
+    FROM spine s CROSS JOIN types t
+    LEFT JOIN counts c ON c.h = s.h AND c.event_type = t.event_type
+    """,
+    tags=("events", "timeseries", "gapfill"),
+)
+def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series per event type with missing buckets zero-filled
+    and flagged — the gap-fill step monitoring/forecasting consumers need
+    (an absent bucket and a zero bucket are different facts). The spine is
+    `sequence(min_hour, max_hour, 1h)` exploded from a one-row aggregate —
+    O(hours x types) rows, broadcast onto the aggregated counts, so the
+    only fact-sized shuffle is the hourly pre-aggregation itself (at 100 TB
+    the spine stays tiny while counts shrink to bucket cardinality before
+    any join)."""
+    e = table(spark, sf_dir, "events")
+    counts = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sv"),
+    )
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 hour"))
+        ).alias("h")
+    )
+    types = e.select("event_type").distinct()
+    grid = F.broadcast(spine.crossJoin(types))
+    return grid.join(counts, ["h", "event_type"], "left").select(
+        F.col("h").alias("window_start"),
+        "event_type",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        F.coalesce(F.col("sv"), F.lit(0.0)).alias("sum_value"),
+        F.col("n").isNull().alias("is_gap"),
+    )
