@@ -442,3 +442,76 @@ def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("sv"), F.lit(0.0)).alias("sum_value"),
         F.col("n").isNull().alias("is_gap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Keyed interval (range) join: purchase -> follow-on clicks within 30 min
+# ---------------------------------------------------------------------------
+@register(
+    "events_interval_join",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'click'
+    ), per_purchase AS (
+      SELECT p.user_id, p.event_id, COUNT(c.ts) AS n_follow
+      FROM p LEFT JOIN c
+        ON c.user_id = p.user_id
+       AND c.ts > p.ts
+       AND c.ts <= p.ts + INTERVAL '30 minutes'
+      GROUP BY 1, 2
+    )
+    SELECT user_id,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(n_follow) AS BIGINT) AS n_follow_clicks,
+           CAST(SUM(CASE WHEN n_follow > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_converted
+    FROM per_purchase
+    GROUP BY user_id
+    """,
+    tags=("events", "join", "range"),
+)
+def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed point-in-interval join (SURVEY §2.3 range/theta shape): per
+    user, clicks landing in the (purchase, purchase+30min] window of each
+    purchase, rolled up to per-user conversion counts.
+
+    Naive Spark would nested-loop this; operators/rangejoin.py buckets both
+    sides into 30-min epochs and equi-joins on (user_id, bucket) — shuffle
+    join, no broadcast requirement, survives two large fact tables."""
+    from ..operators.rangejoin import interval_join_keyed
+
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("p_end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
+    matched = interval_join_keyed(
+        clicks,
+        purchases,
+        key="user_id",
+        point_ts="c_ts",
+        interval_start="p_start",
+        interval_end="p_end",
+        bucket_seconds=1800,
+        bounds="(]",
+    )
+    follow = matched.groupBy("user_id", "p_id").agg(
+        F.count("*").alias("n_follow")
+    )
+    per_purchase = purchases.join(follow, ["user_id", "p_id"], "left").select(
+        "user_id", "p_id", F.coalesce("n_follow", F.lit(0)).alias("n_follow")
+    )
+    return per_purchase.groupBy("user_id").agg(
+        F.count("*").alias("n_purchases"),
+        F.sum("n_follow").alias("n_follow_clicks"),
+        F.sum(F.when(F.col("n_follow") > 0, 1).otherwise(0)).alias(
+            "n_converted"
+        ),
+    )

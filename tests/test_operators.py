@@ -139,3 +139,38 @@ def test_jsonl_roundtrip_and_quarantine(spark, tmp_path):
         (1, "alpha"),
         (2, "beta"),
     ]
+
+
+def test_interval_join_keyed_matches_naive(spark):
+    """Bucketed equi-join form == naive non-equi join, incl. boundary ties,
+    cross-bucket intervals, and key isolation."""
+    from real_value_etl_spark.operators.rangejoin import interval_join_keyed
+
+    points = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00:00")),   # == start: excluded by "(]"
+         (1, ts("2024-01-01 10:29:59")),   # inside, same bucket
+         (1, ts("2024-01-01 10:30:00")),   # == end: included, next bucket
+         (1, ts("2024-01-01 10:30:01")),   # past end
+         (2, ts("2024-01-01 10:15:00"))],  # right time, wrong key
+        "k long, pts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:30:00"), "i1"),
+         (3, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:30:00"), "i2")],
+        "k long, lo timestamp, hi timestamp, iid string",
+    )
+    out = interval_join_keyed(
+        points, intervals, key="k", point_ts="pts",
+        interval_start="lo", interval_end="hi",
+        bucket_seconds=600, bounds="(]",
+    )
+    got = sorted((r["pts"].isoformat(), r["iid"]) for r in out.collect())
+    assert got == [("2024-01-01T10:29:59", "i1"), ("2024-01-01T10:30:00", "i1")]
+    # closed-start variant picks up the boundary row
+    out2 = interval_join_keyed(
+        points, intervals, key="k", point_ts="pts",
+        interval_start="lo", interval_end="hi",
+        bucket_seconds=600, bounds="[)",
+    )
+    got2 = sorted((r["pts"].isoformat(), r["iid"]) for r in out2.collect())
+    assert got2 == [("2024-01-01T10:00:00", "i1"), ("2024-01-01T10:29:59", "i1")]

@@ -214,3 +214,11 @@ def test_pii_scrub_udf_free_single_pass(spark, sf_dir):
     assert "ArrowEvalPython" not in plan
     assert "Exchange" not in plan
     assert plan.count("FileScan parquet") == 1
+
+
+def test_interval_join_is_equi_join(spark, sf_dir):
+    """The keyed range join must execute as a shuffle EQUI join on
+    (key, bucket) — never a nested-loop/cartesian pair explosion."""
+    plan = plan_of(REGISTRY["events_interval_join"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
