@@ -133,3 +133,65 @@ def ivf_topk(
     ).distinct()
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc(id_col))
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+# ------------------- random-hyperplane LSH (sign bits) ---------------------
+
+
+def lsh_band_table(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, v, nv) x LSH_NBANDS -> (id, v, nv, band_idx, band_val): each
+    vector's packed sign-bit value per band (functions/vectors.py constants).
+
+    The signature array is materialized in its OWN projection before the
+    per-band element_at reads, so Catalyst does not inline and re-evaluate
+    the 16-dot transform once per sign bit (the lambda-inlining trap)."""
+    from ..functions.vectors import LSH_NBANDS, hyperplane_band, hyperplane_signature
+
+    base = _with_norm(df, id_col, vec_col, "v", "nv").withColumn(
+        "__sig", hyperplane_signature(F.col("v"))
+    )
+    sig = base.select(
+        id_col, "v", "nv",
+        *[hyperplane_band(F.col("__sig"), b).alias(f"bv{b}") for b in range(LSH_NBANDS)],
+    )
+    pairs = ", ".join(f"{b}, bv{b}" for b in range(LSH_NBANDS))
+    return sig.select(
+        id_col, "v", "nv",
+        F.expr(f"stack({LSH_NBANDS}, {pairs}) AS (band_idx, band_val)"),
+    )
+
+
+def lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k via sign-LSH banding: candidates = vectors
+    sharing >=1 of the 4 band values with the query (OR-amplification),
+    then exact cosine rank among candidates.
+
+    Scale design: banding is a narrow map; the candidate join is an EQUI
+    join on (band_idx, band_val) — at two-large-table scale it shuffles on
+    band keys instead of broadcasting; here the query side is broadcast.
+    Output: (qid, vec_id, sim, rnk)."""
+    cb = lsh_band_table(emb, id_col, vec_col)
+    qb = lsh_band_table(queries, id_col, vec_col).select(
+        F.col(id_col).alias("qid"), F.col("v").alias("qv"),
+        F.col("nv").alias("nq"), "band_idx", "band_val",
+    )
+    cands = cb.join(F.broadcast(qb), on=["band_idx", "band_val"]).filter(
+        F.col(id_col) != F.col("qid")
+    )
+    scored = cands.select(
+        "qid",
+        id_col,
+        (dot(F.col("v"), F.col("qv")) / (F.col("nv") * F.col("nq"))).alias("sim"),
+    ).distinct()
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc(id_col))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)

@@ -515,3 +515,69 @@ def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_converted"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequential conversion funnel: signup -> first view after -> first purchase
+# ---------------------------------------------------------------------------
+@register(
+    "events_funnel",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS t_signup
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), v AS (
+      SELECT e.user_id, MIN(e.ts) AS t_view
+      FROM events e JOIN s ON s.user_id = e.user_id
+      WHERE e.event_type = 'view' AND e.ts >= s.t_signup
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= v.t_view
+      GROUP BY e.user_id
+    )
+    SELECT COUNT(*) AS n_signup,
+           CAST(COUNT(v.t_view) AS BIGINT) AS n_viewed,
+           CAST(COUNT(p.t_purchase) AS BIGINT) AS n_purchased,
+           (CAST(COUNT(p.t_purchase) AS DOUBLE) / COUNT(*)) AS conversion
+    FROM s
+    LEFT JOIN v ON v.user_id = s.user_id
+    LEFT JOIN p ON p.user_id = v.user_id
+    """,
+    tags=("events", "funnel", "join", "agg"),
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-stage funnel with true sequential semantics (each stage's
+    first event must be at-or-after the previous stage's), not the min-per-
+    type approximation. Three per-user aggregations joined on user_id — at
+    scale all three shuffles share the user_id partitioning."""
+    ev = table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id").agg(F.min("ts").alias("t_signup"))
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("t_signup"))
+        .groupBy("user_id").agg(F.min("ts").alias("t_view"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id").agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        s.join(v, "user_id", "left")
+        .join(p, "user_id", "left")
+        .agg(
+            F.count("*").alias("n_signup"),
+            F.count("t_view").alias("n_viewed"),
+            F.count("t_purchase").alias("n_purchased"),
+            (F.count("t_purchase").cast("double") / F.count("*")).alias(
+                "conversion"
+            ),
+        )
+    )

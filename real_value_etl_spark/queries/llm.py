@@ -891,3 +891,111 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[cnt.alias(f"n_{kind}") for kind, cnt in P.pii_counts(F.col("txt"))],
         F.md5(P.scrub(F.col("txt"))).alias("clean_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity: random-hyperplane (sign) LSH top-k
+# ---------------------------------------------------------------------------
+def _lsh_oracle() -> str:
+    from ..functions.vectors import LSH_NBANDS, hyperplane_band_sql
+
+    cb = " UNION ALL ".join(
+        f"SELECT vec_id, v, {b} AS band_idx, {hyperplane_band_sql('v', b)} AS band_val FROM e"
+        for b in range(LSH_NBANDS)
+    )
+    qb = " UNION ALL ".join(
+        f"SELECT qid, qv, {b} AS band_idx, {hyperplane_band_sql('qv', b)} AS band_val FROM q"
+        for b in range(LSH_NBANDS)
+    )
+    cos = V.cosine_sql("cb.v", "qb.qv")
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % {ANN_QUERY_MOD} = 0),
+    cb AS ({cb}),
+    qb AS ({qb}),
+    scored AS (
+      SELECT DISTINCT qb.qid, cb.vec_id, {cos} AS sim
+      FROM cb JOIN qb USING (band_idx, band_val)
+      WHERE cb.vec_id <> qb.qid
+    ),
+    ranked AS (
+      SELECT qid, vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
+      FROM scored
+    )
+    SELECT qid, vec_id, sim, rnk FROM ranked WHERE rnk <= {ANN_K}
+    """
+
+
+@register("sim_ann_lsh", oracle=_lsh_oracle(), tags=("similarity", "llm", "ann"))
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH approximate top-5: 16 hyperplane sign bits banded 4x4;
+    candidates share >=1 band value with the query, then exact cosine rank.
+    Complements IVF: no centroid fitting pass, candidate set adapts to
+    bucket collisions — the classic trade-off pair for ANN at scale."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % ANN_QUERY_MOD == 0)
+    return S.lsh_topk(emb, queries, ANN_K)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling (per-language rates)
+# ---------------------------------------------------------------------------
+# Per-stratum sampling rates (percent) for corpus rebalancing — the
+# downsample-dominant-language step of a pretraining mix. One source of
+# truth for both engines.
+STRATA_RATE_PCT = {"en": 30, "zh": 40, "de": 60, "fr": 60, "es": 60}
+STRATA_DEFAULT_PCT = 50
+
+
+def _strata_case_sql(col: str) -> str:
+    whens = " ".join(
+        f"WHEN {col} = '{k}' THEN {v}" for k, v in STRATA_RATE_PCT.items()
+    )
+    return f"(CASE {whens} ELSE {STRATA_DEFAULT_PCT} END)"
+
+
+@register(
+    "docs_stratified_sample",
+    oracle=f"""
+    WITH b AS (
+      SELECT lang, doc_id,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 100 AS bucket,
+             {_strata_case_sql('lang')} AS rate_pct
+      FROM documents
+    )
+    SELECT lang,
+           ANY_VALUE(rate_pct) AS rate_pct,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN bucket < rate_pct THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sampled,
+           MIN(CASE WHEN bucket < rate_pct THEN doc_id END) AS min_sampled_id
+    FROM b GROUP BY lang
+    """,
+    tags=("llm", "sampling", "stratified"),
+)
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language rates applied via
+    hash-mod bucketing (a document's in/out decision never changes across
+    runs, partitionings, or engines — what `df.sampleBy(rand)` cannot
+    promise). Narrow map + one hash-agg; no shuffle beyond the final agg."""
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    rate = F.lit(STRATA_DEFAULT_PCT)
+    for k, v in STRATA_RATE_PCT.items():
+        rate = F.when(F.col("lang") == k, v).otherwise(rate)
+    sampled = F.col("bucket") < F.col("rate_pct")
+    return (
+        d.select("lang", "doc_id", bucket.alias("bucket"), rate.alias("rate_pct"))
+        .groupBy("lang")
+        .agg(
+            F.any_value("rate_pct").alias("rate_pct"),
+            F.count("*").alias("n_total"),
+            F.sum(F.when(sampled, 1).otherwise(0)).alias("n_sampled"),
+            F.min(F.when(sampled, F.col("doc_id"))).alias("min_sampled_id"),
+        )
+    )

@@ -65,3 +65,58 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin histogram (binning + agg, width_bucket family)
+# ---------------------------------------------------------------------------
+HIST_LO, HIST_HI, HIST_NBINS = 0.0, 600_000.0, 20
+HIST_STEP = (HIST_HI - HIST_LO) / HIST_NBINS
+
+
+@register(
+    "q_histogram_totalprice",
+    oracle=f"""
+    WITH b AS (
+      SELECT LEAST(CAST(FLOOR((o_totalprice - {HIST_LO!r}) / {HIST_STEP!r}) AS INT),
+                   {HIST_NBINS - 1}) AS bin,
+             o_totalprice
+      FROM orders
+    )
+    SELECT bin,
+           bin * {HIST_STEP!r} AS bin_lo,
+           (bin + 1) * {HIST_STEP!r} AS bin_hi,
+           COUNT(*) AS n_orders,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM b GROUP BY bin
+    """,
+    tags=("agg", "histogram"),
+)
+def q_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-value histogram: 20 fixed bins over [0, 600k], top bin clamps
+    the tail. The SAME floor((x-lo)/step) double math runs in both engines
+    (no width_bucket — its edge semantics differ), so bin assignment is
+    bit-exact. Narrow map + single partial-agg shuffle of <=20 groups."""
+    o = table(spark, sf_dir, "orders")
+    bin_ = F.least(
+        F.floor((F.col("o_totalprice") - F.lit(HIST_LO)) / F.lit(HIST_STEP)).cast("int"),
+        F.lit(HIST_NBINS - 1),
+    )
+    return (
+        o.select(bin_.alias("bin"), "o_totalprice")
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .select(
+            "bin",
+            (F.col("bin") * HIST_STEP).alias("bin_lo"),
+            ((F.col("bin") + 1) * HIST_STEP).alias("bin_hi"),
+            "n_orders",
+            "min_price",
+            "max_price",
+        )
+    )
