@@ -581,3 +581,65 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention matrix (cohort = first-seen date, day-N activity)
+# ---------------------------------------------------------------------------
+@register(
+    "events_cohort_retention",
+    oracle="""
+    WITH first_day AS (
+      SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_date
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT f.cohort_date, e.user_id,
+             date_diff('day', f.cohort_date, CAST(e.ts AS DATE)) AS day_n
+      FROM events e JOIN first_day f USING (user_id)
+    ), sizes AS (
+      SELECT cohort_date, COUNT(*) AS cohort_size
+      FROM first_day GROUP BY cohort_date
+    )
+    SELECT a.cohort_date, a.day_n,
+           COUNT(*) AS n_active,
+           ANY_VALUE(s.cohort_size) AS cohort_size,
+           (CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(s.cohort_size)) AS retention
+    FROM activity a JOIN sizes s USING (cohort_date)
+    GROUP BY 1, 2
+    """,
+    tags=("events", "cohort", "agg", "join"),
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users cohorted by first-seen date, counted
+    on each subsequent active day. Two user_id-partitioned aggregations
+    (first-seen, distinct active days) share one shuffle; the cohort-size
+    side is tiny and broadcasts."""
+    ev = table(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("cohort_date")
+    )
+    activity = (
+        ev.join(first_day, "user_id")
+        .select(
+            "cohort_date",
+            "user_id",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_date")).alias(
+                "day_n"
+            ),
+        )
+        .distinct()
+    )
+    sizes = first_day.groupBy("cohort_date").agg(
+        F.count("*").alias("cohort_size")
+    )
+    return (
+        activity.join(F.broadcast(sizes), "cohort_date")
+        .groupBy("cohort_date", "day_n")
+        .agg(
+            F.count("*").alias("n_active"),
+            F.any_value("cohort_size").alias("cohort_size"),
+            (F.count("*").cast("double") / F.any_value("cohort_size")).alias(
+                "retention"
+            ),
+        )
+    )

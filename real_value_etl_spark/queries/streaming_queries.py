@@ -130,3 +130,15 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sliding windows == batch sliding aggregation oracle."""
     return jobs.stream_sliding_agg(spark, sf_dir)
+
+
+@register(
+    "stream_dedup_watermark",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    tags=("streaming", "dedup", "stateful"),
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup (dropDuplicatesWithinWatermark): state
+    for a key is dropped once the watermark passes it, so the store size
+    tracks the watermark delay, not stream history."""
+    return jobs.stream_dedup_within_watermark(spark, sf_dir)

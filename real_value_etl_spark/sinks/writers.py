@@ -109,3 +109,9 @@ def write_clickhouse_jdbc(
         ) from exc
     if staging_swap:  # pragma: no cover
         return f"EXCHANGE TABLES {target} AND {table}"
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (built-in columnar alternative to parquet; same pushdown/
+    pruning story through the native OrcFileFormat)."""
+    df.write.mode(mode).orc(path)

@@ -276,3 +276,16 @@ def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__r") == 1)
         .drop("__r")
     )
+
+
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with BOUNDED state: dropDuplicatesWithinWatermark
+    evicts key state once the watermark passes it — the form that survives
+    an unbounded stream at 100 TB/day, unlike plain dropDuplicates whose
+    state grows forever. Emitted key set equals batch DISTINCT (the replay
+    arrives in one AvailableNow batch, so no duplicate outlives eviction)."""
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", WATERMARK)
+    deduped = ev.dropDuplicatesWithinWatermark(["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    return _drain(spark, deduped, "mem_stream_dedup_wm", "append")

@@ -174,3 +174,21 @@ def test_interval_join_keyed_matches_naive(spark):
     )
     got2 = sorted((r["pts"].isoformat(), r["iid"]) for r in out2.collect())
     assert got2 == [("2024-01-01T10:00:00", "i1"), ("2024-01-01T10:29:59", "i1")]
+
+
+def test_orc_round_trip(spark, tmp_path):
+    """ORC sink round-trips schema + values, incl. nested arrays."""
+    from real_value_etl_spark.sinks.writers import write_orc
+
+    df = spark.createDataFrame(
+        [(1, "a", [1.0, 2.0]), (2, "b", [])],
+        "id long, s string, arr array<double>",
+    )
+    out = str(tmp_path / "orc_out")
+    write_orc(df, out)
+    back = spark.read.orc(out)
+    assert back.schema == df.schema
+    assert sorted((r["id"], r["s"], r["arr"]) for r in back.collect()) == [
+        (1, "a", [1.0, 2.0]),
+        (2, "b", []),
+    ]
