@@ -643,3 +643,50 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD-1 upsert: merge an update batch into current state, latest-wins
+# ---------------------------------------------------------------------------
+@register(
+    "events_upsert_scd1",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, ts, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_keys,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_latest_value,
+           MAX(ts) AS max_ts
+    FROM ranked WHERE rn = 1
+    GROUP BY event_type
+    """,
+    tags=("events", "upsert", "etl", "window"),
+)
+def events_upsert_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental refresh via operators/upsert.py: the event log is split
+    into a 'current' and an 'updates' batch (even/odd ids) and merged
+    latest-version-wins per (user_id, event_type) — the delta-apply pattern
+    that replaces the reference's full-refresh TRUNCATE+insert at scale.
+    One window shuffle, no join; result == latest-per-key over the union."""
+    from ..operators.upsert import upsert_by_key
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    current = ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == 0)
+    updates = ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == 1)
+    merged = upsert_by_key(
+        current, updates, ["user_id", "event_type"], ["ts", "event_id"]
+    )
+    return merged.groupBy("event_type").agg(
+        F.count("*").alias("n_keys"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+            "sum_latest_value"
+        ),
+        F.max("ts").alias("max_ts"),
+    )

@@ -115,3 +115,21 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """ORC sink (built-in columnar alternative to parquet; same pushdown/
     pruning story through the native OrcFileFormat)."""
     df.write.mode(mode).orc(path)
+
+
+def overwrite_partitions_dynamic(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Overwrite ONLY the partitions present in `df`, leaving sibling
+    partitions untouched (spark.sql.sources.partitionOverwriteMode=dynamic)
+    — the incremental daily-snapshot refresh pattern: rewriting one
+    platform=/date= partition of a 100 TB lake must not truncate the rest,
+    which is exactly what static overwrite (and the reference's TRUNCATE,
+    loading.py:36) would do."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -192,3 +192,36 @@ def test_orc_round_trip(spark, tmp_path):
         (1, "a", [1.0, 2.0]),
         (2, "b", []),
     ]
+
+
+def test_upsert_by_key(spark):
+    """New keys insert; existing keys take the newest version; order_by
+    ties go to the updates side."""
+    from real_value_etl_spark.operators.upsert import upsert_by_key
+
+    current = spark.createDataFrame(
+        [(1, 1, "old"), (2, 5, "keep")], "k long, ver long, v string"
+    )
+    updates = spark.createDataFrame(
+        [(1, 2, "new"), (2, 5, "tie-upd"), (3, 1, "ins")],
+        "k long, ver long, v string",
+    )
+    out = upsert_by_key(current, updates, ["k"], "ver")
+    got = {r["k"]: r["v"] for r in out.collect()}
+    assert got == {1: "new", 2: "tie-upd", 3: "ins"}
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    """Rewriting one partition leaves the others intact (and static mode
+    would not — that is the reference's TRUNCATE hazard at scale)."""
+    from real_value_etl_spark.sinks.writers import overwrite_partitions_dynamic
+
+    out = str(tmp_path / "lake")
+    base = spark.createDataFrame(
+        [("a", 1), ("b", 2)], "pt string, v long"
+    )
+    overwrite_partitions_dynamic(base, out, ["pt"])
+    patch = spark.createDataFrame([("b", 99)], "pt string, v long")
+    overwrite_partitions_dynamic(patch, out, ["pt"])
+    got = {(r["pt"], r["v"]) for r in spark.read.parquet(out).collect()}
+    assert got == {("a", 1), ("b", 99)}

@@ -222,3 +222,11 @@ def test_interval_join_is_equi_join(spark, sf_dir):
     plan = plan_of(REGISTRY["events_interval_join"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_upsert_single_window_shuffle_no_join(spark, sf_dir):
+    """SCD-1 upsert = union + one row_number window: exactly one
+    hashpartitioning exchange before the final agg, and no join at all."""
+    plan = plan_of(REGISTRY["events_upsert_scd1"].fn(spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # window + final agg

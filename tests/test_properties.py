@@ -80,3 +80,50 @@ def test_parse_str_list_total(batch_runner, values):
             assert g == ["a", "b"]
         if v is None or (v or "") == "" or not (v or "").startswith("["):
             assert g == []
+
+
+# ---------------------------------------------------------------------------
+# interval_join_keyed == naive non-equi join, for arbitrary points/intervals
+# ---------------------------------------------------------------------------
+_epoch = st.integers(min_value=1_700_000_000, max_value=1_700_200_000)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    pts=st.lists(st.tuples(st.integers(1, 3), _epoch), min_size=1, max_size=15),
+    ivs=st.lists(
+        st.tuples(st.integers(1, 3), _epoch, st.integers(0, 7200)),
+        min_size=1,
+        max_size=8,
+    ),
+    bucket=st.sampled_from([60, 600, 3600]),
+)
+def test_interval_join_matches_naive(spark, pts, ivs, bucket):
+    from real_value_etl_spark.operators.rangejoin import interval_join_keyed
+
+    points = spark.createDataFrame(
+        [(k, e, i) for i, (k, e) in enumerate(pts)], "k long, pe long, pid long"
+    ).select("k", F.timestamp_seconds("pe").alias("pts"), "pid")
+    intervals = spark.createDataFrame(
+        [(k, s, s + d, i) for i, (k, s, d) in enumerate(ivs)],
+        "k long, se long, ee long, iid long",
+    ).select(
+        "k",
+        F.timestamp_seconds("se").alias("lo"),
+        F.timestamp_seconds("ee").alias("hi"),
+        "iid",
+    )
+    out = interval_join_keyed(
+        points, intervals, key="k", point_ts="pts",
+        interval_start="lo", interval_end="hi",
+        bucket_seconds=bucket, bounds="(]",
+    )
+    got = sorted((r["pid"], r["iid"]) for r in out.collect())
+    naive = points.alias("p").join(
+        intervals.alias("i"),
+        (F.col("p.k") == F.col("i.k"))
+        & (F.col("p.pts") > F.col("i.lo"))
+        & (F.col("p.pts") <= F.col("i.hi")),
+    )
+    want = sorted((r["pid"], r["iid"]) for r in naive.collect())
+    assert got == want
