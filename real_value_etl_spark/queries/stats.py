@@ -11,7 +11,7 @@ contract SURVEY §2.4 assigns them.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .registry import register, table
@@ -120,3 +120,105 @@ def q_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_price",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Ranking-distribution windows: ntile / percent_rank / cume_dist
+# ---------------------------------------------------------------------------
+@register(
+    "q_ntile_deciles",
+    oracle="""
+    WITH w AS (
+      SELECT o_orderpriority,
+             NTILE(10) OVER win AS decile,
+             PERCENT_RANK() OVER win AS pct_rank,
+             CUME_DIST() OVER win AS cume,
+             o_totalprice
+      FROM orders
+      WINDOW win AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice, o_orderkey)
+    )
+    SELECT o_orderpriority, decile,
+           COUNT(*) AS n_orders,
+           MIN(o_totalprice) AS lo_price,
+           MAX(o_totalprice) AS hi_price,
+           MAX(pct_rank) AS max_pct_rank,
+           MAX(cume) AS max_cume
+    FROM w GROUP BY 1, 2
+    """,
+    tags=("window", "ranking", "agg"),
+)
+def q_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile assignment + distribution ranks per order priority. All three
+    ranking functions share ONE (partition, order) spec -> one exchange;
+    the unique o_orderkey tiebreak makes every rank deterministic.
+    percent_rank/cume_dist are exact integer-ratio doubles in both engines."""
+    o = table(spark, sf_dir, "orders")
+    win = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    w = o.select(
+        "o_orderpriority",
+        F.ntile(10).over(win).alias("decile"),
+        F.percent_rank().over(win).alias("pct_rank"),
+        F.cume_dist().over(win).alias("cume"),
+        "o_totalprice",
+    )
+    return w.groupBy("o_orderpriority", "decile").agg(
+        F.count("*").alias("n_orders"),
+        F.min("o_totalprice").alias("lo_price"),
+        F.max("o_totalprice").alias("hi_price"),
+        F.max("pct_rank").alias("max_pct_rank"),
+        F.max("cume").alias("max_cume"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact correlation from decimal sums (built-in corr is order-sensitive)
+# ---------------------------------------------------------------------------
+@register(
+    "q_corr_qty_price",
+    oracle="""
+    WITH s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+      FROM lineitem
+    )
+    SELECT n,
+           ((n * sxy) - (sx * sy)) AS cov_num,
+           (((n * sxy) - (sx * sy))
+            / (sqrt((n * sxx) - (sx * sx)) * sqrt((n * syy) - (sy * sy))))
+             AS corr_qty_price
+    FROM s
+    """,
+    tags=("agg", "stats", "correlation"),
+)
+def q_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation computed from exact decimal sums (n, Σx, Σy,
+    Σx², Σy², Σxy) — order-independent, hence bit-exact across engines,
+    unlike the built-in streaming corr whose accumulation order differs.
+    One partial+final agg pass over lineitem; the final arithmetic is six
+    IEEE ops on identical doubles."""
+    li = table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    s = li.agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy")) - (F.col("sx") * F.col("sy"))
+    den = F.sqrt((F.col("n") * F.col("sxx")) - (F.col("sx") * F.col("sx"))) * F.sqrt(
+        (F.col("n") * F.col("syy")) - (F.col("sy") * F.col("sy"))
+    )
+    return s.select("n", num.alias("cov_num"), (num / den).alias("corr_qty_price"))
