@@ -589,3 +589,56 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL-text entry point: the same engine surface via spark.sql over views
+# ---------------------------------------------------------------------------
+_SQL_TEXT = """
+WITH yearly AS (
+  SELECT n.n_name AS nation,
+         YEAR(o.o_orderdate) AS o_year,
+         CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                       AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+  FROM lineitem l
+  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n   ON n.n_nationkey = c.c_nationkey
+  GROUP BY n.n_name, YEAR(o.o_orderdate)
+)
+SELECT nation, o_year, revenue,
+       LAG(revenue) OVER (PARTITION BY nation ORDER BY o_year) AS prev_revenue
+FROM yearly
+"""
+
+
+@register(
+    "q_sql_text_interface",
+    oracle="""
+    WITH yearly AS (
+      SELECT n.n_name AS nation,
+             EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+             CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n   ON n.n_nationkey = c.c_nationkey
+      GROUP BY n.n_name, EXTRACT(YEAR FROM o.o_orderdate)
+    )
+    SELECT nation, CAST(o_year AS BIGINT) AS o_year, revenue,
+           LAG(revenue) OVER (PARTITION BY nation ORDER BY o_year)
+             AS prev_revenue
+    FROM yearly
+    """,
+    tags=("sql", "join", "window", "agg"),
+)
+def q_sql_text_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL-TEXT surface: driver tables registered as temp views
+    and the query executed as ANSI SQL via spark.sql — same Catalyst plan
+    (broadcast dims, partial agg, one window exchange) as the DataFrame API;
+    nation-year revenue with a LAG year-over-year comparison."""
+    for t in ("lineitem", "orders", "customer", "nation"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    df = spark.sql(_SQL_TEXT)
+    return df.withColumn("o_year", F.col("o_year").cast("long"))
