@@ -999,3 +999,234 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.when(sampled, F.col("doc_id"))).alias("min_sampled_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking: overlapping token windows (sequence-prep for training)
+# ---------------------------------------------------------------------------
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+@register(
+    "docs_chunking",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {T.tokens_sql("text")} AS ts FROM documents
+    ),
+    st AS (
+      SELECT doc_id, ts,
+             CAST(s AS BIGINT) AS start,
+             (CAST(s AS BIGINT) - 1) // {CHUNK_STRIDE} AS chunk_idx
+      FROM (
+        SELECT doc_id, ts,
+               unnest(generate_series(1, len(ts), {CHUNK_STRIDE})) AS s
+        FROM toks
+      )
+    )
+    SELECT doc_id, chunk_idx, start,
+           CAST(len(ts[start : start + {CHUNK_TOKENS - 1}]) AS BIGINT)
+             AS n_tokens,
+           md5(array_to_string(ts[start : start + {CHUNK_TOKENS - 1}], ' '))
+             AS chunk_md5
+    FROM st
+    """,
+    tags=("llm", "text", "chunking"),
+)
+def docs_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size token chunks (64-token windows, stride 48) —
+    the context-window sequence prep step of a training pipeline. Pure
+    narrow plan: tokenize -> posexplode the window starts -> slice; no
+    shuffle at all, so it streams at scan speed at any corpus size. The
+    chunk digest stands in for the chunk text in the compare (ASCII,
+    single-space corpus => byte-exact on both engines)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", T.tokens(F.col("text")).alias("ts"))
+    starts = F.when(
+        F.size("ts") >= 1,
+        F.sequence(F.lit(1), F.size("ts"), F.lit(CHUNK_STRIDE)),
+    ).otherwise(F.array().cast("array<int>"))
+    chunked = toks.select(
+        "doc_id", "ts", F.posexplode(starts).alias("chunk_idx", "start")
+    )
+    chunk = F.slice(F.col("ts"), F.col("start"), CHUNK_TOKENS)
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("start").cast("long").alias("start"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25-style corpus search (log-free idf variant, bit-exact across engines)
+# ---------------------------------------------------------------------------
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_N_TERMS = 3  # the query = the corpus's top-3 terms by frequency
+BM25_TOP_DOCS = 10
+
+# one source of truth for the scoring arithmetic: identical textual shape on
+# both engines so every double op executes in the same order.
+#   idf_w = (N - df + 0.5) / (df + 0.5)        [log-free idf weight]
+#   tf_c  = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+_BM25_SQL = (
+    "((CAST(c.n_docs - f.df AS DOUBLE) + 0.5) / (CAST(f.df AS DOUBLE) + 0.5))"
+    " * ((CAST(f.tf AS DOUBLE) * 2.2) / (CAST(f.tf AS DOUBLE)"
+    " + 1.2 * (0.25 + 0.75 * (CAST(d.dl AS DOUBLE)"
+    " / (CAST(c.sum_dl AS DOUBLE) / CAST(c.n_docs AS DOUBLE))))))"
+)
+
+
+@register(
+    "text_bm25_search",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {T.tokens_sql("text")} AS ts FROM documents
+    ),
+    ex AS (SELECT doc_id, unnest(ts) AS tok FROM toks),
+    dl AS (SELECT doc_id, len(ts) AS dl FROM toks),
+    corpus AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+    term_stats AS (
+      SELECT tok, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS df
+      FROM ex GROUP BY tok
+    ),
+    top_terms AS (
+      SELECT tok, df FROM term_stats ORDER BY cnt DESC, tok LIMIT {BM25_N_TERMS}
+    ),
+    tf AS (
+      SELECT e.doc_id, e.tok, t.df, COUNT(*) AS tf
+      FROM ex e JOIN top_terms t USING (tok)
+      GROUP BY e.doc_id, e.tok, t.df
+    ),
+    scored AS (
+      SELECT f.doc_id, f.tok, {_BM25_SQL} AS score
+      FROM tf f
+      JOIN dl d ON d.doc_id = f.doc_id
+      CROSS JOIN corpus c
+    ),
+    agg AS (
+      SELECT doc_id,
+             COUNT(*) AS n_terms,
+             array_to_string(list(tok ORDER BY tok), ',') AS terms,
+             list_reduce(
+               list_prepend(CAST(0 AS DOUBLE), list(score ORDER BY tok)),
+               (acc, x) -> acc + x) AS score
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_terms, terms, score
+    FROM agg ORDER BY score DESC, doc_id LIMIT {BM25_TOP_DOCS}
+    """,
+    tags=("llm", "text", "search", "join"),
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword search over the corpus: BM25-style ranking (k1=1.2, b=0.75)
+    of every document against the corpus's own top-3 terms, top-10 docs.
+    The idf weight is the log-free rational form (N-df+.5)/(df+.5) so every
+    arithmetic step is +-*/ on doubles in a pinned order (ln() is not
+    guaranteed bit-identical across engines); per-doc term scores are
+    summed by a left fold in term order — deterministic on both sides.
+    Plan: one shuffle on token (stats), one on doc_id (tf + rank); the
+    3-row term table and 1-row corpus stats broadcast. Top-10 is
+    TakeOrderedAndProject — no global sort materializes at scale."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", T.tokens(F.col("text")).alias("ts"))
+    ex = toks.select("doc_id", F.explode("ts").alias("tok"))
+    dl = toks.select("doc_id", F.size("ts").cast("long").alias("dl"))
+    corpus = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    term_stats = ex.groupBy("tok").agg(
+        F.count("*").alias("cnt"), F.countDistinct("doc_id").alias("df")
+    )
+    top_terms = (
+        term_stats.orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(BM25_N_TERMS)
+        .select("tok", "df")
+    )
+    tf = (
+        ex.join(F.broadcast(top_terms), "tok")
+        .groupBy("doc_id", "tok", "df")
+        .agg(F.count("*").alias("tf"))
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    idf_w = ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5)) / (
+        F.col("df").cast("double") + F.lit(0.5)
+    )
+    tf_c = (F.col("tf").cast("double") * F.lit(2.2)) / (
+        F.col("tf").cast("double")
+        + F.lit(1.2)
+        * (F.lit(0.25) + F.lit(0.75) * (F.col("dl").cast("double") / avgdl))
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select("doc_id", "tok", (idf_w * tf_c).alias("score"))
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_terms"),
+        F.concat_ws(",", F.array_sort(F.collect_list("tok"))).alias("terms"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("tok", "score"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["score"],
+        ).alias("score"),
+    )
+    return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(BM25_TOP_DOCS)
+
+
+# ---------------------------------------------------------------------------
+# Inverted index: postings lists for the head of the vocabulary
+# ---------------------------------------------------------------------------
+POSTINGS_N_TERMS = 20
+
+
+@register(
+    "text_postings",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {T.tokens_sql("text")} AS ts FROM documents
+    ),
+    ex AS (SELECT doc_id, unnest(ts) AS tok FROM toks),
+    term_stats AS (
+      SELECT tok, COUNT(*) AS cnt FROM ex GROUP BY tok
+    ),
+    top_terms AS (
+      SELECT tok, cnt FROM term_stats
+      ORDER BY cnt DESC, tok LIMIT {POSTINGS_N_TERMS}
+    )
+    SELECT e.tok, ANY_VALUE(t.cnt) AS cnt,
+           CAST(COUNT(DISTINCT e.doc_id) AS BIGINT) AS df,
+           list_sort(list(DISTINCT e.doc_id)) AS postings
+    FROM ex e JOIN top_terms t USING (tok)
+    GROUP BY e.tok
+    """,
+    tags=("llm", "text", "search"),
+)
+def text_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: sorted distinct-doc postings lists for the 20
+    most frequent vocabulary terms (term -> [doc_id...]) — the retrieval
+    side of a corpus search system. One shuffle on token; the 20-term head
+    broadcasts back onto the exploded stream; postings are collect_set +
+    sort so result order is engine-independent. At 100 TB the same plan
+    writes term-bucketed parquet instead of collecting."""
+    d = table(spark, sf_dir, "documents")
+    ex = d.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("tok")
+    )
+    top_terms = (
+        ex.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tok"))
+        .limit(POSTINGS_N_TERMS)
+    )
+    return (
+        ex.join(F.broadcast(top_terms), "tok")
+        .groupBy("tok")
+        .agg(
+            F.any_value("cnt").alias("cnt"),
+            F.countDistinct("doc_id").alias("df"),
+            F.sort_array(F.collect_set("doc_id")).alias("postings"),
+        )
+    )
