@@ -142,3 +142,20 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a key is dropped once the watermark passes it, so the store size
     tracks the watermark delay, not stream history."""
     return jobs.stream_dedup_within_watermark(spark, sf_dir)
+
+
+@register(
+    "stream_static_enrich",
+    oracle="""
+    SELECT date_trunc('hour', e.ts) AS window_start,
+           c.c_mktsegment AS segment,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1, 2
+    """,
+    tags=("stream", "join", "agg"),
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment + windowed agg, streaming == batch."""
+    return jobs.stream_static_enrich(spark, sf_dir)

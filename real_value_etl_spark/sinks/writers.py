@@ -133,3 +133,47 @@ def overwrite_partitions_dynamic(
         df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def compact_parquet_dir(
+    spark, path: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> dict:
+    """Small-file compaction: rewrite a parquet directory into
+    ceil(total_bytes / target) files and swap it into place.
+
+    The small-file problem is THE operational failure mode of long-running
+    ingestion at scale (every micro-batch / hourly load appends a few tiny
+    files until the NameNode/footer-read overhead dominates scan time).
+    Compaction uses `coalesce`, a NARROW repartitioning — existing files are
+    read and concatenated without a shuffle — so the rewrite streams at I/O
+    speed. The rewrite lands in a staging directory first and is renamed
+    into place (rename is atomic on HDFS/local posix; on S3 a production
+    deployment swaps a table-format pointer instead).
+
+    Returns {"files_before", "files_after", "bytes", "rows"}.
+    """
+    import glob as _glob
+    import math
+    import os
+    import shutil
+
+    files = _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    total = sum(os.path.getsize(f) for f in files)
+    n = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    rows = df.count()
+    tmp = path.rstrip("/") + "__compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    df.coalesce(n).write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "__precompact"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    after = _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    return {
+        "files_before": len(files),
+        "files_after": len(after),
+        "bytes": total,
+        "rows": rows,
+    }

@@ -289,3 +289,41 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         "user_id", "event_type"
     )
     return _drain(spark, deduped, "mem_stream_dedup_wm", "append")
+
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against a static
+    dimension table (customer segment keyed by user id), then aggregated
+    into watermarked hourly windows per segment.
+
+    The static side is a plain batch DataFrame — Spark re-plans it per
+    micro-batch and (broadcast-hinted) ships it to executors, so the join
+    adds NO streaming state at all; only the windowed aggregation holds
+    state, bounded by the watermark. This is the canonical enrichment shape
+    for a 100 TB/day event feed joined to a warehouse dimension.
+    Complete-mode drain must equal the batch join+aggregation exactly.
+    """
+    from ..queries.registry import table
+
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", WATERMARK)
+    dim = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    agg = (
+        ev.join(F.broadcast(dim), "user_id")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "segment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "segment",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _drain(spark, agg, "mem_stream_static_enrich", "complete")

@@ -225,3 +225,54 @@ def test_dynamic_partition_overwrite(spark, tmp_path):
     overwrite_partitions_dynamic(patch, out, ["pt"])
     got = {(r["pt"], r["v"]) for r in spark.read.parquet(out).collect()}
     assert got == {("a", 1), ("b", 99)}
+
+
+def test_compact_parquet_dir(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from real_value_etl_spark.sinks.writers import compact_parquet_dir
+
+    path = str(tmp_path / "frag")
+    df = spark.range(10_000).withColumn("v", F.col("id") * 2)
+    df.repartition(40).write.parquet(path)
+    import glob
+
+    assert len(glob.glob(f"{path}/*.parquet")) == 40
+    before = {(r.id, r.v) for r in spark.read.parquet(path).collect()}
+
+    stats = compact_parquet_dir(spark, path, target_file_bytes=1 << 30)
+    assert stats["files_before"] == 40
+    assert stats["files_after"] == 1
+    assert stats["rows"] == 10_000
+    after = {(r.id, r.v) for r in spark.read.parquet(path).collect()}
+    assert after == before
+
+
+def test_binary_source_to_multimodal(spark, tmp_path):
+    from real_value_etl_spark.operators.multimodal import decode_image
+    from real_value_etl_spark.sources.binary_source import (
+        as_multimodal,
+        read_binary_files,
+    )
+
+    blob_dir = tmp_path / "blobs"
+    blob_dir.mkdir()
+    payloads = {7: b"hello world", 42: b"\x00\x01\x02binary", 9: b"x" * 100}
+    for i, data in payloads.items():
+        (blob_dir / f"img_{i}.bin").write_bytes(data)
+    (blob_dir / "ignore.txt").write_text("not a blob")
+
+    raw = read_binary_files(spark, str(blob_dir), glob="*.bin")
+    assert raw.count() == 3
+    # extension pruning happened at listing time, not as a post-filter
+    assert {r.path.rsplit("/", 1)[-1] for r in raw.select("path").collect()} == {
+        f"img_{i}.bin" for i in payloads
+    }
+
+    mm = as_multimodal(raw)
+    rows = {r.doc_id: bytes(r.payload) for r in mm.collect()}
+    assert rows == payloads
+
+    decoded = decode_image(mm)
+    got = {r.doc_id: r.byte_len for r in decoded.collect()}
+    assert got == {i: len(d) for i, d in payloads.items()}
