@@ -690,3 +690,58 @@ def events_upsert_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("ts").alias("max_ts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD-2 validity intervals: change-point history per user
+# ---------------------------------------------------------------------------
+@register(
+    "events_scd2_history",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts, event_id
+      FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id, event_type,
+           ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to,
+           (LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              IS NULL) AS is_current
+    FROM changes
+    """,
+    tags=("events", "window", "scd"),
+)
+def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build: each change of a user's event_type opens a
+    validity interval [valid_from, valid_to), the open interval flagged
+    current — the slowly-changing-dimension shape warehouses keep for
+    point-in-time joins (the reference full-refreshes and keeps no history;
+    this is the scalable alternative, SURVEY §2.7 / §1.4.9 discussion).
+
+    Both windows share ONE user_id hash-partitioning: Catalyst plans a
+    single exchange and the change-point filter runs between the two sorts
+    — no second shuffle at any scale. Ties resolved by (ts, event_id)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull()
+                | (F.col("event_type") != F.col("prev_type")))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+    )

@@ -177,3 +177,24 @@ def compact_parquet_dir(
         "bytes": total,
         "rows": rows,
     }
+
+
+def write_range_clustered_parquet(
+    df: DataFrame, path: str, cluster_cols: list[str], num_files: int
+) -> None:
+    """Range-clustered parquet write: repartitionByRange on the cluster
+    columns + sortWithinPartitions, so each output file covers a DISJOINT
+    value range and carries tight parquet min/max column statistics.
+
+    This is what makes data skipping real at 100 TB: a reader filtering on
+    the cluster column prunes whole files/row-groups from its statistics
+    without touching the data (the same footer stats DuckDB/Trino/Spark all
+    honor). Unclustered writes scatter every value range across every file,
+    making min/max stats useless. The range exchange samples the column to
+    build balanced bounds — skew in the cluster key does not skew files."""
+    (
+        df.repartitionByRange(num_files, *cluster_cols)
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -276,3 +276,58 @@ def test_binary_source_to_multimodal(spark, tmp_path):
     decoded = decode_image(mm)
     got = {r.doc_id: r.byte_len for r in decoded.collect()}
     assert got == {i: len(d) for i, d in payloads.items()}
+
+
+def test_range_clustered_write_skips(spark, tmp_path, sf_dir):
+    """Range-clustered files carry disjoint min/max stats (the data-skipping
+    contract), and a filtered rescan returns exact results."""
+    import duckdb
+
+    from real_value_etl_spark.queries.registry import table
+    from real_value_etl_spark.sinks.writers import write_range_clustered_parquet
+
+    path = str(tmp_path / "clustered")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_extendedprice"
+    )
+    write_range_clustered_parquet(li, path, ["l_shipdate"], num_files=4)
+
+    stats = duckdb.connect().execute(
+        f"""
+        SELECT file_name, min(stats_min_value), max(stats_max_value)
+        FROM parquet_metadata('{path}/*.parquet')
+        WHERE path_in_schema = 'l_shipdate'
+        GROUP BY file_name ORDER BY 2
+        """
+    ).fetchall()
+    assert len(stats) == 4
+    # every file's range ends before the next file's begins => a shipdate
+    # predicate can prune all but one file from footer stats alone
+    for (_, _, prev_max), (_, next_min, _) in zip(stats, stats[1:]):
+        assert prev_max <= next_min
+
+    total = li.count()
+    reread = spark.read.parquet(path)
+    mid = stats[1][1]
+    n_filtered = reread.filter(f"l_shipdate < '{mid}'").count()
+    n_expected = li.filter(f"l_shipdate < '{mid}'").count()
+    assert n_filtered == n_expected and 0 < n_filtered < total
+
+
+def test_udtf_token_spans(spark):
+    from real_value_etl_spark.operators.udtf_ops import split_spans
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    out = split_spans(df, "text", 2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.span_idx, r.start_tok, r.n_toks, r.piece))
+    assert by_doc[1] == [(0, 1, 2, "a b"), (1, 3, 2, "c d"), (2, 5, 1, "e")]
+    assert by_doc[2] == [(0, 1, 1, "x")]
+    # empty/null docs expand to zero spans
+    assert 3 not in by_doc and 4 not in by_doc
+    # spans reconstruct the original token stream
+    assert " ".join(p for _, _, _, p in by_doc[1]) == "a b c d e"
