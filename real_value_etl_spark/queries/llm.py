@@ -1230,3 +1230,100 @@ def text_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sort_array(F.collect_set("doc_id")).alias("postings"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model fluency score (corpus-trained, self-contained)
+# ---------------------------------------------------------------------------
+LM_BOTTOM_K = 10
+
+
+@register(
+    "text_bigram_lm_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {T.tokens_sql("text")} AS ts FROM documents
+    ),
+    bi AS (
+      SELECT doc_id, i AS pos, ts[i] AS a, ts[i + 1] AS b
+      FROM (
+        SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+        FROM toks WHERE len(ts) >= 2
+      )
+    ),
+    cab AS (SELECT a, b, COUNT(*) AS cab FROM bi GROUP BY a, b),
+    ca AS (SELECT a, COUNT(*) AS ca FROM bi GROUP BY a),
+    probs AS (
+      SELECT bi.doc_id, bi.pos,
+             CAST(cab.cab AS DOUBLE) / CAST(ca.ca AS DOUBLE) AS p
+      FROM bi JOIN cab USING (a, b) JOIN ca USING (a)
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+             list_reduce(
+               list_prepend(CAST(0 AS DOUBLE), list(p ORDER BY pos)),
+               (acc, x) -> acc + x) AS psum
+      FROM probs GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           psum / CAST(n_bigrams AS DOUBLE) AS lm_score
+    FROM agg ORDER BY lm_score ASC, doc_id LIMIT {LM_BOTTOM_K}
+    """,
+    tags=("llm", "text", "quality", "join"),
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical fluency signal: train a token-bigram model ON the corpus
+    itself (P(b|a) = C(a,b)/C(a,·)) and score each document by its mean
+    transition probability — the 10 least-fluent documents surface as
+    quality-filter candidates (the perplexity-style signal of a data
+    pipeline, log-free so every double op is engine-pinned: probabilities
+    are single divisions, the per-doc sum is a left fold in position order,
+    the mean one final division).
+
+    Plan: bigram extraction is a narrow transform+posexplode; model
+    training is two hash-aggs on (a,b)/(a); scoring re-joins the stream to
+    the model (shuffle on token keys — at 100 TB the model tables are the
+    small sides and broadcast). Bottom-k is TakeOrderedAndProject."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", T.tokens(F.col("text")).alias("ts"))
+    pairs = F.when(
+        F.size("ts") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("ts") - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("ts"), i.cast("int")).alias("a"),
+                F.element_at(F.col("ts"), (i + 1).cast("int")).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    bi = toks.select(
+        "doc_id", F.posexplode(pairs).alias("pos", "pr")
+    ).select("doc_id", "pos", F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+    cab = bi.groupBy("a", "b").agg(F.count("*").alias("cab"))
+    ca = bi.groupBy("a").agg(F.count("*").alias("ca"))
+    probs = (
+        bi.join(cab, ["a", "b"])
+        .join(ca, "a")
+        .select(
+            "doc_id",
+            "pos",
+            (F.col("cab").cast("double") / F.col("ca").cast("double")).alias("p"),
+        )
+    )
+    agg = probs.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("pos", "p"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["p"],
+        ).alias("psum"),
+    )
+    return (
+        agg.select(
+            "doc_id",
+            "n_bigrams",
+            (F.col("psum") / F.col("n_bigrams").cast("double")).alias("lm_score"),
+        )
+        .orderBy(F.asc("lm_score"), F.asc("doc_id"))
+        .limit(LM_BOTTOM_K)
+    )
