@@ -1327,3 +1327,35 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("lm_score"), F.asc("doc_id"))
         .limit(LM_BOTTOM_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (greedy bin-packing into fixed token budgets)
+# ---------------------------------------------------------------------------
+PACK_BUDGET = 256
+
+
+@register(
+    "docs_pack_sequences",
+    oracle=None,  # greedy packing is stateful-sequential per worker — not
+    # SQL-expressible; correctness is unit-proven (budget respected, every
+    # doc packed exactly once, deterministic) in tests/test_operators.py
+    tags=("llm", "packing", "pandas_udf"),
+)
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: documents bin-packed into 256-token budgets
+    (partition-local greedy fill in doc-id order; bins never cross the 64
+    hash-assigned workers). Emits per-bin (n_docs, tot_tokens, fill) —
+    the padding-waste accounting of a training-batch builder."""
+    from ..operators.packing import pack_greedy
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(T.tokens(F.col("text"))).alias("n_tokens"),
+    )
+    packed = pack_greedy(d, "doc_id", "n_tokens", PACK_BUDGET)
+    return packed.groupBy("bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("tot_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )

@@ -331,3 +331,43 @@ def test_udtf_token_spans(spark):
     assert 3 not in by_doc and 4 not in by_doc
     # spans reconstruct the original token stream
     assert " ".join(p for _, _, _, p in by_doc[1]) == "a b c d e"
+
+
+def test_pack_greedy(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from real_value_etl_spark.operators.packing import pack_greedy
+    from real_value_etl_spark.queries.registry import table
+
+    BUDGET = 256
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda x: x != "")).alias(
+            "n_tokens"
+        ),
+    )
+    packed = pack_greedy(d, "doc_id", "n_tokens", BUDGET, n_workers=8)
+    rows = packed.collect()
+
+    # every document assigned exactly once
+    assert sorted(r.doc_id for r in rows) == sorted(
+        r.doc_id for r in d.collect()
+    )
+    # bins respect the budget unless a single oversized doc owns the bin
+    from collections import defaultdict
+
+    bins = defaultdict(list)
+    for r in rows:
+        bins[r.bin_id].append(r.n_tokens)
+    for sizes in bins.values():
+        assert sum(sizes) <= BUDGET or len(sizes) == 1
+    # bins never cross workers and ids reconstruct (worker, seq)
+    for r in rows:
+        assert r.bin_id == r.worker * (1 << 32) + r.bin_seq
+    # deterministic: a second run produces the identical assignment
+    again = {r.doc_id: r.bin_id for r in pack_greedy(
+        d, "doc_id", "n_tokens", BUDGET, n_workers=8).collect()}
+    assert again == {r.doc_id: r.bin_id for r in rows}
+    # packing is dense: average fill of multi-doc bins is high
+    multi = [sum(s) for s in bins.values() if sum(s) <= BUDGET]
+    assert sum(multi) / (len(multi) * BUDGET) > 0.5
