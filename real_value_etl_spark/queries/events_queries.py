@@ -745,3 +745,72 @@ def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts").over(w2).alias("valid_to"),
         F.lead("ts").over(w2).isNull().alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Volume anomaly detection: hourly z-scores per event type
+# ---------------------------------------------------------------------------
+ANOMALY_Z = 2.0
+
+
+@register(
+    "events_anomaly_hours",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type,
+             COUNT(*) AS n_hours,
+             SUM(n) AS sum_n,
+             SUM(n * n) AS sum_n2
+      FROM hourly GROUP BY event_type
+    ),
+    scored AS (
+      SELECT h.event_type, h.hour, h.n,
+             (CAST(h.n AS DOUBLE)
+              - (CAST(s.sum_n AS DOUBLE) / CAST(s.n_hours AS DOUBLE)))
+             / sqrt((CAST(s.sum_n2 AS DOUBLE)
+                     - (CAST(s.sum_n AS DOUBLE) * CAST(s.sum_n AS DOUBLE))
+                       / CAST(s.n_hours AS DOUBLE))
+                    / CAST(s.n_hours - 1 AS DOUBLE)) AS z
+      FROM hourly h JOIN stats s USING (event_type)
+      WHERE s.n_hours > 1
+    )
+    SELECT event_type, hour, n, z
+    FROM scored WHERE abs(z) >= {ANOMALY_Z}
+    """,
+    tags=("events", "agg", "anomaly"),
+)
+def events_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume anomaly detection: hours whose event count deviates >= 2
+    sample standard deviations from that event type's hourly mean — the
+    monitoring query a pipeline runs over its own throughput. The variance
+    comes from EXACT integer sums (sum n, sum n^2 over int64 counts), so
+    mean/sd/z are each a single pinned double expression (sqrt is
+    IEEE-correctly-rounded in both engines) — bit-exact without any
+    accumulation-order concern, unlike built-in stddev at scale.
+    Plan: one hash-agg on (type, hour), a tiny per-type stats agg
+    broadcast back — two shuffles total, both on pre-aggregated rows."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count("*").alias("n"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count("*").alias("n_hours"),
+        F.sum("n").alias("sum_n"),
+        F.sum(F.col("n") * F.col("n")).alias("sum_n2"),
+    )
+    mu = F.col("sum_n").cast("double") / F.col("n_hours").cast("double")
+    var = (
+        F.col("sum_n2").cast("double")
+        - (F.col("sum_n").cast("double") * F.col("sum_n").cast("double"))
+        / F.col("n_hours").cast("double")
+    ) / (F.col("n_hours") - 1).cast("double")
+    z = (F.col("n").cast("double") - mu) / F.sqrt(var)
+    return (
+        hourly.join(F.broadcast(stats.filter(F.col("n_hours") > 1)), "event_type")
+        .select("event_type", "hour", "n", z.alias("z"))
+        .filter(F.abs(F.col("z")) >= ANOMALY_Z)
+    )
