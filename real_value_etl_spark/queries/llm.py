@@ -1359,3 +1359,71 @@ def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("tot_tokens"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction (top-3 terms per document)
+# ---------------------------------------------------------------------------
+KEYWORDS_PER_DOC = 3
+
+
+@register(
+    "text_keyword_extract",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {T.tokens_sql("text")} AS ts FROM documents
+    ),
+    ex AS (SELECT doc_id, unnest(ts) AS tok FROM toks),
+    corpus AS (SELECT COUNT(*) AS n_docs FROM documents),
+    df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM ex GROUP BY tok),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM ex GROUP BY doc_id, tok),
+    scored AS (
+      SELECT t.doc_id, t.tok,
+             CAST(t.tf AS DOUBLE)
+               * (CAST(c.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE)) AS score
+      FROM tf t JOIN df d USING (tok) CROSS JOIN corpus c
+    ),
+    ranked AS (
+      SELECT doc_id, tok, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, tok) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, tok, score, rnk
+    FROM ranked WHERE rnk <= {KEYWORDS_PER_DOC}
+    """,
+    tags=("llm", "text", "search", "window"),
+)
+def text_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by tf-idf, with the
+    log-free idf ratio N/df (pinned double ops — see text_bm25_search).
+    The doc-tagging primitive of corpus curation (topic routing, mix
+    labeling). Plan: tf and df aggregate the same exploded stream; the
+    rank<=3 predicate pushes into the window as WindowGroupLimit, so each
+    doc_id partition keeps only 3 rows before the final filter."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", T.tokens(F.col("text")).alias("ts"))
+    ex = toks.select("doc_id", F.explode("ts").alias("tok"))
+    corpus = d.agg(F.count("*").alias("n_docs"))
+    df_t = ex.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    tf = ex.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    scored = (
+        tf.join(df_t, "tok")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            "tok",
+            (
+                F.col("tf").cast("double")
+                * (F.col("n_docs").cast("double") / F.col("df").cast("double"))
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= KEYWORDS_PER_DOC)
+        .select("doc_id", "tok", "score", "rnk")
+    )
