@@ -814,3 +814,35 @@ def events_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "hour", "n", z.alias("z"))
         .filter(F.abs(F.col("z")) >= ANOMALY_Z)
     )
+
+
+# ---------------------------------------------------------------------------
+# Global running total via the two-phase parallel scan
+# ---------------------------------------------------------------------------
+@register(
+    "events_running_total",
+    oracle="""
+    SELECT event_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                  OVER (ORDER BY ts, event_id) AS DOUBLE) AS running_value
+    FROM events
+    """,
+    tags=("events", "window", "scan"),
+)
+def events_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global running total of event value over the full stream — computed
+    WITHOUT the Exchange SinglePartition a naive `SUM OVER (ORDER BY)`
+    plans: operators/scan.py range-partitions on (ts, event_id), prefix-sums
+    each partition in parallel, and broadcasts per-partition offsets back
+    (the two-phase parallel-scan pattern). Decimal accumulation keeps the
+    regrouped additions bit-identical to the oracle's sequential window."""
+    from ..operators.scan import global_running_sum
+
+    ev = table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    out = global_running_sum(
+        ev, ["ts", "event_id"], "value", out_col="__run",
+        decimal_type="decimal(38,2)",
+    )
+    return out.select(
+        "event_id", "ts", F.col("__run").cast("double").alias("running_value")
+    )

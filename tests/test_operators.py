@@ -371,3 +371,31 @@ def test_pack_greedy(spark, sf_dir):
     # packing is dense: average fill of multi-doc bins is high
     multi = [sum(s) for s in bins.values() if sum(s) <= BUDGET]
     assert sum(multi) / (len(multi) * BUDGET) > 0.5
+
+
+def test_global_running_sum_matches_naive(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from real_value_etl_spark.operators.scan import global_running_sum
+
+    df = spark.range(5_000).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 37) % 101).cast("decimal(18,2)").alias("v"),
+    )
+    scalable = {
+        r.k: float(r.running_sum)
+        for r in global_running_sum(df, ["k"], "v", n_partitions=8).collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    naive = {
+        r.k: float(r.rs)
+        for r in df.withColumn("rs", F.sum("v").over(w)).collect()
+    }
+    assert scalable == naive
+    # the data path is range-partitioned, not funneled into one task
+    plan = (
+        global_running_sum(df, ["k"], "v", n_partitions=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "rangepartitioning" in plan.lower()
