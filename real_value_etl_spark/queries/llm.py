@@ -1427,3 +1427,78 @@ def text_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= KEYWORDS_PER_DOC)
         .select("doc_id", "tok", "score", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding cluster quality: per-label cohesion against the seed vector
+# ---------------------------------------------------------------------------
+_CQ_COS = V.cosine_sql("e.v", "sv.svec")
+
+
+@register(
+    "sim_cluster_quality",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    seeds AS (SELECT label, MIN(vec_id) AS seed_id FROM e GROUP BY label),
+    sv AS (
+      SELECT s.label, s.seed_id, e.v AS svec
+      FROM seeds s JOIN e ON e.vec_id = s.seed_id
+    ),
+    per AS (
+      SELECT e.label, sv.seed_id, e.vec_id, {_CQ_COS} AS cs
+      FROM e JOIN sv USING (label)
+      WHERE e.vec_id <> sv.seed_id
+    ),
+    agg AS (
+      SELECT label, seed_id, COUNT(*) AS n_members,
+             list_reduce(
+               list_prepend(CAST(0 AS DOUBLE), list(cs ORDER BY vec_id)),
+               (a, x) -> a + x) AS csum,
+             MIN(cs) AS min_cos
+      FROM per GROUP BY label, seed_id
+    )
+    SELECT label, seed_id, n_members,
+           csum / CAST(n_members AS DOUBLE) AS mean_cos,
+           min_cos
+    FROM agg
+    """,
+    tags=("similarity", "llm", "vector", "agg"),
+)
+def sim_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-cohesion report: for each embedding label, the mean and
+    minimum cosine of members to the cluster's seed vector (lowest vec_id)
+    — the health check run after any clustering/IVF build to spot diffuse
+    or contaminated clusters. O(n) per cluster (no pairwise blow-up); the
+    10-row seed-vector table broadcasts; the per-label mean is a fold in
+    vec_id order (bit-exact, see text_bm25_search)."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    seeds = e.groupBy("label").agg(F.min("vec_id").alias("seed_id"))
+    sv = seeds.join(
+        e.select(F.col("vec_id").alias("seed_id"), F.col("v").alias("svec")),
+        "seed_id",
+    )
+    members = e.join(F.broadcast(sv), "label").filter(
+        F.col("vec_id") != F.col("seed_id")
+    )
+    per = members.select(
+        "label", "seed_id", "vec_id",
+        V.cosine(F.col("v"), F.col("svec")).alias("cs"),
+    )
+    agg = per.groupBy("label", "seed_id").agg(
+        F.count("*").alias("n_members"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("vec_id", "cs"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["cs"],
+        ).alias("csum"),
+        F.min("cs").alias("min_cos"),
+    )
+    return agg.select(
+        "label", "seed_id", "n_members",
+        (F.col("csum") / F.col("n_members").cast("double")).alias("mean_cos"),
+        "min_cos",
+    )

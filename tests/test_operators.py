@@ -399,3 +399,20 @@ def test_global_running_sum_matches_naive(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "rangepartitioning" in plan.lower()
+
+
+def test_parquet_schema_evolution(spark, tmp_path):
+    """A corpus written over months gains columns; mergeSchema reads old and
+    new files as one frame with nulls for pre-evolution rows."""
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.mode(
+        "append"
+    ).parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 3.5)], "id long, name string, score double"
+    ).write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", True).parquet(path)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r.id: (r.name, r.score) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 3.5)}
