@@ -1502,3 +1502,72 @@ def sim_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("csum") / F.col("n_members").cast("double")).alias("mean_cos"),
         "min_cos",
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH recall evaluation: how much of the exact near-dup set the banded
+# candidate generation retains, per Jaccard threshold
+# ---------------------------------------------------------------------------
+RECALL_THRESHOLDS = [0.5, 0.6, 0.7, 0.8]
+
+
+def _lsh_recall_oracle() -> str:
+    # reuse the minhash oracle's candidate CTE chain verbatim
+    mh = _minhash_oracle()
+    cand_part = mh.split("SELECT j.doc_a")[0].rstrip().rstrip(",")
+    ths = ", ".join(repr(t) for t in RECALL_THRESHOLDS)
+    return f"""
+    {cand_part},
+    exact AS (
+      SELECT doc_a, doc_b, jac FROM jac WHERE jac >= {RECALL_THRESHOLDS[0]}
+    ),
+    found AS (
+      SELECT e.jac, (c.doc_a IS NOT NULL) AS hit
+      FROM exact e LEFT JOIN cand c USING (doc_a, doc_b)
+    ),
+    th AS (SELECT unnest([{ths}]) AS threshold)
+    SELECT th.threshold,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(CASE WHEN f.hit THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+           CAST(SUM(CASE WHEN f.hit THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS recall
+    FROM found f JOIN th ON f.jac >= th.threshold
+    GROUP BY th.threshold
+    """
+
+
+@register(
+    "dedup_lsh_recall",
+    oracle=_lsh_recall_oracle(),
+    tags=("dedup", "llm", "lsh", "evaluation"),
+)
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-evaluation of the approximate dedup path: recall of the 8x2
+    banded MinHash candidate set against the EXACT >=threshold Jaccard
+    pairs, per threshold — the measurement that justifies running LSH
+    instead of the quadratic exact join at 100 TB (recall rises with the
+    threshold: higher-similarity pairs collide in more bands)."""
+    d = table(spark, sf_dir, "documents")
+    exact = D.ngram_jaccard_pairs(d, "doc_id", "text", RECALL_THRESHOLDS[0])
+    sig = D.minhash_signatures(d, "doc_id", "text")
+    cands = D.lsh_candidate_pairs(sig).withColumn("hit", F.lit(True))
+    found = exact.join(cands, ["doc_a", "doc_b"], "left").select(
+        "jac", F.coalesce(F.col("hit"), F.lit(False)).alias("hit")
+    )
+    th = F.explode(
+        F.array(*[F.lit(t) for t in RECALL_THRESHOLDS])
+    ).alias("threshold")
+    return (
+        found.select("jac", "hit")
+        .crossJoin(found.sparkSession.range(1).select(th).select("threshold"))
+        .filter(F.col("jac") >= F.col("threshold"))
+        .groupBy("threshold")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.when(F.col("hit"), 1).otherwise(0)).alias("n_found"),
+            (
+                F.sum(F.when(F.col("hit"), 1).otherwise(0)).cast("double")
+                / F.count("*").cast("double")
+            ).alias("recall"),
+        )
+    )
