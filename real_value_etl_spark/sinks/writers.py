@@ -198,3 +198,61 @@ def write_range_clustered_parquet(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def zorder_key(bucket_cols: list, bits: int = 16):
+    """Morton (Z-order) interleave of pre-bucketed int columns (each in
+    [0, 2^bits)): bit j of column i lands at position j*ncols + i. A pure
+    codegen expression — bits*ncols shift-or terms, no UDF."""
+    from pyspark.sql import functions as F
+
+    ncols = len(bucket_cols)
+    key = F.lit(0).cast("long")
+    for j in range(bits):
+        for i, c in enumerate(bucket_cols):
+            bit = F.shiftright(c.cast("long"), j).bitwiseAND(F.lit(1))
+            key = key + F.shiftleft(bit, j * ncols + i)
+    return key
+
+
+def write_zorder_clustered_parquet(
+    df: DataFrame, path: str, cluster_cols: list[str], num_files: int,
+    bits: int = 16,
+) -> None:
+    """Z-order-clustered parquet write: rows are sorted along a Morton
+    curve over ALL cluster columns, so every file's min/max stats are
+    narrow in EVERY clustered dimension — a filter on any one of them
+    prunes files. Single-column range clustering narrows only its own
+    column (a filter on the second column scans everything); Z-order
+    trades a little per-column tightness for pruning power on each
+    dimension (the lakehouse OPTIMIZE ZORDER BY capability).
+
+    Columns are min/max-scaled to 2^bits buckets (one tiny agg computes
+    the bounds, broadcast back); the keyed write is a range repartition +
+    within-partition sort, same as write_range_clustered_parquet."""
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in cluster_cols:
+        aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
+    bounds = df.agg(*aggs)
+    scaled = df.crossJoin(F.broadcast(bounds))
+    buckets = []
+    for c in cluster_cols:
+        mn = F.col(f"__mn_{c}").cast("double")
+        span = F.col(f"__mx_{c}").cast("double") - mn + F.lit(1.0)
+        b = F.floor(
+            (F.col(c).cast("double") - mn) / span * F.lit(float(1 << bits))
+        ).cast("long")
+        buckets.append(F.least(F.greatest(b, F.lit(0)), F.lit((1 << bits) - 1)))
+    keyed = scaled.withColumn("__zkey", zorder_key(buckets, bits)).drop(
+        *[f"__mn_{c}" for c in cluster_cols],
+        *[f"__mx_{c}" for c in cluster_cols],
+    )
+    (
+        keyed.repartitionByRange(num_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -416,3 +416,59 @@ def test_parquet_schema_evolution(spark, tmp_path):
     assert set(merged.columns) == {"id", "name", "score"}
     rows = {r.id: (r.name, r.score) for r in merged.collect()}
     assert rows == {1: ("a", None), 2: ("b", 3.5)}
+
+
+def test_zorder_clustering_prunes_both_dims(spark, tmp_path):
+    """Z-order files are prunable on EVERY clustered column; single-column
+    range clustering leaves the other column unprunable."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from real_value_etl_spark.sinks.writers import (
+        write_range_clustered_parquet,
+        write_zorder_clustered_parquet,
+    )
+
+    df = spark.range(20_000).select(
+        (F.col("id") % 141).alias("x"),
+        ((F.col("id") * 7919) % 139).alias("y"),
+    )
+    zpath, xpath = str(tmp_path / "zorder"), str(tmp_path / "xonly")
+    write_zorder_clustered_parquet(df, zpath, ["x", "y"], num_files=16)
+    write_range_clustered_parquet(df, xpath, ["x"], num_files=16)
+
+    def bboxes(path):
+        con = duckdb.connect()
+        rows = con.execute(
+            f"""
+            SELECT file_name, path_in_schema,
+                   MIN(CAST(stats_min_value AS BIGINT)),
+                   MAX(CAST(stats_max_value AS BIGINT))
+            FROM parquet_metadata('{path}/*.parquet')
+            WHERE path_in_schema IN ('x', 'y')
+            GROUP BY 1, 2
+            """
+        ).fetchall()
+        out = {}
+        for fn, col, mn, mx in rows:
+            out.setdefault(fn, {})[col] = (mn, mx)
+        return out
+
+    zb, xb = bboxes(zpath), bboxes(xpath)
+    assert len(zb) == 16 and len(xb) == 16
+
+    # a filter y = 70 prunes most z-order files but NO x-clustered file
+    probe = 70
+    z_hit = sum(1 for b in zb.values() if b["y"][0] <= probe <= b["y"][1])
+    x_hit = sum(1 for b in xb.values() if b["y"][0] <= probe <= b["y"][1])
+    assert x_hit == 16
+    assert z_hit <= 8
+    # and z-order still prunes on x too (both dims narrowed; file
+    # boundaries cut the curve into non-square ranges, so the guarantee is
+    # looser than on y but far better than the 16/16 of unclustered dims)
+    zx_hit = sum(1 for b in zb.values() if b["x"][0] <= probe <= b["x"][1])
+    assert zx_hit <= 12
+    # correctness: the clustered copy holds the identical dataset
+    assert spark.read.parquet(zpath).groupBy().sum("x", "y").collect() == \
+        df.groupBy().sum("x", "y").collect()
