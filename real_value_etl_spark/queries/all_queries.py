@@ -34,3 +34,7 @@ try:
     from . import tpch_rest  # noqa: F401
 except ImportError:  # pragma: no cover
     pass
+try:
+    from . import incremental  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass

@@ -472,3 +472,50 @@ def test_zorder_clustering_prunes_both_dims(spark, tmp_path):
     # correctness: the clustered copy holds the identical dataset
     assert spark.read.parquet(zpath).groupBy().sum("x", "y").collect() == \
         df.groupBy().sum("x", "y").collect()
+
+
+def test_incremental_state_merge_associative(spark):
+    """finalize(merge(state(A), state(B))) == finalize(state(A U B)) for an
+    arbitrary history/delta split — the property that lets the MV refresh
+    skip rescanning history."""
+    import datetime
+
+    from real_value_etl_spark.operators.incremental import (
+        aggregate_state,
+        finalize_state,
+        merge_states,
+    )
+
+    rows = [
+        (i % 7, "t" + str(i % 3), float(i) + 0.25,
+         datetime.datetime(2024, 1, 1 + i % 28))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, "
+                               "value double, ts timestamp")
+    keys = ["user_id", "event_type"]
+
+    def result(frame):
+        return sorted(map(tuple, frame.collect()))
+
+    full = finalize_state(aggregate_state(df, keys), keys)
+    # three uneven batches, merged pairwise in two different orders
+    b1, b2, b3 = (df.filter(f"value < 50"), df.filter("value >= 50 and value < 210"),
+                  df.filter("value >= 210"))
+    s1, s2, s3 = (aggregate_state(b, keys) for b in (b1, b2, b3))
+    left = finalize_state(merge_states(merge_states(s1, s2, keys), s3, keys), keys)
+    right = finalize_state(merge_states(s1, merge_states(s2, s3, keys), keys), keys)
+    assert result(left) == result(full)
+    assert result(right) == result(full)
+
+
+def test_profile_table_counts_nulls_and_distincts(spark):
+    from real_value_etl_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (None, "b")], "x int, y string"
+    )
+    prof = {r.column_name: r for r in profile_table(df, ["x", "y"]).collect()}
+    assert prof["x"].n_rows == 4 and prof["y"].n_rows == 4
+    assert prof["x"].n_non_null == 3 and prof["x"].n_distinct == 2
+    assert prof["y"].n_non_null == 3 and prof["y"].n_distinct == 2
