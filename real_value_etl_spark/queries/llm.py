@@ -1571,3 +1571,32 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy (edit-distance <=1) entity matching — deletion-neighborhood join
+# ---------------------------------------------------------------------------
+@register(
+    "fuzzy_match_customers",
+    oracle="""
+    SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+           a.c_name AS text_a, b.c_name AS text_b,
+           levenshtein(a.c_name, b.c_name) AS dist
+    FROM customer a, customer b
+    WHERE a.c_custkey < b.c_custkey
+      AND levenshtein(a.c_name, b.c_name) <= 1
+    """,
+    tags=("fuzzy", "dedup", "join"),
+)
+def fuzzy_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-name pairs within Levenshtein distance 1 via the SymSpell
+    deletion-neighborhood equi-join (operators/fuzzy.py): linear ~len
+    variant expansion + one shuffled equi-join vs the oracle's O(n^2)
+    cross join with a per-pair distance call. Prefix blocking would
+    degenerate here (every name shares the "Customer#" prefix); deletion
+    variants stay selective."""
+    from ..operators.fuzzy import fuzzy_selfjoin_dist1
+
+    return fuzzy_selfjoin_dist1(
+        table(spark, sf_dir, "customer"), "c_custkey", "c_name"
+    )

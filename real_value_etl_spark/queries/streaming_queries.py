@@ -159,3 +159,25 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static dimension enrichment + windowed agg, streaming == batch."""
     return jobs.stream_static_enrich(spark, sf_dir)
+
+
+@register(
+    "stream_incremental_mv",
+    oracle="""
+    SELECT user_id, event_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+             AS avg_value,
+           MIN(ts) AS min_ts, MAX(ts) AS max_ts
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("stream", "incremental", "mv"),
+)
+def stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch incremental MV maintenance: every micro-batch is
+    folded into persisted mergeable state (no history rescan, exactly-once
+    via the stream checkpoint); the finalized view must equal a full batch
+    recompute bit-exactly regardless of how arrivals were batched."""
+    return jobs.stream_incremental_mv(spark, sf_dir)

@@ -327,3 +327,66 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _drain(spark, agg, "mem_stream_static_enrich", "complete")
+
+
+def incremental_mv_sink(keys: list[str], state_path: str):
+    """foreachBatch sink that folds every micro-batch into a parquet-
+    persisted mergeable aggregate state (operators/incremental.py) — the
+    streaming form of materialized-view maintenance: the MV is always
+    current a micro-batch after the data lands, and no refresh ever
+    rescans history. Exact-decimal state measures make the fold
+    batching-independent, so the streamed MV is bit-identical to a batch
+    recompute no matter how arrivals were chunked.
+
+    Each fold writes to a staging dir and renames into place (same atomic
+    swap as sinks/writers.py compaction); the stream checkpoint makes the
+    whole sink exactly-once across restarts — a replayed batch id is
+    skipped by Structured Streaming before foreachBatch is invoked.
+    """
+    import os
+    import shutil
+
+    from ..operators.incremental import aggregate_state, merge_states
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        delta = aggregate_state(batch_df, keys)
+        if os.path.exists(os.path.join(state_path, "_SUCCESS")):
+            merged = merge_states(s.read.parquet(state_path), delta, keys)
+        else:
+            merged = delta
+        stage = state_path + "__stage"
+        merged.write.mode("overwrite").parquet(stage)
+        old = state_path + "__old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(state_path):
+            os.rename(state_path, old)
+        os.rename(stage, state_path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return fold
+
+
+def stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MV maintenance over events: file stream -> foreachBatch
+    incremental state fold -> finalized view. Returns the finalized MV as
+    a batch DataFrame (oracle: full recompute from raw rows)."""
+    import hashlib
+    import shutil
+
+    from ..operators.incremental import finalize_state
+
+    keys = ["user_id", "event_type"]
+    root = f"/tmp/rve_stream_mv/{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    state, ckpt = f"{root}/state", f"{root}/ckpt"
+    shutil.rmtree(root, ignore_errors=True)  # deterministic fresh run
+
+    ev = _events_stream(spark, sf_dir)
+    query = (
+        ev.writeStream.foreachBatch(incremental_mv_sink(keys, state))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return finalize_state(spark.read.parquet(state), keys)

@@ -519,3 +519,33 @@ def test_profile_table_counts_nulls_and_distincts(spark):
     assert prof["x"].n_rows == 4 and prof["y"].n_rows == 4
     assert prof["x"].n_non_null == 3 and prof["x"].n_distinct == 2
     assert prof["y"].n_non_null == 3 and prof["y"].n_distinct == 2
+
+
+def test_fuzzy_selfjoin_dist1_matches_bruteforce(spark):
+    """Deletion-neighborhood join finds exactly the brute-force distance<=1
+    pairs: substitution, deletion, insertion, and identical strings."""
+    rows = [(1, "kitten"), (2, "sitten"), (3, "kitte"), (4, "kittens"),
+            (5, "banana"), (6, "banana"), (7, "bananna"), (8, "x")]
+    df = spark.createDataFrame(rows, "id int, name string")
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    expect = {
+        (i, j) for i, a in rows for j, b in rows
+        if i < j and lev(a, b) <= 1  # noqa: B023 (comprehension over rows)
+    }
+    from real_value_etl_spark.operators.fuzzy import fuzzy_selfjoin_dist1
+
+    got = {(r.key_a, r.key_b) for r in
+           fuzzy_selfjoin_dist1(df, "id", "name").collect()}
+    assert got == expect
+    assert (1, 2) in got and (1, 3) in got and (1, 4) in got  # sub/del/ins
+    assert (5, 6) in got  # identical strings, dist 0

@@ -139,3 +139,53 @@ def test_multimodal_decode_is_partition_parallel(spark):
     assert len(rows) == 100
     one = {r["doc_id"]: (r["byte_len"], r["width"]) for r in rows}
     assert one[7] == (len("doc number 7"), len("doc number 7") % 640 + 16)
+
+
+def test_foreachbatch_mv_folds_batches_and_restarts(spark, tmp_path):
+    """foreachBatch incremental MV: three arrival files fold through three
+    micro-batches into the same state a full recompute gives; a restart on
+    the same checkpoint is a no-op; a late arrival folds in incrementally."""
+    from datetime import datetime
+
+    from real_value_etl_spark.operators.incremental import (
+        aggregate_state,
+        finalize_state,
+    )
+    from real_value_etl_spark.streaming.jobs import incremental_mv_sink
+
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    t = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    _write_batch(spark, src, [(1, t("2024-01-01 10:00:00"), 1, 1.25),
+                              (2, t("2024-01-01 10:30:00"), 2, 2.5)])
+    _write_batch(spark, src, [(3, t("2024-01-01 11:00:00"), 1, 3.75)])
+    _write_batch(spark, src, [(4, t("2024-01-01 11:30:00"), 2, 4.0),
+                              (5, t("2024-01-01 12:00:00"), 1, 0.5)])
+    schema = spark.read.parquet(src).schema
+
+    def run():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = (stream.writeStream
+             .foreachBatch(incremental_mv_sink(["user_id"], state))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    def mv():
+        return {tuple(r) for r in
+                finalize_state(spark.read.parquet(state), ["user_id"]).collect()}
+
+    def full():
+        return {tuple(r) for r in finalize_state(
+            aggregate_state(spark.read.parquet(src), ["user_id"]),
+            ["user_id"]).collect()}
+
+    run()
+    assert mv() == full()
+    run()  # restart, nothing new: exactly-once no-op
+    assert mv() == full()
+    _write_batch(spark, src, [(6, t("2024-01-01 12:30:00"), 3, 9.0)])
+    run()  # only the late file is processed, folded into existing state
+    assert mv() == full()
