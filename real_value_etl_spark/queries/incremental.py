@@ -138,3 +138,48 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's 11 separate scans. The long-format output feeds data-quality
     gates; see operators/profile.py for the scale notes."""
     return profile_table(table(spark, sf_dir, "lineitem"), _PROFILE_COLS)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join reduction (shuffle-avoiding join prefilter)
+# ---------------------------------------------------------------------------
+@register(
+    "bloom_semi_lineitem",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM lineitem
+    WHERE l_orderkey IN (
+      SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    GROUP BY l_returnflag
+    """,
+    tags=("join", "bloom", "semi"),
+)
+def bloom_semi_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join of lineitem to urgent orders through a bloom prefilter
+    (operators/bloom.py): the dim key set is aggregated into a ~128 KB
+    broadcast word table and non-matching lineitem rows are dropped
+    BEFORE the exact join's shuffle — the semi-join reduction that keeps
+    a 100 TB fact scan from shuffling rows the join will discard. The
+    final exact left-semi join removes bloom false positives, so the
+    result equals the oracle's plain IN-subquery exactly."""
+    from ..operators.bloom import bloom_semi_join
+
+    li = table(spark, sf_dir, "lineitem")
+    urgent = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    return (
+        bloom_semi_join(li, urgent, "l_orderkey")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )

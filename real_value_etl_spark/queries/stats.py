@@ -222,3 +222,106 @@ def q_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") * F.col("syy")) - (F.col("sy") * F.col("sy"))
     )
     return s.select("n", num.alias("cov_num"), (num / den).alias("corr_qty_price"))
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth binning (quantile bucketing)
+# ---------------------------------------------------------------------------
+_ED_FRACS = [i / 10 for i in range(1, 10)]  # deciles: 9 inner edges
+
+
+@register(
+    "q_equidepth_price",
+    oracle=f"""
+    WITH edges AS (
+      SELECT quantile_cont(l_extendedprice,
+                           {_ED_FRACS}) AS qs
+      FROM lineitem
+    )
+    SELECT 1 + len(list_filter(e.qs, q -> q < l.l_extendedprice)) AS bin,
+           COUNT(*) AS n_rows,
+           MIN(l.l_extendedprice) AS lo,
+           MAX(l.l_extendedprice) AS hi
+    FROM lineitem l, edges e
+    GROUP BY 1
+    """,
+    tags=("stats", "agg", "binning"),
+)
+def q_equidepth_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) binning of l_extendedprice into deciles: one
+    tiny exact-percentile aggregate computes the 9 inner edges, broadcast
+    back onto the scan; each row's bin is 1 + (# edges strictly below it)
+    — a pure array fold, no per-row join or sort. Exact `percentile` and
+    DuckDB `quantile_cont` are bit-identical, so bin boundaries agree.
+    The ML-side use is feature bucketization/winsorization at corpus
+    scale; the two-pass plan (stats then bin) is the scalable shape."""
+    li = table(spark, sf_dir, "lineitem")
+    edges = li.agg(
+        F.expr(f"percentile(l_extendedprice, array({','.join(map(str, _ED_FRACS))}))").alias("qs")
+    )
+    return (
+        li.crossJoin(F.broadcast(edges))
+        .select(
+            (1 + F.size(F.filter("qs", lambda q: q < F.col("l_extendedprice"))))
+            .alias("bin"),
+            "l_extendedprice",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier detection (median / MAD z-scores per user)
+# ---------------------------------------------------------------------------
+@register(
+    "events_outliers_mad",
+    oracle="""
+    WITH med AS (
+      SELECT user_id, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY user_id
+    ), mad AS (
+      SELECT e.user_id, m.med,
+             quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      FROM events e JOIN med m USING (user_id)
+      GROUP BY e.user_id, m.med
+    )
+    SELECT e.user_id,
+           COUNT(*) AS n_events,
+           SUM(CASE WHEN abs(e.value - m.med) > 3 * m.mad
+                    THEN 1 ELSE 0 END) AS n_outliers
+    FROM events e JOIN mad m USING (user_id)
+    GROUP BY e.user_id
+    """,
+    tags=("events", "stats", "outliers"),
+)
+def events_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-user outlier counts via median absolute deviation:
+    mean/stddev z-scores break under the very outliers they hunt; median
+    and MAD are 50%-breakdown robust. Two grouped exact-percentile passes
+    share the user_id shuffle, stats rejoin the rows broadcast (150-15k
+    distinct users). Exact percentile == quantile_cont bit-for-bit, and
+    |x - med| > 3*MAD compares identically derived doubles — no float
+    drift between engines."""
+    ev = table(spark, sf_dir, "events").select("user_id", "value")
+    med = ev.groupBy("user_id").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    mad = (
+        ev.join(F.broadcast(med), "user_id")
+        .groupBy("user_id", "med")
+        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
+    )
+    return (
+        ev.join(F.broadcast(mad), "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.when(F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad"), 1)
+                .otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )

@@ -549,3 +549,33 @@ def test_fuzzy_selfjoin_dist1_matches_bruteforce(spark):
     assert got == expect
     assert (1, 2) in got and (1, 3) in got and (1, 4) in got  # sub/del/ins
     assert (5, 6) in got  # identical strings, dist 0
+
+
+def test_bloom_semi_join_exact_and_selective(spark):
+    """Bloom prefilter never drops a true match (exact semi-join parity)
+    and passes only a small false-positive fraction of non-members."""
+    from pyspark.sql import functions as F
+
+    from real_value_etl_spark.operators.bloom import (
+        bloom_prefilter,
+        bloom_semi_join,
+        build_bloom_words,
+    )
+
+    m, k = 1 << 14, 3
+    dim = spark.range(1000).select(F.col("id").alias("key"))
+    big = spark.range(25_000).select(F.col("id").alias("key"))
+
+    got = sorted(r.key for r in bloom_semi_join(big, dim, "key", m, k).collect())
+    assert got == list(range(1000))  # no false negatives, exact result
+
+    # FPR on disjoint probes: theory (1 - e^(-kn/m))^k ~ 0.5%; allow 5%
+    words = build_bloom_words(dim, "key", m, k)
+    outside = spark.range(1000, 21_000).select(F.col("id").alias("key"))
+    fp = bloom_prefilter(outside, "key", words, m, k).count()
+    assert fp / 20_000 < 0.05
+
+    # the word table rides a broadcast join (no shuffle for the probe)
+    plan = bloom_prefilter(big, "key", words, m, k)
+    s = plan._jdf.queryExecution().executedPlan().toString()
+    assert s.count("BroadcastHashJoin") >= k
