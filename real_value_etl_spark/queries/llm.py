@@ -1600,3 +1600,69 @@ def fuzzy_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_selfjoin_dist1(
         table(spark, sf_dir, "customer"), "c_custkey", "c_name"
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters — Misra-Gries bounded-memory sketch + exact verify
+# ---------------------------------------------------------------------------
+HH_K = 100  # threshold denominator: report tokens with freq > n/K
+
+
+@register(
+    "text_heavy_hitters",
+    oracle=f"""
+    WITH t AS (SELECT unnest(string_split(text, ' ')) AS token
+               FROM documents),
+         n AS (SELECT COUNT(*) AS total FROM t)
+    SELECT token, COUNT(*) AS freq
+    FROM t, n
+    GROUP BY token, n.total
+    HAVING COUNT(*) * {HH_K} > n.total
+    """,
+    tags=("llm", "text", "sketch"),
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters (tokens with freq > n/{K}) through the
+    Misra-Gries mergeable sketch (operators/heavyhitters.py): pass 1 keeps
+    <= K counters per partition (bounded memory no matter how many
+    distinct n-grams exist), pass 2 exactly recounts only the surviving
+    candidates via a broadcast semi join — the oracle's full group-by and
+    the sketch path must agree exactly, which is the sketch's no-false-
+    negative guarantee made testable."""
+    d = table(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("token")
+    )
+    from ..operators.heavyhitters import heavy_hitters_exact
+
+    return heavy_hitters_exact(d, "token", HH_K)
+
+
+# ---------------------------------------------------------------------------
+# K-means training (IVF index build) — iterative, rows-only by construction
+# ---------------------------------------------------------------------------
+@register("sim_kmeans_train", oracle=None, tags=("similarity", "llm", "ann", "iterative"))
+def sim_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the IVF coarse quantizer: 3 Lloyd's iterations of k=10
+    k-means over the embedding corpus (operators/kmeans.py — centroids as
+    one constant-folded literal, assignment pure codegen, update one
+    hash-agg; only the 10x64 centroid matrix touches the driver).
+    Deterministically seeded with the lowest vec_id of each label
+    (a stratified sample standing in for k-means++). Iterative and
+    float-order dependent, so no SQL oracle (rows-only check); the Lloyd's
+    invariants are unit-tested in tests/test_operators.py."""
+    from ..operators.kmeans import kmeans_fit
+
+    emb = table(spark, sf_dir, "embeddings")
+    seed_ids = emb.groupBy("label").agg(F.min("vec_id").alias("vec_id"))
+    init = [
+        r.embedding
+        for r in emb.join(seed_ids, ["vec_id"], "left_semi")
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    _, assigned = kmeans_fit(emb, "embedding", init, n_iter=3)
+    return assigned.groupBy("cluster").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum("dist2").alias("wcss"),
+    )

@@ -579,3 +579,55 @@ def test_bloom_semi_join_exact_and_selective(spark):
     plan = bloom_prefilter(big, "key", words, m, k)
     s = plan._jdf.queryExecution().executedPlan().toString()
     assert s.count("BroadcastHashJoin") >= k
+
+
+def test_misra_gries_finds_spread_out_heavy_hitter(spark):
+    """A heavy hitter spread thin across partitions (never locally
+    dominant) must still survive the per-partition sketches — the
+    pigeonhole/mergeability guarantee — and the verify pass must equal
+    brute force exactly."""
+    from pyspark.sql import functions as F
+
+    from real_value_etl_spark.operators.heavyhitters import heavy_hitters_exact
+
+    # 8 partitions x (50 copies of "hh" + 400 unique noise tokens):
+    # n = 3600, k = 8 -> threshold 450; freq("hh") = 400 < 450... make it
+    # 60 copies: freq 480 > 450, yet locally 60/460 is NOT a majority.
+    rows = []
+    for p in range(8):
+        rows += [("hh",)] * 60 + [(f"noise_{p}_{i}",) for i in range(400)]
+    df = spark.createDataFrame(rows, "token string").repartition(8)
+    got = {(r.token, r.freq) for r in
+           heavy_hitters_exact(df, "token", 8).collect()}
+    n = len(rows)
+    from collections import Counter
+    brute = {(t, c) for t, c in Counter(r[0] for r in rows).items()
+             if c * 8 > n}
+    assert got == brute and ("hh", 480) in got
+
+
+def test_kmeans_recovers_separated_clusters(spark):
+    """Lloyd's on three well-separated 2-D blobs: assignments recover the
+    ground truth even from poor in-blob seeds, and WCSS never increases."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from real_value_etl_spark.operators.kmeans import kmeans_fit, kmeans_wcss
+
+    blobs = {0: (0.0, 0.0), 1: (10.0, 10.0), 2: (-10.0, 20.0)}
+    rows = []
+    for lbl, (cx, cy) in blobs.items():
+        for i in range(30):
+            rows.append((lbl * 100 + i, [cx + (i % 5) * 0.1, cy - (i % 7) * 0.1], lbl))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, truth int")
+
+    init = [[0.4, -0.3], [10.2, 9.8], [-9.7, 19.5]]
+    wcss_prev = None
+    for n_iter in (0, 1, 2):
+        cents, assigned = kmeans_fit(df, "embedding", init, n_iter=n_iter)
+        w = kmeans_wcss(assigned)
+        if wcss_prev is not None:
+            assert w <= wcss_prev + 1e-9
+        wcss_prev = w
+    _, assigned = kmeans_fit(df, "embedding", init, n_iter=2)
+    mismatches = assigned.filter("cluster != truth").count()
+    assert mismatches == 0
