@@ -1,0 +1,65 @@
+"""PageRank as iterated joins (Pregel-on-DataFrames), exact-arithmetic.
+
+Beyond connected components (operators/components.py), the other graph
+primitive a corpus pipeline wants is influence/centrality — e.g. ranking
+documents in a near-dup cluster or suppliers in a purchase graph. The
+scalable Spark shape is the standard Pregel-as-join loop: each iteration
+is (ranks JOIN edges) -> shuffle on dst -> sum, i.e. one hash shuffle per
+superstep, with the driver holding nothing but the loop counter.
+
+Everything is FIXED-POINT INTEGER arithmetic (rank scaled by 10^12,
+truncating integer division exactly as written): integer sums are
+order-independent, so the result is bit-identical to a sequential
+evaluation — which is what lets the driver's DuckDB oracle replay the
+same three unrolled iterations and hash-match exactly. (Float PageRank
+would diverge in the last ulps across engines and shuffle orders.)
+
+Graph convention: callers pass a directed edge list; every node must
+appear as a source (symmetrize first for undirected graphs — also
+removes dangling-node rank leakage).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 10**12  # fixed-point unit
+DAMP_NUM, DAMP_DEN = 85, 100  # damping 0.85 as an exact ratio
+
+
+def pagerank_fixed_point(edges: DataFrame, n_iter: int = 3) -> DataFrame:
+    """`edges` = (src, dst). Returns (node, rank) after `n_iter`
+    supersteps, rank in SCALE fixed-point units.
+
+    Per iteration: share = rank div deg (per source), shuffle-sum shares
+    by dst, then rank' = teleport + 85% of inflow — all integer ops.
+    """
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).select(
+        F.col("src").alias("node"), "deg"
+    )
+    n = deg.agg(F.count("*").alias("n"))
+    # (node, deg, r): r0 = SCALE div N
+    ranks = deg.crossJoin(F.broadcast(n)).select(
+        "node", "deg", F.expr(f"{SCALE} div n").alias("r")
+    )
+    for _ in range(n_iter):
+        inflow = (
+            edges.join(ranks, edges.src == ranks.node)
+            .select(F.col("dst"), F.expr("r div deg").alias("share"))
+            .groupBy("dst")
+            .agg(F.sum("share").alias("c"))
+        )
+        ranks = (
+            deg.crossJoin(F.broadcast(n))
+            .join(inflow, deg.node == inflow.dst, "left")
+            .select(
+                "node",
+                "deg",
+                F.expr(
+                    f"({DAMP_DEN - DAMP_NUM} * {SCALE} div {DAMP_DEN}) div n"
+                    f" + ({DAMP_NUM} * coalesce(c, 0)) div {DAMP_DEN}"
+                ).alias("r"),
+            )
+        )
+    return ranks.select("node", F.col("r").alias("rank"))

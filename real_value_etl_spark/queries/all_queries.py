@@ -38,3 +38,7 @@ try:
     from . import incremental  # noqa: F401
 except ImportError:  # pragma: no cover
     pass
+try:
+    from . import graph  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass

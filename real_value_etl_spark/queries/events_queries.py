@@ -434,8 +434,9 @@ def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("h")
     )
     types = e.select("event_type").distinct()
-    grid = F.broadcast(spine.crossJoin(types))
-    return grid.join(counts, ["h", "event_type"], "left").select(
+    # broadcast the counts side: a left join's build side is the right
+    grid = spine.crossJoin(types)
+    return grid.join(F.broadcast(counts), ["h", "event_type"], "left").select(
         F.col("h").alias("window_start"),
         "event_type",
         F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
@@ -845,4 +846,120 @@ def events_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "event_id", "ts", F.col("__run").cast("double").alias("running_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gap-filled time series with LINEAR INTERPOLATION (not zero-fill)
+# ---------------------------------------------------------------------------
+@register(
+    "events_gapfill_interp",
+    oracle="""
+    WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+                      date_trunc('hour', max(ts)) AS hi FROM events),
+    spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b),
+    types AS (SELECT DISTINCT event_type FROM events),
+    counts AS (
+      SELECT date_trunc('hour', ts) AS h, event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT s.h, t.event_type, c.n, c.sv,
+             CAST(epoch(s.h) AS BIGINT) / 3600 AS hidx
+      FROM spine s CROSS JOIN types t
+      LEFT JOIN counts c ON c.h = s.h AND c.event_type = t.event_type
+    ),
+    w AS (
+      SELECT h, event_type, n, sv, hidx,
+             last_value(sv IGNORE NULLS) OVER back AS pv,
+             last_value(CASE WHEN sv IS NOT NULL THEN hidx END IGNORE NULLS)
+               OVER back AS pidx,
+             first_value(sv IGNORE NULLS) OVER fwd AS nv,
+             first_value(CASE WHEN sv IS NOT NULL THEN hidx END IGNORE NULLS)
+               OVER fwd AS nidx
+      FROM grid
+      WINDOW back AS (PARTITION BY event_type ORDER BY h
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             fwd AS (PARTITION BY event_type ORDER BY h
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT h AS window_start, event_type,
+           COALESCE(n, 0) AS n_events,
+           CASE WHEN sv IS NOT NULL THEN sv
+                WHEN pv IS NULL THEN nv
+                WHEN nv IS NULL THEN pv
+                ELSE pv + (nv - pv) * (CAST(hidx - pidx AS DOUBLE)
+                                       / CAST(nidx - pidx AS DOUBLE))
+           END AS filled_value,
+           (n IS NULL) AS is_gap
+    FROM w
+    """,
+    tags=("events", "timeseries", "gapfill"),
+)
+def events_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series where missing buckets are LINEARLY INTERPOLATED
+    between the nearest present neighbours (edges carry the nearest value)
+    — the fill monitoring dashboards and feature pipelines want when zero
+    is a lie. Same tiny broadcast spine as events_gapfill_hourly; the two
+    ignore-nulls window passes (backward carry, forward carry) share ONE
+    exchange+sort on (event_type, hour). The interpolation expression is
+    written identically in both engines over identically derived doubles,
+    so parity is bit-exact."""
+    e = table(spark, sf_dir, "events")
+    counts = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sv"),
+    )
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 hour"))
+        ).alias("h")
+    )
+    # counts is bucket-cardinality (hours x types) after the pre-agg —
+    # broadcast IT: the left side of a left join cannot be the build side
+    grid = (
+        spine.crossJoin(e.select("event_type").distinct())
+        .join(F.broadcast(counts), ["h", "event_type"], "left")
+        .withColumn("hidx", (F.unix_timestamp("h") / F.lit(3600)).cast("long"))
+    )
+    back = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    present_idx = F.when(F.col("sv").isNotNull(), F.col("hidx"))
+    w = (
+        grid.withColumn("pv", F.last("sv", ignorenulls=True).over(back))
+        .withColumn("pidx", F.last(present_idx, ignorenulls=True).over(back))
+        .withColumn("nv", F.first("sv", ignorenulls=True).over(fwd))
+        .withColumn("nidx", F.first(present_idx, ignorenulls=True).over(fwd))
+    )
+    frac = (F.col("hidx") - F.col("pidx")).cast("double") / (
+        F.col("nidx") - F.col("pidx")
+    ).cast("double")
+    filled = (
+        F.when(F.col("sv").isNotNull(), F.col("sv"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+    )
+    return w.select(
+        F.col("h").alias("window_start"),
+        "event_type",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        filled.alias("filled_value"),
+        F.col("n").isNull().alias("is_gap"),
     )

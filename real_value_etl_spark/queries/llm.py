@@ -1666,3 +1666,59 @@ def sim_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_vecs"),
         F.sum("dist2").alias("wcss"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination — n-gram overlap against a held-out probe set
+# ---------------------------------------------------------------------------
+DECONTAM_PROBE_MOD = 50  # doc_id % MOD == 0 plays the held-out benchmark
+
+
+@register(
+    "docs_decontaminate",
+    oracle=f"""
+    WITH {_SHINGLE_IDX_CTE},
+    probe AS (SELECT DISTINCT sh FROM idx WHERE did % {DECONTAM_PROBE_MOD} = 0),
+    corpus AS (SELECT * FROM idx WHERE did % {DECONTAM_PROBE_MOD} <> 0),
+    hits AS (SELECT DISTINCT c.did FROM corpus c JOIN probe p ON c.sh = p.sh)
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN h.did IS NOT NULL THEN 1 ELSE 0 END)
+             AS n_contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.did
+    WHERE d.doc_id % {DECONTAM_PROBE_MOD} <> 0
+    GROUP BY d.source
+    """,
+    tags=("llm", "dedup", "contamination"),
+)
+def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination, the n-gram-overlap form used for LLM
+    eval hygiene: every held-out probe shingle (here docs with
+    doc_id % {MOD} == 0 act as the benchmark) is collected into a small
+    DISTINCT set and BROADCAST; corpus docs sharing any 3-token shingle
+    are flagged. At 100 TB the corpus side never shuffles — the probe
+    set is benchmark-sized (thousands of docs), so the flagging is a
+    map-side broadcast semi join over the exploded shingle index."""
+    d = table(spark, sf_dir, "documents")
+    idx = D.shingle_index(d, "doc_id", "text")
+    probe = (
+        idx.filter(F.col("did") % DECONTAM_PROBE_MOD == 0)
+        .select("sh")
+        .distinct()
+    )
+    corpus = idx.filter(F.col("did") % DECONTAM_PROBE_MOD != 0)
+    hits = (
+        corpus.join(F.broadcast(probe), "sh", "left_semi")
+        .select("did")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        d.filter(F.col("doc_id") % DECONTAM_PROBE_MOD != 0)
+        .join(hits, d.doc_id == hits.did, "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_contaminated"),
+        )
+    )

@@ -631,3 +631,18 @@ def test_kmeans_recovers_separated_clusters(spark):
     _, assigned = kmeans_fit(df, "embedding", init, n_iter=2)
     mismatches = assigned.filter("cluster != truth").count()
     assert mismatches == 0
+
+
+def test_pagerank_star_graph_ranks_center_highest(spark):
+    """On a symmetrized star graph the hub must out-rank every leaf, leaves
+    tie exactly (integer arithmetic), and total rank stays ~SCALE."""
+    from real_value_etl_spark.operators.pagerank import SCALE, pagerank_fixed_point
+
+    leaves = [f"leaf{i}" for i in range(6)]
+    e = [("hub", l) for l in leaves] + [(l, "hub") for l in leaves]
+    edges = spark.createDataFrame(e, "src string, dst string")
+    ranks = {r.node: r.rank for r in pagerank_fixed_point(edges, 3).collect()}
+    assert ranks["hub"] > max(ranks[l] for l in leaves)
+    assert len({ranks[l] for l in leaves}) == 1  # exact tie
+    total = sum(ranks.values())
+    assert abs(total - SCALE) / SCALE < 0.01  # truncation loss only
