@@ -183,3 +183,66 @@ def bloom_semi_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# External-DB federation: partitioned pushdown read through the DuckDB
+# Python DataSource (sources/duckdb_source.py)
+# ---------------------------------------------------------------------------
+@register(
+    "events_via_duckdb_source",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("source", "connector", "federation"),
+)
+def events_via_duckdb_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Federated read: the events table is served from an external
+    analytical DB (DuckDB standing in for the reference's ClickHouse) and
+    scanned through the custom Python DataSource — 8 range partitions on
+    user_id, aggregation on top. The oracle computes the same aggregate
+    from the parquet directly, so the connector's partitioning and Arrow
+    transfer must lose/duplicate nothing. (ts is excluded: the connector
+    demo sticks to bigint/varchar/double columns.)"""
+    import os
+    import re as _re
+
+    import duckdb
+
+    from ..sources.duckdb_source import register_duckdb_source
+    from .registry import ensure_session_confs
+
+    ensure_session_confs(spark)
+    tag = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir)
+    db = f"/tmp/rve_duckdb_src_{tag}.duckdb"
+    if not os.path.exists(db):
+        stage = db + ".build"
+        if os.path.exists(stage):
+            os.remove(stage)
+        con = duckdb.connect(stage)
+        con.execute(
+            "CREATE TABLE events AS "
+            "SELECT event_id, user_id, event_type, value "
+            f"FROM '{sf_dir}/events.parquet'"
+        )
+        con.close()
+        os.replace(stage, db)
+    register_duckdb_source(spark)
+    df = (
+        spark.read.format("duckdb")
+        .option("path", db)
+        .option("table", "events")
+        .option("partitionColumn", "user_id")
+        .option("numPartitions", "8")
+        .load()
+    )
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )

@@ -646,3 +646,51 @@ def test_pagerank_star_graph_ranks_center_highest(spark):
     assert len({ranks[l] for l in leaves}) == 1  # exact tie
     total = sum(ranks.values())
     assert abs(total - SCALE) / SCALE < 0.01  # truncation loss only
+
+
+def test_duckdb_datasource_partitioned_pushdown_read(spark, tmp_path):
+    """DuckDB connector: schema inference, partition-parallel range scan
+    (NULL keys land in the last partition), predicate pushdown of the
+    supported subset, and quoted-string safety."""
+    import duckdb
+
+    from real_value_etl_spark.sources.duckdb_source import (
+        DuckDBReader,
+        register_duckdb_source,
+    )
+    from pyspark.sql.datasource import EqualTo, StringContains
+
+    db = str(tmp_path / "t.duckdb")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE items(id BIGINT, name VARCHAR, score DOUBLE)")
+    con.execute(
+        "INSERT INTO items SELECT range, 'n_' || range::VARCHAR, range * 1.5 "
+        "FROM range(1000)"
+    )
+    con.execute("INSERT INTO items VALUES (NULL, 'o''brien', -1.0)")
+    con.close()
+
+    register_duckdb_source(spark)
+    df = (spark.read.format("duckdb").option("path", db)
+          .option("table", "items").option("partitionColumn", "id")
+          .option("numPartitions", "4").load())
+    assert df.count() == 1001
+    assert df.rdd.getNumPartitions() == 4
+    assert {f.name for f in df.schema.fields} == {"id", "name", "score"}
+
+    got = df.filter("id >= 990 or name = 'o''brien'").collect()
+    assert len(got) == 11
+    assert {r.name for r in got} >= {"n_999", "o'brien"}
+
+    # pushFilters: supported subset consumed, residual returned to Spark
+    reader = DuckDBReader(df.schema, {"path": db, "table": "items"})
+    residual = list(reader.pushFilters(
+        [EqualTo(("name",), "o'brien"), StringContains(("name",), "x")]))
+    assert reader.pushed == ["name = 'o''brien'"]
+    assert len(residual) == 1 and isinstance(residual[0], StringContains)
+
+    # a pushed filter produces the same rows as a post-scan filter
+    eq = (spark.read.format("duckdb").option("path", db)
+          .option("table", "items").option("partitionColumn", "id")
+          .load().filter("score = 750.0").collect())
+    assert [r.id for r in eq] == [500]
