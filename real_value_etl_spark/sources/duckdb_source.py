@@ -38,6 +38,7 @@ from pyspark.sql.datasource import (
     IsNull,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -170,8 +171,62 @@ class DuckDBDataSource(DataSource):
     def reader(self, schema: StructType) -> DataSourceReader:
         return DuckDBReader(schema, self.options)
 
+    def simpleStreamReader(self, schema: StructType):
+        return DuckDBStreamReader(schema, self.options)
+
 
 def register_duckdb_source(spark) -> None:
     # python-source filter pushdown is gated off by default (runtime-settable)
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(DuckDBDataSource)
+
+
+class DuckDBStreamReader(SimpleDataSourceStreamReader):
+    """Offset-tracked streaming tail of a DuckDB table — the external-DB
+    CDC-ingestion shape: the source is polled for rows with key >= offset
+    (a monotonically increasing column, e.g. an append-log id), each
+    micro-batch advances the offset past the rows it took, and
+    `readBetweenOffsets` replays any committed range exactly (key-range
+    query), which is what gives the stream exactly-once restartability
+    from the Spark checkpoint."""
+
+    def __init__(self, schema: StructType, options):
+        self.schema = schema
+        self.path = options["path"]
+        self.table = options["table"]
+        self.key = options["streamkey"]
+        self.batch = int(options.get("streambatchsize", "10000"))
+
+    def _connect(self):
+        import duckdb
+
+        return duckdb.connect(self.path, read_only=True)
+
+    def _cols(self) -> str:
+        return ", ".join(f.name for f in self.schema.fields)
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def read(self, start: dict):
+        con = self._connect()
+        rows = con.execute(
+            f"SELECT {self._cols()}, {self.key} FROM {self.table} "
+            f"WHERE {self.key} >= ? ORDER BY {self.key} LIMIT ?",
+            [start["pos"], self.batch],
+        ).fetchall()
+        con.close()
+        if not rows:
+            return iter([]), start
+        nxt = {"pos": int(rows[-1][-1]) + 1}
+        return iter([r[:-1] for r in rows]), nxt
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        con = self._connect()
+        rows = con.execute(
+            f"SELECT {self._cols()} FROM {self.table} "
+            f"WHERE {self.key} >= ? AND {self.key} < ? ORDER BY {self.key}",
+            [start["pos"], end["pos"]],
+        ).fetchall()
+        con.close()
+        return iter(rows)

@@ -694,3 +694,40 @@ def test_duckdb_datasource_partitioned_pushdown_read(spark, tmp_path):
           .option("table", "items").option("partitionColumn", "id")
           .load().filter("score = 750.0").collect())
     assert [r.id for r in eq] == [500]
+
+
+def test_snapshot_table_time_travel_rollback_vacuum(spark, tmp_path):
+    """Versioned table: append/overwrite commits, time travel to any
+    version, rollback as a new commit, vacuum keeps retained versions
+    readable and removes unreferenced files."""
+    import glob as g
+
+    from real_value_etl_spark.sinks import snapshots as S
+
+    path = str(tmp_path / "tbl")
+    v1 = S.commit_append(spark.range(10), path)
+    v2 = S.commit_append(spark.range(10, 25), path)
+    v3 = S.commit_overwrite(spark.range(100, 103), path)
+    assert (v1, v2, v3) == (1, 2, 3)
+
+    assert S.read_snapshot(spark, path, 1).count() == 10
+    assert S.read_snapshot(spark, path, 2).count() == 25
+    assert S.read_snapshot(spark, path).count() == 3  # latest = overwrite
+
+    v4 = S.rollback(path, 2)
+    assert S.read_snapshot(spark, path).count() == 25
+    assert S.versions(path) == [1, 2, 3, 4] and v4 == 4
+
+    # readers of an old version are isolated from later commits
+    old = S.read_snapshot(spark, path, 1)
+    S.commit_append(spark.range(1000, 1002), path)
+    assert old.count() == 10
+
+    deleted = S.vacuum(path, keep_last=2)  # keeps v4 (25 rows) + v5 (27)
+    assert S.versions(path) == [4, 5]
+    assert S.read_snapshot(spark, path, 4).count() == 25
+    assert S.read_snapshot(spark, path).count() == 27
+    # the overwrite-only files of v3 are now unreferenced and gone
+    assert deleted
+    live = {r[0] for r in S.read_snapshot(spark, path).collect()}
+    assert live == set(range(10, 25)) | {1000, 1001} | set(range(10))

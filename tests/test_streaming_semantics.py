@@ -189,3 +189,55 @@ def test_foreachbatch_mv_folds_batches_and_restarts(spark, tmp_path):
     _write_batch(spark, src, [(6, t("2024-01-01 12:30:00"), 3, 9.0)])
     run()  # only the late file is processed, folded into existing state
     assert mv() == full()
+
+
+def test_duckdb_stream_source_tails_with_exactly_once_restart(spark, tmp_path):
+    """The DuckDB streaming source drains the table in offset-bounded
+    micro-batches; a restart on the same checkpoint picks up ONLY rows
+    appended since (no reprocessing, no duplicates)."""
+    import duckdb
+
+    from real_value_etl_spark.sources.duckdb_source import register_duckdb_source
+
+    db, out, ckpt = (str(tmp_path / n) for n in ("t.duckdb", "out", "ckpt"))
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE log(id BIGINT, payload VARCHAR)")
+    con.execute(
+        "INSERT INTO log SELECT range, 'p' || range::VARCHAR FROM range(100)")
+    con.close()
+
+    register_duckdb_source(spark)
+
+    def drain():
+        # each availableNow trigger ingests <= streamBatchSize rows (a
+        # rate-limited source, like kafka maxOffsetsPerTrigger); loop
+        # until the offset stops advancing to consume the backlog
+        import glob
+        prev = -1
+        while True:
+            q = (spark.readStream.format("duckdb").option("path", db)
+                 .option("table", "log").option("streamKey", "id")
+                 .option("streamBatchSize", "30").load()
+                 .writeStream.format("parquet").option("path", out)
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+            n = len(glob.glob(out + "/*.parquet"))
+            if n == prev:
+                break
+            prev = n
+
+    drain()
+    first = spark.read.parquet(out)
+    assert first.count() == 100
+    assert first.selectExpr("count(distinct id)").collect()[0][0] == 100
+
+    con = duckdb.connect(db)
+    con.execute(
+        "INSERT INTO log SELECT range, 'p' || range::VARCHAR "
+        "FROM range(100, 120)")
+    con.close()
+    drain()
+    again = spark.read.parquet(out)
+    assert again.count() == 120  # only the 20 new rows were ingested
+    assert again.selectExpr("count(distinct id)").collect()[0][0] == 120
