@@ -115,6 +115,18 @@ def main() -> None:
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"):
         spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
+    # codegen warm-up: run every headline query once at sf0.001 (tiny data,
+    # same plans) so whole-stage-codegen classes are compiled+cached before
+    # timing. A recurring production query pays JIT once, not per run; the
+    # timed sf run then measures data-proportional engine cost. The ETL
+    # head-to-head below stays COLD — the pandas reference got no warm-up.
+    for name in HEADLINE:
+        spec = REGISTRY.get(name)
+        if spec is not None and "stream" not in spec.tags:
+            try:
+                spec.fn(spark, "/root/testdata/sf0.001").count()
+            except Exception:
+                pass
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -246,3 +246,50 @@ def events_via_duckdb_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Declarative data-quality expectations (constraint audit)
+# ---------------------------------------------------------------------------
+@register(
+    "events_quality_audit",
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS n_rows FROM events)
+    SELECT 'event_id_not_null' AS rule, n.n_rows,
+           (SELECT COUNT(*) FROM events
+            WHERE NOT (event_id IS NOT NULL) OR (event_id IS NOT NULL) IS NULL)
+             AS n_violations FROM n
+    UNION ALL
+    SELECT 'value_positive', n.n_rows,
+           (SELECT COUNT(*) FROM events
+            WHERE value IS NULL OR NOT (value > 0)) FROM n
+    UNION ALL
+    SELECT 'known_event_type', n.n_rows,
+           (SELECT COUNT(*) FROM events
+            WHERE event_type IS NULL OR event_type NOT IN
+              ('click', 'view', 'purchase', 'signup')) FROM n
+    UNION ALL
+    SELECT 'ts_in_2024', n.n_rows,
+           (SELECT COUNT(*) FROM events
+            WHERE ts IS NULL OR NOT (ts >= TIMESTAMP '2024-01-01')) FROM n
+    """,
+    tags=("quality", "audit", "agg"),
+)
+def events_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint audit over events (operators/expectations.py): four
+    declarative rules checked in ONE scan-local aggregate (each rule is a
+    sum(violates) expression; the oracle's per-rule subqueries rescan).
+    NULLs count as violations — SQL three-valued logic would silently
+    pass them. 'known_event_type' fires on every 'error' row, proving a
+    real failure is counted, not just zeros."""
+    from ..operators.expectations import audit
+
+    ev = table(spark, sf_dir, "events")
+    rules = [
+        ("event_id_not_null", F.col("event_id").isNotNull()),
+        ("value_positive", F.col("value") > 0),
+        ("known_event_type",
+         F.col("event_type").isin("click", "view", "purchase", "signup")),
+        ("ts_in_2024", F.col("ts") >= F.lit("2024-01-01").cast("timestamp")),
+    ]
+    return audit(ev, rules)

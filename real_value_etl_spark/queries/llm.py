@@ -1722,3 +1722,27 @@ def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_contaminated"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered exact Jaccard (AllPairs) — same answer, smaller join
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_jaccard_prefix",
+    oracle=f"""
+    WITH {_SHINGLE_IDX_CTE}, {_JACCARD_TAIL_SQL}
+    SELECT doc_a, doc_b, jac FROM jac WHERE jac >= {JACCARD_THRESHOLD}
+    """,
+    tags=("dedup", "llm", "join", "prefix-filter"),
+)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-shingle Jaccard pairs >= 0.5 via AllPairs PREFIX FILTERING
+    (operators/dedup.py:prefix_filtered_candidates): only each doc's
+    n - ceil(t*n) + 1 rarest shingles enter the candidate join, provably
+    losing no qualifying pair. Same oracle as dedup_ngram_jaccard — the
+    optimized path must return the identical answer; at 100 TB the
+    candidate join shrinks by the prefix ratio AND skips the most common
+    (hottest, most skewed) shingles entirely."""
+    return D.ngram_jaccard_pairs_prefix(
+        table(spark, sf_dir, "documents"), "doc_id", "text", JACCARD_THRESHOLD
+    )

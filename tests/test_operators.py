@@ -731,3 +731,32 @@ def test_snapshot_table_time_travel_rollback_vacuum(spark, tmp_path):
     assert deleted
     live = {r[0] for r in S.read_snapshot(spark, path).collect()}
     assert live == set(range(10, 25)) | {1000, 1001} | set(range(10))
+
+
+def test_expectations_enforce_splits_and_tags(spark):
+    """enforce() quarantines violating rows with the full list of failed
+    rules; NULL predicate results are violations, not silent passes."""
+    from pyspark.sql import functions as F
+
+    from real_value_etl_spark.operators.expectations import (
+        enforce,
+        unique_key_violations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0, "a"), (2, -1.0, "a"), (3, None, "b"), (4, 2.0, None),
+         (4, 3.0, "a")],
+        "id int, v double, cat string",
+    )
+    rules = [
+        ("v_positive", F.col("v") > 0),
+        ("cat_known", F.col("cat").isin("a", "b")),
+    ]
+    clean, bad = enforce(df, rules)
+    assert {r.id for r in clean.collect()} == {1, 4}  # id=4 row w/ cat 'a'
+    got = {(r.id, tuple(r.violations)) for r in bad.collect()}
+    assert (2, ("v_positive",)) in got
+    assert (3, ("v_positive",)) in got          # NULL v -> violation
+    assert (4, ("cat_known",)) in got           # NULL cat -> violation
+    dups = unique_key_violations(df, ["id"]).collect()
+    assert [(r.id, r.n_occurrences) for r in dups] == [(4, 2)]
