@@ -115,16 +115,18 @@ def main() -> None:
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"):
         spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
-    # codegen warm-up: run every headline query once at sf0.001 (tiny data,
-    # same plans) so whole-stage-codegen classes are compiled+cached before
-    # timing. A recurring production query pays JIT once, not per run; the
-    # timed sf run then measures data-proportional engine cost. The ETL
-    # head-to-head below stays COLD — the pandas reference got no warm-up.
+    # codegen/JIT warm-up: run every headline query once, unmeasured, at
+    # the benchmark SF itself (AQE re-plans by size, so sf0.001 compiles
+    # different code). Nothing is data-cached between actions — the timed
+    # run re-reads parquet and re-executes; only compiled query classes
+    # and JIT state persist, which is what a recurring production query
+    # amortizes. The ETL head-to-head below stays COLD — the pandas
+    # reference got no warm-up.
     for name in HEADLINE:
         spec = REGISTRY.get(name)
         if spec is not None and "stream" not in spec.tags:
             try:
-                spec.fn(spark, "/root/testdata/sf0.001").count()
+                spec.fn(spark, SF_DIR).count()
             except Exception:
                 pass
 

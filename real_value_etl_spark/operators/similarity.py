@@ -126,11 +126,15 @@ def ivf_topk(
     cands = assigned.join(F.broadcast(probes), on="cluster_id").filter(
         F.col(id_col) != F.col("qid")
     )
+    # no dedup needed: each vector lives in exactly ONE cluster, so a
+    # (qid, vec) pair arises at most once across the probes — a distinct
+    # here would be a full extra shuffle of every candidate row (the LSH
+    # path below DOES need one: bands genuinely duplicate candidates)
     scored = cands.select(
         "qid",
         id_col,
         (dot(F.col("v"), F.col("qv")) / (F.col("nv") * F.col("nq"))).alias("sim"),
-    ).distinct()
+    )
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc(id_col))
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
 

@@ -10,7 +10,7 @@ orders in both engines (verified bit-exact at sf0.01).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import pii as P
@@ -1745,4 +1745,103 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hottest, most skewed) shingles entirely."""
     return D.ngram_jaccard_pairs_prefix(
         table(spark, sf_dir, "documents"), "doc_id", "text", JACCARD_THRESHOLD
+    )
+
+
+# ---------------------------------------------------------------------------
+# Int8 scalar quantization + recall self-evaluation
+# ---------------------------------------------------------------------------
+@register(
+    "sim_quantization_recall",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) AS m FROM e),
+    qz AS (SELECT vec_id,
+                  list_transform(v, x -> floor(127.0 * x / m)) AS qv
+           FROM s WHERE m > 0),
+    q AS (SELECT vec_id AS qid, qv AS qq FROM qz
+          WHERE vec_id % {ANN_QUERY_MOD} = 0),
+    qscored AS (
+      SELECT q.qid, z.vec_id, list_dot_product(z.qv, q.qq) AS qdot
+      FROM qz z, q WHERE z.vec_id <> q.qid
+    ),
+    qtop AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY qdot DESC, vec_id) AS r
+        FROM qscored) WHERE r <= {ANN_K}
+    ),
+    ex AS (SELECT vec_id, v,
+                  sqrt(list_dot_product(v, v)) AS nv FROM e),
+    eq AS (SELECT vec_id AS qid, v AS qv, nv AS nq FROM ex
+           WHERE vec_id % {ANN_QUERY_MOD} = 0),
+    escored AS (
+      SELECT eq.qid, ex.vec_id,
+             (list_dot_product(ex.v, eq.qv) / (ex.nv * eq.nq)) AS sim
+      FROM ex, eq WHERE ex.vec_id <> eq.qid
+    ),
+    etop AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY sim DESC, vec_id) AS r
+        FROM escored) WHERE r <= {ANN_K}
+    )
+    SELECT x.qid, COUNT(y.vec_id) AS n_hits
+    FROM etop x LEFT JOIN qtop y
+      ON x.qid = y.qid AND x.vec_id = y.vec_id
+    GROUP BY x.qid
+    """,
+    tags=("similarity", "llm", "quantization"),
+)
+def sim_quantization_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization self-evaluation: vectors compress 4x
+    (per-vector max-abs scale, values in [-127, 127]) and top-5 search
+    runs on integer dot products; per query, how many of the EXACT
+    cosine top-5 does the quantized index recall? Quantized values are
+    integer-valued doubles, so the dot-product fold is EXACT in both
+    engines and the whole evaluation hash-matches bit-for-bit — the
+    accuracy/cost trade of a compressed ANN tier, measured inside the
+    engine."""
+    emb = table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    s = emb.select(
+        "vec_id", v.alias("v"),
+    ).select(
+        "vec_id", "v",
+        F.array_max(F.transform("v", F.abs)).alias("m"),
+    )
+    qz = s.filter(F.col("m") > 0).select(
+        "vec_id",
+        F.transform(
+            "v", lambda x: F.floor(F.lit(127.0) * x / F.col("m")).cast("double")
+        ).alias("qv"),
+    )
+    q = qz.filter(F.col("vec_id") % ANN_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("qv").alias("qq")
+    )
+    qscored = qz.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("qid")
+    ).select("qid", "vec_id", V.dot(F.col("qv"), F.col("qq")).alias("qdot"))
+    wq = Window.partitionBy("qid").orderBy(F.desc("qdot"), F.asc("vec_id"))
+    qtop = (
+        qscored.withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= ANN_K)
+        .select("qid", "vec_id")
+    )
+    queries = emb.filter(F.col("vec_id") % ANN_QUERY_MOD == 0)
+    etop = S.brute_force_topk(emb, queries, ANN_K).select("qid", "vec_id")
+    qt = qtop.select(
+        F.col("qid").alias("hit_qid"), F.col("vec_id").alias("hit_id")
+    )
+    return (
+        etop.join(
+            qt,
+            (etop.qid == qt.hit_qid) & (etop.vec_id == qt.hit_id),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(F.count("hit_id").alias("n_hits"))
     )
