@@ -1845,3 +1845,68 @@ def sim_quantization_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("qid")
         .agg(F.count("hit_id").alias("n_hits"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Repeated-span detection (exact substring duplication, CCNet/dedup-style)
+# ---------------------------------------------------------------------------
+SPAN_N = 8  # tokens per exact span
+
+
+@register(
+    "docs_repeated_spans",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {T.tokens_sql("text")} AS ts FROM documents),
+    sh AS (SELECT doc_id, {T.shingles_sql("text", SPAN_N)} AS shs FROM toks),
+    idx AS (SELECT doc_id AS did, unnest(shs) AS sh FROM sh),
+    shared AS (SELECT sh FROM idx GROUP BY sh HAVING COUNT(*) >= 2),
+    per_doc AS (
+      SELECT i.did, COUNT(*) AS n_spans,
+             SUM(CASE WHEN s.sh IS NOT NULL THEN 1 ELSE 0 END) AS n_repeated
+      FROM idx i LEFT JOIN shared s ON i.sh = s.sh
+      GROUP BY i.did
+    )
+    SELECT did AS doc_id, n_spans, n_repeated,
+           CAST(n_repeated AS DOUBLE) / n_spans AS dup_ratio
+    FROM per_doc WHERE n_repeated > 0
+    """,
+    tags=("llm", "dedup", "substring"),
+)
+def docs_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring detection: every 8-token span (stride 1,
+    distinct per doc) is indexed; spans appearing in >= 2 documents mark
+    their documents with a duplicated-content ratio — the span-level
+    signal behind 'dedup exact substrings in training data' (near-dup
+    shingle pairs find similar DOCUMENTS; this finds shared PASSAGES in
+    otherwise-different documents). Plan: one explode + two hash shuffles
+    (span group-by, doc group-by); at 100 TB the span index is the same
+    inverted-index shape as the shingle dedup path."""
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        F.col("doc_id").alias("did"), T.tokens(F.col("text")).alias("__toks")
+    )
+    idx = base.select(
+        "did",
+        F.explode(T.shingles_from_tokens(F.col("__toks"), SPAN_N)).alias("sh"),
+    )
+    shared = (
+        idx.groupBy("sh")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("sh")
+        .withColumn("hit", F.lit(1))
+    )
+    per_doc = (
+        idx.join(shared, "sh", "left")
+        .groupBy("did")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_repeated"),
+        )
+    )
+    return per_doc.filter(F.col("n_repeated") > 0).select(
+        F.col("did").alias("doc_id"),
+        "n_spans",
+        "n_repeated",
+        (F.col("n_repeated").cast("double") / F.col("n_spans")).alias("dup_ratio"),
+    )

@@ -230,3 +230,45 @@ def test_upsert_single_window_shuffle_no_join(spark, sf_dir):
     plan = plan_of(REGISTRY["events_upsert_scd1"].fn(spark, sf_dir))
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2  # window + final agg
+
+
+def test_aqe_splits_skewed_join_partition(spark, tmp_path):
+    """AQE skew-join handling actually fires: with one hot key dominating
+    the fact side, the final adaptive sort-merge join marks the skewed
+    partition split (skew=true) — the runtime defense the engine relies on
+    at 100 TB when salting wasn't applied up front."""
+    from pyspark.sql import functions as F
+
+    fact_path, dim_path = str(tmp_path / "fact"), str(tmp_path / "dim")
+    (spark.range(300_000)
+     .select(F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id") % 97)
+             .alias("k"),
+             F.concat(F.lit("payload_"), F.col("id")).alias("p"))
+     .write.mode("overwrite").parquet(fact_path))
+    spark.range(97).select(F.col("id").alias("k"),
+                           F.concat(F.lit("d"), F.col("id")).alias("dv"))\
+        .write.mode("overwrite").parquet(dim_path)
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # keep the wide payload column: skew detection sizes the shuffle
+        # partitions, and projecting it away would shrink the hot one
+        # below threshold
+        joined = (spark.read.parquet(fact_path)
+                  .join(spark.read.parquet(dim_path), "k"))
+        # collect() drives THIS DataFrame's QueryExecution so the adaptive
+        # plan finalizes (a .count() spawns a separate execution)
+        assert len(joined.collect()) == 300_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
