@@ -963,3 +963,50 @@ def events_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         filled.alias("filled_value"),
         F.col("n").isNull().alias("is_gap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exponentially-weighted moving average (recursive state as ordered fold)
+# ---------------------------------------------------------------------------
+EWMA_ALPHA = 0.25  # exactly representable in binary => identical literals
+
+
+@register(
+    "events_ewma_by_user",
+    oracle=f"""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           list_reduce(
+             list_prepend(CAST(0 AS DOUBLE), list(value ORDER BY ts, event_id)),
+             (acc, x) -> {EWMA_ALPHA} * x + {1 - EWMA_ALPHA} * acc
+           ) AS ewma
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("events", "timeseries", "recursive"),
+)
+def events_ewma_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of `value` (alpha=0.25) — a RECURSIVE computation
+    (r_t = a*x_t + (1-a)*r_{t-1}) no window builtin expresses. Spark form:
+    collect each user's values in pinned (ts, event_id) order and run ONE
+    sequential F.aggregate fold — identical fold order to the oracle's
+    list_reduce, so doubles match bit-for-bit. One shuffle on user_id;
+    per-group state is the user's event list (bounded by per-user
+    activity, the same bound any stateful-stream EWMA carries). Alpha is
+    a dyadic rational so both engines parse the identical double."""
+    ev = table(spark, sf_dir, "events")
+    ordered = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "value"))
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.aggregate(
+                ordered,
+                F.lit(0.0),
+                lambda acc, s: F.lit(EWMA_ALPHA) * s["value"]
+                + F.lit(1 - EWMA_ALPHA) * acc,
+            ).alias("ewma"),
+        )
+    )

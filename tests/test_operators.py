@@ -760,3 +760,37 @@ def test_expectations_enforce_splits_and_tags(spark):
     assert (4, ("cat_known",)) in got           # NULL cat -> violation
     dups = unique_key_violations(df, ["id"]).collect()
     assert [(r.id, r.n_occurrences) for r in dups] == [(4, 2)]
+
+
+def test_duckdb_writer_two_phase_commit(spark, tmp_path):
+    """The connector's write path: executors stage parquet, the driver
+    commits in one transaction; append accumulates, overwrite replaces,
+    and the round trip (Spark -> DuckDB -> Spark) is lossless."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from real_value_etl_spark.sources.duckdb_source import register_duckdb_source
+
+    db = str(tmp_path / "w.duckdb")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE sink(id BIGINT, name VARCHAR)")
+    con.close()
+    register_duckdb_source(spark)
+
+    df = spark.range(500).select(
+        "id", F.concat(F.lit("n"), F.col("id")).alias("name")
+    ).repartition(4)
+    (df.write.format("duckdb").option("path", db).option("table", "sink")
+       .mode("append").save())
+    (df.filter("id < 100").write.format("duckdb").option("path", db)
+       .option("table", "sink").mode("append").save())
+    con = duckdb.connect(db, read_only=True)
+    assert con.execute("SELECT COUNT(*) FROM sink").fetchone()[0] == 600
+    con.close()
+
+    (df.filter("id >= 490").write.format("duckdb").option("path", db)
+       .option("table", "sink").mode("overwrite").save())
+    back = (spark.read.format("duckdb").option("path", db)
+            .option("table", "sink").load())
+    assert sorted(r.id for r in back.collect()) == list(range(490, 500))
