@@ -10,8 +10,14 @@ Scale design (100 TB):
   bit-identical to computing cosine per pair — sqrt/mult/div are exact
   IEEE ops on the same inputs);
 - brute-force: the query set is broadcast (it is small by construction);
-  each executor scans its partition of the corpus once; top-k is a
-  per-query window (rank over sim) — shuffle only (n_queries x k) rows;
+  each executor scans its partition of the corpus once; top-k is TWO
+  stages — a local rank over (qid, input partition) that spreads the
+  scored rows evenly across the cluster (no one-partition-per-query
+  hotspot: at 100 TB a single query's partition would otherwise hold the
+  whole corpus), then a global rank over the <= n_partitions x k
+  survivors per query. Union-of-local-top-k contains the global top-k
+  under a total order (sim desc, id asc), so the result is exact and
+  partitioning-invariant;
 - IVF: corpus vectors are assigned once to their nearest centroid (a
   broadcast of the tiny centroid set), queries probe only `nprobe`
   nearest centroid lists — candidate count drops by ~|centroids|/nprobe.
@@ -45,8 +51,14 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k neighbors per query vector (self excluded).
 
-    Output: (qid, vec_id, sim, rnk). Queries are broadcast; ranking is a
-    window per qid with vec_id as the deterministic tiebreak.
+    Output: (qid, vec_id, sim, rnk). Queries are broadcast. Ranking is
+    two-stage: stage 1 ranks within (qid, spark_partition_id) — the
+    exchange hashes on BOTH keys, so no reducer ever receives more than
+    one input partition's scored rows for a query; stage 2 ranks the
+    <= n_partitions x k local winners per query. Any global top-k row is
+    a local top-k row in its own partition (if k rows beat it locally
+    they beat it globally — contradiction), so the two-stage result is
+    exactly the single-window result, independent of partitioning.
     """
     corpus = _with_norm(emb, id_col, vec_col, "v", "nv")
     q = _with_norm(queries, id_col, vec_col, "qv", "nq").select(
@@ -57,8 +69,17 @@ def brute_force_topk(
         id_col,
         (dot(F.col("v"), F.col("qv")) / (F.col("nv") * F.col("nq"))).alias("sim"),
     )
+    w_local = Window.partitionBy("qid", "__pid").orderBy(
+        F.desc("sim"), F.asc(id_col)
+    )
+    local = (
+        scored.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__lr", F.row_number().over(w_local))
+        .filter(F.col("__lr") <= k)
+        .select("qid", id_col, "sim")
+    )
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc(id_col))
-    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+    return local.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
 
 
 def ivf_assign(

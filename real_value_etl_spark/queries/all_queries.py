@@ -1,44 +1,108 @@
-"""Import every query module so REGISTRY is fully populated."""
+"""Import every query module so REGISTRY is fully populated, then order it.
 
-from . import relational  # noqa: F401
+Imports are deliberately LOUD: a missing query module must fail collection,
+not be silently swallowed (a round-1 try/except hid a dead import for a
+module that never existed).
 
-try:  # modules added incrementally; keep import robust mid-build
-    from . import llm  # noqa: F401
-except ImportError:  # pragma: no cover
-    pass
-try:
-    from . import etl_flavored  # noqa: F401
-except ImportError:  # pragma: no cover
-    pass
-try:
-    from . import events_queries  # noqa: F401
-except ImportError:  # pragma: no cover
-    pass
-try:
-    from . import streaming_queries  # noqa: F401
-except ImportError:  # pragma: no cover
-    pass
-try:
-    from . import subqueries  # noqa: F401
-except ImportError:  # pragma: no cover
-    pass
-try:
-    from . import stats  # noqa: F401
-except ImportError:  # pragma: no cover
-    pass
-try:
-    from . import tpch_more  # noqa: F401
-except ImportError:  # pragma: no cover
-    pass
-try:
-    from . import tpch_rest  # noqa: F401
-except ImportError:  # pragma: no cover
-    pass
-try:
-    from . import incremental  # noqa: F401
-except ImportError:  # pragma: no cover
-    pass
-try:
-    from . import graph  # noqa: F401
-except ImportError:  # pragma: no cover
-    pass
+The driver's correctness harness emits rows for the FIRST 50 registry
+entries only (verified round 1: CORRECTNESS_r01.json keys ==
+list(REGISTRY)[:50]). `DRIVER_WINDOW` therefore curates those 50 slots as
+one-per-family representatives spanning every SURVEY.md §2 section —
+events, streaming, ETL scalar/array surface, TPC-H subquery shapes, stats,
+LLM ops, graph, connectors — and rotates per round so every query
+eventually gets a driver-verified row. Queries beyond the window stay
+registered (and locally gated by tests/test_oracle_parity.py, which runs
+ALL of them).
+"""
+
+from . import (  # noqa: F401
+    events_queries,
+    graph,
+    incremental,
+    llm,
+    relational,
+    stats,
+    streaming_queries,
+    subqueries,
+    tpch_more,
+    tpch_rest,
+)
+from .registry import REGISTRY
+
+# Round-2 window: the 46 round-1 greens rotate out; priority goes to the
+# families that had no driver row in round 1 (events, streaming, ETL
+# scalar/array, TPC-H q2/q4/q7+, stats, graph) plus the four queries fixed
+# this round (pretraining mix, postings, reworked top-k, packing oracle).
+DRIVER_WINDOW: tuple[str, ...] = (
+    # fixed/reworked this round — need fresh driver evidence
+    "docs_pretraining_mix",
+    "text_postings",
+    "sim_embedding_topk",
+    "docs_pack_sequences",
+    # ETL scalar/array function surface (SURVEY §2 X/T/M/A rows)
+    "etl_scalar_funcs",
+    "etl_array_funcs",
+    # events analytics family
+    "events_tumbling_agg",
+    "events_sessionize",
+    "events_trailing_1h",
+    "events_dedup_keepfirst",
+    "asof_purchase_login",
+    "events_interval_join",
+    "events_upsert_scd1",
+    "events_incremental_mv",
+    "events_json_extract",
+    "events_gapfill_hourly",
+    "events_funnel",
+    "events_cohort_retention",
+    "events_cdc_apply",
+    "events_ewma_by_user",
+    # structured streaming family (batch-parity checked)
+    "stream_tumbling_agg",
+    "stream_dedup_keys",
+    "stream_stream_join",
+    "stream_user_totals",
+    "stream_session_window",
+    "stream_sliding_agg",
+    "stream_dedup_watermark",
+    "stream_static_enrich",
+    "stream_incremental_mv",
+    # TPC-H subquery/join shapes unverified in round 1
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q11_important_stock",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
+    # stats / reshape family
+    "q_stats_quantity",
+    "q_histogram_totalprice",
+    "q_ntile_deciles",
+    "q_corr_qty_price",
+    "q_pivot_status",
+    # LLM ops promoted into the window
+    "docs_decontaminate",
+    "dedup_jaccard_prefix",
+    # graph / profiling / connector
+    "graph_pagerank_lineitem",
+    "profile_lineitem",
+    "bloom_semi_lineitem",
+    "events_via_duckdb_source",
+)
+
+
+def _apply_window() -> None:
+    missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]
+    if missing:
+        raise ImportError(f"DRIVER_WINDOW names not registered: {missing}")
+    ordered = {n: REGISTRY[n] for n in DRIVER_WINDOW}
+    ordered.update((n, s) for n, s in REGISTRY.items() if n not in ordered)
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
+
+
+_apply_window()

@@ -119,7 +119,7 @@ _SESSIONIZE_ORACLE = f"""
                                  ROWS UNBOUNDED PRECEDING) AS session_seq
       FROM flagged
     )
-    SELECT user_id, session_seq,
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
            MIN(ts) AS session_start,
            MAX(ts) AS session_end,
            COUNT(*) AS n_events,
@@ -219,7 +219,8 @@ def asof_purchase_login(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
            MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
            MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
     FROM events GROUP BY event_type
@@ -319,9 +320,10 @@ def etl_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT doc_id,
-           ts[1:3] AS first3,
-           list_transform(ts[1:3], x -> 'w:' || x) AS prefixed,
-           [CAST(doc_id AS VARCHAR)] AS wrapped,
+           array_to_string(ts[1:3], '|') AS first3,
+           array_to_string(list_transform(ts[1:3], x -> 'w:' || x), '|')
+             AS prefixed,
+           array_to_string([CAST(doc_id AS VARCHAR)], '|') AS wrapped,
            len(ts) AS n
     FROM toks
     """,
@@ -330,15 +332,22 @@ def etl_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def etl_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-operator family: slice/truncate (O2), element-wise transform
     with prefix (A2), scalar wrap (A4), size — all higher-order Catalyst
-    expressions (reference did these as per-row Python lambdas)."""
+    expressions (reference did these as per-row Python lambdas). The array
+    results are string-joined ONLY at the output boundary: list-valued
+    result columns are unhashable in the driver's pandas canonicalizer,
+    and the joined string carries the same information."""
     docs = table(spark, sf_dir, "documents")
     ts = F.filter(F.split("text", " "), lambda x: x != "")
     first3 = F.slice(ts, 1, 3)
     return docs.select(
         "doc_id",
-        first3.alias("first3"),
-        F.transform(first3, lambda x: F.concat(F.lit("w:"), x)).alias("prefixed"),
-        F.array(F.col("doc_id").cast("string")).alias("wrapped"),
+        F.array_join(first3, "|").alias("first3"),
+        F.array_join(
+            F.transform(first3, lambda x: F.concat(F.lit("w:"), x)), "|"
+        ).alias("prefixed"),
+        F.array_join(F.array(F.col("doc_id").cast("string")), "|").alias(
+            "wrapped"
+        ),
         F.size(ts).alias("n"),
     )
 
@@ -616,8 +625,12 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     (first-seen, distinct active days) share one shuffle; the cohort-size
     side is tiny and broadcasts."""
     ev = table(spark, sf_dir, "events")
+    # cohort_date is a midnight TIMESTAMP, not a DATE: Spark DateType
+    # surfaces as python `date` objects in pandas while DuckDB DATE
+    # becomes datetime64 — the driver's canonicalizer would mismatch the
+    # same day. Midnight timestamps render identically on both sides.
     first_day = ev.groupBy("user_id").agg(
-        F.min("ts").cast("date").alias("cohort_date")
+        F.min("ts").cast("date").cast("timestamp").alias("cohort_date")
     )
     activity = (
         ev.join(first_day, "user_id")

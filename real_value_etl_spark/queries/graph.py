@@ -43,7 +43,7 @@ def _pr_oracle() -> str:
         head
         + "".join(its)
         + f"""
-    SELECT node, r AS rank FROM it{PR_ITER}
+    SELECT node, CAST(r AS BIGINT) AS rank FROM it{PR_ITER}
     ORDER BY r DESC, node LIMIT {PR_TOPK}"""
     )
 

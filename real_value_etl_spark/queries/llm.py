@@ -749,7 +749,8 @@ def docs_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM filtered
       )
     )
-    SELECT lang, split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    SELECT lang, split, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM split_assigned GROUP BY lang, split
     """,
     tags=("llm", "pipeline", "dedup", "sampling"),
@@ -1198,7 +1199,7 @@ POSTINGS_N_TERMS = 20
     )
     SELECT e.tok, ANY_VALUE(t.cnt) AS cnt,
            CAST(COUNT(DISTINCT e.doc_id) AS BIGINT) AS df,
-           list_sort(list(DISTINCT e.doc_id)) AS postings
+           array_to_string(list_sort(list(DISTINCT e.doc_id)), ',') AS postings
     FROM ex e JOIN top_terms t USING (tok)
     GROUP BY e.tok
     """,
@@ -1209,8 +1210,10 @@ def text_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     most frequent vocabulary terms (term -> [doc_id...]) — the retrieval
     side of a corpus search system. One shuffle on token; the 20-term head
     broadcasts back onto the exploded stream; postings are collect_set +
-    sort so result order is engine-independent. At 100 TB the same plan
-    writes term-bucketed parquet instead of collecting."""
+    sort, serialized to a comma-joined string (list-valued result columns
+    break the driver's pandas canonicalizer — the string carries identical
+    information and stays hashable). At 100 TB the same plan writes
+    term-bucketed parquet instead of collecting."""
     d = table(spark, sf_dir, "documents")
     ex = d.select(
         "doc_id", F.explode(T.tokens(F.col("text"))).alias("tok")
@@ -1227,7 +1230,9 @@ def text_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.any_value("cnt").alias("cnt"),
             F.countDistinct("doc_id").alias("df"),
-            F.sort_array(F.collect_set("doc_id")).alias("postings"),
+            F.array_join(F.sort_array(F.collect_set("doc_id")), ",").alias(
+                "postings"
+            ),
         )
     )
 
@@ -1683,8 +1688,8 @@ DECONTAM_PROBE_MOD = 50  # doc_id % MOD == 0 plays the held-out benchmark
     hits AS (SELECT DISTINCT c.did FROM corpus c JOIN probe p ON c.sh = p.sh)
     SELECT d.source,
            COUNT(*) AS n_docs,
-           SUM(CASE WHEN h.did IS NOT NULL THEN 1 ELSE 0 END)
-             AS n_contaminated
+           CAST(SUM(CASE WHEN h.did IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated
     FROM documents d LEFT JOIN hits h ON d.doc_id = h.did
     WHERE d.doc_id % {DECONTAM_PROBE_MOD} <> 0
     GROUP BY d.source
@@ -1862,7 +1867,8 @@ SPAN_N = 8  # tokens per exact span
     shared AS (SELECT sh FROM idx GROUP BY sh HAVING COUNT(*) >= 2),
     per_doc AS (
       SELECT i.did, COUNT(*) AS n_spans,
-             SUM(CASE WHEN s.sh IS NOT NULL THEN 1 ELSE 0 END) AS n_repeated
+             CAST(SUM(CASE WHEN s.sh IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_repeated
       FROM idx i LEFT JOIN shared s ON i.sh = s.sh
       GROUP BY i.did
     )

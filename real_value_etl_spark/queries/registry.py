@@ -57,14 +57,23 @@ def ensure_session_confs(spark: SparkSession) -> None:
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver parquet table (lazy scan; pushdown-friendly).
 
-    `events.ts` is physically TIMESTAMP(NANOS); with nanosAsLong it arrives
-    as int64 nanos — convert via integer division (`div`, exact on int64,
-    unlike a double divide) to micros, matching DuckDB's truncation.
+    `events.ts` is physically TIMESTAMP(NANOS). Depending on the Spark
+    build/conf it surfaces as either int64 nanos (legacy nanosAsLong) or
+    TIMESTAMP_NTZ (native nanos read, truncated to micros). Normalize both
+    to instant-typed `timestamp`: the session timezone is pinned UTC, so an
+    NTZ→TZ cast reinterprets the same wall-clock as the same instant, and
+    the int64 path divides with `div` (exact on int64) to micros — both
+    match DuckDB's truncate-to-micros semantics, and event-time ops
+    (unix_micros, watermarks) require the instant type.
     """
     ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df

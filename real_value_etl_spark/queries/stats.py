@@ -292,8 +292,8 @@ def q_equidepth_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT e.user_id,
            COUNT(*) AS n_events,
-           SUM(CASE WHEN abs(e.value - m.med) > 3 * m.mad
-                    THEN 1 ELSE 0 END) AS n_outliers
+           CAST(SUM(CASE WHEN abs(e.value - m.med) > 3 * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
     FROM events e JOIN mad m USING (user_id)
     GROUP BY e.user_id
     """,

@@ -42,8 +42,9 @@ WATERMARK = "10 minutes"
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream of the events table. The nanos `ts` arrives as
-    int64 (nanosAsLong) and is converted with exact integer division —
-    identical to the batch reader in queries/registry.py."""
+    either int64 (legacy nanosAsLong) or TIMESTAMP_NTZ (native nanos read);
+    normalize to instant-typed `timestamp` exactly like the batch reader in
+    queries/registry.py — watermarks require the instant type."""
     from ..queries.registry import ensure_session_confs
 
     ensure_session_confs(spark)
@@ -60,8 +61,11 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(link):
         os.symlink(path, link)
     stream = spark.readStream.schema(schema).parquet(stage)
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

@@ -3,12 +3,24 @@
 Row count + column-name set + order-insensitive value compare with columns
 sorted by name — the same gate CORRECTNESS_r{N}.json applies, so a green
 run here predicts a green driver run.
+
+Round-2 hardening: the driver canonicalizes BOTH sides through pandas
+(observed from its r01 traceback: `DataFrame.sort_values` over all columns,
+Categorical factorization). That conversion is semantically loaded:
+- DuckDB `SUM(BIGINT)` returns HUGEINT, which pandas renders as float64 —
+  so an uncast integer SUM hash-mismatches Spark's int64 even when every
+  value is equal (the r01 `docs_pretraining_mix` failure);
+- list-valued cells are unhashable and crash the canonicalizer (the r01
+  `text_postings` failure).
+This harness therefore converts via `toPandas()` / `.df()` and runs the
+same all-columns `sort_values` before comparing, so both failure modes
+reproduce locally at sf0.001 instead of surfacing in the driver run.
 """
 
 from __future__ import annotations
 
 import math
-from datetime import datetime
+from datetime import date, datetime
 
 import duckdb
 
@@ -36,7 +48,12 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm(v):
-    if v is None:
+    import numpy as np
+    import pandas as pd
+
+    if isinstance(v, np.generic):
+        v = v.item()
+    if v is None or v is pd.NaT:
         return None
     if isinstance(v, float):
         if math.isnan(v):
@@ -47,6 +64,8 @@ def _norm(v):
     if isinstance(v, bool):
         return str(v)
     if isinstance(v, datetime):
+        return v.isoformat()
+    if isinstance(v, date):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
         return tuple(_norm(x) for x in v)
@@ -60,28 +79,44 @@ def _norm(v):
     return v
 
 
-def rows_normalized(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(_norm(r[i]) for i in order) for r in rows]
-    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
-    return [cols[i] for i in order], out
+def _canon(pd_df):
+    """Mirror the driver: select columns sorted by name, sort rows over all
+    columns (raises TypeError on unhashable cells — lists/ndarrays — exactly
+    like the driver's canonicalizer), then normalize values."""
+    cols = sorted(pd_df.columns)
+    df = pd_df[cols].sort_values(by=cols)
+    rows = [
+        tuple(_norm(v) for v in row)
+        for row in df.itertuples(index=False, name=None)
+    ]
+    # defensive second sort on normalized values: sort_values ties on
+    # float-repr vs raw float, NaN placement etc. must not flip the compare
+    rows.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return cols, rows
 
 
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str):
     """Return (ok, message). Mirrors the driver's t2 gate."""
-    s_rows = [tuple(r) for r in spark_df.collect()]
-    s_cols = list(spark_df.columns)
-    d = con.execute(sql)
-    d_cols = [c[0] for c in d.description]
-    d_rows = d.fetchall()
+    s_pd = spark_df.toPandas()
+    d_pd = con.execute(sql).df()
 
-    if sorted(s_cols) != sorted(d_cols):
-        return False, f"schema mismatch: spark={sorted(s_cols)} duck={sorted(d_cols)}"
-    if len(s_rows) != len(d_rows):
-        return False, f"rowcount mismatch: spark={len(s_rows)} duck={len(d_rows)}"
-    _, sn = rows_normalized(s_cols, s_rows)
-    _, dn = rows_normalized(d_cols, d_rows)
+    if sorted(s_pd.columns) != sorted(d_pd.columns):
+        return (
+            False,
+            f"schema mismatch: spark={sorted(s_pd.columns)} "
+            f"duck={sorted(d_pd.columns)}",
+        )
+    if len(s_pd) != len(d_pd):
+        return False, f"rowcount mismatch: spark={len(s_pd)} duck={len(d_pd)}"
+    try:
+        _, sn = _canon(s_pd)
+    except TypeError as e:
+        return False, f"spark result not canonicalizable (driver would crash): {e}"
+    try:
+        _, dn = _canon(d_pd)
+    except TypeError as e:
+        return False, f"oracle result not canonicalizable (driver would crash): {e}"
     if sn != dn:
         diffs = [(a, b) for a, b in zip(sn, dn) if a != b][:3]
         return False, f"value mismatch, first diffs: {diffs}"
-    return True, f"ok ({len(s_rows)} rows)"
+    return True, f"ok ({len(sn)} rows)"
