@@ -33,6 +33,10 @@ HEADLINE = [
     "dedup_exact_docs",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    # round-2 additions: the two queries reworked for scale this round —
+    # regressions in the similarity/jaccard family must show up in
+    # BENCH_r{N} deltas, not only in plan reviews
+    "dedup_jaccard_prefix",
     "sim_embedding_topk",
     "sim_ann_ivf",
     "text_quality_score",

@@ -442,9 +442,10 @@ def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 hour"))
         ).alias("h")
     )
+    # tiny-x-tiny grid: broadcast the distinct-types side explicitly so
+    # the cross join can never plan as a shuffled cartesian
     types = e.select("event_type").distinct()
-    # broadcast the counts side: a left join's build side is the right
-    grid = spine.crossJoin(types)
+    grid = spine.crossJoin(F.broadcast(types))
     return grid.join(F.broadcast(counts), ["h", "event_type"], "left").select(
         F.col("h").alias("window_start"),
         "event_type",

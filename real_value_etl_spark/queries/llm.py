@@ -1342,16 +1342,52 @@ PACK_BUDGET = 256
 
 @register(
     "docs_pack_sequences",
-    oracle=None,  # greedy packing is stateful-sequential per worker — not
-    # SQL-expressible; correctness is unit-proven (budget respected, every
-    # doc packed exactly once, deterministic) in tests/test_operators.py
+    # Greedy packing IS oracle-expressible: the per-worker fold is
+    # deterministic (doc-id order), so a recursive CTE replays it row by
+    # row — worker assignment and bin arithmetic mirror
+    # operators/packing.py (md5-hash worker, bin_id = worker * 2^32 + seq).
+    oracle=f"""
+    WITH RECURSIVE docs AS (
+      SELECT doc_id,
+             len({{tokens}}) AS n_tokens,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 64 AS worker
+      FROM documents
+    ),
+    seqd AS (
+      SELECT doc_id, n_tokens, worker,
+             row_number() OVER (PARTITION BY worker ORDER BY doc_id) AS rn
+      FROM docs
+    ),
+    packed AS (
+      SELECT doc_id, n_tokens, worker, rn,
+             CAST(0 AS BIGINT) AS bin_seq,
+             n_tokens AS used
+      FROM seqd WHERE rn = 1
+      UNION ALL
+      SELECT s.doc_id, s.n_tokens, s.worker, s.rn,
+             CASE WHEN p.used > 0 AND p.used + s.n_tokens > {{budget}}
+                  THEN p.bin_seq + 1 ELSE p.bin_seq END,
+             CASE WHEN p.used > 0 AND p.used + s.n_tokens > {{budget}}
+                  THEN s.n_tokens ELSE p.used + s.n_tokens END
+      FROM packed p JOIN seqd s ON s.worker = p.worker AND s.rn = p.rn + 1
+    )
+    SELECT worker * 4294967296 + bin_seq AS bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+           MIN(doc_id) AS first_doc
+    FROM packed GROUP BY 1
+    """.format(tokens=T.tokens_sql("text"), budget=PACK_BUDGET),
     tags=("llm", "packing", "pandas_udf"),
 )
 def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy sequence packing: documents bin-packed into 256-token budgets
     (partition-local greedy fill in doc-id order; bins never cross the 64
     hash-assigned workers). Emits per-bin (n_docs, tot_tokens, fill) —
-    the padding-waste accounting of a training-batch builder."""
+    the padding-waste accounting of a training-batch builder. The DuckDB
+    oracle replays the same deterministic fold with a recursive CTE, so
+    this stateful Arrow kernel gets a full hash-matched gate, not just a
+    rows-only check."""
     from ..operators.packing import pack_greedy
 
     d = table(spark, sf_dir, "documents").select(

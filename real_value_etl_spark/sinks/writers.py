@@ -69,6 +69,22 @@ def write_bucketed_table(
     w.format("parquet").saveAsTable(table)
 
 
+def staging_swap_statements(table: str) -> tuple[str, str]:
+    """Staging-table name + atomic swap DDL for a two-phase overwrite.
+
+    The load writes ONLY to `<table>__staging`; the target table keeps
+    serving the previous snapshot until the single EXCHANGE statement
+    commits — at no observable point is the target empty or partial. This
+    is the atomicity fix for the reference's TRUNCATE-then-chunked-insert
+    (reference src/etl/loading.py:36, SURVEY §1.4.9), where readers see
+    0..partial rows for the whole insert window. The same two-phase shape
+    is integration-tested against DuckDB (tests/test_operators.py::
+    test_staging_swap_has_no_empty_table_window) since no ClickHouse
+    server or JDBC jar ships in this container."""
+    staging = f"{table}__staging"
+    return staging, f"EXCHANGE TABLES {staging} AND {table}"
+
+
 def write_clickhouse_jdbc(
     df: DataFrame,
     url: str,
@@ -89,7 +105,8 @@ def write_clickhouse_jdbc(
     must be run by the caller's ClickHouse client; this function writes the
     staging table and returns the DDL to execute.
     """
-    target = f"{table}__staging" if staging_swap else table
+    staging, swap_ddl = staging_swap_statements(table)
+    target = staging if staging_swap else table
     try:
         (
             df.write.format("jdbc")
@@ -108,7 +125,7 @@ def write_clickhouse_jdbc(
             "spark.jars to enable this sink"
         ) from exc
     if staging_swap:  # pragma: no cover
-        return f"EXCHANGE TABLES {target} AND {table}"
+        return swap_ddl
 
 
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:

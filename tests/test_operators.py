@@ -794,3 +794,88 @@ def test_duckdb_writer_two_phase_commit(spark, tmp_path):
     back = (spark.read.format("duckdb").option("path", db)
             .option("table", "sink").load())
     assert sorted(r.id for r in back.collect()) == list(range(490, 500))
+
+
+def test_jaccard_prefix_filter_is_lossless(spark, sf_dir):
+    """The AllPairs prefix-filtered Jaccard (the primary path) must emit
+    exactly the pairs of the full inverted-index join — prefix filtering
+    is a candidate-pruning optimization, never a semantics change."""
+    from real_value_etl_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_full,
+    )
+    from real_value_etl_spark.queries.registry import table
+
+    d = table(spark, sf_dir, "documents")
+    primary = {
+        (r.doc_a, r.doc_b, round(r.jac, 12))
+        for r in ngram_jaccard_pairs(d, "doc_id", "text", 0.5).collect()
+    }
+    full = {
+        (r.doc_a, r.doc_b, round(r.jac, 12))
+        for r in ngram_jaccard_pairs_full(d, "doc_id", "text", 0.5).collect()
+    }
+    assert primary == full and len(primary) > 0
+
+
+def test_staging_swap_has_no_empty_table_window(spark, tmp_path):
+    """Two-phase overwrite semantics of the ClickHouse sink
+    (sinks/writers.py:write_clickhouse_jdbc), proven against DuckDB since
+    no JDBC jar ships here: a concurrent reader never observes an empty or
+    partial target table — unlike the reference's TRUNCATE-then-chunked-
+    insert (loading.py:36), which exposes 0..partial rows for the whole
+    load. The staging table is populated by the Spark DuckDB connector's
+    own two-phase-commit writer, then swapped in one transaction."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from real_value_etl_spark.sinks.writers import staging_swap_statements
+    from real_value_etl_spark.sources.duckdb_source import register_duckdb_source
+
+    db = str(tmp_path / "ch_sim.duckdb")
+    staging, swap_ddl = staging_swap_statements("unified")
+    assert swap_ddl == "EXCHANGE TABLES unified__staging AND unified"
+
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE unified(id BIGINT, name VARCHAR)")
+    con.execute(
+        "INSERT INTO unified SELECT range, 'old' || range FROM range(10)"
+    )
+    con.execute(f"CREATE TABLE {staging}(id BIGINT, name VARCHAR)")
+    con.close()
+
+    register_duckdb_source(spark)
+    new = spark.range(25).select(
+        "id", F.concat(F.lit("new"), F.col("id")).alias("name")
+    ).repartition(3)
+    (new.write.format("duckdb").option("path", db).option("table", staging)
+        .mode("append").save())
+
+    reader = duckdb.connect(db)
+    # phase 1 done: staging holds the new snapshot, target still serves
+    # the complete OLD snapshot — no empty/partial window
+    assert reader.execute("SELECT COUNT(*) FROM unified").fetchone()[0] == 10
+    assert (
+        reader.execute(f"SELECT COUNT(*) FROM {staging}").fetchone()[0] == 25
+    )
+
+    # phase 2: the swap is one transaction (DuckDB spells EXCHANGE TABLES
+    # as a rename pair; ClickHouse runs the EXCHANGE DDL verbatim). A
+    # reader snapshot opened before the commit still sees the old rows.
+    writer = duckdb.connect(db)
+    reader.execute("BEGIN")
+    pre_swap_count = reader.execute("SELECT COUNT(*) FROM unified")
+    writer.execute("BEGIN")
+    writer.execute("ALTER TABLE unified RENAME TO unified__retired")
+    writer.execute(f"ALTER TABLE {staging} RENAME TO unified")
+    writer.execute("COMMIT")
+    assert pre_swap_count.fetchone()[0] == 10
+    reader.execute("COMMIT")
+    # post-swap: the complete new snapshot, atomically
+    rows = reader.execute(
+        "SELECT COUNT(*), MIN(name), MAX(id) FROM unified"
+    ).fetchone()
+    assert rows == (25, "new0", 24)
+    reader.close()
+    writer.close()
