@@ -343,13 +343,20 @@ def prefix_filtered_candidates(idx: DataFrame, threshold: float) -> DataFrame:
             F.col("rn")
             <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
         )
-        .select("did", "sh")
+        .select("did", "sh", "n")
     )
+    # AllPairs length filter: jac >= t forces |inter| >= t*max(n_a, n_b)
+    # and |inter| <= min(n_a, n_b), so t*n_a <= n_b and t*n_b <= n_a —
+    # docs whose sizes differ more than 1/t can never qualify and are
+    # pruned inside the join, before the candidate ever materializes
     a, b = prefix.alias("a"), prefix.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.did") < F.col("b.did")),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.did") < F.col("b.did"))
+            & (F.col("b.n") >= F.lit(threshold) * F.col("a.n"))
+            & (F.col("a.n") >= F.lit(threshold) * F.col("b.n")),
         )
         .select(F.col("a.did").alias("doc_a"), F.col("b.did").alias("doc_b"))
         .distinct()

@@ -89,7 +89,16 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Assign every vector to its nearest centroid by cosine (deterministic
-    tiebreak on centroid id). Output: (vec_id, v, nv, cluster_id)."""
+    tiebreak on centroid id). Output: (vec_id, v, nv, cluster_id).
+
+    The argmax is a `max_by` AGGREGATION, not a per-vector window: the
+    hash aggregate folds the |centroids| scored rows per vector map-side
+    (partial aggregation), so the exchange carries ONE row per corpus
+    vector instead of |centroids| rows — at 100 TB that is the difference
+    between shuffling the corpus once and shuffling it k times. The
+    struct comparator (csim, -cid) makes ties deterministic: highest
+    similarity, then lowest centroid id — the same total order the DuckDB
+    oracle replays."""
     corpus = _with_norm(emb, id_col, vec_col, "v", "nv")
     cents = _with_norm(centroids, id_col, vec_col, "cv", "nc").select(
         F.col(id_col).alias("cid"), "cv", "nc"
@@ -101,11 +110,16 @@ def ivf_assign(
         "cid",
         (dot(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("nc"))).alias("csim"),
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("cid"))
     return (
-        scored.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") == 1)
-        .select(id_col, "v", "nv", F.col("cid").alias("cluster_id"))
+        scored.groupBy(id_col)
+        .agg(
+            F.any_value("v").alias("v"),
+            F.any_value("nv").alias("nv"),
+            F.max_by(
+                F.col("cid"), F.struct(F.col("csim"), (-F.col("cid")).alias("t"))
+            ).alias("cluster_id"),
+        )
+        .select(id_col, "v", "nv", "cluster_id")
     )
 
 

@@ -20,6 +20,7 @@ from . import (  # noqa: F401
     graph,
     incremental,
     llm,
+    llm_mix,
     relational,
     stats,
     streaming_queries,

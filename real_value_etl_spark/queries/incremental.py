@@ -293,3 +293,67 @@ def events_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("ts_in_2024", F.col("ts") >= F.lit("2024-01-01").cast("timestamp")),
     ]
     return audit(ev, rules)
+
+
+@register(
+    "events_via_jsonl_source",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(MIN(event_id) AS BIGINT) AS min_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("source", "connector", "json"),
+)
+def events_via_jsonl_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source path: the events table is staged once as
+    spark-written JSONL (the log/firehose drop format), then read back
+    with an EXPLICIT schema — schema-on-read without inference (an
+    inference pass would re-scan the whole input at 100 TB) — and
+    aggregated. The oracle computes the same aggregate from the parquet
+    directly, so the JSON writer/reader pair must round-trip values,
+    types, and row counts exactly. ts is carried as epoch micros in the
+    JSON (timestamp JSON round-trips are timezone-format-fragile; integer
+    micros are not), value as string to dodge double-format drift —
+    exactly how a production event log encodes."""
+    import os
+    import re as _re
+
+    from pyspark.sql import types as PT
+
+    from .registry import ensure_session_confs, table
+
+    ensure_session_confs(spark)
+    tag = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir)
+    stage = f"/tmp/rve_jsonl_src_{tag}"
+    marker = os.path.join(stage, "_SUCCESS")
+    if not os.path.exists(marker):
+        ev = table(spark, sf_dir, "events").select(
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "user_id",
+            "event_type",
+            F.col("value").cast("string").alias("value"),
+        )
+        ev.write.mode("overwrite").json(stage)
+    schema = PT.StructType(
+        [
+            PT.StructField("event_id", PT.LongType()),
+            PT.StructField("ts_us", PT.LongType()),
+            PT.StructField("user_id", PT.LongType()),
+            PT.StructField("event_type", PT.StringType()),
+            PT.StructField("value", PT.StringType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(stage)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+            "sum_value"
+        ),
+    )

@@ -1,0 +1,348 @@
+"""Corpus-mix engineering operators: sub-word tokenization accounting,
+deterministic source resampling, boilerplate stripping, cross-lingual
+vocabulary overlap, and per-source distribution drift.
+
+These extend the LLM-pipeline surface (SURVEY.md §2.12) with the steps a
+pretraining-mix owner runs between "raw filtered corpus" and "final token
+budget": how many sub-word tokens a tokenizer would really produce (BPE-ish
+regex, not whitespace), which sources get up/down-sampled and by how much,
+what boilerplate repeats verbatim across documents, and how far each
+source's unigram distribution drifts from the corpus.
+
+Oracle conventions (same as queries/llm.py): every computed double is a
+single pinned expression (divisions, one ordered left-fold for sums — no
+engine-ordered SUM over doubles, no transcendental functions), integer
+aggregates cast to BIGINT (DuckDB HUGEINT renders as float in pandas), and
+array-valued results serialized before output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from .registry import register, table
+
+# GPT-2-style coarse pre-tokenizer: a leading-space word, number, or
+# punctuation run per token. The subset used is identical in Java regex
+# (Spark) and RE2 (DuckDB).
+BPE_PAT = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+RESAMPLE_BASE_MILLIS = 200
+RESAMPLE_SPAN_MILLIS = 800
+
+BOILER_CHUNK = 5
+BOILER_MIN_COUNT = 2
+
+_HEX8_SQL = "CAST(('0x' || substring(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+def _hex8(col):
+    """First 8 md5 hex chars as a non-negative int64 — the portable hash
+    shared with every DuckDB oracle (conv returns a decimal string)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Sub-word (BPE-ish) token accounting
+# ---------------------------------------------------------------------------
+@register(
+    "text_bpe_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({T.tokens_sql("text")}) AS BIGINT) AS n_ws,
+           CAST(len(regexp_extract_all(text, '{BPE_PAT}')) AS BIGINT)
+             AS n_bpe,
+           CAST(n_chars AS DOUBLE)
+             / len(regexp_extract_all(text, '{BPE_PAT}')) AS chars_per_bpe
+    FROM documents
+    """,
+    tags=("llm", "text", "tokenizer"),
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget accounting with a BPE-ish regex pre-tokenizer (the
+    GPT-2 pattern family) next to the whitespace count: the ratio
+    chars-per-subword is the number a token-budget planner actually needs
+    (whitespace counts under-estimate BPE output 1.3-1.5x on English).
+    Pure codegen: regexp_extract_all + size, no UDF."""
+    d = table(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all(F.col("text"), F.lit(BPE_PAT), 0)
+    return d.select(
+        "doc_id",
+        F.size(T.tokens(F.col("text"))).cast("long").alias("n_ws"),
+        F.size(bpe).cast("long").alias("n_bpe"),
+        (F.col("n_chars").cast("double") / F.size(bpe)).alias("chars_per_bpe"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-source resampling (mix re-weighting)
+# ---------------------------------------------------------------------------
+@register(
+    "docs_source_resample",
+    oracle=f"""
+    WITH weighted AS (
+      SELECT source,
+             {T.tokens_sql("text")} AS ts,
+             {RESAMPLE_BASE_MILLIS}
+               + {_HEX8_SQL.format(expr="source")} % {RESAMPLE_SPAN_MILLIS}
+               AS weight_millis,
+             {_HEX8_SQL.format(expr="CAST(doc_id AS VARCHAR)")} % 1000
+               AS bucket
+      FROM documents
+    )
+    SELECT source,
+           ANY_VALUE(weight_millis) AS weight_millis,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN bucket < weight_millis THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN bucket < weight_millis THEN len(ts) ELSE 0 END)
+                AS BIGINT) AS kept_tokens
+    FROM weighted GROUP BY source
+    """,
+    tags=("llm", "sampling", "mix"),
+)
+def docs_source_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mix re-weighting: each source gets a sampling rate (here derived
+    from a hash so the demo is self-contained; in production the rates
+    come from the mix spec) and documents are kept by a deterministic
+    hash-mod acceptance test — the same doc survives on every engine, any
+    cluster size, any partitioning, which is what makes a token budget
+    reproducible. One narrow pass + one aggregation; no shuffle of the
+    text itself."""
+    d = table(spark, sf_dir, "documents")
+    ts = T.tokens(F.col("text"))
+    w = (
+        F.lit(RESAMPLE_BASE_MILLIS)
+        + _hex8(F.col("source")) % RESAMPLE_SPAN_MILLIS
+    )
+    bucket = _hex8(F.col("doc_id").cast("string")) % 1000
+    kept = bucket < w
+    return (
+        d.select(
+            "source",
+            w.alias("weight_millis"),
+            F.size(ts).alias("n_tok"),
+            kept.alias("kept"),
+        )
+        .groupBy("source")
+        .agg(
+            F.any_value("weight_millis").alias("weight_millis"),
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("kept"), F.col("n_tok")).otherwise(0))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate stripping (corpus-wide repeated fixed chunks)
+# ---------------------------------------------------------------------------
+@register(
+    "docs_boilerplate_strip",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {T.tokens_sql("text")} AS ts FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             array_to_string(ts[(i * {BOILER_CHUNK} + 1):
+                                ((i + 1) * {BOILER_CHUNK})], ' ') AS chunk
+      FROM (
+        SELECT doc_id, ts,
+               unnest(range(0, len(ts) // {BOILER_CHUNK})) AS i
+        FROM toks
+      )
+    ),
+    freq AS (
+      SELECT chunk, COUNT(*) AS cnt FROM chunks GROUP BY chunk
+    )
+    SELECT c.doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN f.cnt >= {BOILER_MIN_COUNT} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_boiler,
+           CAST(SUM(CASE WHEN f.cnt >= {BOILER_MIN_COUNT} THEN 0
+                         ELSE {BOILER_CHUNK} END) AS BIGINT) AS tokens_kept
+    FROM chunks c JOIN freq f USING (chunk)
+    GROUP BY c.doc_id
+    """,
+    tags=("llm", "dedup", "boilerplate"),
+)
+def docs_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/CCNet-style boilerplate removal at chunk granularity: documents
+    are cut into fixed 5-token chunks (stride = chunk, no overlap — unlike
+    the stride-1 spans of docs_repeated_spans), chunks repeated anywhere
+    in the corpus are dropped, and each doc reports how many tokens
+    survive. The repeated-chunk table is the ONLY shuffled relation, and
+    it aggregates to (#distinct chunks) rows map-side first — the 100 TB
+    shape of every dedup in this repo."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", T.tokens(F.col("text")).alias("ts"))
+    chunk_of = F.explode(
+        F.transform(
+            F.sequence(
+                F.lit(0), F.floor(F.size("ts") / BOILER_CHUNK).cast("int") - 1
+            ),
+            lambda i: F.array_join(
+                F.slice(F.col("ts"), (i * BOILER_CHUNK + 1).cast("int"),
+                        BOILER_CHUNK),
+                " ",
+            ),
+        )
+    )
+    chunks = toks.filter(F.size("ts") >= BOILER_CHUNK).select(
+        "doc_id", chunk_of.alias("chunk")
+    )
+    freq = chunks.groupBy("chunk").agg(F.count("*").alias("cnt"))
+    boiler = F.col("cnt") >= BOILER_MIN_COUNT
+    return (
+        chunks.join(freq, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(boiler, 1).otherwise(0)).cast("long").alias(
+                "n_boiler"
+            ),
+            F.sum(F.when(boiler, 0).otherwise(BOILER_CHUNK))
+            .cast("long")
+            .alias("tokens_kept"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-lingual vocabulary overlap
+# ---------------------------------------------------------------------------
+@register(
+    "lang_vocab_overlap",
+    oracle=f"""
+    WITH vocab AS (
+      SELECT DISTINCT lang, unnest({T.tokens_sql("text")}) AS tok
+      FROM documents
+    ),
+    sizes AS (SELECT lang, COUNT(*) AS n FROM vocab GROUP BY lang),
+    inter AS (
+      SELECT a.lang AS lang_a, b.lang AS lang_b, COUNT(*) AS n_common
+      FROM vocab a JOIN vocab b ON a.tok = b.tok AND a.lang < b.lang
+      GROUP BY a.lang, b.lang
+    )
+    SELECT i.lang_a, i.lang_b, sa.n AS n_a, sb.n AS n_b, i.n_common,
+           CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) AS jac
+    FROM inter i
+    JOIN sizes sa ON sa.lang = i.lang_a
+    JOIN sizes sb ON sb.lang = i.lang_b
+    """,
+    tags=("llm", "text", "langid"),
+)
+def lang_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary Jaccard between every language pair — the sanity check
+    behind language-ID quality (a mislabeled corpus shows up as an
+    anomalously high overlap between two 'different' languages). The
+    distinct (lang, token) vocabulary is tiny relative to the corpus; the
+    pair join runs on it, never on the token stream."""
+    d = table(spark, sf_dir, "documents")
+    vocab = (
+        d.select("lang", F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .distinct()
+    )
+    sizes = vocab.groupBy("lang").agg(F.count("*").alias("n"))
+    a = vocab.select(F.col("lang").alias("lang_a"), "tok")
+    b = vocab.select(F.col("lang").alias("lang_b"), "tok")
+    inter = (
+        a.join(b, ["tok"])
+        .filter(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("lang").alias("lang_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("lang").alias("lang_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "lang_a")
+        .join(F.broadcast(sb), "lang_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source unigram drift from the corpus distribution (chi-square)
+# ---------------------------------------------------------------------------
+@register(
+    "docs_source_divergence",
+    oracle=f"""
+    WITH ex AS (
+      SELECT source, unnest({T.tokens_sql("text")}) AS tok FROM documents
+    ),
+    st AS (SELECT source, tok, COUNT(*) AS c_st FROM ex GROUP BY source, tok),
+    s_tot AS (SELECT source, COUNT(*) AS n_s FROM ex GROUP BY source),
+    t_tot AS (SELECT tok, COUNT(*) AS c_t FROM ex GROUP BY tok),
+    corpus AS (SELECT COUNT(*) AS n_c FROM ex),
+    terms AS (
+      SELECT st.source, st.tok,
+             (CAST(st.c_st AS DOUBLE) / s_tot.n_s
+                - CAST(t_tot.c_t AS DOUBLE) / corpus.n_c)
+             * (CAST(st.c_st AS DOUBLE) / s_tot.n_s
+                - CAST(t_tot.c_t AS DOUBLE) / corpus.n_c)
+             / (CAST(t_tot.c_t AS DOUBLE) / corpus.n_c) AS term
+      FROM st
+      JOIN s_tot USING (source) JOIN t_tot USING (tok) CROSS JOIN corpus
+    )
+    SELECT source,
+           COUNT(*) AS n_distinct_tokens,
+           list_reduce(
+             list_prepend(CAST(0 AS DOUBLE), list(term ORDER BY tok)),
+             (acc, x) -> acc + x) AS chi2
+    FROM terms GROUP BY source
+    """,
+    tags=("llm", "stats", "mix"),
+)
+def docs_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How far each source's unigram distribution drifts from the corpus,
+    as a chi-square statistic over the source's observed vocabulary —
+    the signal mix owners watch when one source starts dominating or
+    degenerating. Chi-square instead of KL keeps every double operation
+    rational (divisions and one multiply — no log, whose last-ulp
+    behavior differs across libm builds), and the per-source sum is a
+    token-ordered left fold, so the result is bit-identical on any engine
+    and any partitioning. Model tables are token-keyed aggregates that
+    broadcast back onto the stream at scale."""
+    d = table(spark, sf_dir, "documents")
+    ex = d.select("source", F.explode(T.tokens(F.col("text"))).alias("tok"))
+    st = ex.groupBy("source", "tok").agg(F.count("*").alias("c_st"))
+    s_tot = ex.groupBy("source").agg(F.count("*").alias("n_s"))
+    t_tot = ex.groupBy("tok").agg(F.count("*").alias("c_t"))
+    corpus = ex.agg(F.count("*").alias("n_c"))
+    p_s = F.col("c_st").cast("double") / F.col("n_s")
+    p_c = F.col("c_t").cast("double") / F.col("n_c")
+    terms = (
+        st.join(F.broadcast(s_tot), "source")
+        .join(t_tot, "tok")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "source",
+            "tok",
+            ((p_s - p_c) * (p_s - p_c) / p_c).alias("term"),
+        )
+    )
+    return terms.groupBy("source").agg(
+        F.count("*").alias("n_distinct_tokens"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("tok", "term"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["term"],
+        ).alias("chi2"),
+    )

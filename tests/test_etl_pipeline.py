@@ -3,6 +3,7 @@
 
 from __future__ import annotations
 
+import os
 import uuid
 
 import pytest
@@ -188,3 +189,39 @@ def test_schema_is_unified(unified):
     assert unified.columns == TARGET_COLUMNS
     assert unified.schema["subway_distances"].dataType.simpleString() == "array<double>"
     assert unified.schema["uid"].dataType.simpleString() == "string"
+
+
+def test_file_deleted_between_listing_and_read_skips_platform(
+    spark, tmp_path, monkeypatch
+):
+    """Reference parity for extraction.py:44-50 (NoSuchKey -> None) under
+    the listing/read race: the catalog lists a snapshot, the file vanishes
+    before the read — the platform must be SKIPPED ('missing file'), not
+    crash the cycle, and the remaining platforms still load."""
+    import real_value_etl_spark.plans.pipeline as pipeline_mod
+    from .fixtures_etl import make_platform_dir
+
+    data_dir = make_platform_dir(str(tmp_path / "platforms"))
+    # simulate the race: the catalog still advertises the avito snapshot,
+    # but the object is gone by read time
+    real_listing = pipeline_mod.list_local_catalog(
+        data_dir, ("domclick", "yandex", "cian", "avito")
+    )
+    os.remove(os.path.join(data_dir, "avito_20250319.csv"))
+    monkeypatch.setattr(
+        pipeline_mod, "list_local_catalog", lambda *a, **k: real_listing
+    )
+
+    out = str(tmp_path / "out")
+    result = run_pipeline(
+        spark,
+        PipelineConfig(data_dir=data_dir, output_path=out),
+        request={"domclick": "latest", "yandex": "latest", "cian": "skip",
+                 "avito": "latest"},
+    )
+    assert result["status"] == "success", result
+    assert result["platforms"]["avito"] == {
+        "status": "skipped", "reason": "missing file",
+    }
+    assert result["platforms"]["domclick"]["status"] == "ok"
+    assert spark.read.parquet(out).count() > 0

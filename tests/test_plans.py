@@ -272,3 +272,36 @@ def test_aqe_splits_skewed_join_partition(spark, tmp_path):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_brute_force_topk_two_stage_no_per_query_hotspot(spark, sf_dir):
+    """sim_embedding_topk's ranking must be TWO stages: a local rank keyed
+    by (qid, spark_partition_id) — with a WindowGroupLimit pruning to k
+    rows per group BEFORE its exchange — then the global rank over the
+    bounded survivors. A single hashpartitioning(qid) exchange fed by the
+    full scored stream would put one query's whole corpus in one reducer
+    at 100 TB."""
+    plan = plan_of(REGISTRY["sim_embedding_topk"].fn(spark, sf_dir))
+    # the local stage's shuffle key includes the partition id column
+    assert "SPARK_PARTITION_ID" in plan or "__pid" in plan
+    # both stages get the rank-limit pushdown (4 nodes: partial+final x2)
+    assert plan.count("WindowGroupLimit") >= 4
+
+
+def test_jaccard_prefix_verify_has_no_candidate_reexpansion(spark, sf_dir):
+    """The prefix-filtered Jaccard's verify stage joins candidates to the
+    per-doc shingle ARRAYS (array_intersect) — the plan must contain the
+    narrow set-intersection, not a third/fourth re-join of candidates
+    against the exploded inverted index followed by a recount."""
+    plan = plan_of(REGISTRY["dedup_jaccard_prefix"].fn(spark, sf_dir))
+    assert "array_intersect" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gapfill_grid_cross_join_is_broadcast(spark, sf_dir):
+    """The hour-spine x event-types grid is tiny-x-tiny: its cross join
+    must build from a BroadcastExchange, never a shuffled cartesian over
+    fact-sized inputs."""
+    plan = plan_of(REGISTRY["events_gapfill_hourly"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
