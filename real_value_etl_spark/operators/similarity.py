@@ -131,12 +131,18 @@ def ivf_topk(
     nprobe: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    skip_nearest: int = 0,
 ) -> DataFrame:
     """IVF approximate top-k: probe the nprobe nearest centroid lists only.
 
     Output: (qid, vec_id, sim, rnk) — rank over candidates from probed
     clusters. Deterministic: every argmax/top-k tiebreaks on ids, so the
     DuckDB oracle reproduces it exactly.
+
+    `skip_nearest=s` probes centroid ranks s+1..s+nprobe instead of
+    1..nprobe — skipping a query's own (nearest) cluster turns the same
+    machinery into a HARD-NEGATIVE miner: high-similarity items from
+    adjacent buckets, never the query's own neighborhood.
     """
     assigned = ivf_assign(emb, centroids, id_col, vec_col)
     cents = _with_norm(centroids, id_col, vec_col, "cv", "nc").select(
@@ -155,7 +161,10 @@ def ivf_topk(
     wq = Window.partitionBy("qid").orderBy(F.desc("csim"), F.asc("cid"))
     probes = (
         qprobe_scored.withColumn("__r", F.row_number().over(wq))
-        .filter(F.col("__r") <= nprobe)
+        .filter(
+            (F.col("__r") > skip_nearest)
+            & (F.col("__r") <= skip_nearest + nprobe)
+        )
         .select("qid", "qv", "nq", F.col("cid").alias("cluster_id"))
     )
     cands = assigned.join(F.broadcast(probes), on="cluster_id").filter(

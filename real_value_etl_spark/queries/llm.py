@@ -1952,3 +1952,172 @@ def docs_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_repeated",
         (F.col("n_repeated").cast("double") / F.col("n_spans")).alias("dup_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining: nearest items OUTSIDE the query's own IVF cluster
+# ---------------------------------------------------------------------------
+def _hard_negatives_oracle() -> str:
+    cos_vc = V.cosine_sql("e.v", "c.cv")
+    cos_qc = V.cosine_sql("q.qv", "c.cv")
+    cos_qv = V.cosine_sql("a.v", "p.qv")
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {IVF_CENTROID_MOD} = 0),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % {ANN_QUERY_MOD} = 0),
+    assigned AS (
+      SELECT vec_id, v, cid AS cluster_id FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos_vc} DESC, c.cid) AS r
+        FROM e, cents c
+      ) WHERE r = 1
+    ),
+    probes AS (
+      SELECT qid, qv, cid AS cluster_id FROM (
+        SELECT q.qid, q.qv, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                                  ORDER BY {cos_qc} DESC, c.cid) AS r
+        FROM q, cents c
+      ) WHERE r > 1 AND r <= 1 + {IVF_NPROBE}
+    ),
+    scored AS (
+      SELECT DISTINCT p.qid, a.vec_id, {cos_qv} AS sim
+      FROM assigned a JOIN probes p USING (cluster_id)
+      WHERE a.vec_id <> p.qid
+    ),
+    ranked AS (
+      SELECT qid, vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
+      FROM scored
+    )
+    SELECT qid, vec_id, sim, rnk FROM ranked WHERE rnk <= {ANN_K}
+    """
+
+
+@register(
+    "sim_hard_negatives",
+    oracle=_hard_negatives_oracle(),
+    tags=("similarity", "llm", "ann", "training"),
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-5 most similar items drawn ONLY from its adjacent IVF
+    clusters (centroid ranks 2-4) — near the query but provably outside
+    its own bucket, which is exactly the negative a contrastive loss
+    learns most from (random negatives are too easy, same-bucket items
+    risk being unlabeled positives). Identical machinery and cost profile
+    to sim_ann_ivf: broadcast centroids, candidates only from probed
+    clusters."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % ANN_QUERY_MOD == 0)
+    cents = emb.filter(F.col("vec_id") % IVF_CENTROID_MOD == 0)
+    return S.ivf_topk(
+        emb, queries, cents, ANN_K, IVF_NPROBE, skip_nearest=1
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantized-shortlist + exact re-rank (the production two-tier ANN pattern)
+# ---------------------------------------------------------------------------
+RERANK_SHORTLIST = 20
+
+
+@register(
+    "sim_rerank_quantized",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) AS m FROM e),
+    qz AS (SELECT vec_id,
+                  list_transform(v, x -> floor(127.0 * x / m)) AS qv
+           FROM s WHERE m > 0),
+    q AS (SELECT vec_id AS qid, qv AS qq FROM qz
+          WHERE vec_id % {ANN_QUERY_MOD} = 0),
+    shortlist AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, z.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                                  ORDER BY list_dot_product(z.qv, q.qq) DESC,
+                                           z.vec_id) AS r
+        FROM qz z, q WHERE z.vec_id <> q.qid
+      ) WHERE r <= {RERANK_SHORTLIST}
+    ),
+    ex AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv FROM e),
+    eq AS (SELECT vec_id AS qid, v AS qv, nv AS nq FROM ex
+           WHERE vec_id % {ANN_QUERY_MOD} = 0),
+    rescored AS (
+      SELECT sl.qid, sl.vec_id,
+             (list_dot_product(ex.v, eq.qv) / (ex.nv * eq.nq)) AS sim
+      FROM shortlist sl
+      JOIN ex ON ex.vec_id = sl.vec_id
+      JOIN eq ON eq.qid = sl.qid
+    )
+    SELECT qid, vec_id, sim, rnk FROM (
+      SELECT qid, vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY sim DESC, vec_id) AS rnk
+      FROM rescored
+    ) WHERE rnk <= {ANN_K}
+    """,
+    tags=("similarity", "llm", "quantization", "ann"),
+)
+def sim_rerank_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production two-tier ANN pattern: a CHEAP int8 integer-dot scan
+    builds a 20-item shortlist per query (4x smaller vectors, SIMD-friendly
+    integer math — the tier that scans billions), then the exact float
+    cosine re-ranks only the shortlist to the final top-5. Quantized
+    values are integer-valued doubles so tier 1 is bit-exact across
+    engines; tier 2 touches 20 rows per query. Complements
+    sim_quantization_recall (which MEASURES tier-1 loss; this query is
+    the operator that exploits it)."""
+    emb = table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    s = emb.select("vec_id", v.alias("v")).select(
+        "vec_id", "v", F.array_max(F.transform("v", F.abs)).alias("m")
+    )
+    qz = s.filter(F.col("m") > 0).select(
+        "vec_id",
+        "v",
+        F.transform(
+            "v", lambda x: F.floor(F.lit(127.0) * x / F.col("m")).cast("double")
+        ).alias("qv"),
+    )
+    q = qz.filter(F.col("vec_id") % ANN_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("qv").alias("qq")
+    )
+    qscored = (
+        qz.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", V.dot(F.col("qv"), F.col("qq")).alias("qdot"))
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("qdot"), F.asc("vec_id"))
+    shortlist = (
+        qscored.withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= RERANK_SHORTLIST)
+        .select("qid", "vec_id")
+    )
+    ex = s.select("vec_id", "v", V.norm(F.col("v")).alias("nv"))
+    eq = ex.filter(F.col("vec_id") % ANN_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv_exact"),
+        F.col("nv").alias("nq"),
+    )
+    rescored = (
+        shortlist.join(ex, "vec_id")
+        .join(F.broadcast(eq), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            (
+                V.dot(F.col("v"), F.col("qv_exact"))
+                / (F.col("nv") * F.col("nq"))
+            ).alias("sim"),
+        )
+    )
+    wr = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        rescored.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= ANN_K)
+        .select("qid", "vec_id", "sim", "rnk")
+    )
