@@ -52,6 +52,18 @@ def ensure_session_confs(spark: SparkSession) -> None:
     runtime-settable)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Disable per-Column-op call-site capture (2-3 Py4J round trips per
+    # expression — ~half of plan-construction time; see session.py). The
+    # conf itself is STATIC (settable only at session build, which our
+    # factory does); for harness-owned sessions flip pyspark's process
+    # cache directly — it is read on every wrapped op, so this takes
+    # effect for all Column expressions built after table().
+    try:  # private knob; tolerate its absence in other pyspark builds
+        from pyspark.errors import utils as _pyspark_errors_utils
+
+        _pyspark_errors_utils._enable_debugging_cache = False
+    except (ImportError, AttributeError):  # pragma: no cover
+        pass
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

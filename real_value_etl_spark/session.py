@@ -41,6 +41,12 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Per-Column-op call-site capture costs 2-3 extra Py4J round trips
+        # per expression — ~half of all plan-CONSTRUCTION time for the
+        # 50-column ETL plans (profiled: 14.7k round trips, 2.5s, to build
+        # one pipeline plan). An engine favors build throughput over
+        # call-site-enriched error messages; stack traces still work.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # events.parquet stores TIMESTAMP(NANOS) which Spark refuses by
         # default; read as int64 nanos and convert (registry.table) with
         # exact integer division — matches DuckDB's truncate-to-micros.
