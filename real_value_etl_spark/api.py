@@ -17,6 +17,25 @@ from __future__ import annotations
 from typing import Optional
 
 
+def handle_etl_start(spark, config, platforms: dict) -> dict:
+    """Transport-free core of `POST /etl/start`: request body in, the
+    reference-shaped status dict out (success/error + per-platform
+    statuses). The fastapi layer below is a thin wrapper over this, so
+    the endpoint's behavior is unit-testable in this container even
+    though the HTTP transport itself is import-gated (no fastapi here).
+    Date semantics (`latest` / `skip` / explicit `YYYYMMDD` / null) and
+    every failure mode (unresolvable date, missing file, transform error)
+    are run_pipeline's — the endpoint adds nothing but transport."""
+    from .plans.pipeline import run_pipeline
+
+    return run_pipeline(spark, config, platforms)
+
+
+def root_message() -> dict:
+    """GET / payload (reference main.py:27-31)."""
+    return {"message": "real-value-etl-spark control plane"}
+
+
 def create_app(data_dir: str, output_path: str, output_format: str = "parquet"):
     try:
         from fastapi import FastAPI
@@ -27,7 +46,7 @@ def create_app(data_dir: str, output_path: str, output_format: str = "parquet"):
             "pip install fastapi uvicorn"
         ) from exc
 
-    from .plans.pipeline import PipelineConfig, run_pipeline
+    from .plans.pipeline import PipelineConfig
     from .session import get_spark
 
     class PlatformRequest(BaseModel):  # reference main.py:10-21
@@ -41,10 +60,10 @@ def create_app(data_dir: str, output_path: str, output_format: str = "parquet"):
 
     @app.get("/")  # reference main.py:27-31
     def root():
-        return {"message": "real-value-etl-spark control plane"}
+        return root_message()
 
     @app.post("/etl/start")  # reference main.py:34-65
     def etl_start(req: PlatformRequest):
-        return run_pipeline(spark, config, req.platforms)
+        return handle_etl_start(spark, config, req.platforms)
 
     return app

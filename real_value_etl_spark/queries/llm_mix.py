@@ -346,3 +346,54 @@ def docs_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, s: acc + s["term"],
         ).alias("chi2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-label embedding centroids (element-wise mean, drift monitoring)
+# ---------------------------------------------------------------------------
+@register(
+    "emb_label_centroids",
+    oracle="""
+    WITH ex AS (
+      SELECT label, vec_id, i, v[i] AS val FROM (
+        SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings
+      )
+    )
+    SELECT label, i AS pos,
+           COUNT(*) AS n_vecs,
+           list_reduce(
+             list_prepend(CAST(0 AS DOUBLE), list(val ORDER BY vec_id)),
+             (acc, x) -> acc + x) / COUNT(*) AS centroid_val
+    FROM ex GROUP BY label, i
+    """,
+    tags=("llm", "similarity", "vector", "agg"),
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids, element-wise: the drift monitor a
+    retrieval/training pipeline runs per ingest batch (a moving centroid
+    means the upstream encoder or corpus changed). Long-format output
+    (label, dim, mean) — one narrow posexplode then ONE hash aggregation
+    on (label, dim); the mean is a vec_id-ordered fold over each group so
+    the double sum is order-pinned and bit-identical on any engine or
+    partitioning (built-in AVG would be partition-order-dependent)."""
+    emb = table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "p", "val"
+        ),
+    ).select("label", "vec_id", (F.col("p") + 1).alias("pos"), "val")
+    return ex.groupBy("label", "pos").agg(
+        F.count("*").alias("n_vecs"),
+        (
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("vec_id", "val"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["val"],
+            )
+            / F.count("*")
+        ).alias("centroid_val"),
+    )

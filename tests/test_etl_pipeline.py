@@ -225,3 +225,34 @@ def test_file_deleted_between_listing_and_read_skips_platform(
     }
     assert result["platforms"]["domclick"]["status"] == "ok"
     assert spark.read.parquet(out).count() > 0
+
+
+def test_rest_handler_success_and_error_paths(spark, tmp_path):
+    """C1 (`POST /etl/start`) minus the transport: the handler returns the
+    reference-shaped status dict on success, an `error/resolve` dict for
+    an unresolvable explicit date, and the GET / payload matches. fastapi
+    itself stays import-gated (not shipped in this container) — the
+    endpoint adds nothing but transport over this handler."""
+    from real_value_etl_spark.api import handle_etl_start, root_message
+    from .fixtures_etl import make_platform_dir
+
+    assert root_message() == {"message": "real-value-etl-spark control plane"}
+
+    data_dir = make_platform_dir(str(tmp_path / "platforms"))
+    config = PipelineConfig(
+        data_dir=data_dir, output_path=str(tmp_path / "out")
+    )
+    ok = handle_etl_start(
+        spark, config,
+        {"domclick": "latest", "yandex": "latest", "cian": "skip",
+         "avito": "latest"},
+    )
+    assert ok["status"] == "success"
+    assert ok["platforms"]["yandex"]["date"] == "20241208"
+
+    bad = handle_etl_start(
+        spark, config,
+        {"domclick": "19990101", "yandex": "skip", "cian": "skip",
+         "avito": "skip"},
+    )
+    assert bad["status"] == "error" and bad["stage"] == "resolve"
