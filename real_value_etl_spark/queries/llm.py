@@ -2121,3 +2121,71 @@ def sim_rerank_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= ANN_K)
         .select("qid", "vec_id", "sim", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup savings report: per-cluster keeper + tokens reclaimed
+# ---------------------------------------------------------------------------
+def _dedup_savings_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_SHINGLE_IDX_CTE}, {_JACCARD_TAIL_SQL},
+    pairs_t AS (SELECT doc_a, doc_b FROM jac WHERE jac >= {JACCARD_THRESHOLD}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs_t
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs_t
+    ),
+    reach(src, node) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (
+      SELECT src AS node, MIN(node) AS component,
+             (src = MIN(node)) AS is_keeper
+      FROM reach GROUP BY src
+    ),
+    tk AS (SELECT doc_id, len({T.tokens_sql("text")}) AS n_tok FROM documents)
+    SELECT c.component AS keeper_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(t.n_tok) AS BIGINT) AS tokens_total,
+           CAST(SUM(CASE WHEN NOT c.is_keeper THEN t.n_tok ELSE 0 END)
+                AS BIGINT) AS tokens_saved
+    FROM comp c JOIN tk t ON t.doc_id = c.node
+    GROUP BY c.component
+    """
+
+
+@register(
+    "docs_dedup_savings",
+    oracle=_dedup_savings_oracle(),
+    tags=("dedup", "llm", "graph", "accounting"),
+)
+def docs_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The number a dedup run is judged by: per near-dup cluster, the
+    canonical keeper (minimum doc id of its connected component), cluster
+    size, and the token count RECLAIMED by dropping the non-keepers — the
+    before/after budget line a pretraining-mix owner reads. Composition of
+    the engine's own operators: prefix-filtered Jaccard pairs -> iterative
+    connected components -> one join to per-doc token counts (narrow; the
+    components output is cluster-member-sized, far smaller than the
+    corpus)."""
+    from ..operators.components import dedup_clusters
+
+    d = table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        d, "doc_id", "text", JACCARD_THRESHOLD
+    ).select("doc_a", "doc_b")
+    clusters = dedup_clusters(pairs, "doc_a", "doc_b")
+    tk = d.select("doc_id", F.size(T.tokens(F.col("text"))).alias("n_tok"))
+    return (
+        clusters.join(tk, clusters.node == tk.doc_id)
+        .groupBy(F.col("component").alias("keeper_id"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("tokens_total"),
+            F.sum(F.when(~F.col("is_keeper"), F.col("n_tok")).otherwise(0))
+            .cast("long")
+            .alias("tokens_saved"),
+        )
+    )
