@@ -380,7 +380,13 @@ def ngram_jaccard_pairs_prefix(
 
     The shingle index is persisted: document frequencies, the prefix
     build, and the doc-set collection would otherwise each re-run the
-    tokenize+shingle explosion (the dominant cost)."""
+    tokenize+shingle explosion (the dominant cost). Lifecycle note:
+    there is deliberately no unpersist — the result is returned lazily,
+    so the cache must outlive this function; repeated calls do NOT stack
+    copies because Spark's CacheManager dedups by canonicalized plan
+    (observed: "Asked to cache already cached data" on re-invocation),
+    leaving at most one pinned index per input dataset per session. Batch
+    jobs that are done with a dataset can `spark.catalog.clearCache()`."""
     idx = shingle_index(df, id_col, text_col).persist()
     cands = prefix_filtered_candidates(idx, threshold)
     docsets = idx.groupBy("did").agg(

@@ -327,8 +327,13 @@ def events_via_jsonl_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .registry import ensure_session_confs, table
 
     ensure_session_confs(spark)
+    # stage key includes the source parquet's (mtime, size) fingerprint:
+    # a regenerated events.parquet must invalidate the staged JSONL, or
+    # this query would aggregate stale data while the oracle reads fresh
+    src = f"{sf_dir}/events.parquet"
+    st = os.stat(src)
     tag = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir)
-    stage = f"/tmp/rve_jsonl_src_{tag}"
+    stage = f"/tmp/rve_jsonl_src_{tag}_{st.st_mtime_ns}_{st.st_size}"
     marker = os.path.join(stage, "_SUCCESS")
     if not os.path.exists(marker):
         ev = table(spark, sf_dir, "events").select(

@@ -35,13 +35,9 @@ RESAMPLE_SPAN_MILLIS = 800
 BOILER_CHUNK = 5
 BOILER_MIN_COUNT = 2
 
-_HEX8_SQL = "CAST(('0x' || substring(md5({expr}), 1, 8)) AS BIGINT)"
-
-
-def _hex8(col):
-    """First 8 md5 hex chars as a non-negative int64 — the portable hash
-    shared with every DuckDB oracle (conv returns a decimal string)."""
-    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+# portable md5-prefix hash: ALWAYS the shared helpers (functions/text.py
+# portable_hash32 / portable_hash32_sql) — a private copy here could drift
+# from the oracle side of every other query that hashes.
 
 
 # ---------------------------------------------------------------------------
@@ -86,9 +82,9 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT source,
              {T.tokens_sql("text")} AS ts,
              {RESAMPLE_BASE_MILLIS}
-               + {_HEX8_SQL.format(expr="source")} % {RESAMPLE_SPAN_MILLIS}
+               + {T.portable_hash32_sql("source")} % {RESAMPLE_SPAN_MILLIS}
                AS weight_millis,
-             {_HEX8_SQL.format(expr="CAST(doc_id AS VARCHAR)")} % 1000
+             {T.portable_hash32_sql("CAST(doc_id AS VARCHAR)")} % 1000
                AS bucket
       FROM documents
     )
@@ -115,9 +111,9 @@ def docs_source_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts = T.tokens(F.col("text"))
     w = (
         F.lit(RESAMPLE_BASE_MILLIS)
-        + _hex8(F.col("source")) % RESAMPLE_SPAN_MILLIS
+        + T.portable_hash32(F.col("source")) % RESAMPLE_SPAN_MILLIS
     )
-    bucket = _hex8(F.col("doc_id").cast("string")) % 1000
+    bucket = T.portable_hash32(F.col("doc_id").cast("string")) % 1000
     kept = bucket < w
     return (
         d.select(
