@@ -43,6 +43,13 @@ HEADLINE = [
     "events_tumbling_agg",
     "events_sessionize",
     "asof_purchase_login",
+    # round-3 additions: the heaviest previously-unbenched families —
+    # iterative graph + fixed-point kmeans, and the aggregation-shaped
+    # corpus queries — so regressions in their plans show in BENCH deltas
+    "graph_pagerank_lineitem",
+    "sim_kmeans_train",
+    "docs_boilerplate_strip",
+    "docs_repeated_spans",
 ]
 
 

@@ -364,7 +364,11 @@ def prefix_filtered_candidates(idx: DataFrame, threshold: float) -> DataFrame:
 
 
 def ngram_jaccard_pairs_prefix(
-    df: DataFrame, id_col: str, text_col: str, threshold: float
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    caches: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Exact Jaccard >= threshold pairs through prefix-filtered candidates
     — identical output to ngram_jaccard_pairs_full, smaller candidate join.
@@ -380,14 +384,20 @@ def ngram_jaccard_pairs_prefix(
 
     The shingle index is persisted: document frequencies, the prefix
     build, and the doc-set collection would otherwise each re-run the
-    tokenize+shingle explosion (the dominant cost). Lifecycle note:
-    there is deliberately no unpersist — the result is returned lazily,
-    so the cache must outlive this function; repeated calls do NOT stack
-    copies because Spark's CacheManager dedups by canonicalized plan
-    (observed: "Asked to cache already cached data" on re-invocation),
-    leaving at most one pinned index per input dataset per session. Batch
-    jobs that are done with a dataset can `spark.catalog.clearCache()`."""
+    tokenize+shingle explosion (the dominant cost). Lifecycle: the result
+    is returned lazily, so the cache must outlive this function; repeated
+    calls do NOT stack copies because Spark's CacheManager dedups by
+    canonicalized plan (observed: "Asked to cache already cached data" on
+    re-invocation), leaving at most one pinned index per input dataset per
+    session. Callers who want the cache released pass `caches` (every
+    persisted intermediate is appended, for unpersist after the result is
+    materialized) or use `ngram_jaccard_pairs_prefix_eager`, which does
+    that cycle itself — the right shape for batch jobs touching many
+    datasets in one long-lived session, where a per-dataset pinned index
+    would otherwise accumulate for the session lifetime."""
     idx = shingle_index(df, id_col, text_col).persist()
+    if caches is not None:
+        caches.append(idx)
     cands = prefix_filtered_candidates(idx, threshold)
     docsets = idx.groupBy("did").agg(
         F.collect_list("sh").alias("shs"), F.count("*").alias("n")
@@ -415,3 +425,24 @@ def ngram_jaccard_pairs_prefix(
         )
         .filter(F.col("jac") >= threshold)
     )
+
+
+def ngram_jaccard_pairs_prefix_eager(
+    df: DataFrame, id_col: str, text_col: str, threshold: float
+) -> DataFrame:
+    """Batch variant of `ngram_jaccard_pairs_prefix`: materializes the
+    (small) pair result, releases the (large, ≫ corpus) shingle-index
+    cache, and returns the cached result.
+
+    Use in long-lived sessions that process many distinct datasets — the
+    lazy variant would pin one exploded index per dataset for the session
+    lifetime. The pair result is persisted before the index is released so
+    downstream actions never silently re-run the shingle explosion."""
+    caches: list[DataFrame] = []
+    pairs = ngram_jaccard_pairs_prefix(
+        df, id_col, text_col, threshold, caches=caches
+    ).persist()
+    pairs.count()  # materialize while the index cache is still live
+    for c in caches:
+        c.unpersist()
+    return pairs

@@ -30,69 +30,71 @@ from . import (  # noqa: F401
 )
 from .registry import REGISTRY
 
-# Round-2 window: the 46 round-1 greens rotate out; priority goes to the
-# families that had no driver row in round 1 (events, streaming, ETL
-# scalar/array, TPC-H q2/q4/q7+, stats, graph) plus the four queries fixed
-# this round (pretraining mix, postings, reworked top-k, packing oracle).
+# Round-3 window: the 33 queries that have never had a driver CORRECTNESS
+# row (r1 ∪ r2 covered 95/128) rotate IN — closing this evidence gap is
+# VERDICT.md r2's top ask; with these green, cumulative driver-green
+# reaches 128/128. The remaining 17 slots re-confirm the highest-value
+# rows (the r2 fixes, the ETL function surface, the heavy dedup/ANN
+# headliners) plus any round-3 additions.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # fixed/reworked this round — need fresh driver evidence
+    # -- never-driver-verified: events analytics leftovers from r1
+    "events_sliding_agg",
+    "events_session_window",
+    "events_scd2_history",
+    "events_anomaly_hours",
+    "events_running_total",
+    "events_gapfill_interp",
+    "events_outliers_mad",
+    "events_quality_audit",
+    "events_via_jsonl_source",
+    # -- never-driver-verified: TPC-H shapes
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q12_priority_lines",
+    "q14_promo_share",
+    "q16_parts_suppliers",
+    "q19_discounted_revenue",
+    "q20_excess_suppliers",
+    # -- never-driver-verified: stats / reshape
+    "q_approx_stats",
+    "q_equidepth_price",
+    "q_unpivot_measures",
+    # -- never-driver-verified: similarity / embeddings (r2 additions)
+    "sim_hard_negatives",
+    "sim_rerank_quantized",
+    "sim_quantization_recall",
+    "emb_label_centroids",
+    "sim_kmeans_train",
+    # -- never-driver-verified: corpus-mix / text (r2 additions)
+    "docs_dedup_savings",
+    "docs_repeated_spans",
+    "docs_source_resample",
+    "docs_boilerplate_strip",
+    "docs_source_divergence",
+    "docs_by_lang_source",
+    "lang_vocab_overlap",
+    "text_bpe_token_count",
+    # -- re-confirmations: r2 fixes + ETL function surface
     "docs_pretraining_mix",
     "text_postings",
     "sim_embedding_topk",
     "docs_pack_sequences",
-    # ETL scalar/array function surface (SURVEY §2 X/T/M/A rows)
     "etl_scalar_funcs",
     "etl_array_funcs",
-    # events analytics family
-    "events_tumbling_agg",
-    "events_sessionize",
-    "events_trailing_1h",
-    "events_dedup_keepfirst",
-    "asof_purchase_login",
-    "events_interval_join",
-    "events_upsert_scd1",
-    "events_incremental_mv",
-    "events_json_extract",
-    "events_gapfill_hourly",
-    "events_funnel",
-    "events_cohort_retention",
-    "events_cdc_apply",
-    "events_ewma_by_user",
-    # structured streaming family (batch-parity checked)
-    "stream_tumbling_agg",
-    "stream_dedup_keys",
-    "stream_stream_join",
-    "stream_user_totals",
-    "stream_session_window",
-    "stream_sliding_agg",
-    "stream_dedup_watermark",
-    "stream_static_enrich",
-    "stream_incremental_mv",
-    # TPC-H subquery/join shapes unverified in round 1
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q11_important_stock",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    "q18_large_orders",
-    "q21_waiting_suppliers",
-    "q22_dormant_customers",
-    # stats / reshape family
-    "q_stats_quantity",
-    "q_histogram_totalprice",
-    "q_ntile_deciles",
-    "q_corr_qty_price",
-    "q_pivot_status",
-    # LLM ops promoted into the window
-    "docs_decontaminate",
+    # -- re-confirmations: heavy headliners (bench-visible plans)
     "dedup_jaccard_prefix",
-    # graph / profiling / connector
+    "dedup_minhash_lsh",
+    "dedup_exact_docs",
+    "sim_ann_ivf",
     "graph_pagerank_lineitem",
-    "profile_lineitem",
-    "bloom_semi_lineitem",
-    "events_via_duckdb_source",
+    "docs_decontaminate",
+    # -- re-confirmations: one per core family
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "events_tumbling_agg",
+    "events_dedup_keepfirst",
+    "stream_tumbling_agg",
 )
 
 

@@ -940,7 +940,7 @@ def events_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     # counts is bucket-cardinality (hours x types) after the pre-agg —
     # broadcast IT: the left side of a left join cannot be the build side
     grid = (
-        spine.crossJoin(e.select("event_type").distinct())
+        spine.crossJoin(F.broadcast(e.select("event_type").distinct()))
         .join(F.broadcast(counts), ["h", "event_type"], "left")
         .withColumn("hidx", (F.unix_timestamp("h") / F.lit(3600)).cast("long"))
     )

@@ -319,8 +319,11 @@ def events_via_jsonl_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     JSON (timestamp JSON round-trips are timezone-format-fragile; integer
     micros are not), value as string to dodge double-format drift —
     exactly how a production event log encodes."""
+    import glob
     import os
     import re as _re
+    import shutil
+    import uuid
 
     from pyspark.sql import types as PT
 
@@ -333,9 +336,19 @@ def events_via_jsonl_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = f"{sf_dir}/events.parquet"
     st = os.stat(src)
     tag = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir)
-    stage = f"/tmp/rve_jsonl_src_{tag}_{st.st_mtime_ns}_{st.st_size}"
+    prefix = f"/tmp/rve_jsonl_src_{tag}_"
+    stage = f"{prefix}{st.st_mtime_ns}_{st.st_size}"
     marker = os.path.join(stage, "_SUCCESS")
     if not os.path.exists(marker):
+        # write-then-rename: a concurrent session never observes a partial
+        # stage (rename is atomic on one filesystem; losing the rename race
+        # just means the winner's complete stage is used). Stale stages for
+        # a superseded fingerprint of the same sf_dir are deleted here —
+        # never the live target — so regenerated inputs don't leak dirs.
+        for old in glob.glob(f"{prefix}*"):
+            if old != stage:
+                shutil.rmtree(old, ignore_errors=True)
+        tmp = f"{stage}.tmp-{uuid.uuid4().hex}"
         ev = table(spark, sf_dir, "events").select(
             "event_id",
             F.unix_micros("ts").alias("ts_us"),
@@ -343,7 +356,12 @@ def events_via_jsonl_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.col("value").cast("string").alias("value"),
         )
-        ev.write.mode("overwrite").json(stage)
+        ev.write.mode("overwrite").json(tmp)
+        try:
+            os.rename(tmp, stage)
+        except OSError:
+            # another session won the race with a complete stage
+            shutil.rmtree(tmp, ignore_errors=True)
     schema = PT.StructType(
         [
             PT.StructField("event_id", PT.LongType()),

@@ -1679,31 +1679,112 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# K-means training (IVF index build) — iterative, rows-only by construction
+# K-means training (IVF index build) — iterative, fixed-point, oracle-checked
 # ---------------------------------------------------------------------------
-@register("sim_kmeans_train", oracle=None, tags=("similarity", "llm", "ann", "iterative"))
+KMEANS_ITERS = 3
+
+
+def _kmeans_oracle(n_iter: int) -> str:
+    """DuckDB oracle replaying `n_iter` fixed-point Lloyd's iterations
+    bit-exactly (the iterations are UNROLLED as CTE stages — a pure
+    function of the iteration count, no recursion needed). Mirrors
+    operators/kmeans.py:kmeans_fit_fx: same 2^20 quantization (double
+    round, half away from zero — verified identical in both engines),
+    same int64 distance sums (order-independent), same
+    floor(double-division) centroid update, same lowest-cluster-index
+    tie-break, same empty-cluster carry-over (LEFT JOIN + COALESCE)."""
+    from ..operators.kmeans import FX_SCALE
+
+    parts = [
+        f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            v -> CAST(round(v * {float(FX_SCALE)}) AS BIGINT))
+               AS qv
+      FROM embeddings
+    ),
+    seeds AS (SELECT MIN(vec_id) AS vec_id FROM embeddings GROUP BY label),
+    qx AS (
+      SELECT vec_id, i AS dim, qv[i] AS val
+      FROM (SELECT vec_id, qv, unnest(generate_series(1, len(qv))) AS i
+            FROM q)
+    ),
+    cx0 AS (
+      SELECT cluster, i AS dim, qv[i] AS val
+      FROM (SELECT CAST(ROW_NUMBER() OVER (ORDER BY q.vec_id) - 1 AS INTEGER)
+                     AS cluster,
+                   q.qv, unnest(generate_series(1, len(q.qv))) AS i
+            FROM q JOIN seeds s ON q.vec_id = s.vec_id)
+    )"""
+    ]
+    for it in range(n_iter + 1):
+        parts.append(f""",
+    a{it} AS (
+      SELECT vec_id, cluster, dist2 FROM (
+        SELECT x.vec_id, c.cluster,
+               CAST(SUM((x.val - c.val) * (x.val - c.val)) AS BIGINT)
+                 AS dist2,
+               ROW_NUMBER() OVER (
+                 PARTITION BY x.vec_id
+                 ORDER BY SUM((x.val - c.val) * (x.val - c.val)), c.cluster
+               ) AS rn
+        FROM qx x JOIN cx{it} c USING (dim)
+        GROUP BY x.vec_id, c.cluster
+      ) WHERE rn = 1
+    )""")
+        if it < n_iter:
+            parts.append(f""",
+    cx{it + 1} AS (
+      SELECT c.cluster, c.dim, COALESCE(m.mval, c.val) AS val
+      FROM cx{it} c LEFT JOIN (
+        SELECT a.cluster, x.dim,
+               CAST(FLOOR(CAST(SUM(x.val) AS DOUBLE) / COUNT(*)) AS BIGINT)
+                 AS mval
+        FROM a{it} a JOIN qx x USING (vec_id)
+        GROUP BY a.cluster, x.dim
+      ) m ON c.cluster = m.cluster AND c.dim = m.dim
+    )""")
+    parts.append(f"""
+    SELECT CAST(cluster AS BIGINT) AS cluster,
+           COUNT(*) AS n_vecs,
+           CAST(SUM(dist2) AS BIGINT) AS wcss
+    FROM a{n_iter} GROUP BY cluster
+    """)
+    return "".join(parts)
+
+
+@register(
+    "sim_kmeans_train",
+    oracle=_kmeans_oracle(KMEANS_ITERS),
+    tags=("similarity", "llm", "ann", "iterative"),
+)
 def sim_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train the IVF coarse quantizer: 3 Lloyd's iterations of k=10
-    k-means over the embedding corpus (operators/kmeans.py — centroids as
-    one constant-folded literal, assignment pure codegen, update one
-    hash-agg; only the 10x64 centroid matrix touches the driver).
-    Deterministically seeded with the lowest vec_id of each label
-    (a stratified sample standing in for k-means++). Iterative and
-    float-order dependent, so no SQL oracle (rows-only check); the Lloyd's
+    """Train the IVF coarse quantizer: {KMEANS_ITERS} Lloyd's iterations
+    of k=10 k-means over the embedding corpus in int64 FIXED-POINT
+    (operators/kmeans.py:kmeans_fit_fx — centroids as one constant-folded
+    literal, assignment pure codegen, update one hash-agg; only the 10x64
+    centroid matrix touches the driver). Deterministically seeded with
+    the lowest vec_id of each label (a stratified sample standing in for
+    k-means++). Fixed-point makes the ITERATIVE algorithm bit-exact on
+    any engine/partitioning, so the DuckDB oracle replays all iterations
+    as unrolled CTE stages and the driver hash-checks (cluster, n_vecs,
+    wcss) — the same determinism trick as graph_pagerank_lineitem. The
+    float Lloyd's (kmeans_fit) remains for callers that want it; its
     invariants are unit-tested in tests/test_operators.py."""
-    from ..operators.kmeans import kmeans_fit
+    from ..operators.kmeans import kmeans_fit_fx, quantize_fx
 
     emb = table(spark, sf_dir, "embeddings")
     seed_ids = emb.groupBy("label").agg(F.min("vec_id").alias("vec_id"))
     init = [
-        r.embedding
+        list(r.q)
         for r in emb.join(seed_ids, ["vec_id"], "left_semi")
         .orderBy("vec_id")
-        .select("embedding")
+        .select(quantize_fx(F.col("embedding")).alias("q"))
         .collect()
     ]
-    _, assigned = kmeans_fit(emb, "embedding", init, n_iter=3)
-    return assigned.groupBy("cluster").agg(
+    _, assigned = kmeans_fit_fx(emb, "embedding", init, n_iter=KMEANS_ITERS)
+    return assigned.groupBy(F.col("cluster").cast("long").alias("cluster")).agg(
         F.count("*").alias("n_vecs"),
         F.sum("dist2").alias("wcss"),
     )

@@ -50,8 +50,10 @@ BOILER_MIN_COUNT = 2
            CAST(len({T.tokens_sql("text")}) AS BIGINT) AS n_ws,
            CAST(len(regexp_extract_all(text, '{BPE_PAT}')) AS BIGINT)
              AS n_bpe,
-           CAST(n_chars AS DOUBLE)
-             / len(regexp_extract_all(text, '{BPE_PAT}')) AS chars_per_bpe
+           CASE WHEN len(regexp_extract_all(text, '{BPE_PAT}')) > 0
+                THEN CAST(n_chars AS DOUBLE)
+                     / len(regexp_extract_all(text, '{BPE_PAT}'))
+                ELSE NULL END AS chars_per_bpe
     FROM documents
     """,
     tags=("llm", "text", "tokenizer"),
@@ -61,14 +63,21 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     GPT-2 pattern family) next to the whitespace count: the ratio
     chars-per-subword is the number a token-budget planner actually needs
     (whitespace counts under-estimate BPE output 1.3-1.5x on English).
-    Pure codegen: regexp_extract_all + size, no UDF."""
+    Pure codegen: regexp_extract_all + size, no UDF.
+
+    The ratio is guarded for token-less (empty/whitespace-only) documents:
+    under Spark 4 ANSI mode a bare division raises DIVIDE_BY_ZERO while
+    DuckDB's IEEE division yields inf — NULL on both sides is the only
+    portable answer."""
     d = table(spark, sf_dir, "documents")
     bpe = F.regexp_extract_all(F.col("text"), F.lit(BPE_PAT), 0)
     return d.select(
         "doc_id",
         F.size(T.tokens(F.col("text"))).cast("long").alias("n_ws"),
         F.size(bpe).cast("long").alias("n_bpe"),
-        (F.col("n_chars").cast("double") / F.size(bpe)).alias("chars_per_bpe"),
+        F.when(
+            F.size(bpe) > 0, F.col("n_chars").cast("double") / F.size(bpe)
+        ).alias("chars_per_bpe"),
     )
 
 

@@ -818,6 +818,66 @@ def test_jaccard_prefix_filter_is_lossless(spark, sf_dir):
     assert primary == full and len(primary) > 0
 
 
+def test_jaccard_prefix_filter_prunes_candidates(spark, sf_dir):
+    """Regression guard for the SCALE property of prefix filtering, not
+    just its correctness: the prefix-filtered candidate set must stay a
+    small fraction of the full inverted-index candidate set (docs sharing
+    >= 1 shingle). The ~8.5% figure at operators/dedup.py (sf0.01) is the
+    documented claim; 25% here is the loose tripwire — if a refactor
+    quietly degrades the prefix build (e.g. loses the rare-first ordering
+    or the length filter), candidates balloon toward 100% and this fails
+    long before the bench shows it."""
+    from real_value_etl_spark.operators.dedup import (
+        prefix_filtered_candidates,
+        shingle_index,
+    )
+    from real_value_etl_spark.queries.registry import table
+
+    d = table(spark, sf_dir, "documents")
+    idx = shingle_index(d, "doc_id", "text")
+    a, b = idx.alias("a"), idx.alias("b")
+    full = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.did") < F.col("b.did")),
+        )
+        .select(F.col("a.did").alias("doc_a"), F.col("b.did").alias("doc_b"))
+        .distinct()
+        .count()
+    )
+    pruned = prefix_filtered_candidates(idx, 0.5).count()
+    assert full > 0
+    assert pruned <= 0.25 * full, (
+        f"prefix filter degraded: {pruned}/{full} = {pruned / full:.1%} "
+        "of full-index candidates (expected well under 25%)"
+    )
+
+
+def test_jaccard_prefix_eager_releases_index_cache(spark, sf_dir):
+    """The eager Jaccard variant must not leave the shingle index pinned:
+    after materialize-and-release, the only persisted data is the (small)
+    pair result, and unpersisting that returns the session to its
+    pre-call cache footprint. Guards the 100 TB lifecycle property — a
+    long-lived session touching many datasets must not accumulate one
+    exploded index (≫ corpus size) per dataset."""
+    from real_value_etl_spark.operators.dedup import (
+        ngram_jaccard_pairs_prefix_eager,
+    )
+    from real_value_etl_spark.queries.registry import table
+
+    sc = spark.sparkContext
+    spark.catalog.clearCache()
+    baseline = len(sc._jsc.getPersistentRDDs())
+    d = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs_prefix_eager(d, "doc_id", "text", 0.5)
+    # index released, ONLY the materialized pair result remains cached
+    assert len(sc._jsc.getPersistentRDDs()) == baseline + 1
+    assert pairs.count() > 0
+    pairs.unpersist()
+    assert len(sc._jsc.getPersistentRDDs()) == baseline
+
+
 def test_staging_swap_has_no_empty_table_window(spark, tmp_path):
     """Two-phase overwrite semantics of the ClickHouse sink
     (sinks/writers.py:write_clickhouse_jdbc), proven against DuckDB since

@@ -305,3 +305,74 @@ def test_gapfill_grid_cross_join_is_broadcast(spark, sf_dir):
     fact-sized inputs."""
     plan = plan_of(REGISTRY["events_gapfill_hourly"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_gapfill_interp_grid_cross_join_is_broadcast(spark, sf_dir):
+    """Same property for the interpolating gap-fill: its spine x types
+    grid carries an explicit broadcast hint, pinning the plan instead of
+    relying on AQE to rescue a shuffled cartesian."""
+    plan = plan_of(REGISTRY["events_gapfill_interp"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "emb_label_centroids",
+        "docs_dedup_savings",
+        "docs_boilerplate_strip",
+        "docs_repeated_spans",
+        "lang_vocab_overlap",
+        "sim_kmeans_train",
+    ],
+)
+def test_round2_additions_scale_safe_plans(spark, sf_dir, name):
+    """The round-2/3 additions keep the engine's standing plan promises:
+    no cartesian/nested-loop pair explosion anywhere, and no Python
+    row-at-a-time eval on any hot path (every kernel is Catalyst
+    expressions)."""
+    plan = plan_of(REGISTRY[name].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "sim_hard_negatives",
+        "sim_rerank_quantized",
+        "sim_quantization_recall",
+        "docs_source_divergence",
+    ],
+)
+def test_bounded_broadcast_nlj_only(spark, sf_dir, name):
+    """The query-set-x-corpus similarity queries and the divergence
+    query's scalar-totals join DO use nested-loop joins — but every one
+    must build from a BROADCAST side that is bounded by construction (the
+    probe/query set, k centroids, or a one-row aggregate), never a
+    shuffled cartesian of two corpus-sized inputs. Pinned: each
+    BroadcastNestedLoopJoin builds from a BroadcastExchange, no
+    CartesianProduct node exists, and nothing falls back to Python
+    eval."""
+    plan = plan_of(REGISTRY[name].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= plan.count(
+        "BroadcastExchange"
+    )
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_boilerplate_strip_prunes_documents_scan(spark, sf_dir):
+    """Column pruning reaches the documents scan: boilerplate stripping
+    needs (doc_id, text) — the untouched wide columns (lang, source) must
+    not be read. At 100 TB an unpruned documents scan reads the whole
+    corpus width for a 2-column computation."""
+    plan = plan_of(REGISTRY["docs_boilerplate_strip"].fn(spark, sf_dir))
+    schemas = [
+        seg.splitlines()[0] for seg in plan.split("ReadSchema:")[1:]
+    ]
+    assert schemas and all("lang" not in s for s in schemas)
