@@ -16,6 +16,7 @@ ALL of them).
 """
 
 from . import (  # noqa: F401
+    corpus_quality,
     events_queries,
     graph,
     incremental,
@@ -33,9 +34,10 @@ from .registry import REGISTRY
 # Round-3 window: the 33 queries that have never had a driver CORRECTNESS
 # row (r1 ∪ r2 covered 95/128) rotate IN — closing this evidence gap is
 # VERDICT.md r2's top ask; with these green, cumulative driver-green
-# reaches 128/128. The remaining 17 slots re-confirm the highest-value
-# rows (the r2 fixes, the ETL function surface, the heavy dedup/ANN
-# headliners) plus any round-3 additions.
+# reaches 128/128 of the round-2 registry. The next 11 slots are the
+# round-3 additions (first driver evidence), and the remaining 6
+# re-confirm the highest-value rows (r2 fixes, ETL function surface,
+# the heaviest headliner).
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- never-driver-verified: events analytics leftovers from r1
     "events_sliding_agg",
@@ -75,26 +77,25 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "docs_by_lang_source",
     "lang_vocab_overlap",
     "text_bpe_token_count",
-    # -- re-confirmations: r2 fixes + ETL function surface
-    "docs_pretraining_mix",
-    "text_postings",
+    # -- round-3 additions (first driver evidence for each)
+    "docs_mix_temperature",
+    "docs_ngram_novelty",
+    "docs_quality_funnel",
+    "docs_header_strip",
+    "docs_length_balanced_buckets",
+    "text_collocations",
+    "lang_confusion",
+    "events_rate_limit",
+    "orders_via_orc_source",
+    "lineitem_via_partitioned_source",
+    "sim_pair_distance_hist",
+    # -- re-confirmations: r2 fixes, ETL function surface, heavy headliners
     "sim_embedding_topk",
     "docs_pack_sequences",
     "etl_scalar_funcs",
     "etl_array_funcs",
-    # -- re-confirmations: heavy headliners (bench-visible plans)
     "dedup_jaccard_prefix",
-    "dedup_minhash_lsh",
-    "dedup_exact_docs",
-    "sim_ann_ivf",
-    "graph_pagerank_lineitem",
-    "docs_decontaminate",
-    # -- re-confirmations: one per core family
     "q1_pricing_summary",
-    "q3_shipping_priority",
-    "events_tumbling_agg",
-    "events_dedup_keepfirst",
-    "stream_tumbling_agg",
 )
 
 

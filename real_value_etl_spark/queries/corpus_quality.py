@@ -1,0 +1,601 @@
+"""Round-3 corpus-engineering operators: temperature mixing, memorization
+scan, filter-cascade accounting, header boilerplate, balanced sharding,
+collocations, and language-ID confusion.
+
+These extend the LLM-pipeline surface (SURVEY.md §2.12) with the remaining
+steps a pretraining-corpus owner runs that rounds 1-2 did not cover: the
+temperature-scaled source mixture (the UniMax/multilingual-sampling shape),
+a per-document memorization-risk scan (how much of a doc's n-gram mass is
+shared with the rest of the corpus), the quality-filter cascade with
+per-stage survival accounting, position-anchored header boilerplate,
+token-balanced shard assignment (the input to sequence packing), PMI-style
+collocation mining (without logarithms — transcendentals are not bit-portable
+across engines), and the language-ID confusion matrix.
+
+Oracle conventions (same as queries/llm.py): integer arithmetic wherever
+possible (order-independent), every computed double is ONE pinned
+expression written identically in Spark and DuckDB (sqrt IS portable —
+IEEE-754 requires correct rounding; pow/log/exp are NOT and are never
+used), SUM casts to BIGINT (DuckDB HUGEINT renders as float in pandas),
+ordered left-folds for any double accumulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..operators import dedup as D
+from .registry import register, table
+
+# Temperature-scaled mixture: weight per source = n_tokens^ALPHA with
+# ALPHA = 0.5 — i.e. sqrt, the one fractional power that is bit-portable
+# (IEEE requires correctly-rounded sqrt; pow(x, 0.5) is not guaranteed).
+MIX_TOKEN_BUDGET = 1_000_000
+
+# Filter-cascade thresholds (shared Spark <-> oracle)
+FUNNEL_MIN_CHARS = 100
+FUNNEL_MAX_CHARS = 20_000
+FUNNEL_MIN_UNIQUE_RATIO = 0.3
+FUNNEL_MIN_QUALITY = 0.6
+
+HEADER_TOKENS = 5
+HEADER_MIN_DOCS = 2
+
+SHARD_TARGET_TOKENS = 2_000
+
+COLLOC_MIN_COUNT = 5
+COLLOC_TOP_K = 20
+
+_EN_STOPS_SQL = "[" + ", ".join(f"'{w}'" for w in T.LANG_STOPWORDS["en"]) + "]"
+
+_SHINGLE_IDX_CTE = f"""
+toks AS (SELECT doc_id, {T.tokens_sql("text")} AS ts FROM documents),
+sh AS (SELECT doc_id, {T.shingles_sql()} AS shs FROM toks),
+idx AS (SELECT doc_id AS did, unnest(shs) AS sh FROM sh)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled source mixture (UniMax-style re-weighting)
+# ---------------------------------------------------------------------------
+@register(
+    "docs_mix_temperature",
+    oracle=f"""
+    WITH s AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(len({T.tokens_sql("text")})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    t AS (
+      SELECT list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                            list(sqrt(CAST(n_tokens AS DOUBLE))
+                                 ORDER BY source)),
+               (a, x) -> a + x) AS tot_w
+      FROM s
+    )
+    SELECT source, n_docs, n_tokens,
+           sqrt(CAST(n_tokens AS DOUBLE)) AS w,
+           sqrt(CAST(n_tokens AS DOUBLE)) / t.tot_w AS share,
+           (sqrt(CAST(n_tokens AS DOUBLE)) / t.tot_w * {MIX_TOKEN_BUDGET}.0)
+             / n_tokens AS epochs
+    FROM s, t
+    """,
+    tags=("llm", "mix", "sampling"),
+)
+def docs_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights: each source samples with
+    probability proportional to n_tokens^0.5 instead of its raw share —
+    the standard move to keep head sources from drowning tail sources in
+    a pretraining mix. ALPHA is 0.5 because sqrt is the one fractional
+    power IEEE-754 requires to be correctly rounded (bit-identical across
+    engines); a general pow() would not hash-match. `epochs` is the
+    oversampling factor a budget of {MIX_TOKEN_BUDGET} tokens implies.
+    One aggregation over sources; the normalizing total is a
+    source-ordered fold over the ~20-row source table (pinned double
+    order), broadcast back."""
+    d = table(spark, sf_dir, "documents")
+    srcs = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(T.tokens(F.col("text")))).cast("long").alias("n_tokens"),
+    )
+    w = F.sqrt(F.col("n_tokens").cast("double"))
+    srcs = srcs.withColumn("w", w)
+    tot = srcs.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("source", "w"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["w"],
+        ).alias("tot_w")
+    )
+    return srcs.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "w",
+        (F.col("w") / F.col("tot_w")).alias("share"),
+        (
+            (F.col("w") / F.col("tot_w") * F.lit(float(MIX_TOKEN_BUDGET)))
+            / F.col("n_tokens")
+        ).alias("epochs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Memorization-risk scan: per-doc shared-shingle mass
+# ---------------------------------------------------------------------------
+@register(
+    "docs_ngram_novelty",
+    oracle=f"""
+    WITH {_SHINGLE_IDX_CTE},
+    dfq AS (SELECT sh, COUNT(*) AS df FROM idx GROUP BY sh),
+    per AS (
+      SELECT i.did, COUNT(*) AS n_sh,
+             CAST(SUM(CASE WHEN f.df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared
+      FROM idx i JOIN dfq f USING (sh) GROUP BY i.did
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_sh, 0) AS n_sh,
+           COALESCE(p.n_shared, 0) AS n_shared,
+           CASE WHEN p.n_sh > 0
+                THEN CAST(p.n_shared AS DOUBLE) / p.n_sh
+                ELSE NULL END AS shared_ratio
+    FROM documents d LEFT JOIN per p ON d.doc_id = p.did
+    """,
+    tags=("llm", "dedup", "quality"),
+)
+def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document memorization-risk scan: the fraction of a doc's
+    distinct 3-gram shingles that occur in ANY other doc (df > 1). High
+    shared_ratio marks templated/duplicated-ish content that exact and
+    pairwise dedup both miss (no single pair clears the Jaccard bar, but
+    the doc is still mostly non-novel). Aggregation-shaped — shingle
+    document frequencies then one per-doc rollup — never a pair join, so
+    it scales where pairwise scans cannot. Docs too short to shingle
+    surface with n_sh = 0 and a NULL ratio (LEFT JOIN back to the corpus:
+    'no shingles' must be visible, not silently dropped)."""
+    d = table(spark, sf_dir, "documents")
+    idx = D.shingle_index(d, "doc_id", "text")
+    dfq = idx.groupBy("sh").agg(F.count("*").alias("df"))
+    per = (
+        idx.join(dfq, "sh")
+        .groupBy("did")
+        .agg(
+            F.count("*").alias("n_sh"),
+            F.sum(F.when(F.col("df") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(per, d.doc_id == per.did, "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_sh", F.lit(0)).alias("n_sh"),
+            F.coalesce("n_shared", F.lit(0).cast("long")).alias("n_shared"),
+            F.when(
+                F.col("n_sh") > 0,
+                F.col("n_shared").cast("double") / F.col("n_sh"),
+            ).alias("shared_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-filter cascade with per-stage survival accounting
+# ---------------------------------------------------------------------------
+def _funnel_flags_sql() -> str:
+    """Cumulative per-doc stage flags, identical arithmetic to the Spark
+    side (each double is one pinned expression; zero-token docs are
+    guarded by the cascade itself)."""
+    return f"""
+    flags AS (
+      SELECT
+        len(ts) AS nt,
+        n_chars,
+        (len(ts) > 0) AS f1,
+        (len(ts) > 0 AND n_chars BETWEEN {FUNNEL_MIN_CHARS}
+                                     AND {FUNNEL_MAX_CHARS}) AS f2,
+        (len(ts) > 0 AND n_chars BETWEEN {FUNNEL_MIN_CHARS}
+                                     AND {FUNNEL_MAX_CHARS}
+         AND CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts)
+             >= {FUNNEL_MIN_UNIQUE_RATIO}) AS f3,
+        (len(ts) > 0 AND n_chars BETWEEN {FUNNEL_MIN_CHARS}
+                                     AND {FUNNEL_MAX_CHARS}
+         AND CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts)
+             >= {FUNNEL_MIN_UNIQUE_RATIO}
+         AND len(list_intersect(list_distinct(ts), {_EN_STOPS_SQL})) > 0)
+          AS f4,
+        (len(ts) > 0 AND n_chars BETWEEN {FUNNEL_MIN_CHARS}
+                                     AND {FUNNEL_MAX_CHARS}
+         AND CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts)
+             >= {FUNNEL_MIN_UNIQUE_RATIO}
+         AND len(list_intersect(list_distinct(ts), {_EN_STOPS_SQL})) > 0
+         AND (CASE WHEN len(ts) BETWEEN 20 AND 400 THEN 0.5 ELSE 0.0 END)
+             + 0.25 * (CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts))
+             + 0.25 * (CAST(len(list_intersect(list_distinct(ts),
+                                               {_EN_STOPS_SQL})) AS DOUBLE)
+                       / len(list_distinct(ts)))
+             >= {FUNNEL_MIN_QUALITY}) AS f5
+      FROM (SELECT n_chars, {T.tokens_sql("text")} AS ts FROM documents)
+    )
+    """
+
+
+_FUNNEL_STAGES = [
+    ("input", None),
+    ("nonempty", "f1"),
+    ("length_gate", "f2"),
+    ("repetition_gate", "f3"),
+    ("stopword_gate", "f4"),
+    ("quality_gate", "f5"),
+]
+
+
+def _funnel_oracle() -> str:
+    sums = ", ".join(
+        f"CAST(SUM(CASE WHEN {flag} THEN 1 ELSE 0 END) AS BIGINT) AS n{i}"
+        for i, (_, flag) in enumerate(_FUNNEL_STAGES)
+        if flag is not None
+    )
+    rows = []
+    for i, (name, flag) in enumerate(_FUNNEL_STAGES):
+        n = "n0" if flag is None else f"n{i}"
+        rows.append(
+            f"SELECT {i} AS stage, '{name}' AS stage_name, {n} AS n_pass,"
+            f" CAST({n} AS DOUBLE) / n0 AS pass_rate FROM agg"
+        )
+    union = " UNION ALL ".join(rows)
+    return f"""
+    WITH {_funnel_flags_sql()},
+    agg AS (SELECT COUNT(*) AS n0, {sums} FROM flags)
+    {union}
+    """
+
+
+@register(
+    "docs_quality_funnel",
+    oracle=_funnel_oracle(),
+    tags=("llm", "quality", "pipeline"),
+)
+def docs_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality-filter cascade with survival accounting — the core
+    report of a training-data pipeline: how many documents survive each
+    successive gate (nonempty -> length -> repetition -> stopword ->
+    composite quality), as counts and rates. ONE corpus scan computes all
+    cumulative stage flags as codegen'd boolean expressions and one
+    aggregate row folds them; the per-stage rows are exploded from that
+    single row (the oracle re-reads its one-row CTE per stage instead —
+    same numbers). At 100 TB this is a narrow map + one 6-counter
+    reduce: no shuffle of document data at all."""
+    d = table(spark, sf_dir, "documents")
+    ts = T.tokens(F.col("text"))
+    dts = F.array_distinct(ts)
+    stops = F.array(*[F.lit(w) for w in T.LANG_STOPWORDS["en"]])
+    nt = F.size(ts)
+    uniq_ratio = F.size(dts).cast("double") / nt
+    stop_hits = F.size(F.array_intersect(dts, stops))
+    quality = (
+        F.when(nt.between(20, 400), F.lit(0.5)).otherwise(0.0)
+        + F.lit(0.25) * uniq_ratio
+        + F.lit(0.25) * (stop_hits.cast("double") / F.size(dts))
+    )
+    f1 = nt > 0
+    f2 = f1 & F.col("n_chars").between(FUNNEL_MIN_CHARS, FUNNEL_MAX_CHARS)
+    f3 = f2 & (uniq_ratio >= FUNNEL_MIN_UNIQUE_RATIO)
+    f4 = f3 & (stop_hits > 0)
+    f5 = f4 & (quality >= FUNNEL_MIN_QUALITY)
+    flags = d.select(
+        *[
+            flag.alias(name)
+            for name, flag in zip(
+                ["f1", "f2", "f3", "f4", "f5"], [f1, f2, f3, f4, f5]
+            )
+        ]
+    )
+    agg = flags.agg(
+        F.count("*").alias("n0"),
+        *[
+            F.sum(F.when(F.col(f"f{i}"), 1).otherwise(0))
+            .cast("long")
+            .alias(f"n{i}")
+            for i in range(1, 6)
+        ],
+    )
+    stage_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("stage"),
+                F.lit(name).alias("stage_name"),
+                F.col("n0" if flag is None else f"n{i}").alias("n_pass"),
+            )
+            for i, (name, flag) in enumerate(_FUNNEL_STAGES)
+        ]
+    )
+    return agg.select(
+        F.col("n0"), F.explode(stage_structs).alias("s")
+    ).select(
+        F.col("s.stage").cast("long").alias("stage"),
+        F.col("s.stage_name").alias("stage_name"),
+        F.col("s.n_pass").alias("n_pass"),
+        (F.col("s.n_pass").cast("double") / F.col("n0")).alias("pass_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Position-anchored header boilerplate (per-source repeated openings)
+# ---------------------------------------------------------------------------
+@register(
+    "docs_header_strip",
+    oracle=f"""
+    WITH heads AS (
+      SELECT source,
+             array_to_string(ts[1:{HEADER_TOKENS}], ' ') AS header
+      FROM (SELECT source, {T.tokens_sql("text")} AS ts FROM documents)
+      WHERE len(ts) >= {HEADER_TOKENS}
+    ),
+    hc AS (
+      SELECT source, header, COUNT(*) AS n_docs
+      FROM heads GROUP BY source, header
+      HAVING COUNT(*) >= {HEADER_MIN_DOCS}
+    )
+    SELECT source,
+           COUNT(*) AS n_repeated_headers,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs_affected
+    FROM hc GROUP BY source
+    """,
+    tags=("llm", "text", "boilerplate"),
+)
+def docs_header_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-anchored header boilerplate: documents from the same
+    source that OPEN with the same {HEADER_TOKENS}-token run (site
+    chrome, license banners, scraped nav bars). Complements
+    docs_boilerplate_strip, which finds repeated chunks anywhere — the
+    anchored variant is what a header-trim step actually keys on. Shape:
+    one narrow projection to (source, header-prefix) then two hash
+    aggregations; the header string is a bounded-size key, so the shuffle
+    is O(docs), never O(tokens)."""
+    d = table(spark, sf_dir, "documents")
+    ts = T.tokens(F.col("text"))
+    heads = (
+        d.select(
+            "source",
+            ts.alias("__ts"),
+        )
+        .filter(F.size("__ts") >= HEADER_TOKENS)
+        .select(
+            "source",
+            F.concat_ws(" ", F.slice("__ts", 1, HEADER_TOKENS)).alias(
+                "header"
+            ),
+        )
+    )
+    hc = (
+        heads.groupBy("source", "header")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= HEADER_MIN_DOCS)
+    )
+    return hc.groupBy("source").agg(
+        F.count("*").alias("n_repeated_headers"),
+        F.sum("n_docs").cast("long").alias("n_docs_affected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-balanced shard assignment (pre-packing layout)
+# ---------------------------------------------------------------------------
+@register(
+    "docs_length_balanced_buckets",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, CAST(len({T.tokens_sql("text")}) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, n_tok,
+             COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM sized
+    )
+    SELECT CAST(FLOOR(CAST(cum_before AS DOUBLE) / {SHARD_TARGET_TOKENS})
+                AS BIGINT) AS bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS min_doc,
+           MAX(doc_id) AS max_doc
+    FROM cum GROUP BY 1
+    """,
+    tags=("llm", "packing", "window"),
+)
+def docs_length_balanced_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced shard assignment: walk the corpus in doc_id order
+    and cut a new shard every {SHARD_TARGET_TOKENS} tokens — the layout
+    step before sequence packing / distributed tokenization, where every
+    shard should cost a worker the same. The running token total uses the
+    two-phase parallel scan (operators/scan.py:global_running_sum — range
+    partition, per-partition prefix sums, tiny offset frame broadcast
+    back), NOT a single-partition window: integer addition is
+    associative, so the distributed prefix sum is bit-identical to the
+    oracle's sequential window while scaling to any corpus size."""
+    from ..operators.scan import global_running_sum
+
+    d = table(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id", F.size(T.tokens(F.col("text"))).cast("long").alias("n_tok")
+    )
+    run = global_running_sum(
+        sized, ["doc_id"], "n_tok", out_col="run", decimal_type="bigint"
+    )
+    cum_before = F.col("run") - F.col("n_tok")
+    bucket = F.floor(
+        cum_before.cast("double") / F.lit(SHARD_TARGET_TOKENS)
+    ).alias("bucket")
+    return (
+        run.select(bucket, "doc_id", "n_tok")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Collocation mining (lift-scored bigrams, no logarithms)
+# ---------------------------------------------------------------------------
+@register(
+    "text_collocations",
+    oracle=f"""
+    WITH toks AS (SELECT {T.tokens_sql("text")} AS ts FROM documents),
+    bg AS (
+      SELECT ts[i] AS l, ts[i + 1] AS r
+      FROM (SELECT ts, unnest(range(1, len(ts))) AS i FROM toks)
+    ),
+    uni AS (
+      SELECT tok, COUNT(*) AS c
+      FROM (SELECT unnest(ts) AS tok FROM toks) GROUP BY tok
+    ),
+    bgc AS (
+      SELECT l, r, COUNT(*) AS c_ab FROM bg GROUP BY l, r
+      HAVING COUNT(*) >= {COLLOC_MIN_COUNT}
+    ),
+    tot AS (
+      SELECT CAST(SUM(len(ts)) AS BIGINT) AS nu,
+             CAST(SUM(CASE WHEN len(ts) > 0 THEN len(ts) - 1 ELSE 0 END)
+                  AS BIGINT) AS nb
+      FROM toks
+    )
+    SELECT b.l || ' ' || b.r AS bigram,
+           b.c_ab AS n_pair,
+           CAST(b.c_ab * t.nu * t.nu AS DOUBLE)
+             / CAST(t.nb * ca.c * cb.c AS DOUBLE) AS lift
+    FROM bgc b
+    JOIN uni ca ON ca.tok = b.l
+    JOIN uni cb ON cb.tok = b.r
+    CROSS JOIN tot t
+    ORDER BY lift DESC, bigram ASC
+    LIMIT {COLLOC_TOP_K}
+    """,
+    tags=("llm", "text", "collocation"),
+)
+def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI-style collocation mining WITHOUT logarithms: lift =
+    P(ab) / (P(a) P(b)) computed as one integer-product ratio
+    (c_ab*N_u*N_u) / (N_b*c_a*c_b) — int64 products cast to double and
+    divided once, so the score is bit-identical on every engine (log/exp
+    are not correctly-rounded and would hash-diverge; the RANKING by lift
+    equals the ranking by PMI since log is monotone). Shape: bigram
+    explode -> two hash-aggs (unigrams, bigrams with a count floor) ->
+    equi-joins on the token -> broadcast one-row totals -> top-k. The
+    count floor ({COLLOC_MIN_COUNT}) keeps the joined bigram table a
+    vanishing fraction of the corpus at scale."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(T.tokens(F.col("text")).alias("ts"))
+    bg = toks.select(
+        F.explode(
+            F.when(
+                F.size("ts") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("ts"), i.cast("int")).alias("l"),
+                        F.element_at(F.col("ts"), (i + 1).cast("int")).alias(
+                            "r"
+                        ),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+        ).alias("p")
+    ).select("p.l", "p.r")
+    uni = (
+        toks.select(F.explode("ts").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    bgc = (
+        bg.groupBy("l", "r")
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= COLLOC_MIN_COUNT)
+    )
+    tot = toks.agg(
+        F.sum(F.size("ts")).cast("long").alias("nu"),
+        F.sum(
+            F.when(F.size("ts") > 0, F.size("ts") - 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("nb"),
+    )
+    ca = uni.select(F.col("tok").alias("l"), F.col("c").alias("c_a"))
+    cb = uni.select(F.col("tok").alias("r"), F.col("c").alias("c_b"))
+    return (
+        bgc.join(ca, "l")
+        .join(cb, "r")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.concat_ws(" ", "l", "r").alias("bigram"),
+            F.col("c_ab").alias("n_pair"),
+            (
+                (F.col("c_ab") * F.col("nu") * F.col("nu")).cast("double")
+                / (F.col("nb") * F.col("c_a") * F.col("c_b")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("bigram"))
+        .limit(COLLOC_TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix (labeled lang x heuristic prediction)
+# ---------------------------------------------------------------------------
+def _confusion_oracle() -> str:
+    score_cols = ",\n           ".join(
+        "len(list_intersect(dts, {lst})) AS s_{lang}".format(
+            lst="[" + ", ".join(f"'{w}'" for w in ws) + "]", lang=lang
+        )
+        for lang, ws in T.LANG_STOPWORDS.items()
+    )
+    langs = sorted(T.LANG_STOPWORDS)
+    mx = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = " ".join(f"WHEN s_{lang} = {mx} THEN '{lang}'" for lang in langs)
+    return f"""
+    WITH toks AS (SELECT lang, {T.distinct_tokens_sql("text")} AS dts
+                  FROM documents),
+    scores AS (SELECT lang, {score_cols} FROM toks),
+    pred AS (SELECT lang, CASE {case} END AS predicted_lang FROM scores)
+    SELECT lang, predicted_lang, COUNT(*) AS n_docs
+    FROM pred GROUP BY lang, predicted_lang
+    """
+
+
+@register(
+    "lang_confusion",
+    oracle=_confusion_oracle(),
+    tags=("llm", "text", "langid"),
+)
+def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: labeled lang x heuristic prediction
+    (same argmax + alphabetical tie-break as text_lang_id) with document
+    counts — the calibration table that tells a corpus owner WHERE the
+    cheap lang filter misroutes documents, not just how often. One narrow
+    scan + one (lang, pred) hash aggregation."""
+    d = table(spark, sf_dir, "documents")
+    scores = T.lang_scores(F.col("text"))
+    scored = d.select("lang", *[s.alias(f"s_{lang}") for lang, s in scores])
+    langs = sorted(T.LANG_STOPWORDS)
+    mx = F.greatest(*[F.col(f"s_{lang}") for lang in langs])
+    expr = None
+    for lang in langs:
+        cond = F.col(f"s_{lang}") == mx
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    return (
+        scored.select("lang", expr.alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )

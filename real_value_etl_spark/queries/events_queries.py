@@ -1024,3 +1024,55 @@ def events_ewma_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ewma"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Rate limiting / burst detection (sliding RANGE window per user)
+# ---------------------------------------------------------------------------
+RATE_WINDOW_MICROS = 600_000_000  # 10 minutes
+RATE_BURST_MIN = 2  # >= this many events inside one window = a burst
+
+
+@register(
+    "events_rate_limit",
+    oracle=f"""
+    WITH rated AS (
+      SELECT user_id,
+             COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW)
+               AS in_window
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(MAX(in_window) AS BIGINT) AS max_burst,
+           CAST(SUM(CASE WHEN in_window >= {RATE_BURST_MIN} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_burst_events
+    FROM rated GROUP BY user_id
+    """,
+    tags=("events", "window", "range_frame", "abuse"),
+)
+def events_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-limit / burst audit: for every event, how many events the same
+    user produced in the trailing 10 minutes (RANGE frame over event
+    time), rolled up per user into peak burst size and the number of
+    events that fired inside a burst — the replay an abuse/rate-limit
+    policy runs before turning enforcement on. One shuffle on user_id
+    shared by the window and the rollup; the frame is time-defined, so
+    tie handling is engine-identical."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-RATE_WINDOW_MICROS, 0)
+    )
+    rated = e.select(
+        "user_id", F.count("*").over(w).alias("in_window")
+    )
+    return rated.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.max("in_window").alias("max_burst"),
+        F.sum(F.when(F.col("in_window") >= RATE_BURST_MIN, 1).otherwise(0))
+        .cast("long")
+        .alias("n_burst_events"),
+    )

@@ -295,6 +295,43 @@ def events_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audit(ev, rules)
 
 
+def _fingerprint_stage(src: str, kind: str, write) -> str:
+    """Stage a derived copy of `src` under /tmp, keyed by the source's
+    (mtime, size) fingerprint, with atomic publication.
+
+    - fingerprint key: a regenerated source file invalidates the stage
+      (otherwise the query would aggregate stale data while the oracle
+      reads fresh);
+    - write-then-rename: `write(tmp_dir)` materializes the full stage in
+      a temp dir, then one os.rename publishes it — a concurrent session
+      never observes a partial stage, and losing the rename race just
+      means the winner's complete stage is used;
+    - superseded fingerprints of the same source are deleted (never the
+      live target), so regenerated inputs don't leak stage dirs.
+    """
+    import glob
+    import os
+    import re as _re
+    import shutil
+    import uuid
+
+    st = os.stat(src)
+    tag = _re.sub(r"[^A-Za-z0-9]+", "_", src)
+    prefix = f"/tmp/rve_{kind}_src_{tag}_"
+    stage = f"{prefix}{st.st_mtime_ns}_{st.st_size}"
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        for old in glob.glob(f"{prefix}*"):
+            if old != stage:
+                shutil.rmtree(old, ignore_errors=True)
+        tmp = f"{stage}.tmp-{uuid.uuid4().hex}"
+        write(tmp)
+        try:
+            os.rename(tmp, stage)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return stage
+
+
 @register(
     "events_via_jsonl_source",
     oracle="""
@@ -319,49 +356,22 @@ def events_via_jsonl_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     JSON (timestamp JSON round-trips are timezone-format-fragile; integer
     micros are not), value as string to dodge double-format drift —
     exactly how a production event log encodes."""
-    import glob
-    import os
-    import re as _re
-    import shutil
-    import uuid
-
     from pyspark.sql import types as PT
 
     from .registry import ensure_session_confs, table
 
     ensure_session_confs(spark)
-    # stage key includes the source parquet's (mtime, size) fingerprint:
-    # a regenerated events.parquet must invalidate the staged JSONL, or
-    # this query would aggregate stale data while the oracle reads fresh
-    src = f"{sf_dir}/events.parquet"
-    st = os.stat(src)
-    tag = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir)
-    prefix = f"/tmp/rve_jsonl_src_{tag}_"
-    stage = f"{prefix}{st.st_mtime_ns}_{st.st_size}"
-    marker = os.path.join(stage, "_SUCCESS")
-    if not os.path.exists(marker):
-        # write-then-rename: a concurrent session never observes a partial
-        # stage (rename is atomic on one filesystem; losing the rename race
-        # just means the winner's complete stage is used). Stale stages for
-        # a superseded fingerprint of the same sf_dir are deleted here —
-        # never the live target — so regenerated inputs don't leak dirs.
-        for old in glob.glob(f"{prefix}*"):
-            if old != stage:
-                shutil.rmtree(old, ignore_errors=True)
-        tmp = f"{stage}.tmp-{uuid.uuid4().hex}"
-        ev = table(spark, sf_dir, "events").select(
+
+    def _write(tmp: str) -> None:
+        table(spark, sf_dir, "events").select(
             "event_id",
             F.unix_micros("ts").alias("ts_us"),
             "user_id",
             "event_type",
             F.col("value").cast("string").alias("value"),
-        )
-        ev.write.mode("overwrite").json(tmp)
-        try:
-            os.rename(tmp, stage)
-        except OSError:
-            # another session won the race with a complete stage
-            shutil.rmtree(tmp, ignore_errors=True)
+        ).write.mode("overwrite").json(tmp)
+
+    stage = _fingerprint_stage(f"{sf_dir}/events.parquet", "jsonl", _write)
     schema = PT.StructType(
         [
             PT.StructField("event_id", PT.LongType()),
@@ -379,4 +389,107 @@ def events_via_jsonl_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
             "sum_value"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ORC source path (columnar alternative, self-describing schema)
+# ---------------------------------------------------------------------------
+@register(
+    "orders_via_orc_source",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_totalprice,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("source", "connector", "orc"),
+)
+def orders_via_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source path: orders is staged once as spark-written ORC (the
+    second columnar lake format the engine supports, sinks/writers.py:
+    write_orc), read back through the native OrcFileFormat, and
+    aggregated. The oracle computes the identical aggregate from the
+    parquet directly, so the ORC writer/reader pair must round-trip
+    values, types, and row counts exactly — same contract the JSONL
+    source proves for row formats. Columns staged are exactly the ones
+    the query needs (bigint/varchar/double — ORC-exact types)."""
+    from .registry import ensure_session_confs, table
+
+    ensure_session_confs(spark)
+
+    def _write(tmp: str) -> None:
+        table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        ).write.mode("overwrite").orc(tmp)
+
+    stage = _fingerprint_stage(f"{sf_dir}/orders.parquet", "orc", _write)
+    back = spark.read.orc(stage)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_totalprice"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hive-partitioned source path (directory pruning must reach the scan)
+# ---------------------------------------------------------------------------
+@register(
+    "lineitem_via_partitioned_source",
+    oracle="""
+    SELECT l_linestatus,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+    GROUP BY l_linestatus
+    """,
+    tags=("source", "connector", "partitioned"),
+)
+def lineitem_via_partitioned_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned source path: lineitem is staged once as a
+    partitioned parquet layout (partitionBy l_returnflag — the
+    platform=/date= layout of sinks/writers.py:write_partitioned_parquet)
+    and read back with a filter on the partition column. The filter must
+    prune DIRECTORIES (PartitionFilters in the scan — pinned by
+    tests/test_plans.py), so only 1 of 3 partitions is ever read; the
+    oracle computes the same aggregate from the flat parquet with a WHERE
+    clause. This is the read side of the engine's 100 TB layout story:
+    partition pruning is load-bearing, not decorative."""
+    from .registry import ensure_session_confs, table
+
+    ensure_session_confs(spark)
+
+    def _write(tmp: str) -> None:
+        table(spark, sf_dir, "lineitem").select(
+            "l_orderkey",
+            "l_quantity",
+            "l_extendedprice",
+            "l_linestatus",
+            "l_returnflag",
+        ).write.mode("overwrite").partitionBy("l_returnflag").parquet(tmp)
+
+    stage = _fingerprint_stage(
+        f"{sf_dir}/lineitem.parquet", "partn", _write
+    )
+    back = spark.read.parquet(stage).filter(F.col("l_returnflag") == "R")
+    return back.groupBy("l_linestatus").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
     )

@@ -402,3 +402,67 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("centroid_val"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pairwise-distance histogram (dedup/ANN threshold calibration)
+# ---------------------------------------------------------------------------
+DIST_SAMPLE_N = 64
+DIST_BUCKET_PER_UNIT = 4  # quarter-width distance buckets
+
+
+@register(
+    "sim_pair_distance_hist",
+    oracle=f"""
+    WITH sample AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings ORDER BY vec_id LIMIT {DIST_SAMPLE_N}
+    ),
+    pairs AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(range(1, len(a.v) + 1),
+                                i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i]))),
+               (x, y) -> x + y) AS dist2
+      FROM sample a JOIN sample b ON a.vec_id < b.vec_id
+    )
+    SELECT CAST(FLOOR(sqrt(dist2) * {DIST_BUCKET_PER_UNIT}) AS BIGINT)
+             AS bucket,
+           COUNT(*) AS n_pairs
+    FROM pairs GROUP BY 1
+    """,
+    tags=("llm", "similarity", "vector", "diagnostics"),
+)
+def sim_pair_distance_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-distance histogram over a BOUNDED deterministic sample
+    (the {DIST_SAMPLE_N} lowest vec_ids): the calibration plot every
+    dedup/ANN threshold decision starts from — where the distance mass
+    sits tells you what cosine/Jaccard cutoff separates near-dups from
+    neighbors. The sample is fixed-size by construction (ORDER BY id
+    LIMIT k), so the all-pairs step is k^2/2 pairs against a BROADCAST
+    side at any corpus scale — this is the sanctioned bounded-broadcast
+    pattern, never a corpus x corpus product. Each distance is one
+    dim-ordered fold (bit-identical across engines); sqrt is
+    IEEE-correctly-rounded, so bucket boundaries match exactly."""
+    emb = table(spark, sf_dir, "embeddings")
+    sample = (
+        emb.orderBy("vec_id")
+        .limit(DIST_SAMPLE_N)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    a = sample.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"))
+    b = sample.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
+    dist2 = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = a.join(F.broadcast(b), F.col("ia") < F.col("ib")).select(
+        dist2.alias("dist2")
+    )
+    return pairs.select(
+        F.floor(F.sqrt(F.col("dist2")) * F.lit(DIST_BUCKET_PER_UNIT)).alias(
+            "bucket"
+        )
+    ).groupBy("bucket").agg(F.count("*").alias("n_pairs"))

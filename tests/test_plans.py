@@ -325,6 +325,13 @@ def test_gapfill_interp_grid_cross_join_is_broadcast(spark, sf_dir):
         "docs_repeated_spans",
         "lang_vocab_overlap",
         "sim_kmeans_train",
+        # round-3 additions
+        "docs_ngram_novelty",
+        "docs_quality_funnel",
+        "docs_header_strip",
+        "docs_length_balanced_buckets",
+        "lang_confusion",
+        "events_rate_limit",
     ],
 )
 def test_round2_additions_scale_safe_plans(spark, sf_dir, name):
@@ -346,6 +353,10 @@ def test_round2_additions_scale_safe_plans(spark, sf_dir, name):
         "sim_rerank_quantized",
         "sim_quantization_recall",
         "docs_source_divergence",
+        # round-3: bounded-sample all-pairs + one-row broadcast totals
+        "sim_pair_distance_hist",
+        "docs_mix_temperature",
+        "text_collocations",
     ],
 )
 def test_bounded_broadcast_nlj_only(spark, sf_dir, name):
@@ -364,6 +375,18 @@ def test_bounded_broadcast_nlj_only(spark, sf_dir, name):
     )
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_partitioned_source_prunes_directories(spark, sf_dir):
+    """lineitem_via_partitioned_source's filter on the partition column
+    must prune at the DIRECTORY level: the scan carries a PartitionFilter
+    on l_returnflag (directory pruning), and the data filter does NOT
+    re-appear as a pushed data filter — the column never exists inside
+    the files."""
+    df = REGISTRY["lineitem_via_partitioned_source"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    seg = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "l_returnflag" in seg and "= R" in seg
 
 
 def test_boilerplate_strip_prunes_documents_scan(spark, sf_dir):
