@@ -145,6 +145,7 @@ def kmeans_fit_fx(
     vec_col: str,
     init_fx: list[list[int]],
     n_iter: int = 3,
+    caches: list[DataFrame] | None = None,
 ) -> tuple[list[list[int]], DataFrame]:
     """Lloyd's k-means in int64 fixed-point: bit-exact on any engine,
     partitioning, or cluster size — which is what makes an ITERATIVE
@@ -157,9 +158,18 @@ def kmeans_fit_fx(
     and identical across engines. Empty clusters keep their previous
     centroid. Per iteration: assign is pure codegen (no shuffle), update
     is ONE hash-agg of k*dim partial means; only the k x dim int matrix
-    reaches the driver."""
+    reaches the driver.
+
+    The quantized-vector frame is PERSISTED: every iteration's update
+    action (and the final assignment) re-reads it, and without a cache
+    each of those n_iter+1 actions would re-scan and re-quantize the
+    source. Same lifecycle contract as the Jaccard prefix index
+    (operators/dedup.py) — lazy result, CacheManager dedup, optional
+    `caches` out-param for callers that release after materializing."""
     centroids = [[int(v) for v in c] for c in init_fx]
-    q = df.withColumn("__q", quantize_fx(F.col(vec_col)))
+    q = df.withColumn("__q", quantize_fx(F.col(vec_col))).persist()
+    if caches is not None:
+        caches.append(q)
     assigned = _assign_fx(q, "__q", centroids)
     for _ in range(n_iter):
         parts = (

@@ -28,16 +28,36 @@ SCALE = 10**12  # fixed-point unit
 DAMP_NUM, DAMP_DEN = 85, 100  # damping 0.85 as an exact ratio
 
 
-def pagerank_fixed_point(edges: DataFrame, n_iter: int = 3) -> DataFrame:
+def pagerank_fixed_point(
+    edges: DataFrame,
+    n_iter: int = 3,
+    caches: list[DataFrame] | None = None,
+) -> DataFrame:
     """`edges` = (src, dst). Returns (node, rank) after `n_iter`
     supersteps, rank in SCALE fixed-point units.
 
     Per iteration: share = rank div deg (per source), shuffle-sum shares
     by dst, then rank' = teleport + 85% of inflow — all integer ops.
+
+    The edge list and degree table are PERSISTED: every superstep joins
+    the edges, and without a cache Spark would re-execute the caller's
+    (often expensive — e.g. a distinct over a fact table) edge
+    derivation once per iteration plus once for degrees. Same lifecycle
+    contract as the Jaccard prefix index (operators/dedup.py): the
+    result is lazy, so the caches must outlive this function;
+    CacheManager dedups repeated calls, and callers that want release
+    pass `caches` and unpersist after materializing. At warehouse scale
+    the edge list is a checkpointed/bucketed intermediate instead.
     """
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).select(
-        F.col("src").alias("node"), "deg"
+    edges = edges.persist()
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count("*").alias("deg"))
+        .select(F.col("src").alias("node"), "deg")
+        .persist()
     )
+    if caches is not None:
+        caches += [edges, deg]
     n = deg.agg(F.count("*").alias("n"))
     # (node, deg, r): r0 = SCALE div N
     ranks = deg.crossJoin(F.broadcast(n)).select(

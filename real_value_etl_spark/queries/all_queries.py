@@ -34,10 +34,9 @@ from .registry import REGISTRY
 # Round-3 window: the 33 queries that have never had a driver CORRECTNESS
 # row (r1 ∪ r2 covered 95/128) rotate IN — closing this evidence gap is
 # VERDICT.md r2's top ask; with these green, cumulative driver-green
-# reaches 128/128 of the round-2 registry. The next 11 slots are the
-# round-3 additions (first driver evidence), and the remaining 6
-# re-confirm the highest-value rows (r2 fixes, ETL function surface,
-# the heaviest headliner).
+# reaches 128/128 of the round-2 registry. The next 14 slots are the
+# round-3 additions (first driver evidence), and the remaining 3
+# re-confirm the ETL function surface and the heaviest headliner.
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- never-driver-verified: events analytics leftovers from r1
     "events_sliding_agg",
@@ -89,13 +88,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "orders_via_orc_source",
     "lineitem_via_partitioned_source",
     "sim_pair_distance_hist",
-    # -- re-confirmations: r2 fixes, ETL function surface, heavy headliners
-    "sim_embedding_topk",
-    "docs_pack_sequences",
+    "events_attribution",
+    "multimodal_dedup",
+    "stream_cdc_apply",
+    # -- re-confirmations: ETL function surface + heaviest headliner
     "etl_scalar_funcs",
     "etl_array_funcs",
     "dedup_jaccard_prefix",
-    "q1_pricing_summary",
 )
 
 

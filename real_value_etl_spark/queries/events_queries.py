@@ -1076,3 +1076,82 @@ def events_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_burst_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# First-touch attribution (session-scoped purchase -> first click)
+# ---------------------------------------------------------------------------
+@register(
+    "events_attribution",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT event_id, user_id, ts, event_type, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > {SESSION_GAP_SEC}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT event_id, user_id, ts, event_type, value,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged
+    ),
+    clicks AS (
+      SELECT user_id, session_seq, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, session_seq
+                                ORDER BY ts, event_id) AS rn
+      FROM sess WHERE event_type = 'click'
+    ),
+    fc AS (
+      SELECT user_id, session_seq,
+             ts AS first_click_ts, value AS first_click_value
+      FROM clicks WHERE rn = 1
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           f.first_click_ts, f.first_click_value
+    FROM sess p
+    LEFT JOIN fc f ON p.user_id = f.user_id
+                  AND p.session_seq = f.session_seq
+    WHERE p.event_type = 'purchase'
+    """,
+    tags=("events", "session", "attribution", "join"),
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: every purchase is credited to the FIRST
+    click of the same user's session (30-min gap sessions from the
+    sessionize operator) — the composition of sessionization + in-session
+    argmin + key join that marketing/behavior pipelines run constantly.
+    Purchases with no click in their session surface with NULL
+    attribution (LEFT join — unattributed conversions are a real
+    category, not droppable rows). The in-session first click is ONE
+    min(struct(ts, event_id, value)) aggregate (lexicographic struct min;
+    the unique event_id breaks ts ties), so both the sessionize windows
+    and the argmin ride the same user_id shuffle."""
+    from ..operators.sessionize import sessionize
+
+    ev = table(spark, sf_dir, "events")
+    sess = sessionize(ev, "user_id", "ts", SESSION_GAP_SEC)
+    fc = (
+        sess.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "session_seq")
+        .agg(F.min(F.struct("ts", "event_id", "value")).alias("fc"))
+        .select(
+            "user_id",
+            "session_seq",
+            F.col("fc.ts").alias("first_click_ts"),
+            F.col("fc.value").alias("first_click_value"),
+        )
+    )
+    return (
+        sess.filter(F.col("event_type") == "purchase")
+        .join(fc, ["user_id", "session_seq"], "left")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "first_click_ts",
+            "first_click_value",
+        )
+    )

@@ -2270,3 +2270,52 @@ def docs_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("tokens_saved"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal dedup: binary-content digest groups (JVM-side, no Python)
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_dedup",
+    oracle="""
+    SELECT md5(text) AS content_md5,
+           MIN(doc_id) AS keeper_id,
+           COUNT(*) AS n_copies,
+           CAST((COUNT(*) - 1) * MIN(octet_length(encode(text))) AS BIGINT)
+             AS bytes_reclaimed
+    FROM documents
+    GROUP BY md5(text)
+    HAVING COUNT(*) > 1
+    """,
+    tags=("multimodal", "dedup", "llm"),
+)
+def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over the BINARY payload column: digest the bytes
+    JVM-side (F.md5 on BinaryType — the bytes never reach Python, unlike
+    the decode path which legitimately needs mapInPandas), group by
+    digest, and report keeper + reclaimable bytes per duplicate group —
+    the storage-dedup step a multimodal lake runs before any decode.
+    Payloads with equal digests have equal length, so bytes_reclaimed =
+    (copies - 1) * payload_len exactly. One hash shuffle on the 32-char
+    digest regardless of payload size (the 100 TB property: shuffle keys
+    are digests, never bytes)."""
+    from ..operators import multimodal as M
+
+    docs = table(spark, sf_dir, "documents")
+    binary = M.attach_binary(docs, "doc_id", "text")
+    return (
+        binary.select(
+            "doc_id",
+            F.md5(F.col("payload")).alias("content_md5"),
+            F.octet_length(F.col("payload")).cast("long").alias("byte_len"),
+        )
+        .groupBy("content_md5")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count("*").alias("n_copies"),
+            ((F.count("*") - 1) * F.min("byte_len"))
+            .cast("long")
+            .alias("bytes_reclaimed"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )

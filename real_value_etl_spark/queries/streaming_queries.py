@@ -181,3 +181,27 @@ def stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     via the stream checkpoint); the finalized view must equal a full batch
     recompute bit-exactly regardless of how arrivals were batched."""
     return jobs.stream_incremental_mv(spark, sf_dir)
+
+
+@register(
+    "stream_cdc_apply",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, ts, event_id, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_ops
+      FROM events
+    )
+    SELECT user_id, ts AS last_ts, value AS last_value, n_ops
+    FROM ranked
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+    tags=("stream", "cdc", "upsert"),
+)
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply via foreachBatch: per-key latest-wins merge
+    with delete tombstones, persisted state, associative so the final
+    snapshot is batching-independent — must equal the batch CDC replay
+    (same oracle as events_cdc_apply) bit-exactly."""
+    return jobs.stream_cdc_apply(spark, sf_dir)

@@ -394,3 +394,90 @@ def stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination()
     return finalize_state(spark.read.parquet(state), keys)
+
+
+def cdc_apply_sink(state_path: str):
+    """foreachBatch sink maintaining a latest-wins CDC snapshot with
+    delete tombstones — the streaming form of events_cdc_apply
+    (queries/incremental.py): each micro-batch merges into a persisted
+    per-key state holding the newest op (by ts, then unique event_id)
+    and the total op count.
+
+    The merge is ASSOCIATIVE (argmax by (ts, event_id) + an op-count sum),
+    so the snapshot is bit-identical to a batch replay no matter how
+    arrivals were chunked into micro-batches. Tombstones ('error' ops)
+    are kept IN the state — a tombstone that is currently newest must
+    keep suppressing its key; the read side filters them out. Atomic
+    staging-swap publish + the stream checkpoint give exactly-once across
+    restarts (a replayed batch id never reaches foreachBatch).
+    """
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        delta = batch_df.select(
+            "user_id", "ts", "event_id", "event_type", "value",
+            F.lit(1).cast("long").alias("n_ops"),
+        )
+        if os.path.exists(os.path.join(state_path, "_SUCCESS")):
+            src = s.read.parquet(state_path).unionByName(delta)
+        else:
+            src = delta
+        latest = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        merged = (
+            src.withColumn("__rn", F.row_number().over(latest))
+            .withColumn(
+                "__n", F.sum("n_ops").over(Window.partitionBy("user_id"))
+            )
+            .filter(F.col("__rn") == 1)
+            .select(
+                "user_id", "ts", "event_id", "event_type", "value",
+                F.col("__n").alias("n_ops"),
+            )
+        )
+        stage = state_path + "__stage"
+        merged.write.mode("overwrite").parquet(stage)
+        old = state_path + "__old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(state_path):
+            os.rename(state_path, old)
+        os.rename(stage, state_path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return fold
+
+
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply: file stream -> foreachBatch latest-wins merge
+    with tombstones -> current snapshot (tombstoned keys excluded). The
+    snapshot must equal the batch CDC apply (events_cdc_apply oracle)."""
+    import hashlib
+    import shutil
+
+    root = f"/tmp/rve_stream_cdc/{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    state, ckpt = f"{root}/state", f"{root}/ckpt"
+    shutil.rmtree(root, ignore_errors=True)  # deterministic fresh run
+
+    ev = _events_stream(spark, sf_dir)
+    query = (
+        ev.writeStream.foreachBatch(cdc_apply_sink(state))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return (
+        spark.read.parquet(state)
+        .filter(F.col("event_type") != "error")
+        .select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("value").alias("last_value"),
+            "n_ops",
+        )
+    )
