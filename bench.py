@@ -50,6 +50,8 @@ HEADLINE = [
     "sim_kmeans_train",
     "docs_boilerplate_strip",
     "docs_repeated_spans",
+    "docs_ngram_novelty",
+    "events_attribution",
 ]
 
 

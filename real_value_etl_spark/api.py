@@ -36,6 +36,57 @@ def root_message() -> dict:
     return {"message": "real-value-etl-spark control plane"}
 
 
+def handle_list_queries() -> dict:
+    """Transport-free core of `GET /queries`: the registered analytics
+    catalog — name, tags, whether a DuckDB oracle exists, and the
+    docstring summary. This is the discovery surface a user switching
+    from the reference gets beyond the fixed ETL pipeline (the reference
+    exposes only /etl/start)."""
+    from .queries import all_queries  # noqa: F401 - populates REGISTRY
+    from .queries.registry import REGISTRY
+
+    return {
+        "queries": [
+            {
+                "name": name,
+                "tags": list(spec.tags),
+                "has_oracle": spec.oracle is not None,
+                "doc": spec.doc.split("\n")[0] if spec.doc else "",
+            }
+            for name, spec in REGISTRY.items()
+        ]
+    }
+
+
+def handle_run_query(
+    spark, name: str, sf_dir: str, limit: int = 1000
+) -> dict:
+    """Transport-free core of `POST /query/{name}`: run one registered
+    query against `sf_dir` and return up to `limit` rows as JSON-safe
+    dicts plus the schema. Unknown names return an error dict (the
+    HTTP layer maps it to 404) — never an exception across the API
+    boundary. `limit` bounds the driver-side collect; bulk extraction
+    belongs to the parquet/ORC sinks, not a REST response."""
+    from .queries import all_queries  # noqa: F401
+    from .queries.registry import REGISTRY
+
+    spec = REGISTRY.get(name)
+    if spec is None:
+        return {"status": "error", "error": f"unknown query: {name}"}
+    df = spec.fn(spark, sf_dir)
+    rows = df.limit(limit).collect()
+    return {
+        "status": "success",
+        "name": name,
+        "schema": [
+            {"name": f.name, "type": f.dataType.simpleString()}
+            for f in df.schema.fields
+        ],
+        "n_rows": len(rows),
+        "rows": [r.asDict(recursive=True) for r in rows],
+    }
+
+
 def create_app(data_dir: str, output_path: str, output_format: str = "parquet"):
     try:
         from fastapi import FastAPI
@@ -65,5 +116,13 @@ def create_app(data_dir: str, output_path: str, output_format: str = "parquet"):
     @app.post("/etl/start")  # reference main.py:34-65
     def etl_start(req: PlatformRequest):
         return handle_etl_start(spark, config, req.platforms)
+
+    @app.get("/queries")  # analytics catalog (beyond reference parity)
+    def list_queries():
+        return handle_list_queries()
+
+    @app.post("/query/{name}")
+    def run_query(name: str, sf_dir: str, limit: int = 1000):
+        return handle_run_query(spark, name, sf_dir, limit)
 
     return app

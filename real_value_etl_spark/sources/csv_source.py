@@ -37,12 +37,20 @@ def read_platform_csv(
     per file — a 10 GB snapshot becomes a single task — so the default is
     the splittable line-oriented parser; enable it only for sources whose
     free-text columns actually embed newlines.
+
+    Read-TIME missing-file tolerance (the reference's per-object NoSuchKey
+    -> None, extraction.py:44-53) is covered end-to-end: a path missing at
+    planning returns None here, and a file deleted BETWEEN listing and
+    task execution is skipped by `ignoreMissingFiles` instead of failing
+    the job — on an object store serving a live bucket, list-then-read
+    races are routine, not exceptional.
     """
     try:
         reader = (
             spark.read.option("header", True)
             .option("escape", '"')
             .option("inferSchema", False)  # strings in, expressions coerce
+            .option("ignoreMissingFiles", True)
         )
         if multiline:
             reader = reader.option("multiLine", True)

@@ -227,6 +227,69 @@ def test_file_deleted_between_listing_and_read_skips_platform(
     assert spark.read.parquet(out).count() > 0
 
 
+def test_file_deleted_after_planning_is_skipped_not_fatal(spark, tmp_path):
+    """The NARROWER read-time race (reference extraction.py:44-53
+    NoSuchKey -> None): the file exists at planning/listing but vanishes
+    before the scan task runs. `ignoreMissingFiles` must skip the vanished
+    split instead of failing the job — on a live object store this race
+    is routine. The surviving file's rows still load."""
+    from real_value_etl_spark.sources.csv_source import read_platform_csv
+
+    d = tmp_path / "csvs"
+    os.makedirs(d)
+    (d / "a.csv").write_text("id,v\n1,x\n2,y\n")
+    (d / "b.csv").write_text("id,v\n3,z\n4,w\n5,q\n")
+    df = read_platform_csv(spark, str(d))  # analysis lists both files
+    assert df is not None
+    os.remove(d / "b.csv")  # vanishes between listing and task execution
+    assert df.count() == 2  # a.csv rows; no job failure
+
+
+def test_query_api_handlers(spark, sf_dir):
+    """The analytics API handlers (transport-free): the catalog lists
+    every registered query with oracle/tag metadata, a run returns
+    JSON-safe rows + schema bounded by the limit, and an unknown name is
+    an error DICT, not an exception across the API boundary."""
+    from real_value_etl_spark.api import handle_list_queries, handle_run_query
+
+    cat = handle_list_queries()["queries"]
+    names = {q["name"] for q in cat}
+    assert "q1_pricing_summary" in names and len(cat) >= 140
+    assert all(q["has_oracle"] for q in cat if q["name"] == "q1_pricing_summary")
+
+    out = handle_run_query(spark, "q1_pricing_summary", sf_dir, limit=2)
+    assert out["status"] == "success" and out["n_rows"] == 2
+    assert {c["name"] for c in out["schema"]} >= {"l_returnflag", "sum_qty"}
+    assert isinstance(out["rows"][0], dict)
+
+    assert handle_run_query(spark, "no_such_query", sf_dir)["status"] == "error"
+
+
+def test_cli_run_and_errors(spark, sf_dir, capsys):
+    """CLI face of the engine: `run --json` emits one JSON object per
+    row, `explain` prints a formatted plan, unknown names exit 2 without
+    a traceback. The session is injected so the test reuses the suite's
+    JVM."""
+    import json as _json
+
+    from real_value_etl_spark.__main__ import main
+
+    rc = main(
+        ["run", "q1_pricing_summary", "--sf-dir", sf_dir, "--limit", "2",
+         "--json"],
+        spark=spark,
+    )
+    outs = capsys.readouterr().out.strip().splitlines()
+    assert rc == 0 and len(outs) == 2
+    assert "l_returnflag" in _json.loads(outs[0])
+
+    rc = main(["explain", "q6_forecast_revenue", "--sf-dir", sf_dir],
+              spark=spark)
+    assert rc == 0 and "Physical Plan" in capsys.readouterr().out
+
+    assert main(["run", "nope", "--sf-dir", sf_dir], spark=spark) == 2
+
+
 def test_rest_handler_success_and_error_paths(spark, tmp_path):
     """C1 (`POST /etl/start`) minus the transport: the handler returns the
     reference-shaped status dict on success, an `error/resolve` dict for
