@@ -1,6 +1,7 @@
 """Round-3 corpus-engineering operators: temperature mixing, memorization
 scan, filter-cascade accounting, header boilerplate, balanced sharding,
-collocations, and language-ID confusion.
+collocations, language-ID confusion, vocabulary tokenization, and
+shuffle-shard export.
 
 These extend the LLM-pipeline surface (SURVEY.md §2.12) with the remaining
 steps a pretraining-corpus owner runs that rounds 1-2 did not cover: the
@@ -22,7 +23,7 @@ ordered left-folds for any double accumulation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
@@ -598,4 +599,143 @@ def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select("lang", expr.alias("predicted_lang"))
         .groupBy("lang", "predicted_lang")
         .agg(F.count("*").alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary tokenization (token -> id against a corpus-derived vocab)
+# ---------------------------------------------------------------------------
+VOCAB_SIZE = 500
+UNK_ID = 0
+
+
+@register(
+    "docs_tokenize_ids",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {T.tokens_sql("text")} AS ts FROM documents),
+    uni AS (
+      SELECT tok, COUNT(*) AS c
+      FROM (SELECT unnest(ts) AS tok FROM toks) GROUP BY tok
+    ),
+    vocab AS (
+      SELECT tok, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS BIGINT)
+               AS tok_id
+      FROM uni ORDER BY c DESC, tok LIMIT {VOCAB_SIZE}
+    ),
+    ex AS (
+      SELECT doc_id, i AS pos, ts[i] AS tok
+      FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS i
+            FROM toks)
+    ),
+    mapped AS (
+      SELECT e.doc_id, e.pos, COALESCE(v.tok_id, {UNK_ID}) AS tok_id
+      FROM ex e LEFT JOIN vocab v ON e.tok = v.tok
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN tok_id = {UNK_ID} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unk,
+           array_to_string(list(tok_id ORDER BY pos), ',') AS ids
+    FROM mapped GROUP BY doc_id
+    """,
+    tags=("llm", "tokenizer", "vocab"),
+)
+def docs_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a corpus-derived vocabulary: build the top-{VOCAB_SIZE}
+    token vocab (count desc, token asc — fully deterministic ids), then
+    map every document to its id sequence with OOV -> UNK({UNK_ID}) —
+    the tokenize-to-ids step between text cleanup and sequence packing.
+    The vocab is bounded by construction, so the token->id mapping is a
+    BROADCAST join against the exploded (doc, pos, token) stream; the
+    id sequence is reassembled by a position-ordered fold per doc (the
+    serialized string keeps the driver comparison list-free, per the
+    canonicalizer rules). At 100 TB: one explode + broadcast map + one
+    doc-keyed aggregation — no corpus-sized shuffle except the per-doc
+    regroup that any tokenization must do."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", T.tokens(F.col("text")).alias("ts"))
+    uni = (
+        toks.select(F.explode("ts").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    vocab = (
+        uni.orderBy(F.desc("c"), F.asc("tok"))
+        .limit(VOCAB_SIZE)
+        .select(
+            "tok",
+            F.row_number()
+            .over(Window.orderBy(F.desc("c"), F.asc("tok")))
+            .cast("long")
+            .alias("tok_id"),
+        )
+    )
+    ex = toks.select(
+        "doc_id", F.posexplode("ts").alias("p", "tok")
+    ).select("doc_id", (F.col("p") + 1).alias("pos"), "tok")
+    mapped = ex.join(F.broadcast(vocab), "tok", "left").select(
+        "doc_id", "pos", F.coalesce("tok_id", F.lit(UNK_ID)).alias("tok_id")
+    )
+    return mapped.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("tok_id") == UNK_ID, 1).otherwise(0))
+        .cast("long")
+        .alias("n_unk"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok_id"))),
+                lambda s: s["tok_id"].cast("string"),
+            ),
+            ",",
+        ).alias("ids"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash-shuffle shard export
+# ---------------------------------------------------------------------------
+N_SHARDS = 16
+
+
+@register(
+    "docs_shuffle_shards",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             {T.portable_hash32_sql("CAST(doc_id AS VARCHAR)")}
+               % {N_SHARDS} AS shard,
+             CAST(len({T.tokens_sql("text")}) AS BIGINT) AS n_tok
+      FROM documents
+    )
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS min_doc,
+           MAX(doc_id) AS max_doc
+    FROM keyed GROUP BY shard
+    """,
+    tags=("llm", "export", "sampling"),
+)
+def docs_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shuffle-shard export layout: every doc lands in
+    shard = portable_hash(doc_id) % {N_SHARDS} — a pseudorandom but
+    engine/partitioning-independent permutation, which is what training
+    dataloaders need (same doc -> same shard on every rebuild, no global
+    sort). Complements docs_length_balanced_buckets (size-balanced,
+    order-preserving) with the randomized layout; the per-shard token
+    counts audit the balance the hash actually delivers. One narrow map
+    + one {N_SHARDS}-group aggregation."""
+    d = table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        (T.portable_hash32(F.col("doc_id").cast("string")) % N_SHARDS).alias(
+            "shard"
+        ),
+        F.size(T.tokens(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    return keyed.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
     )

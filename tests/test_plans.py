@@ -332,6 +332,10 @@ def test_gapfill_interp_grid_cross_join_is_broadcast(spark, sf_dir):
         "docs_length_balanced_buckets",
         "lang_confusion",
         "events_rate_limit",
+        "docs_tokenize_ids",
+        "docs_shuffle_shards",
+        "events_attribution",
+        "multimodal_dedup",
     ],
 )
 def test_round2_additions_scale_safe_plans(spark, sf_dir, name):
