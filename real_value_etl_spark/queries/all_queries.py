@@ -18,6 +18,7 @@ ALL of them).
 from . import (  # noqa: F401
     corpus_quality,
     events_queries,
+    feature_ops,
     graph,
     incremental,
     llm,
@@ -91,10 +92,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "events_attribution",
     "multimodal_dedup",
     "stream_cdc_apply",
-    # -- re-confirmations: ETL function surface + heaviest headliner
-    "etl_scalar_funcs",
-    "etl_array_funcs",
-    "dedup_jaccard_prefix",
+    # -- late round-3 additions (first driver evidence; the remaining
+    #    ones — docs_quality_lr_score, docs_winsorize, docs_via_evolved_
+    #    parquet, multimodal_header_parse — rotate in next round)
+    "emb_gram_matrix",
+    "sim_matryoshka_recall",
+    "docs_quality_lr_score",
 )
 
 

@@ -1,0 +1,491 @@
+"""Model-facing data operators: quality-model inference, distributed
+Gram/covariance statistics, matryoshka (truncated-dimension) recall, and
+robust winsorized statistics.
+
+These close the remaining gaps between "corpus engineering" (queries/llm.py,
+corpus_quality.py) and the model-training loop itself:
+
+- docs_quality_lr_score — INFERENCE of a linear quality classifier over
+  engineered text features, entirely as Catalyst expressions (the weights
+  broadcast as literals). This is the "score every document with a small
+  model" step of a data pipeline, shown UDF-free; swapping the literal
+  weight vector for a trained one changes nothing structurally.
+- emb_gram_matrix — the distributed Gram matrix (X^T X) of the embedding
+  corpus via per-partition numpy matmul in mapInPandas. Covariance/PCA at
+  100 TB starts exactly here: d x d partial products per partition, a tiny
+  (d^2-row) global sum, eigendecomposition driver-side on d x d.
+- sim_matryoshka_recall — retrieval recall of TRUNCATED embeddings
+  (matryoshka-representation style) vs the full-dimension exact top-k:
+  the evaluation that decides how many dims the ANN index actually needs.
+- docs_winsorize — per-source nearest-rank percentile clipping: the
+  robust-statistics guard every corpus stats job needs before means of
+  heavy-tailed length distributions mean anything.
+
+Oracle conventions follow queries/llm.py: integer arithmetic where
+possible; every computed double is ONE pinned expression written
+identically in Spark and DuckDB (no pow/log/exp — not bit-portable; the
+squashing function is rational: x / (1 + |x|)); decimal-cast sums for
+order-independent aggregation of doubles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..operators.similarity import brute_force_topk
+from .llm import ANN_QUERY_MOD
+from .registry import register, table
+
+# ---------------------------------------------------------------------------
+# Linear quality-model inference (broadcast weights, expression-only)
+# ---------------------------------------------------------------------------
+# Weights of a small logistic quality model (feature engineering fixed
+# here; the values stand in for a trained coefficient vector — replacing
+# them changes no plan shape). All weights are EXACT POWERS OF TWO: a
+# power-of-two multiply only shifts the exponent (exact for any double),
+# so every product is exact and each addition rounds once — which makes
+# the fold immune to FMA contraction differences between engines (with a
+# non-exact product, fma(a, b, acc) rounds once where mul-then-add rounds
+# twice, and the two engines disagreed in the last ulp).
+# Feature order: intercept, n_tokens, mean_token_len, stopword_ratio,
+# distinct_ratio.
+LR_W0 = -2.0
+LR_W_NTOK = 0.00390625  # 2^-8
+LR_W_MTL = -0.25  # -2^-2
+LR_W_STOP = 2.0
+LR_W_DISTINCT = 1.0
+LR_KEEP_THRESHOLD = 0.0  # on the squashed score in (-1, 1)
+
+_EN_STOPS = T.LANG_STOPWORDS["en"]
+_EN_STOPS_SQL = "[" + ", ".join(f"'{w}'" for w in _EN_STOPS) + "]"
+
+
+@register(
+    "docs_quality_lr_score",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id,
+             len({T.tokens_sql("text")}) AS n_tokens,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform({T.tokens_sql("text")},
+                                t -> CAST(length(t) AS BIGINT))),
+                 (a, x) -> a + x) AS tok_chars,
+             len(list_filter({T.tokens_sql("text")},
+                 t -> list_contains({_EN_STOPS_SQL}, t))) AS n_stop,
+             len(list_distinct({T.tokens_sql("text")})) AS n_distinct
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN n_tokens > 0
+                  THEN CAST(tok_chars AS DOUBLE) / n_tokens
+                  ELSE 0.0 END AS mean_token_len,
+             CASE WHEN n_tokens > 0
+                  THEN CAST(n_stop AS DOUBLE) / n_tokens
+                  ELSE 0.0 END AS stopword_ratio,
+             CASE WHEN n_tokens > 0
+                  THEN CAST(n_distinct AS DOUBLE) / n_tokens
+                  ELSE 0.0 END AS distinct_ratio
+      FROM f
+    ),
+    l AS (
+      SELECT doc_id, n_tokens, mean_token_len, stopword_ratio,
+             distinct_ratio,
+             (((({LR_W0} + {LR_W_NTOK} * n_tokens)
+                + {LR_W_MTL} * mean_token_len)
+                + {LR_W_STOP} * stopword_ratio)
+                + {LR_W_DISTINCT} * distinct_ratio) AS logit
+      FROM s
+    )
+    SELECT doc_id, n_tokens, mean_token_len, stopword_ratio, distinct_ratio,
+           logit,
+           logit / (1.0 + abs(logit)) AS score,
+           logit / (1.0 + abs(logit)) > {LR_KEEP_THRESHOLD} AS kept
+    FROM l
+    """,
+    tags=("llm", "quality", "inference"),
+)
+def docs_quality_lr_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-model inference over every document: four engineered
+    features (token count, mean token length, stopword ratio, distinct
+    ratio), a literal weight vector folded into the plan, and a RATIONAL
+    squashing function score = logit / (1 + |logit|) — same shape as a
+    sigmoid but bit-portable across engines (exp() is not IEEE-pinned;
+    abs/add/divide are). Fully narrow: no shuffle, no UDF — model scoring
+    at 100 TB is a map-only pass that scales linearly with executors.
+    The logit folds left-to-right so Spark and the oracle round
+    identically at every step."""
+    d = table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    base = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("tok_chars"),
+        F.size(
+            F.filter(
+                toks,
+                lambda t: F.array_contains(
+                    F.array(*[F.lit(w) for w in _EN_STOPS]), t
+                ),
+            )
+        ).cast("long").alias("n_stop"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+    )
+    ratio = lambda num: F.when(  # noqa: E731
+        F.col("n_tokens") > 0, num.cast("double") / F.col("n_tokens")
+    ).otherwise(F.lit(0.0))
+    feats = base.select(
+        "doc_id",
+        "n_tokens",
+        ratio(F.col("tok_chars")).alias("mean_token_len"),
+        ratio(F.col("n_stop")).alias("stopword_ratio"),
+        ratio(F.col("n_distinct")).alias("distinct_ratio"),
+    )
+    logit = (
+        (
+            (
+                (F.lit(LR_W0) + F.lit(LR_W_NTOK) * F.col("n_tokens"))
+                + F.lit(LR_W_MTL) * F.col("mean_token_len")
+            )
+            + F.lit(LR_W_STOP) * F.col("stopword_ratio")
+        )
+        + F.lit(LR_W_DISTINCT) * F.col("distinct_ratio")
+    )
+    scored = feats.withColumn("logit", logit)
+    score = F.col("logit") / (F.lit(1.0) + F.abs(F.col("logit")))
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "mean_token_len",
+        "stopword_ratio",
+        "distinct_ratio",
+        "logit",
+        score.alias("score"),
+        (score > F.lit(LR_KEEP_THRESHOLD)).alias("kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distributed Gram matrix (fixed-point) — the covariance/PCA building block
+# ---------------------------------------------------------------------------
+GRAM_FX = 1 << 14  # 2^14 quantization: |v| <= ~1 -> |q| <= ~16k,
+# per-pair products <= ~2.7e8, corpus sums reach int64 overflow only past
+# ~3e10 rows; beyond that, accumulate per-shard and sum the shard partials
+# in a second (still tiny, d^2-row) stage.
+GRAM_DIM = 64
+GRAM_SCHEMA = "i int, j int, s bigint, n bigint"
+
+
+def _gram_batches(batches: Iterator) -> Iterator:
+    """mapInPandas kernel: per Arrow batch, the int64 partial Gram matrix
+    via one numpy matmul — (rows x d) -> (d x d) upper triangle. Each
+    batch emits d*(d+1)/2 rows; the global groupBy sum is over
+    n_batches * 2080 rows, independent of corpus size."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        m = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+        g = m.T @ m
+        iu = np.triu_indices(g.shape[0])
+        yield pd.DataFrame(
+            {
+                "i": iu[0].astype("int32"),
+                "j": iu[1].astype("int32"),
+                "s": g[iu],
+                "n": np.int64(len(pdf)),
+            }
+        )
+
+
+@register(
+    "emb_gram_matrix",
+    oracle=f"""
+    WITH q AS (
+      SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * {float(GRAM_FX)}) AS BIGINT))
+               AS v
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT i.range AS i, j.range AS j
+      FROM range(0, {GRAM_DIM}) i, range(0, {GRAM_DIM}) j
+      WHERE i.range <= j.range
+    )
+    SELECT CAST(p.i AS INTEGER) AS i, CAST(p.j AS INTEGER) AS j,
+           CAST(SUM(v[p.i + 1] * v[p.j + 1]) AS BIGINT) AS s,
+           COUNT(*) AS n
+    FROM q, pairs p
+    GROUP BY p.i, p.j
+    """,
+    tags=("llm", "vector", "linear-algebra", "pandas_udf"),
+)
+def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram matrix X^T X of the embedding corpus — the
+    sufficient statistic for covariance/PCA/whitening. Vectors quantize
+    to 2^14 int64 fixed-point (JVM-side expression), each partition
+    computes its d x d partial with ONE numpy matmul (Arrow batch in,
+    2080 upper-triangle rows out), and a global groupBy(i, j) sums the
+    partials — communication is O(partitions * d^2), never O(rows).
+    Integer sums are order-independent, so the result is bit-exact
+    against the oracle's unnest-based replay. Driver-side
+    eigendecomposition of the d x d result is the PCA step (out of scope
+    here; the distributed part IS this query)."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.round(x * F.lit(float(GRAM_FX)), 0).cast("long"),
+        ).alias("q")
+    )
+    partials = q.mapInPandas(_gram_batches, schema=GRAM_SCHEMA)
+    return partials.groupBy("i", "j").agg(
+        F.sum("s").alias("s"), F.sum("n").alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka (truncated-dimension) retrieval recall
+# ---------------------------------------------------------------------------
+MAT_DIM = 16  # truncated prefix dimensions
+MAT_K = 10
+
+
+def _mat_oracle() -> str:
+    from ..functions import vectors as V
+
+    cos_full = V.cosine_sql("e.v", "q.qv")
+    cos_trunc = V.cosine_sql("e.t", "q.qt")
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             CAST(embedding AS DOUBLE[])[1:{MAT_DIM}] AS t
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv, t AS qt FROM e
+          WHERE vec_id % {ANN_QUERY_MOD} = 0),
+    full_top AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                                  ORDER BY {cos_full} DESC, e.vec_id) AS r
+        FROM e, q WHERE e.vec_id <> q.qid) WHERE r <= {MAT_K}
+    ),
+    trunc_top AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                                  ORDER BY {cos_trunc} DESC, e.vec_id) AS r
+        FROM e, q WHERE e.vec_id <> q.qid) WHERE r <= {MAT_K}
+    )
+    SELECT f.qid,
+           CAST(COUNT(t.vec_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(t.vec_id) AS DOUBLE) / {MAT_K} AS recall
+    FROM full_top f
+    LEFT JOIN trunc_top t ON f.qid = t.qid AND f.vec_id = t.vec_id
+    GROUP BY f.qid
+    """
+
+
+@register(
+    "sim_matryoshka_recall",
+    oracle=_mat_oracle(),
+    tags=("similarity", "llm", "vector", "eval"),
+)
+def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval recall of {MAT_DIM}-dim TRUNCATED embeddings against the
+    full {GRAM_DIM}-dim exact top-{MAT_K} — the matryoshka-representation
+    evaluation that decides how small the ANN index's vectors can be.
+    Both passes use the exact two-stage top-k operator
+    (operators/similarity.py:brute_force_topk — partitioning-invariant);
+    recall joins the two id sets per query. A truncated index is
+    {GRAM_DIM // MAT_DIM}x cheaper to scan; this query quantifies what
+    that buys at the corpus's own data distribution."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % ANN_QUERY_MOD == 0)
+    full_top = brute_force_topk(emb, queries, MAT_K).select("qid", "vec_id")
+    emb_t = emb.select(
+        "vec_id",
+        F.slice(F.col("embedding").cast("array<double>"), 1, MAT_DIM).alias(
+            "t"
+        ),
+    )
+    q_t = emb_t.join(
+        queries.select("vec_id"), "vec_id", "left_semi"
+    )
+    trunc_top = brute_force_topk(
+        emb_t, q_t, MAT_K, vec_col="t"
+    ).select(F.col("qid").alias("tqid"), F.col("vec_id").alias("tvid"))
+    return (
+        full_top.join(
+            trunc_top,
+            (F.col("qid") == F.col("tqid")) & (F.col("vec_id") == F.col("tvid")),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(F.count("tvid").alias("n_hits"))
+        .select(
+            "qid",
+            "n_hits",
+            (F.col("n_hits").cast("double") / MAT_K).alias("recall"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized per-source statistics (nearest-rank percentile clipping)
+# ---------------------------------------------------------------------------
+WINSOR_LO = 0.05
+WINSOR_HI = 0.95
+
+
+@register(
+    "docs_winsorize",
+    oracle=f"""
+    WITH r AS (
+      SELECT source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    ),
+    th AS (
+      SELECT source,
+             MAX(CASE WHEN rn = GREATEST(CAST(CEIL({WINSOR_LO} * n) AS BIGINT), 1)
+                      THEN n_chars END) AS lo,
+             MAX(CASE WHEN rn = CAST(CEIL({WINSOR_HI} * n) AS BIGINT)
+                      THEN n_chars END) AS hi
+      FROM r GROUP BY source
+    )
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           CAST(t.lo AS BIGINT) AS lo,
+           CAST(t.hi AS BIGINT) AS hi,
+           CAST(SUM(LEAST(GREATEST(d.n_chars, t.lo), t.hi)) AS BIGINT)
+             AS sum_clipped,
+           CAST(CAST(SUM(LEAST(GREATEST(d.n_chars, t.lo), t.hi)) AS BIGINT)
+                AS DOUBLE) / COUNT(*) AS winsorized_mean
+    FROM documents d JOIN th t ON d.source = t.source
+    GROUP BY d.source, t.lo, t.hi
+    """,
+    tags=("llm", "stats", "robust"),
+)
+def docs_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-source length statistics: nearest-rank p05/p95
+    thresholds (integer rank — no interpolation, so the cut value is an
+    actual data value and bit-portability is trivial), then a clipped
+    mean. Heavy-tailed corpora make raw means meaningless; every corpus
+    report clips first. Plan: one window pass finds both rank thresholds
+    in a single source-partitioned sort, the tiny per-source threshold
+    table broadcasts back, and the clipped aggregation is one map-side-
+    combined groupBy. Integer sums keep the mean's numerator exact."""
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = d.select(
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("source")).alias("n"),
+    )
+    k_lo = F.greatest(F.ceil(F.lit(WINSOR_LO) * F.col("n")), F.lit(1))
+    k_hi = F.ceil(F.lit(WINSOR_HI) * F.col("n"))
+    th = ranked.groupBy("source").agg(
+        F.max(F.when(F.col("rn") == k_lo, F.col("n_chars"))).alias("lo"),
+        F.max(F.when(F.col("rn") == k_hi, F.col("n_chars"))).alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("n_chars"), F.col("lo")), F.col("hi"))
+    return (
+        d.join(F.broadcast(th), "source")
+        .groupBy("source", "lo", "hi")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(clipped).alias("sum_clipped"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "lo",
+            "hi",
+            "sum_clipped",
+            (F.col("sum_clipped").cast("double") / F.col("n_docs")).alias(
+                "winsorized_mean"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: REAL container-header parse (PNG IHDR, expression-only)
+# ---------------------------------------------------------------------------
+# PNG layout: 8-byte signature, 4-byte chunk length (13 for IHDR), 4-byte
+# chunk type "IHDR", then width(4, big-endian) height(4) bit-depth(1)
+# color-type(1) compression(1) filter(1) interlace(1). Constants below are
+# the genuine PNG magic bytes.
+PNG_SIG_HEX = "89504E470D0A1A0A"
+PNG_IHDR_PREFIX_HEX = PNG_SIG_HEX + "0000000D" + "49484452"  # sig+len+'IHDR'
+PNG_TAIL_HEX = "0802000000" + "00000000"  # depth8/truecolor + zeroed CRC
+PNG_HEADER_LEN = 8 + 4 + 4 + 13 + 4  # = 33 bytes before the data
+
+
+@register(
+    "multimodal_header_parse",
+    oracle="""
+    SELECT doc_id,
+           TRUE AS sig_ok,
+           'IHDR' AS chunk_type,
+           CAST(octet_length(encode(text)) % 640 + 16 AS BIGINT) AS width,
+           CAST((octet_length(encode(text)) * 7) % 480 + 16 AS BIGINT)
+             AS height,
+           CAST(8 AS BIGINT) AS bit_depth,
+           CAST(2 AS BIGINT) AS color_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS data_len
+    FROM documents
+    """,
+    tags=("multimodal", "llm", "binary"),
+)
+def multimodal_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL binary container parsing, no codec libraries: each document's
+    payload is a byte-valid PNG stream (true signature + IHDR chunk with
+    big-endian dimensions, zeroed CRC, text bytes as the data section),
+    built AND parsed entirely with JVM binary expressions — substring on
+    BinaryType slices the header fields, hex/conv decodes big-endian
+    ints, decode() reads the chunk tag. Unlike the decode-stub kernels
+    (operators/multimodal.py DECODE_IS_STUB), this is the actual header
+    layout real image metadata extraction reads; at 100 TB it runs
+    map-only inside whole-stage codegen, no Python, bytes never leave
+    the executor. The oracle recomputes the embedded dimensions from the
+    text length; the Spark side must recover them FROM THE BYTES."""
+    d = table(spark, sf_dir, "documents")
+    blen = F.octet_length(F.col("text"))
+    width = (blen % 640 + 16).cast("long")
+    height = ((blen * 7) % 480 + 16).cast("long")
+    be4 = lambda c: F.unhex(F.lpad(F.hex(c), 8, "0"))  # noqa: E731
+    payload = F.concat(
+        F.unhex(F.lit(PNG_IHDR_PREFIX_HEX)),
+        be4(width),
+        be4(height),
+        F.unhex(F.lit(PNG_TAIL_HEX)),
+        F.encode(F.col("text"), "utf-8"),
+    )
+    png = d.select("doc_id", payload.alias("payload"))
+    p = F.col("payload")
+    return png.select(
+        "doc_id",
+        (F.hex(F.substring(p, 1, 8)) == F.lit(PNG_SIG_HEX)).alias("sig_ok"),
+        F.decode(F.substring(p, 13, 4), "utf-8").alias("chunk_type"),
+        F.conv(F.hex(F.substring(p, 17, 4)), 16, 10).cast("long").alias("width"),
+        F.conv(F.hex(F.substring(p, 21, 4)), 16, 10).cast("long").alias("height"),
+        F.conv(F.hex(F.substring(p, 25, 1)), 16, 10).cast("long").alias("bit_depth"),
+        F.conv(F.hex(F.substring(p, 26, 1)), 16, 10).cast("long").alias("color_type"),
+        (F.octet_length(p) - PNG_HEADER_LEN).cast("long").alias("data_len"),
+    )

@@ -493,3 +493,61 @@ def lineitem_via_partitioned_source(spark: SparkSession, sf_dir: str) -> DataFra
         .cast("double")
         .alias("sum_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Schema-evolution source path (mergeSchema across generations)
+# ---------------------------------------------------------------------------
+@register(
+    "docs_via_evolved_parquet",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_legacy,
+           CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE n_chars END)
+                AS BIGINT) AS chars_known
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("source", "connector", "schema-evolution"),
+)
+def docs_via_evolved_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution source path: the documents table is staged as TWO
+    parquet generations — a legacy file (doc_id, text, lang; every
+    doc_id % 3 == 0) written before the `source`/`n_chars` columns
+    existed, and a current file with the full schema — then read back in
+    one load with ``mergeSchema=true``. Spark must union the footers into
+    the widest schema and null-fill the legacy rows (a real lake's tables
+    ALWAYS span writer generations; a reader that can't widen schemas
+    can't read last year's data). The aggregate proves both the merge and
+    the null-fill: legacy rows surface with source/n_chars NULL, counted
+    via the null indicator and excluded from the chars sum; the oracle
+    replays the same split from the flat table with doc_id arithmetic."""
+    from .registry import ensure_session_confs, table
+
+    ensure_session_confs(spark)
+
+    def _write(tmp: str) -> None:
+        d = table(spark, sf_dir, "documents")
+        legacy = d.filter(F.col("doc_id") % 3 == 0).select(
+            "doc_id", "text", "lang"
+        )
+        current = d.filter(F.col("doc_id") % 3 != 0).select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        )
+        legacy.write.mode("overwrite").parquet(f"{tmp}/gen=1")
+        current.write.mode("overwrite").parquet(f"{tmp}/gen=2")
+        # _fingerprint_stage's publish gate expects a top-level _SUCCESS
+        with open(f"{tmp}/_SUCCESS", "w"):
+            pass
+
+    stage = _fingerprint_stage(f"{sf_dir}/documents.parquet", "evolved", _write)
+    back = spark.read.option("mergeSchema", "true").parquet(stage)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("n_chars").isNull(), 1).otherwise(0)).alias(
+            "n_legacy"
+        ),
+        F.sum(F.coalesce(F.col("n_chars"), F.lit(0))).alias("chars_known"),
+    )

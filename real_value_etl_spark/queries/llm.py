@@ -1775,12 +1775,18 @@ def sim_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.kmeans import kmeans_fit_fx, quantize_fx
 
     emb = table(spark, sf_dir, "embeddings")
-    seed_ids = emb.groupBy("label").agg(F.min("vec_id").alias("vec_id"))
+    # one aggregation fetches the seed vectors: min_by picks each label's
+    # lowest-vec_id embedding map-side (the former groupBy + semi-join +
+    # orderBy chain cost two extra jobs for the same k rows)
     init = [
         list(r.q)
-        for r in emb.join(seed_ids, ["vec_id"], "left_semi")
+        for r in emb.groupBy("label")
+        .agg(
+            F.min_by(quantize_fx(F.col("embedding")), F.col("vec_id")).alias("q"),
+            F.min("vec_id").alias("vec_id"),
+        )
         .orderBy("vec_id")
-        .select(quantize_fx(F.col("embedding")).alias("q"))
+        .select("q")
         .collect()
     ]
     _, assigned = kmeans_fit_fx(emb, "embedding", init, n_iter=KMEANS_ITERS)

@@ -336,6 +336,8 @@ def test_gapfill_interp_grid_cross_join_is_broadcast(spark, sf_dir):
         "docs_shuffle_shards",
         "events_attribution",
         "multimodal_dedup",
+        "docs_winsorize",
+        "docs_via_evolved_parquet",
     ],
 )
 def test_round2_additions_scale_safe_plans(spark, sf_dir, name):
@@ -361,6 +363,7 @@ def test_round2_additions_scale_safe_plans(spark, sf_dir, name):
         "sim_pair_distance_hist",
         "docs_mix_temperature",
         "text_collocations",
+        "sim_matryoshka_recall",
     ],
 )
 def test_bounded_broadcast_nlj_only(spark, sf_dir, name):
@@ -403,3 +406,36 @@ def test_boilerplate_strip_prunes_documents_scan(spark, sf_dir):
         seg.splitlines()[0] for seg in plan.split("ReadSchema:")[1:]
     ]
     assert schemas and all("lang" not in s for s in schemas)
+
+
+def test_quality_lr_inference_is_shuffle_free(spark, sf_dir):
+    """Model scoring must be a MAP-ONLY pass: no exchange of any kind in
+    the plan (a shuffle in per-row inference would serialize the corpus
+    for nothing at 100 TB), and no Python eval — the weight vector lives
+    in the plan as literals."""
+    plan = plan_of(REGISTRY["docs_quality_lr_score"].fn(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_header_parse_is_shuffle_free_jvm_only(spark, sf_dir):
+    """The PNG header build+parse runs entirely JVM-side with no shuffle
+    and no Python — real binary decode inside whole-stage codegen."""
+    plan = plan_of(REGISTRY["multimodal_header_parse"].fn(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
+
+
+def test_gram_matrix_single_arrow_kernel_partial_agg(spark, sf_dir):
+    """The distributed Gram matrix runs exactly ONE Arrow kernel
+    (mapInPandas partial matmul per partition) followed by a two-phase
+    hash aggregation of the d^2-row partials — communication is
+    O(partitions * d^2), independent of corpus row count."""
+    plan = plan_of(REGISTRY["emb_gram_matrix"].fn(spark, sf_dir))
+    assert plan.count("MapInPandas") == 1
+    assert "partial" in plan.lower()  # map-side combine of partials
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
