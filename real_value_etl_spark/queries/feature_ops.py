@@ -489,3 +489,70 @@ def multimodal_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.hex(F.substring(p, 26, 1)), 16, 10).cast("long").alias("color_type"),
         (F.octet_length(p) - PNG_HEADER_LEN).cast("long").alias("data_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) cardinality sketch — deterministic approx distinct
+# ---------------------------------------------------------------------------
+KMV_K = 128
+KMV_HASH_SPACE = float(1 << 32)  # portable_hash32 is uniform on [0, 2^32)
+
+
+@register(
+    "text_kmv_distinct",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT source,
+             CAST(('0x' || substring(md5(token), 1, 8)) AS BIGINT) AS hv
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+            FROM documents)
+      WHERE token <> ''
+    ),
+    ranked AS (
+      SELECT source, hv,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv) AS rn
+      FROM tok
+    ),
+    kept AS (SELECT source, hv FROM ranked WHERE rn <= {KMV_K})
+    SELECT source,
+           COUNT(*) AS n_kept,
+           CAST(MAX(hv) AS BIGINT) AS kth_min,
+           CASE WHEN COUNT(*) < {KMV_K}
+                THEN CAST(COUNT(*) AS DOUBLE)
+                ELSE ({KMV_K - 1}.0 * {KMV_HASH_SPACE}) / MAX(hv) END
+             AS est_distinct
+    FROM kept GROUP BY source
+    """,
+    tags=("llm", "text", "sketch", "cardinality"),
+)
+def text_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary cardinality via the KMV (k-minimum-values)
+    sketch: keep only the {KMV_K} smallest 32-bit token hashes per source
+    and estimate distinct = (k-1) * 2^32 / kth_min. Unlike HLL++
+    (approx_count_distinct), every step here is DETERMINISTIC — the
+    portable md5-prefix hash and an integer rank — so the driver
+    hash-checks the sketch itself, making "approximate" cardinality an
+    exactly-verifiable operator. The sketch is mergeable (union = keep k
+    smallest of the union), which is the 100 TB story: partitions sketch
+    independently, merge is k-sized. Under-filled sketches (< k hashes)
+    fall back to the exact count, per the standard estimator."""
+    d = table(spark, sf_dir, "documents")
+    tok = (
+        d.select("source", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .select("source", T.portable_hash32(F.col("token")).alias("hv"))
+        .distinct()
+    )
+    w = Window.partitionBy("source").orderBy("hv")
+    kept = tok.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= KMV_K
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.max("hv").alias("kth_min"),
+        F.when(F.count("*") < KMV_K, F.count("*").cast("double"))
+        .otherwise(
+            F.lit(float(KMV_K - 1) * KMV_HASH_SPACE) / F.max("hv")
+        )
+        .alias("est_distinct"),
+    )

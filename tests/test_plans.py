@@ -439,3 +439,35 @@ def test_gram_matrix_single_arrow_kernel_partial_agg(spark, sf_dir):
     assert "partial" in plan.lower()  # map-side combine of partials
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_cbo_table_stats_inform_the_optimizer(spark, sf_dir):
+    """Catalog statistics reach the optimizer: after ANALYZE TABLE
+    COMPUTE STATISTICS the optimized plan carries the exact rowCount,
+    which is what CBO join reordering and stats-based broadcast decisions
+    consume at warehouse scale (file sizes alone under-estimate highly
+    compressed columnar data)."""
+    import shutil
+
+    from real_value_etl_spark.queries.registry import table
+
+    spark.sql("DROP TABLE IF EXISTS stats_nation")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(os.path.join(wh, "stats_nation"), ignore_errors=True)
+    table(spark, sf_dir, "nation").write.saveAsTable("stats_nation")
+    n = spark.table("stats_nation").count()
+
+    spark.sql("ANALYZE TABLE stats_nation COMPUTE STATISTICS")
+    prev = spark.conf.get("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try:
+        stats = (
+            spark.table("stats_nation")
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+        )
+        assert stats.rowCount().isDefined()
+        assert stats.rowCount().get() == n
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", prev)
