@@ -556,3 +556,45 @@ def text_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("est_distinct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit (privacy: quasi-identifier group sizes)
+# ---------------------------------------------------------------------------
+KANON_K = 5
+
+
+@register(
+    "events_k_anonymity",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type, EXTRACT(hour FROM ts) AS hour_of_day,
+             COUNT(*) AS group_size
+      FROM events GROUP BY event_type, EXTRACT(hour FROM ts)
+    )
+    SELECT event_type, CAST(hour_of_day AS BIGINT) AS hour_of_day,
+           group_size,
+           group_size < {KANON_K} AS at_risk
+    FROM g
+    """,
+    tags=("events", "privacy", "audit"),
+)
+def events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the released quasi-identifier tuple
+    (event_type, hour-of-day): any group smaller than k={KANON_K} rows is
+    re-identifiable and flagged. This is the privacy gate a dataset
+    release runs AFTER PII scrubbing (text_pii_scrub removes direct
+    identifiers; k-anonymity catches indirect ones). One map-side-combined
+    aggregation; at 100 TB the QI group-by is the same shape as any
+    rollup."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type", F.hour("ts").cast("long").alias("hour_of_day"))
+        .agg(F.count("*").alias("group_size"))
+        .select(
+            "event_type",
+            "hour_of_day",
+            "group_size",
+            (F.col("group_size") < KANON_K).alias("at_risk"),
+        )
+    )
