@@ -32,6 +32,7 @@ def pagerank_fixed_point(
     edges: DataFrame,
     n_iter: int = 3,
     caches: list[DataFrame] | None = None,
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """`edges` = (src, dst). Returns (node, rank) after `n_iter`
     supersteps, rank in SCALE fixed-point units.
@@ -57,8 +58,16 @@ def pagerank_fixed_point(
     calls, and callers that want release pass `caches` and unpersist
     after materializing. At warehouse scale the edge list is a
     checkpointed/bucketed intermediate instead.
+
+    Callers whose edge derivation already ends hash-partitioned on `src`
+    pass `pre_partitioned=True` to skip the redundant exchange (an
+    explicit repartition is never elided by Catalyst) — e.g. the
+    lineitem query dedups with a partition-local groupBy AFTER its
+    repartition, so the cached frame is already laid out correctly.
     """
-    edges = edges.repartition("src").persist()
+    if not pre_partitioned:
+        edges = edges.repartition("src")
+    edges = edges.persist()
     deg = (
         edges.groupBy("src")
         .agg(F.count("*").alias("deg"))

@@ -67,12 +67,23 @@ def graph_pagerank_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     at sf0.1) — and the human-readable 's…'/'p…' label is projected
     only on the final top-{K} rows."""
     li = table(spark, sf_dir, "lineitem")
-    e0 = li.select(
+    # symmetrize BEFORE dedup so the whole edge build is ONE shuffle:
+    # after repartition("src"), hash(src) satisfies the (src, dst)
+    # clustering requirement (subset partitioning), so dropDuplicates
+    # dedups partition-locally with no second exchange — vs the former
+    # distinct-then-symmetrize-then-repartition double shuffle
+    fwd = li.select(
         (F.col("l_suppkey") * 2).alias("src"),
         (F.col("l_partkey") * 2 + 1).alias("dst"),
-    ).distinct()
-    edges = e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    ranks = pagerank_fixed_point(edges, PR_ITER)
+    )
+    rev = li.select(
+        (F.col("l_partkey") * 2 + 1).alias("src"),
+        (F.col("l_suppkey") * 2).alias("dst"),
+    )
+    edges = (
+        fwd.unionAll(rev).repartition("src").dropDuplicates(["src", "dst"])
+    )
+    ranks = pagerank_fixed_point(edges, PR_ITER, pre_partitioned=True)
     return (
         ranks.orderBy(F.col("rank").desc(), "node")
         .limit(PR_TOPK)
