@@ -52,6 +52,11 @@ HEADLINE = [
     "docs_repeated_spans",
     "docs_ngram_novelty",
     "events_attribution",
+    # round-3 late additions: the two heaviest new families — iterative
+    # BPE merge learning and the truncated-dim retrieval eval (two full
+    # brute-force top-k passes)
+    "text_bpe_train",
+    "sim_matryoshka_recall",
 ]
 
 

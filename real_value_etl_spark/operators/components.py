@@ -30,10 +30,15 @@ def connected_components(
 ) -> DataFrame:
     """(node, component) for every node in the edge list; component = min
     node id in the connected component. Deterministic."""
+    # the neighbor join probes sym on `b` every round: hash-partition the
+    # cached edge list on the join key ONCE so iterations re-use the
+    # layout instead of re-shuffling it (same trick as the PageRank edge
+    # cache, operators/pagerank.py)
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
+        .repartition("b")
+        .dropDuplicates(["a", "b"])
         .persist()
     )
     labels = (
@@ -42,19 +47,20 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .persist()
     )
-    for _ in range(max_iterations):
-        # candidate labels: own label + each neighbor's label
-        neighbor_labels = (
-            sym.join(labels, sym.b == labels.node)
-            .select(F.col("a").alias("node"), "component")
+
+    def one_round(lbl: DataFrame) -> DataFrame:
+        neighbor = sym.join(lbl, sym.b == lbl.node).select(
+            F.col("a").alias("node"), "component"
         )
-        new_labels = (
-            labels.select("node", "component")
-            .unionByName(neighbor_labels)
+        return (
+            lbl.select("node", "component")
+            .unionByName(neighbor)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .persist()
         )
+
+    for _ in range(max_iterations):
+        new_labels = one_round(labels).persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

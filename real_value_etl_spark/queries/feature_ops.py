@@ -598,3 +598,65 @@ def events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("group_size") < KANON_K).alias("at_risk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental-ingest dedup (new batch vs existing corpus digest anti-join)
+# ---------------------------------------------------------------------------
+INGEST_MOD = 4  # doc_id % 4 == 0 plays the incoming batch
+
+
+@register(
+    "docs_incremental_dedup",
+    oracle=f"""
+    WITH existing AS (
+      SELECT DISTINCT md5(text) AS h FROM documents
+      WHERE doc_id % {INGEST_MOD} <> 0
+    ),
+    incoming AS (
+      SELECT doc_id, source, md5(text) AS h FROM documents
+      WHERE doc_id % {INGEST_MOD} = 0
+    )
+    SELECT i.source,
+           COUNT(*) AS n_incoming,
+           CAST(SUM(CASE WHEN e.h IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_new,
+           CAST(SUM(CASE WHEN e.h IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_already_seen
+    FROM incoming i LEFT JOIN existing e ON i.h = e.h
+    GROUP BY i.source
+    """,
+    tags=("llm", "dedup", "incremental"),
+)
+def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: an incoming batch is admitted only where
+    its content digest is absent from the existing corpus — the
+    don't-re-ingest-what-you-have gate every continuously-fed corpus
+    runs. Digest anti-join shape: both sides reduce to (digest) before
+    the join, so the shuffle carries one 32-char key per DISTINCT
+    document, never the text; at 100 TB the existing-corpus digest set is
+    a bucketed table the batch joins against shuffle-free. Split here is
+    deterministic (doc_id mod) so the oracle replays it."""
+    d = table(spark, sf_dir, "documents")
+    existing = (
+        d.filter(F.col("doc_id") % INGEST_MOD != 0)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    incoming = d.filter(F.col("doc_id") % INGEST_MOD == 0).select(
+        "doc_id", "source", F.md5("text").alias("h")
+    )
+    return (
+        incoming.join(existing, "h", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_incoming"),
+            F.sum(F.when(F.col("seen").isNull(), 1).otherwise(0)).alias(
+                "n_new"
+            ),
+            F.sum(F.when(F.col("seen").isNull(), 0).otherwise(1)).alias(
+                "n_already_seen"
+            ),
+        )
+    )

@@ -127,3 +127,65 @@ def test_interval_join_matches_naive(spark, pts, ivs, bucket):
     )
     want = sorted((r["pid"], r["iid"]) for r in naive.collect())
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# BPE greedy merge application == reference sequential fold
+# ---------------------------------------------------------------------------
+def _bpe_apply_reference(word: str, left: str, right: str) -> list[str]:
+    """Sequential greedy left-to-right merge — the semantics BPE defines."""
+    syms = list(word)
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    words=st.lists(
+        st.text(alphabet="ab", min_size=1, max_size=12),
+        min_size=1,
+        max_size=8,
+        unique=True,
+    ),
+    pair=st.tuples(
+        st.sampled_from(["a", "b"]), st.sampled_from(["a", "b"])
+    ),
+)
+def test_bpe_windowed_apply_equals_sequential_fold(spark, words, pair):
+    """The gaps-and-islands windowed formulation of greedy merge
+    application (operators/bpe.py:apply_merge — chosen because a SQL
+    oracle can replay windows but not stateful folds) must equal the
+    reference sequential fold on every input, including the adversarial
+    all-overlap cases ('aaaa' + (a,a)) the alphabet {a, b} concentrates
+    on."""
+    from real_value_etl_spark.operators.bpe import (
+        apply_merge,
+        words_with_symbols,
+    )
+
+    left, right = pair
+    toks = spark.createDataFrame([(w,) for w in words], ["token"])
+    rule = spark.createDataFrame([(left, right, 1)], ["ml", "mr", "cnt"])
+    got = {
+        r.word: list(r.syms)
+        for r in apply_merge(words_with_symbols(toks), rule).collect()
+    }
+    for w in words:
+        assert got[w] == _bpe_apply_reference(w, left, right), (
+            w,
+            left,
+            right,
+            got[w],
+        )
