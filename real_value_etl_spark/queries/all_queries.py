@@ -24,6 +24,7 @@ from . import (  # noqa: F401
     llm,
     llm_mix,
     relational,
+    retrieval_graph,
     stats,
     streaming_queries,
     subqueries,

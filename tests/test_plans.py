@@ -299,6 +299,18 @@ def test_jaccard_prefix_verify_has_no_candidate_reexpansion(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_jaccard_and_containment_verify_joins_are_shuffled_hash(spark, sf_dir):
+    """The docset side of the near-dup verify joins is CORPUS-sized (one
+    row per doc carrying its full shingle array) — broadcastable at bench
+    scale but impossible at 100 TB. The SHUFFLE_HASH hint must pin the
+    scale-correct shuffled hash join so the local plan is the plan that
+    ships: no BroadcastExchange of the docsets, no sort-merge sort over
+    the arrays either."""
+    for name in ("dedup_jaccard_prefix", "docs_containment"):
+        plan = plan_of(REGISTRY[name].fn(spark, sf_dir))
+        assert "ShuffledHashJoin" in plan, name
+
+
 def test_gapfill_grid_cross_join_is_broadcast(spark, sf_dir):
     """The hour-spine x event-types grid is tiny-x-tiny: its cross join
     must build from a BroadcastExchange, never a shuffled cartesian over
@@ -338,6 +350,10 @@ def test_gapfill_interp_grid_cross_join_is_broadcast(spark, sf_dir):
         "multimodal_dedup",
         "docs_winsorize",
         "docs_via_evolved_parquet",
+        # round-3 late additions: retrieval-graph / sketch / containment
+        "docs_leakage_safe_split",
+        "text_countmin_freq",
+        "docs_containment",
     ],
 )
 def test_round2_additions_scale_safe_plans(spark, sf_dir, name):
@@ -367,6 +383,8 @@ def test_round2_additions_scale_safe_plans(spark, sf_dir, name):
         # BPE training: each iteration crossJoins the broadcast ONE-ROW
         # merge rule — bounded by construction
         "text_bpe_train",
+        # kNN graph: IVF assignment broadcasts the k-centroid set
+        "sim_knn_graph",
     ],
 )
 def test_bounded_broadcast_nlj_only(spark, sf_dir, name):
