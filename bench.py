@@ -57,6 +57,11 @@ HEADLINE = [
     # brute-force top-k passes)
     "text_bpe_train",
     "sim_matryoshka_recall",
+    # round-3 retrieval-graph/containment families: cluster-blocked kNN
+    # graph with mutuality join, and asymmetric containment over LSH
+    # candidates — new plan shapes, regressions must show in BENCH deltas
+    "sim_knn_graph",
+    "docs_containment",
 ]
 
 

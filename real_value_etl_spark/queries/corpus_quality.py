@@ -739,3 +739,69 @@ def docs_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget sampling (apply-the-mix: take docs until each source's budget)
+# ---------------------------------------------------------------------------
+BUDGET_TOKENS_PER_SOURCE = 20_000
+
+
+@register(
+    "docs_token_budget_sample",
+    oracle=f"""
+    WITH k AS (
+      SELECT source, doc_id,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS hv,
+             CAST(len({T.tokens_sql("text")}) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    c AS (
+      SELECT source, doc_id, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY hv, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM k
+    )
+    SELECT source,
+           COUNT(*) AS n_total,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens_total,
+           CAST(SUM(CASE WHEN cum <= {BUDGET_TOKENS_PER_SOURCE}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN cum <= {BUDGET_TOKENS_PER_SOURCE}
+                         THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_kept
+    FROM c GROUP BY source
+    """,
+    tags=("llm", "mix", "sampling"),
+)
+def docs_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY a per-source token budget (the step after docs_mix_temperature
+    DECIDES the budgets): documents are taken in deterministic
+    hash-priority order (portable md5-prefix hash of doc_id — a
+    reproducible random permutation) until the source's cumulative token
+    count exceeds {BUDGET_TOKENS_PER_SOURCE}. Prefix-greedy semantics —
+    the sample is the maximal hash-ordered prefix within budget — so the
+    selection is identical on any engine/partitioning and is STABLE under
+    corpus growth (new docs only append to the priority order they hash
+    into). One window pass per source (single shuffle on source) plus a
+    per-source aggregate sharing the same exchange."""
+    d = table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "source",
+        "doc_id",
+        T.portable_hash32(F.col("doc_id").cast("string")).alias("hv"),
+        F.size(T.tokens(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("hv", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = keyed.withColumn("cum", F.sum("n_tok").over(w))
+    kept = F.col("cum") <= BUDGET_TOKENS_PER_SOURCE
+    return c.groupBy("source").agg(
+        F.count("*").alias("n_total"),
+        F.sum("n_tok").alias("tokens_total"),
+        F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_tok")).otherwise(0)).alias("tokens_kept"),
+    )

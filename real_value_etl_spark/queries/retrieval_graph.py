@@ -20,6 +20,11 @@ runs between dedup and training:
 - docs_containment — asymmetric containment |A∩B|/|A| over banded-LSH
   candidates: catches quotes/subsets/truncated copies whose Jaccard is
   tiny because the union is dominated by the longer document.
+- graph_label_propagation — semi-supervised label propagation over the
+  kNN graph (seeds keep their labels, unlabeled nodes adopt the majority
+  neighbor label; rounds unrolled bit-exactly in both engines).
+- multimodal_phash_dedup — perceptual-hash near-dup over binary payloads:
+  Arrow feature kernel → sign-bit pHash → banded hamming self-join.
 
 Oracle conventions follow queries/llm.py: shared constants and SQL
 builders from functions/text.py / functions/vectors.py, integer
@@ -49,11 +54,12 @@ from .registry import register, table
 KNN_GRAPH_K = 5
 
 
-def _knn_graph_oracle() -> str:
+def _knn_edges_cte() -> str:
+    """Shared CTE chain (e, cents, assigned, scored, edges) producing the
+    directed kNN edge list — mirrors `_knn_edges` exactly."""
     cos_vc = V.cosine_sql("e.v", "c.cv")
     cos_ab = V.cosine_sql("a.v", "b.v")
-    return f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    return f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     cents AS (SELECT vec_id AS cid, v AS cv FROM e
               WHERE vec_id % {IVF_CENTROID_MOD} = 0),
     assigned AS (
@@ -76,7 +82,12 @@ def _knn_graph_oracle() -> str:
                                   ORDER BY sim DESC, dst) AS rnk
         FROM scored
       ) WHERE rnk <= {KNN_GRAPH_K}
-    )
+    )"""
+
+
+def _knn_graph_oracle() -> str:
+    return f"""
+    WITH {_knn_edges_cte()}
     SELECT e.src, e.dst, e.sim, e.rnk,
            (m.src IS NOT NULL) AS mutual
     FROM edges e
@@ -84,24 +95,11 @@ def _knn_graph_oracle() -> str:
     """
 
 
-@register(
-    "sim_knn_graph",
-    oracle=_knn_graph_oracle(),
-    tags=("similarity", "llm", "graph", "ann"),
-)
-def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-nearest-neighbor graph over the embedding corpus, the substrate
-    for graph-based semantic clustering / diversity sampling / label
-    propagation. Candidates are CLUSTER-BLOCKED (IVF assignment to the
-    seeded centroids, neighbors searched within a vector's own cluster
-    only), so the pair join is |cluster|^2 per cluster, never corpus^2 —
-    at 100 TB the assignment is written bucketed by cluster_id and each
-    cluster's block joins co-located. Edges carry the exact cosine, the
-    per-source rank, and the MUTUAL flag (both endpoints in each other's
-    top-k — the standard edge filter that drops hub-induced asymmetric
-    edges before community detection). Mutuality is a self equi-join of
-    the edge list on (src=dst, dst=src): O(n*k) rows, keyed both sides.
-    """
+def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed kNN edge list (src, dst, sim, rnk) — cluster-blocked: IVF
+    assignment, per-cluster pair join, two-phase-free per-source top-k
+    (the window runs inside a cluster's block). Shared by the kNN-graph
+    and label-propagation queries."""
     emb = table(spark, sf_dir, "embeddings")
     cents = emb.filter(F.col("vec_id") % IVF_CENTROID_MOD == 0)
     assigned = S.ivf_assign(emb, cents)
@@ -129,10 +127,31 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
-    edges = (
+    return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= KNN_GRAPH_K)
     )
+
+
+@register(
+    "sim_knn_graph",
+    oracle=_knn_graph_oracle(),
+    tags=("similarity", "llm", "graph", "ann"),
+)
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-nearest-neighbor graph over the embedding corpus, the substrate
+    for graph-based semantic clustering / diversity sampling / label
+    propagation. Candidates are CLUSTER-BLOCKED (IVF assignment to the
+    seeded centroids, neighbors searched within a vector's own cluster
+    only), so the pair join is |cluster|^2 per cluster, never corpus^2 —
+    at 100 TB the assignment is written bucketed by cluster_id and each
+    cluster's block joins co-located. Edges carry the exact cosine, the
+    per-source rank, and the MUTUAL flag (both endpoints in each other's
+    top-k — the standard edge filter that drops hub-induced asymmetric
+    edges before community detection). Mutuality is a self equi-join of
+    the edge list on (src=dst, dst=src): O(n*k) rows, keyed both sides.
+    """
+    edges = _knn_edges(spark, sf_dir)
     rev = edges.select(
         F.col("src").alias("m_src"), F.col("dst").alias("m_dst")
     )
@@ -425,4 +444,244 @@ def docs_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard paths (operators/dedup.py:containment_pairs)."""
     return D.containment_pairs(
         table(spark, sf_dir, "documents"), "doc_id", "text", CONTAIN_THRESHOLD
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal perceptual-hash dedup (feature kernel -> sign bits -> bands)
+# ---------------------------------------------------------------------------
+PHASH_BITS = 16  # one bit per stub feature dim (FEATURE_DIM)
+PHASH_BAND_BITS = 8  # 2 bands of 8 bits: hamming<=1 implies one equal band
+PHASH_MAX_HAMMING = 1
+
+
+def _phash_oracle() -> str:
+    # mirrors operators/multimodal.py:_feature_batches — feature i is byte
+    # pair [2i, 2i+2) of md5(payload) scaled to [0,1]; payload is the utf-8
+    # text, so md5(payload) == md5(text). Sign bit: value >= 0.5.
+    return f"""
+    WITH f AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS feature_idx,
+             CAST(('0x' || substring(md5(text), CAST(i * 2 + 1 AS BIGINT), 2))
+                  AS BIGINT) / 255.0 AS value
+      FROM documents, range(0, {PHASH_BITS}) t(i)
+    ),
+    ph AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN value >= 0.5
+                           THEN (CAST(1 AS BIGINT) << feature_idx)
+                           ELSE 0 END) AS BIGINT) AS phash
+      FROM f GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, phash, 0 AS band, phash % 256 AS bkey FROM ph
+      UNION ALL
+      SELECT doc_id, phash, 1 AS band, phash // 256 AS bkey FROM ph
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, x.phash AS ph_a,
+                      y.doc_id AS doc_b, y.phash AS ph_b
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(ph_a, ph_b)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ph_a, ph_b)) <= {PHASH_MAX_HAMMING}
+    """
+
+
+@register(
+    "multimodal_phash_dedup",
+    oracle=_phash_oracle(),
+    tags=("multimodal", "dedup", "llm", "pandas_udf"),
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup over BINARY payloads: the Arrow
+    `mapInPandas` feature kernel (operators/multimodal.py:extract_features
+    — the honestly-stubbed stand-in for a vision encoder; the Spark
+    plumbing is real) produces {PHASH_BITS} features per payload, each
+    sign-quantized into one bit of a {PHASH_BITS}-bit perceptual hash.
+    Pairs are found SimHash-style: {PHASH_BITS // PHASH_BAND_BITS} bands
+    of {PHASH_BAND_BITS} bits, candidates share an identical band
+    (pigeonhole: hamming <= {PHASH_MAX_HAMMING} forces one equal band),
+    verified by popcount of the XOR. This is how image dedup actually
+    ships — pHash + banded hamming join — with the encoder swapped in for
+    the stub. Pipeline shape: bytes never leave the executors (Arrow
+    batches), the hash aggregation is one groupBy(doc_id), and the band
+    self-join only meets same-bucket rows."""
+    from ..operators import multimodal as M
+
+    d = table(spark, sf_dir, "documents")
+    feats = M.extract_features(M.attach_binary(d, "doc_id", "text"))
+    ph = feats.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("value") >= 0.5,
+                F.expr("shiftleft(CAST(1 AS BIGINT), feature_idx)"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("phash")
+    )
+    bands = ph.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band"),
+                    (F.col("phash") % 256).alias("bkey"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band"),
+                    F.shiftright(F.col("phash"), PHASH_BAND_BITS).alias("bkey"),
+                ),
+            )
+        ).alias("bk"),
+    ).select(
+        "doc_id", "phash", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+    )
+    x = bands.alias("x")
+    y = bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bkey") == F.col("y.bkey"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("x.phash").alias("ph_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("y.phash").alias("ph_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).cast("long")
+    return cand.select(
+        "doc_a", "doc_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+
+
+# ---------------------------------------------------------------------------
+# Label propagation over the kNN graph (semi-supervised labeling)
+# ---------------------------------------------------------------------------
+LP_SEED_MOD = 5  # vec_id % 5 == 0 keep their true label (20% seeds)
+LP_ROUNDS = 2  # unrolled in BOTH engines — bit-for-bit trajectory replay
+
+
+def _lp_oracle() -> str:
+    rounds_sql = ""
+    prev = "l0"
+    for r in (1, 2):
+        rounds_sql += f""",
+    c{r} AS (
+      SELECT s.a AS vec_id, l.lab, COUNT(*) AS cnt
+      FROM sym s JOIN {prev} l ON s.b = l.vec_id
+      WHERE l.lab IS NOT NULL
+      GROUP BY s.a, l.lab
+    ),
+    b{r} AS (
+      SELECT vec_id, lab FROM (
+        SELECT vec_id, lab,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cnt DESC, lab) AS rr
+        FROM c{r}
+      ) WHERE rr = 1
+    ),
+    l{r} AS (
+      SELECT p.vec_id,
+             COALESCE(p.lab, b.lab) AS lab,
+             COALESCE(p.rl, CASE WHEN p.lab IS NULL AND b.lab IS NOT NULL
+                                 THEN {r} END) AS rl
+      FROM {prev} p LEFT JOIN b{r} b ON p.vec_id = b.vec_id
+    )"""
+        prev = f"l{r}"
+    return f"""
+    WITH {_knn_edges_cte()},
+    sym AS (
+      SELECT src AS a, dst AS b FROM edges
+      UNION
+      SELECT dst AS a, src AS b FROM edges
+    ),
+    l0 AS (
+      SELECT vec_id,
+             CASE WHEN vec_id % {LP_SEED_MOD} = 0 THEN label END AS lab,
+             CAST(NULL AS INTEGER) AS rl
+      FROM embeddings
+    ){rounds_sql}
+    SELECT vec_id, lab AS label_pred,
+           (vec_id % {LP_SEED_MOD} = 0) AS is_seed,
+           rl AS round_labeled
+    FROM l{LP_ROUNDS}
+    """
+
+
+@register(
+    "graph_label_propagation",
+    oracle=_lp_oracle(),
+    tags=("graph", "llm", "similarity", "iterative"),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation over the kNN graph: 20% of
+    vectors keep their true label as SEEDS; each round, every unlabeled
+    node adopts the most common label among its labeled neighbors
+    (deterministic tiebreak: highest count, then lowest label), seeds
+    never change, and nodes with no labeled neighbor stay NULL. The weak
+    supervision move — spend labels on a sample, propagate over the
+    similarity structure. {LP_ROUNDS} rounds are UNROLLED identically in
+    both engines so the oracle replays the exact trajectory (which round
+    labeled each node is part of the output). Plan: the undirected edge
+    list keys every round's join+aggregate on node id — one shuffle per
+    round, the Pregel-as-join shape of operators/pagerank.py; at 100 TB
+    rounds run over a bucketed edge table so the per-round join is
+    co-located."""
+    edges = _knn_edges(spark, sf_dir).select("src", "dst")
+    sym = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(
+            edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+        )
+        .distinct()
+    )
+    emb = table(spark, sf_dir, "embeddings")
+    labels = emb.select(
+        "vec_id",
+        F.when(F.col("vec_id") % LP_SEED_MOD == 0, F.col("label")).alias("lab"),
+        F.lit(None).cast("int").alias("rl"),
+    )
+    for r in (1, 2):
+        lab_src = labels.filter(F.col("lab").isNotNull()).select(
+            F.col("vec_id").alias("b"), F.col("lab").alias("nlab")
+        )
+        counts = (
+            sym.join(lab_src, "b")
+            .groupBy(F.col("a").alias("vec_id"), F.col("nlab"))
+            .agg(F.count("*").alias("cnt"))
+        )
+        best = counts.groupBy("vec_id").agg(
+            F.max_by(
+                F.col("nlab"),
+                F.struct(F.col("cnt"), (-F.col("nlab")).alias("t")),
+            ).alias("blab")
+        )
+        labels = (
+            labels.join(best, "vec_id", "left")
+            .select(
+                "vec_id",
+                F.coalesce(F.col("lab"), F.col("blab")).alias("lab"),
+                F.coalesce(
+                    F.col("rl"),
+                    F.when(
+                        F.col("lab").isNull() & F.col("blab").isNotNull(),
+                        F.lit(r),
+                    ).cast("int"),
+                ).alias("rl"),
+            )
+        )
+    return labels.select(
+        "vec_id",
+        F.col("lab").alias("label_pred"),
+        (F.col("vec_id") % LP_SEED_MOD == 0).alias("is_seed"),
+        F.col("rl").alias("round_labeled"),
     )

@@ -354,6 +354,10 @@ def test_gapfill_interp_grid_cross_join_is_broadcast(spark, sf_dir):
         "docs_leakage_safe_split",
         "text_countmin_freq",
         "docs_containment",
+        "docs_token_budget_sample",
+        # Arrow mapInPandas kernel feeds a JVM banded self-join — the
+        # sanctioned kernel node (MapInPandas) is not scalar Python eval
+        "multimodal_phash_dedup",
     ],
 )
 def test_round2_additions_scale_safe_plans(spark, sf_dir, name):
@@ -383,8 +387,10 @@ def test_round2_additions_scale_safe_plans(spark, sf_dir, name):
         # BPE training: each iteration crossJoins the broadcast ONE-ROW
         # merge rule — bounded by construction
         "text_bpe_train",
-        # kNN graph: IVF assignment broadcasts the k-centroid set
+        # kNN graph / label propagation: IVF assignment broadcasts the
+        # k-centroid set
         "sim_knn_graph",
+        "graph_label_propagation",
     ],
 )
 def test_bounded_broadcast_nlj_only(spark, sf_dir, name):
