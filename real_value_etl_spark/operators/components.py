@@ -41,10 +41,14 @@ def connected_components(
         .dropDuplicates(["a", "b"])
         .persist()
     )
+    # init = min over {self} ∪ neighbors — the first propagation round
+    # folded into the label build (same single groupBy a distinct-node
+    # init would cost, one fewer driver round-trip to converge; pair and
+    # triangle components are already final here)
     labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
+        sym.select(F.col("a").alias("node"), F.least("a", "b").alias("component"))
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
         .persist()
     )
 
@@ -59,19 +63,30 @@ def connected_components(
             .agg(F.min("component").alias("component"))
         )
 
+    def label_sum(lbl: DataFrame):
+        # decimal(38,0) keeps the sum exact at any node-id/corpus scale
+        return lbl.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).collect()[0][0]
+
+    # Convergence check without a join: min-label propagation only ever
+    # DECREASES a node's component, so the total label sum strictly
+    # decreases until the fixpoint — comparing sums is equivalent to
+    # comparing label sets, and the aggregate doubles as the action that
+    # materializes each block's persist (one job per block instead of a
+    # join + filter + count over both label sets). (Lazily fusing TWO
+    # rounds per job was tried and regresses ~2x: the inner round's
+    # uncached subtree feeds both the join and the union of the outer
+    # round, so it executes twice — recompute beats the saved barrier.)
+    prev_sum = label_sum(labels)
     for _ in range(max_iterations):
         new_labels = one_round(labels).persist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
+        new_sum = label_sum(new_labels)
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     sym.unpersist()
     return labels.select("node", "component")
 

@@ -805,3 +805,74 @@ def docs_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
         F.sum(F.when(kept, F.col("n_tok")).otherwise(0)).alias("tokens_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity buckets (per-lang fluency tertiles)
+# ---------------------------------------------------------------------------
+def _ccnet_oracle() -> str:
+    from .llm import _BIGRAM_SCORES_CTE
+
+    return f"""
+    WITH {_BIGRAM_SCORES_CTE},
+    scored AS (
+      SELECT d.lang, s.lm_score,
+             ROW_NUMBER() OVER (PARTITION BY d.lang
+                                ORDER BY s.lm_score DESC, s.doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY d.lang) AS n
+      FROM documents d JOIN scores s ON d.doc_id = s.doc_id
+    )
+    SELECT lang,
+           CASE WHEN rn * 3 <= n THEN 'head'
+                WHEN rn * 3 <= n * 2 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           COUNT(*) AS n_docs,
+           MIN(lm_score) AS min_score,
+           MAX(lm_score) AS max_score
+    FROM scored GROUP BY 1, 2
+    """
+
+
+@register(
+    "docs_ccnet_buckets",
+    oracle=_ccnet_oracle(),
+    tags=("llm", "quality", "mix"),
+)
+def docs_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality bucketing: score every document with the
+    corpus-trained bigram LM (queries/llm.py:bigram_doc_scores — the
+    log-free perplexity stand-in), rank per LANGUAGE, and cut into
+    head/middle/tail tertiles by RANK (head = most fluent third). Rank
+    cuts — not score-threshold cuts — make the bucket a pure integer
+    decision on bit-exact scores, so the whole pipeline hash-matches.
+    Output is the per-(lang, bucket) audit: doc counts and the exact
+    score range each bucket spans (min/max are order-independent).
+    Plan: the scoring joins shuffle on token keys, the ranking is one
+    window per lang, the audit one aggregation — at 100 TB the model
+    tables broadcast and the window keys on lang."""
+    from .llm import bigram_doc_scores
+
+    d = table(spark, sf_dir, "documents")
+    scores = bigram_doc_scores(d)
+    scored = d.select("doc_id", "lang").join(scores, "doc_id")
+    w = Window.partitionBy("lang").orderBy(F.desc("lm_score"), F.asc("doc_id"))
+    ranked = scored.select(
+        "lang",
+        "lm_score",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("lang")).alias("n"),
+    )
+    bucket = (
+        F.when(F.col("rn") * 3 <= F.col("n"), "head")
+        .when(F.col("rn") * 3 <= F.col("n") * 2, "middle")
+        .otherwise("tail")
+    )
+    return (
+        ranked.select("lang", bucket.alias("bucket"), "lm_score")
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("lm_score").alias("min_score"),
+            F.max("lm_score").alias("max_score"),
+        )
+    )

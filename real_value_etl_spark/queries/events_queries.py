@@ -1155,3 +1155,77 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_click_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt linear (level + trend) exponential smoothing — recursive 2-state fold
+# ---------------------------------------------------------------------------
+HOLT_ALPHA = 0.5  # level gain  — dyadic => identical literal in both engines
+HOLT_BETA = 0.25  # trend gain — dyadic
+
+
+@register(
+    "events_holt_linear",
+    oracle=f"""
+    SELECT user_id,
+           n_events,
+           st[1] AS level,
+           st[2] AS trend,
+           st[1] + st[2] AS forecast_1
+    FROM (
+      SELECT user_id, COUNT(*) AS cnt,
+             list_reduce(
+               list_prepend([CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)],
+                 list_transform(list(value ORDER BY ts, event_id),
+                                v -> [v, CAST(0 AS DOUBLE)])),
+               (acc, x) ->
+                 [{HOLT_ALPHA} * x[1] + {1 - HOLT_ALPHA} * (acc[1] + acc[2]),
+                  {HOLT_BETA} * (({HOLT_ALPHA} * x[1]
+                                  + {1 - HOLT_ALPHA} * (acc[1] + acc[2]))
+                                 - acc[1])
+                  + {1 - HOLT_BETA} * acc[2]]
+             ) AS st
+      FROM events GROUP BY user_id
+    ) s(user_id, n_events, st)
+    """,
+    tags=("events", "timeseries", "recursive", "forecast"),
+)
+def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Holt LINEAR exponential smoothing — the 2-STATE recursion
+    (level_t = a*x_t + (1-a)*(level+trend); trend_t = b*(level_t - level)
+    + (1-b)*trend) that extends events_ewma_by_user's 1-state fold with a
+    trend component, yielding a 1-step forecast. No window builtin
+    expresses a 2-component recursive state; here the state is a 2-double
+    ARRAY threaded through one sequential F.aggregate fold over the
+    user's pinned (ts, event_id)-ordered values — the identical
+    index-for-index arithmetic the oracle's list_reduce runs, so level,
+    trend, and forecast all hash-match. Both gains are dyadic rationals
+    (exact binary literals). One shuffle on user_id; per-group state is
+    the user's event list, same bound as the EWMA."""
+    ev = table(spark, sf_dir, "events")
+    ordered = F.array_sort(F.collect_list(F.struct("ts", "event_id", "value")))
+    lvl = lambda acc, x: (  # noqa: E731 — new level, inlined twice like SQL
+        F.lit(HOLT_ALPHA) * x
+        + F.lit(1 - HOLT_ALPHA)
+        * (F.element_at(acc, 1) + F.element_at(acc, 2))
+    )
+    st = F.aggregate(
+        ordered,
+        F.array(F.lit(0.0), F.lit(0.0)),
+        lambda acc, s: F.array(
+            lvl(acc, s["value"]),
+            F.lit(HOLT_BETA) * (lvl(acc, s["value"]) - F.element_at(acc, 1))
+            + F.lit(1 - HOLT_BETA) * F.element_at(acc, 2),
+        ),
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), st.alias("st"))
+        .select(
+            "user_id",
+            "n_events",
+            F.element_at("st", 1).alias("level"),
+            F.element_at("st", 2).alias("trend"),
+            (F.element_at("st", 1) + F.element_at("st", 2)).alias("forecast_1"),
+        )
+    )

@@ -660,3 +660,117 @@ def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) encoding — the ANN memory-compression codec
+# ---------------------------------------------------------------------------
+PQ_M = 8  # subspaces
+PQ_DSUB = GRAM_DIM // PQ_M  # dims per subspace
+PQ_K = 16  # codes per subspace
+PQ_SEED_MOD = 25  # codebook rows: the 16 lowest-id IVF seed vectors
+
+
+def _pq_oracle() -> str:
+    sq = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "list_transform(range(1, {d} + 1), "
+        "i -> (xs[i] - cs[i]) * (xs[i] - cs[i]))), (a, x) -> a + x)"
+    ).format(d=PQ_DSUB)
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    seeds AS (
+      SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j
+      FROM e WHERE vec_id % {PQ_SEED_MOD} = 0
+      QUALIFY j < {PQ_K}
+    ),
+    cb AS (
+      SELECT j, m.range AS m,
+             v[m.range * {PQ_DSUB} + 1 : (m.range + 1) * {PQ_DSUB}] AS cs
+      FROM seeds, range(0, {PQ_M}) m
+    ),
+    sub AS (
+      SELECT vec_id, m.range AS m,
+             v[m.range * {PQ_DSUB} + 1 : (m.range + 1) * {PQ_DSUB}] AS xs
+      FROM e, range(0, {PQ_M}) m
+    ),
+    scored AS (
+      SELECT s.vec_id, s.m, c.j, {sq} AS d2
+      FROM sub s JOIN cb c ON s.m = c.m
+    ),
+    best AS (
+      SELECT vec_id, m, j, d2 FROM (
+        SELECT vec_id, m, j, d2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                  ORDER BY d2, j) AS r
+        FROM scored
+      ) WHERE r = 1
+    )
+    SELECT vec_id,
+           array_to_string(list(CAST(j AS VARCHAR) ORDER BY m), '-') AS pq_code,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE), list(d2 ORDER BY m)),
+                       (a, x) -> a + x) AS distortion
+    FROM best GROUP BY vec_id
+    """
+
+
+@register(
+    "sim_pq_encode",
+    oracle=_pq_oracle(),
+    tags=("similarity", "llm", "ann", "quantization"),
+)
+def sim_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding: split each {GRAM_DIM}-dim embedding
+    into {PQ_M} subspaces of {PQ_DSUB} dims, snap each subvector to its
+    nearest of {PQ_K} codebook entries (L2², deterministic tiebreak on
+    code id) — the codec that turns a float vector into {PQ_M} bytes,
+    the memory layout every large ANN index (IVF-PQ) actually stores.
+    The codebook here is the {PQ_K} lowest-id IVF seed vectors (a
+    trained codebook swaps in without changing the plan). Per vector:
+    the PQ code string (m-ordered) and the reconstruction distortion
+    (m-ordered fold of per-subspace minima). Plan shape: the codebook is
+    k-sized and COLLECTED once, so encoding is a MAP-ONLY pass — every
+    argmin is an `array_min` over {PQ_K} literal-centroid distance folds
+    inside whole-stage codegen; no join, no shuffle except none at all.
+    That is exactly how PQ ships at 100 TB: codebooks ride the closure,
+    vectors stream through executors untouched by the driver."""
+    emb = table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    seeds = [
+        r["v"]
+        for r in e.filter(F.col("vec_id") % PQ_SEED_MOD == 0)
+        .orderBy("vec_id")
+        .limit(PQ_K)
+        .collect()
+    ]
+    sub = lambda col, m: F.slice(col, m * PQ_DSUB + 1, PQ_DSUB)  # noqa: E731
+
+    def d2(xs, cvals):
+        diff = F.zip_with(
+            xs, F.array(*[F.lit(c) for c in cvals]), lambda x, y: (x - y) * (x - y)
+        )
+        return F.aggregate(diff, F.lit(0.0), lambda a, x: a + x)
+
+    best_m = []
+    for m in range(PQ_M):
+        xs = sub(F.col("v"), m)
+        cands = F.array(
+            *[
+                F.struct(
+                    d2(xs, seeds[j][m * PQ_DSUB : (m + 1) * PQ_DSUB]).alias("d2"),
+                    F.lit(j).alias("j"),
+                )
+                for j in range(PQ_K)
+            ]
+        )
+        best_m.append(F.array_min(cands).alias(f"b{m}"))
+    enc = e.select("vec_id", *best_m)
+    code = F.concat_ws(
+        "-", *[F.col(f"b{m}.j").cast("string") for m in range(PQ_M)]
+    )
+    distortion = F.lit(0.0)
+    for m in range(PQ_M):
+        distortion = distortion + F.col(f"b{m}.d2")
+    return enc.select(
+        "vec_id", code.alias("pq_code"), distortion.alias("distortion")
+    )

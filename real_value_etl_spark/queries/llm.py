@@ -1243,10 +1243,7 @@ def text_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
 LM_BOTTOM_K = 10
 
 
-@register(
-    "text_bigram_lm_score",
-    oracle=f"""
-    WITH toks AS (
+_BIGRAM_SCORES_CTE = f"""toks AS (
       SELECT doc_id, {T.tokens_sql("text")} AS ts FROM documents
     ),
     bi AS (
@@ -1269,10 +1266,20 @@ LM_BOTTOM_K = 10
                list_prepend(CAST(0 AS DOUBLE), list(p ORDER BY pos)),
                (acc, x) -> acc + x) AS psum
       FROM probs GROUP BY doc_id
-    )
-    SELECT doc_id, n_bigrams,
-           psum / CAST(n_bigrams AS DOUBLE) AS lm_score
-    FROM agg ORDER BY lm_score ASC, doc_id LIMIT {LM_BOTTOM_K}
+    ),
+    scores AS (
+      SELECT doc_id, n_bigrams,
+             psum / CAST(n_bigrams AS DOUBLE) AS lm_score
+      FROM agg
+    )"""
+
+
+@register(
+    "text_bigram_lm_score",
+    oracle=f"""
+    WITH {_BIGRAM_SCORES_CTE}
+    SELECT doc_id, n_bigrams, lm_score
+    FROM scores ORDER BY lm_score ASC, doc_id LIMIT {LM_BOTTOM_K}
     """,
     tags=("llm", "text", "quality", "join"),
 )
@@ -1290,6 +1297,18 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     the model (shuffle on token keys — at 100 TB the model tables are the
     small sides and broadcast). Bottom-k is TakeOrderedAndProject."""
     d = table(spark, sf_dir, "documents")
+    return (
+        bigram_doc_scores(d)
+        .orderBy(F.asc("lm_score"), F.asc("doc_id"))
+        .limit(LM_BOTTOM_K)
+    )
+
+
+def bigram_doc_scores(d: DataFrame) -> DataFrame:
+    """Per-document bigram-LM fluency scores (doc_id, n_bigrams, lm_score)
+    for every doc with >= 1 bigram — the trained-on-the-corpus model and
+    the position-ordered fold shared by `text_bigram_lm_score` (bottom-k
+    view) and `docs_ccnet_buckets` (per-lang tertile bucketing)."""
     toks = d.select("doc_id", T.tokens(F.col("text")).alias("ts"))
     pairs = F.when(
         F.size("ts") >= 2,
@@ -1323,14 +1342,10 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, s: acc + s["p"],
         ).alias("psum"),
     )
-    return (
-        agg.select(
-            "doc_id",
-            "n_bigrams",
-            (F.col("psum") / F.col("n_bigrams").cast("double")).alias("lm_score"),
-        )
-        .orderBy(F.asc("lm_score"), F.asc("doc_id"))
-        .limit(LM_BOTTOM_K)
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        (F.col("psum") / F.col("n_bigrams").cast("double")).alias("lm_score"),
     )
 
 

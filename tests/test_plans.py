@@ -355,6 +355,9 @@ def test_gapfill_interp_grid_cross_join_is_broadcast(spark, sf_dir):
         "text_countmin_freq",
         "docs_containment",
         "docs_token_budget_sample",
+        "docs_ccnet_buckets",
+        "events_holt_linear",
+        "sim_pq_encode",
         # Arrow mapInPandas kernel feeds a JVM banded self-join — the
         # sanctioned kernel node (MapInPandas) is not scalar Python eval
         "multimodal_phash_dedup",
