@@ -25,7 +25,16 @@ from pyspark.sql import functions as F
 
 # Mersenne prime 2^61-1; with a < 2^28 and h < 2^32, a*h + b < 2^61 — no
 # int64 overflow in either engine.
-MINHASH_P = (1 << 61) - 1
+# Smallest prime above 2^32. P must sit just above the 32-bit hash range:
+# with the previous P = 2^61-1, A[i]*h + B[i] (max ~1.3e18) NEVER reached
+# P, so the mod never wrapped and every "permutation" was a monotone
+# transform of the same argmin shingle — all 16 signature slots were
+# perfectly correlated (LSH degenerated to single-hash collisions and
+# silently lost recall; tests/test_round3_ops.py pins the fix). With P
+# just above the hash range, A[i]*h wraps ~A[i] times and the 16 minima
+# come from genuinely different shingles. A[i]*h + B[i] <= ~1.27e18 still
+# fits int64 exactly in both engines.
+MINHASH_P = 4294967311
 # Deterministic coefficient pairs for the k=16 minhash permutations
 # h_i(x) = (A[i]*x + B[i]) mod P. Odd multipliers, fixed seeds.
 MINHASH_A = [

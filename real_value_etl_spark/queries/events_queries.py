@@ -1229,3 +1229,171 @@ def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.element_at("st", 1) + F.element_at("st", 2)).alias("forecast_1"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Clickstream path mining: most common opening event sequences
+# ---------------------------------------------------------------------------
+PATH_LEN = 3
+PATH_TOP_K = 10
+
+
+@register(
+    "events_top_paths",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    paths AS (
+      SELECT user_id,
+             array_to_string(list(event_type ORDER BY rn), '>') AS path
+      FROM o WHERE rn <= {PATH_LEN}
+      GROUP BY user_id
+      HAVING COUNT(*) = {PATH_LEN}
+    )
+    SELECT path, COUNT(*) AS n_users
+    FROM paths GROUP BY path
+    ORDER BY n_users DESC, path LIMIT {PATH_TOP_K}
+    """,
+    tags=("events", "window", "sequence"),
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path mining: each user's OPENING {PATH_LEN}-event
+    sequence (pinned (ts, event_id) order), counted across users — the
+    top-{PATH_TOP_K} entry paths a product/funnel analysis starts from.
+    Users with fewer than {PATH_LEN} events are excluded (no partial
+    paths). One user_id shuffle shared by the ranking window and the
+    per-user assembly; the path string is an rn-ordered join so both
+    engines serialize identically. Top-k is TakeOrderedAndProject."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= PATH_LEN)
+    paths = (
+        o.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path"),
+        )
+        .filter(F.col("n") == PATH_LEN)
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy(F.desc("n_users"), F.asc("path"))
+        .limit(PATH_TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over event types (per-user ordered stream)
+# ---------------------------------------------------------------------------
+@register(
+    "events_transition_matrix",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT event_type AS cur, next_type AS nxt, COUNT(*) AS cnt
+      FROM o WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT cur, CAST(SUM(cnt) AS BIGINT) AS row_total
+            FROM pairs GROUP BY cur)
+    SELECT p.cur, p.nxt, p.cnt,
+           CAST(p.cnt AS DOUBLE) / t.row_total AS prob
+    FROM pairs p JOIN tot t USING (cur)
+    """,
+    tags=("events", "sequence", "markov"),
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over event types: for every
+    (current, next) pair in each user's pinned (ts, event_id)-ordered
+    stream, the transition count and conditional probability
+    P(next | current) — the behavioral model behind next-action
+    prediction and anomaly scoring (improbable transitions). One
+    user_id-shuffle LEAD window, one pair aggregation; the per-row
+    probability is a single integer-ratio division (bit-portable). The
+    row-total join side is |event_types|-sized and broadcasts."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    pairs = o.groupBy("cur", "nxt").agg(F.count("*").alias("cnt"))
+    tot = pairs.groupBy("cur").agg(F.sum("cnt").alias("row_total"))
+    return (
+        pairs.join(F.broadcast(tot), "cur")
+        .select(
+            "cur",
+            "nxt",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("row_total")).alias("prob"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling active users (trailing 7-day distinct users per day)
+# ---------------------------------------------------------------------------
+RAU_WINDOW_DAYS = 7
+
+
+@register(
+    "events_rolling_active_users",
+    oracle=f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    contrib AS (
+      SELECT user_id,
+             CAST(day + to_days(CAST(o.range AS INTEGER)) AS DATE) AS obs_day
+      FROM ud, range(0, {RAU_WINDOW_DAYS}) o
+    ),
+    days AS (SELECT DISTINCT CAST(ts AS DATE) AS obs_day FROM events)
+    SELECT CAST(d.obs_day AS TIMESTAMP) AS day,
+           COUNT(DISTINCT c.user_id) AS active_users
+    FROM days d JOIN contrib c ON c.obs_day = d.obs_day
+    GROUP BY d.obs_day
+    """,
+    tags=("events", "window", "product-analytics"),
+)
+def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing {RAU_WINDOW_DAYS}-day active users per observed day (the
+    WAU curve): COUNT DISTINCT over a sliding set window — which no
+    window frame expresses directly (distinct doesn't decompose). The
+    scalable form: dedupe to user-days, EXPLODE each user-day into the
+    {RAU_WINDOW_DAYS} observation days it contributes to (bounded ×{RAU_WINDOW_DAYS}
+    expansion of the already-deduped table, the sliding-window trick
+    events_sliding_agg uses), then one distinct-count per day restricted
+    to days that actually occur. Shuffles on (user, day) then day —
+    never a range self-join of the raw event log against itself."""
+    ev = table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.array(*[F.date_add(F.col("day"), i) for i in range(RAU_WINDOW_DAYS)])
+        ).alias("obs_day"),
+    )
+    days = ev.select(F.to_date("ts").alias("obs_day")).distinct()
+    return (
+        contrib.join(F.broadcast(days), "obs_day")
+        .groupBy(F.col("obs_day").cast("timestamp").alias("day"))
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )

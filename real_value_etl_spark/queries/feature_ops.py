@@ -671,14 +671,13 @@ PQ_K = 16  # codes per subspace
 PQ_SEED_MOD = 25  # codebook rows: the 16 lowest-id IVF seed vectors
 
 
-def _pq_oracle() -> str:
+def _pq_cte() -> str:
     sq = (
         "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
         "list_transform(range(1, {d} + 1), "
         "i -> (xs[i] - cs[i]) * (xs[i] - cs[i]))), (a, x) -> a + x)"
     ).format(d=PQ_DSUB)
-    return f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    return f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     seeds AS (
       SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j
       FROM e WHERE vec_id % {PQ_SEED_MOD} = 0
@@ -705,7 +704,12 @@ def _pq_oracle() -> str:
                                   ORDER BY d2, j) AS r
         FROM scored
       ) WHERE r = 1
-    )
+    )"""
+
+
+def _pq_oracle() -> str:
+    return f"""
+    WITH {_pq_cte()}
     SELECT vec_id,
            array_to_string(list(CAST(j AS VARCHAR) ORDER BY m), '-') AS pq_code,
            list_reduce(list_prepend(CAST(0 AS DOUBLE), list(d2 ORDER BY m)),
@@ -734,6 +738,31 @@ def sim_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside whole-stage codegen; no join, no shuffle except none at all.
     That is exactly how PQ ships at 100 TB: codebooks ride the closure,
     vectors stream through executors untouched by the driver."""
+    _, enc = _pq_seeds_and_codes(spark, sf_dir)
+    code = F.concat_ws(
+        "-", *[F.col(f"b{m}.j").cast("string") for m in range(PQ_M)]
+    )
+    distortion = F.lit(0.0)
+    for m in range(PQ_M):
+        distortion = distortion + F.col(f"b{m}.d2")
+    return enc.select(
+        "vec_id", code.alias("pq_code"), distortion.alias("distortion")
+    )
+
+
+def _pq_sub_d2(xs, cvals: list[float]):
+    """L2² between a subvector column and a literal centroid — index-order
+    fold, identical to the oracle's list_transform/list_reduce."""
+    diff = F.zip_with(
+        xs, F.array(*[F.lit(c) for c in cvals]), lambda x, y: (x - y) * (x - y)
+    )
+    return F.aggregate(diff, F.lit(0.0), lambda a, x: a + x)
+
+
+def _pq_seeds_and_codes(spark: SparkSession, sf_dir: str):
+    """(seed vectors, codes DataFrame) — codes carry vec_id, v, and per-
+    subspace argmin structs b0..b{PQ_M - 1} of (d2, j). Shared by encode
+    and ADC-recall. The seed collect is k-sized (PQ_K rows)."""
     emb = table(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     seeds = [
@@ -743,34 +772,163 @@ def sim_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(PQ_K)
         .collect()
     ]
-    sub = lambda col, m: F.slice(col, m * PQ_DSUB + 1, PQ_DSUB)  # noqa: E731
-
-    def d2(xs, cvals):
-        diff = F.zip_with(
-            xs, F.array(*[F.lit(c) for c in cvals]), lambda x, y: (x - y) * (x - y)
-        )
-        return F.aggregate(diff, F.lit(0.0), lambda a, x: a + x)
-
     best_m = []
     for m in range(PQ_M):
-        xs = sub(F.col("v"), m)
+        xs = F.slice(F.col("v"), m * PQ_DSUB + 1, PQ_DSUB)
         cands = F.array(
             *[
                 F.struct(
-                    d2(xs, seeds[j][m * PQ_DSUB : (m + 1) * PQ_DSUB]).alias("d2"),
+                    _pq_sub_d2(
+                        xs, seeds[j][m * PQ_DSUB : (m + 1) * PQ_DSUB]
+                    ).alias("d2"),
                     F.lit(j).alias("j"),
                 )
                 for j in range(PQ_K)
             ]
         )
         best_m.append(F.array_min(cands).alias(f"b{m}"))
-    enc = e.select("vec_id", *best_m)
-    code = F.concat_ws(
-        "-", *[F.col(f"b{m}.j").cast("string") for m in range(PQ_M)]
+    return seeds, e.select("vec_id", "v", *best_m)
+
+
+# ---------------------------------------------------------------------------
+# PQ asymmetric-distance (ADC) retrieval recall — the search half of IVF-PQ
+# ---------------------------------------------------------------------------
+ADC_K = 5
+
+
+def _pq_adc_oracle() -> str:
+    sqq = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "list_transform(range(1, {d} + 1), "
+        "i -> (qs[i] - cs[i]) * (qs[i] - cs[i]))), (a, x) -> a + x)"
+    ).format(d=PQ_DSUB)
+    exact_d2 = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, {GRAM_DIM} + 1), "
+        "i -> (q.qv[i] - e.v[i]) * (q.qv[i] - e.v[i]))), (a, x) -> a + x)"
     )
-    distortion = F.lit(0.0)
+    return f"""
+    WITH {_pq_cte()},
+    q AS (SELECT vec_id AS qid, v AS qv FROM e
+          WHERE vec_id % {ANN_QUERY_MOD} = 0),
+    qsub AS (
+      SELECT qid, m.range AS m, qv[m.range * {PQ_DSUB} + 1 : (m.range + 1) * {PQ_DSUB}] AS qs
+      FROM q, range(0, {PQ_M}) m
+    ),
+    lut AS (
+      SELECT s.qid, s.m, c.j, {sqq} AS d2
+      FROM qsub s JOIN cb c ON s.m = c.m
+    ),
+    adc AS (
+      SELECT l.qid, b.vec_id,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                      list(l.d2 ORDER BY l.m)),
+                         (a, x) -> a + x) AS adist
+      FROM best b JOIN lut l ON l.m = b.m AND l.j = b.j
+      WHERE b.vec_id <> l.qid
+      GROUP BY l.qid, b.vec_id
+    ),
+    adc_top AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS r
+        FROM adc) WHERE r <= {ADC_K}
+    ),
+    exact_top AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                                  ORDER BY {exact_d2}, e.vec_id) AS r
+        FROM e, q WHERE e.vec_id <> q.qid) WHERE r <= {ADC_K}
+    )
+    SELECT x.qid,
+           CAST(COUNT(a.vec_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(a.vec_id) AS DOUBLE) / {ADC_K} AS recall
+    FROM exact_top x
+    LEFT JOIN adc_top a ON a.qid = x.qid AND a.vec_id = x.vec_id
+    GROUP BY x.qid
+    """
+
+
+@register(
+    "sim_pq_adc_recall",
+    oracle=_pq_adc_oracle(),
+    tags=("similarity", "llm", "ann", "quantization", "eval"),
+)
+def sim_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SEARCH half of IVF-PQ: asymmetric-distance computation (ADC)
+    retrieval over PQ codes, evaluated as top-{ADC_K} recall against the
+    exact L2 neighbors. Each query precomputes its {PQ_M}x{PQ_K}
+    lookup table ONCE (query-subvector -> centroid L2² — the classic ADC
+    trick); scanning a database vector is then {PQ_M} table lookups on
+    its byte code, never a touch of the original floats. Here the LUT
+    rides the broadcast query set and each (query, vector) distance is an
+    m-ordered fold of {PQ_M} `element_at` lookups — whole-stage codegen,
+    no shuffle on the corpus side until the bounded per-query top-k.
+    Recall against the exact scan quantifies what {PQ_M} bytes/vector
+    costs in answer quality — the eval every PQ deployment runs before
+    flipping the index on."""
+    seeds, enc = _pq_seeds_and_codes(spark, sf_dir)
+    queries = enc.filter(F.col("vec_id") % ANN_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    # per-query LUT: lut{m} = [d2(q_sub_m, c_m0), ..., d2(q_sub_m, c_m{K-1})]
+    luts = queries.select(
+        "qid",
+        "qv",
+        *[
+            F.array(
+                *[
+                    _pq_sub_d2(
+                        F.slice(F.col("qv"), m * PQ_DSUB + 1, PQ_DSUB),
+                        seeds[j][m * PQ_DSUB : (m + 1) * PQ_DSUB],
+                    )
+                    for j in range(PQ_K)
+                ]
+            ).alias(f"lut{m}")
+            for m in range(PQ_M)
+        ],
+    )
+    scored = enc.join(
+        F.broadcast(luts), F.col("vec_id") != F.col("qid")
+    )
+    adist = F.lit(0.0)
     for m in range(PQ_M):
-        distortion = distortion + F.col(f"b{m}.d2")
-    return enc.select(
-        "vec_id", code.alias("pq_code"), distortion.alias("distortion")
+        adist = adist + F.element_at(
+            F.col(f"lut{m}"), F.col(f"b{m}.j").cast("int") + 1
+        )
+    adc = scored.select("qid", "vec_id", adist.alias("adist"))
+    w = Window.partitionBy("qid").orderBy(F.asc("adist"), F.asc("vec_id"))
+    adc_top = (
+        adc.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= ADC_K)
+        .select(F.col("qid").alias("aqid"), F.col("vec_id").alias("avid"))
+    )
+    exact_d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    exact_scored = enc.select("vec_id", "v").join(
+        F.broadcast(queries), F.col("vec_id") != F.col("qid")
+    ).select("qid", "vec_id", exact_d2.alias("edist"))
+    we = Window.partitionBy("qid").orderBy(F.asc("edist"), F.asc("vec_id"))
+    exact_top = (
+        exact_scored.withColumn("r", F.row_number().over(we))
+        .filter(F.col("r") <= ADC_K)
+        .select("qid", "vec_id")
+    )
+    return (
+        exact_top.join(
+            adc_top,
+            (F.col("qid") == F.col("aqid")) & (F.col("vec_id") == F.col("avid")),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(F.count("avid").alias("n_hits"))
+        .select(
+            "qid",
+            "n_hits",
+            (F.col("n_hits").cast("double") / ADC_K).alias("recall"),
+        )
     )

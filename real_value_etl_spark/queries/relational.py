@@ -642,3 +642,74 @@ def q_sql_text_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, t).createOrReplaceTempView(t)
     df = spark.sql(_SQL_TEXT)
     return df.withColumn("o_year", F.col("o_year").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation (recency / frequency / monetary quintiles)
+# ---------------------------------------------------------------------------
+@register(
+    "q_rfm_segments",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey AS custkey,
+             MAX(o_orderdate) AS last_order,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT custkey, last_order, frequency, monetary,
+             NTILE(5) OVER (ORDER BY last_order DESC, custkey) AS r_score,
+             NTILE(5) OVER (ORDER BY frequency DESC, custkey) AS f_score,
+             NTILE(5) OVER (ORDER BY monetary DESC, custkey) AS m_score
+      FROM per_cust
+    )
+    SELECT r_score, f_score,
+           COUNT(*) AS n_customers,
+           CAST(MIN(custkey) AS BIGINT) AS min_custkey,
+           CAST(SUM(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE)
+             AS segment_value
+    FROM scored GROUP BY r_score, f_score
+    """,
+    tags=("relational", "window", "segmentation"),
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-customer recency (latest order
+    date), frequency (order count), monetary (exact-decimal revenue
+    sum), each quintile-ranked with deterministic tiebreaks, rolled up
+    into the R×F segment grid with exact-decimal segment value — the
+    classic marketing-analytics segmentation as one pipeline. The NTILE
+    windows are global (unpartitioned) — fine at customer-table scale;
+    at extreme scale the quintile edges come from exact percentiles
+    broadcast back (the q_equidepth_price pattern). Aggregations are
+    decimal-exact so the segment values hash-match."""
+    o = table(spark, sf_dir, "orders")
+    per_cust = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    scored = per_cust.select(
+        "custkey",
+        "frequency",
+        "monetary",
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("last_order"), F.asc("custkey")))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("frequency"), F.asc("custkey")))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("monetary"), F.asc("custkey")))
+        .alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score").agg(
+        F.count("*").alias("n_customers"),
+        F.min("custkey").alias("min_custkey"),
+        F.sum(F.col("monetary").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("segment_value"),
+    )

@@ -685,3 +685,228 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") % LP_SEED_MOD == 0).alias("is_seed"),
         F.col("rl").alias("round_labeled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF cosine pairs via postings (sparse all-pairs text similarity)
+# ---------------------------------------------------------------------------
+TFIDF_DF_MAX = 20  # terms in more docs than this are pruned (skew + signal)
+TFIDF_TAU = 0.5
+
+
+def _tfidf_oracle() -> str:
+    return f"""
+    WITH {_SHINGLE_IDX_CTE},
+    df AS (
+      SELECT sh, COUNT(*) AS df FROM idx GROUP BY sh
+      HAVING COUNT(*) <= {TFIDF_DF_MAX}
+    ),
+    w AS (
+      SELECT i.did AS doc_id, i.sh,
+             CAST(1 AS DOUBLE) / d.df AS w
+      FROM idx i JOIN df d USING (sh)
+    ),
+    nrm AS (
+      SELECT doc_id,
+             sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                           list(w * w ORDER BY sh)),
+                              (a, x) -> a + x)) AS nrm
+      FROM w GROUP BY doc_id
+    ),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                      list(a.w * b.w ORDER BY a.sh)),
+                         (a2, x) -> a2 + x) AS dot
+      FROM w a JOIN w b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT d.doc_a, d.doc_b,
+           d.dot / (na.nrm * nb.nrm) AS cos
+    FROM dots d
+    JOIN nrm na ON na.doc_id = d.doc_a
+    JOIN nrm nb ON nb.doc_id = d.doc_b
+    WHERE d.dot / (na.nrm * nb.nrm) >= {TFIDF_TAU}
+    """
+
+
+@register(
+    "text_tfidf_cosine_pairs",
+    oracle=_tfidf_oracle(),
+    tags=("llm", "text", "similarity", "join"),
+)
+def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse idf-weighted cosine similarity pairs via the shingle
+    inverted index — the classic text-similarity-at-scale shape,
+    complementing set Jaccard with WEIGHTED overlap: each 3-gram shingle
+    carries weight 1/df (the log-free rational idf — same monotone
+    down-weighting of common shingles, bit-portable where log is not;
+    the shingle set is deduped per doc, so tf is binary — the standard
+    near-dup configuration). Shingles in more than {TFIDF_DF_MAX} docs
+    are PRUNED before the postings self-join — simultaneously the
+    quality move (boilerplate carries no signal) and the scale move
+    (the join's worst partition is bounded by {TFIDF_DF_MAX}², so a
+    viral shingle can never form the quadratic hot partition; this is
+    the same skew-kill as AllPairs prefix filtering, applied to the
+    weighted metric). Norms and dot products are shingle-ordered folds
+    (pinned double order both engines); norm joins are
+    SHUFFLE_HASH-pinned like every corpus-sized verify side."""
+    d = table(spark, sf_dir, "documents")
+    idx = D.shingle_index(d, "doc_id", "text")
+    df = (
+        idx.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= TFIDF_DF_MAX)
+    )
+    w = idx.join(df, "sh").select(
+        F.col("did").alias("doc_id"),
+        "sh",
+        (F.lit(1.0) / F.col("df")).alias("w"),
+    )
+    nrm = w.groupBy("doc_id").agg(
+        F.sqrt(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct("sh", (F.col("w") * F.col("w")).alias("ww")))
+                ),
+                F.lit(0.0),
+                lambda a, s: a + s["ww"],
+            )
+        ).alias("nrm")
+    )
+    wa = w.select(
+        F.col("doc_id").alias("doc_a"), "sh", F.col("w").alias("wa")
+    )
+    wb = w.select(
+        F.col("doc_id").alias("doc_b"), "sh", F.col("w").alias("wb")
+    )
+    dots = (
+        wa.join(wb, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "sh",
+            (F.col("wa") * F.col("wb")).alias("p"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("sh", "p"))),
+                F.lit(0.0),
+                lambda a, s: a + s["p"],
+            ).alias("dot")
+        )
+    )
+    na = nrm.select(
+        F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na")
+    ).hint("shuffle_hash")
+    nb = nrm.select(
+        F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb")
+    ).hint("shuffle_hash")
+    cos = F.col("dot") / (F.col("na") * F.col("nb"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", cos.alias("cos"))
+        .filter(F.col("cos") >= TFIDF_TAU)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting + clustering coefficient over the mutual-kNN graph
+# ---------------------------------------------------------------------------
+def _triangle_oracle() -> str:
+    return f"""
+    WITH {_knn_edges_cte()},
+    und AS (
+      SELECT e.src AS a, e.dst AS b FROM edges e
+      JOIN edges m ON m.src = e.dst AND m.dst = e.src
+      WHERE e.src < e.dst
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und
+      ) GROUP BY node
+    ),
+    tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM und e1
+      JOIN und e2 ON e2.a = e1.b
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    wed AS (
+      SELECT CAST(SUM(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges FROM deg
+    ),
+    cnt AS (SELECT COUNT(*) AS n_edges FROM und)
+    SELECT c.n_edges, w.n_wedges, t.n_triangles,
+           CASE WHEN w.n_wedges > 0
+                THEN 3.0 * t.n_triangles / w.n_wedges
+                ELSE 0.0 END AS clustering_coeff
+    FROM cnt c, wed w, tri t
+    """
+
+
+@register(
+    "graph_triangle_count",
+    oracle=_triangle_oracle(),
+    tags=("graph", "llm", "join"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + global clustering coefficient over the
+    MUTUAL-kNN graph — the structural-density diagnostic run before
+    community detection (a high coefficient means the kNN graph has
+    real cluster structure; a low one means the embedding space is
+    noise). Each undirected edge is ORIENTED low-id -> high-id, so every
+    triangle is counted exactly once as a < b < c: wedge join (e1.b =
+    e2.a) then the closing-edge equi-join — never a cartesian. At 100 TB
+    the orientation is by DEGREE then id (the standard hub-killer: a
+    star node's wedges collapse because high-degree nodes point only to
+    higher-degree nodes); id-orientation here keeps the oracle replay
+    trivial while the join shape is identical. Clustering coefficient =
+    3·triangles / wedges with wedges = Σ C(deg, 2)."""
+    edges = _knn_edges(spark, sf_dir).select("src", "dst")
+    rev = edges.select(F.col("src").alias("m_src"), F.col("dst").alias("m_dst"))
+    und = (
+        edges.join(
+            rev,
+            (F.col("m_src") == F.col("dst")) & (F.col("m_dst") == F.col("src")),
+            "left_semi",
+        )
+        .filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    e1 = und.select(F.col("a").alias("a"), F.col("b").alias("mid"))
+    e2 = und.select(F.col("a").alias("mid"), F.col("b").alias("c"))
+    wedges_paths = e1.join(e2, "mid").select("a", "c", "mid")
+    e3 = und.select(F.col("a").alias("a"), F.col("b").alias("c"))
+    tri = wedges_paths.join(e3, ["a", "c"], "left_semi").agg(
+        F.count("*").alias("n_triangles")
+    )
+    wed = deg.agg(
+        F.sum((F.col("deg") * (F.col("deg") - 1) / 2).cast("long")).alias(
+            "n_wedges"
+        )
+    )
+    cnt = und.agg(F.count("*").alias("n_edges"))
+    return (
+        cnt.crossJoin(F.broadcast(wed))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering_coeff"),
+        )
+    )

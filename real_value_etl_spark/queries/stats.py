@@ -325,3 +325,138 @@ def events_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_outliers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-size estimation by key sampling (the CBO-style cardinality probe)
+# ---------------------------------------------------------------------------
+JSE_MOD = 100
+JSE_PCT = 5  # sample keys whose portable hash lands in [0, 5) of 100
+
+
+@register(
+    "q_join_size_estimate",
+    oracle=f"""
+    WITH lk AS (
+      SELECT l_orderkey AS k FROM lineitem
+      WHERE CAST(('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 8))
+                 AS BIGINT) % {JSE_MOD} < {JSE_PCT}
+    ),
+    ok AS (
+      SELECT o_orderkey AS k FROM orders
+      WHERE CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                 AS BIGINT) % {JSE_MOD} < {JSE_PCT}
+    ),
+    s AS (SELECT COUNT(*) AS sample_out FROM lk JOIN ok USING (k)),
+    a AS (SELECT COUNT(*) AS actual_out
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+    SELECT s.sample_out,
+           s.sample_out * {JSE_MOD // JSE_PCT} AS est_out,
+           a.actual_out,
+           CAST(s.sample_out * {JSE_MOD // JSE_PCT} AS DOUBLE) / a.actual_out
+             AS est_ratio
+    FROM s, a
+    """,
+    tags=("stats", "join", "sampling", "cbo"),
+)
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation by KEY-SYNCHRONIZED sampling — the
+    probe a cost-based optimizer (or a capacity planner) runs before
+    committing to a join order: hash-sample {JSE_PCT}% of the JOIN KEY
+    SPACE on BOTH sides (the same keys survive on both sides because the
+    hash is of the key, not the row — per-row sampling would
+    underestimate by the sample rate squared), join the samples, and
+    scale by 1/rate. Deterministic portable hash => the estimate itself
+    is hash-checkable, and the query also reports the actual join count
+    and the achieved est/actual ratio. At 100 TB the sample join touches
+    ~{JSE_PCT}% of each side with the filter pushed to the scans."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+
+    def keep(col):
+        from ..functions.text import portable_hash32
+
+        return (portable_hash32(col.cast("string")) % JSE_MOD) < JSE_PCT
+
+    lk = li.filter(keep(F.col("l_orderkey"))).select(
+        F.col("l_orderkey").alias("k")
+    )
+    ok = orders.filter(keep(F.col("o_orderkey"))).select(
+        F.col("o_orderkey").alias("k")
+    )
+    s = lk.join(ok, "k").agg(F.count("*").alias("sample_out"))
+    a = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .agg(F.count("*").alias("actual_out"))
+    )
+    return (
+        s.crossJoin(F.broadcast(a))
+        .select(
+            "sample_out",
+            (F.col("sample_out") * (JSE_MOD // JSE_PCT)).alias("est_out"),
+            "actual_out",
+            (
+                (F.col("sample_out") * (JSE_MOD // JSE_PCT)).cast("double")
+                / F.col("actual_out")
+            ).alias("est_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew report (the pre-join diagnosis for salting / AQE decisions)
+# ---------------------------------------------------------------------------
+@register(
+    "q_key_skew_report",
+    oracle="""
+    WITH per_key AS (
+      SELECT l_orderkey AS k, COUNT(*) AS cnt
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    top_key AS (
+      SELECT k, cnt FROM (
+        SELECT k, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, k) AS r
+        FROM per_key) WHERE r = 1
+    )
+    SELECT (SELECT CAST(SUM(cnt) AS BIGINT) FROM per_key) AS n_rows,
+           (SELECT COUNT(*) FROM per_key) AS n_keys,
+           t.cnt AS max_per_key,
+           CAST((SELECT CAST(SUM(cnt) AS BIGINT) FROM per_key) AS DOUBLE)
+             / (SELECT COUNT(*) FROM per_key) AS avg_per_key,
+           CAST(t.cnt AS DOUBLE)
+             / (CAST((SELECT CAST(SUM(cnt) AS BIGINT) FROM per_key) AS DOUBLE)
+                / (SELECT COUNT(*) FROM per_key)) AS skew_factor,
+           t.k AS heaviest_key
+    FROM top_key t
+    """,
+    tags=("stats", "skew", "diagnosis"),
+)
+def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis for lineitem.l_orderkey — the audit run
+    BEFORE a big join to decide whether salting (operators/skew.py) or
+    AQE skew-split is needed: per-key counts, the heaviest key
+    (deterministic tiebreak: lowest key), and the skew factor
+    max/avg. One map-side-combined aggregation over the fact table; the
+    per-key table reduces to a single summary row — nothing about this
+    query grows with corpus size except the one groupBy."""
+    li = table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count("*").alias("cnt")
+    )
+    summary = per_key.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count("*").alias("n_keys"),
+        F.max("cnt").alias("max_per_key"),
+        F.max_by(
+            F.struct(F.col("cnt"), (-F.col("k")).alias("nk")), F.struct(F.col("cnt"), (-F.col("k")).alias("nk"))
+        ).alias("top"),
+    )
+    avg = F.col("n_rows").cast("double") / F.col("n_keys")
+    return summary.select(
+        "n_rows",
+        "n_keys",
+        "max_per_key",
+        avg.alias("avg_per_key"),
+        (F.col("max_per_key").cast("double") / avg).alias("skew_factor"),
+        (-F.col("top.nk")).alias("heaviest_key"),
+    )

@@ -358,6 +358,12 @@ def test_gapfill_interp_grid_cross_join_is_broadcast(spark, sf_dir):
         "docs_ccnet_buckets",
         "events_holt_linear",
         "sim_pq_encode",
+        "text_tfidf_cosine_pairs",
+        "events_top_paths",
+        "q_key_skew_report",
+        "events_transition_matrix",
+        "events_rolling_active_users",
+        "q_rfm_segments",
         # Arrow mapInPandas kernel feeds a JVM banded self-join — the
         # sanctioned kernel node (MapInPandas) is not scalar Python eval
         "multimodal_phash_dedup",
@@ -394,6 +400,12 @@ def test_round2_additions_scale_safe_plans(spark, sf_dir, name):
         # k-centroid set
         "sim_knn_graph",
         "graph_label_propagation",
+        # PQ-ADC: the per-query LUT set is bounded (broadcast query side)
+        "sim_pq_adc_recall",
+        # one-row broadcast actual-count joined to the sample estimate
+        "q_join_size_estimate",
+        # one-row broadcast wedge/triangle totals joined to the edge count
+        "graph_triangle_count",
     ],
 )
 def test_bounded_broadcast_nlj_only(spark, sf_dir, name):
