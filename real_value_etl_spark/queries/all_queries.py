@@ -94,9 +94,20 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "events_attribution",
     "multimodal_dedup",
     "stream_cdc_apply",
-    # -- late round-3 additions (first driver evidence; the remaining
-    #    ones — docs_quality_lr_score, docs_winsorize, docs_via_evolved_
-    #    parquet, multimodal_header_parse — rotate in next round)
+    # -- late round-3 additions (first driver evidence). Still never
+    #    driver-verified, rotate in round 4: docs_winsorize,
+    #    docs_via_evolved_parquet, multimodal_header_parse,
+    #    text_kmv_distinct, events_k_anonymity, docs_incremental_dedup,
+    #    docs_tokenize_ids, docs_shuffle_shards, text_bpe_train,
+    #    q_sql_text_interface, and the late-r3 wave: sim_knn_graph,
+    #    docs_leakage_safe_split, text_countmin_freq, docs_containment,
+    #    graph_label_propagation, docs_token_budget_sample,
+    #    multimodal_phash_dedup, docs_ccnet_buckets, events_holt_linear,
+    #    sim_pq_encode, sim_pq_adc_recall, text_tfidf_cosine_pairs,
+    #    q_join_size_estimate, graph_triangle_count, events_top_paths,
+    #    q_key_skew_report, events_transition_matrix,
+    #    events_rolling_active_users, q_rfm_segments,
+    #    stream_holt_forecast.
     "emb_gram_matrix",
     "sim_matryoshka_recall",
     "docs_quality_lr_score",

@@ -205,3 +205,34 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot is batching-independent — must equal the batch CDC replay
     (same oracle as events_cdc_apply) bit-exactly."""
     return jobs.stream_cdc_apply(spark, sf_dir)
+
+
+@register(
+    "stream_holt_forecast",
+    oracle=f"""
+    SELECT user_id,
+           n_events,
+           st[1] AS level,
+           st[2] AS trend,
+           st[1] + st[2] AS forecast_1
+    FROM (
+      SELECT user_id, COUNT(*) AS cnt,
+             list_reduce(
+               list_prepend([CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)],
+                 list_transform(list(value ORDER BY ts, event_id),
+                                v -> [v, CAST(0 AS DOUBLE)])),
+               (acc, x) ->
+                 [0.5 * x[1] + 0.5 * (acc[1] + acc[2]),
+                  0.25 * ((0.5 * x[1] + 0.5 * (acc[1] + acc[2])) - acc[1])
+                  + 0.75 * acc[2]]
+             ) AS st
+      FROM events GROUP BY user_id
+    ) s(user_id, n_events, st)
+    """,
+    tags=("stream", "stateful", "recursive", "forecast", "pandas_udf"),
+)
+def stream_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming 2-state Holt forecast (applyInPandasWithState) — final
+    per-user state equals the batch events_holt_linear fold bit-exactly
+    (plain-float64 kernel arithmetic == Catalyst fold == list_reduce)."""
+    return jobs.stream_holt_forecast(spark, sf_dir)

@@ -481,3 +481,84 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_ops",
         )
     )
+
+
+_HOLT_STATE_SCHEMA = StructType(
+    [
+        StructField("level", DoubleType()),
+        StructField("trend", DoubleType()),
+        StructField("n", LongType()),
+    ]
+)
+_HOLT_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("level", DoubleType()),
+        StructField("trend", DoubleType()),
+        StructField("forecast_1", DoubleType()),
+    ]
+)
+HOLT_ALPHA = 0.5
+HOLT_BETA = 0.25
+
+
+def _holt_state(
+    key: Tuple[int], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState kernel: per-user Holt (level, trend) state.
+
+    Rows within the delivered batch are sorted by (ts, event_id) before
+    folding, so the recursion order matches the batch oracle exactly; the
+    per-step arithmetic is plain Python float64 — the identical IEEE ops
+    the Catalyst fold and DuckDB's list_reduce perform, so the state is
+    bit-exact across all three."""
+    level, trend, n = state.get if state.exists else (0.0, 0.0, 0)
+    rows = pd.concat(list(pdfs))
+    rows = rows.sort_values(["ts", "event_id"])
+    for v in rows["value"]:
+        v = float(v)
+        new_level = HOLT_ALPHA * v + (1 - HOLT_ALPHA) * (level + trend)
+        trend = HOLT_BETA * (new_level - level) + (1 - HOLT_BETA) * trend
+        level = new_level
+        n += 1
+    state.update((level, trend, n))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "level": [level],
+            "trend": [trend],
+            "forecast_1": [level + trend],
+        }
+    )
+
+
+def stream_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Holt linear smoothing: the 2-state (level, trend)
+    recursion of events_holt_linear carried as applyInPandasWithState
+    per-user state — the live-forecast shape (each micro-batch advances
+    every active user's forecast; state is two doubles + a count per
+    user, bounded by the user population). The final emission per user
+    must equal the batch fold bit-for-bit."""
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", WATERMARK)
+    out = (
+        ev.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _holt_state,
+            outputStructType=_HOLT_OUT_SCHEMA,
+            stateStructType=_HOLT_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    drained = _drain(spark, out, "mem_stream_holt", "update")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        drained.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .drop("__r")
+    )
