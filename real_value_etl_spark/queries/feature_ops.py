@@ -790,6 +790,29 @@ def _pq_seeds_and_codes(spark: SparkSession, sf_dir: str):
     return seeds, e.select("vec_id", "v", *best_m)
 
 
+def _pq_query_luts(queries: DataFrame, seeds) -> DataFrame:
+    """Per-query ADC lookup tables: lut{m} = [d2(q_sub_m, c_m0), ...,
+    d2(q_sub_m, c_m{K-1})] — computed ONCE per query (the classic ADC
+    trick), so scanning a database vector costs PQ_M element_at lookups
+    on its byte code. `queries` must carry (qid, qv)."""
+    return queries.select(
+        "qid",
+        "qv",
+        *[
+            F.array(
+                *[
+                    _pq_sub_d2(
+                        F.slice(F.col("qv"), m * PQ_DSUB + 1, PQ_DSUB),
+                        seeds[j][m * PQ_DSUB : (m + 1) * PQ_DSUB],
+                    )
+                    for j in range(PQ_K)
+                ]
+            ).alias(f"lut{m}")
+            for m in range(PQ_M)
+        ],
+    )
+
+
 # ---------------------------------------------------------------------------
 # PQ asymmetric-distance (ADC) retrieval recall — the search half of IVF-PQ
 # ---------------------------------------------------------------------------
@@ -872,23 +895,7 @@ def sim_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = enc.filter(F.col("vec_id") % ANN_QUERY_MOD == 0).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv")
     )
-    # per-query LUT: lut{m} = [d2(q_sub_m, c_m0), ..., d2(q_sub_m, c_m{K-1})]
-    luts = queries.select(
-        "qid",
-        "qv",
-        *[
-            F.array(
-                *[
-                    _pq_sub_d2(
-                        F.slice(F.col("qv"), m * PQ_DSUB + 1, PQ_DSUB),
-                        seeds[j][m * PQ_DSUB : (m + 1) * PQ_DSUB],
-                    )
-                    for j in range(PQ_K)
-                ]
-            ).alias(f"lut{m}")
-            for m in range(PQ_M)
-        ],
-    )
+    luts = _pq_query_luts(queries, seeds)
     scored = enc.join(
         F.broadcast(luts), F.col("vec_id") != F.col("qid")
     )
@@ -931,4 +938,147 @@ def sim_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_hits",
             (F.col("n_hits").cast("double") / ADC_K).alias("recall"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full IVF-PQ retrieval: probe nprobe clusters, ADC-score candidates only
+# ---------------------------------------------------------------------------
+IVFPQ_K = 5
+IVFPQ_NPROBE = 3
+IVFPQ_CENT_MOD = 25  # IVF centroid seeds (same convention as sim_ann_ivf)
+
+
+def _ivf_pq_oracle() -> str:
+    from ..functions import vectors as V
+
+    cos_vc = V.cosine_sql("e.v", "c.cv")
+    cos_qc = V.cosine_sql("q.qv", "c.cv")
+    sqq = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "list_transform(range(1, {d} + 1), "
+        "i -> (qs[i] - cs[i]) * (qs[i] - cs[i]))), (a, x) -> a + x)"
+    ).format(d=PQ_DSUB)
+    return f"""
+    WITH {_pq_cte()},
+    ivf_cents AS (SELECT vec_id AS cid, v AS cv FROM e
+                  WHERE vec_id % {IVFPQ_CENT_MOD} = 0),
+    assigned AS (
+      SELECT vec_id, cid AS cluster_id FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos_vc} DESC, c.cid) AS r
+        FROM e, ivf_cents c
+      ) WHERE r = 1
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e
+          WHERE vec_id % {ANN_QUERY_MOD} = 0),
+    probes AS (
+      SELECT qid, cid AS cluster_id FROM (
+        SELECT q.qid, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                                  ORDER BY {cos_qc} DESC, c.cid) AS r
+        FROM q, ivf_cents c
+      ) WHERE r <= {IVFPQ_NPROBE}
+    ),
+    qsub AS (
+      SELECT qid, m.range AS m,
+             qv[m.range * {PQ_DSUB} + 1 : (m.range + 1) * {PQ_DSUB}] AS qs
+      FROM q, range(0, {PQ_M}) m
+    ),
+    lut AS (
+      SELECT s.qid, s.m, c.j, {sqq} AS d2
+      FROM qsub s JOIN cb c ON s.m = c.m
+    ),
+    cand AS (
+      SELECT DISTINCT p.qid, a.vec_id
+      FROM probes p JOIN assigned a USING (cluster_id)
+      WHERE a.vec_id <> p.qid
+    ),
+    adc AS (
+      SELECT cd.qid, cd.vec_id,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                      list(l.d2 ORDER BY l.m)),
+                         (a, x) -> a + x) AS adist
+      FROM cand cd
+      JOIN best b ON b.vec_id = cd.vec_id
+      JOIN lut l ON l.qid = cd.qid AND l.m = b.m AND l.j = b.j
+      GROUP BY cd.qid, cd.vec_id
+    )
+    SELECT qid, vec_id, adist, rnk FROM (
+      SELECT qid, vec_id, adist,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY adist, vec_id) AS rnk
+      FROM adc) WHERE rnk <= {IVFPQ_K}
+    """
+
+
+@register(
+    "sim_ivf_pq_topk",
+    oracle=_ivf_pq_oracle(),
+    tags=("similarity", "llm", "ann", "quantization"),
+)
+def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE IVF-PQ retrieval path — what a production
+    billion-vector index actually executes per query: (1) probe the
+    {IVFPQ_NPROBE} nearest IVF centroid lists (candidates shrink by
+    ~|centroids|/nprobe), (2) score ONLY those candidates by PQ
+    asymmetric distance — {PQ_M} LUT lookups per candidate against the
+    query's precomputed {PQ_M}x{PQ_K} table, never touching stored
+    floats — and (3) take the top-{IVFPQ_K}. Composes the IVF pruning of
+    sim_ann_ivf with the ADC scoring of sim_pq_adc_recall: at 100 TB the
+    PQ codes are written bucketed by cluster_id, so a probe reads only
+    matching buckets and the scan cost per query is
+    nprobe/|centroids| x {PQ_M} bytes per vector."""
+    from ..operators.similarity import ivf_assign
+
+    seeds, enc = _pq_seeds_and_codes(spark, sf_dir)
+    emb = table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") % IVFPQ_CENT_MOD == 0)
+    assigned = ivf_assign(emb, cents).select("vec_id", "cluster_id")
+    queries = enc.filter(F.col("vec_id") % ANN_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    # probe ranking: nprobe nearest centroids per query (cosine, tie cid)
+    from ..functions.vectors import dot, norm
+
+    cents_n = cents.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    ).withColumn("nc", norm(F.col("cv")))
+    q_n = queries.withColumn("nq", norm(F.col("qv")))
+    scored_c = q_n.join(F.broadcast(cents_n)).select(
+        "qid",
+        "cid",
+        (dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc"))).alias(
+            "csim"
+        ),
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("csim"), F.asc("cid"))
+    probes = (
+        scored_c.withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= IVFPQ_NPROBE)
+        .select("qid", F.col("cid").alias("cluster_id"))
+    )
+    cand = (
+        probes.join(assigned, "cluster_id")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+        .distinct()
+    )
+    luts = _pq_query_luts(queries, seeds).drop("qv")
+    scored = cand.join(enc.select("vec_id", *[f"b{m}" for m in range(PQ_M)]), "vec_id").join(
+        F.broadcast(luts), "qid"
+    )
+    adist = F.lit(0.0)
+    for m in range(PQ_M):
+        adist = adist + F.element_at(
+            F.col(f"lut{m}"), F.col(f"b{m}.j").cast("int") + 1
+        )
+    adc = scored.select("qid", "vec_id", adist.alias("adist"))
+    w = Window.partitionBy("qid").orderBy(F.asc("adist"), F.asc("vec_id"))
+    return (
+        adc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= IVFPQ_K)
+        .select("qid", "vec_id", "adist", "rnk")
     )

@@ -402,6 +402,7 @@ def test_round2_additions_scale_safe_plans(spark, sf_dir, name):
         "graph_label_propagation",
         # PQ-ADC: the per-query LUT set is bounded (broadcast query side)
         "sim_pq_adc_recall",
+        "sim_ivf_pq_topk",
         # one-row broadcast actual-count joined to the sample estimate
         "q_join_size_estimate",
         # one-row broadcast wedge/triangle totals joined to the edge count
