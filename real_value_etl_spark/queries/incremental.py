@@ -551,3 +551,61 @@ def docs_via_evolved_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum(F.coalesce(F.col("n_chars"), F.lit(0))).alias("chars_known"),
     )
+
+
+@register(
+    "events_via_snapshot_table",
+    oracle="""
+    SELECT CAST(1 AS BIGINT) AS version,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events WHERE event_id % 2 = 0
+    UNION ALL
+    SELECT CAST(2 AS BIGINT) AS version,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    """,
+    tags=("source", "snapshot", "time-travel"),
+)
+def events_via_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL through the versioned snapshot table
+    (sinks/snapshots.py — the lakehouse replacement for the reference's
+    TRUNCATE-then-reload refresh): the events table is committed in two
+    appends (even event_ids, then odd), and the SAME query reads version
+    1 and the latest version side by side — version 1 must still see
+    exactly the first commit after the second lands (reader isolation
+    via immutable data files + manifest pointers). The oracle recomputes
+    both versions from the raw parquet with the same id split, so the
+    manifest machinery must neither lose nor duplicate a single row.
+    Staged once per source fingerprint with atomic publication."""
+    import os
+
+    from ..sinks.snapshots import commit_append, read_snapshot
+    from .registry import ensure_session_confs, table
+
+    ensure_session_confs(spark)
+
+    def _write(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
+        ev = table(spark, sf_dir, "events")
+        commit_append(ev.filter(F.col("event_id") % 2 == 0), tmp)
+        commit_append(ev.filter(F.col("event_id") % 2 != 0), tmp)
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+
+    stage = _fingerprint_stage(f"{sf_dir}/events.parquet", "snap", _write)
+
+    def agg(df: DataFrame, version: int) -> DataFrame:
+        return df.agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        ).select(F.lit(version).cast("long").alias("version"), "*")
+
+    v1 = agg(read_snapshot(spark, stage, version=1), 1)
+    v2 = agg(read_snapshot(spark, stage), 2)
+    return v1.unionByName(v2)

@@ -365,6 +365,7 @@ def test_gapfill_interp_grid_cross_join_is_broadcast(spark, sf_dir):
         "events_rolling_active_users",
         "events_anomaly_transitions",
         "q_rfm_segments",
+        "events_via_snapshot_table",
         # Arrow mapInPandas kernel feeds a JVM banded self-join — the
         # sanctioned kernel node (MapInPandas) is not scalar Python eval
         "multimodal_phash_dedup",
