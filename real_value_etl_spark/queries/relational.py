@@ -713,3 +713,85 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("segment_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-occurrence (association rules over order line items)
+# ---------------------------------------------------------------------------
+BASKET_MIN_SUPPORT = 2  # pair must co-occur in >= this many orders
+BASKET_TOP_K = 20
+
+
+@register(
+    "orders_market_basket",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem
+    ),
+    n_orders AS (SELECT COUNT(DISTINCT okey) AS n FROM items),
+    isup AS (SELECT pkey, COUNT(*) AS cnt FROM items GROUP BY pkey),
+    pairs AS (
+      SELECT a.pkey AS part_a, b.pkey AS part_b, COUNT(*) AS cnt_ab
+      FROM items a JOIN items b
+        ON a.okey = b.okey AND a.pkey < b.pkey
+      GROUP BY a.pkey, b.pkey
+      HAVING COUNT(*) >= {BASKET_MIN_SUPPORT}
+    )
+    SELECT part_a, part_b, cnt_ab,
+           sa.cnt AS cnt_a, sb.cnt AS cnt_b,
+           CAST(n.n * cnt_ab AS DOUBLE) / (sa.cnt * sb.cnt) AS lift
+    FROM pairs
+    JOIN isup sa ON sa.pkey = part_a
+    JOIN isup sb ON sb.pkey = part_b
+    CROSS JOIN n_orders n
+    ORDER BY lift DESC, part_a, part_b
+    LIMIT {BASKET_TOP_K}
+    """,
+    tags=("relational", "join", "association", "co-occurrence"),
+)
+def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket mining: part pairs co-purchased within the same
+    order, with support counts and LIFT = N·c(a,b)/(c(a)·c(b)) — the
+    association-rule primitive behind recommendations, ranked by lift
+    (integer-product ratio, one division — log-free, so ranking is
+    bit-portable; same trick as text_collocations). The pair join is
+    PER-ORDER: both sides key on l_orderkey, so the worst partition is
+    bounded by max-items-per-order² (single digits in this schema) — a
+    basket can never form a quadratic hot key the way a viral token can.
+    Item supports and the single-row order count broadcast back onto the
+    pair table. Top-k is TakeOrderedAndProject."""
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")
+    ).distinct()
+    n_orders = items.select("okey").distinct().agg(F.count("*").alias("n"))
+    isup = items.groupBy("pkey").agg(F.count("*").alias("cnt"))
+    a = items.select("okey", F.col("pkey").alias("part_a"))
+    b = items.select("okey", F.col("pkey").alias("part_b"))
+    pairs = (
+        a.join(b, "okey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("cnt_ab"))
+        .filter(F.col("cnt_ab") >= BASKET_MIN_SUPPORT)
+    )
+    sa = isup.select(F.col("pkey").alias("part_a"), F.col("cnt").alias("cnt_a"))
+    sb = isup.select(F.col("pkey").alias("part_b"), F.col("cnt").alias("cnt_b"))
+    return (
+        pairs.join(sa, "part_a")
+        .join(sb, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "cnt_ab",
+            "cnt_a",
+            "cnt_b",
+            (
+                (F.col("n") * F.col("cnt_ab")).cast("double")
+                / (F.col("cnt_a") * F.col("cnt_b"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("part_a"), F.asc("part_b"))
+        .limit(BASKET_TOP_K)
+    )

@@ -409,6 +409,8 @@ def test_round2_additions_scale_safe_plans(spark, sf_dir, name):
         "q_join_size_estimate",
         # one-row broadcast wedge/triangle totals joined to the edge count
         "graph_triangle_count",
+        # one-row broadcast order count joined onto the pair supports
+        "orders_market_basket",
     ],
 )
 def test_bounded_broadcast_nlj_only(spark, sf_dir, name):
