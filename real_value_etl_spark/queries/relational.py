@@ -795,3 +795,78 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), F.asc("part_a"), F.asc("part_b"))
         .limit(BASKET_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Percent-of-parent over ROLLUP (the OLAP drill-down share idiom)
+# ---------------------------------------------------------------------------
+@register(
+    "q_rollup_share_of_parent",
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag, l_linestatus,
+             GROUPING(l_returnflag) AS g_flag,
+             GROUPING(l_linestatus) AS g_status,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    )
+    SELECT c.l_returnflag, c.l_linestatus, c.g_flag, c.g_status, c.qty,
+           CASE
+             WHEN c.g_flag = 1 THEN 1.0
+             WHEN c.g_status = 1 THEN
+               c.qty / (SELECT qty FROM r WHERE g_flag = 1)
+             ELSE c.qty / (SELECT p.qty FROM r p
+                           WHERE p.g_status = 1 AND p.g_flag = 0
+                             AND p.l_returnflag = c.l_returnflag)
+           END AS share_of_parent
+    FROM r c
+    """,
+    tags=("relational", "rollup", "olap"),
+)
+def q_rollup_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent across a ROLLUP lattice — the drill-down share
+    every OLAP report shows next to a subtotal: each (flag, status) leaf
+    divides by its flag subtotal, each flag subtotal by the grand total,
+    the grand total is 1.0. One ROLLUP aggregation (Expand + single
+    shuffle) produces all three levels; parents attach via one
+    flag-keyed self-join of the tiny rollup result plus a broadcast
+    one-row grand total — never a second scan of the fact table.
+    Quantities are exact-decimal sums cast to double, shares a single
+    division each, so every level hash-matches."""
+    li = table(spark, sf_dir, "lineitem")
+    r = (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").alias("g_flag"),
+            F.grouping("l_linestatus").alias("g_status"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("qty"),
+        )
+    )
+    grand = r.filter(F.col("g_flag") == 1).select(
+        F.col("qty").alias("grand_qty")
+    )
+    flag_tot = r.filter((F.col("g_status") == 1) & (F.col("g_flag") == 0)).select(
+        F.col("l_returnflag").alias("p_flag"), F.col("qty").alias("flag_qty")
+    )
+    return (
+        r.crossJoin(F.broadcast(grand))
+        .join(
+            F.broadcast(flag_tot),
+            F.col("l_returnflag").eqNullSafe(F.col("p_flag")),
+            "left",
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "g_flag",
+            "g_status",
+            "qty",
+            F.when(F.col("g_flag") == 1, F.lit(1.0))
+            .when(F.col("g_status") == 1, F.col("qty") / F.col("grand_qty"))
+            .otherwise(F.col("qty") / F.col("flag_qty"))
+            .alias("share_of_parent"),
+        )
+    )

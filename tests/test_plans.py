@@ -411,6 +411,8 @@ def test_round2_additions_scale_safe_plans(spark, sf_dir, name):
         "graph_triangle_count",
         # one-row broadcast order count joined onto the pair supports
         "orders_market_basket",
+        # one-row broadcast grand total over the rollup lattice
+        "q_rollup_share_of_parent",
     ],
 )
 def test_bounded_broadcast_nlj_only(spark, sf_dir, name):
