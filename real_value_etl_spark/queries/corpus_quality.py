@@ -876,3 +876,109 @@ def docs_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("lm_score").alias("max_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID agreement: Cohen's kappa over the confusion matrix
+# ---------------------------------------------------------------------------
+def _kappa_oracle() -> str:
+    score_cols = ",\n           ".join(
+        "len(list_intersect(dts, {lst})) AS s_{lang}".format(
+            lst="[" + ", ".join(f"'{w}'" for w in ws) + "]", lang=lang
+        )
+        for lang, ws in T.LANG_STOPWORDS.items()
+    )
+    langs = sorted(T.LANG_STOPWORDS)
+    mx = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = " ".join(f"WHEN s_{lang} = {mx} THEN '{lang}'" for lang in langs)
+    return f"""
+    WITH toks AS (SELECT lang AS truth, {T.distinct_tokens_sql("text")} AS dts
+                  FROM documents),
+    scores AS (SELECT truth, {score_cols} FROM toks),
+    p2 AS (SELECT truth, CASE {case} END AS pred FROM scores),
+    cm AS (SELECT truth, pred, COUNT(*) AS cnt FROM p2 GROUP BY 1, 2),
+    n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM cm),
+    agree AS (
+      SELECT CAST(COALESCE(SUM(CASE WHEN truth = pred THEN cnt END), 0)
+                  AS BIGINT) AS n_agree
+      FROM cm
+    ),
+    marg AS (
+      SELECT CAST(SUM(t.row_n * p.col_n) AS BIGINT) AS chance_num
+      FROM (SELECT truth AS k, CAST(SUM(cnt) AS BIGINT) AS row_n
+            FROM cm GROUP BY truth) t
+      JOIN (SELECT pred AS k, CAST(SUM(cnt) AS BIGINT) AS col_n
+            FROM cm GROUP BY pred) p
+        ON t.k = p.k
+    )
+    SELECT n.n AS n_docs,
+           a.n_agree,
+           CAST(a.n_agree AS DOUBLE) / n.n AS p_observed,
+           CAST(m.chance_num AS DOUBLE) / (n.n * n.n) AS p_chance,
+           (CAST(a.n_agree AS DOUBLE) / n.n
+            - CAST(m.chance_num AS DOUBLE) / (n.n * n.n))
+           / (1.0 - CAST(m.chance_num AS DOUBLE) / (n.n * n.n)) AS kappa
+    FROM n, agree a, marg m
+    """
+
+
+@register(
+    "lang_id_kappa",
+    oracle=_kappa_oracle(),
+    tags=("llm", "lang", "eval", "stats"),
+)
+def lang_id_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the labeled language and the stopword-
+    heuristic prediction — chance-corrected agreement, the single number
+    that summarizes the lang_confusion matrix (raw accuracy flatters a
+    classifier on a skewed language mix; kappa doesn't). Prediction =
+    the identical argmax + alphabetical tie-break as lang_confusion.
+    All inputs are integer counts; p_observed, p_chance and kappa are
+    pinned single divisions of integer ratios, so the statistic
+    hash-matches. Plan: one confusion aggregation, then three scalar
+    aggregates over the |langs|²-row matrix joined as broadcast one-row
+    frames."""
+    d = table(spark, sf_dir, "documents")
+    scores = T.lang_scores(F.col("text"))
+    scored = d.select(
+        F.col("lang").alias("truth"),
+        *[s.alias(f"s_{lang}") for lang, s in scores],
+    )
+    langs = sorted(T.LANG_STOPWORDS)
+    mx = F.greatest(*[F.col(f"s_{lang}") for lang in langs])
+    expr = None
+    for lang in langs:
+        cond = F.col(f"s_{lang}") == mx
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    pred = scored.select("truth", expr.alias("pred"))
+    cm = pred.groupBy("truth", "pred").agg(F.count("*").alias("cnt"))
+    n = cm.agg(F.sum("cnt").alias("n"))
+    agree = cm.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("truth") == F.col("pred"), F.col("cnt"))),
+            F.lit(0),
+        ).alias("n_agree")
+    )
+    rows = cm.groupBy(F.col("truth").alias("k")).agg(
+        F.sum("cnt").alias("row_n")
+    )
+    cols = cm.groupBy(F.col("pred").alias("k")).agg(
+        F.sum("cnt").alias("col_n")
+    )
+    marg = (
+        rows.join(cols, "k")
+        .agg(F.sum(F.col("row_n") * F.col("col_n")).alias("chance_num"))
+    )
+    po = F.col("n_agree").cast("double") / F.col("n")
+    pc = F.col("chance_num").cast("double") / (F.col("n") * F.col("n"))
+    return (
+        n.crossJoin(F.broadcast(agree))
+        .crossJoin(F.broadcast(marg))
+        .select(
+            F.col("n").alias("n_docs"),
+            "n_agree",
+            po.alias("p_observed"),
+            pc.alias("p_chance"),
+            ((po - pc) / (F.lit(1.0) - pc)).alias("kappa"),
+        )
+    )

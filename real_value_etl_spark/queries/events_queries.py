@@ -1470,3 +1470,67 @@ def events_anomaly_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("prob").alias("min_prob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Inactivity churn by signup cohort
+# ---------------------------------------------------------------------------
+CHURN_DAYS = 14  # inactive this long before corpus end = churned
+
+
+@register(
+    "events_churn_by_cohort",
+    oracle=f"""
+    WITH ref AS (SELECT MAX(ts) AS end_ts FROM events),
+    u AS (
+      SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts
+      FROM events GROUP BY user_id
+    )
+    SELECT date_trunc('week', u.first_ts) AS cohort_week,
+           COUNT(*) AS n_users,
+           CAST(SUM(CASE WHEN u.last_ts
+                              < r.end_ts - INTERVAL {CHURN_DAYS} DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+           CAST(SUM(CASE WHEN u.last_ts
+                              < r.end_ts - INTERVAL {CHURN_DAYS} DAY
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS churn_rate
+    FROM u, ref r
+    GROUP BY 1
+    """,
+    tags=("events", "cohort", "churn"),
+)
+def events_churn_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inactivity churn by signup cohort: a user whose LAST event is more
+    than {CHURN_DAYS} days before the corpus end counts as churned; rates
+    roll up per first-seen week — the retention health report next to
+    events_cohort_retention's activity matrix. One user_id aggregation
+    for (first, last), the single-row corpus-end timestamp broadcast
+    onto it, one cohort rollup. churn_rate is one integer-ratio division
+    — hash-exact."""
+    ev = table(spark, sf_dir, "events")
+    ref = ev.agg(F.max("ts").alias("end_ts"))
+    u = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    churned = F.when(
+        F.col("last_ts")
+        < F.col("end_ts") - F.expr(f"INTERVAL {CHURN_DAYS} DAY"),
+        1,
+    ).otherwise(0)
+    return (
+        u.crossJoin(F.broadcast(ref))
+        .groupBy(F.date_trunc("week", "first_ts").alias("cohort_week"))
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum(churned).alias("n_churned"),
+        )
+        .select(
+            "cohort_week",
+            "n_users",
+            "n_churned",
+            (F.col("n_churned").cast("double") / F.col("n_users")).alias(
+                "churn_rate"
+            ),
+        )
+    )

@@ -413,6 +413,9 @@ def test_round2_additions_scale_safe_plans(spark, sf_dir, name):
         "orders_market_basket",
         # one-row broadcast grand total over the rollup lattice
         "q_rollup_share_of_parent",
+        # one-row broadcast corpus-end / scalar-aggregate frames
+        "events_churn_by_cohort",
+        "lang_id_kappa",
     ],
 )
 def test_bounded_broadcast_nlj_only(spark, sf_dir, name):
