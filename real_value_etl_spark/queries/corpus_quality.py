@@ -982,3 +982,66 @@ def lang_id_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((po - pc) / (F.lit(1.0) - pc)).alias("kappa"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth curve (Heaps-law diagnostic)
+# ---------------------------------------------------------------------------
+VOCAB_CURVE_STEP = 50  # checkpoint every N doc ids
+
+
+@register(
+    "docs_vocab_growth",
+    oracle=f"""
+    WITH firsts AS (
+      SELECT tok, MIN(doc_id) AS first_doc
+      FROM (SELECT doc_id, unnest({T.tokens_sql("text")}) AS tok
+            FROM documents)
+      GROUP BY tok
+    ),
+    b AS (
+      SELECT CAST(CEIL((first_doc + 1) / {VOCAB_CURVE_STEP}.0) AS BIGINT)
+               AS bucket,
+             COUNT(*) AS new_types
+      FROM firsts GROUP BY 1
+    )
+    SELECT bucket * {VOCAB_CURVE_STEP} AS docs_seen,
+           new_types,
+           CAST(SUM(new_types) OVER (ORDER BY bucket
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS vocab_size
+    FROM b
+    """,
+    tags=("llm", "text", "stats", "corpus"),
+)
+def docs_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (the Heaps-law diagnostic): how many
+    distinct token types the corpus has introduced after each block of
+    {VOCAB_CURVE_STEP} documents (in doc_id order) — a flattening curve
+    says more data adds little new vocabulary; a steep one says the
+    corpus is still lexically open (guides both tokenizer vocab sizing
+    and how much more crawl is worth ingesting). Plan: each type reduces
+    to its FIRST document (one token-keyed aggregation — never a
+    cumulative distinct over prefixes, which would be quadratic), blocks
+    aggregate map-side, and the running total is a window over the tiny
+    block table."""
+    d = table(spark, sf_dir, "documents")
+    firsts = (
+        d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    b = firsts.groupBy(
+        F.ceil((F.col("first_doc") + 1) / VOCAB_CURVE_STEP)
+        .cast("long")
+        .alias("bucket")
+    ).agg(F.count("*").alias("new_types"))
+    w = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return b.select(
+        (F.col("bucket") * VOCAB_CURVE_STEP).alias("docs_seen"),
+        "new_types",
+        F.sum("new_types").over(w).alias("vocab_size"),
+    )

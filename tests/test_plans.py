@@ -356,6 +356,7 @@ def test_gapfill_interp_grid_cross_join_is_broadcast(spark, sf_dir):
         "docs_containment",
         "docs_token_budget_sample",
         "docs_ccnet_buckets",
+        "docs_vocab_growth",
         "events_holt_linear",
         "sim_pq_encode",
         "text_tfidf_cosine_pairs",
