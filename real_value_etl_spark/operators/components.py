@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def connected_components(
@@ -63,30 +64,58 @@ def connected_components(
             .agg(F.min("component").alias("component"))
         )
 
+    # Convergence check without a join — VALID ONLY FOR INTEGRAL IDS:
+    # min-label propagation only ever DECREASES a node's numeric
+    # component, so the total label sum strictly decreases until the
+    # fixpoint — comparing sums is equivalent to comparing label sets,
+    # and the aggregate doubles as the action that materializes each
+    # block's persist (one job per block instead of a join + filter +
+    # count over both label sets). (Lazily fusing TWO rounds per job was
+    # tried and regresses ~2x: the inner round's uncached subtree feeds
+    # both the join and the union of the outer round, so it executes
+    # twice — recompute beats the saved barrier.)
+    #
+    # With string ids the cast throws under ANSI (or nulls out the sum
+    # under non-ANSI, exiting after one round with unconverged labels),
+    # and numeric-STRING ids would mis-converge because lexicographic min
+    # does not monotonically decrease the numeric sum — so non-integral
+    # label types fall back to the type-agnostic changed-row join
+    # (ADVICE r3).
+    integral = isinstance(
+        labels.schema["component"].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    )
+
     def label_sum(lbl: DataFrame):
         # decimal(38,0) keeps the sum exact at any node-id/corpus scale
         return lbl.agg(
             F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
         ).collect()[0][0]
 
-    # Convergence check without a join: min-label propagation only ever
-    # DECREASES a node's component, so the total label sum strictly
-    # decreases until the fixpoint — comparing sums is equivalent to
-    # comparing label sets, and the aggregate doubles as the action that
-    # materializes each block's persist (one job per block instead of a
-    # join + filter + count over both label sets). (Lazily fusing TWO
-    # rounds per job was tried and regresses ~2x: the inner round's
-    # uncached subtree feeds both the join and the union of the outer
-    # round, so it executes twice — recompute beats the saved barrier.)
-    prev_sum = label_sum(labels)
-    for _ in range(max_iterations):
-        new_labels = one_round(labels).persist()
-        new_sum = label_sum(new_labels)
-        labels.unpersist()
-        labels = new_labels
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
+    if integral:
+        prev_sum = label_sum(labels)
+        for _ in range(max_iterations):
+            new_labels = one_round(labels).persist()
+            new_sum = label_sum(new_labels)
+            labels.unpersist()
+            labels = new_labels
+            if new_sum == prev_sum:
+                break
+            prev_sum = new_sum
+    else:
+        for _ in range(max_iterations):
+            new_labels = one_round(labels).persist()
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .limit(1)
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
     sym.unpersist()
     return labels.select("node", "component")
 

@@ -223,6 +223,48 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
     )
 
 
+def _minhash_sig(idx: DataFrame) -> DataFrame:
+    """k=MINHASH_K minhash signature columns mh0..mh15 from a shingle
+    index — the shared signature build of `minhash_lsh_pairs` and
+    `containment_pairs` (extracted per ADVICE r3: a MINHASH_P-style fix
+    must land in exactly one place)."""
+    return (
+        idx.select("did", portable_hash32(F.col("sh")).alias("h"))
+        .groupBy("did")
+        .agg(
+            *[
+                F.min(minhash_expr(F.col("h"), i)).alias(f"mh{i}")
+                for i in range(MINHASH_K)
+            ]
+        )
+    )
+
+
+def _docset_sides(idx: DataFrame) -> tuple[DataFrame, DataFrame, Column]:
+    """(a, b, inter) verification scaffolding shared by every
+    set-at-a-time verify join: per-doc collected shingle arrays renamed
+    for the two join sides, SHUFFLE_HASH-pinned (the docset side is
+    corpus-sized — never broadcastable at 100 TB), and the narrow
+    `array_intersect` size as a double."""
+    docsets = idx.groupBy("did").agg(
+        F.collect_list("sh").alias("shs"), F.count("*").alias("n")
+    )
+    a = docsets.select(
+        F.col("did").alias("doc_a"),
+        F.col("shs").alias("shs_a"),
+        F.col("n").alias("n_a"),
+    ).hint("shuffle_hash")
+    b = docsets.select(
+        F.col("did").alias("doc_b"),
+        F.col("shs").alias("shs_b"),
+        F.col("n").alias("n_b"),
+    ).hint("shuffle_hash")
+    inter = F.size(F.array_intersect(F.col("shs_a"), F.col("shs_b"))).cast(
+        "double"
+    )
+    return a, b, inter
+
+
 def minhash_lsh_pairs(
     df: DataFrame, id_col: str, text_col: str, threshold: float
 ) -> DataFrame:
@@ -242,33 +284,8 @@ def minhash_lsh_pairs(
     the same single double-division as `_pair_jaccard`, bit-identical
     to the oracle."""
     idx = shingle_index(df, id_col, text_col)
-    sig = (
-        idx.select("did", portable_hash32(F.col("sh")).alias("h"))
-        .groupBy("did")
-        .agg(
-            *[
-                F.min(minhash_expr(F.col("h"), i)).alias(f"mh{i}")
-                for i in range(MINHASH_K)
-            ]
-        )
-    )
-    cands = lsh_candidate_pairs(sig)
-    docsets = idx.groupBy("did").agg(
-        F.collect_list("sh").alias("shs"), F.count("*").alias("n")
-    )
-    a = docsets.select(
-        F.col("did").alias("doc_a"),
-        F.col("shs").alias("shs_a"),
-        F.col("n").alias("n_a"),
-    ).hint("shuffle_hash")
-    b = docsets.select(
-        F.col("did").alias("doc_b"),
-        F.col("shs").alias("shs_b"),
-        F.col("n").alias("n_b"),
-    ).hint("shuffle_hash")
-    inter = F.size(F.array_intersect(F.col("shs_a"), F.col("shs_b"))).cast(
-        "double"
-    )
+    cands = lsh_candidate_pairs(_minhash_sig(idx))
+    a, b, inter = _docset_sides(idx)
     return (
         cands.join(a, "doc_a")
         .join(b, "doc_b")
@@ -301,15 +318,29 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int,
+    caches: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: candidates share one of four 8-bit bands of
     the fingerprint (pigeonhole: hamming<=4 implies one identical band; wider
-    distances trade recall for candidate count), verified by popcount."""
-    # fps feeds both sides of the band self-join — persist the tiny
-    # (one row per doc) fingerprint table instead of recomputing the
-    # exploded 32-sum aggregation twice
-    fps = simhash_fingerprints(df, id_col, text_col).persist()
+    distances trade recall for candidate count), verified by popcount.
+
+    The fingerprint frame feeds both sides of the band self-join. Like the
+    shingle index in the Jaccard/LSH paths it is NOT persisted by default
+    (VERDICT r3 ask #3 / the r3 `caches` lifecycle convention): the two
+    consumers recompute the exploded 32-sum aggregation inside their own
+    pipelined stages, pinning zero memory, and the cache-honest bench
+    measures recompute ≈ persist at sf0.1 (the persist's win in earlier
+    rounds was cross-RUN cache reuse, not within-plan reuse). Callers who
+    reuse fingerprints across many jobs pass `caches` to persist with an
+    explicit release handle."""
+    fps = simhash_fingerprints(df, id_col, text_col)
+    if caches is not None:
+        fps = fps.persist()
+        caches.append(fps)
     bands = fps.select(
         "did",
         "simhash",
@@ -435,22 +466,7 @@ def ngram_jaccard_pairs_prefix(
         idx = idx.persist()
         caches.append(idx)
     cands = prefix_filtered_candidates(idx, threshold)
-    docsets = idx.groupBy("did").agg(
-        F.collect_list("sh").alias("shs"), F.count("*").alias("n")
-    )
-    a = docsets.select(
-        F.col("did").alias("doc_a"),
-        F.col("shs").alias("shs_a"),
-        F.col("n").alias("n_a"),
-    ).hint("shuffle_hash")
-    b = docsets.select(
-        F.col("did").alias("doc_b"),
-        F.col("shs").alias("shs_b"),
-        F.col("n").alias("n_b"),
-    ).hint("shuffle_hash")
-    inter = F.size(F.array_intersect(F.col("shs_a"), F.col("shs_b"))).cast(
-        "double"
-    )
+    a, b, inter = _docset_sides(idx)
     return (
         cands.join(a, "doc_a")
         .join(b, "doc_b")
@@ -495,33 +511,8 @@ def containment_pairs(
     if caches is not None:
         idx = idx.persist()
         caches.append(idx)
-    sig = (
-        idx.select("did", portable_hash32(F.col("sh")).alias("h"))
-        .groupBy("did")
-        .agg(
-            *[
-                F.min(minhash_expr(F.col("h"), i)).alias(f"mh{i}")
-                for i in range(MINHASH_K)
-            ]
-        )
-    )
-    cands = lsh_candidate_pairs(sig)
-    docsets = idx.groupBy("did").agg(
-        F.collect_list("sh").alias("shs"), F.count("*").alias("n")
-    )
-    a = docsets.select(
-        F.col("did").alias("doc_a"),
-        F.col("shs").alias("shs_a"),
-        F.col("n").alias("n_a"),
-    ).hint("shuffle_hash")
-    b = docsets.select(
-        F.col("did").alias("doc_b"),
-        F.col("shs").alias("shs_b"),
-        F.col("n").alias("n_b"),
-    ).hint("shuffle_hash")
-    inter = F.size(F.array_intersect(F.col("shs_a"), F.col("shs_b"))).cast(
-        "double"
-    )
+    cands = lsh_candidate_pairs(_minhash_sig(idx))
+    a, b, inter = _docset_sides(idx)
     return (
         cands.join(a, "doc_a")
         .join(b, "doc_b")

@@ -34,83 +34,76 @@ from . import (  # noqa: F401
 )
 from .registry import REGISTRY
 
-# Round-3 window: the 33 queries that have never had a driver CORRECTNESS
-# row (r1 ∪ r2 covered 95/128) rotate IN — closing this evidence gap is
-# VERDICT.md r2's top ask; with these green, cumulative driver-green
-# reaches 128/128 of the round-2 registry. The next 14 slots are the
-# round-3 additions (first driver evidence), and the remaining 3
-# re-confirm the ETL function surface and the heaviest headliner.
+# Round-4 window (VERDICT r3 ask #1): the 37 queries that have never had a
+# driver CORRECTNESS row — exactly the round-3 additions (computed
+# mechanically as registry − keys(CORRECTNESS_r01∪r02∪r03)) — rotate IN.
+# Slot 38 is `q_approx_stats`, the one registry entry with zero usable
+# driver evidence (its r3 row errored on an array<double> column; the
+# query now returns scalar p50/p95/p99 — VERDICT ask #2). The remaining
+# 12 slots re-confirm the heaviest previously-green rows and the four r2
+# fixes, per the verdict's spare-slot guidance. With all green, cumulative
+# driver-green reaches 182/182.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- never-driver-verified: events analytics leftovers from r1
-    "events_sliding_agg",
-    "events_session_window",
-    "events_scd2_history",
-    "events_anomaly_hours",
-    "events_running_total",
-    "events_gapfill_interp",
-    "events_outliers_mad",
-    "events_quality_audit",
-    "events_via_jsonl_source",
-    # -- never-driver-verified: TPC-H shapes
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q12_priority_lines",
-    "q14_promo_share",
-    "q16_parts_suppliers",
-    "q19_discounted_revenue",
-    "q20_excess_suppliers",
-    # -- never-driver-verified: stats / reshape
+    # -- never-driver-verified: corpus mix / export (late r3)
+    "docs_tokenize_ids",
+    "docs_shuffle_shards",
+    "docs_token_budget_sample",
+    "docs_ccnet_buckets",
+    "docs_vocab_growth",
+    "docs_winsorize",
+    "docs_incremental_dedup",
+    "docs_containment",
+    "docs_leakage_safe_split",
+    "lang_id_kappa",
+    # -- never-driver-verified: events analytics (late r3)
+    "events_holt_linear",
+    "events_top_paths",
+    "events_transition_matrix",
+    "events_rolling_active_users",
+    "events_anomaly_transitions",
+    "events_churn_by_cohort",
+    "events_k_anonymity",
+    "events_via_snapshot_table",
+    # -- never-driver-verified: similarity / PQ / graph (late r3)
+    "sim_pq_encode",
+    "sim_pq_adc_recall",
+    "sim_ivf_pq_topk",
+    "sim_knn_graph",
+    "graph_label_propagation",
+    "graph_triangle_count",
+    # -- never-driver-verified: text / sketches / multimodal (late r3)
+    "text_kmv_distinct",
+    "text_countmin_freq",
+    "text_tfidf_cosine_pairs",
+    "text_bpe_train",
+    "multimodal_header_parse",
+    "multimodal_phash_dedup",
+    # -- never-driver-verified: relational diagnostics / sources (late r3)
+    "q_rfm_segments",
+    "q_rollup_share_of_parent",
+    "q_join_size_estimate",
+    "q_key_skew_report",
+    "orders_market_basket",
+    "docs_via_evolved_parquet",
+    # -- never-driver-verified: streaming (late r3)
+    "stream_holt_forecast",
+    # -- zero usable driver evidence: r3 row errored (array column);
+    #    contract fixed this round to scalar p50/p95/p99
     "q_approx_stats",
-    "q_equidepth_price",
-    "q_unpivot_measures",
-    # -- never-driver-verified: similarity / embeddings (r2 additions)
-    "sim_hard_negatives",
-    "sim_rerank_quantized",
-    "sim_quantization_recall",
-    "emb_label_centroids",
+    # -- re-confirm: heaviest previously-green headliners
+    "dedup_jaccard_prefix",
+    "graph_pagerank_lineitem",
     "sim_kmeans_train",
-    # -- never-driver-verified: corpus-mix / text (r2 additions)
-    "docs_dedup_savings",
-    "docs_repeated_spans",
-    "docs_source_resample",
-    "docs_boilerplate_strip",
-    "docs_source_divergence",
-    "docs_by_lang_source",
-    "lang_vocab_overlap",
-    "text_bpe_token_count",
-    # -- round-3 additions (first driver evidence for each)
-    "docs_mix_temperature",
-    "docs_ngram_novelty",
-    "docs_quality_funnel",
-    "docs_header_strip",
-    "docs_length_balanced_buckets",
-    "text_collocations",
-    "lang_confusion",
-    "events_rate_limit",
-    "orders_via_orc_source",
-    "lineitem_via_partitioned_source",
-    "sim_pair_distance_hist",
-    "events_attribution",
-    "multimodal_dedup",
-    "stream_cdc_apply",
-    # -- late round-3 additions (first driver evidence). Still never
-    #    driver-verified, rotate in round 4: docs_winsorize,
-    #    docs_via_evolved_parquet, multimodal_header_parse,
-    #    text_kmv_distinct, events_k_anonymity, docs_incremental_dedup,
-    #    docs_tokenize_ids, docs_shuffle_shards, text_bpe_train,
-    #    q_sql_text_interface, and the late-r3 wave: sim_knn_graph,
-    #    docs_leakage_safe_split, text_countmin_freq, docs_containment,
-    #    graph_label_propagation, docs_token_budget_sample,
-    #    multimodal_phash_dedup, docs_ccnet_buckets, events_holt_linear,
-    #    sim_pq_encode, sim_pq_adc_recall, text_tfidf_cosine_pairs,
-    #    q_join_size_estimate, graph_triangle_count, events_top_paths,
-    #    q_key_skew_report, events_transition_matrix,
-    #    events_rolling_active_users, q_rfm_segments,
-    #    stream_holt_forecast.
-    "emb_gram_matrix",
-    "sim_matryoshka_recall",
-    "docs_quality_lr_score",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "etl_scalar_funcs",
+    "etl_array_funcs",
+    "multimodal_decode",
+    # -- re-confirm: the four r2 fixes
+    "docs_pretraining_mix",
+    "text_postings",
+    "docs_pack_sequences",
+    "sim_embedding_topk",
 )
 
 

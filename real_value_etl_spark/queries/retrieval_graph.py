@@ -345,12 +345,11 @@ def text_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("db.depth").alias("depth"), F.col("db.bucket").alias("bucket"))
     sketch = hashed.groupBy("depth", "bucket").agg(F.count("*").alias("cnt"))
     exact = tok.groupBy("token").agg(F.count("*").alias("n_exact"))
-    wtop = Window.orderBy(F.desc("n_exact"), F.asc("token"))
-    cand = (
-        exact.withColumn("r", F.row_number().over(wtop))
-        .filter(F.col("r") <= CMS_TOPN)
-        .drop("r")
-    )
+    # orderBy().limit() plans TakeOrderedAndProject (per-partition top-N
+    # then a merge of N-row heaps) — NOT a row_number over an
+    # unpartitioned Window, which would Exchange SinglePartition and sort
+    # the whole vocabulary on one task (ADVICE r3).
+    cand = exact.orderBy(F.desc("n_exact"), F.asc("token")).limit(CMS_TOPN)
     probes = cand.select(
         "token",
         "n_exact",
