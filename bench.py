@@ -66,6 +66,9 @@ HEADLINE = [
     # df-bucketed sparse-cosine postings join
     "sim_ivf_pq_topk",
     "text_tfidf_cosine_pairs",
+    # round-4: the last unbenched multi-stage family — Arrow pHash kernel
+    # feeding a JVM banded self-join (VERDICT r3 ask #6)
+    "multimodal_phash_dedup",
 ]
 
 

@@ -584,3 +584,60 @@ def test_sorted_writes_compress_better(spark, sf_dir, tmp_path):
     # dictionary pages already compress well, so pin direction + a small
     # guaranteed margin rather than a scale-dependent ratio
     assert _size(srt) < _size(shuffled) * 0.98
+
+
+def test_tfidf_df_cap_filter_sits_below_postings_self_join(spark, sf_dir):
+    """VERDICT r4 pin: the TFIDF_DF_MAX pruning must be applied to the
+    document-frequency aggregate BEFORE the postings self-join — it is
+    both the skew bound (worst join partition <= cap^2) and the signal
+    move. In the executed-plan tree parents print above children, so the
+    cap predicate must appear textually BELOW the first join on `sh`; a
+    regression that filters after the join would hoist it above."""
+    from real_value_etl_spark.queries.retrieval_graph import TFIDF_DF_MAX
+
+    plan = plan_of(REGISTRY["text_tfidf_cosine_pairs"].fn(spark, sf_dir))
+    cap = f"<= {TFIDF_DF_MAX}"
+    assert cap in plan
+    join_pos = plan.index("Join [sh") if "Join [sh" in plan else min(
+        p for p in (plan.find("SortMergeJoin [sh"), plan.find("ShuffledHashJoin [sh"))
+        if p >= 0
+    )
+    assert plan.index(cap) > join_pos, "df cap hoisted above the postings join"
+
+
+def test_ivf_pq_codes_partitioned_by_cluster_prune_probe_scan(spark, sf_dir, tmp_path):
+    """VERDICT r3 ask #7: the 100 TB story in sim_ivf_pq_topk's docstring
+    — "PQ codes are written bucketed by cluster_id, so a probe reads only
+    matching buckets" — proven end-to-end: write the IVF assignment
+    partitioned by cluster_id, probe two clusters, and pin (a)
+    PartitionFilters on cluster_id in the scan and (b) that every file
+    the probe scan touches lives under a probed cluster's directory."""
+    from real_value_etl_spark.operators.similarity import ivf_assign
+    from real_value_etl_spark.queries.feature_ops import IVFPQ_CENT_MOD
+    from real_value_etl_spark.queries.registry import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") % IVFPQ_CENT_MOD == 0)
+    assigned = ivf_assign(emb, cents).select("vec_id", "cluster_id")
+    layout = str(tmp_path / "pq_codes")
+    assigned.write.partitionBy("cluster_id").parquet(layout)
+
+    probe_ids = [
+        r["cluster_id"]
+        for r in assigned.select("cluster_id").distinct().limit(2).collect()
+    ]
+    codes = spark.read.parquet(layout)
+    probed = codes.filter(F.col("cluster_id").isin(probe_ids))
+    plan = plan_of(probed)
+    assert "PartitionFilters" in plan and "cluster_id" in plan.split(
+        "PartitionFilters"
+    )[1][:200]
+    touched = [
+        r["f"]
+        for r in probed.select(
+            F.input_file_name().alias("f")
+        ).distinct().collect()
+    ]
+    assert touched, "probe scan read no files"
+    for f in touched:
+        assert any(f"cluster_id={p}" in f for p in probe_ids), f
