@@ -12,8 +12,9 @@ per-iteration dataflow (join edges→labels, min-aggregate) is identical.
 
 Each iteration: one join of the edge list against current labels + one
 min-aggregate — two shuffles on node id, both AQE-coalesced. Labels are
-persisted per iteration (consumed by the join, the aggregate, and the
-convergence check).
+eagerly localCheckpoint-ed per iteration (consumed by the join, the
+aggregate, and the convergence check; the checkpoint also truncates the
+per-round logical plan, which otherwise doubles every iteration).
 """
 
 from __future__ import annotations
@@ -46,11 +47,17 @@ def connected_components(
     # folded into the label build (same single groupBy a distinct-node
     # init would cost, one fewer driver round-trip to converge; pair and
     # triangle components are already final here)
+    # Each round's plan references the previous labels TWICE (self ∪
+    # neighbor), so a lazily-persisted chain DOUBLES the logical plan per
+    # iteration — persist caches execution but not analysis, and the
+    # exponential plan tree OOMs the driver past ~8 rounds (reproduced on
+    # a 30-node graph). Eager localCheckpoint truncates the plan to a
+    # materialized leaf each round, keeping plan size constant.
     labels = (
         sym.select(F.col("a").alias("node"), F.least("a", "b").alias("component"))
         .groupBy("node")
         .agg(F.min("component").alias("component"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
 
     def one_round(lbl: DataFrame) -> DataFrame:
@@ -92,19 +99,21 @@ def connected_components(
             F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
         ).collect()[0][0]
 
+    converged = False
     if integral:
         prev_sum = label_sum(labels)
         for _ in range(max_iterations):
-            new_labels = one_round(labels).persist()
+            new_labels = one_round(labels).localCheckpoint(eager=True)
             new_sum = label_sum(new_labels)
             labels.unpersist()
             labels = new_labels
             if new_sum == prev_sum:
+                converged = True
                 break
             prev_sum = new_sum
     else:
         for _ in range(max_iterations):
-            new_labels = one_round(labels).persist()
+            new_labels = one_round(labels).localCheckpoint(eager=True)
             changed = (
                 new_labels.alias("n")
                 .join(labels.alias("o"), "node")
@@ -115,8 +124,19 @@ def connected_components(
             labels.unpersist()
             labels = new_labels
             if changed == 0:
+                converged = True
                 break
     sym.unpersist()
+    if not converged:
+        # min-label needs O(diameter) rounds — returning silently here
+        # would hand back WRONG labels on a deep graph (a 60-node chain
+        # needs 59 rounds). Deep graphs belong to the O(log n)
+        # large-star/small-star variant below.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "rounds (graph diameter exceeds the budget); raise "
+            "max_iterations or use connected_components_star"
+        )
     return labels.select("node", "component")
 
 
@@ -129,3 +149,125 @@ def dedup_clusters(pairs: DataFrame, id_col_a: str, id_col_b: str) -> DataFrame:
         "component",
         (F.col("node") == F.col("component")).alias("is_keeper"),
     )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Large-star/small-star connected components — the O(log n)-round
+    alternation for graphs whose components are too deep or too hubby for
+    plain min-label propagation (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14; public algorithm).
+
+    Per round, entirely as joins + min-aggregates (no neighbor arrays are
+    ever collected, so hub nodes cost one shuffled row per edge, not one
+    giant buffer):
+
+    - large-star: every node u links its LARGER neighbors to
+      m(u) = min(N(u) ∪ {u}) — long chains halve; hubs fan their heavy
+      side directly at the minimum.
+    - small-star: orienting each edge under its larger endpoint, u links
+      its smaller-or-equal neighbors and itself to the minimum — stars
+      contract.
+
+    The edge set converges to a forest of stars rooted at each
+    component's minimum id; labels read off as min(neighbor ∪ self).
+    Convergence is checked EXACTLY (`exceptAll` both directions is
+    empty), type-agnostic — string ids work unchanged. Output:
+    (node, component), identical to `connected_components` (min-label)
+    and to the recursive-CTE oracle; `max_iterations` bounds the driver
+    loop (log₂ diameter rounds in practice).
+
+    Unlike min-label (whose per-round lineage is one join against a
+    PERSISTED static edge list), each star round derives its edge set
+    from the previous round's — a lazily-persisted chain re-analyzes and
+    (on any cache miss) recomputes the whole history, which is the
+    classic iterative-Spark lineage blow-up. Every round therefore cuts
+    lineage with an EAGER `localCheckpoint` (executor-storage
+    materialization, the same device GraphFrames uses for its iterative
+    algorithms); the two `exceptAll` probes then compare two
+    materialized frames, nothing re-derives.
+    """
+    cur = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col(src) != F.col(dst))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # isolated self-pairs (u,u) carry membership but no structure
+    selfs = edges.select(F.col(src).alias("node")).filter(
+        F.col(src) == F.col(dst)
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.unionByName(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        mins = sym.groupBy("a").agg(F.min("b").alias("mn"))
+        m = F.least(F.col("a"), F.col("mn"))
+        return (
+            sym.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("u"), m.alias("v"))
+            .filter(F.col("u") != F.col("v"))
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # e is canonical (a < b): group each edge under its larger end b
+        oriented = e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        mins = oriented.groupBy("u").agg(F.min("v").alias("mn"))
+        linked = oriented.join(mins, "u").select(
+            F.col("v").alias("x"), F.col("mn").alias("m")
+        )
+        selfl = mins.select(F.col("u").alias("x"), F.col("mn").alias("m"))
+        return linked.unionByName(selfl).filter(F.col("x") != F.col("m"))
+
+    converged = False
+    for _ in range(max_iterations):
+        ls = large_star(cur).select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        )
+        nxt = (
+            small_star(ls.distinct())
+            .select(F.least("x", "m").alias("a"), F.greatest("x", "m").alias("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        stable = (
+            nxt.exceptAll(cur).limit(1).count() == 0
+            and cur.exceptAll(nxt).limit(1).count() == 0
+        )
+        cur.unpersist()
+        cur = nxt
+        if stable:
+            converged = True
+            break
+
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in "
+            f"{max_iterations} rounds"
+        )
+    sym = cur.unionByName(
+        cur.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"), F.least("a", "b").alias("component"))
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+    )
+    iso = (
+        selfs.distinct()
+        .join(labels.select(F.col("node").alias("__ln")),
+              F.col("node") == F.col("__ln"), "left_anti")
+        .select("node", F.col("node").alias("component"))
+    )
+    out = labels.unionByName(iso)
+    cur.unpersist()
+    return out

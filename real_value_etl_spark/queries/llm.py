@@ -298,6 +298,48 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs, "doc_a", "doc_b")
 
 
+def _components_star_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_SHINGLE_IDX_CTE}, {_JACCARD_TAIL_SQL},
+    pairs_t AS (SELECT doc_a, doc_b FROM jac WHERE jac >= {JACCARD_THRESHOLD}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs_t
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs_t
+    ),
+    reach(src, node) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node
+    )
+    SELECT src AS node, MIN(node) AS component
+    FROM reach GROUP BY src
+    """
+
+
+@register(
+    "graph_components_star",
+    oracle=_components_star_oracle(),
+    tags=("dedup", "llm", "graph", "iterative"),
+)
+def graph_components_star_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by LARGE-STAR/SMALL-STAR alternation (Kiveris
+    et al., SoCC'14) over the same near-dup pair graph as `dedup_clusters`
+    — the O(log n)-round algorithm that replaces O(diameter) min-label
+    when components are deep chains or hub-heavy (min-label on a 60-node
+    chain needs 59 rounds and now refuses; star needs ~6). Every round is
+    two min-aggregates + joins, no neighbor list is ever materialized,
+    and each round's edge set is eagerly localCheckpoint-ed to keep the
+    iterative plan constant-size. Oracle: recursive-CTE reachability —
+    identical (node, component) output to the min-label operator."""
+    from ..operators.components import connected_components_star
+
+    pairs = D.ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text", JACCARD_THRESHOLD
+    ).select("doc_a", "doc_b")
+    return connected_components_star(pairs, "doc_a", "doc_b")
+
+
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-dup (cluster-blocked pairs)
 # ---------------------------------------------------------------------------

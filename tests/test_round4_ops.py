@@ -96,3 +96,44 @@ def test_countmin_topn_plans_take_ordered(spark, sf_dir):
     plan = REGISTRY["text_countmin_freq"].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "SinglePartition" not in plan
+
+
+def test_star_components_match_minlabel_on_random_graphs(spark):
+    """Large-star/small-star must produce the identical (node, component)
+    labeling as min-label propagation on graphs both can solve."""
+    import random
+
+    from real_value_etl_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    random.seed(4)
+    edges = [(random.randrange(30), random.randrange(30)) for _ in range(25)]
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    a = sorted(map(tuple, connected_components(df).collect()))
+    b = sorted(map(tuple, connected_components_star(df).collect()))
+    assert a == b
+
+
+def test_star_components_solve_deep_chain_minlabel_refuses(spark):
+    """A 60-node chain needs 59 min-label rounds — beyond the default
+    budget the operator must RAISE (silently returning unconverged labels
+    was the round-4 bug), while the O(log n) star variant solves it."""
+    import pytest as _pytest
+
+    from real_value_etl_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], ["doc_a", "doc_b"]
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components_star(chain).collect()
+    }
+    assert got == {i: 0 for i in range(61)}
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain).collect()
