@@ -1045,3 +1045,85 @@ def docs_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_types",
         F.sum("new_types").over(w).alias("vocab_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed ROC-AUC of the English-evidence score (Mann-Whitney rank-sum)
+# ---------------------------------------------------------------------------
+@register(
+    "lang_id_auc",
+    oracle=f"""
+    WITH scored AS (
+      SELECT len(list_intersect(list_distinct({T.tokens_sql('text')}),
+                                {_EN_STOPS_SQL})) AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_pos
+      FROM documents
+    ),
+    per_score AS (
+      SELECT score, SUM(is_pos) AS pos, SUM(1 - is_pos) AS neg
+      FROM scored GROUP BY score
+    ),
+    cum AS (
+      SELECT score, pos, neg,
+             COALESCE(SUM(neg) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS neg_below
+      FROM per_score
+    )
+    SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(SUM(neg) AS BIGINT) AS n_neg,
+           CAST(SUM(2 * pos * neg_below + pos * neg) AS BIGINT)
+             AS auc_num_x2,
+           CAST(SUM(2 * pos * neg_below + pos * neg) AS DOUBLE)
+             / (2.0 * SUM(pos) * SUM(neg)) AS auc
+    FROM cum
+    """,
+    tags=("llm", "text", "lang", "evaluation"),
+)
+def lang_id_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of the language-ID English-evidence score against the true
+    `lang` label — the threshold-free classifier evaluation, computed by
+    the Mann-Whitney rank-sum identity instead of a sort:
+
+    AUC = [ sum over distinct scores s of
+            pos(s) * neg_below(s) + pos(s) * neg(s) / 2 ] / (P * N)
+
+    which needs only a per-score aggregate plus a running sum over the
+    DISTINCT-SCORE frame. The corpus never sorts globally: the single
+    window here orders <= |wordlist|+1 = 7 rows (the score is a 0..6
+    stopword-overlap count — bounded by construction, unlike a
+    continuous-score AUC, which would route through the two-phase
+    `global_running_sum`). The numerator is kept as the INTEGER
+    2x-count (`auc_num_x2`), so the only double is one final division —
+    bit-identical both engines."""
+    stops = F.array(*[F.lit(w) for w in T.LANG_STOPWORDS["en"]])
+    scored = table(spark, sf_dir, "documents").select(
+        F.size(
+            F.array_intersect(T.distinct_tokens(F.col("text")), stops)
+        ).alias("score"),
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias(
+            "is_pos"
+        ),
+    )
+    per_score = scored.groupBy("score").agg(
+        F.sum("is_pos").alias("pos"), F.sum(1 - F.col("is_pos")).alias("neg")
+    )
+    w = (
+        Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = per_score.withColumn(
+        "neg_below", F.coalesce(F.sum("neg").over(w), F.lit(0))
+    )
+    num = F.sum(
+        2 * F.col("pos") * F.col("neg_below") + F.col("pos") * F.col("neg")
+    )
+    return cum.agg(
+        F.sum("pos").alias("n_pos"),
+        F.sum("neg").alias("n_neg"),
+        num.alias("auc_num_x2"),
+        (
+            num.cast("double")
+            / (F.lit(2.0) * F.sum("pos") * F.sum("neg"))
+        ).alias("auc"),
+    )

@@ -1534,3 +1534,97 @@ def events_churn_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal (hour-of-day) baseline anomalies — deviation from the SLOT mean
+# ---------------------------------------------------------------------------
+@register(
+    "events_seasonal_baseline",
+    oracle=f"""
+    WITH cells AS (
+      SELECT event_type, date_trunc('day', ts) AS d, hour(ts) AS hod,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2, 3
+    ),
+    grid AS (
+      SELECT t.event_type, dd.d, h.range AS hod
+      FROM (SELECT DISTINCT event_type FROM events) t,
+           (SELECT DISTINCT date_trunc('day', ts) AS d FROM events) dd,
+           range(0, 24) h
+    ),
+    filled AS (
+      SELECT g.event_type, g.d, g.hod, COALESCE(c.n, 0) AS n
+      FROM grid g LEFT JOIN cells c
+        ON c.event_type = g.event_type AND c.d = g.d AND c.hod = g.hod
+    ),
+    slot AS (
+      SELECT event_type, hod,
+             COUNT(*) AS n_days,
+             CAST(SUM(n) AS BIGINT) AS sum_n,
+             CAST(SUM(n * n) AS BIGINT) AS sum_n2
+      FROM filled GROUP BY event_type, hod
+    ),
+    scored AS (
+      SELECT f.event_type, f.d, f.hod, f.n,
+             (CAST(f.n AS DOUBLE)
+              - CAST(s.sum_n AS DOUBLE) / CAST(s.n_days AS DOUBLE))
+             / sqrt((CAST(s.sum_n2 AS DOUBLE)
+                     - CAST(s.sum_n AS DOUBLE) * CAST(s.sum_n AS DOUBLE)
+                       / CAST(s.n_days AS DOUBLE))
+                    / CAST(s.n_days - 1 AS DOUBLE)) AS z
+      FROM filled f JOIN slot s USING (event_type, hod)
+      WHERE s.n_days > 1
+        AND (s.sum_n2 * s.n_days) > (s.sum_n * s.sum_n)
+    )
+    SELECT event_type, d, hod, n, z
+    FROM scored WHERE abs(z) >= {ANOMALY_Z}
+    """,
+    tags=("events", "agg", "anomaly", "seasonal"),
+)
+def events_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly detection: each (event_type, date, hour)
+    cell is z-scored against the mean for that HOUR-OF-DAY slot across
+    days — the diurnal-profile baseline that `events_anomaly_hours`'s
+    flat per-type mean cannot model (a quiet 3am hour is normal at 3am
+    and anomalous at 3pm). Zero cells are filled in from the full
+    type x date x hour grid (tiny-cubed cross join, all broadcast — the
+    gapfill idiom) so slots that go silent score properly instead of
+    disappearing. Variance comes from exact integer sums (the
+    events_anomaly_hours pattern); zero-variance and single-day slots
+    are excluded on BOTH engines (a 0/0 z is noise, and inf does not
+    hash)."""
+    ev = table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("d"),
+        F.hour("ts").alias("hod"),
+    ).agg(F.count("*").alias("n"))
+    types = ev.select("event_type").distinct()
+    dates = ev.select(F.date_trunc("day", F.col("ts")).alias("d")).distinct()
+    hods = spark.range(24).select(F.col("id").cast("int").alias("hod"))
+    grid = types.crossJoin(F.broadcast(dates)).crossJoin(F.broadcast(hods))
+    filled = grid.join(cells, ["event_type", "d", "hod"], "left").select(
+        "event_type", "d", "hod", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    slot = filled.groupBy("event_type", "hod").agg(
+        F.count("*").alias("n_days"),
+        F.sum("n").cast("long").alias("sum_n"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("sum_n2"),
+    )
+    mu = F.col("sum_n").cast("double") / F.col("n_days").cast("double")
+    var = (
+        F.col("sum_n2").cast("double")
+        - F.col("sum_n").cast("double") * F.col("sum_n").cast("double")
+        / F.col("n_days").cast("double")
+    ) / (F.col("n_days") - 1).cast("double")
+    z = (F.col("n").cast("double") - mu) / F.sqrt(var)
+    ok_slots = slot.filter(
+        (F.col("n_days") > 1)
+        & (F.col("sum_n2") * F.col("n_days") > F.col("sum_n") * F.col("sum_n"))
+    )
+    return (
+        filled.join(F.broadcast(ok_slots), ["event_type", "hod"])
+        .select("event_type", "d", "hod", "n", z.alias("z"))
+        .filter(F.abs(F.col("z")) >= ANOMALY_Z)
+    )

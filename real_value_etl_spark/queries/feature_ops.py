@@ -1106,3 +1106,294 @@ def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= IVFPQ_K)
         .select("qid", "vec_id", "adist", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Power iteration — the dominant eigenvector of the Gram matrix
+# ---------------------------------------------------------------------------
+POW_ITERS = 3  # unrolled identically in the oracle CTE chain
+POW_V_FX = 1 << 20  # eigenvector fixed-point scale after each renormalize
+
+
+def _pow_renorm_py(w: list[int]) -> list[int]:
+    """Driver-side renormalization on EXACT Python ints: v = sign(w) *
+    (|w| * POW_V_FX // max|w|). Mirrored literally by the oracle's
+    HUGEINT arithmetic and by the Spark `div` expression of the final
+    (in-plan) renormalize — `//` on nonnegative operands is the same
+    truncating division in all three."""
+    mw = max(abs(x) for x in w) or 1
+    return [
+        (-((-x) * POW_V_FX // mw) if x < 0 else x * POW_V_FX // mw)
+        for x in w
+    ]
+
+
+def _pow_oracle() -> str:
+    it = "".join(
+        f"""
+    w{t} AS (
+      SELECT g.i AS j, SUM(CAST(g.s AS HUGEINT) * v{t - 1}.v) AS w
+      FROM g JOIN v{t - 1} ON v{t - 1}.j = g.j GROUP BY g.i
+    ),
+    m{t} AS (SELECT GREATEST(MAX(ABS(w)), 1) AS mw FROM w{t}),
+    v{t} AS (
+      SELECT j,
+             CASE WHEN w < 0 THEN -(((-w) * {POW_V_FX}) // mw)
+                  ELSE (w * {POW_V_FX}) // mw END AS v
+      FROM w{t}, m{t}
+    ),"""
+        for t in range(1, POW_ITERS + 1)
+    )
+    return f"""
+    WITH q AS (
+      SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * {float(GRAM_FX)}) AS BIGINT))
+               AS v
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT i.range AS i, j.range AS j
+      FROM range(0, {GRAM_DIM}) i, range(0, {GRAM_DIM}) j
+    ),
+    g AS (
+      SELECT p.i, p.j, SUM(v[p.i + 1] * v[p.j + 1]) AS s
+      FROM q, pairs p GROUP BY p.i, p.j
+    ),
+    v0 AS (SELECT range AS j, CAST({POW_V_FX} AS HUGEINT) AS v
+           FROM range(0, {GRAM_DIM})),{it}
+    last AS (SELECT * FROM v{POW_ITERS})
+    SELECT CAST(j AS INTEGER) AS i,
+           CAST(v AS BIGINT) AS v_fx,
+           CAST(v AS DOUBLE) / {float(POW_V_FX)} AS v
+    FROM last
+    """
+
+
+@register(
+    "emb_power_iteration",
+    oracle=_pow_oracle(),
+    tags=("llm", "vector", "linear-algebra", "iterative", "pandas_udf"),
+)
+def emb_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant eigenvector of the embedding Gram matrix by {POW_ITERS}
+    rounds of distributed power iteration — the step after
+    `emb_gram_matrix` on the road to PCA/whitening, and the shape of
+    every leading-direction computation (spectral norm, top principal
+    component, ABTT common-direction removal).
+
+    The corpus-sized pass happens ONCE (the same mapInPandas partial-Gram
+    kernel as emb_gram_matrix — communication O(partitions * d^2), never
+    O(rows)); each subsequent matvec runs over the d x d matrix frame
+    with the current iterate broadcast as a literal d-vector, so
+    iterations cost d^2-row aggregates regardless of corpus size. All
+    arithmetic is fixed-point integer: quantized vectors (2^14), exact
+    decimal(38,0) product sums, and truncating-division renormalization
+    to 2^20 scale — bit-identical to the oracle's unrolled HUGEINT CTE
+    chain. The d-vector collected between rounds is the sanctioned
+    k-sized pull (same contract as the kmeans centroid loop); the FINAL
+    renormalize stays in-plan (`div` on the aggregated column with the
+    max as a literal), so the returned frame is a distributed result."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.round(x * F.lit(float(GRAM_FX)), 0).cast("long"),
+        ).alias("q")
+    )
+    tri = q.mapInPandas(_gram_batches, schema=GRAM_SCHEMA).groupBy(
+        "i", "j"
+    ).agg(F.sum("s").alias("s"))
+    g = (
+        tri.select("i", "j", "s")
+        .unionByName(
+            tri.filter(F.col("i") != F.col("j")).select(
+                F.col("j").alias("i"), F.col("i").alias("j"), "s"
+            )
+        )
+        .persist()
+    )
+
+    def matvec(v: list[int]) -> DataFrame:
+        vlit = F.array(*[F.lit(x) for x in v])
+        prod = F.col("s").cast("decimal(38,0)") * F.element_at(
+            vlit, F.col("j") + 1
+        )
+        return g.groupBy("i").agg(F.sum(prod).alias("w"))
+
+    v = [POW_V_FX] * GRAM_DIM
+    for _ in range(POW_ITERS - 1):
+        rows = matvec(v).collect()  # d rows — the sanctioned k-sized pull
+        w = [0] * GRAM_DIM
+        for r in rows:
+            w[r["i"]] = int(r["w"])
+        v = _pow_renorm_py(w)
+
+    wf = matvec(v)
+    mw = int(
+        wf.agg(
+            F.greatest(F.max(F.abs(F.col("w"))), F.lit(1).cast("decimal(38,0)")).alias(
+                "m"
+            )
+        ).collect()[0]["m"]
+    )
+    out = wf.select(
+        F.col("i").cast("int").alias("i"),
+        F.expr(
+            f"CAST(CASE WHEN w < 0 THEN -(((-w) * {POW_V_FX}) div {mw}) "
+            f"ELSE (w * {POW_V_FX}) div {mw} END AS BIGINT)"
+        ).alias("v_fx"),
+    ).withColumn("v", F.col("v_fx").cast("double") / F.lit(float(POW_V_FX)))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Johnson–Lindenstrauss sign random projection + distortion audit
+# ---------------------------------------------------------------------------
+RP_K = 16  # projected dimensions (64 -> 16)
+RP_SAMPLE_N = 48  # bounded pair sample for the distortion histogram
+RP_BUCKETS_PER_UNIT = 20  # ratio histogram resolution
+
+
+def _rp_matrix() -> list[list[int]]:
+    """The deterministic ±1 projection matrix R (RP_K x GRAM_DIM):
+    sign(md5("rp|m|i")) — generated once in Python, entering the Spark
+    plan as ONE from_json literal and the oracle as the identical list
+    literal (the PQ-codebook trick), so both engines project with
+    byte-identical R."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"rp|{m}|{i}".encode()).hexdigest()[:8], 16) & 1
+            else -1
+            for i in range(GRAM_DIM)
+        ]
+        for m in range(RP_K)
+    ]
+
+
+def _rp_oracle() -> str:
+    import json as _json
+
+    rlit = _json.dumps(_rp_matrix())
+    return f"""
+    WITH sample AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * {float(GRAM_FX)}) AS BIGINT))
+               AS q
+      FROM embeddings ORDER BY vec_id LIMIT {RP_SAMPLE_N}
+    ),
+    proj AS (
+      SELECT vec_id,
+             list_transform(CAST({rlit!r}::JSON AS BIGINT[][]),
+               r -> list_reduce(
+                      list_prepend(CAST(0 AS BIGINT),
+                        list_transform(range(1, {GRAM_DIM} + 1),
+                                       i -> q[i] * r[i])),
+                      (acc, x) -> acc + x)) AS p,
+             q
+      FROM sample
+    ),
+    pairs AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, {GRAM_DIM} + 1),
+                 i -> (a.q[i] - b.q[i]) * (a.q[i] - b.q[i]))),
+               (x, y) -> x + y) AS d2_orig,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, {RP_K} + 1),
+                 i -> (a.p[i] - b.p[i]) * (a.p[i] - b.p[i]))),
+               (x, y) -> x + y) AS d2_proj
+      FROM proj a JOIN proj b ON a.vec_id < b.vec_id
+    )
+    SELECT CAST(FLOOR(CAST(d2_proj AS DOUBLE)
+                      / ({RP_K} * CAST(d2_orig AS DOUBLE))
+                      * {RP_BUCKETS_PER_UNIT}) AS BIGINT) AS ratio_bucket,
+           COUNT(*) AS n_pairs,
+           CAST(MIN(d2_orig) AS BIGINT) AS min_d2_orig,
+           CAST(MAX(d2_orig) AS BIGINT) AS max_d2_orig
+    FROM pairs
+    WHERE d2_orig > 0
+    GROUP BY 1
+    """
+
+
+@register(
+    "emb_random_projection",
+    oracle=_rp_oracle(),
+    tags=("llm", "vector", "ann", "diagnostics"),
+)
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss sign projection (64 -> {RP_K} dims with a
+    deterministic ±1 matrix) plus the DISTORTION AUDIT that justifies
+    using it: over a bounded pair sample, the ratio
+    ||Rp(a)-Rp(b)||^2 / (k * ||a-b||^2) — concentrated near 1 when the
+    projection preserves geometry — histogrammed at {RP_BUCKETS_PER_UNIT}
+    buckets/unit. This is the cheap-filter stage of a two-tier distance
+    pipeline (project once, prune candidates in {RP_K}-dim space, verify
+    survivors full-dim) and the audit is what sizes k. All products are
+    int64 on 2^14-quantized inputs (exact, order-free); each ratio is
+    one double division; the pair sample is the sanctioned
+    bounded-broadcast shape (ORDER BY id LIMIT {RP_SAMPLE_N}), never
+    corpus x corpus."""
+    import json as _json
+
+    emb = table(spark, sf_dir, "embeddings")
+    sample = (
+        emb.orderBy("vec_id")
+        .limit(RP_SAMPLE_N)
+        .select(
+            "vec_id",
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.round(x * F.lit(float(GRAM_FX)), 0).cast("long"),
+            ).alias("q"),
+        )
+    )
+    rlit = F.from_json(F.lit(_json.dumps(_rp_matrix())), "array<array<bigint>>")
+    proj = sample.select(
+        "vec_id",
+        "q",
+        F.transform(
+            rlit,
+            lambda r: F.aggregate(
+                F.zip_with(F.col("q"), r, lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        ).alias("p"),
+    )
+    a = proj.select(
+        F.col("vec_id").alias("ia"), F.col("q").alias("qa"), F.col("p").alias("pa")
+    )
+    b = proj.select(
+        F.col("vec_id").alias("ib"), F.col("q").alias("qb"), F.col("p").alias("pb")
+    )
+
+    def _d2(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda u, v: (u - v) * (u - v)),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        )
+
+    pairs = (
+        a.join(F.broadcast(b), F.col("ia") < F.col("ib"))
+        .select(
+            _d2(F.col("qa"), F.col("qb")).alias("d2_orig"),
+            _d2(F.col("pa"), F.col("pb")).alias("d2_proj"),
+        )
+        .filter(F.col("d2_orig") > 0)
+    )
+    ratio = F.col("d2_proj").cast("double") / (
+        F.lit(float(RP_K)) * F.col("d2_orig").cast("double")
+    )
+    return pairs.groupBy(
+        F.floor(ratio * RP_BUCKETS_PER_UNIT).cast("long").alias("ratio_bucket")
+    ).agg(
+        F.count("*").alias("n_pairs"),
+        F.min("d2_orig").cast("long").alias("min_d2_orig"),
+        F.max("d2_orig").cast("long").alias("max_d2_orig"),
+    )

@@ -2379,3 +2379,118 @@ def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_copies") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted simplified silhouette of the trained k-means index
+# ---------------------------------------------------------------------------
+def _silhouette_oracle(n_iter: int) -> str:
+    """Reuses the unrolled Lloyd's CTE chain verbatim (same constants,
+    same tie-breaks) and replaces the final WCSS rollup with a
+    second-nearest-centroid stage: rn<=2 over (dist2, cluster) gives each
+    vector its own-cluster distance a2 (rn=1) and nearest-other b2
+    (rn=2)."""
+    base = _kmeans_oracle(n_iter)
+    marker = "\n    SELECT CAST(cluster AS BIGINT) AS cluster,"
+    head = base[: base.index(marker)]
+    return (
+        head
+        + f""",
+    pair AS (
+      SELECT vec_id, cluster, dist2, rn FROM (
+        SELECT x.vec_id, c.cluster,
+               CAST(SUM((x.val - c.val) * (x.val - c.val)) AS BIGINT)
+                 AS dist2,
+               ROW_NUMBER() OVER (
+                 PARTITION BY x.vec_id
+                 ORDER BY SUM((x.val - c.val) * (x.val - c.val)), c.cluster
+               ) AS rn
+        FROM qx x JOIN cx{n_iter} c USING (dim)
+        GROUP BY x.vec_id, c.cluster
+      ) WHERE rn <= 2
+    ),
+    ab AS (
+      SELECT a.vec_id, a.cluster,
+             a.dist2 AS a2, b.dist2 AS b2
+      FROM (SELECT * FROM pair WHERE rn = 1) a
+      JOIN (SELECT * FROM pair WHERE rn = 2) b USING (vec_id)
+    )
+    SELECT CAST(cluster AS BIGINT) AS cluster,
+           COUNT(*) AS n_vecs,
+           CAST(SUM(b2 - a2) AS BIGINT) AS sum_gap,
+           CAST(SUM(GREATEST(a2, b2)) AS BIGINT) AS sum_denom,
+           CASE WHEN SUM(GREATEST(a2, b2)) = 0 THEN 0.0
+                ELSE CAST(SUM(b2 - a2) AS DOUBLE)
+                     / CAST(SUM(GREATEST(a2, b2)) AS DOUBLE) END
+             AS silhouette_w
+    FROM ab GROUP BY cluster
+    """
+    )
+
+
+@register(
+    "sim_silhouette",
+    oracle=_silhouette_oracle(KMEANS_ITERS),
+    tags=("similarity", "llm", "ann", "iterative", "evaluation"),
+)
+def sim_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality audit of the trained IVF quantizer: the WEIGHTED
+    simplified silhouette per cluster — sum(b2 - a2) / sum(max(a2, b2))
+    where a2 is each vector's squared distance to its OWN centroid and
+    b2 to the nearest OTHER centroid (the centroid-based "simplified"
+    silhouette of Hruschka et al., on squared fixed-point distances).
+    Micro-averaging over exact int64 numerators/denominators — instead
+    of averaging the per-point ratio — keeps the aggregation
+    order-independent: the only double is one final division, so an
+    ITERATIVE-training + evaluation pipeline stays hash-exact end to
+    end. Near 1 = tight, well-separated cluster; near 0 = overlapping
+    (points equidistant to a neighbor); negative = mis-assigned mass.
+    Plan: training is sim_kmeans_train's (assignment pure codegen,
+    update one k*dim hash-agg per round); the evaluation pass is one
+    more codegen projection over the SAME literal-centroid fold
+    (array_sort of the k distances, elements 1 and 2) + one hash-agg —
+    no joins, no shuffle beyond the k-row rollup."""
+    import json as _json
+
+    from ..operators.kmeans import kmeans_fit_fx, quantize_fx
+
+    emb = table(spark, sf_dir, "embeddings")
+    init = [
+        list(r.q)
+        for r in emb.groupBy("label")
+        .agg(
+            F.min_by(quantize_fx(F.col("embedding")), F.col("vec_id")).alias("q"),
+            F.min("vec_id").alias("vec_id"),
+        )
+        .orderBy("vec_id")
+        .select("q")
+        .collect()
+    ]
+    cents, assigned = kmeans_fit_fx(emb, "embedding", init, n_iter=KMEANS_ITERS)
+    cents_lit = F.from_json(
+        F.lit(_json.dumps(cents)), "array<array<bigint>>"
+    )
+    dists = F.transform(
+        cents_lit,
+        lambda c: F.aggregate(
+            F.zip_with(c, F.col("__q"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    two = F.array_sort(dists)
+    scored = assigned.select(
+        "cluster",
+        F.element_at(two, 1).alias("a2"),
+        F.element_at(two, 2).alias("b2"),
+    )
+    gap = F.sum(F.col("b2") - F.col("a2")).cast("long")
+    den = F.sum(F.greatest(F.col("a2"), F.col("b2"))).cast("long")
+    return scored.groupBy(F.col("cluster").cast("long").alias("cluster")).agg(
+        F.count("*").alias("n_vecs"),
+        gap.alias("sum_gap"),
+        den.alias("sum_denom"),
+        F.when(den == 0, F.lit(0.0))
+        .otherwise(gap.cast("double") / den.cast("double"))
+        .alias("silhouette_w"),
+    )

@@ -466,3 +466,56 @@ def sim_pair_distance_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket"
         )
     ).groupBy("bucket").agg(F.count("*").alias("n_pairs"))
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility by language (the multilingual token-budget audit)
+# ---------------------------------------------------------------------------
+@register(
+    "text_tokenizer_fertility",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT lang,
+             len({T.tokens_sql("text")}) AS n_ws,
+             len(regexp_extract_all(text, '{BPE_PAT}')) AS n_bpe,
+             n_chars
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_ws) AS BIGINT) AS words,
+           CAST(SUM(n_bpe) AS BIGINT) AS subwords,
+           CAST(SUM(n_chars) AS BIGINT) AS chars,
+           CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_ws) AS fertility,
+           CAST(SUM(n_chars) AS DOUBLE) / SUM(n_bpe) AS chars_per_subword
+    FROM per_doc GROUP BY lang
+    """,
+    tags=("llm", "text", "tokenizer", "lang"),
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY per language — subword tokens per whitespace
+    word, plus chars per subword: the multilingual-budget audit run before
+    fixing a data mix (a language with 2x fertility consumes 2x the token
+    budget per word, and a mix balanced on document counts silently
+    under-trains it). One narrow projection (regex token counts are
+    Catalyst codegen, no UDF) feeding a 5-group aggregate; integer sums
+    shuffle, the two ratios are single double divisions at the end —
+    bit-identical both engines."""
+    d = table(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all(F.col("text"), F.lit(BPE_PAT), 0)
+    per = d.select(
+        "lang",
+        F.size(T.tokens(F.col("text"))).alias("n_ws"),
+        F.size(bpe).alias("n_bpe"),
+        "n_chars",
+    )
+    return per.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_ws").cast("long").alias("words"),
+        F.sum("n_bpe").cast("long").alias("subwords"),
+        F.sum("n_chars").cast("long").alias("chars"),
+        (F.sum("n_bpe").cast("double") / F.sum("n_ws")).alias("fertility"),
+        (F.sum("n_chars").cast("double") / F.sum("n_bpe")).alias(
+            "chars_per_subword"
+        ),
+    )

@@ -870,3 +870,86 @@ def q_rollup_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("share_of_parent"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative-gains / lift curve over customer-value deciles
+# ---------------------------------------------------------------------------
+@register(
+    "q_cumulative_gains",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey AS custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT custkey, spend,
+             NTILE(10) OVER (ORDER BY spend DESC, custkey) AS decile
+      FROM per_cust
+    ),
+    per_decile AS (
+      SELECT decile,
+             COUNT(*) AS n_customers,
+             SUM(spend) AS decile_rev
+      FROM ranked GROUP BY decile
+    )
+    SELECT decile, n_customers,
+           CAST(decile_rev AS DOUBLE) AS decile_rev,
+           CAST(SUM(decile_rev) OVER (ORDER BY decile) AS DOUBLE) AS cum_rev,
+           CAST(SUM(decile_rev) OVER (ORDER BY decile) AS DOUBLE)
+             / CAST(SUM(decile_rev) OVER () AS DOUBLE) AS cum_rev_share,
+           (CAST(decile_rev AS DOUBLE) / CAST(SUM(decile_rev) OVER () AS DOUBLE))
+             / (CAST(n_customers AS DOUBLE)
+                / CAST(SUM(n_customers) OVER () AS DOUBLE)) AS lift
+    FROM per_decile
+    """,
+    tags=("relational", "window", "segmentation", "evaluation"),
+)
+def q_cumulative_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-gains and lift curve: customers decile-ranked by exact
+    total spend (best first); each decile reports its revenue, the
+    running revenue through that decile, the cumulative revenue SHARE
+    (the gains curve a targeting model is judged by), and lift (revenue
+    share over customer share). The heavy work is one per-customer
+    aggregate; the global NTILE follows the q_rfm_segments contract
+    (documented: at extreme scale the decile edges come from exact
+    percentiles broadcast back); the cumulative windows then run over
+    the TEN-row decile frame — bounded by construction. Decimal sums
+    end-to-end: every double is one division of exact decimals, so the
+    curve hash-matches the oracle."""
+    o = table(spark, sf_dir, "orders")
+    per_cust = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend")
+    )
+    ranked = per_cust.select(
+        "custkey",
+        "spend",
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("spend"), F.asc("custkey")))
+        .alias("decile"),
+    )
+    per_decile = ranked.groupBy("decile").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("spend").alias("decile_rev"),
+    )
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = F.sum("decile_rev").over(wcum).cast("double")
+    tot = F.sum("decile_rev").over(wall).cast("double")
+    ncust_tot = F.sum("n_customers").over(wall).cast("double")
+    return per_decile.select(
+        "decile",
+        "n_customers",
+        F.col("decile_rev").cast("double").alias("decile_rev"),
+        cum.alias("cum_rev"),
+        (cum / tot).alias("cum_rev_share"),
+        (
+            (F.col("decile_rev").cast("double") / tot)
+            / (F.col("n_customers").cast("double") / ncust_tot)
+        ).alias("lift"),
+    )

@@ -474,3 +474,47 @@ def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("max_per_key").cast("double") / avg).alias("skew_factor"),
         (-F.col("top.nk")).alias("heaviest_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Salted two-stage aggregation (the skew-kill GROUP BY, oracle-checked)
+# ---------------------------------------------------------------------------
+SALT_BUCKETS = 8
+
+
+@register(
+    "q_salted_hot_key_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "skew", "diagnosis"),
+)
+def q_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-proof GROUP BY: lineitem has only 3 return flags, so a
+    plain groupBy lands the whole table on 3 reduce tasks — exactly the
+    hot-key shape AQE cannot split (a single group is indivisible).
+    `salted_agg` spreads each group over {SALT_BUCKETS} deterministic
+    salt buckets (hash of the orderkey, not rand() — reruns and oracles
+    stay stable), merges the tiny per-salt partials in a second
+    aggregate, and — because the partial sums are decimal — the result
+    is BIT-IDENTICAL to the single-stage plan the oracle runs: the
+    regrouping is invisible in the values, visible only in the task
+    histogram. This is the registered proof that the skew operator is
+    lossless, not just plausible (operators/skew.py)."""
+    from ..operators.skew import salted_agg
+
+    li = table(spark, sf_dir, "lineitem")
+    return salted_agg(
+        li,
+        keys=["l_returnflag"],
+        uniqueifier="l_orderkey",
+        buckets=SALT_BUCKETS,
+        sums={"l_quantity": "sum_qty", "l_extendedprice": "sum_price"},
+        count_alias="n",
+    )

@@ -370,6 +370,14 @@ def test_gapfill_interp_grid_cross_join_is_broadcast(spark, sf_dir):
         # Arrow mapInPandas kernel feeds a JVM banded self-join — the
         # sanctioned kernel node (MapInPandas) is not scalar Python eval
         "multimodal_phash_dedup",
+        # round-4 additions
+        "emb_power_iteration",
+        "lang_id_auc",
+        "text_tokenizer_fertility",
+        "q_salted_hot_key_agg",
+        "q_cumulative_gains",
+        "sim_silhouette",
+        "graph_components_star",
     ],
 )
 def test_round2_additions_scale_safe_plans(spark, sf_dir, name):
@@ -417,6 +425,10 @@ def test_round2_additions_scale_safe_plans(spark, sf_dir, name):
         # one-row broadcast corpus-end / scalar-aggregate frames
         "events_churn_by_cohort",
         "lang_id_kappa",
+        # bounded-sample all-pairs (ORDER BY id LIMIT k, broadcast side)
+        "emb_random_projection",
+        # tiny-cubed broadcast grid (type x date x hour spine)
+        "events_seasonal_baseline",
     ],
 )
 def test_bounded_broadcast_nlj_only(spark, sf_dir, name):
