@@ -1397,3 +1397,112 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("d2_orig").cast("long").alias("min_d2_orig"),
         F.max("d2_orig").cast("long").alias("max_d2_orig"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RIFF/WAV header build + parse — the audio twin of the PNG IHDR query
+# ---------------------------------------------------------------------------
+WAV_RATES = [8000, 16000, 22050, 44100]
+WAV_BITS = 16
+
+
+@register(
+    "multimodal_wav_header_parse",
+    oracle=f"""
+    SELECT doc_id,
+           TRUE AS riff_ok,
+           TRUE AS wave_ok,
+           CAST(1 AS BIGINT) AS audio_format,
+           CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
+           CAST([8000, 16000, 22050, 44100][CAST(doc_id % 4 AS INTEGER) + 1]
+                AS BIGINT) AS sample_rate,
+           CAST([8000, 16000, 22050, 44100][CAST(doc_id % 4 AS INTEGER) + 1]
+                * (doc_id % 2 + 1) * {WAV_BITS // 8} AS BIGINT) AS byte_rate,
+           CAST({WAV_BITS} AS BIGINT) AS bits_per_sample,
+           CAST(octet_length(encode(text)) AS BIGINT) AS data_size,
+           CAST(octet_length(encode(text)) AS DOUBLE) * 1000.0
+             / ([8000, 16000, 22050, 44100][CAST(doc_id % 4 AS INTEGER) + 1]
+                * (doc_id % 2 + 1) * {WAV_BITS // 8}) AS duration_ms
+    FROM documents
+    """,
+    tags=("multimodal", "llm", "binary", "audio"),
+)
+def multimodal_wav_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio-container parsing without codec libraries — the RIFF/WAV
+    twin of `multimodal_header_parse`: each document becomes a byte-valid
+    44-byte canonical PCM WAV header (RIFF/WAVE/fmt/data chunks,
+    LITTLE-endian fields — the interesting half vs PNG's big-endian) with
+    the text bytes standing in for PCM samples, built AND parsed entirely
+    with JVM binary expressions. Little-endian decode is hex byte-pair
+    reversal (substring arithmetic on the hex string, still whole-stage
+    codegen). The oracle recomputes every field from doc_id and byte
+    length; the Spark side must recover them FROM THE BYTES, including
+    the derived byte-rate invariant and duration. Map-only at any scale;
+    bytes never leave the executor."""
+    d = table(spark, sf_dir, "documents")
+    rate = F.element_at(
+        F.array(*[F.lit(r) for r in WAV_RATES]),
+        (F.col("doc_id") % 4).cast("int") + 1,
+    )
+    channels = (F.col("doc_id") % 2 + 1).cast("int")
+    data_len = F.octet_length(F.encode(F.col("text"), "utf-8"))
+    byte_rate = rate * channels * (WAV_BITS // 8)
+    block_align = channels * (WAV_BITS // 8)
+
+    def le(c, nbytes):
+        h = F.lpad(F.hex(c.cast("long")), 2 * nbytes, "0")
+        return F.unhex(
+            F.concat(
+                *[
+                    F.substring(h, 2 * nbytes - 1 - 2 * i, 2)
+                    for i in range(nbytes)
+                ]
+            )
+        )
+
+    payload = F.concat(
+        F.encode(F.lit("RIFF"), "utf-8"),
+        le(data_len + 36, 4),
+        F.encode(F.lit("WAVEfmt "), "utf-8"),
+        le(F.lit(16), 4),
+        le(F.lit(1), 2),
+        le(channels, 2),
+        le(rate, 4),
+        le(byte_rate, 4),
+        le(block_align, 2),
+        le(F.lit(WAV_BITS), 2),
+        F.encode(F.lit("data"), "utf-8"),
+        le(data_len, 4),
+        F.encode(F.col("text"), "utf-8"),
+    )
+    wav = d.select("doc_id", payload.alias("payload"))
+    p = F.col("payload")
+
+    def rd_le(off, nbytes):
+        h = F.hex(F.substring(p, off, nbytes))
+        return F.conv(
+            F.concat(
+                *[
+                    F.substring(h, 2 * nbytes - 1 - 2 * i, 2)
+                    for i in range(nbytes)
+                ]
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    sr = rd_le(25, 4)
+    br = rd_le(29, 4)
+    dsz = rd_le(41, 4)
+    return wav.select(
+        "doc_id",
+        (F.decode(F.substring(p, 1, 4), "utf-8") == "RIFF").alias("riff_ok"),
+        (F.decode(F.substring(p, 9, 4), "utf-8") == "WAVE").alias("wave_ok"),
+        rd_le(21, 2).alias("audio_format"),
+        rd_le(23, 2).alias("channels"),
+        sr.alias("sample_rate"),
+        br.alias("byte_rate"),
+        rd_le(35, 2).alias("bits_per_sample"),
+        dsz.alias("data_size"),
+        (dsz.cast("double") * F.lit(1000.0) / br).alias("duration_ms"),
+    )

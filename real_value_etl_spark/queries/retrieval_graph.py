@@ -911,3 +911,78 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("clustering_coeff"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS hop distance over the kNN graph (bounded rounds)
+# ---------------------------------------------------------------------------
+BFS_SEED_MOD = 25  # vec_id % MOD == 0 are the seed set
+BFS_HOPS = 3  # fixed unrolled rounds — output is "distance within <= 3"
+
+
+def _bfs_oracle() -> str:
+    steps = []
+    for t in range(1, BFS_HOPS + 1):
+        steps.append(f""",
+    d{t} AS (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM d{t - 1}
+        UNION ALL
+        SELECT e.dst AS node, d.dist + 1 AS dist
+        FROM d{t - 1} d JOIN und e ON e.src = d.node
+      ) GROUP BY node
+    )""")
+    return f"""
+    WITH {_knn_edges_cte()},
+    und AS (
+      SELECT e.src, e.dst FROM edges e
+      JOIN edges m ON m.src = e.dst AND m.dst = e.src
+    ),
+    d0 AS (
+      SELECT vec_id AS node, CAST(0 AS BIGINT) AS dist
+      FROM embeddings WHERE vec_id % {BFS_SEED_MOD} = 0
+    ){"".join(steps)}
+    SELECT node, dist FROM d{BFS_HOPS}
+    """
+
+
+@register(
+    "graph_bfs_distance",
+    oracle=_bfs_oracle(),
+    tags=("similarity", "llm", "graph", "iterative"),
+)
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS: hop distance from a seed set (every
+    {BFS_SEED_MOD}-th vector) through the MUTUAL kNN graph, bounded at
+    {BFS_HOPS} hops — the "semantic radius" primitive behind
+    influence-of-a-contaminated-shard audits, seed-expansion labeling,
+    and diversity sampling. Exactly {BFS_HOPS} relax rounds run (one
+    join + min-aggregate each, the Pregel shape), so the result is a
+    PURE FUNCTION of the graph — no convergence dependence, which is
+    what lets an iterative traversal hash-match an unrolled-CTE oracle.
+    Nodes unreached within the bound are absent (no sentinel rows). The
+    mutual-edge build reuses the cluster-blocked kNN join; each round
+    shuffles only the frontier-sized label frame on node id."""
+    edges = _knn_edges(spark, sf_dir).select("src", "dst")
+    rev = edges.select(F.col("src").alias("m_src"), F.col("dst").alias("m_dst"))
+    und = edges.join(
+        rev,
+        (F.col("src") == F.col("m_dst")) & (F.col("dst") == F.col("m_src")),
+    ).select("src", "dst").persist()
+    emb = table(spark, sf_dir, "embeddings")
+    dist = emb.filter(F.col("vec_id") % BFS_SEED_MOD == 0).select(
+        F.col("vec_id").alias("node"), F.lit(0).cast("long").alias("dist")
+    )
+    for _ in range(BFS_HOPS):
+        relaxed = (
+            und.join(dist, und.src == dist.node)
+            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    und.unpersist()
+    return dist

@@ -236,3 +236,38 @@ def stream_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user state equals the batch events_holt_linear fold bit-exactly
     (plain-float64 kernel arithmetic == Catalyst fold == list_reduce)."""
     return jobs.stream_holt_forecast(spark, sf_dir)
+
+
+@register(
+    "stream_kmv_distinct",
+    oracle=f"""
+    WITH hv AS (
+      SELECT DISTINCT event_type,
+             CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS hv
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, hv,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      FROM hv
+    ),
+    kept AS (SELECT event_type, hv FROM ranked WHERE rn <= {jobs._KMV_K})
+    SELECT event_type,
+           COUNT(*) AS n_kept,
+           CAST(MAX(hv) AS BIGINT) AS kth_min,
+           CASE WHEN COUNT(*) < {jobs._KMV_K}
+                THEN CAST(COUNT(*) AS DOUBLE)
+                ELSE ({jobs._KMV_K - 1}.0 * {jobs._KMV_SPACE!r}) / MAX(hv) END
+             AS est_distinct
+    FROM kept GROUP BY event_type
+    """,
+    tags=("stream", "stateful", "sketch", "cardinality", "pandas_udf"),
+)
+def stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-type distinct-user KMV sketch
+    (applyInPandasWithState): union + keep-k-smallest state transitions
+    are order- AND batching-independent, so the drained sketch equals
+    the batch SQL replay bit-for-bit — deterministic "approximate"
+    cardinality on a live stream with constant per-group state."""
+    return jobs.stream_kmv_distinct(spark, sf_dir)

@@ -31,8 +31,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -557,6 +559,89 @@ def stream_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        drained.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .drop("__r")
+    )
+
+
+_KMV_K = 64
+_KMV_SPACE = float(1 << 32)
+_KMV_STATE_SCHEMA = StructType(
+    [StructField("mins", ArrayType(LongType()))]
+)
+_KMV_OUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_kept", LongType()),
+        StructField("kth_min", LongType()),
+        StructField("est_distinct", DoubleType()),
+    ]
+)
+
+
+def _kmv_state(
+    key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState kernel: per-event-type KMV sketch of
+    DISTINCT user_ids — the k smallest portable 32-bit hashes.
+
+    The state transition is a set-union followed by keep-k-smallest,
+    which is ORDER- and BATCHING-independent (unlike a Misra-Gries
+    decrement sketch): any partitioning of the stream into micro-batches
+    yields the same final k-set, so the drained sketch equals the batch
+    SQL replay bit-for-bit. The hash is the same md5-prefix integer as
+    functions/text.portable_hash32."""
+    import hashlib
+
+    mins = list(state.get[0]) if state.exists else []
+    cur = set(mins)
+    for pdf in pdfs:
+        for uid in pdf["user_id"].unique():
+            hv = int(
+                hashlib.md5(str(int(uid)).encode()).hexdigest()[:8], 16
+            )
+            cur.add(hv)
+    mins = sorted(cur)[:_KMV_K]
+    state.update((mins,))
+    n = len(mins)
+    kth = mins[-1] if mins else 0
+    est = float(n) if n < _KMV_K else (_KMV_K - 1) * _KMV_SPACE / kth
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "n_kept": [n],
+            "kth_min": [kth],
+            "est_distinct": [est],
+        }
+    )
+
+
+def stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-user cardinality per event type via a KMV
+    sketch in applyInPandasWithState — constant state (k hashes per
+    type) no matter how many users flow past, and deterministic by
+    construction, so the final drained sketch is hash-checkable against
+    a batch oracle (the streaming twin of text_kmv_distinct)."""
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", WATERMARK)
+    out = (
+        ev.select("event_type", "user_id")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _kmv_state,
+            outputStructType=_KMV_OUT_SCHEMA,
+            stateStructType=_KMV_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    drained = _drain(spark, out, "mem_stream_kmv", "update")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("n_kept"), F.asc("kth_min")
+    )
     return (
         drained.withColumn("__r", F.row_number().over(w))
         .filter(F.col("__r") == 1)

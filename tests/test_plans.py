@@ -378,6 +378,8 @@ def test_gapfill_interp_grid_cross_join_is_broadcast(spark, sf_dir):
         "q_cumulative_gains",
         "sim_silhouette",
         "graph_components_star",
+        "graph_bfs_distance",
+        "multimodal_wav_header_parse",
     ],
 )
 def test_round2_additions_scale_safe_plans(spark, sf_dir, name):
