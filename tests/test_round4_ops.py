@@ -137,3 +137,136 @@ def test_star_components_solve_deep_chain_minlabel_refuses(spark):
     assert got == {i: 0 for i in range(61)}
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(chain).collect()
+
+
+def test_power_iteration_matches_exact_numpy_replay(spark, sf_dir):
+    """The distributed fixed-point matvec + renormalize must equal an
+    independent numpy/bigint replay of the SAME rounds exactly — and the
+    Rayleigh quotient must increase over the rounds (the power-iteration
+    invariant that holds on any spectrum; this corpus's Gram spectrum is
+    nearly flat, ratio ~0.93, so few rounds cannot isolate the
+    eigenvector itself — the operator documents the (l2/l1)^t rate)."""
+    import numpy as np
+
+    from real_value_etl_spark.queries.feature_ops import (
+        GRAM_FX,
+        POW_ITERS,
+        POW_V_FX,
+        _pow_renorm_py,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("embedding")
+        .collect()
+    )
+    import math
+
+    def half_away(y):
+        # Spark's round() is HALF_UP (away from zero); Python round() is
+        # banker's — the one place the replay could silently diverge
+        return int(math.copysign(math.floor(abs(y) + 0.5), y))
+
+    q = np.array(
+        [[half_away(float(x) * GRAM_FX) for x in r["embedding"]] for r in rows],
+        dtype=object,
+    )
+    g = q.T @ q
+    v = [POW_V_FX] * g.shape[0]
+
+    def rayleigh(vec):
+        vv = np.array(vec, dtype=object)
+        num = int(vv @ (g @ vv))
+        den = int(vv @ vv)
+        return num / den
+
+    r0 = rayleigh(v)
+    for _ in range(POW_ITERS):
+        w = [int(x) for x in (g @ np.array(v, dtype=object))]
+        v = _pow_renorm_py(w)
+    expected = {i: v[i] for i in range(len(v))}
+    got = {
+        r["i"]: r["v_fx"]
+        for r in REGISTRY["emb_power_iteration"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert rayleigh(v) > r0
+
+
+def test_auc_is_one_for_perfect_separation(spark):
+    """Rank-sum AUC formula sanity on a constructed frame: a score that
+    perfectly separates positives from negatives must yield exactly 1.0
+    (and 0.5 when the score is constant)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    def auc_of(rows):
+        df = spark.createDataFrame(rows, ["score", "is_pos"])
+        per = df.groupBy("score").agg(
+            F.sum("is_pos").alias("pos"),
+            F.sum(1 - F.col("is_pos")).alias("neg"),
+        )
+        w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+        cum = per.withColumn(
+            "neg_below", F.coalesce(F.sum("neg").over(w), F.lit(0))
+        )
+        num = F.sum(
+            2 * F.col("pos") * F.col("neg_below") + F.col("pos") * F.col("neg")
+        )
+        return cum.agg(
+            (num.cast("double") / (F.lit(2.0) * F.sum("pos") * F.sum("neg"))).alias("auc")
+        ).collect()[0]["auc"]
+
+    perfect = [(9, 1)] * 5 + [(1, 0)] * 7
+    constant = [(3, 1)] * 5 + [(3, 0)] * 7
+    assert auc_of(perfect) == 1.0
+    assert auc_of(constant) == 0.5
+
+
+def test_silhouette_values_bounded(spark, sf_dir):
+    """Weighted simplified silhouette is a (b2-a2)/max ratio aggregate —
+    every cluster's value must lie in [-1, 1], and a2<=b2 by construction
+    of the assignment (own centroid is the argmin), so in fact [0, 1]."""
+    rows = REGISTRY["sim_silhouette"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["silhouette_w"] <= 1.0, r
+
+
+def test_bfs_distance_monotone_and_seeded(spark, sf_dir):
+    """Seeds are at distance 0; every other reported node's distance is
+    1..BFS_HOPS and must have a neighbor one hop closer (certificate
+    check over the mutual edge list)."""
+    from real_value_etl_spark.queries.retrieval_graph import (
+        BFS_HOPS,
+        BFS_SEED_MOD,
+        _knn_edges,
+    )
+
+    dist = {
+        r["node"]: r["dist"]
+        for r in REGISTRY["graph_bfs_distance"].fn(spark, sf_dir).collect()
+    }
+    edges = _knn_edges(spark, sf_dir).select("src", "dst").collect()
+    mutual = set()
+    directed = {(r["src"], r["dst"]) for r in edges}
+    for s, d in directed:
+        if (d, s) in directed:
+            mutual.add((s, d))
+    for node, dd in dist.items():
+        if node % BFS_SEED_MOD == 0:
+            assert dd == 0
+        else:
+            assert 1 <= dd <= BFS_HOPS
+            assert any(
+                dist.get(s) == dd - 1 for (s, d2) in mutual if d2 == node
+            ), node
+
+
+def test_stream_kmv_state_is_batching_independent(spark, sf_dir):
+    """Drain the streaming KMV twice (fresh queries, whatever micro-batch
+    boundaries the engine picks) — identical sketches both times."""
+    fn = REGISTRY["stream_kmv_distinct"].fn
+    a = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    b = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    assert a == b and a
