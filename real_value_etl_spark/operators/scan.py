@@ -61,3 +61,38 @@ def global_running_sum(
         .withColumn(out_col, (F.col("__prefix") + F.col("__offset")))
         .drop("__pid", "__prefix", "__offset")
     )
+
+
+def global_running_max(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "running_max",
+    n_partitions: int = 32,
+) -> DataFrame:
+    """Exact global running MAX of `value_col` in `order_cols` order,
+    by the same two-phase scan as `global_running_sum` — max is
+    associative and order-insensitive within a prefix, so per-partition
+    running maxes + a broadcast prefix-max-of-partition-maxes compose
+    exactly (any comparable type; no decimal cast needed).
+
+    `order_cols` must be a unique key, as for the sum variant."""
+    part = df.repartitionByRange(n_partitions, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_in = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_prefix = part.withColumn("__prefix", F.max(F.col(value_col)).over(w_in))
+    totals = part.groupBy("__pid").agg(F.max(F.col(value_col)).alias("__pmax"))
+    w_tot = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__pid", F.max("__pmax").over(w_tot).alias("__offset")
+    )
+    return (
+        with_prefix.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, F.greatest(F.col("__prefix"), F.col("__offset")))
+        .drop("__pid", "__prefix", "__offset")
+    )

@@ -1628,3 +1628,72 @@ def events_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "d", "hod", "n", z.alias("z"))
         .filter(F.abs(F.col("z")) >= ANOMALY_Z)
     )
+
+
+# ---------------------------------------------------------------------------
+# Late-arrival audit — the measurement behind every watermark decision
+# ---------------------------------------------------------------------------
+LATE_WATERMARK_MIN = 10  # streaming/jobs.py WATERMARK = "10 minutes"
+
+
+@register(
+    "events_late_arrival_audit",
+    oracle=f"""
+    WITH src AS (
+      SELECT event_id, epoch_us(ts) AS ts_us,
+             CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS arr
+      FROM events
+    ),
+    arr AS (
+      SELECT event_id, ts_us,
+             MAX(ts_us) OVER (ORDER BY arr, event_id) AS run_max
+      FROM src
+    ),
+    lat AS (
+      SELECT CAST(FLOOR((run_max - ts_us) / 60000000) AS BIGINT)
+               AS lateness_min
+      FROM arr
+    )
+    SELECT lateness_min,
+           COUNT(*) AS n_events,
+           lateness_min >= {LATE_WATERMARK_MIN} AS exceeds_watermark
+    FROM lat GROUP BY lateness_min
+    """,
+    tags=("events", "stream", "diagnosis", "window"),
+)
+def events_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time LATENESS distribution: how far behind the
+    high-watermark (max event time seen so far) each event arrives —
+    arrival order simulated as a deterministic hash of the event id
+    (the synthetic feed is otherwise perfectly time-ordered and the
+    audit would be vacuous) — the histogram that tells you what a
+    streaming watermark of {LATE_WATERMARK_MIN} minutes would actually
+    drop, measured BEFORE committing to it. The arrival-order running
+    max uses the two-phase parallel scan (operators/scan.py
+    global_running_max): per-range-partition window prefixes + a
+    broadcast prefix-max of the per-partition maxes — the oracle's
+    `MAX() OVER (ORDER BY event_id)` without its Exchange
+    SinglePartition. Max composes exactly (no decimal dance needed), so
+    the minute-bucketed histogram hash-matches."""
+    from ..operators.scan import global_running_max
+
+    from ..functions.text import portable_hash32
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        portable_hash32(F.col("event_id").cast("string")).alias("arr"),
+    )
+    arr = global_running_max(ev, ["arr", "event_id"], "ts_us", "run_max")
+    lat = arr.select(
+        F.floor((F.col("run_max") - F.col("ts_us")) / 60_000_000)
+        .cast("long")
+        .alias("lateness_min")
+    )
+    return lat.groupBy("lateness_min").agg(
+        F.count("*").alias("n_events"),
+        (F.col("lateness_min") >= LATE_WATERMARK_MIN).alias(
+            "exceeds_watermark"
+        ),
+    )

@@ -609,3 +609,71 @@ def events_via_snapshot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1 = agg(read_snapshot(spark, stage, version=1), 1)
     v2 = agg(read_snapshot(spark, stage), 2)
     return v1.unionByName(v2)
+
+
+# ---------------------------------------------------------------------------
+# CSV source path (header + explicit schema, the reference's native format)
+# ---------------------------------------------------------------------------
+@register(
+    "customer_via_csv_source",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_acctbal,
+           CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+           CAST(MAX(c_custkey) AS BIGINT) AS max_key
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    tags=("source", "connector", "csv"),
+)
+def customer_via_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source path for a warehouse table: customer is staged once as
+    spark-written headered CSV and read back with an EXPLICIT schema and
+    strict options (no inference pass — at 100 TB schema inference is a
+    full extra scan; FAILFAST so a malformed row surfaces instead of
+    nulling silently). Money is carried as a 2dp-formatted string to
+    dodge double-format drift, exactly as the platform ETL CSVs do
+    (sources/csv_source.py). The oracle aggregates the parquet directly:
+    writer and reader must round-trip values, types, and row counts
+    exactly — completing the format matrix next to JSONL, ORC,
+    Hive-partitioned, snapshot, binary, and DuckDB sources."""
+    from .registry import ensure_session_confs, table
+
+    ensure_session_confs(spark)
+
+    def _write(tmp: str) -> None:
+        table(spark, sf_dir, "customer").select(
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+            F.format_number(F.col("c_acctbal").cast("decimal(18,2)"), 2).alias(
+                "c_acctbal"
+            ),
+        ).write.mode("overwrite").option("header", True).csv(tmp)
+
+    stage = _fingerprint_stage(f"{sf_dir}/customer.parquet", "csv", _write)
+    from pyspark.sql import types as PT
+
+    schema = PT.StructType(
+        [
+            PT.StructField("c_custkey", PT.LongType()),
+            PT.StructField("c_name", PT.StringType()),
+            PT.StructField("c_mktsegment", PT.StringType()),
+            PT.StructField("c_acctbal", PT.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "FAILFAST")
+        .csv(stage)
+    )
+    bal = F.regexp_replace(F.col("c_acctbal"), ",", "").cast("decimal(18,2)")
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.sum(bal).cast("double").alias("sum_acctbal"),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
+    )

@@ -2494,3 +2494,65 @@ def sim_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(gap.cast("double") / den.cast("double"))
         .alias("silhouette_w"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document exact-span pairs (substring-dedup pair view)
+# ---------------------------------------------------------------------------
+SPAN_PAIR_DF_CAP = 10  # spans in more docs than this are boilerplate, not copies
+
+
+@register(
+    "docs_span_pair_dedup",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {T.tokens_sql("text")} AS ts FROM documents),
+    sh AS (SELECT doc_id, {T.shingles_sql("text", SPAN_N)} AS shs FROM toks),
+    idx AS (SELECT doc_id AS did, unnest(shs) AS sh FROM sh),
+    df AS (
+      SELECT sh, COUNT(*) AS df FROM idx GROUP BY sh
+      HAVING COUNT(*) BETWEEN 2 AND {SPAN_PAIR_DF_CAP}
+    ),
+    capped AS (SELECT i.did, i.sh FROM idx i JOIN df USING (sh))
+    SELECT a.did AS doc_a, b.did AS doc_b,
+           COUNT(*) AS n_shared_spans
+    FROM capped a JOIN capped b
+      ON a.sh = b.sh AND a.did < b.did
+    GROUP BY a.did, b.did
+    """,
+    tags=("dedup", "llm", "text"),
+)
+def docs_span_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup at the PAIR level: which document pairs
+    share a verbatim {SPAN_N}-token span, and how many — the
+    suffix-array-style substring dedup (Lee et al.'s "Deduplicating
+    Training Data Makes Language Models Better" shape) approximated by
+    fixed-length span anchors, complementing `docs_repeated_spans`'
+    per-document ratio with the pair evidence a removal decision needs.
+    Spans are DF-CAPPED before the self-join ({SPAN_PAIR_DF_CAP} docs
+    max): a span in hundreds of documents is boilerplate — signal for
+    `docs_boilerplate_strip`, not a copy edge — and the cap
+    simultaneously bounds the join's worst partition at cap^2 (the same
+    skew-kill as the AllPairs prefix filter and the tf-idf df cap). The
+    span index explodes narrowly from the token array; both join sides
+    reuse one exchange on `sh`."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", T.tokens(F.col("text")).alias("ts"))
+    idx = toks.select(
+        F.col("doc_id").alias("did"),
+        F.explode(T.shingles_from_tokens(F.col("ts"), SPAN_N)).alias("sh"),
+    )
+    df = (
+        idx.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= SPAN_PAIR_DF_CAP))
+        .select("sh")
+    )
+    capped = idx.join(df, "sh")
+    a = capped.select(F.col("did").alias("doc_a"), "sh")
+    b = capped.select(F.col("did").alias("doc_b"), "sh")
+    return (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared_spans"))
+    )

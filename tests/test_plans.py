@@ -380,6 +380,8 @@ def test_gapfill_interp_grid_cross_join_is_broadcast(spark, sf_dir):
         "graph_components_star",
         "graph_bfs_distance",
         "multimodal_wav_header_parse",
+        "docs_span_pair_dedup",
+        "events_late_arrival_audit",
     ],
 )
 def test_round2_additions_scale_safe_plans(spark, sf_dir, name):
