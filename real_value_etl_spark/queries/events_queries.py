@@ -1697,3 +1697,94 @@ def events_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exceeds_watermark"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-proportion z-test (the A/B experiment readout)
+# ---------------------------------------------------------------------------
+@register(
+    "events_ab_test_zscore",
+    oracle="""
+    WITH assigned AS (
+      SELECT user_id,
+             user_id % 2 AS arm,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id
+    ),
+    arms AS (
+      SELECT arm,
+             COUNT(*) AS n_users,
+             CAST(SUM(converted) AS BIGINT) AS n_converted
+      FROM assigned GROUP BY arm
+    ),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN arm = 0 THEN n_users END) AS n_a,
+        MAX(CASE WHEN arm = 0 THEN n_converted END) AS c_a,
+        MAX(CASE WHEN arm = 1 THEN n_users END) AS n_b,
+        MAX(CASE WHEN arm = 1 THEN n_converted END) AS c_b
+      FROM arms
+    )
+    SELECT n_a, c_a, n_b, c_b,
+           CAST(c_a AS DOUBLE) / n_a AS p_a,
+           CAST(c_b AS DOUBLE) / n_b AS p_b,
+           CASE WHEN c_a + c_b = 0 OR c_a + c_b = n_a + n_b THEN NULL
+                ELSE (CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+                     / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                            * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                            * (1.0 / n_a + 1.0 / n_b)) END AS z
+    FROM wide
+    """,
+    tags=("events", "agg", "stats", "evaluation"),
+)
+def events_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The A/B-experiment readout: users deterministically split into two
+    arms (user_id parity standing in for the assignment hash), per-arm
+    conversion = reached a 'purchase' event, compared by the pooled
+    two-proportion z-test. Everything until the final statistic is exact
+    integer counting (per-user max-flag then per-arm sums — two narrow
+    aggregations); the z-score is ONE pinned double expression over four
+    integers (sqrt is correctly rounded IEEE in both engines), so the
+    whole experiment report hash-matches. At scale the per-user
+    aggregate is the only corpus-sized shuffle; the arm rollup is
+    2 rows."""
+    ev = table(spark, sf_dir, "events")
+    assigned = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    ).select((F.col("user_id") % 2).alias("arm"), "converted")
+    arms = assigned.groupBy("arm").agg(
+        F.count("*").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n_users"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == 0, F.col("n_converted"))).alias("c_a"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_users"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_converted"))).alias("c_b"),
+    )
+    p_a = F.col("c_a").cast("double") / F.col("n_a")
+    p_b = F.col("c_b").cast("double") / F.col("n_b")
+    pool = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    degenerate = (F.col("c_a") + F.col("c_b") == 0) | (
+        F.col("c_a") + F.col("c_b") == F.col("n_a") + F.col("n_b")
+    )
+    # all-convert / none-convert pools have zero variance: z is undefined
+    # (ANSI Spark raises on the 0-division, DuckDB yields inf — NULL is
+    # the only portable answer, as for the token-less ratio guards)
+    z = F.when(degenerate, F.lit(None).cast("double")).otherwise(
+        (p_a - p_b)
+        / F.sqrt(
+            pool
+            * (F.lit(1.0) - pool)
+            * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+        )
+    )
+    return wide.select(
+        "n_a", "c_a", "n_b", "c_b",
+        p_a.alias("p_a"), p_b.alias("p_b"), z.alias("z"),
+    )

@@ -1511,3 +1511,164 @@ def multimodal_wav_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsz.alias("data_size"),
         (dsz.cast("double") * F.lit(1000.0) / br).alias("duration_ms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV sketch SET OPERATIONS: pairwise source-vocabulary Jaccard estimates
+# ---------------------------------------------------------------------------
+KMV_JACC_K = 64
+
+
+@register(
+    "text_kmv_jaccard",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT source, token FROM (
+        SELECT source, unnest(string_split(text, ' ')) AS token
+        FROM documents) WHERE token <> ''
+    ),
+    hv AS (
+      SELECT DISTINCT source,
+             CAST(('0x' || substring(md5(token), 1, 8)) AS BIGINT) AS hv
+      FROM tok
+    ),
+    sk AS (
+      SELECT source, hv FROM (
+        SELECT source, hv,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv) AS rn
+        FROM hv) WHERE rn <= {KMV_JACC_K}
+    ),
+    prs AS (
+      SELECT a.source AS source_a, b.source AS source_b
+      FROM (SELECT DISTINCT source FROM sk) a
+      JOIN (SELECT DISTINCT source FROM sk) b ON a.source < b.source
+    ),
+    u AS (
+      SELECT p.source_a, p.source_b, s.hv,
+             MAX(CASE WHEN s.source = p.source_a THEN 1 ELSE 0 END) AS in_a,
+             MAX(CASE WHEN s.source = p.source_b THEN 1 ELSE 0 END) AS in_b
+      FROM prs p JOIN sk s
+        ON s.source = p.source_a OR s.source = p.source_b
+      GROUP BY p.source_a, p.source_b, s.hv
+    ),
+    comb AS (
+      SELECT source_a, source_b, in_a, in_b FROM (
+        SELECT source_a, source_b, in_a, in_b,
+               ROW_NUMBER() OVER (PARTITION BY source_a, source_b
+                                  ORDER BY hv) AS rn
+        FROM u) WHERE rn <= {KMV_JACC_K}
+    ),
+    est AS (
+      SELECT source_a, source_b,
+             COUNT(*) AS k_eff,
+             CAST(SUM(in_a * in_b) AS BIGINT) AS n_both
+      FROM comb GROUP BY source_a, source_b
+    ),
+    exact AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             COUNT(*) AS n_inter
+      FROM tok a JOIN tok b ON a.token = b.token AND a.source < b.source
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT source, COUNT(*) AS n FROM tok GROUP BY source)
+    SELECT e.source_a, e.source_b,
+           CAST(e.n_both AS DOUBLE) / e.k_eff AS est_jaccard,
+           CAST(x.n_inter AS DOUBLE)
+             / (sa.n + sb.n - x.n_inter) AS exact_jaccard
+    FROM est e
+    JOIN exact x ON x.source_a = e.source_a AND x.source_b = e.source_b
+    JOIN sizes sa ON sa.source = e.source_a
+    JOIN sizes sb ON sb.source = e.source_b
+    """,
+    tags=("llm", "text", "sketch", "evaluation"),
+)
+def text_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketches COMPOSE: pairwise source-vocabulary Jaccard estimated
+    purely from the per-source k-minimum-values sketches (the
+    theta-sketch set-operation trick — take the k smallest of the union,
+    count how many live in both input sketches, divide by k) next to
+    the exact Jaccard for calibration. This is why a 100 TB pipeline
+    sketches every shard once and answers cross-shard overlap questions
+    from k-row structures: the estimate never touches the vocabularies
+    again. Everything is deterministic (portable md5-prefix hashes,
+    integer ranks), so even the "approximate" column hash-matches. The
+    pair expansion is |sources|^2 * k rows over the k-row sketches —
+    bounded by construction; the exact side is one token-key self-join
+    (high-df tokens are shared vocabulary — the join is dense but
+    source-count bounded)."""
+    d = table(spark, sf_dir, "documents")
+    tok = (
+        d.select("source", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    hv = tok.select(
+        "source", T.portable_hash32(F.col("token")).alias("hv")
+    ).distinct()
+    wsk = Window.partitionBy("source").orderBy("hv")
+    sk = (
+        hv.withColumn("rn", F.row_number().over(wsk))
+        .filter(F.col("rn") <= KMV_JACC_K)
+        .drop("rn")
+        .persist()
+    )
+    srcs = sk.select("source").distinct()
+    prs = (
+        srcs.select(F.col("source").alias("source_a"))
+        .join(
+            F.broadcast(srcs.select(F.col("source").alias("source_b"))),
+            F.col("source_a") < F.col("source_b"),
+        )
+    )
+    u = (
+        prs.join(
+            F.broadcast(sk),
+            (F.col("source") == F.col("source_a"))
+            | (F.col("source") == F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b", "hv")
+        .agg(
+            F.max(
+                F.when(F.col("source") == F.col("source_a"), 1).otherwise(0)
+            ).alias("in_a"),
+            F.max(
+                F.when(F.col("source") == F.col("source_b"), 1).otherwise(0)
+            ).alias("in_b"),
+        )
+    )
+    wp = Window.partitionBy("source_a", "source_b").orderBy("hv")
+    comb = u.withColumn("rn", F.row_number().over(wp)).filter(
+        F.col("rn") <= KMV_JACC_K
+    )
+    est = comb.groupBy("source_a", "source_b").agg(
+        F.count("*").alias("k_eff"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_both"),
+    )
+    ta = tok.select(F.col("source").alias("source_a"), "token")
+    tb = tok.select(F.col("source").alias("source_b"), "token")
+    exact = (
+        ta.join(tb, "token")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = tok.groupBy("source").agg(F.count("*").alias("n"))
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    out = (
+        est.join(exact, ["source_a", "source_b"])
+        .join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            (F.col("n_both").cast("double") / F.col("k_eff")).alias(
+                "est_jaccard"
+            ),
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_inter"))
+            ).alias("exact_jaccard"),
+        )
+    )
+    return out

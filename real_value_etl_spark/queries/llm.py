@@ -2556,3 +2556,55 @@ def docs_span_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_shared_spans"))
     )
+
+
+# ---------------------------------------------------------------------------
+# UDTF surface, registered: greedy token-span splitting (one row -> many)
+# ---------------------------------------------------------------------------
+UDTF_SPAN_TOKS = 32
+
+
+@register(
+    "docs_udtf_token_spans",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {T.tokens_sql("text")} AS ts FROM documents),
+    spans AS (
+      SELECT doc_id,
+             unnest(range(0, CAST(ceil(len(ts) / {UDTF_SPAN_TOKS}.0) AS BIGINT)))
+               AS span_idx,
+             ts
+      FROM toks WHERE len(ts) > 0
+    )
+    SELECT doc_id,
+           CAST(span_idx AS INTEGER) AS span_idx,
+           CAST(span_idx * {UDTF_SPAN_TOKS} + 1 AS INTEGER) AS start_tok,
+           CAST(LEAST({UDTF_SPAN_TOKS},
+                      len(ts) - span_idx * {UDTF_SPAN_TOKS}) AS INTEGER)
+             AS n_toks,
+           array_to_string(
+             ts[CAST(span_idx * {UDTF_SPAN_TOKS} + 1 AS BIGINT)
+                : CAST(LEAST((span_idx + 1) * {UDTF_SPAN_TOKS}, len(ts))
+                       AS BIGINT)],
+             ' ') AS piece
+    FROM spans
+    """,
+    tags=("llm", "text", "udtf", "chunking"),
+)
+def docs_udtf_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered Python-UDTF query (SURVEY §2.10's table-valued
+    extension point, exercised end-to-end, not just unit-tested): each
+    document lateral-joins its greedy <= {UDTF_SPAN_TOKS}-token spans
+    from `operators/udtf_ops.GreedyTokenSpans` — the one-row-to-many
+    expansion whose per-row sequential state (accumulated span length)
+    a column expression cannot express, while rows stay trivially
+    parallel. The oracle reproduces the identical chunk boundaries with
+    pure list arithmetic, so the UDTF's Python path is hash-checked
+    against an engine that never runs Python. (The other sanctioned
+    Python surfaces — Arrow kernels and applyInPandasWithState — are
+    driver-verified by the multimodal and stream families.)"""
+    from ..operators.udtf_ops import split_spans
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return split_spans(d, "text", UDTF_SPAN_TOKS).select(
+        "doc_id", "span_idx", "start_tok", "n_toks", "piece"
+    )

@@ -382,6 +382,7 @@ def test_gapfill_interp_grid_cross_join_is_broadcast(spark, sf_dir):
         "multimodal_wav_header_parse",
         "docs_span_pair_dedup",
         "events_late_arrival_audit",
+        "events_ab_test_zscore",
     ],
 )
 def test_round2_additions_scale_safe_plans(spark, sf_dir, name):
@@ -433,6 +434,8 @@ def test_round2_additions_scale_safe_plans(spark, sf_dir, name):
         "emb_random_projection",
         # tiny-cubed broadcast grid (type x date x hour spine)
         "events_seasonal_baseline",
+        # k-row sketch frames joined per source pair (bounded by |sources|)
+        "text_kmv_jaccard",
     ],
 )
 def test_bounded_broadcast_nlj_only(spark, sf_dir, name):
