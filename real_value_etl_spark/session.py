@@ -41,6 +41,21 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Even with the UI off, AppStatusListener/SQLAppStatusListener
+        # retain per-job/stage/execution data (including FULL plan
+        # strings) up to these caps. A long-lived engine session running
+        # iterative operators (pagerank/kmeans/BPE driver loops emit
+        # dozens of executions each, some with large plans) accumulates
+        # hundreds of MB of dead listener state at the defaults
+        # (1000 executions / 1000 jobs), taxing every later query's GC —
+        # measured ~15-40% slowdown on late-session heavy queries in the
+        # cache-honest bench. An engine is not a debugging UI: keep a
+        # small diagnostic window.
+        .config("spark.sql.ui.retainedExecutions", "16")
+        .config("spark.ui.retainedJobs", "100")
+        .config("spark.ui.retainedStages", "200")
+        .config("spark.ui.retainedTasks", "2000")
+        .config("spark.ui.retainedDeadExecutors", "10")
         # Per-Column-op call-site capture costs 2-3 extra Py4J round trips
         # per expression — ~half of all plan-CONSTRUCTION time for the
         # 50-column ETL plans (profiled: 14.7k round trips, 2.5s, to build
