@@ -771,7 +771,19 @@ def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") <= TFIDF_DF_MAX)
     )
-    w = idx.join(dfr, "sh").select(F.col("did").alias("doc_id"), "sh", "df")
+    # Persist the WEIGHTED index (post df-cap): it feeds three consumers
+    # (norm buckets + both self-join sides) and each lazy recompute costs
+    # a full corpus explode + df join — AQE defeats ReusedExchange here,
+    # so without the persist the executed plan re-scans/re-explodes 8x
+    # (measured ~10% slower at sf0.1). Unlike the RAW shingle index of
+    # the Jaccard paths (strictly larger, kept unpersisted by policy),
+    # this frame is df-capped three-column rows — the boilerplate mass is
+    # already gone.
+    w = (
+        idx.join(dfr, "sh")
+        .select(F.col("did").alias("doc_id"), "sh", "df")
+        .persist()
+    )
 
     def bucket_fold(grouped):
         # sum of cnt * (1/df)^2 folded in df-ascending order — identical
