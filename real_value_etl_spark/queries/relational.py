@@ -953,3 +953,70 @@ def q_cumulative_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_customers").cast("double") / ncust_tot)
         ).alias("lift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ANSI try_* scalar surface (error-tolerant arithmetic under ANSI mode)
+# ---------------------------------------------------------------------------
+@register(
+    "q_try_arithmetic",
+    oracle="""
+    WITH t AS (
+      SELECT l_linestatus,
+             CASE WHEN l_linenumber - l_linenumber = 0 THEN NULL
+                  ELSE l_extendedprice / (l_linenumber - l_linenumber) END
+               AS div0,
+             CASE WHEN l_orderkey > 0 THEN NULL
+                  ELSE l_orderkey END AS ovf,
+             TRY_CAST(l_returnflag AS DOUBLE) AS bad_cast,
+             [l_quantity][1] AS first_el,
+             CASE WHEN len([l_quantity]) >= 99 THEN [l_quantity][99]
+                  ELSE NULL END AS oob_el
+      FROM lineitem
+    )
+    SELECT l_linestatus,
+           COUNT(*) AS n,
+           COUNT(div0) AS n_div_ok,
+           COUNT(ovf) AS n_add_ok,
+           COUNT(bad_cast) AS n_cast_ok,
+           COUNT(first_el) AS n_first,
+           COUNT(oob_el) AS n_oob
+    FROM t GROUP BY l_linestatus
+    """,
+    tags=("relational", "functions", "ansi"),
+)
+def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The error-TOLERANT scalar surface under ANSI mode: Spark 4 runs
+    ANSI-on, where division by zero, integer overflow, and malformed
+    casts RAISE — correct for an engine, fatal for exploratory queries
+    over dirty data. The `try_*` family returns NULL instead, per
+    expression, without globally disabling ANSI: try_divide on an
+    engineered zero, try_add at bigint overflow, try_cast of a
+    non-numeric flag string, try_element_at in and out of bounds. The oracle
+    mirrors each with explicit CASE/TRY_CAST guards (DuckDB's own
+    semantics differ per op — out-of-range list index yields NULL
+    natively, arithmetic raises), so the NULL-production contract is
+    pinned by counting survivors per group."""
+    li = table(spark, sf_dir, "lineitem")
+    arr = F.array(F.col("l_quantity"))
+    t = li.select(
+        "l_linestatus",
+        F.try_divide(
+            F.col("l_extendedprice"),
+            F.col("l_linenumber") - F.col("l_linenumber"),
+        ).alias("div0"),
+        F.try_add(
+            F.col("l_orderkey"), F.lit(9223372036854775807)
+        ).alias("ovf"),
+        F.col("l_returnflag").try_cast("double").alias("bad_cast"),
+        F.try_element_at(arr, F.lit(1)).alias("first_el"),
+        F.try_element_at(arr, F.lit(99)).alias("oob_el"),
+    )
+    return t.groupBy("l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.count("div0").alias("n_div_ok"),
+        F.count("ovf").alias("n_add_ok"),
+        F.count("bad_cast").alias("n_cast_ok"),
+        F.count("first_el").alias("n_first"),
+        F.count("oob_el").alias("n_oob"),
+    )

@@ -518,3 +518,43 @@ def q_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         sums={"l_quantity": "sum_qty", "l_extendedprice": "sum_price"},
         count_alias="n",
     )
+
+
+# ---------------------------------------------------------------------------
+# Discrete (WITHIN GROUP) percentiles — the order-statistics twin of _cont
+# ---------------------------------------------------------------------------
+@register(
+    "q_percentile_disc",
+    oracle="""
+    SELECT l_linestatus,
+           quantile_disc(l_extendedprice, 0.25) AS p25,
+           quantile_disc(l_extendedprice, 0.50) AS p50,
+           quantile_disc(l_extendedprice, 0.90) AS p90,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_linestatus
+    """,
+    tags=("agg", "stats"),
+)
+def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE percentiles (WITHIN GROUP ordered-set aggregates): the
+    returned value is an actual member of the group — what
+    "p90 document length" should report when the consumer feeds it back
+    as a filter bound (an interpolated _cont value may match no row).
+    Registered through the SQL-text path since the ordered-set syntax is
+    SQL-only; exact agreement with DuckDB's quantile_disc needs no
+    epsilon because both pick the same order statistic."""
+    li = table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__pd_lineitem")
+    return spark.sql(
+        """
+        SELECT l_linestatus,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice)
+                 AS p25,
+               percentile_disc(0.50) WITHIN GROUP (ORDER BY l_extendedprice)
+                 AS p50,
+               percentile_disc(0.90) WITHIN GROUP (ORDER BY l_extendedprice)
+                 AS p90,
+               COUNT(*) AS n
+        FROM __pd_lineitem GROUP BY l_linestatus
+        """
+    )

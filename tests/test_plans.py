@@ -383,6 +383,8 @@ def test_gapfill_interp_grid_cross_join_is_broadcast(spark, sf_dir):
         "docs_span_pair_dedup",
         "events_late_arrival_audit",
         "events_ab_test_zscore",
+        "q_try_arithmetic",
+        "q_percentile_disc",
     ],
 )
 def test_round2_additions_scale_safe_plans(spark, sf_dir, name):
