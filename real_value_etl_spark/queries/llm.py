@@ -2608,3 +2608,122 @@ def docs_udtf_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_spans(d, "text", UDTF_SPAN_TOKS).select(
         "doc_id", "span_idx", "start_tok", "n_toks", "piece"
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF tuning curve: recall@k as a function of nprobe
+# ---------------------------------------------------------------------------
+NPROBE_CURVE = (1, 2, 3)
+
+
+def _nprobe_curve_oracle() -> str:
+    cos_vc = V.cosine_sql("e.v", "c.cv")
+    cos_qc = V.cosine_sql("q.qv", "c.cv")
+    cos_qv = V.cosine_sql("a.v", "p.qv")
+    arms = []
+    for np_ in NPROBE_CURVE:
+        arms.append(f"""
+    probes{np_} AS (
+      SELECT qid, qv, cid AS cluster_id FROM (
+        SELECT q.qid, q.qv, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                                  ORDER BY {cos_qc} DESC, c.cid) AS r
+        FROM q, cents c
+      ) WHERE r <= {np_}
+    ),
+    top{np_} AS (
+      SELECT qid, vec_id FROM (
+        SELECT p.qid, a.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY p.qid
+                                  ORDER BY {cos_qv} DESC, a.vec_id) AS rnk
+        FROM assigned a JOIN probes{np_} p USING (cluster_id)
+        WHERE a.vec_id <> p.qid
+      ) WHERE rnk <= {ANN_K}
+    ),
+    hits{np_} AS (
+      SELECT {np_} AS nprobe,
+             COUNT(*) AS n_hits
+      FROM top{np_} t JOIN etop x
+        ON x.qid = t.qid AND x.vec_id = t.vec_id
+    )""")
+    unions = " UNION ALL ".join(
+        f"SELECT nprobe, n_hits FROM hits{np_}" for np_ in NPROBE_CURVE
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM e
+              WHERE vec_id % {IVF_CENTROID_MOD} = 0),
+    assigned AS (
+      SELECT vec_id, v, cid AS cluster_id FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos_vc} DESC, c.cid) AS r
+        FROM e, cents c
+      ) WHERE r = 1
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e
+          WHERE vec_id % {ANN_QUERY_MOD} = 0),
+    escored AS (
+      SELECT q.qid, e.vec_id, {V.cosine_sql("e.v", "q.qv")} AS sim
+      FROM e, q WHERE e.vec_id <> q.qid
+    ),
+    etop AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY sim DESC, vec_id) AS r
+        FROM escored) WHERE r <= {ANN_K}
+    ),
+    expected AS (SELECT COUNT(*) AS n_expected FROM etop),{",".join(arms)}
+    SELECT u.nprobe, u.n_hits, x.n_expected,
+           CAST(u.n_hits AS DOUBLE) / x.n_expected AS recall
+    FROM ({unions}) u, expected x
+    """
+
+
+@register(
+    "sim_nprobe_recall_curve",
+    oracle=_nprobe_curve_oracle(),
+    tags=("similarity", "llm", "ann", "evaluation"),
+)
+def sim_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF TUNING CURVE: recall@{ANN_K} against the exact top-k for
+    nprobe in {NPROBE_CURVE} — the measurement that sizes the
+    latency/recall trade every IVF deployment makes (each +1 probe costs
+    ~1/|centroids| more candidates; the curve shows what it buys). The
+    exact top-k and the corpus assignment are each computed ONCE and
+    persisted; the three probe arms reuse them (three bounded window
+    passes over broadcast probe sets), so the query costs one brute-force
+    pass + three candidate scans, not three full evaluations. Every arm
+    is the same deterministic machinery as sim_ann_ivf (id tiebreaks),
+    so all three recall points hash-match the oracle."""
+    from ..operators.similarity import brute_force_topk, ivf_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % ANN_QUERY_MOD == 0)
+    cents = emb.filter(F.col("vec_id") % IVF_CENTROID_MOD == 0)
+    exact = (
+        brute_force_topk(emb, queries, ANN_K)
+        .select("qid", "vec_id")
+        .persist()
+    )
+    expected = F.broadcast(exact.agg(F.count("*").alias("n_expected")))
+    arms = []
+    for np_ in NPROBE_CURVE:
+        approx = ivf_topk(emb, queries, cents, ANN_K, np_).select(
+            "qid", "vec_id"
+        )
+        arms.append(
+            approx.join(exact, ["qid", "vec_id"]).agg(
+                F.lit(np_).alias("nprobe"), F.count("*").alias("n_hits")
+            )
+        )
+    curve = arms[0]
+    for a in arms[1:]:
+        curve = curve.unionByName(a)
+    return curve.crossJoin(expected).select(
+        "nprobe",
+        "n_hits",
+        "n_expected",
+        (F.col("n_hits").cast("double") / F.col("n_expected")).alias("recall"),
+    )

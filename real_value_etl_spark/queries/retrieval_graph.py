@@ -998,3 +998,77 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     und.unpersist()
     return dist
+
+
+# ---------------------------------------------------------------------------
+# Calibration bins (reliability diagram) for the quality classifier
+# ---------------------------------------------------------------------------
+CALIB_BINS = 10
+
+
+def _calibration_oracle() -> str:
+    from .registry import REGISTRY
+
+    lr = REGISTRY["docs_quality_lr_score"].oracle
+    return f"""
+    WITH scored AS ({lr}),
+    labeled AS (
+      SELECT s.score,
+             CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS is_pos,
+             LEAST(CAST(FLOOR((s.score + 1.0) / 2.0 * {CALIB_BINS}) AS INT),
+                   {CALIB_BINS - 1}) AS bin
+      FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+    )
+    SELECT bin,
+           COUNT(*) AS n_docs,
+           CAST(SUM(is_pos) AS BIGINT) AS n_pos,
+           CAST(SUM(is_pos) AS DOUBLE) / COUNT(*) AS pos_rate,
+           CAST(SUM(CAST(score AS DECIMAL(28,18))) AS DOUBLE) / COUNT(*)
+             AS mean_score
+    FROM labeled GROUP BY bin
+    """
+
+
+@register(
+    "docs_quality_calibration",
+    oracle=_calibration_oracle(),
+    tags=("llm", "text", "evaluation"),
+)
+def docs_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the quality classifier: score deciles vs
+    the observed positive rate (lang='en' standing in for the label the
+    weights were trained on) — the calibration evidence that decides
+    whether a score threshold can be read as a probability, pairing with
+    `lang_id_auc`'s ranking metric. Counts are exact integers; the mean
+    score per bin accumulates through DECIMAL(28,18) so the only
+    order-sensitive float sum is made order-free (the scores are
+    rational x/(1+|x|) values, exact at that scale — the engine's
+    standard exact-sum dance); pos_rate and mean are one division each.
+    Plan: the scoring projection is shuffle-free (weights are literals),
+    then one {CALIB_BINS}-group aggregate."""
+    from .feature_ops import docs_quality_lr_score
+
+    scored = docs_quality_lr_score(spark, sf_dir).select("doc_id", "score")
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias(
+            "is_pos"
+        ),
+    )
+    labeled = scored.join(d, "doc_id").select(
+        "score",
+        "is_pos",
+        F.least(
+            F.floor((F.col("score") + 1.0) / 2.0 * CALIB_BINS).cast("int"),
+            F.lit(CALIB_BINS - 1),
+        ).alias("bin"),
+    )
+    return labeled.groupBy("bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("is_pos").cast("long").alias("n_pos"),
+        (F.sum("is_pos").cast("double") / F.count("*")).alias("pos_rate"),
+        (
+            F.sum(F.col("score").cast("decimal(28,18)")).cast("double")
+            / F.count("*")
+        ).alias("mean_score"),
+    )

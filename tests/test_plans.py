@@ -385,6 +385,7 @@ def test_gapfill_interp_grid_cross_join_is_broadcast(spark, sf_dir):
         "events_ab_test_zscore",
         "q_try_arithmetic",
         "q_percentile_disc",
+        "docs_quality_calibration",
     ],
 )
 def test_round2_additions_scale_safe_plans(spark, sf_dir, name):
@@ -438,6 +439,8 @@ def test_round2_additions_scale_safe_plans(spark, sf_dir, name):
         "events_seasonal_baseline",
         # k-row sketch frames joined per source pair (bounded by |sources|)
         "text_kmv_jaccard",
+        # brute-force exact arm: query set x corpus, broadcast query side
+        "sim_nprobe_recall_curve",
     ],
 )
 def test_bounded_broadcast_nlj_only(spark, sf_dir, name):
