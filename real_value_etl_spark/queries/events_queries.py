@@ -1788,3 +1788,70 @@ def events_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_a", "c_a", "n_b", "c_b",
         p_a.alias("p_a"), p_b.alias("p_b"), z.alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# FORWARD as-of join: next click at-or-after each purchase (response lag)
+# ---------------------------------------------------------------------------
+@register(
+    "asof_next_click",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts, event_id AS c_id FROM events
+          WHERE event_type = 'click'),
+    nxt AS (
+      SELECT p.event_id, p.user_id, p.ts, MIN(c.ts) AS next_ts
+      FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts >= p.ts
+      GROUP BY 1, 2, 3
+    )
+    SELECT n.event_id, n.user_id, n.ts, n.next_ts,
+           MIN(c.c_id) AS next_event_id,
+           CASE WHEN n.next_ts IS NULL THEN NULL
+                ELSE epoch_us(n.next_ts) - epoch_us(n.ts) END AS wait_us
+    FROM nxt n LEFT JOIN c
+      ON c.user_id = n.user_id AND c.ts = n.next_ts
+    GROUP BY 1, 2, 3, 4
+    """,
+    tags=("events", "asof", "join"),
+)
+def asof_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join — for each purchase, the EARLIEST click
+    at-or-after it for the same user, plus the wait time: the
+    time-to-response/next-event measurement that completes the as-of
+    direction pair (`asof_purchase_login` is the backward half). Same
+    one-shuffle union+window plan with the frame reversed
+    (first-following instead of last-preceding); ties on the click
+    timestamp break on the click's unique event id, so the picked row
+    is deterministic on any partitioning — the oracle replays the same
+    pick with a MIN over the equal-ts rows."""
+    from ..operators.asof import asof_join_forward
+
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("c_event_id")
+    )
+    joined = asof_join_forward(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_value_cols=["c_event_id"],
+        tiebreak="c_event_id",
+    )
+    wait = F.when(
+        F.col("next_ts").isNotNull(),
+        F.unix_micros("next_ts") - F.unix_micros("ts"),
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "next_ts",
+        F.col("next_c_event_id").alias("next_event_id"),
+        wait.alias("wait_us"),
+    )

@@ -1020,3 +1020,65 @@ def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("first_el").alias("n_first"),
         F.count("oob_el").alias("n_oob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# NULL-semantics audit (three-valued logic surface, pinned cross-engine)
+# ---------------------------------------------------------------------------
+@register(
+    "q_null_semantics",
+    oracle="""
+    WITH src AS (
+      SELECT NULLIF(l_returnflag, 'N') AS flag_n,
+             NULLIF(l_linenumber, 1) AS ln_n,
+             l_quantity
+      FROM lineitem
+    )
+    SELECT COALESCE(flag_n, '<null>') AS flag_group,
+           COUNT(*) AS n_rows,
+           COUNT(flag_n) AS n_flag_nonnull,
+           COUNT(ln_n) AS n_ln_nonnull,
+           COUNT(DISTINCT ln_n) AS n_ln_distinct,
+           CAST(SUM(CASE WHEN ln_n IS NOT DISTINCT FROM NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_ln_nullsafe_null,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM src GROUP BY flag_n
+    """,
+    tags=("relational", "functions", "semantics"),
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic surface, pinned: NULLIF manufactures NULLs from
+    real columns, GROUP BY collects the NULL group as one group (per
+    standard SQL), COUNT(col) skips NULLs while COUNT(*) does not,
+    COUNT(DISTINCT) excludes NULL from the domain, and the null-safe
+    equality operator (<=> in Spark, IS NOT DISTINCT FROM in DuckDB)
+    treats NULL = NULL as TRUE where plain `=` yields UNKNOWN. These are
+    the semantics every outer-join/dirty-data pipeline silently relies
+    on; one engineered projection + one aggregate makes the whole
+    contract hash-checkable."""
+    li = table(spark, sf_dir, "lineitem")
+    src = li.select(
+        F.nullif(F.col("l_returnflag"), F.lit("N")).alias("flag_n"),
+        F.nullif(F.col("l_linenumber"), F.lit(1)).alias("ln_n"),
+        "l_quantity",
+    )
+    return src.groupBy("flag_n").agg(
+        F.count("*").alias("n_rows"),
+        F.count("flag_n").alias("n_flag_nonnull"),
+        F.count("ln_n").alias("n_ln_nonnull"),
+        F.countDistinct("ln_n").alias("n_ln_distinct"),
+        F.sum(
+            F.when(F.expr("ln_n <=> NULL"), 1).otherwise(0)
+        ).cast("long").alias("n_ln_nullsafe_null"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+    ).select(
+        F.coalesce(F.col("flag_n"), F.lit("<null>")).alias("flag_group"),
+        "n_rows",
+        "n_flag_nonnull",
+        "n_ln_nonnull",
+        "n_ln_distinct",
+        "n_ln_nullsafe_null",
+        "sum_qty",
+    )

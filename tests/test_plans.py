@@ -386,6 +386,8 @@ def test_gapfill_interp_grid_cross_join_is_broadcast(spark, sf_dir):
         "q_try_arithmetic",
         "q_percentile_disc",
         "docs_quality_calibration",
+        "asof_next_click",
+        "q_null_semantics",
     ],
 )
 def test_round2_additions_scale_safe_plans(spark, sf_dir, name):

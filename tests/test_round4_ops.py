@@ -270,3 +270,24 @@ def test_stream_kmv_state_is_batching_independent(spark, sf_dir):
     a = sorted(map(tuple, fn(spark, sf_dir).collect()))
     b = sorted(map(tuple, fn(spark, sf_dir).collect()))
     assert a == b and a
+
+
+def test_asof_forward_includes_ties_and_breaks_deterministically(spark):
+    """Forward as-of must treat right rows at EXACTLY the left timestamp
+    as matches (>= semantics) and break equal-ts ties on the tiebreak
+    column, not partition luck."""
+    from real_value_etl_spark.operators.asof import asof_join_forward
+
+    left = spark.createDataFrame([(1, 100, 10), (2, 100, 11)], ["id", "k", "ts"])
+    right = spark.createDataFrame(
+        [(100, 10, 5), (100, 10, 3), (100, 12, 7)], ["k", "ts", "rid"]
+    )
+    out = {
+        r["id"]: (r["next_ts"], r["next_rid"])
+        for r in asof_join_forward(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            right_value_cols=["rid"], tiebreak="rid",
+        ).collect()
+    }
+    assert out[1] == (10, 3)  # tie at ts=10 -> lowest rid wins
+    assert out[2] == (12, 7)  # strictly-later row when no tie
