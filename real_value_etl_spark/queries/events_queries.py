@@ -1855,3 +1855,89 @@ def asof_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("next_c_event_id").alias("next_event_id"),
         wait.alias("wait_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 point-in-time join — events resolved against the dimension AS OF ts
+# ---------------------------------------------------------------------------
+@register(
+    "events_scd2_pointintime",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts, event_id
+      FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    ),
+    hist AS (
+      SELECT user_id, event_type,
+             ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM changes
+    ),
+    nonempty AS (
+      SELECT * FROM hist
+      WHERE valid_to IS NULL OR valid_from < valid_to
+    ),
+    p AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id, p.ts,
+           h.valid_from AS asof_valid_from,
+           h.event_type AS state_at_purchase
+    FROM p LEFT JOIN nonempty h
+      ON h.user_id = p.user_id
+     AND h.valid_from <= p.ts
+     AND (h.valid_to IS NULL OR p.ts < h.valid_to)
+    """,
+    tags=("events", "scd", "asof", "join"),
+)
+def events_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME lookup against the SCD2 dimension: for each purchase,
+    the user's state interval valid AT the purchase timestamp — the
+    bi-temporal join every warehouse runs between facts and
+    slowly-changing dimensions. Because SCD2 intervals are CONTIGUOUS
+    per key (each valid_to is the next valid_from), "the interval
+    containing ts" equals "the latest valid_from <= ts" — so the lookup
+    runs as the backward AS-OF union+window (one shuffle on user_id, no
+    interval-pair explosion), not a range join; empty intervals (two
+    change points at one timestamp) are filtered first, making
+    valid_from unique per key and the as-of pick deterministic. For
+    NON-contiguous validity (gaps), the keyed interval join
+    (operators/rangejoin.py) is the general path — this query pins the
+    cheaper contiguous-dimension plan. The oracle states the textbook
+    interval predicate; equivalence holds exactly because of
+    contiguity."""
+    from ..operators.asof import asof_join_backward
+
+    ev = table(spark, sf_dir, "events")
+    hist = events_scd2_history(spark, sf_dir).filter(
+        F.col("valid_to").isNull() | (F.col("valid_from") < F.col("valid_to"))
+    ).select(
+        "user_id",
+        F.col("event_type").alias("state_type"),
+        "valid_from",
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join_backward(
+        purchases,
+        hist,
+        on="user_id",
+        left_ts="ts",
+        right_ts="valid_from",
+        right_value_cols=["state_type"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "asof_valid_from",
+        F.col("asof_state_type").alias("state_at_purchase"),
+    )

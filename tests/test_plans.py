@@ -388,6 +388,7 @@ def test_gapfill_interp_grid_cross_join_is_broadcast(spark, sf_dir):
         "docs_quality_calibration",
         "asof_next_click",
         "q_null_semantics",
+        "events_scd2_pointintime",
     ],
 )
 def test_round2_additions_scale_safe_plans(spark, sf_dir, name):
