@@ -63,6 +63,95 @@ def global_running_sum(
     )
 
 
+def global_row_number(
+    df: DataFrame,
+    order_cols: list,
+    out_col: str = "row_number",
+    n_partitions: int = 32,
+) -> DataFrame:
+    """Exact global ROW_NUMBER in `order_cols` order without an
+    Exchange SinglePartition over the data: range-partition on the order
+    key, rank locally per partition (fully parallel), then add each
+    partition's starting offset, computed with a window over the tiny
+    per-partition count frame (n_partitions rows) and broadcast back.
+
+    `order_cols` may be strings or Column sort expressions (``F.desc(...)``
+    / ``F.asc(...)``) and must form a unique key so the global order — and
+    therefore every rank — is total and deterministic. The helper also
+    broadcasts the frame's total row count as ``__n`` for callers that
+    need it (``global_ntile`` consumes then drops it; drop it yourself if
+    you only want the rank)."""
+    part = df.repartitionByRange(n_partitions, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_in = Window.partitionBy("__pid").orderBy(*order_cols)
+    with_rn = part.withColumn("__rn", F.row_number().over(w_in))
+    counts = part.groupBy("__pid").agg(F.count("*").alias("__pcnt"))
+    w_prev = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__pcnt").over(w_prev), F.lit(0)).alias("__off"),
+        F.sum("__pcnt").over(w_all).alias("__n"),
+    )
+    return (
+        with_rn.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, (F.col("__off") + F.col("__rn")).cast("long"))
+        .drop("__pid", "__rn", "__off")
+    )
+
+
+def global_ntile(
+    df: DataFrame,
+    order_cols: list,
+    n_buckets: int,
+    out_col: str = "bucket",
+    n_partitions: int = 32,
+) -> DataFrame:
+    """Exact global NTILE(n_buckets) in `order_cols` order, scalably.
+
+    ``NTILE(n) OVER (ORDER BY ...)`` with no PARTITION BY plans an
+    Exchange SinglePartition — the whole frame sorts on ONE task, the
+    canonical 100 TB scale-killer. But the bucket of a row is a pure
+    arithmetic function of its global rank r and the total count N
+    (q = N div n, rem = N mod n; the first `rem` buckets hold q+1 rows):
+
+        bucket(r) = ceil(r / (q+1))                     if r <= rem*(q+1)
+                    rem + ceil((r - rem*(q+1)) / q)      otherwise
+
+    so the two-phase `global_row_number` rank (range-partition + local
+    rank + broadcast offsets) gives bit-identical NTILE semantics —
+    including SQL's split-ties-across-buckets behavior, because the rank
+    is over the full (unique) composite order key — with no
+    single-partition shuffle of the data. The only unpartitioned window
+    runs over the n_partitions-row count frame.
+
+    `order_cols` must be a unique composite key (as in SQL you'd always
+    add a tiebreak column for deterministic NTILE)."""
+    ranked = global_row_number(df, order_cols, "__grank", n_partitions)
+    r = F.col("__grank")
+    n_total = F.col("__n").cast("long")
+    q = F.floor(n_total / n_buckets).cast("long")
+    rem = n_total % n_buckets
+    thr = rem * (q + F.lit(1))
+    # q_safe: when N < n_buckets, q = 0 and every row takes the first
+    # branch (r <= thr always) — greatest() keeps the dead branch from
+    # dividing by zero under ANSI evaluation.
+    q_safe = F.greatest(q, F.lit(1))
+    bucket = (
+        F.when(
+            r <= thr, F.floor((r - F.lit(1)) / (q + F.lit(1))) + F.lit(1)
+        ).otherwise(
+            rem + F.floor((r - thr - F.lit(1)) / q_safe) + F.lit(1)
+        )
+    ).cast("int")
+    return ranked.withColumn(out_col, bucket).drop("__grank", "__n")
+
+
 def global_running_max(
     df: DataFrame,
     order_cols: list[str],

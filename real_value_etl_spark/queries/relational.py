@@ -679,11 +679,19 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     date), frequency (order count), monetary (exact-decimal revenue
     sum), each quintile-ranked with deterministic tiebreaks, rolled up
     into the R×F segment grid with exact-decimal segment value — the
-    classic marketing-analytics segmentation as one pipeline. The NTILE
-    windows are global (unpartitioned) — fine at customer-table scale;
-    at extreme scale the quintile edges come from exact percentiles
-    broadcast back (the q_equidepth_price pattern). Aggregations are
+    classic marketing-analytics segmentation as one pipeline. The
+    quintile ranks are NOT `NTILE OVER (ORDER BY ...)` — that plans an
+    Exchange SinglePartition over the whole customer frame. They come
+    from `global_ntile` (operators/scan.py): range-partition on the
+    composite sort key, rank locally, broadcast per-partition offsets
+    back, and turn rank+count into the bucket arithmetically —
+    bit-identical NTILE semantics (ties split across buckets by the
+    custkey tiebreak, exactly as the oracle's window), with the only
+    single-partition window running over the ~32-row partition-count
+    frame. Plan-pinned by test_rfm_ntile_is_two_phase. Aggregations are
     decimal-exact so the segment values hash-match."""
+    from ..operators.scan import global_ntile
+
     o = table(spark, sf_dir, "orders")
     per_cust = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.max("o_orderdate").alias("last_order"),
@@ -692,20 +700,16 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("monetary"),
     )
-    scored = per_cust.select(
-        "custkey",
-        "frequency",
-        "monetary",
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("last_order"), F.asc("custkey")))
-        .alias("r_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("frequency"), F.asc("custkey")))
-        .alias("f_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("monetary"), F.asc("custkey")))
-        .alias("m_score"),
+    scored = global_ntile(
+        per_cust, [F.desc("last_order"), F.asc("custkey")], 5, "r_score"
     )
+    scored = global_ntile(
+        scored, [F.desc("frequency"), F.asc("custkey")], 5, "f_score"
+    )
+    # the oracle's scored CTE also computes m_score, but the output grid
+    # only groups on r x f — the m quintile is dead in the projection, so
+    # we skip its range shuffle entirely (monetary itself still feeds
+    # segment_value).
     return scored.groupBy("r_score", "f_score").agg(
         F.count("*").alias("n_customers"),
         F.min("custkey").alias("min_custkey"),
@@ -912,22 +916,22 @@ def q_cumulative_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
     running revenue through that decile, the cumulative revenue SHARE
     (the gains curve a targeting model is judged by), and lift (revenue
     share over customer share). The heavy work is one per-customer
-    aggregate; the global NTILE follows the q_rfm_segments contract
-    (documented: at extreme scale the decile edges come from exact
-    percentiles broadcast back); the cumulative windows then run over
-    the TEN-row decile frame — bounded by construction. Decimal sums
-    end-to-end: every double is one division of exact decimals, so the
-    curve hash-matches the oracle."""
+    aggregate; the decile rank is `global_ntile` (operators/scan.py) —
+    two-phase range-partitioned rank + broadcast offsets, bit-identical
+    to the oracle's NTILE but with no Exchange SinglePartition over the
+    customer frame (plan-pinned by test_cumulative_gains_ntile_is_two_
+    phase); the cumulative windows then run over the TEN-row decile
+    frame — bounded by construction. Decimal sums end-to-end: every
+    double is one division of exact decimals, so the curve hash-matches
+    the oracle."""
+    from ..operators.scan import global_ntile
+
     o = table(spark, sf_dir, "orders")
     per_cust = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend")
     )
-    ranked = per_cust.select(
-        "custkey",
-        "spend",
-        F.ntile(10)
-        .over(Window.orderBy(F.desc("spend"), F.asc("custkey")))
-        .alias("decile"),
+    ranked = global_ntile(
+        per_cust, [F.desc("spend"), F.asc("custkey")], 10, "decile"
     )
     per_decile = ranked.groupBy("decile").agg(
         F.count("*").alias("n_customers"),
