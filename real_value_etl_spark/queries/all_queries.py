@@ -34,71 +34,65 @@ from . import (  # noqa: F401
 )
 from .registry import REGISTRY
 
-# Round-4 window (VERDICT r3 ask #1): the 37 queries that have never had a
-# driver CORRECTNESS row — exactly the round-3 additions (computed
-# mechanically as registry − keys(CORRECTNESS_r01∪r02∪r03)) — rotate IN.
-# Slot 38 is `q_approx_stats`, the one registry entry with zero usable
-# driver evidence (its r3 row errored on an array<double> column; the
-# query now returns scalar p50/p95/p99 — VERDICT ask #2). The remaining
-# 12 slots re-confirm the heaviest previously-green rows and the four r2
-# fixes, per the verdict's spare-slot guidance. With all green, cumulative
-# driver-green reaches 182/182.
+# Round-5 window (VERDICT r4 ask #1): the 25 queries that have never had
+# a driver CORRECTNESS row — exactly the round-4 additions (computed
+# mechanically as registry − keys(CORRECTNESS_r01∪r02∪r03∪r04)) — rotate
+# IN. The 25 spare slots re-confirm, per the verdict's guidance: the
+# rewritten NTILE query `q_rfm_segments` (its plan changed this round —
+# VERDICT r4 ask #2; `q_cumulative_gains`, the other rewrite, is among
+# the 25), the heaviest previously-green headliners, and the r2 fixes.
+# With all green, cumulative driver-green reaches 207/207 (one of which,
+# `q_approx_stats`, is rows-only by construction).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- never-driver-verified: corpus mix / export (late r3)
-    "docs_tokenize_ids",
-    "docs_shuffle_shards",
-    "docs_token_budget_sample",
-    "docs_ccnet_buckets",
-    "docs_vocab_growth",
-    "docs_winsorize",
-    "docs_incremental_dedup",
-    "docs_containment",
-    "docs_leakage_safe_split",
-    "lang_id_kappa",
-    # -- never-driver-verified: events analytics (late r3)
-    "events_holt_linear",
-    "events_top_paths",
-    "events_transition_matrix",
-    "events_rolling_active_users",
-    "events_anomaly_transitions",
-    "events_churn_by_cohort",
-    "events_k_anonymity",
-    "events_via_snapshot_table",
-    # -- never-driver-verified: similarity / PQ / graph (late r3)
-    "sim_pq_encode",
-    "sim_pq_adc_recall",
-    "sim_ivf_pq_topk",
-    "sim_knn_graph",
-    "graph_label_propagation",
-    "graph_triangle_count",
-    # -- never-driver-verified: text / sketches / multimodal (late r3)
-    "text_kmv_distinct",
-    "text_countmin_freq",
-    "text_tfidf_cosine_pairs",
-    "text_bpe_train",
-    "multimodal_header_parse",
-    "multimodal_phash_dedup",
-    # -- never-driver-verified: relational diagnostics / sources (late r3)
+    # -- never-driver-verified: the 25 round-4 additions
+    "asof_next_click",
+    "customer_via_csv_source",
+    "docs_quality_calibration",
+    "docs_span_pair_dedup",
+    "docs_udtf_token_spans",
+    "emb_power_iteration",
+    "emb_random_projection",
+    "events_ab_test_zscore",
+    "events_late_arrival_audit",
+    "events_scd2_pointintime",
+    "events_seasonal_baseline",
+    "graph_bfs_distance",
+    "graph_components_star",
+    "lang_id_auc",
+    "multimodal_wav_header_parse",
+    "q_cumulative_gains",
+    "q_null_semantics",
+    "q_percentile_disc",
+    "q_salted_hot_key_agg",
+    "q_try_arithmetic",
+    "sim_nprobe_recall_curve",
+    "sim_silhouette",
+    "stream_kmv_distinct",
+    "text_kmv_jaccard",
+    "text_tokenizer_fertility",
+    # -- re-confirm: plan rewritten this round (two-phase global_ntile)
     "q_rfm_segments",
-    "q_rollup_share_of_parent",
-    "q_join_size_estimate",
-    "q_key_skew_report",
-    "orders_market_basket",
-    "docs_via_evolved_parquet",
-    # -- never-driver-verified: streaming (late r3)
-    "stream_holt_forecast",
-    # -- zero usable driver evidence: r3 row errored (array column);
-    #    contract fixed this round to scalar p50/p95/p99
-    "q_approx_stats",
     # -- re-confirm: heaviest previously-green headliners
-    "dedup_jaccard_prefix",
+    "text_tfidf_cosine_pairs",
+    "sim_ivf_pq_topk",
     "graph_pagerank_lineitem",
-    "sim_kmeans_train",
+    "text_bpe_train",
+    "dedup_jaccard_prefix",
+    "sim_knn_graph",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "sim_kmeans_train",
+    "graph_label_propagation",
+    "graph_triangle_count",
+    "orders_market_basket",
+    "stream_holt_forecast",
+    "events_k_anonymity",
+    "dedup_exact_docs",
+    "events_dedup_keepfirst",
+    "fuzzy_match_customers",
+    "multimodal_decode",
     "etl_scalar_funcs",
     "etl_array_funcs",
-    "multimodal_decode",
     # -- re-confirm: the four r2 fixes
     "docs_pretraining_mix",
     "text_postings",
