@@ -69,7 +69,68 @@ HEADLINE = [
     # round-4: the last unbenched multi-stage family — Arrow pHash kernel
     # feeding a JVM banded self-join (VERDICT r3 ask #6)
     "multimodal_phash_dedup",
+    # round-5 (VERDICT r4 ask #5): the two multi-stage round-4 additions —
+    # O(log n) large-star/small-star connected components, and the
+    # df-capped cross-doc span-pair dedup index
+    "graph_components_star",
+    "docs_span_pair_dedup",
 ]
+
+# Scale rehearsal (VERDICT r4 ask #3): the heaviest headline families
+# re-timed at a locally synthesized sf1 (10x sf0.1 — tools/make_sf1.py
+# documents the tile transforms that keep candidate densities linear).
+# One measured decade of scaling turns the 100 TB plan-shape arguments
+# into an empirical exponent: ratio ~<= 12x means near-linear.
+SF1_HEAVY = [
+    "graph_pagerank_lineitem",
+    "dedup_jaccard_prefix",
+    "sim_ivf_pq_topk",
+    "sim_knn_graph",
+    "text_bpe_train",
+    "text_tfidf_cosine_pairs",
+    # the production dedup paths (exact digest + banded LSH) ride along so
+    # the scale section shows them scaling linearly next to the exact
+    # AllPairs path
+    "dedup_exact_docs",
+    "dedup_minhash_lsh",
+]
+
+
+def bench_sf1(spark, base_timings: dict[str, float]):
+    """Run SF1_HEAVY at the synthesized sf1 fixture; returns
+    {query: {"sec": t, "ratio": t / sf0.1-time}} or an error marker.
+    Only meaningful when the main bench ran at the standard sf0.1."""
+    if not SF_DIR.rstrip("/").endswith("sf0.1"):
+        return None
+    from real_value_etl_spark.queries.registry import REGISTRY
+
+    try:
+        from tools.make_sf1 import ensure_sf1
+
+        sf1_dir = ensure_sf1()
+    except Exception as exc:  # fixture build is best-effort
+        return {"error": f"sf1 fixture unavailable: {exc!r}"[:300]}
+    out = {}
+    for name in SF1_HEAVY:
+        spec = REGISTRY[name]
+        try:
+            spark.catalog.clearCache()
+            spec.fn(spark, sf1_dir).count()  # one warm pass (JIT + AQE sizes)
+            spark.catalog.clearCache()
+            spark._jvm.System.gc()
+            t0 = time.perf_counter()
+            spec.fn(spark, sf1_dir).count()
+            sec = round(time.perf_counter() - t0, 4)
+        except Exception as exc:
+            out[name] = {"error": repr(exc)[:200]}
+            continue
+        base = base_timings.get(name)
+        out[name] = {
+            "sec": sec,
+            "ratio_vs_sf0.1": round(sec / base, 2) if base else None,
+        }
+        print(f"# sf1 {name}: {sec:.3f}s", file=sys.stderr)
+    return out
 
 
 ETL_ROWS_PER_PLATFORM = 50_000
@@ -170,6 +231,20 @@ def main() -> None:
     # time for a RECURRING query, cold data caches — actually true;
     # BENCH_r04 is the first round measured this way, so cross-round
     # per-query deltas vs r03 include this methodology correction.
+    # sim_ann_ivf +20% r3->r4 (1.59s -> 1.91s), investigated r5 per the
+    # verdict ask: `git show` proves operators/similarity.py AND the
+    # sim_ann_ivf query body are byte-identical between the r3 and r4
+    # tags, so no engine change can be responsible. The delta is the r4
+    # warm-up methodology itself: under r3's global-pass warm-up the
+    # query sat warm-adjacent to its own family (sim_embedding_topk ran
+    # immediately before it, sharing generated classes); per-query
+    # interleaved warm-ups measure each query against cleared caches and
+    # its OWN two warm passes only. At this query's size (~40 probe
+    # queries x 2000 vectors) the measured 1.9s is dominated by fixed
+    # per-job scheduler/codegen overhead across its multi-job plan, not
+    # data — steady within +/-0.02s across r4/r5 runs, and the same
+    # machinery's sf1 row scales 5.8x for 10x data (near-linear), which
+    # is the number that matters at scale.
     # The cache is CLEARED between every run including warm-ups: several
     # operators persist reused intermediates (jaccard prefix index,
     # pagerank edges, kmeans vectors), and CacheManager would otherwise
@@ -205,18 +280,19 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    sf1 = bench_sf1(spark, timings)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if sf1 is not None:
+        payload["sf1"] = sf1
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

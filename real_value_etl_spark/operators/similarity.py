@@ -123,6 +123,75 @@ def ivf_assign(
     )
 
 
+def ivf_assign_hier(
+    emb: DataFrame,
+    centroids: DataFrame,
+    coarse: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-level IVF assignment: route through a small COARSE codebook
+    first, then pick the nearest FINE centroid within the chosen coarse
+    cell only. Output: (vec_id, v, nv, cluster_id) — same contract as
+    `ivf_assign`.
+
+    Why two levels: flat assignment scores every vector against every
+    fine centroid — with a corpus-proportional fine codebook (cluster
+    sizes bounded, which the blocked kNN self-join needs) that is
+    N x N/mod, the quadratic stage the r5 scale rehearsal measured at
+    44x for 10x data. Routing via |coarse| << |fine| cells costs
+    N x |coarse| + N x (|fine|/|coarse|) — the classic coarse-quantizer
+    trick (IMI / two-level IVF); deeper corpora add levels as log N.
+
+    Determinism: both argmaxes are max_by over (csim, -cid) structs —
+    highest cosine, then lowest id — so a DuckDB oracle replays the
+    routing exactly. When |coarse| = 1 (every driver correctness scale:
+    sf <= 0.01 has a single coarse seed) the cell spans the whole fine
+    codebook and the result is bit-identical to flat `ivf_assign`."""
+    corpus = _with_norm(emb, id_col, vec_col, "v", "nv")
+    cents = _with_norm(centroids, id_col, vec_col, "cv", "nc").select(
+        F.col(id_col).alias("cid"), "cv", "nc"
+    )
+    grid = _with_norm(coarse, id_col, vec_col, "gv", "ng").select(
+        F.col(id_col).alias("gid"), "gv", "ng"
+    )
+
+    def route(df: DataFrame, key: str, v: str, n: str, keep: list[str]) -> DataFrame:
+        scored = df.join(F.broadcast(grid)).select(
+            key,
+            *keep,
+            "gid",
+            (dot(F.col(v), F.col("gv")) / (F.col(n) * F.col("ng"))).alias("gsim"),
+        )
+        return scored.groupBy(key).agg(
+            *[F.any_value(c).alias(c) for c in keep],
+            F.max_by(
+                F.col("gid"), F.struct(F.col("gsim"), (-F.col("gid")).alias("t"))
+            ).alias("gid"),
+        )
+
+    cent_cell = route(cents, "cid", "cv", "nc", ["cv", "nc"])
+    vec_cell = route(corpus, id_col, "v", "nv", ["v", "nv"])
+    scored = vec_cell.join(F.broadcast(cent_cell), "gid").select(
+        id_col,
+        "v",
+        "nv",
+        "cid",
+        (dot(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("nc"))).alias("csim"),
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.any_value("v").alias("v"),
+            F.any_value("nv").alias("nv"),
+            F.max_by(
+                F.col("cid"), F.struct(F.col("csim"), (-F.col("cid")).alias("t"))
+            ).alias("cluster_id"),
+        )
+        .select(id_col, "v", "nv", "cluster_id")
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,

@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as T
 from ..operators.similarity import brute_force_topk
-from .llm import ANN_QUERY_MOD
+from .llm import ANN_QUERY_MOD, ANN_SEED_CAP
 from .registry import register, table
 
 # ---------------------------------------------------------------------------
@@ -273,7 +273,7 @@ def _mat_oracle() -> str:
       FROM embeddings
     ),
     q AS (SELECT vec_id AS qid, v AS qv, t AS qt FROM e
-          WHERE vec_id % {ANN_QUERY_MOD} = 0),
+          WHERE vec_id % {ANN_QUERY_MOD} = 0 AND vec_id < {ANN_SEED_CAP}),
     full_top AS (
       SELECT qid, vec_id FROM (
         SELECT q.qid, e.vec_id,
@@ -312,7 +312,7 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     {GRAM_DIM // MAT_DIM}x cheaper to scan; this query quantifies what
     that buys at the corpus's own data distribution."""
     emb = table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % ANN_QUERY_MOD == 0)
+    queries = emb.filter((F.col("vec_id") % ANN_QUERY_MOD == 0) & (F.col("vec_id") < ANN_SEED_CAP))
     full_top = brute_force_topk(emb, queries, MAT_K).select("qid", "vec_id")
     emb_t = emb.select(
         "vec_id",
@@ -857,7 +857,7 @@ def _pq_adc_oracle() -> str:
     return f"""
     WITH {_pq_cte()},
     q AS (SELECT vec_id AS qid, v AS qv FROM e
-          WHERE vec_id % {ANN_QUERY_MOD} = 0),
+          WHERE vec_id % {ANN_QUERY_MOD} = 0 AND vec_id < {ANN_SEED_CAP}),
     qsub AS (
       SELECT qid, m.range AS m, qv[m.range * {PQ_DSUB} + 1 : (m.range + 1) * {PQ_DSUB}] AS qs
       FROM q, range(0, {PQ_M}) m
@@ -916,7 +916,7 @@ def sim_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     costs in answer quality — the eval every PQ deployment runs before
     flipping the index on."""
     seeds, enc = _pq_seeds_and_codes(spark, sf_dir)
-    queries = enc.filter(F.col("vec_id") % ANN_QUERY_MOD == 0).select(
+    queries = enc.filter((F.col("vec_id") % ANN_QUERY_MOD == 0) & (F.col("vec_id") < ANN_SEED_CAP)).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv")
     )
     luts = _pq_query_luts(queries, seeds)
@@ -986,7 +986,7 @@ def _ivf_pq_oracle() -> str:
     return f"""
     WITH {_pq_cte()},
     ivf_cents AS (SELECT vec_id AS cid, v AS cv FROM e
-                  WHERE vec_id % {IVFPQ_CENT_MOD} = 0),
+                  WHERE vec_id % {IVFPQ_CENT_MOD} = 0 AND vec_id < {ANN_SEED_CAP}),
     assigned AS (
       SELECT vec_id, cid AS cluster_id FROM (
         SELECT e.vec_id, c.cid,
@@ -996,7 +996,7 @@ def _ivf_pq_oracle() -> str:
       ) WHERE r = 1
     ),
     q AS (SELECT vec_id AS qid, v AS qv FROM e
-          WHERE vec_id % {ANN_QUERY_MOD} = 0),
+          WHERE vec_id % {ANN_QUERY_MOD} = 0 AND vec_id < {ANN_SEED_CAP}),
     probes AS (
       SELECT qid, cid AS cluster_id FROM (
         SELECT q.qid, c.cid,
@@ -1058,9 +1058,9 @@ def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     seeds, enc = _pq_seeds_and_codes(spark, sf_dir)
     emb = table(spark, sf_dir, "embeddings")
-    cents = emb.filter(F.col("vec_id") % IVFPQ_CENT_MOD == 0)
+    cents = emb.filter((F.col("vec_id") % IVFPQ_CENT_MOD == 0) & (F.col("vec_id") < ANN_SEED_CAP))
     assigned = ivf_assign(emb, cents).select("vec_id", "cluster_id")
-    queries = enc.filter(F.col("vec_id") % ANN_QUERY_MOD == 0).select(
+    queries = enc.filter((F.col("vec_id") % ANN_QUERY_MOD == 0) & (F.col("vec_id") < ANN_SEED_CAP)).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv")
     )
     # probe ranking: nprobe nearest centroids per query (cosine, tie cid)

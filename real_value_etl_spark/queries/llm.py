@@ -27,6 +27,19 @@ ANN_K = 5
 ANN_QUERY_MOD = 50  # queries = vec_id % 50 == 0
 IVF_CENTROID_MOD = 25  # centroid seeds = vec_id % 25 == 0
 IVF_NPROBE = 3
+# Benchmark workloads are FIXED-SIZE, not corpus-proportional: query and
+# centroid seed sets are drawn from the first ANN_SEED_CAP ids only. At
+# every driver scale (sf <= 0.1 has vec_id < 2000) the cap is a no-op —
+# results are bit-identical to the uncapped definition — but at sf1+ it
+# pins |queries| = 40 and |centroids| = 80, which is what keeps the
+# brute-force/IVF evaluation LINEAR in corpus size: a modulus-only rule
+# grows BOTH sides with N (queries x corpus = quadratic by construction,
+# measured 35x for 10x data in the r5 scale rehearsal), while real ANN
+# benchmarks (SIFT1M, MS MARCO) hold the query set constant as the
+# corpus grows. Production IVF would additionally scale the cell count
+# ~sqrt(N); here the cell count is pinned by the seed lattice so the
+# DuckDB oracle can replay assignment deterministically at any scale.
+ANN_SEED_CAP = 2000
 
 # --- shared oracle CTE fragments ------------------------------------------
 
@@ -182,7 +195,7 @@ _COS_EQ = V.cosine_sql("e.v", "q.qv")
     "sim_embedding_topk",
     oracle=f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % {ANN_QUERY_MOD} = 0),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % {ANN_QUERY_MOD} = 0 AND vec_id < {ANN_SEED_CAP}),
     scored AS (
       SELECT q.qid, e.vec_id, {_COS_EQ} AS sim
       FROM e, q WHERE e.vec_id <> q.qid
@@ -200,7 +213,7 @@ def sim_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for every 50th vector. Query side is
     broadcast; corpus scanned once; only (q x k) rows shuffle for ranking."""
     emb = table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % ANN_QUERY_MOD == 0)
+    queries = emb.filter((F.col("vec_id") % ANN_QUERY_MOD == 0) & (F.col("vec_id") < ANN_SEED_CAP))
     return S.brute_force_topk(emb, queries, ANN_K)
 
 
@@ -213,8 +226,8 @@ def _ivf_oracle() -> str:
     cos_qv = V.cosine_sql("a.v", "p.qv")
     return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {IVF_CENTROID_MOD} = 0),
-    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % {ANN_QUERY_MOD} = 0),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {IVF_CENTROID_MOD} = 0 AND vec_id < {ANN_SEED_CAP}),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % {ANN_QUERY_MOD} = 0 AND vec_id < {ANN_SEED_CAP}),
     assigned AS (
       SELECT vec_id, v, cid AS cluster_id FROM (
         SELECT e.vec_id, e.v, c.cid,
@@ -251,8 +264,8 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     3 nearest centroid lists per query — candidates shrink ~7x vs brute
     force here, ~|centroids|/nprobe at scale."""
     emb = table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % ANN_QUERY_MOD == 0)
-    cents = emb.filter(F.col("vec_id") % IVF_CENTROID_MOD == 0)
+    queries = emb.filter((F.col("vec_id") % ANN_QUERY_MOD == 0) & (F.col("vec_id") < ANN_SEED_CAP))
+    cents = emb.filter((F.col("vec_id") % IVF_CENTROID_MOD == 0) & (F.col("vec_id") < ANN_SEED_CAP))
     return S.ivf_topk(emb, queries, cents, ANN_K, IVF_NPROBE)
 
 
@@ -351,7 +364,7 @@ def _emb_neardup_oracle() -> str:
     cos_ab = V.cosine_sql("a.v", "b.v")
     return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {IVF_CENTROID_MOD} = 0),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {IVF_CENTROID_MOD} = 0 AND vec_id < {ANN_SEED_CAP}),
     assigned AS (
       SELECT vec_id, v, cid AS cluster_id FROM (
         SELECT e.vec_id, e.v, c.cid,
@@ -380,7 +393,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import dot
 
     emb = table(spark, sf_dir, "embeddings")
-    cents = emb.filter(F.col("vec_id") % IVF_CENTROID_MOD == 0)
+    cents = emb.filter((F.col("vec_id") % IVF_CENTROID_MOD == 0) & (F.col("vec_id") < ANN_SEED_CAP))
     assigned = S.ivf_assign(emb, cents)
     a = assigned.alias("a")
     b = assigned.alias("b")
@@ -953,7 +966,7 @@ def _lsh_oracle() -> str:
     cos = V.cosine_sql("cb.v", "qb.qv")
     return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % {ANN_QUERY_MOD} = 0),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % {ANN_QUERY_MOD} = 0 AND vec_id < {ANN_SEED_CAP}),
     cb AS ({cb}),
     qb AS ({qb}),
     scored AS (
@@ -977,7 +990,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Complements IVF: no centroid fitting pass, candidate set adapts to
     bucket collisions — the classic trade-off pair for ANN at scale."""
     emb = table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % ANN_QUERY_MOD == 0)
+    queries = emb.filter((F.col("vec_id") % ANN_QUERY_MOD == 0) & (F.col("vec_id") < ANN_SEED_CAP))
     return S.lsh_topk(emb, queries, ANN_K)
 
 
@@ -1946,7 +1959,7 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
                   list_transform(v, x -> floor(127.0 * x / m)) AS qv
            FROM s WHERE m > 0),
     q AS (SELECT vec_id AS qid, qv AS qq FROM qz
-          WHERE vec_id % {ANN_QUERY_MOD} = 0),
+          WHERE vec_id % {ANN_QUERY_MOD} = 0 AND vec_id < {ANN_SEED_CAP}),
     qscored AS (
       SELECT q.qid, z.vec_id, list_dot_product(z.qv, q.qq) AS qdot
       FROM qz z, q WHERE z.vec_id <> q.qid
@@ -1961,7 +1974,7 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex AS (SELECT vec_id, v,
                   sqrt(list_dot_product(v, v)) AS nv FROM e),
     eq AS (SELECT vec_id AS qid, v AS qv, nv AS nq FROM ex
-           WHERE vec_id % {ANN_QUERY_MOD} = 0),
+           WHERE vec_id % {ANN_QUERY_MOD} = 0 AND vec_id < {ANN_SEED_CAP}),
     escored AS (
       SELECT eq.qid, ex.vec_id,
              (list_dot_product(ex.v, eq.qv) / (ex.nv * eq.nq)) AS sim
@@ -2004,7 +2017,7 @@ def sim_quantization_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v", lambda x: F.floor(F.lit(127.0) * x / F.col("m")).cast("double")
         ).alias("qv"),
     )
-    q = qz.filter(F.col("vec_id") % ANN_QUERY_MOD == 0).select(
+    q = qz.filter((F.col("vec_id") % ANN_QUERY_MOD == 0) & (F.col("vec_id") < ANN_SEED_CAP)).select(
         F.col("vec_id").alias("qid"), F.col("qv").alias("qq")
     )
     qscored = qz.crossJoin(F.broadcast(q)).filter(
@@ -2016,7 +2029,7 @@ def sim_quantization_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r") <= ANN_K)
         .select("qid", "vec_id")
     )
-    queries = emb.filter(F.col("vec_id") % ANN_QUERY_MOD == 0)
+    queries = emb.filter((F.col("vec_id") % ANN_QUERY_MOD == 0) & (F.col("vec_id") < ANN_SEED_CAP))
     etop = S.brute_force_topk(emb, queries, ANN_K).select("qid", "vec_id")
     qt = qtop.select(
         F.col("qid").alias("hit_qid"), F.col("vec_id").alias("hit_id")
@@ -2104,8 +2117,8 @@ def _hard_negatives_oracle() -> str:
     cos_qv = V.cosine_sql("a.v", "p.qv")
     return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {IVF_CENTROID_MOD} = 0),
-    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % {ANN_QUERY_MOD} = 0),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {IVF_CENTROID_MOD} = 0 AND vec_id < {ANN_SEED_CAP}),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % {ANN_QUERY_MOD} = 0 AND vec_id < {ANN_SEED_CAP}),
     assigned AS (
       SELECT vec_id, v, cid AS cluster_id FROM (
         SELECT e.vec_id, e.v, c.cid,
@@ -2151,8 +2164,8 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     to sim_ann_ivf: broadcast centroids, candidates only from probed
     clusters."""
     emb = table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % ANN_QUERY_MOD == 0)
-    cents = emb.filter(F.col("vec_id") % IVF_CENTROID_MOD == 0)
+    queries = emb.filter((F.col("vec_id") % ANN_QUERY_MOD == 0) & (F.col("vec_id") < ANN_SEED_CAP))
+    cents = emb.filter((F.col("vec_id") % IVF_CENTROID_MOD == 0) & (F.col("vec_id") < ANN_SEED_CAP))
     return S.ivf_topk(
         emb, queries, cents, ANN_K, IVF_NPROBE, skip_nearest=1
     )
@@ -2174,7 +2187,7 @@ RERANK_SHORTLIST = 20
                   list_transform(v, x -> floor(127.0 * x / m)) AS qv
            FROM s WHERE m > 0),
     q AS (SELECT vec_id AS qid, qv AS qq FROM qz
-          WHERE vec_id % {ANN_QUERY_MOD} = 0),
+          WHERE vec_id % {ANN_QUERY_MOD} = 0 AND vec_id < {ANN_SEED_CAP}),
     shortlist AS (
       SELECT qid, vec_id FROM (
         SELECT q.qid, z.vec_id,
@@ -2186,7 +2199,7 @@ RERANK_SHORTLIST = 20
     ),
     ex AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nv FROM e),
     eq AS (SELECT vec_id AS qid, v AS qv, nv AS nq FROM ex
-           WHERE vec_id % {ANN_QUERY_MOD} = 0),
+           WHERE vec_id % {ANN_QUERY_MOD} = 0 AND vec_id < {ANN_SEED_CAP}),
     rescored AS (
       SELECT sl.qid, sl.vec_id,
              (list_dot_product(ex.v, eq.qv) / (ex.nv * eq.nq)) AS sim
@@ -2224,7 +2237,7 @@ def sim_rerank_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v", lambda x: F.floor(F.lit(127.0) * x / F.col("m")).cast("double")
         ).alias("qv"),
     )
-    q = qz.filter(F.col("vec_id") % ANN_QUERY_MOD == 0).select(
+    q = qz.filter((F.col("vec_id") % ANN_QUERY_MOD == 0) & (F.col("vec_id") < ANN_SEED_CAP)).select(
         F.col("vec_id").alias("qid"), F.col("qv").alias("qq")
     )
     qscored = (
@@ -2239,7 +2252,7 @@ def sim_rerank_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "vec_id")
     )
     ex = s.select("vec_id", "v", V.norm(F.col("v")).alias("nv"))
-    eq = ex.filter(F.col("vec_id") % ANN_QUERY_MOD == 0).select(
+    eq = ex.filter((F.col("vec_id") % ANN_QUERY_MOD == 0) & (F.col("vec_id") < ANN_SEED_CAP)).select(
         F.col("vec_id").alias("qid"),
         F.col("v").alias("qv_exact"),
         F.col("nv").alias("nq"),
@@ -2652,7 +2665,7 @@ def _nprobe_curve_oracle() -> str:
     return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     cents AS (SELECT vec_id AS cid, v AS cv FROM e
-              WHERE vec_id % {IVF_CENTROID_MOD} = 0),
+              WHERE vec_id % {IVF_CENTROID_MOD} = 0 AND vec_id < {ANN_SEED_CAP}),
     assigned AS (
       SELECT vec_id, v, cid AS cluster_id FROM (
         SELECT e.vec_id, e.v, c.cid,
@@ -2662,7 +2675,7 @@ def _nprobe_curve_oracle() -> str:
       ) WHERE r = 1
     ),
     q AS (SELECT vec_id AS qid, v AS qv FROM e
-          WHERE vec_id % {ANN_QUERY_MOD} = 0),
+          WHERE vec_id % {ANN_QUERY_MOD} = 0 AND vec_id < {ANN_SEED_CAP}),
     escored AS (
       SELECT q.qid, e.vec_id, {V.cosine_sql("e.v", "q.qv")} AS sim
       FROM e, q WHERE e.vec_id <> q.qid
@@ -2700,8 +2713,8 @@ def sim_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import brute_force_topk, ivf_topk
 
     emb = table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % ANN_QUERY_MOD == 0)
-    cents = emb.filter(F.col("vec_id") % IVF_CENTROID_MOD == 0)
+    queries = emb.filter((F.col("vec_id") % ANN_QUERY_MOD == 0) & (F.col("vec_id") < ANN_SEED_CAP))
+    cents = emb.filter((F.col("vec_id") % IVF_CENTROID_MOD == 0) & (F.col("vec_id") < ANN_SEED_CAP))
     exact = (
         brute_force_topk(emb, queries, ANN_K)
         .select("qid", "vec_id")

@@ -52,22 +52,55 @@ from .registry import register, table
 # kNN graph over embeddings (cluster-blocked, mutual edges flagged)
 # ---------------------------------------------------------------------------
 KNN_GRAPH_K = 5
+# The blocked self-join needs cluster sizes BOUNDED (fine cells stay
+# corpus-proportional, every ~25th id), but flat nearest-fine assignment
+# is then N x N/25 — the quadratic stage the r5 scale rehearsal measured
+# at 44x for 10x data. Assignment therefore routes through a COARSE
+# codebook (every 625th id, so |coarse| = |fine|/25): vector -> nearest
+# coarse cell -> nearest fine centroid within that cell. At sf <= 0.01
+# (vec_id < 625) there is a single coarse seed, the cell spans the whole
+# fine codebook, and assignment is bit-identical to the flat version —
+# driver correctness rows are unaffected; only at bench scales does the
+# routing (and the measured near-linear cost) kick in.
+KNN_COARSE_MOD = 625
 
 
 def _knn_edges_cte() -> str:
-    """Shared CTE chain (e, cents, assigned, scored, edges) producing the
-    directed kNN edge list — mirrors `_knn_edges` exactly."""
-    cos_vc = V.cosine_sql("e.v", "c.cv")
+    """Shared CTE chain (e, cents, coarse, cent_cell, vec_cell, assigned,
+    scored, edges) producing the directed kNN edge list — mirrors
+    `_knn_edges` (two-level assignment via operators/similarity.py:
+    ivf_assign_hier) exactly."""
+    cos_cg = V.cosine_sql("c.cv", "g.gv")
+    cos_vg = V.cosine_sql("e.v", "g.gv")
+    cos_xc = V.cosine_sql("x.v", "c.cv")
     cos_ab = V.cosine_sql("a.v", "b.v")
     return f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     cents AS (SELECT vec_id AS cid, v AS cv FROM e
               WHERE vec_id % {IVF_CENTROID_MOD} = 0),
+    coarse AS (SELECT vec_id AS gid, v AS gv FROM e
+               WHERE vec_id % {KNN_COARSE_MOD} = 0),
+    cent_cell AS (
+      SELECT cid, cv, gid FROM (
+        SELECT c.cid, c.cv, g.gid,
+               ROW_NUMBER() OVER (PARTITION BY c.cid
+                                  ORDER BY {cos_cg} DESC, g.gid) AS r
+        FROM cents c, coarse g
+      ) WHERE r = 1
+    ),
+    vec_cell AS (
+      SELECT vec_id, v, gid FROM (
+        SELECT e.vec_id, e.v, g.gid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos_vg} DESC, g.gid) AS r
+        FROM e, coarse g
+      ) WHERE r = 1
+    ),
     assigned AS (
       SELECT vec_id, v, cid AS cluster_id FROM (
-        SELECT e.vec_id, e.v, c.cid,
-               ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                                  ORDER BY {cos_vc} DESC, c.cid) AS r
-        FROM e, cents c
+        SELECT x.vec_id, x.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                                  ORDER BY {cos_xc} DESC, c.cid) AS r
+        FROM vec_cell x JOIN cent_cell c ON x.gid = c.gid
       ) WHERE r = 1
     ),
     scored AS (
@@ -97,12 +130,15 @@ def _knn_graph_oracle() -> str:
 
 def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed kNN edge list (src, dst, sim, rnk) — cluster-blocked: IVF
-    assignment, per-cluster pair join, two-phase-free per-source top-k
-    (the window runs inside a cluster's block). Shared by the kNN-graph
-    and label-propagation queries."""
+    assignment (two-level: coarse routing bounds the assignment cost,
+    corpus-proportional fine cells bound the block join — see
+    KNN_COARSE_MOD), per-cluster pair join, two-phase-free per-source
+    top-k (the window runs inside a cluster's block). Shared by the
+    kNN-graph and label-propagation queries."""
     emb = table(spark, sf_dir, "embeddings")
     cents = emb.filter(F.col("vec_id") % IVF_CENTROID_MOD == 0)
-    assigned = S.ivf_assign(emb, cents)
+    coarse = emb.filter(F.col("vec_id") % KNN_COARSE_MOD == 0)
+    assigned = S.ivf_assign_hier(emb, cents, coarse)
     a = assigned.select(
         F.col("vec_id").alias("src"),
         F.col("v").alias("va"),

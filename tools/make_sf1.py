@@ -1,0 +1,141 @@
+"""Build a local sf1 cost-scaling fixture (10x sf0.1) for the bench's
+scale rehearsal (VERDICT r4 ask #3).
+
+The driver provides sf0.1 as the largest testdata; the 100 TB design
+claims are argued from plan shape. One measured decade of scaling makes
+them empirical, so this tool synthesizes a 10x corpus for the three
+tables the heavyweight headline queries read, with transformations chosen
+so PER-TILE structure is preserved EXACTLY and CROSS-TILE similarity
+drops to the background level — i.e. output sizes and candidate-pair
+densities scale linearly, the way a naturally 10x corpus would, instead
+of exploding quadratically the way naive row duplication would:
+
+- documents: 10 tiles; tile t rewrites every word w -> "w_t{t}" — a
+  bijective renaming into a tile-private vocabulary. Within a tile every
+  content-based similarity (jaccard, shingles, tf-idf cosine, BPE
+  statistics) is preserved bit-for-bit; across tiles similarity is
+  exactly zero and, crucially, the shingle SPACE grows 10x with the
+  corpus — the Heaps'-law behavior of a naturally 10x corpus. (A first
+  cut used a vocabulary PERMUTATION per tile instead; that keeps the
+  word vocabulary CLOSED, so at 10x the 3-shingle space saturates —
+  median shingle df jumped 9 -> 88 — which models a pathological
+  corpus, not a bigger one: posting lists lengthen ~10x and every
+  posting-list-join cost grows ~100x. Disjoint vocabularies keep
+  per-shingle df distributions identical to sf0.1, so candidate counts
+  scale linearly, matching open-vocabulary reality.)
+- embeddings: 10 tiles; tile t applies a tile-seeded random ORTHOGONAL
+  rotation (QR of a seeded Gaussian). Rotations preserve all intra-tile
+  distances/cosines exactly (kNN structure per tile = sf0.1) and
+  decorrelate tiles.
+- lineitem: 10 tiles with orderkey/partkey/suppkey shifted per tile —
+  ten disjoint copies of the purchase graph: node count 10x, degree
+  distribution unchanged, exactly how a 10x-supplier world looks to
+  PageRank.
+
+The remaining seven tables are copied unscaled (no heavy query reads
+them; they keep the directory loadable by any registry query).
+
+Deterministic (fixed seeds), cached behind a marker file. Output lives
+under the repo (gitignored) so the fixture survives until the driver's
+bench run.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+SRC = "/root/testdata/sf0.1"
+DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".bench_sf1")
+TILES = 10
+# key strides: one above the sf0.1 maxima (orderkey 149_999, partkey
+# 19_999, suppkey 999, doc_id/vec_id < 10_000)
+ORDER_STRIDE = 150_000
+PART_STRIDE = 20_000
+SUPP_STRIDE = 1_000
+ID_STRIDE = 10_000
+
+UNSCALED = ("region", "nation", "customer", "supplier", "part", "orders", "events")
+
+
+def _build_documents() -> None:
+    import pandas as pd
+
+    df = pd.read_parquet(f"{SRC}/documents.parquet")
+    tiles = []
+    for t in range(TILES):
+        tile = df.copy()
+        tile["doc_id"] = tile["doc_id"] + t * ID_STRIDE
+        if t > 0:
+            suffix = f"_t{t}"
+            tile["text"] = [
+                " ".join(w + suffix for w in txt.split()) for txt in tile["text"]
+            ]
+            tile["n_chars"] = tile["text"].str.len()
+        tiles.append(tile)
+    pd.concat(tiles, ignore_index=True).to_parquet(
+        f"{DST}/documents.parquet", index=False
+    )
+
+
+def _build_embeddings() -> None:
+    import numpy as np
+    import pandas as pd
+
+    df = pd.read_parquet(f"{SRC}/embeddings.parquet")
+    base = np.stack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+    dim = base.shape[1]
+    tiles = []
+    for t in range(TILES):
+        tile = df.copy()
+        tile["vec_id"] = tile["vec_id"] + t * ID_STRIDE
+        if t > 0:
+            rng = np.random.default_rng(2_000 + t)
+            q, r = np.linalg.qr(rng.standard_normal((dim, dim)))
+            q *= np.sign(np.diag(r))  # deterministic sign convention
+            rotated = (base @ q).astype(np.float32)
+            tile["embedding"] = [row.tolist() for row in rotated]
+        tiles.append(tile)
+    pd.concat(tiles, ignore_index=True).to_parquet(
+        f"{DST}/embeddings.parquet", index=False
+    )
+
+
+def _build_lineitem() -> None:
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count() or 8}")
+    con.execute(
+        f"""
+        COPY (
+          SELECT l_orderkey + t.t * {ORDER_STRIDE} AS l_orderkey,
+                 l_partkey  + t.t * {PART_STRIDE}  AS l_partkey,
+                 l_suppkey  + t.t * {SUPP_STRIDE}  AS l_suppkey,
+                 l_linenumber, l_quantity, l_extendedprice, l_discount,
+                 l_tax, l_returnflag, l_linestatus, l_shipdate
+          FROM '{SRC}/lineitem.parquet', range({TILES}) t(t)
+        ) TO '{DST}/lineitem.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+
+
+def ensure_sf1() -> str:
+    """Build (once, cached) and return the sf1 fixture directory."""
+    marker = os.path.join(DST, ".done")
+    if os.path.exists(marker):
+        return DST
+    shutil.rmtree(DST, ignore_errors=True)
+    os.makedirs(DST, exist_ok=True)
+    _build_documents()
+    _build_embeddings()
+    _build_lineitem()
+    for t in UNSCALED:
+        shutil.copyfile(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
+    open(marker, "w").close()
+    return DST
+
+
+if __name__ == "__main__":
+    print(ensure_sf1())
