@@ -133,23 +133,86 @@ def global_ntile(
     `order_cols` must be a unique composite key (as in SQL you'd always
     add a tiebreak column for deterministic NTILE)."""
     ranked = global_row_number(df, order_cols, "__grank", n_partitions)
-    r = F.col("__grank")
-    n_total = F.col("__n").cast("long")
+    bucket = ntile_from_rank(
+        F.col("__grank"), F.col("__n").cast("long"), n_buckets
+    )
+    return ranked.withColumn(out_col, bucket).drop("__grank", "__n")
+
+
+def grouped_rank_stats(
+    df: DataFrame,
+    group_cols: list,
+    order_cols: list,
+    rank_col: str = "rank",
+    n_col: str = "n_in_group",
+    n_partitions: int = 32,
+) -> DataFrame:
+    """Per-group ROW_NUMBER + group size without per-group single-reducer
+    windows. `Window.partitionBy(g).orderBy(...)` shuffles each group to
+    ONE task — fine for high-cardinality keys, a scale-killer when the
+    group column has a handful of values (each task then sorts ~N/|g|
+    rows; at 100 TB that is the Exchange-SinglePartition problem wearing
+    a hash partitioner). Here a group may SPAN partitions: range-partition
+    on (group, order) keys, rank locally per (partition, group), then add
+    per-(group, partition) starting offsets computed with windows over
+    the tiny count frame — which are partitioned BY GROUP, so no
+    single-partition exchange exists anywhere in the plan.
+
+    rank + group size give every distribution rank arithmetically (the
+    order key must be unique within a group, so there are no ties):
+    ntile via the NTILE bucket formula, percent_rank = (r-1)/(N-1) (0
+    when N = 1), cume_dist = r/N."""
+    part = df.repartitionByRange(
+        n_partitions, *group_cols, *order_cols
+    ).withColumn("__pid", F.spark_partition_id())
+    w_in = Window.partitionBy("__pid", *group_cols).orderBy(*order_cols)
+    with_rn = part.withColumn("__rn", F.row_number().over(w_in))
+    counts = part.groupBy("__pid", *group_cols).agg(
+        F.count("*").alias("__pcnt")
+    )
+    w_prev = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    offsets = counts.select(
+        "__pid",
+        *group_cols,
+        F.coalesce(F.sum("__pcnt").over(w_prev), F.lit(0)).alias("__off"),
+        F.sum("__pcnt").over(w_all).alias("__n"),
+    )
+    return (
+        with_rn.join(F.broadcast(offsets), ["__pid", *group_cols])
+        .withColumn(rank_col, (F.col("__off") + F.col("__rn")).cast("long"))
+        .withColumn(n_col, F.col("__n").cast("long"))
+        .drop("__pid", "__rn", "__off", "__n")
+    )
+
+
+def ntile_from_rank(rank, n_total, n_buckets: int):
+    """NTILE bucket from a (1-based) rank column and the frame/group size
+    — the arithmetic shared by `global_ntile` and grouped callers.
+    `rank`/`n_total` are long Columns; returns an int Column."""
     q = F.floor(n_total / n_buckets).cast("long")
     rem = n_total % n_buckets
     thr = rem * (q + F.lit(1))
-    # q_safe: when N < n_buckets, q = 0 and every row takes the first
-    # branch (r <= thr always) — greatest() keeps the dead branch from
-    # dividing by zero under ANSI evaluation.
+    # when N < n_buckets, q = 0 and every row takes the first branch
+    # (rank <= thr always) — greatest() keeps the dead otherwise-branch
+    # from dividing by zero under ANSI evaluation
     q_safe = F.greatest(q, F.lit(1))
-    bucket = (
+    return (
         F.when(
-            r <= thr, F.floor((r - F.lit(1)) / (q + F.lit(1))) + F.lit(1)
+            rank <= thr,
+            F.floor((rank - F.lit(1)) / (q + F.lit(1))) + F.lit(1),
         ).otherwise(
-            rem + F.floor((r - thr - F.lit(1)) / q_safe) + F.lit(1)
+            rem + F.floor((rank - thr - F.lit(1)) / q_safe) + F.lit(1)
         )
     ).cast("int")
-    return ranked.withColumn(out_col, bucket).drop("__grank", "__n")
 
 
 def global_running_max(

@@ -742,6 +742,71 @@ def docs_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Contiguous serialization layout (global ordinal -> fixed-size shards)
+# ---------------------------------------------------------------------------
+SERIALIZE_SHARD_DOCS = 500  # docs per output shard
+
+
+@register(
+    "docs_serialize_layout",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT doc_id, n_chars,
+             ROW_NUMBER() OVER (ORDER BY source, doc_id) AS ord
+      FROM documents
+    )
+    SELECT CAST(FLOOR((ord - 1) / {SERIALIZE_SHARD_DOCS}) AS BIGINT)
+             AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           arg_min(doc_id, ord) AS first_doc,
+           arg_max(doc_id, ord) AS last_doc
+    FROM ordered GROUP BY 1
+    """,
+    tags=("llm", "export", "window"),
+)
+def docs_serialize_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous ORDER-PRESERVING serialization layout: the corpus gets
+    a global ordinal in (source, doc_id) order and is cut into
+    fixed-{SERIALIZE_SHARD_DOCS}-doc shards — the layout for writing
+    sequential training shards where readers rely on a stable global
+    order (resume tokens, curriculum order), complementing
+    docs_shuffle_shards (randomized) and docs_length_balanced_buckets
+    (token-balanced). The ordinal is NOT `ROW_NUMBER() OVER (ORDER BY
+    ...)` — that plans an Exchange SinglePartition over the corpus; it
+    is the two-phase `global_row_number` (operators/scan.py):
+    range-partition on the sort key, rank locally, broadcast the
+    n_partitions-row offset frame back. first/last doc per shard are
+    order-argmins (min_by on the ordinal), not id-mins — the id order
+    and the serialization order differ by design."""
+    from ..operators.scan import global_row_number
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    ranked = global_row_number(
+        d, [F.asc("source"), F.asc("doc_id")], "ord"
+    ).drop("__n")
+    return (
+        ranked.select(
+            F.floor((F.col("ord") - 1) / SERIALIZE_SHARD_DOCS)
+            .cast("long")
+            .alias("shard"),
+            "doc_id",
+            "n_chars",
+            "ord",
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min_by("doc_id", "ord").alias("first_doc"),
+            F.max_by("doc_id", "ord").alias("last_doc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Token-budget sampling (apply-the-mix: take docs until each source's budget)
 # ---------------------------------------------------------------------------
 BUDGET_TOKENS_PER_SOURCE = 20_000

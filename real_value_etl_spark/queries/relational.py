@@ -688,7 +688,7 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical NTILE semantics (ties split across buckets by the
     custkey tiebreak, exactly as the oracle's window), with the only
     single-partition window running over the ~32-row partition-count
-    frame. Plan-pinned by test_rfm_ntile_is_two_phase. Aggregations are
+    frame. Plan-pinned by test_ntile_queries_are_two_phase. Aggregations are
     decimal-exact so the segment values hash-match."""
     from ..operators.scan import global_ntile
 
@@ -919,8 +919,8 @@ def q_cumulative_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate; the decile rank is `global_ntile` (operators/scan.py) —
     two-phase range-partitioned rank + broadcast offsets, bit-identical
     to the oracle's NTILE but with no Exchange SinglePartition over the
-    customer frame (plan-pinned by test_cumulative_gains_ntile_is_two_
-    phase); the cumulative windows then run over the TEN-row decile
+    customer frame (plan-pinned by test_ntile_queries_are_two_phase);
+    the cumulative windows then run over the TEN-row decile
     frame — bounded by construction. Decimal sums end-to-end: every
     double is one division of exact decimals, so the curve hash-matches
     the oracle."""

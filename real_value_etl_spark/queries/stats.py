@@ -163,19 +163,41 @@ def q_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "ranking", "agg"),
 )
 def q_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decile assignment + distribution ranks per order priority. All three
-    ranking functions share ONE (partition, order) spec -> one exchange;
-    the unique o_orderkey tiebreak makes every rank deterministic.
-    percent_rank/cume_dist are exact integer-ratio doubles in both engines."""
-    o = table(spark, sf_dir, "orders")
-    win = Window.partitionBy("o_orderpriority").orderBy(
-        "o_totalprice", "o_orderkey"
+    """Decile assignment + distribution ranks per order priority.
+
+    o_orderpriority has FIVE distinct values — a window PARTITION BY on
+    it funnels ~N/5 rows through each of five tasks, the same
+    one-reducer shape as a global window, just five-wide (the 100 TB
+    hazard class VERDICT r4 flagged for the global NTILE pair). All
+    three ranking functions are therefore derived ARITHMETICALLY from
+    one two-phase per-group rank (operators/scan.py:grouped_rank_stats —
+    groups span range partitions; offsets come from a tiny
+    per-(group, partition) count frame, windows over it partitioned BY
+    GROUP, so no single-partition exchange exists at all): ntile via the
+    bucket formula, percent_rank = (r-1)/(N-1), cume_dist = r/N — exact
+    because the o_orderkey tiebreak makes the in-group order total.
+    Integer-ratio doubles are the same IEEE divisions both engines
+    compute, so values hash-match the oracle's window form."""
+    from ..operators.scan import grouped_rank_stats, ntile_from_rank
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice", "o_orderkey"
     )
-    w = o.select(
+    stats = grouped_rank_stats(
+        o,
+        ["o_orderpriority"],
+        ["o_totalprice", "o_orderkey"],
+        rank_col="r",
+        n_col="n",
+    )
+    r, n = F.col("r"), F.col("n")
+    w = stats.select(
         "o_orderpriority",
-        F.ntile(10).over(win).alias("decile"),
-        F.percent_rank().over(win).alias("pct_rank"),
-        F.cume_dist().over(win).alias("cume"),
+        ntile_from_rank(r, n, 10).alias("decile"),
+        F.when(n == 1, F.lit(0.0))
+        .otherwise((r - 1).cast("double") / (n - 1).cast("double"))
+        .alias("pct_rank"),
+        (r.cast("double") / n.cast("double")).alias("cume"),
         "o_totalprice",
     )
     return w.groupBy("o_orderpriority", "decile").agg(
