@@ -229,6 +229,15 @@ def connected_components_star(
         return linked.unionByName(selfl).filter(F.col("x") != F.col("m"))
 
     converged = False
+    # Convergence probe is COUNT-GATED: both frames are distinct sets, so
+    # |cur| == |nxt| together with nxt \ cur == ∅ already implies set
+    # equality — one exceptAll instead of two, and rounds whose edge
+    # count changed (most pre-convergence rounds) skip the exceptAll
+    # shuffle entirely. Counts on eagerly-checkpointed frames are cheap
+    # (no recompute), and cur's count is carried from the previous round.
+    # At corpus scale each avoided exceptAll is a full shuffle of the
+    # edge set — this halves the probe cost of the iteration.
+    cur_count = cur.count()
     for _ in range(max_iterations):
         ls = large_star(cur).select(
             F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
@@ -239,12 +248,14 @@ def connected_components_star(
             .distinct()
             .localCheckpoint(eager=True)
         )
+        nxt_count = nxt.count()
         stable = (
-            nxt.exceptAll(cur).limit(1).count() == 0
-            and cur.exceptAll(nxt).limit(1).count() == 0
+            nxt_count == cur_count
+            and nxt.exceptAll(cur).limit(1).count() == 0
         )
         cur.unpersist()
         cur = nxt
+        cur_count = nxt_count
         if stable:
             converged = True
             break

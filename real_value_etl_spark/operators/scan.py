@@ -32,7 +32,9 @@ def global_running_sum(
     decimal_type: str = "decimal(38,2)",
 ) -> DataFrame:
     """Exact global running sum of `value_col` (pre-cast it to a decimal
-    type for exactness) in `order_cols` order, computed scalably.
+    type for exactness; integer callers may pass decimal_type="long" —
+    integer addition is exact natively) in `order_cols` order, computed
+    scalably.
 
     `order_cols` must be a unique key (ties that straddle a range-partition
     boundary would make per-partition prefixes ill-defined)."""

@@ -1088,8 +1088,14 @@ def docs_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     and how much more crawl is worth ingesting). Plan: each type reduces
     to its FIRST document (one token-keyed aggregation — never a
     cumulative distinct over prefixes, which would be quadratic), blocks
-    aggregate map-side, and the running total is a window over the tiny
-    block table."""
+    aggregate map-side, and the running total goes through the two-phase
+    `global_running_sum` — the block table is corpus/{VOCAB_CURVE_STEP}
+    rows, which is small but NOT bounded (at 10^10 docs it is 10^7+ rows;
+    an unpartitioned window there was the r5 plan sweep's one non-scalar
+    single-partition hit). Integer block sums are exact, so the scan's
+    regrouping changes nothing."""
+    from ..operators.scan import global_running_sum
+
     d = table(spark, sf_dir, "documents")
     firsts = (
         d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
@@ -1101,14 +1107,13 @@ def docs_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("bucket")
     ).agg(F.count("*").alias("new_types"))
-    w = (
-        Window.orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    summed = global_running_sum(
+        b, ["bucket"], "new_types", out_col="vocab_size", decimal_type="long"
     )
-    return b.select(
+    return summed.select(
         (F.col("bucket") * VOCAB_CURVE_STEP).alias("docs_seen"),
         "new_types",
-        F.sum("new_types").over(w).alias("vocab_size"),
+        "vocab_size",
     )
 
 

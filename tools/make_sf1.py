@@ -46,7 +46,8 @@ import os
 import shutil
 
 SRC = "/root/testdata/sf0.1"
-DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".bench_sf1")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DST = os.path.join(_REPO, ".bench_sf1")
 TILES = 10
 # key strides: one above the sf0.1 maxima (orderkey 149_999, partkey
 # 19_999, suppkey 999, doc_id/vec_id < 10_000)
@@ -58,12 +59,12 @@ ID_STRIDE = 10_000
 UNSCALED = ("region", "nation", "customer", "supplier", "part", "orders", "events")
 
 
-def _build_documents() -> None:
+def _build_documents(dst: str, tiles: int) -> None:
     import pandas as pd
 
     df = pd.read_parquet(f"{SRC}/documents.parquet")
-    tiles = []
-    for t in range(TILES):
+    parts = []
+    for t in range(tiles):
         tile = df.copy()
         tile["doc_id"] = tile["doc_id"] + t * ID_STRIDE
         if t > 0:
@@ -72,21 +73,21 @@ def _build_documents() -> None:
                 " ".join(w + suffix for w in txt.split()) for txt in tile["text"]
             ]
             tile["n_chars"] = tile["text"].str.len()
-        tiles.append(tile)
-    pd.concat(tiles, ignore_index=True).to_parquet(
-        f"{DST}/documents.parquet", index=False
+        parts.append(tile)
+    pd.concat(parts, ignore_index=True).to_parquet(
+        f"{dst}/documents.parquet", index=False
     )
 
 
-def _build_embeddings() -> None:
+def _build_embeddings(dst: str, tiles: int) -> None:
     import numpy as np
     import pandas as pd
 
     df = pd.read_parquet(f"{SRC}/embeddings.parquet")
     base = np.stack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
     dim = base.shape[1]
-    tiles = []
-    for t in range(TILES):
+    parts = []
+    for t in range(tiles):
         tile = df.copy()
         tile["vec_id"] = tile["vec_id"] + t * ID_STRIDE
         if t > 0:
@@ -95,13 +96,13 @@ def _build_embeddings() -> None:
             q *= np.sign(np.diag(r))  # deterministic sign convention
             rotated = (base @ q).astype(np.float32)
             tile["embedding"] = [row.tolist() for row in rotated]
-        tiles.append(tile)
-    pd.concat(tiles, ignore_index=True).to_parquet(
-        f"{DST}/embeddings.parquet", index=False
+        parts.append(tile)
+    pd.concat(parts, ignore_index=True).to_parquet(
+        f"{dst}/embeddings.parquet", index=False
     )
 
 
-def _build_lineitem() -> None:
+def _build_lineitem(dst: str, tiles: int) -> None:
     import duckdb
 
     con = duckdb.connect()
@@ -114,28 +115,41 @@ def _build_lineitem() -> None:
                  l_suppkey  + t.t * {SUPP_STRIDE}  AS l_suppkey,
                  l_linenumber, l_quantity, l_extendedprice, l_discount,
                  l_tax, l_returnflag, l_linestatus, l_shipdate
-          FROM '{SRC}/lineitem.parquet', range({TILES}) t(t)
-        ) TO '{DST}/lineitem.parquet' (FORMAT PARQUET)
+          FROM '{SRC}/lineitem.parquet', range({tiles}) t(t)
+        ) TO '{dst}/lineitem.parquet' (FORMAT PARQUET)
         """
     )
     con.close()
 
 
-def ensure_sf1() -> str:
-    """Build (once, cached) and return the sf1 fixture directory."""
-    marker = os.path.join(DST, ".done")
+def ensure_tiled(tiles: int, dst: str) -> str:
+    """Build (once, cached) and return a tiled fixture directory."""
+    marker = os.path.join(dst, ".done")
     if os.path.exists(marker):
-        return DST
-    shutil.rmtree(DST, ignore_errors=True)
-    os.makedirs(DST, exist_ok=True)
-    _build_documents()
-    _build_embeddings()
-    _build_lineitem()
+        return dst
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst, exist_ok=True)
+    _build_documents(dst, tiles)
+    _build_embeddings(dst, tiles)
+    _build_lineitem(dst, tiles)
     for t in UNSCALED:
-        shutil.copyfile(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
+        shutil.copyfile(f"{SRC}/{t}.parquet", f"{dst}/{t}.parquet")
     open(marker, "w").close()
-    return DST
+    return dst
+
+
+def ensure_sf1() -> str:
+    """The bench's sf1 fixture (10 tiles)."""
+    return ensure_tiled(TILES, DST)
+
+
+def ensure_sf10() -> str:
+    """A second decade (100 tiles, ~1.5 GB) for one-off exponent checks —
+    too slow for the per-round bench, used by tools/scaling_probe.py."""
+    return ensure_tiled(100, os.path.join(_REPO, ".bench_sf10"))
 
 
 if __name__ == "__main__":
-    print(ensure_sf1())
+    import sys
+
+    print(ensure_sf10() if "--sf10" in sys.argv else ensure_sf1())
