@@ -196,11 +196,21 @@ def grouped_rank_stats(
     )
 
 
+def _idiv(a, b):
+    """Exact integer division of long Columns via Spark's IntegralDivide
+    (`div`). `floor(a / b)` goes through DOUBLE division, whose 53-bit
+    mantissa silently rounds operands above 2^53 — `div` stays in long
+    arithmetic, so the NTILE bucket math is exact for any long-range
+    count (all operands here are non-negative, where `div` == floor)."""
+    return F.call_function("div", a, b)
+
+
 def ntile_from_rank(rank, n_total, n_buckets: int):
     """NTILE bucket from a (1-based) rank column and the frame/group size
     — the arithmetic shared by `global_ntile` and grouped callers.
-    `rank`/`n_total` are long Columns; returns an int Column."""
-    q = F.floor(n_total / n_buckets).cast("long")
+    `rank`/`n_total` are long Columns; returns an int Column. All
+    divisions are integral (`div`), exact for any long-range count."""
+    q = _idiv(n_total, F.lit(n_buckets).cast("long"))
     rem = n_total % n_buckets
     thr = rem * (q + F.lit(1))
     # when N < n_buckets, q = 0 and every row takes the first branch
@@ -210,9 +220,9 @@ def ntile_from_rank(rank, n_total, n_buckets: int):
     return (
         F.when(
             rank <= thr,
-            F.floor((rank - F.lit(1)) / (q + F.lit(1))) + F.lit(1),
+            _idiv(rank - F.lit(1), q + F.lit(1)) + F.lit(1),
         ).otherwise(
-            rem + F.floor((rank - thr - F.lit(1)) / q_safe) + F.lit(1)
+            rem + _idiv(rank - thr - F.lit(1), q_safe) + F.lit(1)
         )
     ).cast("int")
 

@@ -103,6 +103,13 @@ def ivf_assign(
     cents = _with_norm(centroids, id_col, vec_col, "cv", "nc").select(
         F.col(id_col).alias("cid"), "cv", "nc"
     )
+    return _nearest_fine(corpus, cents, id_col)
+
+
+def _nearest_fine(corpus: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
+    """Flat argmax assignment of (id, v, nv) rows against a broadcast
+    (cid, cv, nc) codebook — the shared body of `ivf_assign` and the
+    orphan fallback in `ivf_assign_hier`."""
     scored = corpus.join(F.broadcast(cents)).select(
         id_col,
         "v",
@@ -179,7 +186,7 @@ def ivf_assign_hier(
         "cid",
         (dot(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("nc"))).alias("csim"),
     )
-    return (
+    matched = (
         scored.groupBy(id_col)
         .agg(
             F.any_value("v").alias("v"),
@@ -190,6 +197,19 @@ def ivf_assign_hier(
         )
         .select(id_col, "v", "nv", "cluster_id")
     )
+    # Coverage guarantee: a coarse cell with ZERO fine centroids (possible
+    # only when exact cosine ties route a coarse seed into a different
+    # cell) would silently drop the vectors routed there — violating the
+    # `ivf_assign` contract that every input row is assigned. Catch the
+    # remainder with an anti-join against the covered cells (tiny
+    # broadcast set) and fall back to flat assignment against the FULL
+    # fine codebook. Empty in every normal run, so the fallback branch
+    # scans zero rows; the plan cost is one broadcast anti-join.
+    covered = cent_cell.select("gid").distinct()
+    orphans = vec_cell.join(F.broadcast(covered), "gid", "left_anti").select(
+        id_col, "v", "nv"
+    )
+    return matched.unionByName(_nearest_fine(orphans, cents, id_col))
 
 
 def ivf_topk(
