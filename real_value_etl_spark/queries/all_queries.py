@@ -34,70 +34,69 @@ from . import (  # noqa: F401
 )
 from .registry import REGISTRY
 
-# Round-5 window (VERDICT r4 ask #1): the 25 queries that have never had
-# a driver CORRECTNESS row — exactly the round-4 additions (computed
-# mechanically as registry − keys(CORRECTNESS_r01∪r02∪r03∪r04)) — rotate
-# IN. The 25 spare slots re-confirm, per the verdict's guidance: the
-# rewritten NTILE query `q_rfm_segments` (its plan changed this round —
-# VERDICT r4 ask #2; `q_cumulative_gains`, the other rewrite, is among
-# the 25), the heaviest previously-green headliners, and the r2 fixes.
-# With all green, cumulative driver-green reaches 207/207 (one of which,
-# `q_approx_stats`, is rows-only by construction).
+# Round-6 window (VERDICT r5 asks #2 and #8): close the last driver hole
+# (`docs_serialize_layout`, the only registry entry without a CORRECTNESS
+# row), land the new MP4 box-walk query, re-confirm every query whose
+# plan changed this round or in r5 (the exact-integer `ntile_from_rank`
+# rewrite touches the three NTILE queries; the `ivf_assign_hier` coverage
+# fallback touches the IVF family), and spend the spare slots on the
+# queries with the OLDEST driver evidence (39 r1 + 3 r2 latest-verified
+# rows, computed mechanically from CORRECTNESS_r01..r05).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- never-driver-verified: the 25 round-4 additions
-    "asof_next_click",
-    "customer_via_csv_source",
-    "docs_quality_calibration",
-    "docs_span_pair_dedup",
-    "docs_udtf_token_spans",
-    "emb_power_iteration",
-    "emb_random_projection",
-    "events_ab_test_zscore",
-    "events_late_arrival_audit",
-    "events_scd2_pointintime",
-    "events_seasonal_baseline",
-    "graph_bfs_distance",
-    "graph_components_star",
-    "lang_id_auc",
-    "multimodal_wav_header_parse",
-    "q_cumulative_gains",
-    "q_null_semantics",
-    "q_percentile_disc",
-    "q_salted_hot_key_agg",
-    "q_try_arithmetic",
-    "sim_nprobe_recall_curve",
-    "sim_silhouette",
-    "stream_kmv_distinct",
-    "text_kmv_jaccard",
-    "text_tokenizer_fertility",
-    # -- re-confirm: plan rewritten this round (two-phase global_ntile)
+    # -- never-driver-verified
+    "docs_serialize_layout",
+    "multimodal_mp4_header_parse",
+    # -- re-confirm: plans changed (r5 two-phase rank / r6 ntile div +
+    #    hier-IVF orphan fallback)
+    "q_ntile_deciles",
     "q_rfm_segments",
-    # -- re-confirm: heaviest previously-green headliners
-    "text_tfidf_cosine_pairs",
-    "sim_ivf_pq_topk",
-    "graph_pagerank_lineitem",
-    "text_bpe_train",
-    "dedup_jaccard_prefix",
+    "q_cumulative_gains",
     "sim_knn_graph",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "sim_kmeans_train",
-    "graph_label_propagation",
-    "graph_triangle_count",
-    "orders_market_basket",
-    "stream_holt_forecast",
-    "events_k_anonymity",
-    "dedup_exact_docs",
-    "events_dedup_keepfirst",
-    "fuzzy_match_customers",
-    "multimodal_decode",
-    "etl_scalar_funcs",
-    "etl_array_funcs",
-    # -- re-confirm: the four r2 fixes
-    "docs_pretraining_mix",
-    "text_postings",
-    "docs_pack_sequences",
-    "sim_embedding_topk",
+    "sim_ann_ivf",
+    "sim_ivf_pq_topk",
+    # -- re-confirm rotation: oldest driver evidence first (r1, then r2)
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    "dedup_lsh_recall",
+    "dedup_ngram_jaccard",
+    "docs_chunking",
+    "docs_cross_source_overlap",
+    "docs_stratified_sample",
+    "docs_train_test_split",
+    "multimodal_features",
+    "multimodal_frames",
+    "multimodal_resize",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q_cube_orders",
+    "q_distinct_customers",
+    "q_grouping_sets",
+    "q_rollup_returnflag",
+    "q_semi_anti_customers",
+    "q_setops_parts",
+    "q_ship_lag",
+    "q_sql_text_interface",
+    "q_top_customers",
+    "q_topk_per_group",
+    "q_window_order_rank",
+    "sim_ann_lsh",
+    "sim_cluster_quality",
+    "text_bigram_lm_score",
+    "text_bm25_search",
+    "text_fingerprint",
+    "text_heavy_hitters",
+    "text_keyword_extract",
+    "text_lang_id",
+    "text_pii_scrub",
+    "text_quality_score",
+    "text_repetition_ratio",
+    "text_term_frequency",
+    "text_token_stats",
+    "asof_purchase_login",
+    "bloom_semi_lineitem",
+    "docs_decontaminate",
 )
 
 
