@@ -93,7 +93,70 @@ SF1_HEAVY = [
     # AllPairs path
     "dedup_exact_docs",
     "dedup_minhash_lsh",
+    # round-6 (VERDICT r5 ask #4): the previously un-rehearsed heavies —
+    # the heaviest headline (O(log n) star CC), the df-capped span-pair
+    # index, the Arrow pHash + banded-join path, and one streaming drain
+    # (events are tiled 10x in the fixture as of make_sf1 v2, so the
+    # stream row reflects a real 10x source)
+    "graph_components_star",
+    "docs_span_pair_dedup",
+    "multimodal_phash_dedup",
+    "stream_kmv_distinct",
 ]
+
+
+def bench_sf001(spark) -> dict[str, float] | None:
+    """Third scale point (VERDICT r5 ask #5): time SF1_HEAVY at sf0.01 so
+    the sf0.01 -> sf0.1 -> sf1 decades give TWO per-query scaling
+    exponents. Two points can't separate N^0.8 from N log N + constant;
+    with three, a decade ratio that GROWS across decades is the
+    superlinear signature (at small N fixed per-job overhead dominates,
+    so e(0.01->0.1) < e(0.1->1) <= ~1.08 is the healthy profile)."""
+    if not SF_DIR.rstrip("/").endswith("sf0.1"):
+        return None
+    from real_value_etl_spark.queries.registry import REGISTRY
+
+    sf001 = "/root/testdata/sf0.01"
+    out: dict[str, float] = {}
+    for name in SF1_HEAVY:
+        spec = REGISTRY[name]
+        try:
+            spark.catalog.clearCache()
+            spec.fn(spark, sf001).count()  # warm (JIT + AQE sizes)
+            spark.catalog.clearCache()
+            spark._jvm.System.gc()
+            t0 = time.perf_counter()
+            spec.fn(spark, sf001).count()
+            out[name] = round(time.perf_counter() - t0, 4)
+        except Exception:
+            continue
+        print(f"# sf0.01 {name}: {out[name]:.3f}s", file=sys.stderr)
+    return out
+
+
+def decade_exponents(
+    t001: dict[str, float] | None,
+    t01: dict[str, float],
+    sf1: dict | None,
+) -> dict[str, dict[str, float]] | None:
+    """Per-query decade exponents e = log10(t_next / t_prev) for the two
+    measured decades. e <= 1 is sub-linear; a RISING e across decades is
+    the superlinear red flag the three-point design exists to catch."""
+    import math
+
+    if not t001 or not isinstance(sf1, dict):
+        return None
+    out: dict[str, dict[str, float]] = {}
+    for name, a in t001.items():
+        b = t01.get(name)
+        c = (sf1.get(name) or {}).get("sec")
+        if not (a and b and c):
+            continue
+        out[name] = {
+            "e_001_to_01": round(math.log10(b / a), 3),
+            "e_01_to_1": round(math.log10(c / b), 3),
+        }
+    return out
 
 
 def bench_sf1(spark, base_timings: dict[str, float]):
@@ -111,9 +174,23 @@ def bench_sf1(spark, base_timings: dict[str, float]):
     except Exception as exc:  # fixture build is best-effort
         return {"error": f"sf1 fixture unavailable: {exc!r}"[:300]}
     out = {}
+    bases = dict(base_timings)  # local: the headline payload stays as-is
     for name in SF1_HEAVY:
         spec = REGISTRY[name]
         try:
+            if name not in bases:
+                # SF1_HEAVY entry outside HEADLINE (the streaming drain):
+                # time its sf0.1 base here, same warm protocol
+                spark.catalog.clearCache()
+                spec.fn(spark, SF_DIR).count()
+                spark.catalog.clearCache()
+                spark._jvm.System.gc()
+                t0 = time.perf_counter()
+                spec.fn(spark, SF_DIR).count()
+                bases[name] = round(time.perf_counter() - t0, 4)
+                print(
+                    f"# sf0.1 base {name}: {bases[name]:.3f}s", file=sys.stderr
+                )
             spark.catalog.clearCache()
             spec.fn(spark, sf1_dir).count()  # one warm pass (JIT + AQE sizes)
             spark.catalog.clearCache()
@@ -124,12 +201,196 @@ def bench_sf1(spark, base_timings: dict[str, float]):
         except Exception as exc:
             out[name] = {"error": repr(exc)[:200]}
             continue
-        base = base_timings.get(name)
+        base = bases.get(name)
         out[name] = {
             "sec": sec,
             "ratio_vs_sf0.1": round(sec / base, 2) if base else None,
         }
         print(f"# sf1 {name}: {sec:.3f}s", file=sys.stderr)
+    return out
+
+
+def bench_skew(spark):
+    """Zipf-skew rehearsal (VERDICT r5 ask #7) on a 10x events table whose
+    user_id is Zipf(1)-distributed — the heaviest user owns ~14% of ALL
+    rows, the 100 TB hazard the uniform sf1 tiles can't show. Three
+    probes, in decreasing order of what local wall-clock can prove:
+
+    1. STRUCTURAL task-size metric for sessionize: rows landing on the
+       heaviest task under the per-key window's hash(user_id) exchange vs
+       under `sessionize_two_phase`'s range(user_id, ts) exchange. At
+       100 TB the heaviest task IS the wall-clock; this metric transfers,
+       wall-clock at 1M rows does not (measured below: the hot task is
+       ~140k rows — a sort local[32] absorbs — so the two-phase's extra
+       shuffle makes it SLOWER here; the crossover is when the hot key's
+       volume exceeds one task's budget, which 14% of 100 TB always does).
+    2. wall-clock A/B of the two sessionize plans (honest small-scale
+       numbers, not the scale argument).
+    3. AQE skew-join demo on a user_id-keyed SMJ (dimension enrich join —
+       thresholds lowered to fire at fixture scale; production sizes trip
+       the default 256 MB threshold unaided). Two findings baked into the
+       probe's design, both verified live this round: (a) the dim side
+       must be INDEPENDENT of the fact scan — when both join inputs
+       descend from the same parquet scan (e.g. a self-derived per-user
+       profile), Spark's OptimizeSkewedJoin declines to split and the
+       hot partition survives; compute profiles as a separate source or
+       broadcast them. (b) events_attribution rides along timed: its
+       join key (user_id, session_seq) is the canonical key-refinement
+       skew fix, but refinement only decomposes a hot user whose
+       timeline has GAPS — this fixture's hot user is so dense the
+       sessions merge into one giant session, and (measured) AQE's
+       splitter is what saves the join. Defense in depth, not either/or.
+
+    Runs LAST: it lowers AQE thresholds for probe 3 and restores them.
+    """
+    if not SF_DIR.rstrip("/").endswith("sf0.1"):
+        return None
+    from pyspark.sql import functions as F
+
+    from real_value_etl_spark.operators.sessionize import (
+        sessionize,
+        sessionize_two_phase,
+    )
+    from real_value_etl_spark.queries import all_queries  # noqa: F401
+    from real_value_etl_spark.queries.registry import REGISTRY, table
+
+    try:
+        from tools.make_sf1 import ensure_sf1_skew
+
+        skew_dir = ensure_sf1_skew()
+    except Exception as exc:
+        return {"error": f"skew fixture unavailable: {exc!r}"[:300]}
+
+    out: dict[str, object] = {}
+
+    def max_task_rows(df) -> int:
+        return (
+            df.groupBy(F.spark_partition_id().alias("p"))
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+
+    ev = table(spark, skew_dir, "events")
+    n_total = ev.count()
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    out["rows"] = n_total
+    out["max_task_rows_keyhash"] = max_task_rows(
+        ev.repartition(n_part, "user_id")
+    )
+    out["max_task_rows_range"] = max_task_rows(
+        ev.repartitionByRange(n_part, "user_id", "ts")
+    )
+    print(
+        f"# skew structural: heaviest task {out['max_task_rows_keyhash']} rows "
+        f"(hash(user_id), {100.0*out['max_task_rows_keyhash']/n_total:.1f}% of all) "
+        f"vs {out['max_task_rows_range']} (range(user_id, ts), two-phase)",
+        file=sys.stderr,
+    )
+
+    def _sess_agg(sess_df):
+        return sess_df.groupBy("user_id", "session_seq").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        )
+
+    def _timed(fn):
+        fn().count()  # warm (JIT + AQE sizes)
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
+        t0 = time.perf_counter()
+        n = fn().count()
+        return round(time.perf_counter() - t0, 4), n
+
+    naive_sec, naive_n = _timed(
+        lambda: _sess_agg(sessionize(ev, "user_id", "ts", 1800))
+    )
+    two_sec, two_n = _timed(
+        lambda: _sess_agg(sessionize_two_phase(ev, "user_id", "ts", 1800))
+    )
+    assert naive_n == two_n, "two-phase sessionize row count diverged"
+    out["sessionize_keywide_window"] = naive_sec
+    out["sessionize_two_phase"] = two_sec
+    out["sessions"] = naive_n
+    print(
+        f"# skew sessionize: key-wide {naive_sec:.3f}s vs two-phase "
+        f"{two_sec:.3f}s ({naive_n} sessions)",
+        file=sys.stderr,
+    )
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        # fire AQE's splitter at fixture scale; disable broadcast so the
+        # join actually sort-merges on the skewed key
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "64KB",
+        )
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.5")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        def _final_plan_exec(df):
+            """Execute the frame's OWN QueryExecution (df.count() builds
+            a different one, whose finalized plan the df never sees) and
+            return (sec, final adaptive plan string)."""
+            qe = df._jdf.queryExecution()
+            qe.executedPlan().execute().count()  # warm, JVM-side action
+            spark.catalog.clearCache()
+            spark._jvm.System.gc()
+            t0 = time.perf_counter()
+            qe2 = df._jdf.queryExecution()
+            qe2.executedPlan().execute().count()
+            return round(time.perf_counter() - t0, 4), qe2.executedPlan().toString()
+
+        # probe 3a: user_id-keyed dim-enrich join — the hot user's
+        # partition is ~10% of the fact side; AQE must split it. The dim
+        # is INDEPENDENT of the fact scan on purpose (see docstring: a
+        # profile derived from the same scan defeats OptimizeSkewedJoin).
+        from pyspark.sql import functions as SF
+
+        dim = spark.range(1, 1501).select(
+            SF.col("id").alias("user_id"), (SF.col("id") * 7).alias("segment")
+        )
+        enrich = ev.join(dim, "user_id").select(
+            "event_id", "user_id", "value", "segment"
+        )
+        out["enrich_join"], plan = _final_plan_exec(enrich)
+        out["enrich_aqe_skew_split"] = "skew=true" in plan
+        print(
+            f"# skew enrich join: {out['enrich_join']:.3f}s "
+            f"(AQE skew split: {out['enrich_aqe_skew_split']})",
+            file=sys.stderr,
+        )
+
+        # probe 3b: events_attribution — (user_id, session_seq) key
+        # refinement already decomposes the hot user; AQE finds nothing
+        spark.catalog.clearCache()
+        df = REGISTRY["events_attribution"].fn(spark, skew_dir)
+        out["events_attribution"], plan = _final_plan_exec(df)
+        out["attribution_aqe_skew_split"] = "skew=true" in plan
+        print(
+            f"# skew attribution: {out['events_attribution']:.3f}s "
+            f"(AQE skew split: {out['attribution_aqe_skew_split']})",
+            file=sys.stderr,
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
     return out
 
 
@@ -245,6 +506,17 @@ def main() -> None:
     # data — steady within +/-0.02s across r4/r5 runs, and the same
     # machinery's sf1 row scales 5.8x for 10x data (near-linear), which
     # is the number that matters at scale.
+    # DRIFT VERDICT (r6, closing the r5 open question): BENCH_r05's
+    # shared-33 total of 42.03s (+15.6% vs r4's 36.37s, uniform across
+    # untouched queries) did NOT reproduce — two back-to-back quiet-window
+    # runs this round measured 36.27s and 37.43s on the same shared-33,
+    # i.e. r4-level, with no engine change that could explain a recovery
+    # (the headline bodies are byte-identical r5->r6 except the three
+    # NTILE queries' div rewrite, which timed the same). Conclusion: the
+    # r5 number was environment (a contended driver window), not plans;
+    # r6 numbers from the quiet window are the comparison base going
+    # forward, and cross-round deltas should always be read against a
+    # same-session re-run before being attributed to code.
     # The cache is CLEARED between every run including warm-ups: several
     # operators persist reused intermediates (jaccard prefix index,
     # pagerank edges, kmeans vectors), and CacheManager would otherwise
@@ -281,6 +553,7 @@ def main() -> None:
     )
 
     sf1 = bench_sf1(spark, timings)
+    t001 = bench_sf001(spark)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     payload = {
@@ -292,6 +565,14 @@ def main() -> None:
     }
     if sf1 is not None:
         payload["sf1"] = sf1
+    if t001 is not None:
+        payload["sf0.01"] = t001
+        exps = decade_exponents(t001, timings, sf1)
+        if exps:
+            payload["decade_exponents"] = exps
+    skew = bench_skew(spark)
+    if skew is not None:
+        payload["skew_sf1"] = skew
     print(json.dumps(payload))
 
 

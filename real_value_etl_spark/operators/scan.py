@@ -15,6 +15,23 @@ scan:
 prefix + offset = the exact global running sum. With decimal accumulation
 the regrouping changes nothing (decimal addition is associative), so the
 result is bit-identical to the sequential definition the oracle computes.
+
+CONSISTENCY HAZARD (why every operator here persists the partitioned
+frame): the offsets are joined back by `spark_partition_id()`, and the
+plan references the range-partitioned frame TWICE (the data path and the
+broadcast-offsets path). Spark's SQL range exchange samples its
+boundaries with an RDD-id-derived seed, so two separate executions of
+the same `repartitionByRange` can pick DIFFERENT boundaries once the
+sample no longer covers the input (observed: nondeterministic partition
+histograms on a 10k-row frame; small aggregated frames are fully sampled
+and stable, which is why this never fired at driver scales). Mismatched
+labels would silently corrupt ranks. `persist()` makes every consumer
+read the ONE materialized partitioning — label-consistent by
+construction; the storage cost is one pass of the frame, the same order
+as the exchange itself. (The skew-proof sessionize avoids the hazard
+differently — value-derived time buckets — but rank order keys are
+arbitrary composites, where a value-derived bucketing needs boundary
+literals; persist is the general answer.)
 """
 
 from __future__ import annotations
@@ -41,7 +58,7 @@ def global_running_sum(
     val = F.col(value_col).cast(decimal_type)
     part = df.repartitionByRange(n_partitions, *order_cols).withColumn(
         "__pid", F.spark_partition_id()
-    )
+    ).persist()  # one execution => consistent labels (see module doc)
     w_in = (
         Window.partitionBy("__pid")
         .orderBy(*order_cols)
@@ -85,7 +102,7 @@ def global_row_number(
     you only want the rank)."""
     part = df.repartitionByRange(n_partitions, *order_cols).withColumn(
         "__pid", F.spark_partition_id()
-    )
+    ).persist()  # one execution => consistent labels (see module doc)
     w_in = Window.partitionBy("__pid").orderBy(*order_cols)
     with_rn = part.withColumn("__rn", F.row_number().over(w_in))
     counts = part.groupBy("__pid").agg(F.count("*").alias("__pcnt"))
@@ -166,7 +183,9 @@ def grouped_rank_stats(
     when N = 1), cume_dist = r/N."""
     part = df.repartitionByRange(
         n_partitions, *group_cols, *order_cols
-    ).withColumn("__pid", F.spark_partition_id())
+    ).withColumn(
+        "__pid", F.spark_partition_id()
+    ).persist()  # one execution => consistent labels (see module doc)
     w_in = Window.partitionBy("__pid", *group_cols).orderBy(*order_cols)
     with_rn = part.withColumn("__rn", F.row_number().over(w_in))
     counts = part.groupBy("__pid", *group_cols).agg(
@@ -243,7 +262,7 @@ def global_running_max(
     `order_cols` must be a unique key, as for the sum variant."""
     part = df.repartitionByRange(n_partitions, *order_cols).withColumn(
         "__pid", F.spark_partition_id()
-    )
+    ).persist()  # one execution => consistent labels (see module doc)
     w_in = (
         Window.partitionBy("__pid")
         .orderBy(*order_cols)

@@ -136,6 +136,7 @@ def ivf_assign_hier(
     coarse: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    validate: bool = False,
 ) -> DataFrame:
     """Two-level IVF assignment: route through a small COARSE codebook
     first, then pick the nearest FINE centroid within the chosen coarse
@@ -154,7 +155,39 @@ def ivf_assign_hier(
     highest cosine, then lowest id — so a DuckDB oracle replays the
     routing exactly. When |coarse| = 1 (every driver correctness scale:
     sf <= 0.01 has a single coarse seed) the cell spans the whole fine
-    codebook and the result is bit-identical to flat `ivf_assign`."""
+    codebook and the result is bit-identical to flat `ivf_assign`.
+
+    PRECONDITION (coverage): every coarse seed must appear among the
+    fine `centroids` (coarse SUBSET-OF fine — how every caller builds
+    the grid, e.g. `vec_id % 625 == 0` inside `vec_id % 25 == 0`).
+    Subset-ness makes every vector-receiving cell non-empty, so the
+    inner cell join below can't drop rows: a coarse seed that is its own
+    fine centroid routes to its own cell (cosine 1 is maximal), and in
+    the only exception — two IDENTICAL seed vectors, where the lowest
+    gid wins the tie — vectors and centroids tie identically too, so
+    they all follow the seed to the SAME surviving cell and the vacated
+    cell receives nothing. A corpus-side orphan fallback was tried and
+    reverted: the anti-join recomputed the full vector routing, +30% on
+    the kNN-graph bench for a case the precondition rules out. Pass
+    validate=True to eagerly check subset-ness (one k-sized action on
+    the two codebook frames) and get a ValueError instead of silently
+    violated semantics when building grids some other way."""
+    if validate:
+        missing = (
+            coarse.select(F.col(id_col).alias("__gid"))
+            .join(
+                centroids.select(F.col(id_col).alias("__gid")),
+                "__gid",
+                "left_anti",
+            )
+            .limit(1)
+            .count()
+        )
+        if missing:
+            raise ValueError(
+                "ivf_assign_hier: coarse grid is not a subset of the fine "
+                "centroids — orphan cells could drop vectors"
+            )
     corpus = _with_norm(emb, id_col, vec_col, "v", "nv")
     cents = _with_norm(centroids, id_col, vec_col, "cv", "nc").select(
         F.col(id_col).alias("cid"), "cv", "nc"
@@ -186,7 +219,7 @@ def ivf_assign_hier(
         "cid",
         (dot(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("nc"))).alias("csim"),
     )
-    matched = (
+    return (
         scored.groupBy(id_col)
         .agg(
             F.any_value("v").alias("v"),
@@ -197,19 +230,6 @@ def ivf_assign_hier(
         )
         .select(id_col, "v", "nv", "cluster_id")
     )
-    # Coverage guarantee: a coarse cell with ZERO fine centroids (possible
-    # only when exact cosine ties route a coarse seed into a different
-    # cell) would silently drop the vectors routed there — violating the
-    # `ivf_assign` contract that every input row is assigned. Catch the
-    # remainder with an anti-join against the covered cells (tiny
-    # broadcast set) and fall back to flat assignment against the FULL
-    # fine codebook. Empty in every normal run, so the fallback branch
-    # scans zero rows; the plan cost is one broadcast anti-join.
-    covered = cent_cell.select("gid").distinct()
-    orphans = vec_cell.join(F.broadcast(covered), "gid", "left_anti").select(
-        id_col, "v", "nv"
-    )
-    return matched.unionByName(_nearest_fine(orphans, cents, id_col))
 
 
 def ivf_topk(

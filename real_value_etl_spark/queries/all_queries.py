@@ -40,8 +40,9 @@ from .registry import REGISTRY
 # plan changed this round or in r5 (the exact-integer `ntile_from_rank`
 # rewrite touches the three NTILE queries; the `ivf_assign_hier` coverage
 # fallback touches the IVF family), and spend the spare slots on the
-# queries with the OLDEST driver evidence (39 r1 + 3 r2 latest-verified
-# rows, computed mechanically from CORRECTNESS_r01..r05).
+# queries with the OLDEST driver evidence (39 r1 + 2 r2 latest-verified
+# rows, computed mechanically from CORRECTNESS_r01..r05), plus the new
+# skew-proof sessionize in the final slot.
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- never-driver-verified
     "docs_serialize_layout",
@@ -96,7 +97,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_token_stats",
     "asof_purchase_login",
     "bloom_semi_lineitem",
-    "docs_decontaminate",
+    # -- never-driver-verified: the skew-proof sessionize added this round
+    "events_sessionize_scalable",
 )
 
 

@@ -137,6 +137,38 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Skew-proof sessionize: same oracle, two-phase range-partitioned plan
+# ---------------------------------------------------------------------------
+@register(
+    "events_sessionize_scalable",
+    oracle=_SESSIONIZE_ORACLE,
+    tags=("events", "session", "skew"),
+)
+def events_sessionize_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same 30-min-gap session aggregate as `events_sessionize`, but
+    through `sessionize_two_phase` (operators/sessionize.py): a hot key's
+    rows SPREAD across range partitions instead of funneling into one
+    window task — the Zipf-user hazard a per-key window hits at 100 TB
+    (one user owning 14% of the log = one task owning 14% of the job).
+    Registered against the IDENTICAL oracle as the naive form, so the
+    driver proves the two plans agree bit-for-bit; the bench's skew
+    section (`bench_skew`) measures them against a Zipf(1) 10x events
+    table."""
+    from ..operators.sessionize import sessionize_two_phase
+
+    ev = table(spark, sf_dir, "events")
+    sess = sessionize_two_phase(ev, "user_id", "ts", SESSION_GAP_SEC)
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Built-in session_window — same semantics, Spark-native operator
 # ---------------------------------------------------------------------------
 @register(

@@ -56,7 +56,32 @@ PART_STRIDE = 20_000
 SUPP_STRIDE = 1_000
 ID_STRIDE = 10_000
 
-UNSCALED = ("region", "nation", "customer", "supplier", "part", "orders", "events")
+UNSCALED = ("region", "nation", "customer", "supplier", "part", "orders")
+USER_STRIDE = 2_000  # above the sf0.1 max user_id (1500)
+EVENT_ID_STRIDE = 1_000_000  # above the sf0.1 max event_id
+
+
+def _build_events(dst: str, tiles: int) -> None:
+    """10x events: ids and users shifted per tile, timestamps kept — ten
+    disjoint user populations over the same wall-clock span, so per-user
+    timelines (session structure, per-key window sizes) are EXACTLY the
+    sf0.1 ones and event-time operators see linear growth."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count() or 8}")
+    con.execute(
+        f"""
+        COPY (
+          SELECT event_id + t.t * {EVENT_ID_STRIDE} AS event_id,
+                 ts,
+                 user_id + t.t * {USER_STRIDE} AS user_id,
+                 event_type, value, props
+          FROM '{SRC}/events.parquet', range({tiles}) t(t)
+        ) TO '{dst}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.close()
 
 
 def _build_documents(dst: str, tiles: int) -> None:
@@ -123,8 +148,10 @@ def _build_lineitem(dst: str, tiles: int) -> None:
 
 
 def ensure_tiled(tiles: int, dst: str) -> str:
-    """Build (once, cached) and return a tiled fixture directory."""
-    marker = os.path.join(dst, ".done")
+    """Build (once, cached) and return a tiled fixture directory.
+    The marker is versioned: bump it when a _build_* transform changes so
+    stale fixtures rebuild (v2: events scaled per-tile, r6)."""
+    marker = os.path.join(dst, ".done_v2")
     if os.path.exists(marker):
         return dst
     shutil.rmtree(dst, ignore_errors=True)
@@ -132,6 +159,7 @@ def ensure_tiled(tiles: int, dst: str) -> str:
     _build_documents(dst, tiles)
     _build_embeddings(dst, tiles)
     _build_lineitem(dst, tiles)
+    _build_events(dst, tiles)
     for t in UNSCALED:
         shutil.copyfile(f"{SRC}/{t}.parquet", f"{dst}/{t}.parquet")
     open(marker, "w").close()
@@ -141,6 +169,64 @@ def ensure_tiled(tiles: int, dst: str) -> str:
 def ensure_sf1() -> str:
     """The bench's sf1 fixture (10 tiles)."""
     return ensure_tiled(TILES, DST)
+
+
+# ---------------------------------------------------------------------------
+# Zipf-skewed events tile (VERDICT r5 ask #7): the 100 TB hazard the
+# uniform tiles don't cover is KEY skew. This fixture rebuilds events at
+# 10x with user_id drawn log-uniformly — P(user = k) proportional to 1/k,
+# i.e. Zipf(s=1) over the 1500-user universe — so the heaviest user owns
+# ~1/ln(1500) = 13-14% of ALL events (~140k rows in one window/join
+# partition) instead of 1/1500. Deterministic: the per-row uniform comes
+# from hash(event_id), not rand(). Timestamps keep the sf0.1 range, so a
+# hot user's timeline is dense (few long sessions — the worst case for
+# per-user session windows and for the (user, session) attribution join).
+# ---------------------------------------------------------------------------
+EVENT_STRIDE = 1_000_000  # above the sf0.1 max event_id
+SKEW_DST = os.path.join(_REPO, ".bench_sf1skew")
+SKEW_USERS = 1_500
+
+
+def _build_events_skewed(dst: str, tiles: int) -> None:
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count() or 8}")
+    # u in [0,1) from a 30-bit slice of the deterministic row hash;
+    # floor(N^u) maps it to [1, N] with mass ~ 1/k (log-uniform = Zipf 1)
+    con.execute(
+        f"""
+        COPY (
+          SELECT event_id + t.t * {EVENT_STRIDE} AS event_id,
+                 ts,
+                 CAST(least(power({SKEW_USERS},
+                       (hash(event_id + t.t * {EVENT_STRIDE}) % 1073741824)
+                         / 1073741824.0),
+                     {SKEW_USERS}) AS BIGINT) AS user_id,
+                 event_type, value, props
+          FROM '{SRC}/events.parquet', range({tiles}) t(t)
+        ) TO '{dst}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+
+
+def ensure_sf1_skew() -> str:
+    """Build (once, cached) the Zipf-events fixture directory; every
+    other table is the unscaled sf0.1 copy so any registry query loads."""
+    marker = os.path.join(SKEW_DST, ".done")
+    if os.path.exists(marker):
+        return SKEW_DST
+    shutil.rmtree(SKEW_DST, ignore_errors=True)
+    os.makedirs(SKEW_DST, exist_ok=True)
+    _build_events_skewed(SKEW_DST, TILES)
+    for t in (
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "documents", "embeddings",
+    ):
+        shutil.copyfile(f"{SRC}/{t}.parquet", f"{SKEW_DST}/{t}.parquet")
+    open(marker, "w").close()
+    return SKEW_DST
 
 
 def ensure_sf10() -> str:
