@@ -134,6 +134,21 @@ def bench_sf001(spark) -> dict[str, float] | None:
     return out
 
 
+# THIRD-DECADE PROBE FINDINGS (r6, tools/scaling_probe.py at sf10 —
+# 100 tiles, ~1.6 GB — run by hand, too slow for the per-round bench):
+# - sim_knn_graph: e(sf1->sf10) measured 1.746 (56x for 10x) with the
+#   TWO-level router — the corpus x coarse assignment stage is N x N/625,
+#   the next quadratic term in the series, invisible at bench decades.
+#   Fixed with the three-level ivf_assign_tree (super -> coarse -> fine,
+#   hash-selected super seeds, LEFT-join degradation keeps driver scales
+#   bit-identical): 571s -> 26.3s at sf10, exponent 1.746 -> 0.773.
+# - dedup_jaccard_prefix: e(sf1->sf10) = 1.111 wall-clock, but the
+#   prefix-filter CANDIDATE COUNT is exactly 10.0x for 10x data
+#   (3,098,030 -> 30,980,300 pairs) — the algorithm is linear; the
+#   overage is fixed-heap GC pressure at 100x data in one local JVM
+#   (raising shuffle partitions hits GCLocker thrash, not speedup). On a
+#   cluster, per-executor volume stays constant as executors scale out.
+# - text_tfidf_cosine_pairs: e(sf1->sf10) = 0.593 — sublinear, healthy.
 def decade_exponents(
     t001: dict[str, float] | None,
     t01: dict[str, float],

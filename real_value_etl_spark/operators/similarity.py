@@ -232,6 +232,110 @@ def ivf_assign_hier(
     )
 
 
+def ivf_assign_tree(
+    emb: DataFrame,
+    centroids: DataFrame,
+    coarse: DataFrame,
+    super_grid: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Three-level IVF assignment: SUPER -> coarse -> fine. Same contract
+    as `ivf_assign` / `ivf_assign_hier`.
+
+    Why a third level: two-level routing costs N x |coarse| for the
+    corpus->coarse stage; with |coarse| proportional to N (which the
+    blocked kNN join requires) that is N^2/625 — invisible at bench
+    scales, measured at 56x for 10x data by the sf1->sf10 probe
+    (tools/scaling_probe.py). Routing the coarse stage itself through a
+    |coarse|/25 SUPER grid makes every stage's fan-out ~constant over
+    the rehearsed decades: N x |super| + N x ~25 + N x ~25. Deeper
+    corpora repeat the trick (log-depth tree quantizer).
+
+    PRECONDITIONS: super_grid SUBSET-OF coarse SUBSET-OF centroids. Then
+    no level can strand a row: a seed that belongs to the level below
+    routes to its own cell (cosine 1, ties follow the seed — the
+    `ivf_assign_hier` argument, one level up), so every super cell holds
+    its own coarse seed and every coarse cell its own fine centroid.
+
+    DEGRADATION: the super routing is a LEFT join on TRUE against the
+    broadcast super grid — when the super grid is EMPTY (tiny corpora:
+    the hash-mod selection picks nothing) every row gets parent cell -1
+    on both sides and the coarse stage sees no restriction, i.e. the
+    plan is result-identical to `ivf_assign_hier`. With ONE super seed
+    the single cell spans everything — also identical. Driver scales
+    (sf <= 0.01) sit in this regime, so the fixed oracle text stays
+    bit-exact there while large corpora get the pruning."""
+    corpus = _with_norm(emb, id_col, vec_col, "v", "nv")
+    cents = _with_norm(centroids, id_col, vec_col, "cv", "nc").select(
+        F.col(id_col).alias("cid"), "cv", "nc"
+    )
+    grid = _with_norm(coarse, id_col, vec_col, "gv", "ng").select(
+        F.col(id_col).alias("gid"), "gv", "ng"
+    )
+    sup = _with_norm(super_grid, id_col, vec_col, "sv", "ns").select(
+        F.col(id_col).alias("sid"), "sv", "ns"
+    )
+
+    def parent(df: DataFrame, key: str, v: str, n: str, keep: list[str]) -> DataFrame:
+        """Nearest super cell per row; -1 when the super grid is empty."""
+        scored = df.join(F.broadcast(sup), F.lit(True), "left").select(
+            key,
+            *keep,
+            "sid",
+            (dot(F.col(v), F.col("sv")) / (F.col(n) * F.col("ns"))).alias("ssim"),
+        )
+        return scored.groupBy(key).agg(
+            *[F.any_value(c).alias(c) for c in keep],
+            F.coalesce(
+                F.max_by(
+                    F.col("sid"),
+                    F.struct(F.col("ssim"), (-F.col("sid")).alias("t")),
+                ),
+                F.lit(-1),
+            ).alias("pid"),
+        )
+
+    grid_p = parent(grid, "gid", "gv", "ng", ["gv", "ng"])
+
+    def route(df: DataFrame, key: str, v: str, n: str, keep: list[str]) -> DataFrame:
+        """Nearest coarse seed WITHIN the row's super cell."""
+        withp = parent(df, key, v, n, keep)
+        scored = withp.join(F.broadcast(grid_p), "pid").select(
+            key,
+            *keep,
+            "gid",
+            (dot(F.col(v), F.col("gv")) / (F.col(n) * F.col("ng"))).alias("gsim"),
+        )
+        return scored.groupBy(key).agg(
+            *[F.any_value(c).alias(c) for c in keep],
+            F.max_by(
+                F.col("gid"), F.struct(F.col("gsim"), (-F.col("gid")).alias("t"))
+            ).alias("gid"),
+        )
+
+    cent_cell = route(cents, "cid", "cv", "nc", ["cv", "nc"])
+    vec_cell = route(corpus, id_col, "v", "nv", ["v", "nv"])
+    scored = vec_cell.join(F.broadcast(cent_cell), "gid").select(
+        id_col,
+        "v",
+        "nv",
+        "cid",
+        (dot(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("nc"))).alias("csim"),
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.any_value("v").alias("v"),
+            F.any_value("nv").alias("nv"),
+            F.max_by(
+                F.col("cid"), F.struct(F.col("csim"), (-F.col("cid")).alias("t"))
+            ).alias("cluster_id"),
+        )
+        .select(id_col, "v", "nv", "cluster_id")
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,

@@ -63,36 +63,78 @@ KNN_GRAPH_K = 5
 # driver correctness rows are unaffected; only at bench scales does the
 # routing (and the measured near-linear cost) kick in.
 KNN_COARSE_MOD = 625
+# The sf1->sf10 probe measured the two-level router's corpus x coarse
+# stage at 56x for 10x data (N x N/625 — the next quadratic term). A
+# THIRD level prunes it: the coarse stage routes through a SUPER grid of
+# ~|coarse|/25 seeds, selected from the coarse seeds by the portable
+# md5 hash (id-mod selection breaks on strided/sparse id spaces; the
+# hash works for any id distribution and replays exactly in DuckDB).
+# Super routing is a LEFT join: an EMPTY super grid (every driver scale:
+# sf <= 0.01 has one coarse seed hashing off-class) degrades to parent
+# cell -1 on all sides — result-identical to the two-level router, so
+# the fixed oracle text stays green at correctness scales while bench
+# scales get log-depth pruning (operators/similarity.py:ivf_assign_tree).
+KNN_SUPER_SELECT = 25
 
 
 def _knn_edges_cte() -> str:
-    """Shared CTE chain (e, cents, coarse, cent_cell, vec_cell, assigned,
-    scored, edges) producing the directed kNN edge list — mirrors
-    `_knn_edges` (two-level assignment via operators/similarity.py:
-    ivf_assign_hier) exactly."""
+    """Shared CTE chain (e, cents, coarse, supergrid, grid_p, vec_p,
+    cent_p, vec_cell, cent_cell, assigned, scored, edges) producing the
+    directed kNN edge list — mirrors `_knn_edges` (three-level assignment
+    via operators/similarity.py:ivf_assign_tree) exactly."""
+    cos_gs = V.cosine_sql("g.gv", "s.sv")
+    cos_vs = V.cosine_sql("x.v", "s.sv")
+    cos_cs = V.cosine_sql("c.cv", "s.sv")
     cos_cg = V.cosine_sql("c.cv", "g.gv")
-    cos_vg = V.cosine_sql("e.v", "g.gv")
+    cos_xg = V.cosine_sql("x.v", "g.gv")
     cos_xc = V.cosine_sql("x.v", "c.cv")
     cos_ab = V.cosine_sql("a.v", "b.v")
+    sel = T.portable_hash32_sql("CAST(gid AS VARCHAR)")
     return f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     cents AS (SELECT vec_id AS cid, v AS cv FROM e
               WHERE vec_id % {IVF_CENTROID_MOD} = 0),
     coarse AS (SELECT vec_id AS gid, v AS gv FROM e
                WHERE vec_id % {KNN_COARSE_MOD} = 0),
+    supergrid AS (SELECT gid AS sid, gv AS sv FROM coarse
+                  WHERE {sel} % {KNN_SUPER_SELECT} = 0),
+    grid_p AS (
+      SELECT gid, gv, COALESCE(sid, -1) AS pid FROM (
+        SELECT g.gid, g.gv, s.sid,
+               ROW_NUMBER() OVER (PARTITION BY g.gid
+                                  ORDER BY {cos_gs} DESC, s.sid) AS r
+        FROM coarse g LEFT JOIN supergrid s ON TRUE
+      ) WHERE r = 1
+    ),
+    vec_p AS (
+      SELECT vec_id, v, COALESCE(sid, -1) AS pid FROM (
+        SELECT x.vec_id, x.v, s.sid,
+               ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                                  ORDER BY {cos_vs} DESC, s.sid) AS r
+        FROM e x LEFT JOIN supergrid s ON TRUE
+      ) WHERE r = 1
+    ),
+    cent_p AS (
+      SELECT cid, cv, COALESCE(sid, -1) AS pid FROM (
+        SELECT c.cid, c.cv, s.sid,
+               ROW_NUMBER() OVER (PARTITION BY c.cid
+                                  ORDER BY {cos_cs} DESC, s.sid) AS r
+        FROM cents c LEFT JOIN supergrid s ON TRUE
+      ) WHERE r = 1
+    ),
+    vec_cell AS (
+      SELECT vec_id, v, gid FROM (
+        SELECT x.vec_id, x.v, g.gid,
+               ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                                  ORDER BY {cos_xg} DESC, g.gid) AS r
+        FROM vec_p x JOIN grid_p g ON x.pid = g.pid
+      ) WHERE r = 1
+    ),
     cent_cell AS (
       SELECT cid, cv, gid FROM (
         SELECT c.cid, c.cv, g.gid,
                ROW_NUMBER() OVER (PARTITION BY c.cid
                                   ORDER BY {cos_cg} DESC, g.gid) AS r
-        FROM cents c, coarse g
-      ) WHERE r = 1
-    ),
-    vec_cell AS (
-      SELECT vec_id, v, gid FROM (
-        SELECT e.vec_id, e.v, g.gid,
-               ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                                  ORDER BY {cos_vg} DESC, g.gid) AS r
-        FROM e, coarse g
+        FROM cent_p c JOIN grid_p g ON c.pid = g.pid
       ) WHERE r = 1
     ),
     assigned AS (
@@ -130,15 +172,19 @@ def _knn_graph_oracle() -> str:
 
 def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed kNN edge list (src, dst, sim, rnk) — cluster-blocked: IVF
-    assignment (two-level: coarse routing bounds the assignment cost,
-    corpus-proportional fine cells bound the block join — see
-    KNN_COARSE_MOD), per-cluster pair join, two-phase-free per-source
-    top-k (the window runs inside a cluster's block). Shared by the
-    kNN-graph and label-propagation queries."""
+    assignment (three-level: super -> coarse -> fine routing keeps every
+    stage's fan-out bounded over the measured decades — see
+    KNN_COARSE_MOD / KNN_SUPER_SELECT), per-cluster pair join,
+    two-phase-free per-source top-k (the window runs inside a cluster's
+    block). Shared by the kNN-graph and label-propagation queries."""
     emb = table(spark, sf_dir, "embeddings")
     cents = emb.filter(F.col("vec_id") % IVF_CENTROID_MOD == 0)
     coarse = emb.filter(F.col("vec_id") % KNN_COARSE_MOD == 0)
-    assigned = S.ivf_assign_hier(emb, cents, coarse)
+    sup = coarse.filter(
+        T.portable_hash32(F.col("vec_id").cast("string")) % KNN_SUPER_SELECT
+        == 0
+    )
+    assigned = S.ivf_assign_tree(emb, cents, coarse, sup)
     a = assigned.select(
         F.col("vec_id").alias("src"),
         F.col("v").alias("va"),

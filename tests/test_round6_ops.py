@@ -185,6 +185,49 @@ def test_ivf_assign_hier_subset_precondition_covers_ties(spark):
     assert all(c in {0, 5, 7, 9} for c in assigned.values())
 
 
+def test_ivf_assign_tree_degrades_to_hier(spark):
+    """With an EMPTY or single-seed super grid the three-level router
+    must produce exactly the two-level result (the regime every driver
+    correctness scale sits in — the fixed oracle text depends on it)."""
+    from real_value_etl_spark.operators.similarity import (
+        ivf_assign_hier,
+        ivf_assign_tree,
+    )
+
+    def vdf(rows):
+        return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    import math
+
+    vecs = vdf(
+        [
+            (i, [math.cos(i * 0.17), math.sin(i * 0.17)])
+            for i in range(60)
+        ]
+    )
+    cents = vecs.filter(F.col("vec_id") % 5 == 0)
+    coarse = vecs.filter(F.col("vec_id") % 20 == 0)
+    hier = {
+        r.vec_id: r.cluster_id
+        for r in ivf_assign_hier(vecs, cents, coarse).collect()
+    }
+    empty_sup = coarse.filter(F.lit(False))
+    one_sup = coarse.filter(F.col("vec_id") == 0)
+    for sup in (empty_sup, one_sup):
+        tree = {
+            r.vec_id: r.cluster_id
+            for r in ivf_assign_tree(vecs, cents, coarse, sup).collect()
+        }
+        assert tree == hier
+    # ACTIVE super level: still assigns every vector, cells restricted
+    two_sup = coarse.filter(F.col("vec_id").isin(0, 40))
+    tree = {
+        r.vec_id: r.cluster_id
+        for r in ivf_assign_tree(vecs, cents, coarse, two_sup).collect()
+    }
+    assert set(tree) == set(hier), "tree router dropped vectors"
+
+
 def test_ivf_assign_hier_validate_rejects_non_subset(spark):
     from real_value_etl_spark.operators.similarity import ivf_assign_hier
 
