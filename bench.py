@@ -531,7 +531,13 @@ def main() -> None:
     # r5 number was environment (a contended driver window), not plans;
     # r6 numbers from the quiet window are the comparison base going
     # forward, and cross-round deltas should always be read against a
-    # same-session re-run before being attributed to code.
+    # same-session re-run before being attributed to code. A FOURTH r6
+    # run later the same day re-measured 42.02s (median per-query ratio
+    # 1.10 vs the 36.95s run, spread p10 0.84 / p90 1.40, untouched
+    # bodies) with zero local processes running — the host has
+    # noisy-neighbor variance of up to ~±15%. Treat the MINIMUM across
+    # runs as the engine number; single-run cross-round deltas under
+    # ~20% are environment until reproduced.
     # The cache is CLEARED between every run including warm-ups: several
     # operators persist reused intermediates (jaccard prefix index,
     # pagerank edges, kmeans vectors), and CacheManager would otherwise
