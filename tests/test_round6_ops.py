@@ -133,6 +133,31 @@ def test_global_row_number_repeat_executions_identical(spark):
     assert {rn for _, rn in runs[0]} == set(range(1, 20_001))
 
 
+# queries whose plans reference a partitioned/derived frame from MULTIPLE
+# consumers — the class the range-exchange hazard lives in. Each runs
+# twice; the collected results must be identical.
+_MULTI_CONSUMER_QUERIES = (
+    "q_rfm_segments",
+    "q_cumulative_gains",
+    "q_ntile_deciles",
+    "events_running_total",
+    "docs_serialize_layout",
+    "events_sessionize_scalable",
+    "sim_knn_graph",
+)
+
+
+@pytest.mark.parametrize("name", _MULTI_CONSUMER_QUERIES)
+def test_multi_consumer_queries_deterministic(spark, sf_dir, name):
+    from real_value_etl_spark.queries.all_queries import REGISTRY
+
+    fn = REGISTRY[name].fn
+    rows = [
+        sorted(map(str, fn(spark, sf_dir).collect())) for _ in range(2)
+    ]
+    assert rows[0] == rows[1], f"{name}: two executions disagree"
+
+
 def test_ntile_from_rank_exact_beyond_double_mantissa(spark):
     """floor(a / b) over doubles rounds above 2^53 — the integral-div
     rewrite must place ranks around a huge bucket boundary exactly.
