@@ -149,6 +149,11 @@ def bench_sf001(spark) -> dict[str, float] | None:
 #   (raising shuffle partitions hits GCLocker thrash, not speedup). On a
 #   cluster, per-executor volume stays constant as executors scale out.
 # - text_tfidf_cosine_pairs: e(sf1->sf10) = 0.593 — sublinear, healthy.
+# - docs_span_pair_dedup (highest bench-decade tail, 0.93): volumes
+#   audited at sf0.1 vs sf1 — span index 235,704 -> 2,357,040, df-capped
+#   postings 21,543 -> 215,430, pair rows 11,544 -> 115,440: all exactly
+#   10.0x. The df cap bounds the join worst-case by construction; the
+#   wall-clock tail is shuffle volume in one JVM, not candidate growth.
 def decade_exponents(
     t001: dict[str, float] | None,
     t01: dict[str, float],
