@@ -149,6 +149,12 @@ def bench_sf001(spark) -> dict[str, float] | None:
 #   (raising shuffle partitions hits GCLocker thrash, not speedup). On a
 #   cluster, per-executor volume stays constant as executors scale out.
 # - text_tfidf_cosine_pairs: e(sf1->sf10) = 0.593 — sublinear, healthy.
+# - dedup_minhash_lsh: e(sf1->sf10) = 0.811 — the banded path stays
+#   sublinear through the third decade.
+# - graph_components_star: e(sf1->sf10) = 1.037 — exactly the N log N
+#   profile the large-star/small-star O(log n)-superstep bound predicts
+#   (10x data adds ~1-2 convergence rounds); algorithmic, expected, and
+#   the log factor is the known floor for iterative CC.
 # - docs_span_pair_dedup (highest bench-decade tail, 0.93): volumes
 #   audited at sf0.1 vs sf1 — span index 235,704 -> 2,357,040, df-capped
 #   postings 21,543 -> 215,430, pair rows 11,544 -> 115,440: all exactly
