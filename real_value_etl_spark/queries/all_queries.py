@@ -34,71 +34,69 @@ from . import (  # noqa: F401
 )
 from .registry import REGISTRY
 
-# Round-6 window (VERDICT r5 asks #2 and #8): close the last driver hole
-# (`docs_serialize_layout`, the only registry entry without a CORRECTNESS
-# row), land the new MP4 box-walk query, re-confirm every query whose
-# plan changed this round or in r5 (the exact-integer `ntile_from_rank`
-# rewrite touches the three NTILE queries; the `ivf_assign_hier` coverage
-# fallback touches the IVF family), and spend the spare slots on the
-# queries with the OLDEST driver evidence (39 r1 + 2 r2 latest-verified
-# rows, computed mechanically from CORRECTNESS_r01..r05), plus the new
-# skew-proof sessionize in the final slot.
+# Round-7 window (VERDICT r6 ask #1: evidence freshness). Two re-confirm
+# slots lead: `graph_label_propagation`'s plan changed in r6 (tree-router
+# assignment) AFTER the r6 window was cut, so its newest driver row (r5)
+# predates the executed plan; `sim_knn_graph` gets the adaptive-router
+# change THIS round (r6 asks #2/#6). The remaining 48 slots are the
+# oldest-evidence cohort, computed mechanically from CORRECTNESS_r01..r06
+# latest-green rows: all 38 queries whose newest green row is r2, then
+# the first 10 (alphabetical) of the 48-query r3 cohort. Post-window
+# histogram: no query's newest driver evidence predates r3.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- never-driver-verified
-    "docs_serialize_layout",
-    "multimodal_mp4_header_parse",
-    # -- re-confirm: plans changed (r5 two-phase rank / r6 ntile div +
-    #    hier-IVF orphan fallback)
-    "q_ntile_deciles",
-    "q_rfm_segments",
-    "q_cumulative_gains",
+    # -- re-confirm: executed plans changed after their last driver row
+    "graph_label_propagation",
     "sim_knn_graph",
-    "sim_ann_ivf",
-    "sim_ivf_pq_topk",
-    # -- re-confirm rotation: oldest driver evidence first (r1, then r2)
-    "dedup_clusters",
-    "dedup_embedding_cosine",
-    "dedup_lsh_recall",
-    "dedup_ngram_jaccard",
-    "docs_chunking",
-    "docs_cross_source_overlap",
-    "docs_stratified_sample",
-    "docs_train_test_split",
-    "multimodal_features",
-    "multimodal_frames",
-    "multimodal_resize",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "q_cube_orders",
-    "q_distinct_customers",
-    "q_grouping_sets",
-    "q_rollup_returnflag",
-    "q_semi_anti_customers",
-    "q_setops_parts",
-    "q_ship_lag",
-    "q_sql_text_interface",
-    "q_top_customers",
-    "q_topk_per_group",
-    "q_window_order_rank",
-    "sim_ann_lsh",
-    "sim_cluster_quality",
-    "text_bigram_lm_score",
-    "text_bm25_search",
-    "text_fingerprint",
-    "text_heavy_hitters",
-    "text_keyword_extract",
-    "text_lang_id",
-    "text_pii_scrub",
-    "text_quality_score",
-    "text_repetition_ratio",
-    "text_term_frequency",
-    "text_token_stats",
-    "asof_purchase_login",
-    "bloom_semi_lineitem",
-    # -- never-driver-verified: the skew-proof sessionize added this round
-    "events_sessionize_scalable",
+    # -- r2-latest cohort (all 38)
+    "docs_decontaminate",
+    "events_cdc_apply",
+    "events_cohort_retention",
+    "events_ewma_by_user",
+    "events_funnel",
+    "events_gapfill_hourly",
+    "events_incremental_mv",
+    "events_interval_join",
+    "events_json_extract",
+    "events_sessionize",
+    "events_trailing_1h",
+    "events_tumbling_agg",
+    "events_upsert_scd1",
+    "events_via_duckdb_source",
+    "profile_lineitem",
+    "q11_important_stock",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q_corr_qty_price",
+    "q_histogram_totalprice",
+    "q_pivot_status",
+    "q_stats_quantity",
+    "stream_dedup_keys",
+    "stream_dedup_watermark",
+    "stream_incremental_mv",
+    "stream_session_window",
+    "stream_sliding_agg",
+    "stream_static_enrich",
+    "stream_stream_join",
+    "stream_tumbling_agg",
+    "stream_user_totals",
+    # -- r3-latest cohort (first 10 of 48; remainder rotates in r8)
+    "docs_boilerplate_strip",
+    "docs_by_lang_source",
+    "docs_dedup_savings",
+    "docs_header_strip",
+    "docs_length_balanced_buckets",
+    "docs_mix_temperature",
+    "docs_ngram_novelty",
+    "docs_quality_funnel",
+    "docs_quality_lr_score",
+    "docs_repeated_spans",
 )
 
 

@@ -1529,11 +1529,14 @@ MP4_DUR_PER_BYTE = 25  # stub "duration units per payload byte"
            TRUE AS mdat_ok,
            CAST([600, 1000, 90000, 48000][CAST(doc_id % 4 AS INTEGER) + 1]
                 AS BIGINT) AS timescale,
-           CAST(octet_length(encode(text)) * {MP4_DUR_PER_BYTE} AS BIGINT)
-             AS duration,
+           -- mask to the 32-bit mvhd v0 field width, matching the
+           -- builder's be() wrap (only differs for >171 MB texts)
+           CAST((octet_length(encode(text)) * {MP4_DUR_PER_BYTE})
+                % 4294967296 AS BIGINT) AS duration,
            CAST(doc_id % 7 + 2 AS BIGINT) AS next_track_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS data_size,
-           CAST(octet_length(encode(text)) * {MP4_DUR_PER_BYTE} AS DOUBLE)
+           CAST((octet_length(encode(text)) * {MP4_DUR_PER_BYTE})
+                % 4294967296 AS DOUBLE)
              / [600, 1000, 90000, 48000][CAST(doc_id % 4 AS INTEGER) + 1]
              AS duration_s
     FROM documents
@@ -1561,7 +1564,14 @@ def multimodal_mp4_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
 
     def be(c, nbytes):  # big-endian unsigned int -> bytes
-        return F.unhex(F.lpad(F.hex(c.cast("long")), 2 * nbytes, "0"))
+        # Mask to the field width first: lpad TRUNCATES to the leftmost
+        # chars when hex(v) exceeds 2*nbytes, which would silently corrupt
+        # the low-order bytes on overflow (e.g. a >32-bit duration in a
+        # mvhd v0 field). pmod keeps the wrap well-defined; the oracle
+        # applies the same mask so builder and oracle stay bit-identical
+        # even for hypothetical >field-width inputs.
+        masked = F.pmod(c.cast("long"), F.lit(1 << (8 * nbytes)))
+        return F.unhex(F.lpad(F.hex(masked), 2 * nbytes, "0"))
 
     def zeros(nbytes):
         return F.unhex(F.lit("00" * nbytes))

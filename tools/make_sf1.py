@@ -193,7 +193,11 @@ def _build_events_skewed(dst: str, tiles: int) -> None:
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count() or 8}")
     # u in [0,1) from a 30-bit slice of the deterministic row hash;
-    # floor(N^u) maps it to [1, N] with mass ~ 1/k (log-uniform = Zipf 1)
+    # CAST(N^u AS BIGINT) in DuckDB rounds-to-nearest (not floor), so the map
+    # to [1, N] shifts mass marginally across integer boundaries vs exact
+    # floor(N^u); still log-uniform ~ Zipf(1) and capped by least() below.
+    # (Kept as-is deliberately: changing the SQL would regenerate the cached
+    # fixture and invalidate the recorded skew-rehearsal numbers.)
     con.execute(
         f"""
         COPY (
