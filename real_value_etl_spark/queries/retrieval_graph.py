@@ -75,6 +75,23 @@ KNN_COARSE_MOD = 625
 # the fixed oracle text stays green at correctness scales while bench
 # scales get log-depth pruning (operators/similarity.py:ivf_assign_tree).
 KNN_SUPER_SELECT = 25
+# ADAPTIVE ROUTER GATE (r6 verdict asks #2/#6): the super level replaces
+# the N x |coarse| coarse-routing stage with two extra corpus-wide
+# groupBys (the parent() stages) — a win only once |coarse| is large
+# enough that the stage it removes dominates the fixed cost it adds.
+# Measured crossover: |coarse| = 4 (sf0.1) the two-level plan wins
+# (tree cost the whole +29% r6 regression); |coarse| = 40 (sf1) the
+# tree wins (ratio 1.77 vs 5.58); |coarse| = 400 (sf10) the tree is
+# mandatory (26.3 s vs 571 s). The gate therefore sits between the
+# measured points, NOT at the r6 verdict's suggested ~500 (which would
+# flip sf10 back onto the quadratic two-level path). Both sides switch
+# on the SAME condition — Spark branches to `ivf_assign_hier`, the
+# oracle CTE empties its supergrid via a scalar-subquery gate, and the
+# three-level text with an EMPTY supergrid is result-identical to the
+# two-level router (the degradation theorem, regression-gated by
+# test_ivf_assign_tree_degrades_to_hier) — so correctness holds at
+# every scale regardless of which branch runs.
+KNN_TREE_MIN_COARSE = 25
 
 
 def _knn_edges_cte() -> str:
@@ -96,7 +113,9 @@ def _knn_edges_cte() -> str:
     coarse AS (SELECT vec_id AS gid, v AS gv FROM e
                WHERE vec_id % {KNN_COARSE_MOD} = 0),
     supergrid AS (SELECT gid AS sid, gv AS sv FROM coarse
-                  WHERE {sel} % {KNN_SUPER_SELECT} = 0),
+                  WHERE {sel} % {KNN_SUPER_SELECT} = 0
+                    AND (SELECT COUNT(*) FROM coarse)
+                        > {KNN_TREE_MIN_COARSE}),
     grid_p AS (
       SELECT gid, gv, COALESCE(sid, -1) AS pid FROM (
         SELECT g.gid, g.gv, s.sid,
@@ -180,11 +199,21 @@ def _knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     cents = emb.filter(F.col("vec_id") % IVF_CENTROID_MOD == 0)
     coarse = emb.filter(F.col("vec_id") % KNN_COARSE_MOD == 0)
-    sup = coarse.filter(
-        T.portable_hash32(F.col("vec_id").cast("string")) % KNN_SUPER_SELECT
-        == 0
-    )
-    assigned = S.ivf_assign_tree(emb, cents, coarse, sup)
+    # Adaptive: count the coarse codebook (one column-pruned scan of a
+    # k-sized filter — the only driver action in the builder) and take
+    # the two-level plan outright below the measured crossover; the
+    # oracle empties its supergrid under the SAME gate, and empty-super
+    # three-level == two-level (see KNN_TREE_MIN_COARSE).
+    coarse_n = coarse.select("vec_id").count()
+    if coarse_n > KNN_TREE_MIN_COARSE:
+        sup = coarse.filter(
+            T.portable_hash32(F.col("vec_id").cast("string"))
+            % KNN_SUPER_SELECT
+            == 0
+        )
+        assigned = S.ivf_assign_tree(emb, cents, coarse, sup)
+    else:
+        assigned = S.ivf_assign_hier(emb, cents, coarse)
     a = assigned.select(
         F.col("vec_id").alias("src"),
         F.col("v").alias("va"),
