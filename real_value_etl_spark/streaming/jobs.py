@@ -335,6 +335,48 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(spark, agg, "mem_stream_static_enrich", "complete")
 
 
+def _last_applied_batch(state_path: str) -> int:
+    """Batch id committed WITH the current state (see `_stamp_batch`);
+    -1 when no state or no marker exists (pre-marker states re-apply,
+    which only loses the protection, never data)."""
+    import os
+
+    try:
+        with open(os.path.join(state_path, "_LAST_BATCH")) as fh:
+            return int(fh.read().strip())
+    except (FileNotFoundError, ValueError):
+        return -1
+
+
+def _stamp_batch(stage_dir: str, batch_id: int) -> None:
+    """Record the applied batch id INSIDE the staged state dir, so the
+    atomic rename publishes (state, batch_id) as one unit. Spark's file
+    index hides underscore-prefixed files, so parquet reads of the state
+    are unaffected."""
+    import os
+
+    with open(os.path.join(stage_dir, "_LAST_BATCH"), "w") as fh:
+        fh.write(str(batch_id))
+
+
+def _swap_state(merged: DataFrame, state_path: str, batch_id: int) -> None:
+    """Write `merged` to a staging dir, stamp the batch id, and rename
+    into place — the atomic two-phase commit both foreachBatch sinks
+    share."""
+    import os
+    import shutil
+
+    stage = state_path + "__stage"
+    merged.write.mode("overwrite").parquet(stage)
+    _stamp_batch(stage, batch_id)
+    old = state_path + "__old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(state_path):
+        os.rename(state_path, old)
+    os.rename(stage, state_path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def incremental_mv_sink(keys: list[str], state_path: str):
     """foreachBatch sink that folds every micro-batch into a parquet-
     persisted mergeable aggregate state (operators/incremental.py) — the
@@ -344,31 +386,31 @@ def incremental_mv_sink(keys: list[str], state_path: str):
     batching-independent, so the streamed MV is bit-identical to a batch
     recompute no matter how arrivals were chunked.
 
-    Each fold writes to a staging dir and renames into place (same atomic
-    swap as sinks/writers.py compaction); the stream checkpoint makes the
-    whole sink exactly-once across restarts — a replayed batch id is
-    skipped by Structured Streaming before foreachBatch is invoked.
+    EXACTLY-ONCE (r6 verdict ask #8): foreachBatch itself is only
+    at-least-once — a crash AFTER the state swap but BEFORE the stream
+    checkpoint commits re-invokes the sink with the SAME batch id on
+    restart, and an additive fold would double-count that delta. The
+    sink therefore two-phase-commits: the staged state dir carries a
+    `_LAST_BATCH` marker renamed into place atomically WITH the state,
+    and a fold whose batch id is <= the committed marker is a replay and
+    returns without applying (batch ids are monotone per checkpoint).
+    Kill-and-restart is regression-gated by
+    tests/test_streaming_semantics.py::test_mv_sink_exactly_once_across_crash.
     """
-    import os
-    import shutil
-
     from ..operators.incremental import aggregate_state, merge_states
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        if batch_id <= _last_applied_batch(state_path):
+            return  # crash-replayed batch: state already holds it
         s = batch_df.sparkSession
         delta = aggregate_state(batch_df, keys)
         if os.path.exists(os.path.join(state_path, "_SUCCESS")):
             merged = merge_states(s.read.parquet(state_path), delta, keys)
         else:
             merged = delta
-        stage = state_path + "__stage"
-        merged.write.mode("overwrite").parquet(stage)
-        old = state_path + "__old"
-        shutil.rmtree(old, ignore_errors=True)
-        if os.path.exists(state_path):
-            os.rename(state_path, old)
-        os.rename(stage, state_path)
-        shutil.rmtree(old, ignore_errors=True)
+        _swap_state(merged, state_path, batch_id)
 
     return fold
 
@@ -409,16 +451,22 @@ def cdc_apply_sink(state_path: str):
     so the snapshot is bit-identical to a batch replay no matter how
     arrivals were chunked into micro-batches. Tombstones ('error' ops)
     are kept IN the state — a tombstone that is currently newest must
-    keep suppressing its key; the read side filters them out. Atomic
-    staging-swap publish + the stream checkpoint give exactly-once across
-    restarts (a replayed batch id never reaches foreachBatch).
+    keep suppressing its key; the read side filters them out.
+
+    EXACTLY-ONCE: the argmax half of the merge is replay-idempotent, but
+    `n_ops` is an additive SUM — foreachBatch's at-least-once contract
+    (a crash between the state swap and the checkpoint commit replays
+    the batch id) would double-count it. Same two-phase commit as
+    `incremental_mv_sink`: the `_LAST_BATCH` marker rides the atomic
+    rename, and a replayed batch id returns without applying.
     """
     import os
-    import shutil
 
     from pyspark.sql import Window
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= _last_applied_batch(state_path):
+            return  # crash-replayed batch: state already holds it
         s = batch_df.sparkSession
         delta = batch_df.select(
             "user_id", "ts", "event_id", "event_type", "value",
@@ -442,14 +490,7 @@ def cdc_apply_sink(state_path: str):
                 F.col("__n").alias("n_ops"),
             )
         )
-        stage = state_path + "__stage"
-        merged.write.mode("overwrite").parquet(stage)
-        old = state_path + "__old"
-        shutil.rmtree(old, ignore_errors=True)
-        if os.path.exists(state_path):
-            os.rename(state_path, old)
-        os.rename(stage, state_path)
-        shutil.rmtree(old, ignore_errors=True)
+        _swap_state(merged, state_path, batch_id)
 
     return fold
 

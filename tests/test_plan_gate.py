@@ -25,10 +25,13 @@ with a reason.
 
 from __future__ import annotations
 
+import json
+import os
 import re
 
 import pytest
 
+from real_value_etl_spark.operators import scan
 from real_value_etl_spark.queries.all_queries import REGISTRY
 
 # ---------------------------------------------------------------------------
@@ -155,8 +158,37 @@ def _executed_plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+# ---------------------------------------------------------------------------
+# (e) shuffle budget (VERDICT r6 ask #4): every query's Exchange /
+# BroadcastExchange node counts are pinned to tests/shuffle_budget.json.
+# EQUALITY, not <=, on both counts: an extra shuffle is the regression
+# class the r6 kNN router introduced deliberately (and the bench caught
+# late); a disappearing one is also a plan change a human should see.
+# Update deliberately via `python tools/make_shuffle_budget.py` and
+# commit the diff.
+# ---------------------------------------------------------------------------
+
+_BUDGET_PATH = os.path.join(os.path.dirname(__file__), "shuffle_budget.json")
+try:
+    with open(_BUDGET_PATH) as _f:
+        _SHUFFLE_BUDGET = json.load(_f)["budgets"]
+except FileNotFoundError:  # pre-generation bootstrap only
+    _SHUFFLE_BUDGET = {}
+
+_EXCHANGE_RE = re.compile(r"\bExchange ")  # word boundary: excludes
+# Broadcast/ReusedExchange (no boundary mid-identifier)
+_BROADCAST_RE = re.compile(r"\bBroadcastExchange\b")
+
+
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_plan_gate(spark, sf_dir, name):
+    # Build each plan from a CLEAN cache state: CacheManager rewrites any
+    # matching logical subtree to an InMemoryRelation, so a cache left by
+    # an earlier query would change this query's plan shape (and its
+    # exchange counts) depending on test order. The budget generator
+    # (tools/make_shuffle_budget.py) clears identically.
+    spark.catalog.clearCache()
+    scan.release_rank_caches()
     plan = _executed_plan(REGISTRY[name].fn(spark, sf_dir))
     lines = plan.splitlines()
 
@@ -188,4 +220,17 @@ def test_plan_gate(spark, sf_dir, name):
             f"{name}: BroadcastNestedLoopJoin without a waiver — either "
             "re-plan as an equi/broadcast-hash join or add a waiver "
             "documenting why the build side is bounded"
+        )
+
+    sf_label = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    budget = _SHUFFLE_BUDGET.get(sf_label, {}).get(name)
+    if budget is not None:
+        got = {
+            "exchange": len(_EXCHANGE_RE.findall(plan)),
+            "broadcast": len(_BROADCAST_RE.findall(plan)),
+        }
+        assert got == budget, (
+            f"{name}: exchange counts changed (got {got}, budget "
+            f"{budget}) — if the plan change is deliberate, regenerate "
+            "with `python tools/make_shuffle_budget.py` and commit"
         )
