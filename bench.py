@@ -174,8 +174,11 @@ def decade_exponents(
         return None
     out: dict[str, dict[str, float]] = {}
     for name, a in t001.items():
-        b = t01.get(name)
-        c = (sf1.get(name) or {}).get("sec")
+        sf1_row = sf1.get(name) or {}
+        # sf0.1 base: headline timing, else the base bench_sf1 measured
+        # itself for non-HEADLINE SF1_HEAVY entries (ADVICE r6)
+        b = t01.get(name) or sf1_row.get("sf0.1_sec")
+        c = sf1_row.get("sec")
         if not (a and b and c):
             continue
         out[name] = {
@@ -232,6 +235,12 @@ def bench_sf1(spark, base_timings: dict[str, float]):
             "sec": sec,
             "ratio_vs_sf0.1": round(sec / base, 2) if base else None,
         }
+        if name not in base_timings and base:
+            # surface the locally-measured sf0.1 base (ADVICE r6): the
+            # headline dict never sees it, and decade_exponents needs it
+            # to emit the third-decade exponent for non-HEADLINE entries
+            # (stream_kmv_distinct) instead of silently skipping them
+            out[name]["sf0.1_sec"] = base
         print(f"# sf1 {name}: {sec:.3f}s", file=sys.stderr)
     return out
 
