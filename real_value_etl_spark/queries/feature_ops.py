@@ -1662,6 +1662,155 @@ def multimodal_mp4_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TIFF/EXIF IFD walk: the fourth REAL byte codec — data-dependent ENDIANNESS
+# ---------------------------------------------------------------------------
+TIFF_N_TAGS = 4  # ImageWidth, ImageLength, Orientation, StripByteCounts
+
+
+@register(
+    "multimodal_tiff_exif_parse",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+           TRUE AS magic_ok,
+           CAST(8 + doc_id % 5 AS BIGINT) AS ifd_offset,
+           CAST(4 AS BIGINT) AS n_tags,
+           TRUE AS tags_ok,
+           CAST(16 + doc_id % 1024 AS BIGINT) AS width,
+           CAST(16 + (doc_id * 7) % 768 AS BIGINT) AS height,
+           CAST(doc_id % 8 + 1 AS BIGINT) AS orientation,
+           CAST(octet_length(encode(text)) AS BIGINT) AS strip_bytes,
+           TRUE AS next_ifd_ok
+    FROM documents
+    """,
+    tags=("multimodal", "llm", "binary", "image"),
+)
+def multimodal_tiff_exif_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF/EXIF parsing — an IFD tag walk, the fourth byte codec
+    (after RIFF/WAV, PNG IHDR, MP4 box walk) and the first with
+    DATA-DEPENDENT ENDIANNESS: each document becomes a byte-valid TIFF
+    whose byte-order mark alternates `II` (little-endian, even doc_id)
+    / `MM` (big-endian, odd), so the parser cannot fix its decode at
+    plan-author time — it must read the mark FROM THE BYTES and switch
+    every subsequent multi-byte read per ROW, exactly what a real TIFF
+    reader does. Both build and parse are pure JVM binary expressions
+    (whole-stage codegen; bytes never reach Python).
+
+    What the walk exercises beyond the earlier codecs: a data-dependent
+    IFD offset (0-4 pad bytes by doc_id, read from the header's 4-byte
+    pointer, not assumed), the TIFF SHORT-inlining rule (a 2-byte value
+    is LEFT-JUSTIFIED in the 4-byte value field in both byte orders —
+    the classic TIFF implementation gotcha), and tag-table verification
+    (ids 256/257/274/279 ascending, SHORT vs LONG types, next-IFD
+    pointer = 0). The oracle recomputes every field from doc_id/text
+    arithmetic; the Spark side must recover them from the bytes it
+    walked to. Map-only at any scale — no shuffle at all."""
+    d = table(spark, sf_dir, "documents")
+
+    def behex(c, nbytes):  # big-endian hex, masked to field width
+        masked = F.pmod(c.cast("long"), F.lit(1 << (8 * nbytes)))
+        return F.lpad(F.hex(masked), 2 * nbytes, "0")
+
+    def lehex(c, nbytes):  # little-endian: byte-reversed big-endian hex
+        h = behex(c, nbytes)
+        return F.concat(
+            *[F.substring(h, 2 * i + 1, 2) for i in range(nbytes - 1, -1, -1)]
+        )
+
+    little = F.col("doc_id") % 2 == 0
+
+    def enc(c, nbytes):  # row's byte order
+        return F.unhex(F.when(little, lehex(c, nbytes)).otherwise(behex(c, nbytes)))
+
+    pad = (F.col("doc_id") % 5).cast("int")
+    ifd_off = F.lit(8) + pad
+    width = F.lit(16) + F.col("doc_id") % 1024
+    height = F.lit(16) + (F.col("doc_id") * 7) % 768
+    orient = F.col("doc_id") % 8 + 1
+    strip = F.octet_length(F.encode(F.col("text"), "utf-8")).cast("long")
+
+    def entry(tag: int, ftype: int, value):
+        # 12-byte IFD entry: tag(2) type(2) count(4) value(4). A SHORT
+        # (type 3) is left-justified: its 2 bytes occupy the FIRST two
+        # bytes of the value field in BOTH byte orders, zero-padded.
+        val = (
+            F.concat(enc(value, 2), F.unhex(F.lit("0000")))
+            if ftype == 3
+            else enc(value, 4)
+        )
+        return F.concat(
+            enc(F.lit(tag), 2), enc(F.lit(ftype), 2), enc(F.lit(1), 4), val
+        )
+
+    header = F.concat(
+        F.when(little, F.encode(F.lit("II"), "utf-8")).otherwise(
+            F.encode(F.lit("MM"), "utf-8")
+        ),
+        enc(F.lit(42), 2),
+        enc(ifd_off, 4),
+        F.substring(F.unhex(F.lit("00" * 4)), 1, pad),  # 0-4 pad bytes
+    )
+    ifd = F.concat(
+        enc(F.lit(TIFF_N_TAGS), 2),
+        entry(256, 3, width),  # ImageWidth, SHORT
+        entry(257, 3, height),  # ImageLength, SHORT
+        entry(274, 3, orient),  # Orientation, SHORT
+        entry(279, 4, strip),  # StripByteCounts, LONG
+        enc(F.lit(0), 4),  # next-IFD pointer: none
+    )
+    tiff = d.select("doc_id", F.concat(header, ifd).alias("payload"))
+
+    # ---- the walk: byte order and every offset READ from the bytes ----
+    p = F.col("payload")
+    is_le = F.decode(F.substring(p, 1, 2), "utf-8") == "II"
+
+    def rd(pos, nbytes):  # endian-aware unsigned read at 1-based pos
+        h = F.hex(F.substring(p, pos, F.lit(nbytes)))
+        rev = F.concat(
+            *[F.substring(h, 2 * i + 1, 2) for i in range(nbytes - 1, -1, -1)]
+        )
+        return F.conv(F.when(is_le, rev).otherwise(h), 16, 10).cast("long")
+
+    off = rd(F.lit(5), 4)  # IFD offset from the header pointer
+    n_tags = rd(off + 1, 2)
+
+    def ent(i: int):  # 1-based byte position of entry i's first byte
+        return off + 3 + 12 * i
+
+    def tag_id(i: int):
+        return rd(ent(i), 2)
+
+    def tag_type(i: int):
+        return rd(ent(i) + 2, 2)
+
+    def val_short(i: int):  # left-justified: first 2 bytes of the field
+        return rd(ent(i) + 8, 2)
+
+    def val_long(i: int):
+        return rd(ent(i) + 8, 4)
+
+    tags_ok = (
+        (tag_id(0) == 256) & (tag_type(0) == 3)
+        & (tag_id(1) == 257) & (tag_type(1) == 3)
+        & (tag_id(2) == 274) & (tag_type(2) == 3)
+        & (tag_id(3) == 279) & (tag_type(3) == 4)
+    )
+    return tiff.select(
+        "doc_id",
+        F.decode(F.substring(p, 1, 2), "utf-8").alias("byte_order"),
+        (rd(F.lit(3), 2) == 42).alias("magic_ok"),
+        off.alias("ifd_offset"),
+        n_tags.alias("n_tags"),
+        tags_ok.alias("tags_ok"),
+        val_short(0).alias("width"),
+        val_short(1).alias("height"),
+        val_short(2).alias("orientation"),
+        val_long(3).alias("strip_bytes"),
+        (rd(off + 3 + 12 * TIFF_N_TAGS, 4) == 0).alias("next_ifd_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # KMV sketch SET OPERATIONS: pairwise source-vocabulary Jaccard estimates
 # ---------------------------------------------------------------------------
 KMV_JACC_K = 64
