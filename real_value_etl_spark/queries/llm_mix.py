@@ -519,3 +519,152 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_per_subword"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance selection: hashed n-gram likelihood ratios
+# ---------------------------------------------------------------------------
+DSIR_BUCKETS = 256  # hashed-unigram feature buckets
+DSIR_K = 1 << 20  # fixed-point scale for the quantized likelihood ratio
+DSIR_KEEP_DIV = 5  # keep the top 1/5 of docs by per-token ratio
+DSIR_TARGET_SOURCE = "src0"  # the curated "target distribution" corpus
+
+
+@register(
+    "docs_dsir_select",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, unnest({T.tokens_sql("text")}) AS token
+      FROM documents
+    ),
+    bt AS (
+      SELECT doc_id, source,
+             {T.portable_hash32_sql("token")} % {DSIR_BUCKETS} AS b
+      FROM tok
+    ),
+    cr AS (SELECT b, COUNT(*) AS c_r FROM bt GROUP BY b),
+    ct AS (SELECT b, COUNT(*) AS c_t FROM bt
+           WHERE source = '{DSIR_TARGET_SOURCE}' GROUP BY b),
+    q AS (
+      SELECT cr.b,
+             ((COALESCE(ct.c_t, 0) + 1) * {DSIR_K}) // (cr.c_r + 1) AS q
+      FROM cr LEFT JOIN ct ON cr.b = ct.b
+    ),
+    scores AS (
+      SELECT bt.doc_id,
+             COUNT(*) AS n_tokens,
+             SUM(q.q) AS dsir_score
+      FROM bt JOIN q ON bt.b = q.b
+      GROUP BY bt.doc_id
+    ),
+    per_doc AS (
+      SELECT d.doc_id,
+             CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+             CAST(COALESCE(s.dsir_score, 0) AS BIGINT) AS dsir_score,
+             CASE WHEN COALESCE(s.n_tokens, 0) > 0
+                  THEN s.dsir_score // s.n_tokens END AS avg_q
+      FROM documents d LEFT JOIN scores s ON d.doc_id = s.doc_id
+    ),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (ORDER BY avg_q DESC NULLS LAST, doc_id)
+               AS sel_rank,
+             COUNT(*) OVER () AS total
+      FROM per_doc
+    )
+    SELECT doc_id, n_tokens, dsir_score,
+           CAST(avg_q AS BIGINT) AS avg_q,
+           CAST(sel_rank AS BIGINT) AS sel_rank,
+           sel_rank <= total // {DSIR_KEEP_DIV} AS selected
+    FROM ranked
+    """,
+    tags=("llm", "sampling", "mix", "quality"),
+)
+def docs_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (importance resampling on hashed n-gram
+    features, Xie et al. 2023): score every document by how much more
+    likely its tokens are under a curated TARGET corpus than under the
+    raw corpus, then keep the top fraction — the standard pretraining
+    data-selection shape when you have a small high-quality reference
+    (here: the `src0` source) and a large raw pool.
+
+    Engine-portable by construction: features are hashed-unigram buckets
+    (the portable md5 hash, 256 buckets), the per-bucket likelihood
+    ratio is QUANTIZED to fixed-point integers — q(b) = div((c_target+1)
+    * 2^20, (c_raw+1)), Laplace-smoothed — and a document's score is the
+    integer SUM of its tokens' q values, so every comparison the
+    selection makes is exact integer arithmetic (no logs, no float
+    accumulation order): the result hash-matches DuckDB bit-for-bit.
+
+    Scale shape: token explode -> two 256-key aggregations (map-side
+    partial combine; the ratio table is 256 rows, broadcast) -> per-doc
+    sum (one doc_id shuffle) -> the two-phase global rank
+    (operators/scan.py:global_row_number — range exchange over DOC rows
+    only, no single-partition sort) with the kept count derived from the
+    broadcast total. No stage touches more than O(tokens) rows, and the
+    quadratic-free rank survives any corpus size."""
+    d = table(spark, sf_dir, "documents")
+    from ..operators.scan import global_row_number
+
+    tok = d.select(
+        "doc_id", "source", F.explode(T.tokens(F.col("text"))).alias("token")
+    )
+    bt = tok.select(
+        "doc_id",
+        "source",
+        (T.portable_hash32(F.col("token")) % DSIR_BUCKETS).alias("b"),
+    )
+    cr = bt.groupBy("b").agg(F.count("*").alias("c_r"))
+    ct = (
+        bt.filter(F.col("source") == DSIR_TARGET_SOURCE)
+        .groupBy("b")
+        .agg(F.count("*").alias("c_t"))
+    )
+    q = cr.join(ct, "b", "left").select(
+        "b",
+        F.call_function(
+            "div",
+            (F.coalesce(F.col("c_t"), F.lit(0)) + 1) * F.lit(DSIR_K),
+            F.col("c_r") + 1,
+        ).alias("q"),
+    )
+    scores = (
+        bt.join(F.broadcast(q), "b")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("q").alias("dsir_score"))
+    )
+    per_doc = (
+        d.select("doc_id")
+        .join(scores, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias(
+                "n_tokens"
+            ),
+            F.coalesce(F.col("dsir_score"), F.lit(0)).cast("long").alias(
+                "dsir_score"
+            ),
+            F.when(
+                F.coalesce(F.col("n_tokens"), F.lit(0)) > 0,
+                F.call_function("div", F.col("dsir_score"), F.col("n_tokens")),
+            ).alias("avg_q"),
+        )
+    )
+    ranked = global_row_number(
+        per_doc,
+        [F.col("avg_q").desc_nulls_last(), F.col("doc_id").asc()],
+        "sel_rank",
+    )
+    return ranked.select(
+        "doc_id",
+        "n_tokens",
+        "dsir_score",
+        F.col("avg_q").cast("long").alias("avg_q"),
+        F.col("sel_rank").cast("long").alias("sel_rank"),
+        (
+            F.col("sel_rank")
+            <= F.call_function(
+                "div", F.col("__n").cast("long"), F.lit(DSIR_KEEP_DIV).cast("long")
+            )
+        ).alias("selected"),
+    )
