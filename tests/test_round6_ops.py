@@ -144,6 +144,7 @@ _MULTI_CONSUMER_QUERIES = (
     "docs_serialize_layout",
     "events_sessionize_scalable",
     "sim_knn_graph",
+    "docs_dsir_select",  # r7: global rank over the per-doc score frame
 )
 
 
