@@ -48,8 +48,14 @@ def brute_force_topk(
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    metric: str = "cosine",
 ) -> DataFrame:
-    """Exact cosine top-k neighbors per query vector (self excluded).
+    """Exact top-k neighbors per query vector (self excluded).
+
+    ``metric``: "cosine" (dot / (|v|·|q|)) or "dot" (raw inner product —
+    the ranking a MIPS retriever produces; differs from cosine whenever
+    corpus norms vary, which is what makes fusing the two lists
+    non-trivial, see ``rrf_fuse``).
 
     Output: (qid, vec_id, sim, rnk). Queries are broadcast. Ranking is
     two-stage: stage 1 ranks within (qid, spark_partition_id) — the
@@ -64,10 +70,16 @@ def brute_force_topk(
     q = _with_norm(queries, id_col, vec_col, "qv", "nq").select(
         F.col(id_col).alias("qid"), "qv", "nq"
     )
+    if metric == "cosine":
+        sim = dot(F.col("v"), F.col("qv")) / (F.col("nv") * F.col("nq"))
+    elif metric == "dot":
+        sim = dot(F.col("v"), F.col("qv"))
+    else:  # pragma: no cover - caller bug
+        raise ValueError(f"unknown metric {metric!r}")
     scored = corpus.join(F.broadcast(q), F.col(id_col) != F.col("qid")).select(
         "qid",
         id_col,
-        (dot(F.col("v"), F.col("qv")) / (F.col("nv") * F.col("nq"))).alias("sim"),
+        sim.alias("sim"),
     )
     w_local = Window.partitionBy("qid", "__pid").orderBy(
         F.desc("sim"), F.asc(id_col)
@@ -80,6 +92,56 @@ def brute_force_topk(
     )
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc(id_col))
     return local.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def rrf_fuse(
+    list_a: DataFrame,
+    list_b: DataFrame,
+    k: int,
+    rrf_k: int = 60,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion of two per-query rank lists (hybrid retrieval).
+
+    Inputs are (qid, id_col, rnk) frames — e.g. a dense-cosine list and a
+    MIPS/dot list, or dense + BM25. Score for a candidate is
+    ``sum over lists of 1/(rrf_k + rank)`` with absent-from-list
+    contributing 0; output is the per-query top-k by fused score
+    (qid, id, rank_a, rank_b, rrf_score, fused_rank).
+
+    Scale design: each input list is already per-query-bounded (depth
+    rows per qid), so the full-outer join and the fused re-rank touch
+    only O(|queries| x depth) rows regardless of corpus size — the
+    expensive part is producing the input lists, not fusing them. The
+    window partitions by qid over <= 2·depth rows per key: bounded, no
+    single-partition exchange. The score arithmetic is two pinned
+    double divisions and one addition — bit-reproducible across engines
+    (1/(rrf_k+r) is the same double everywhere for integer r).
+    """
+    a = list_a.select("qid", id_col, F.col("rnk").alias("__ra"))
+    b = list_b.select("qid", id_col, F.col("rnk").alias("__rb"))
+    fused = a.join(b, ["qid", id_col], "full_outer").select(
+        "qid",
+        id_col,
+        F.coalesce(F.col("__ra"), F.lit(0)).cast("long").alias("rank_a"),
+        F.coalesce(F.col("__rb"), F.lit(0)).cast("long").alias("rank_b"),
+        (
+            F.when(
+                F.col("__ra").isNull(), F.lit(0.0)
+            ).otherwise(
+                F.lit(1.0) / (F.lit(rrf_k) + F.col("__ra")).cast("double")
+            )
+            + F.when(
+                F.col("__rb").isNull(), F.lit(0.0)
+            ).otherwise(
+                F.lit(1.0) / (F.lit(rrf_k) + F.col("__rb")).cast("double")
+            )
+        ).alias("rrf_score"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("rrf_score"), F.asc(id_col))
+    return fused.withColumn("fused_rank", F.row_number().over(w)).filter(
+        F.col("fused_rank") <= k
+    )
 
 
 def ivf_assign(

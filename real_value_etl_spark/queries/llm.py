@@ -218,6 +218,102 @@ def sim_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of two rankers
+# ---------------------------------------------------------------------------
+RRF_DEPTH = 20  # per-ranker candidate depth fed into the fusion
+RRF_CONST = 60  # the canonical RRF smoothing constant
+RRF_TRUNC_DIM = 16  # matryoshka prefix for the cheap second ranker
+_COS_TRUNC_EQ = V.cosine_sql(
+    f"e.v[1:{RRF_TRUNC_DIM}]", f"q.qv[1:{RRF_TRUNC_DIM}]"
+)
+
+
+@register(
+    "sim_rrf_fusion",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e
+          WHERE vec_id % {ANN_QUERY_MOD} = 0 AND vec_id < {ANN_SEED_CAP}),
+    scored AS (
+      SELECT q.qid, e.vec_id, {_COS_EQ} AS sim_full, {_COS_TRUNC_EQ} AS sim_trunc
+      FROM e, q WHERE e.vec_id <> q.qid
+    ),
+    ca AS (
+      SELECT qid, vec_id, r FROM (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY sim_full DESC, vec_id) AS r
+        FROM scored) WHERE r <= {RRF_DEPTH}
+    ),
+    cb AS (
+      SELECT qid, vec_id, r FROM (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY sim_trunc DESC, vec_id) AS r
+        FROM scored) WHERE r <= {RRF_DEPTH}
+    ),
+    fused AS (
+      SELECT COALESCE(a.qid, b.qid) AS qid,
+             COALESCE(a.vec_id, b.vec_id) AS vec_id,
+             CAST(COALESCE(a.r, 0) AS BIGINT) AS rank_full,
+             CAST(COALESCE(b.r, 0) AS BIGINT) AS rank_trunc,
+             (CASE WHEN a.r IS NULL THEN 0.0
+                   ELSE 1.0 / CAST({RRF_CONST} + a.r AS DOUBLE) END)
+           + (CASE WHEN b.r IS NULL THEN 0.0
+                   ELSE 1.0 / CAST({RRF_CONST} + b.r AS DOUBLE) END) AS rrf_score
+      FROM ca a FULL OUTER JOIN cb b
+        ON a.qid = b.qid AND a.vec_id = b.vec_id
+    ),
+    ranked AS (
+      SELECT qid, vec_id, rank_full, rank_trunc, rrf_score,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY rrf_score DESC, vec_id) AS fused_rank
+      FROM fused
+    )
+    SELECT qid, vec_id, rank_full, rank_trunc, rrf_score,
+           CAST(fused_rank AS BIGINT) AS fused_rank
+    FROM ranked WHERE fused_rank <= {ANN_K}
+    """,
+    tags=("similarity", "llm", "vector", "fusion"),
+)
+def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: fuse the exact
+    full-dimension cosine top-20 with a matryoshka-truncated (first 16
+    dims) cosine top-20 per query — the realistic cheap-ranker/precise-
+    ranker pair (the fixture embeddings are unit-norm, so a raw-dot
+    second ranker would be degenerate). Score = 1/(60+r_full) +
+    1/(60+r_trunc), absent ranks contribute 0; keep the fused top-5.
+    The score arithmetic is two pinned double divisions + one add —
+    bit-exact vs the oracle. Plan: the corpus is scanned twice (once per
+    ranker) with the query side broadcast; the fusion itself joins two
+    |q| x 20 lists — its cost is independent of corpus size (see
+    operators/similarity.rrf_fuse). At 100 TB the truncated ranker reads
+    a 4x-narrower column (or a separate matryoshka table) and the full
+    ranker re-ranks only fused survivors."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(
+        (F.col("vec_id") % ANN_QUERY_MOD == 0) & (F.col("vec_id") < ANN_SEED_CAP)
+    )
+    trunc = emb.select(
+        "vec_id", F.slice("embedding", 1, RRF_TRUNC_DIM).alias("embedding")
+    )
+    tqueries = queries.select(
+        "vec_id", F.slice("embedding", 1, RRF_TRUNC_DIM).alias("embedding")
+    )
+    full_list = S.brute_force_topk(emb, queries, RRF_DEPTH, metric="cosine")
+    trunc_list = S.brute_force_topk(trunc, tqueries, RRF_DEPTH, metric="cosine")
+    out = S.rrf_fuse(full_list, trunc_list, ANN_K, RRF_CONST)
+    return out.select(
+        "qid",
+        "vec_id",
+        F.col("rank_a").alias("rank_full"),
+        F.col("rank_b").alias("rank_trunc"),
+        "rrf_score",
+        "fused_rank",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Embedding similarity: IVF-pruned top-k (the scale path)
 # ---------------------------------------------------------------------------
 def _ivf_oracle() -> str:

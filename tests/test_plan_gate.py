@@ -124,6 +124,7 @@ _BNLJ_WAIVERS: dict[str, str] = {
     "sim_pq_adc_recall": _R_QUERYSET,
     "sim_quantization_recall": _R_QUERYSET,
     "sim_rerank_quantized": _R_QUERYSET,
+    "sim_rrf_fusion": _R_QUERYSET,
     # iterative graph — per-superstep scalar frames (node count,
     # dangling mass, convergence delta) broadcast into the update join
     "graph_label_propagation": _R_SCALAR,

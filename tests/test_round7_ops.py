@@ -174,3 +174,83 @@ def test_be_masks_over_width_values(spark):
         F.hex(F.unhex(F.lpad(F.hex(v), 8, "0"))).alias("h")
     ).head()[0]
     assert unmasked != "00000005"
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion (hybrid retrieval)
+# ---------------------------------------------------------------------------
+
+
+def test_rrf_fuse_semantics(spark):
+    """Absent-from-one-list candidates contribute 0 from that list; the
+    fused ordering follows 1/(60+ra) + 1/(60+rb) with id tie-break."""
+    from real_value_etl_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)], ["qid", "vec_id", "rnk"]
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)], ["qid", "vec_id", "rnk"]
+    )
+    rows = {
+        r["vec_id"]: r
+        for r in rrf_fuse(a, b, k=10, rrf_k=60).collect()
+    }
+    # 11 is in both lists -> highest fused score
+    assert rows[11]["fused_rank"] == 1
+    assert rows[11]["rank_a"] == 2 and rows[11]["rank_b"] == 1
+    assert rows[11]["rrf_score"] == 1.0 / 62 + 1.0 / 61
+    # 10 only in A at rank 1 beats 13 only in B at rank 2
+    assert rows[10]["rrf_score"] == 1.0 / 61 and rows[10]["rank_b"] == 0
+    assert rows[13]["rrf_score"] == 1.0 / 62 and rows[13]["rank_a"] == 0
+    assert rows[10]["fused_rank"] < rows[13]["fused_rank"]
+    # equal scores tie-break by id: 12 (A rank 3) vs nothing else equal
+    assert rows[12]["rrf_score"] == 1.0 / 63
+
+
+def test_brute_force_topk_dot_metric(spark):
+    """metric="dot" ranks by raw inner product — differs from cosine
+    whenever norms vary (the fixture embeddings are unit-norm, which is
+    exactly why the registered fusion query uses a truncated-dim second
+    ranker instead; the dot metric is exercised here on unnormalized
+    vectors)."""
+    from real_value_etl_spark.operators.similarity import brute_force_topk
+
+    # vec 2 has a huge norm: top dot neighbor of q=1 is 2 (dot 2.0 vs
+    # 0.9), but its direction is mostly orthogonal -> cosine prefers 3
+    # (cos ~0.993 vs ~0.196).
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [2.0, 10.0]),
+            (3, [0.9, 0.1]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    q = emb.filter(F.col("vec_id") == 1)
+    top_dot = brute_force_topk(emb, q, 1, metric="dot").head()
+    top_cos = brute_force_topk(emb, q, 1, metric="cosine").head()
+    assert top_dot["vec_id"] == 2
+    assert top_cos["vec_id"] == 3
+
+
+def test_rrf_fixture_rankers_genuinely_differ(spark, sf_dir):
+    """The registered fusion query's two rankers (full-dim vs 16-dim
+    truncated cosine) must produce different rank lists on the fixture —
+    otherwise the fusion degenerates to a re-rank."""
+    from real_value_etl_spark.operators.similarity import brute_force_topk
+    from real_value_etl_spark.queries.registry import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 2000))
+    trunc = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    tq = q.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    full_set = {
+        (r["qid"], r["vec_id"], r["rnk"])
+        for r in brute_force_topk(emb, q, 20).collect()
+    }
+    trunc_set = {
+        (r["qid"], r["vec_id"], r["rnk"])
+        for r in brute_force_topk(trunc, tq, 20).collect()
+    }
+    assert full_set != trunc_set
