@@ -559,6 +559,185 @@ def text_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# HyperLogLog registers — deterministic approx distinct, register-verified
+# ---------------------------------------------------------------------------
+HLL_P = 6  # 2^6 = 64 registers
+HLL_M = 1 << HLL_P
+HLL_HASH_HEX = 13  # 13 md5 hex chars = 52-bit hash, exact in BIGINT
+HLL_W_BITS = 52 - HLL_P  # 46 bits feed the leading-zero rank
+HLL_ALPHA = 0.709336  # alpha_64 = 0.7213 / (1 + 1.079/64), pinned literal
+_HLL_POW_W = float(1 << HLL_W_BITS)  # 2^46, exactly representable
+# single pre-folded double literal => no cross-engine multiply-order risk
+# (DuckDB would otherwise type bare decimals as DECIMAL and overflow)
+_HLL_EST_NUM = HLL_ALPHA * float(HLL_M * HLL_M) * _HLL_POW_W
+# linear-counting correction m*ln(m/V) for V=1..m-1 empty registers,
+# precomputed HERE and inlined as the SAME double literals in both engines
+# — runtime ln() is not bit-stable across engines, a literal lookup is.
+import math as _math
+
+_HLL_LC = {v: HLL_M * _math.log(HLL_M / v) for v in range(1, HLL_M)}
+_HLL_LC_THRESHOLD = 2.5 * HLL_M  # raw estimate below this => linear counting
+
+
+@register(
+    "text_hll_registers",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source,
+             CAST(('0x' || substring(md5(token), 1, {HLL_HASH_HEX})) AS BIGINT)
+               AS hv
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+            FROM documents)
+      WHERE token <> ''
+    ),
+    br AS (
+      SELECT source, hv % {HLL_M} AS bucket,
+             CASE WHEN hv // {HLL_M} = 0 THEN {HLL_W_BITS + 1}
+                  ELSE {HLL_W_BITS + 1} - length(bin(hv // {HLL_M})) END AS rank
+      FROM tok
+    ),
+    regs AS (
+      SELECT source, bucket, MAX(rank) AS max_rank
+      FROM br GROUP BY source, bucket
+    ),
+    per_source AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_registers,
+             CAST(SUM(CASE WHEN max_rank <= {HLL_W_BITS}
+                           THEN 1::BIGINT << ({HLL_W_BITS} - max_rank)
+                           ELSE 0 END) AS BIGINT) AS sum_geo,
+             array_to_string(
+               list(CAST(bucket AS VARCHAR) || ':' || CAST(max_rank AS VARCHAR)
+                    ORDER BY bucket), ',') AS registers
+      FROM regs GROUP BY source
+    ),
+    ex AS (
+      SELECT source, CAST(COUNT(DISTINCT token) AS BIGINT) AS exact_distinct
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+            FROM documents)
+      WHERE token <> '' GROUP BY source
+    ),
+    est AS (
+      SELECT p.source, p.n_registers, p.sum_geo, p.registers,
+             CAST({_HLL_EST_NUM!r} AS DOUBLE)
+               / CAST(p.sum_geo + ({HLL_M} - p.n_registers)
+                      * {1 << HLL_W_BITS} AS DOUBLE) AS est_raw,
+             {HLL_M} - p.n_registers AS n_empty
+      FROM per_source p
+    )
+    SELECT s.source, s.n_registers, s.sum_geo, s.registers,
+           s.est_raw AS est_distinct,
+           CASE WHEN s.est_raw <= {_HLL_LC_THRESHOLD!r} AND s.n_empty > 0
+                THEN (CAST([{", ".join(repr(_HLL_LC[v]) for v in range(1, HLL_M))}]
+                      AS DOUBLE[]))[s.n_empty]
+                ELSE s.est_raw END AS est_corrected,
+           e.exact_distinct
+    FROM est s JOIN ex e ON e.source = s.source
+    """,
+    tags=("llm", "text", "sketch", "cardinality"),
+)
+def text_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary cardinality via HyperLogLog — but with the
+    whole register file verified, not just the estimate. The 52-bit
+    md5-prefix hash splits into a 6-bit bucket and a 46-bit suffix whose
+    leading-zero rank (47 - bitlength, computed as length(bin(w)) on
+    both engines) feeds per-bucket MAX registers; the raw HLL estimate
+    alpha*m^2 / sum(2^-M_j) is evaluated in integer arithmetic
+    (sum of 2^(46-M_j), empty registers contributing 2^46) so the only
+    doubles are one pinned division. Unlike approx_count_distinct
+    (HLL++, seed- and impl-specific), every value here is deterministic
+    and hash-checked — including the serialized register file. No
+    distinct is needed before the sketch (duplicate tokens hit the same
+    register with the same rank): the sketch pass is a pure map +
+    two-level agg, and registers are mergeable by MAX, which is the
+    100 TB story — partitions sketch independently, merge state is 64
+    bytes per source. The exact-count branch exists only to show the
+    estimator's error and would be dropped at scale. The small-range
+    (linear counting) correction m*ln(m/V) IS applied — but ln() is not
+    bit-stable across engines, so the 63 possible corrected values are
+    precomputed once in Python and inlined as the SAME double literals
+    in both the Spark plan and the oracle (a lookup indexed by the
+    empty-register count V); the branch condition compares the raw
+    estimate, itself bit-identical, against 2.5*m. The fixture's
+    per-source vocabularies (~31 tokens) land in exactly this regime —
+    est_corrected tracks exact_distinct closely while est_distinct
+    (raw) overshoots, which is the textbook behavior the two columns
+    demonstrate."""
+    d = table(spark, sf_dir, "documents")
+    tok = (
+        d.select("source", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    hv = F.conv(F.substring(F.md5("token"), 1, HLL_HASH_HEX), 16, 10).cast(
+        "long"
+    )
+    w = F.floor(F.col("hv") / HLL_M).cast("long")
+    br = tok.select("source", hv.alias("hv")).select(
+        "source",
+        F.pmod("hv", F.lit(HLL_M)).cast("long").alias("bucket"),
+        F.when(w == 0, F.lit(HLL_W_BITS + 1))
+        .otherwise(F.lit(HLL_W_BITS + 1) - F.length(F.bin(w)))
+        .cast("long")
+        .alias("rank"),
+    )
+    regs = (
+        br.groupBy("source", "bucket")
+        .agg(F.max("rank").alias("max_rank"))
+        .withColumn(
+            "geo",
+            F.expr(
+                f"CASE WHEN max_rank <= {HLL_W_BITS} THEN "
+                f"shiftleft(CAST(1 AS BIGINT), CAST({HLL_W_BITS} - max_rank AS INT)) "
+                "ELSE CAST(0 AS BIGINT) END"
+            ),
+        )
+    )
+    per_source = regs.groupBy("source").agg(
+        F.count("*").alias("n_registers"),
+        F.sum("geo").cast("long").alias("sum_geo"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("bucket", "max_rank"))),
+                lambda s: F.concat_ws(
+                    ":",
+                    s["bucket"].cast("string"),
+                    s["max_rank"].cast("string"),
+                ),
+            ),
+            ",",
+        ).alias("registers"),
+    )
+    ex = tok.groupBy("source").agg(
+        F.countDistinct("token").alias("exact_distinct")
+    )
+    est_raw = F.lit(_HLL_EST_NUM) / (
+        F.col("sum_geo")
+        + (F.lit(HLL_M) - F.col("n_registers")) * F.lit(1 << HLL_W_BITS)
+    ).cast("double")
+    n_empty = F.lit(HLL_M) - F.col("n_registers")
+    lc_table = F.array(*[F.lit(_HLL_LC[v]) for v in range(1, HLL_M)])
+    with_est = per_source.withColumn("est_distinct", est_raw).withColumn(
+        "est_corrected",
+        F.when(
+            (F.col("est_distinct") <= F.lit(_HLL_LC_THRESHOLD)) & (n_empty > 0),
+            F.element_at(lc_table, n_empty.cast("int")),
+        ).otherwise(F.col("est_distinct")),
+    )
+    return (
+        with_est.join(ex, "source")
+        .select(
+            "source",
+            "n_registers",
+            "sum_geo",
+            "registers",
+            "est_distinct",
+            "est_corrected",
+            "exact_distinct",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # k-anonymity audit (privacy: quasi-identifier group sizes)
 # ---------------------------------------------------------------------------
 KANON_K = 5
