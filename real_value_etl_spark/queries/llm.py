@@ -407,6 +407,130 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs, "doc_a", "doc_b")
 
 
+# ---------------------------------------------------------------------------
+# B-cubed evaluation of the dedup clustering against the lang gold labels
+# ---------------------------------------------------------------------------
+BCUBED_Q = 1 << 20  # fixed-point scale for the per-item fraction sums
+
+
+def _bcubed_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_SHINGLE_IDX_CTE}, {_JACCARD_TAIL_SQL},
+    pairs_t AS (SELECT doc_a, doc_b FROM jac WHERE jac >= {JACCARD_THRESHOLD}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs_t
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs_t
+    ),
+    reach(src, node) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT src AS node, MIN(node) AS component FROM reach GROUP BY src),
+    assign AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster, d.lang
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    ),
+    cl AS (SELECT cluster, lang, COUNT(*) AS c_kl FROM assign GROUP BY cluster, lang),
+    nk AS (SELECT cluster, COUNT(*) AS n_k FROM assign GROUP BY cluster),
+    nl AS (SELECT lang, COUNT(*) AS n_l FROM assign GROUP BY lang),
+    sums AS (
+      SELECT CAST(SUM((t.c_kl * t.c_kl * {BCUBED_Q}) // k.n_k) AS BIGINT) AS p_q,
+             CAST(SUM((t.c_kl * t.c_kl * {BCUBED_Q}) // l.n_l) AS BIGINT) AS r_q
+      FROM cl t JOIN nk k ON k.cluster = t.cluster
+                JOIN nl l ON l.lang = t.lang
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters
+      FROM assign
+    )
+    SELECT t.n_docs, t.n_clusters, s.p_q, s.r_q,
+           CAST(s.p_q AS DOUBLE) / CAST(t.n_docs * {BCUBED_Q} AS DOUBLE)
+             AS bcubed_precision,
+           CAST(s.r_q AS DOUBLE) / CAST(t.n_docs * {BCUBED_Q} AS DOUBLE)
+             AS bcubed_recall,
+           (2.0 * (CAST(s.p_q AS DOUBLE) / CAST(t.n_docs * {BCUBED_Q} AS DOUBLE))
+                * (CAST(s.r_q AS DOUBLE) / CAST(t.n_docs * {BCUBED_Q} AS DOUBLE)))
+           / ((CAST(s.p_q AS DOUBLE) / CAST(t.n_docs * {BCUBED_Q} AS DOUBLE))
+            + (CAST(s.r_q AS DOUBLE) / CAST(t.n_docs * {BCUBED_Q} AS DOUBLE)))
+             AS bcubed_f1
+    FROM tot t CROSS JOIN sums s
+    """
+
+
+@register(
+    "dedup_bcubed_eval",
+    oracle=_bcubed_oracle(),
+    tags=("dedup", "llm", "eval", "iterative"),
+)
+def dedup_bcubed_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-cubed (Bagga & Baldwin) extrinsic evaluation of the near-dup
+    clustering against the documents' lang labels: per-item precision =
+    |cluster ∩ gold|/|cluster| and recall = |cluster ∩ gold|/|gold|,
+    averaged over items — computed as sum over (cluster, label) cells of
+    c_kl^2/n_k and c_kl^2/n_l. Docs outside any near-dup pair are their
+    own singleton cluster (perfect per-item precision, the standard
+    convention). The per-cell fractions are QUANTIZED to fixed-point
+    integers (div(c_kl^2 * 2^20, n)) before summing, so the global sum
+    is an integer — order-free and bit-exact — and only the final
+    normalizations are (pinned) double divisions; the quantization
+    under-counts each cell by < 1/2^20, immaterial for a quality metric
+    and fully mirrored in the oracle. Scale: c_kl^2 * 2^20 needs
+    n_cell < 2^21 to stay in int64 — near-dup clusters are small by
+    construction; the label marginal n_l is the bound to watch (here
+    ~n/5 per lang: fine through sf10). One shuffle each for the cell /
+    cluster-size / label-size aggs; the label marginal broadcasts; the
+    cluster step itself reuses the iterative min-label components."""
+    from ..operators.components import dedup_clusters
+
+    d = table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(d, "doc_id", "text", JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b"
+    )
+    comp = dedup_clusters(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    assign = d.select("doc_id", "lang").join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component", "doc_id").alias("cluster"),
+        "lang",
+    )
+    cl = assign.groupBy("cluster", "lang").agg(F.count("*").alias("c_kl"))
+    nk = assign.groupBy("cluster").agg(F.count("*").alias("n_k"))
+    nl = assign.groupBy("lang").agg(F.count("*").alias("n_l"))
+    c2q = F.col("c_kl") * F.col("c_kl") * F.lit(BCUBED_Q).cast("long")
+    sums = (
+        cl.join(nk, "cluster")
+        .join(F.broadcast(nl), "lang")
+        .agg(
+            F.sum(F.call_function("div", c2q, F.col("n_k")))
+            .cast("long")
+            .alias("p_q"),
+            F.sum(F.call_function("div", c2q, F.col("n_l")))
+            .cast("long")
+            .alias("r_q"),
+        )
+    )
+    tot = assign.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("cluster").alias("n_clusters"),
+    )
+    denom = (F.col("n_docs") * F.lit(BCUBED_Q).cast("long")).cast("double")
+    p = F.col("p_q").cast("double") / denom
+    r = F.col("r_q").cast("double") / denom
+    return tot.crossJoin(sums).select(
+        "n_docs",
+        "n_clusters",
+        "p_q",
+        "r_q",
+        p.alias("bcubed_precision"),
+        r.alias("bcubed_recall"),
+        ((F.lit(2.0) * p * r) / (p + r)).alias("bcubed_f1"),
+    )
+
+
 def _components_star_oracle() -> str:
     return f"""
     WITH RECURSIVE {_SHINGLE_IDX_CTE}, {_JACCARD_TAIL_SQL},

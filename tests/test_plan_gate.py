@@ -127,6 +127,8 @@ _BNLJ_WAIVERS: dict[str, str] = {
     "sim_rrf_fusion": _R_QUERYSET,
     # iterative graph — per-superstep scalar frames (node count,
     # dangling mass, convergence delta) broadcast into the update join
+    "graph_hits_lineitem": _R_SCALAR
+    + " (per-round MAX normalizer broadcast into the score projection)",
     "graph_label_propagation": _R_SCALAR,
     "graph_pagerank_lineitem": _R_SCALAR,
     "graph_triangle_count": _R_SCALAR
@@ -148,6 +150,8 @@ _BNLJ_WAIVERS: dict[str, str] = {
     "text_keyword_extract": _R_PAIRS,
     "text_kmv_jaccard": _R_PAIRS,
     # scalar-subquery shapes
+    "dedup_bcubed_eval": _R_SCALAR
+    + " (two 1-row scalar aggregates cross-joined for the final ratios)",
     "q22_dormant_customers": _R_SCALAR,
     "q_equidepth_price": _R_SCALAR,
     "q_join_size_estimate": _R_SCALAR,
