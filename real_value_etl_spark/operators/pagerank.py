@@ -101,3 +101,77 @@ def pagerank_fixed_point(
             )
         )
     return ranks.select("node", F.col("r").alias("rank"))
+
+
+HITS_SCALE = 10**6  # fixed-point unit for HITS (smaller than PageRank's:
+# normalization multiplies a degree-weighted sum by SCALE before the
+# integer division, so deg_max * SCALE^2 must stay < 2^63 — 10^6 admits
+# deg_max ~ 9.2e6, comfortably above any per-node degree through sf10)
+
+
+def hits_fixed_point(
+    edges: DataFrame,
+    n_iter: int = 3,
+    caches: list[DataFrame] | None = None,
+    pre_partitioned: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """HITS (Kleinberg) hubs & authorities on a directed edge list.
+
+    Returns (hubs, auths): (node, h) / (node, a) in HITS_SCALE
+    fixed-point units after `n_iter` mutual-reinforcement rounds:
+    a(p) = sum of h over in-edges, h(s) = sum of a over out-edges, each
+    side re-normalized to max = SCALE with a truncating integer
+    division. MAX-normalization (not the usual L2) keeps every step in
+    exact integer arithmetic — order-independent sums, so shuffle order
+    can't perturb results and a SQL oracle can replay the iteration
+    bit-for-bit. The normalizer is a 1-row broadcast, like PageRank's
+    node count.
+
+    Scale shape: each round is two shuffle-sums (groupBy dst, groupBy
+    src) over the persisted edge list — the Pregel minimum for a
+    two-sided recurrence; score frames stay node-sized. Same cache
+    lifecycle contract as pagerank_fixed_point.
+
+    The raw score frame of each half-round is eagerly localCheckpoint-ed
+    (the components_star trick): the MAX normalizer and the normalized
+    projection both consume it, and without the checkpoint that fork
+    doubles the logical plan TWICE per round — 4^n growth that OOMs the
+    driver on plan strings by iteration 3. Checkpointed frames are
+    node-sized, and the truncation also stops Spark re-executing the
+    whole prior round under each scalar-max action.
+    """
+    if not pre_partitioned:
+        edges = edges.repartition("src")
+    edges = edges.persist()
+    if caches is not None:
+        caches += [edges]
+    hubs = (
+        edges.select("src").distinct().select(
+            F.col("src").alias("node"), F.lit(HITS_SCALE).cast("long").alias("h")
+        )
+    )
+    auths = None
+    for _ in range(n_iter):
+        raw_a = (
+            edges.join(hubs, edges.src == hubs.node)
+            .groupBy("dst")
+            .agg(F.sum("h").alias("ra"))
+            .localCheckpoint(eager=True)
+        )
+        ma = raw_a.agg(F.max("ra").alias("m"))
+        auths = raw_a.crossJoin(F.broadcast(ma)).select(
+            F.col("dst").alias("node"),
+            F.expr(f"(ra * {HITS_SCALE}) div m").alias("a"),
+        )
+        raw_h = (
+            edges.join(auths, edges.dst == auths.node)
+            .groupBy("src")
+            .agg(F.sum("a").alias("rh"))
+            .localCheckpoint(eager=True)
+        )
+        mh = raw_h.agg(F.max("rh").alias("m"))
+        hubs = raw_h.crossJoin(F.broadcast(mh)).select(
+            F.col("src").alias("node"),
+            F.expr(f"(rh * {HITS_SCALE}) div m").alias("h"),
+        )
+    return hubs, auths

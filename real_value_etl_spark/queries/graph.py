@@ -8,10 +8,16 @@ shuffle per superstep.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.pagerank import DAMP_DEN, DAMP_NUM, SCALE, pagerank_fixed_point
+from ..operators.pagerank import (
+    DAMP_DEN,
+    DAMP_NUM,
+    SCALE,
+    hits_fixed_point,
+    pagerank_fixed_point,
+)
 from .registry import register, table
 
 PR_ITER = 3
@@ -94,4 +100,96 @@ def graph_pagerank_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("node"),
             "rank",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities on the directed supplier -> part purchase graph
+# ---------------------------------------------------------------------------
+HITS_ITER = 3
+HITS_TOPK = 20
+
+
+def _hits_oracle() -> str:
+    from ..operators.pagerank import HITS_SCALE
+
+    head = """
+    WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
+    h0 AS (SELECT src AS node, CAST({s} AS BIGINT) AS h
+           FROM (SELECT DISTINCT src FROM e))""".format(s=HITS_SCALE)
+    its = []
+    for i in range(1, HITS_ITER + 1):
+        its.append(f""",
+    ra{i} AS (SELECT e.dst AS node, SUM(h.h) AS ra
+              FROM e JOIN h{i - 1} h ON e.src = h.node GROUP BY e.dst),
+    ma{i} AS (SELECT MAX(ra) AS m FROM ra{i}),
+    a{i} AS (SELECT node, (ra * {HITS_SCALE}) // m AS a
+             FROM ra{i} CROSS JOIN ma{i}),
+    rh{i} AS (SELECT e.src AS node, SUM(a.a) AS rh
+              FROM e JOIN a{i} a ON e.dst = a.node GROUP BY e.src),
+    mh{i} AS (SELECT MAX(rh) AS m FROM rh{i}),
+    h{i} AS (SELECT node, (rh * {HITS_SCALE}) // m AS h
+             FROM rh{i} CROSS JOIN mh{i})"""
+        )
+    last = HITS_ITER
+    return (
+        head
+        + "".join(its)
+        + f""",
+    top_h AS (SELECT node, h AS score FROM h{last}
+              ORDER BY h DESC, node LIMIT {HITS_TOPK}),
+    top_a AS (SELECT node, a AS score FROM a{last}
+              ORDER BY a DESC, node LIMIT {HITS_TOPK}),
+    lab AS (
+      SELECT 'hub' AS kind, 's' || CAST(node AS VARCHAR) AS lbl, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, node) AS rnk
+      FROM top_h
+      UNION ALL
+      SELECT 'auth' AS kind, 'p' || CAST(node AS VARCHAR) AS lbl, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, node) AS rnk
+      FROM top_a
+    )
+    SELECT kind, lbl AS node, CAST(score AS BIGINT) AS score,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM lab"""
+    )
+
+
+@register("graph_hits_lineitem", oracle=_hits_oracle(), tags=("graph", "iterative"))
+def graph_hits_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{K} hubs (suppliers) and authorities (parts) of the DIRECTED
+    supplier->part purchase graph by HITS mutual reinforcement — the
+    bipartite companion to graph_pagerank_lineitem's symmetrized walk.
+    Three rounds of a(p) = sum h(in-edges), h(s) = sum a(out-edges),
+    each side max-normalized to fixed-point SCALE with truncating
+    integer division (operators/pagerank.hits_fixed_point) — all-integer
+    arithmetic, so the DuckDB oracle's unrolled replay hash-matches
+    exactly. Per-kind rank ties break on the node id; the rnk column is
+    computed AFTER the top-k cut (20-row frames), so no unbounded
+    single-partition window appears in the plan — top-k itself is
+    TakeOrderedAndProject."""
+    li = table(spark, sf_dir, "lineitem")
+    edges = (
+        li.select(F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst"))
+        .repartition("src")
+        .dropDuplicates(["src", "dst"])
+    )
+    hubs, auths = hits_fixed_point(edges, HITS_ITER, pre_partitioned=True)
+    top_h = hubs.orderBy(F.col("h").desc(), "node").limit(HITS_TOPK).select(
+        F.lit("hub").alias("kind"),
+        F.expr("'s' || cast(node as string)").alias("node"),
+        F.col("h").alias("score"),
+        F.col("node").alias("__id"),
+    )
+    top_a = auths.orderBy(F.col("a").desc(), "node").limit(HITS_TOPK).select(
+        F.lit("auth").alias("kind"),
+        F.expr("'p' || cast(node as string)").alias("node"),
+        F.col("a").alias("score"),
+        F.col("node").alias("__id"),
+    )
+    w = Window.partitionBy("kind").orderBy(F.col("score").desc(), F.col("__id"))
+    return (
+        top_h.unionAll(top_a)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .select("kind", "node", "score", "rnk")
     )
