@@ -254,3 +254,95 @@ def test_rrf_fixture_rankers_genuinely_differ(spark, sf_dir):
         for r in brute_force_topk(trunc, tq, 20).collect()
     }
     assert full_set != trunc_set
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog registers (deterministic sketch)
+# ---------------------------------------------------------------------------
+
+
+def test_hll_registers_merge_by_max(spark, sf_dir):
+    """HLL register files are mergeable by element-wise MAX: sketching
+    two disjoint halves of the corpus and merging must equal sketching
+    the whole — the property that makes the sketch shuffle-light at
+    scale (64 bytes of state per group, combinable map-side)."""
+    from real_value_etl_spark.queries.feature_ops import (
+        HLL_HASH_HEX,
+        HLL_M,
+        HLL_W_BITS,
+    )
+    from real_value_etl_spark.queries.registry import table
+
+    d = table(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", "source", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    hv = F.conv(F.substring(F.md5("token"), 1, HLL_HASH_HEX), 16, 10).cast("long")
+    w = F.floor(F.col("hv") / HLL_M).cast("long")
+    br = tok.select("doc_id", "source", hv.alias("hv")).select(
+        "doc_id",
+        "source",
+        F.pmod("hv", F.lit(HLL_M)).cast("long").alias("bucket"),
+        F.when(w == 0, F.lit(HLL_W_BITS + 1))
+        .otherwise(F.lit(HLL_W_BITS + 1) - F.length(F.bin(w)))
+        .cast("long")
+        .alias("rank"),
+    )
+
+    def regfile(frame):
+        return {
+            (r["source"], r["bucket"]): r["mr"]
+            for r in frame.groupBy("source", "bucket")
+            .agg(F.max("rank").alias("mr"))
+            .collect()
+        }
+
+    whole = regfile(br)
+    lo = regfile(br.filter(F.col("doc_id") % 2 == 0))
+    hi = regfile(br.filter(F.col("doc_id") % 2 == 1))
+    merged: dict = {}
+    for part in (lo, hi):
+        for k, v in part.items():
+            merged[k] = max(merged.get(k, 0), v)
+    assert merged == whole
+
+
+def test_hll_linear_counting_branch(spark):
+    """Small cardinalities take the linear-counting lookup (corrected !=
+    raw); the lookup value is the pinned literal m*ln(m/V)."""
+    import math
+
+    from real_value_etl_spark.queries.feature_ops import (
+        HLL_M,
+        _HLL_LC,
+    )
+
+    # the table is exactly m*ln(m/V) computed once in Python
+    assert _HLL_LC[32] == HLL_M * math.log(HLL_M / 32)
+    assert len(_HLL_LC) == HLL_M - 1
+
+
+# ---------------------------------------------------------------------------
+# HITS fixed-point (hubs & authorities)
+# ---------------------------------------------------------------------------
+
+
+def test_hits_fixed_point_star(spark):
+    """On a bipartite star the best-connected supplier is the top hub,
+    the part everyone buys is the top authority, and each side's max
+    normalizes to exactly HITS_SCALE."""
+    from real_value_etl_spark.operators.pagerank import (
+        HITS_SCALE,
+        hits_fixed_point,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 101), (1, 102), (1, 103), (2, 101)], ["src", "dst"]
+    )
+    hubs, auths = hits_fixed_point(edges, n_iter=2)
+    h = {r["node"]: r["h"] for r in hubs.collect()}
+    a = {r["node"]: r["a"] for r in auths.collect()}
+    assert max(h, key=h.get) == 1 and h[1] == HITS_SCALE
+    assert max(a, key=a.get) == 101 and a[101] == HITS_SCALE
+    assert h[2] < HITS_SCALE and a[102] == a[103] < a[101]
