@@ -2148,3 +2148,158 @@ def text_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# JPEG/JFIF marker walk — fifth byte codec, first with CONDITIONAL structure
+# ---------------------------------------------------------------------------
+JPEG_MAX_HOPS = 4  # segments possibly preceding SOF0: APP0, APP1?, COM?, DQT
+
+
+@register(
+    "multimodal_jpeg_sof_parse",
+    oracle="""
+    WITH geom AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS blen,
+             CASE WHEN doc_id % 3 = 0 THEN 10 + doc_id % 5 ELSE 0 END AS app1_wire,
+             CASE WHEN doc_id % 2 = 0 THEN 4 + doc_id % 17 + 1 ELSE 0 END AS com_wire
+      FROM documents
+    )
+    SELECT doc_id,
+           TRUE AS soi_ok,
+           TRUE AS sof_marker_ok,
+           CAST(3 + 18 + app1_wire + com_wire + 69 AS BIGINT) AS sof_offset,
+           CAST((CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_opt_segments,
+           CAST(8 AS BIGINT) AS precision,
+           CAST((blen * 7) % 480 + 16 AS BIGINT) AS height,
+           CAST(blen % 640 + 16 AS BIGINT) AS width,
+           CAST(3 AS BIGINT) AS n_components,
+           CAST(2 + 18 + app1_wire + com_wire + 69 + 19 + 2 AS BIGINT)
+             AS total_len
+    FROM geom
+    """,
+    tags=("multimodal", "llm", "binary", "image"),
+)
+def multimodal_jpeg_sof_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG/JFIF parsing — a marker-segment walk to SOF0, the fifth
+    byte codec and the first with CONDITIONAL STRUCTURE: besides the
+    mandatory APP0(JFIF) and DQT segments, each document's stream
+    contains an APP1(Exif) segment only when doc_id % 3 == 0 and a COM
+    segment only when doc_id % 2 == 0, both with DATA-DEPENDENT lengths.
+    A JPEG reader cannot know where SOF0 sits — it must iterate: read a
+    marker, stop if it is SOF0 (0xFFC0), otherwise read the segment's
+    16-bit big-endian length and hop over it. The walk is unrolled to
+    {JPEG_MAX_HOPS} stay-once-found steps in pure Column expressions
+    (each row takes 2-4 real hops depending on which optional segments
+    exist), and the frame dimensions / precision / component count are
+    recovered FROM THE WALKED-TO BYTES while the oracle recomputes them
+    arithmetically from doc fields. n_opt_segments is derived from the
+    marker bytes seen during the walk (0xFFE1 / 0xFFFE), not from
+    doc_id. Everything is JVM binary expressions in one projection —
+    map-only, zero exchanges at any scale; the walk cost is O(max_hops)
+    per row independent of payload size.
+
+    Wire layout per row (1-based):  FFD8 | APP0 len=16 (JFIF\\0, v1.02,
+    density) | [APP1 len=8+e, e=doc_id%5] | [COM len=2+c, c=doc_id%17+1]
+    | DQT len=67 | SOF0 len=17 (prec 8, height, width, 3 components) |
+    FFD9."""
+    d = table(spark, sf_dir, "documents")
+
+    def be(c, nbytes):
+        masked = F.pmod(c.cast("long"), F.lit(1 << (8 * nbytes)))
+        return F.unhex(F.lpad(F.hex(masked), 2 * nbytes, "0"))
+
+    blen = F.octet_length(F.encode(F.col("text"), "utf-8")).cast("long")
+    height = (blen * 7) % 480 + 16
+    width = blen % 640 + 16
+    elen = (F.col("doc_id") % 5).cast("int")
+    clen = (F.col("doc_id") % 17 + 1).cast("int")
+    app0 = F.concat(
+        F.unhex(F.lit("FFE0")),
+        be(F.lit(16), 2),
+        F.encode(F.lit("JFIF"), "utf-8"),
+        F.unhex(F.lit("00")),  # NUL terminator
+        F.unhex(F.lit("0102")),  # version 1.02
+        F.unhex(F.lit("00")),  # density units: none
+        be(F.lit(72), 2),  # x density
+        be(F.lit(72), 2),  # y density
+        F.unhex(F.lit("0000")),  # no thumbnail
+    )
+    app1 = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.unhex(F.lit("FFE1")),
+            be(F.lit(8) + elen, 2),
+            F.encode(F.lit("Exif"), "utf-8"),
+            F.unhex(F.lit("0000")),
+            # e filler bytes ('A'), e = doc_id % 5 in 0..4
+            F.encode(F.substring(F.lit("AAAA"), F.lit(1), elen), "utf-8"),
+        ),
+    ).otherwise(F.unhex(F.lit("")))
+    com = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.unhex(F.lit("FFFE")),
+            be(F.lit(2) + clen, 2),
+            F.encode(
+                F.substring(F.lit("x" * 17), F.lit(1), clen), "utf-8"
+            ),
+        ),
+    ).otherwise(F.unhex(F.lit("")))
+    dqt = F.concat(
+        F.unhex(F.lit("FFDB")),
+        be(F.lit(67), 2),
+        F.unhex(F.lit("00" + "10" * 64)),  # table 0, 8-bit, flat qtable
+    )
+    sof0 = F.concat(
+        F.unhex(F.lit("FFC0")),
+        be(F.lit(17), 2),
+        F.unhex(F.lit("08")),  # precision
+        be(height, 2),
+        be(width, 2),
+        F.unhex(F.lit("03")),  # components
+        F.unhex(F.lit("011100" "021101" "031101")),  # Y, Cb, Cr
+    )
+    jpeg = d.select(
+        "doc_id",
+        F.concat(
+            F.unhex(F.lit("FFD8")), app0, app1, com, dqt, sof0,
+            F.unhex(F.lit("FFD9")),
+        ).alias("payload"),
+    )
+
+    # ---- the walk: marker-dispatch with stay-once-found unrolling ----
+    p = F.col("payload")
+
+    def rd_be(pos, nbytes):
+        return F.conv(F.hex(F.substring(p, pos, F.lit(nbytes))), 16, 10).cast(
+            "long"
+        )
+
+    off = F.lit(3).cast("long")  # first segment after SOI
+    n_opt = F.lit(0).cast("long")
+    for _ in range(JPEG_MAX_HOPS):
+        marker = rd_be(off, 2)
+        found = marker == 0xFFC0
+        is_opt = marker.isin(0xFFE1, 0xFFFE)
+        seg_len = rd_be(off + 2, 2)
+        n_opt = n_opt + F.when(is_opt, F.lit(1)).otherwise(F.lit(0)).cast(
+            "long"
+        )
+        off = F.when(found, off).otherwise(off + 2 + seg_len)
+    sof_off = off
+    return jpeg.select(
+        "doc_id",
+        (F.hex(F.substring(p, 1, 2)) == F.lit("FFD8")).alias("soi_ok"),
+        (rd_be(sof_off, 2) == 0xFFC0).alias("sof_marker_ok"),
+        sof_off.alias("sof_offset"),
+        n_opt.alias("n_opt_segments"),
+        rd_be(sof_off + 4, 1).alias("precision"),
+        rd_be(sof_off + 5, 2).alias("height"),
+        rd_be(sof_off + 7, 2).alias("width"),
+        rd_be(sof_off + 9, 1).alias("n_components"),
+        F.octet_length(p).cast("long").alias("total_len"),
+    )
