@@ -1973,3 +1973,103 @@ def events_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
         "asof_valid_from",
         F.col("asof_state_type").alias("state_at_purchase"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: longest consecutive-day activity streak per user
+# ---------------------------------------------------------------------------
+@register(
+    "events_longest_streak",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+      FROM events
+    ),
+    isl AS (
+      SELECT user_id, d,
+             d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS g
+      FROM days
+    ),
+    runs AS (
+      SELECT user_id, g, COUNT(*) AS len, MIN(d) AS start_d
+      FROM isl GROUP BY user_id, g
+    ),
+    best AS (
+      SELECT user_id, len, start_d,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY len DESC, start_d) AS rn,
+             SUM(len) OVER (PARTITION BY user_id) AS n_active,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_streaks
+      FROM runs
+    )
+    SELECT user_id,
+           CAST(n_active AS BIGINT) AS n_active_days,
+           CAST(n_streaks AS BIGINT) AS n_streaks,
+           CAST(len AS BIGINT) AS longest_streak,
+           strftime(DATE '1970-01-01' + CAST(start_d AS INTEGER), '%Y-%m-%d')
+             AS streak_start
+    FROM best WHERE rn = 1
+    """,
+    tags=("events", "window", "gaps-islands"),
+)
+def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's longest run of CONSECUTIVE active
+    days (and its start date), plus total active days and streak count —
+    the engagement metric behind "7-day streak" features. The island id
+    is the classic day_number - row_number trick: constant within a
+    consecutive run, strictly decreasing across gaps.
+
+    Plan shape (ONE exchange end-to-end): events are repartitioned on
+    user_id once, (user, day) dedup happens partition-locally
+    (dropDuplicates on a superset of the partitioning key adds no
+    exchange), and every later step — the island window, the
+    per-(user, island) count, the per-user pick — requires only
+    clustering that hash(user_id) already satisfies, so Catalyst chains
+    them shuffle-free. Per-user state is bounded by distinct active
+    days, not events; ties (equal-length streaks) break to the earliest
+    start on both engines."""
+    ev = table(spark, sf_dir, "events")
+    days = (
+        ev.select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("d"),
+        )
+        .repartition("user_id")
+        .dropDuplicates(["user_id", "d"])
+    )
+    w_rn = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn(
+        "g", F.col("d") - F.row_number().over(w_rn).cast("long")
+    )
+    runs = isl.groupBy("user_id", "g").agg(
+        F.count("*").alias("len"), F.min("d").alias("start_d")
+    )
+    w_user = Window.partitionBy("user_id")
+    best = (
+        runs.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(
+                    F.desc("len"), F.asc("start_d")
+                )
+            ),
+        )
+        .withColumn("n_active", F.sum("len").over(w_user))
+        .withColumn("n_streaks", F.count("*").over(w_user))
+        .filter(F.col("rn") == 1)
+    )
+    return best.select(
+        "user_id",
+        F.col("n_active").cast("long").alias("n_active_days"),
+        F.col("n_streaks").cast("long").alias("n_streaks"),
+        F.col("len").cast("long").alias("longest_streak"),
+        F.date_format(
+            F.date_add(
+                F.lit("1970-01-01").cast("date"), F.col("start_d").cast("int")
+            ),
+            "yyyy-MM-dd",
+        ).alias("streak_start"),
+    )
