@@ -2303,3 +2303,109 @@ def multimodal_jpeg_sof_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         rd_be(sof_off + 9, 1).alias("n_components"),
         F.octet_length(p).cast("long").alias("total_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PCM frame energy — REAL audio sample math, not a stub feature hash
+# ---------------------------------------------------------------------------
+PCM_N_SAMPLES = 64  # int16 samples decoded per document
+PCM_FRAME = 16  # samples per analysis frame -> 4 frames
+
+
+@register(
+    "multimodal_pcm_frame_energy",
+    oracle=f"""
+    WITH pcm AS (
+      SELECT doc_id,
+             substring(hex(encode(rpad(text, {2 * PCM_N_SAMPLES}, ' '))),
+                       1, {4 * PCM_N_SAMPLES}) AS h
+      FROM documents
+    ),
+    samples AS (
+      SELECT doc_id, k,
+             CAST(('0x' || substring(h, CAST(k * 4 + 1 AS BIGINT), 2)) AS BIGINT)
+               + 256 * CAST(('0x' || substring(h, CAST(k * 4 + 3 AS BIGINT), 2))
+                            AS BIGINT) AS raw
+      FROM pcm, unnest(range(0, {PCM_N_SAMPLES})) AS t(k)
+    ),
+    signed_s AS (
+      SELECT doc_id, k,
+             raw - 65536 * (CASE WHEN raw >= 32768 THEN 1 ELSE 0 END) AS v
+      FROM samples
+    ),
+    with_prev AS (
+      SELECT doc_id, k, v,
+             k // {PCM_FRAME} AS frame,
+             LAG(v) OVER (PARTITION BY doc_id ORDER BY k) AS pv
+      FROM signed_s
+    )
+    SELECT doc_id, CAST(frame AS BIGINT) AS frame,
+           CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+           CAST(MAX(ABS(v)) AS BIGINT) AS peak,
+           CAST(SUM(CASE WHEN k % {PCM_FRAME} > 0
+                          AND (v >= 0) <> (pv >= 0) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_zero_cross
+    FROM with_prev GROUP BY doc_id, frame
+    """,
+    tags=("multimodal", "llm", "binary", "audio"),
+)
+def multimodal_pcm_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio sample math — the feature-extraction step the stub
+    `multimodal_features` fakes. Each document's first 128 bytes (space-
+    padded) are treated as 64 SIGNED LITTLE-ENDIAN 16-bit PCM samples —
+    decoded with an explicit byte swap (lo + 256*hi, two's-complement
+    sign fold at 32768), which is exactly what a WAV data-chunk reader
+    does — then framed into 4 x 16-sample windows with per-frame energy
+    (sum |v|), peak, and zero-crossing count (the classic cheap
+    voice/music discriminators). Every value is an integer: no float
+    leaves either engine, so the whole feature table is hash-verified.
+    The byte-pair extraction goes through hex(payload) so arbitrary
+    (non-UTF8-safe) bytes index identically in both engines.
+    Plan: one 64-way explode (rows x samples, map-side), one LAG window
+    + frame agg sharing a single hash(doc_id) exchange. At 100 TB the
+    explode factor is the frame count — constant per document second —
+    and partitions stay balanced because every doc contributes the same
+    sample count."""
+    d = table(spark, sf_dir, "documents")
+    pcm = d.select(
+        "doc_id",
+        F.substring(
+            F.hex(F.encode(F.rpad("text", 2 * PCM_N_SAMPLES, " "), "utf-8")),
+            1,
+            4 * PCM_N_SAMPLES,
+        ).alias("h"),
+    )
+    ex = pcm.select(
+        "doc_id",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(PCM_N_SAMPLES - 1))).alias("k"),
+    )
+    hexpair = lambda off: F.conv(  # noqa: E731
+        F.substring(F.col("h"), (F.col("k") * 4 + off).cast("int"), F.lit(2)),
+        16,
+        10,
+    ).cast("long")
+    raw = hexpair(1) + F.lit(256) * hexpair(3)
+    signed_v = raw - F.lit(65536) * F.when(raw >= 32768, 1).otherwise(0)
+    s = ex.select("doc_id", "k", signed_v.alias("v"))
+    w = Window.partitionBy("doc_id").orderBy("k")
+    wp = s.select(
+        "doc_id",
+        "k",
+        "v",
+        F.floor(F.col("k") / PCM_FRAME).cast("long").alias("frame"),
+        F.lag("v").over(w).alias("pv"),
+    )
+    return wp.groupBy("doc_id", "frame").agg(
+        F.sum(F.abs("v")).cast("long").alias("sum_abs"),
+        F.max(F.abs("v")).cast("long").alias("peak"),
+        F.sum(
+            F.when(
+                (F.col("k") % PCM_FRAME > 0)
+                & ((F.col("v") >= 0) != (F.col("pv") >= 0)),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_zero_cross"),
+    )
