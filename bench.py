@@ -102,6 +102,15 @@ SF1_HEAVY = [
     "docs_span_pair_dedup",
     "multimodal_phash_dedup",
     "stream_kmv_distinct",
+    # round-7 late additions: the two heaviest of the five new families —
+    # HITS (6 shuffle-sums + per-round checkpoints over the distinct
+    # supplier->part edges) and the B-cubed eval (rides the full jaccard
+    # pair + CC machinery). Hand-probed sf0.1 -> sf1 before admission:
+    # hits 3.17 -> 6.74 s (2.1x for 10x data — distinct edges grow
+    # sublinearly), bcubed 5.21 -> 28.65 s (5.5x, the jaccard family's
+    # usual shape); rrf/hll/jpeg stay out (1.5/0.5/0.9 s flat-to-linear).
+    "graph_hits_lineitem",
+    "dedup_bcubed_eval",
 ]
 
 
