@@ -580,3 +580,70 @@ def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __pd_lineitem GROUP BY l_linestatus
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Skyline (Pareto frontier): non-dominated parts on (retailprice, size)
+# ---------------------------------------------------------------------------
+@register(
+    "q_skyline_parts",
+    oracle="""
+    SELECT a.p_partkey, a.p_retailprice, CAST(a.p_size AS BIGINT) AS p_size
+    FROM part a WHERE NOT EXISTS (
+      SELECT 1 FROM part b
+      WHERE b.p_retailprice <= a.p_retailprice AND b.p_size <= a.p_size
+        AND (b.p_retailprice < a.p_retailprice OR b.p_size < a.p_size)
+    )
+    """,
+    tags=("stats", "skyline", "window"),
+)
+def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-frontier query: parts not dominated on
+    (minimize retailprice, minimize size) — the multi-objective
+    "best offers" operator (Borzsony et al., ICDE'01). The oracle is the
+    NOT EXISTS definition; the Spark plan is the scalable TWO-PHASE
+    sort-filter reduction, never the O(n^2) self-join:
+
+    1. distinct (price, size) points, each partition computes its LOCAL
+       skyline with a running-min window over (price asc, size asc) —
+       a preceding row dominates iff its size <= current (strictly
+       cheaper ties included by the sort order), so
+       `min(size) over preceding < size + 1` detects dominance with
+       one window; identical points are merged first so same-point
+       self-domination can't fire;
+    2. only local survivors meet in one global window that applies the
+       same test. Phase 1 removes a point only when a true dominator
+       shares its partition; a GLOBAL frontier point has no dominator
+       anywhere, so it always survives to phase 2 — the reduction is
+       exact, and the global window sees only the per-partition
+       frontiers (typically << n);
+    3. frontier points broadcast back onto the part table to emit the
+       full rows.
+
+    At 100 TB phase 1 runs fully parallel on whatever partitioning the
+    scan delivers and phase 2 touches only the per-partition frontiers."""
+    p = table(spark, sf_dir, "part")
+    pts = p.select("p_retailprice", "p_size").distinct()
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(F.asc("p_retailprice"), F.asc("p_size"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = (
+        pts.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__pm", F.min("p_size").over(w_local))
+        .filter(F.col("__pm").isNull() | (F.col("__pm") > F.col("p_size")))
+        .select("p_retailprice", "p_size")
+    )
+    w_glob = (
+        Window.orderBy(F.asc("p_retailprice"), F.asc("p_size"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = (
+        local.withColumn("__gm", F.min("p_size").over(w_glob))
+        .filter(F.col("__gm").isNull() | (F.col("__gm") > F.col("p_size")))
+        .select("p_retailprice", "p_size")
+    )
+    return p.join(
+        F.broadcast(frontier), ["p_retailprice", "p_size"]
+    ).select("p_partkey", "p_retailprice", F.col("p_size").cast("long"))

@@ -57,6 +57,10 @@ _SINGLE_PARTITION_WAIVERS: dict[str, re.Pattern] = {
     "lang_id_auc": re.compile(r"keys=\[score"),
     # ten-row decile frame (queries/relational.py, q_cumulative_gains)
     "q_cumulative_gains": re.compile(r"decile_rev"),
+    # skyline phase 2: the global window sees only phase-1 survivors —
+    # per-partition Pareto frontiers, each already running-min-filtered
+    # (queries/stats.py q_skyline_parts; frontier << n by construction)
+    "q_skyline_parts": re.compile(r"p_retailprice.*p_size"),
 }
 
 # ---------------------------------------------------------------------------
@@ -134,6 +138,8 @@ _BNLJ_WAIVERS: dict[str, str] = {
     "graph_triangle_count": _R_SCALAR
     + "; plus the m>n orientation condition over broadcast edge sample",
     # time-spine / category cross products
+    "events_acf_hourly": _R_SPINE
+    + " (12-row lag spine x the bounded hourly-count series)",
     "events_churn_by_cohort": _R_SPINE,
     "events_gapfill_hourly": _R_SPINE,
     "events_gapfill_interp": _R_SPINE,

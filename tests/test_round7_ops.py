@@ -346,3 +346,60 @@ def test_hits_fixed_point_star(spark):
     assert max(h, key=h.get) == 1 and h[1] == HITS_SCALE
     assert max(a, key=a.get) == 101 and a[101] == HITS_SCALE
     assert h[2] < HITS_SCALE and a[102] == a[103] < a[101]
+
+
+# ---------------------------------------------------------------------------
+# Skyline two-phase reduction == NOT EXISTS brute force
+# ---------------------------------------------------------------------------
+
+
+def test_skyline_two_phase_matches_bruteforce(spark):
+    """The per-partition frontier + global pass must equal the O(n^2)
+    dominance definition on data with duplicates and ties across
+    partitions."""
+    import itertools
+
+    rows = [
+        (i, float(p), s)
+        for i, (p, s) in enumerate(
+            [(3, 7), (3, 7), (1, 9), (2, 8), (5, 1), (5, 1), (4, 4),
+             (6, 1), (2, 9), (1, 10), (7, 7), (4, 3)]
+        )
+    ]
+    df = spark.createDataFrame(
+        rows, ["p_partkey", "p_retailprice", "p_size"]
+    ).repartition(5)  # scatter ties across partitions
+    # brute force
+    pts = [(p, s) for _, p, s in rows]
+    def dominated(a):
+        return any(
+            b[0] <= a[0] and b[1] <= a[1] and (b[0] < a[0] or b[1] < a[1])
+            for b in pts
+        )
+    want = {i for i, p, s in rows if not dominated((p, s))}
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    uniq = df.select("p_retailprice", "p_size").distinct()
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(F.asc("p_retailprice"), F.asc("p_size"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = (
+        uniq.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__pm", F.min("p_size").over(w_local))
+        .filter(F.col("__pm").isNull() | (F.col("__pm") > F.col("p_size")))
+        .select("p_retailprice", "p_size")
+    )
+    w_glob = Window.orderBy(
+        F.asc("p_retailprice"), F.asc("p_size")
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    frontier = (
+        local.withColumn("__gm", F.min("p_size").over(w_glob))
+        .filter(F.col("__gm").isNull() | (F.col("__gm") > F.col("p_size")))
+    )
+    got_pts = {(r["p_retailprice"], r["p_size"]) for r in frontier.collect()}
+    got = {i for i, p, s in rows if (p, s) in got_pts}
+    assert got == want
