@@ -2073,3 +2073,90 @@ def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
             "yyyy-MM-dd",
         ).alias("streak_start"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function of the hourly event-count series
+# ---------------------------------------------------------------------------
+ACF_MAX_LAG = 12
+
+
+@register(
+    "events_acf_hourly",
+    oracle=f"""
+    WITH hc AS (
+      SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    lags AS (SELECT CAST(l AS BIGINT) AS lag
+             FROM unnest(range(1, {ACF_MAX_LAG + 1})) AS t(l)),
+    pairs AS (
+      SELECT g.lag, a.c AS x, b.c AS y
+      FROM lags g
+      JOIN hc a ON TRUE
+      JOIN hc b ON b.h = a.h + g.lag * 3600
+    ),
+    sums AS (
+      SELECT lag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM pairs GROUP BY lag
+    )
+    SELECT lag, n AS n_pairs,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS acf
+    FROM sums
+    """,
+    tags=("events", "timeseries", "stats"),
+)
+def events_acf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the hourly event-count series at lags
+    1..{ACF_MAX_LAG} hours — the periodicity detector behind seasonal
+    baselines (a daily cycle shows as a peak at lag 24, here the fixture
+    span keeps lags short). Pearson r per lag is assembled ONLY from
+    integer sums (n, Σx, Σy, Σxy, Σx², Σy² over the lag-aligned pairs) —
+    order-free, so the one double expression at the end (two sqrt + one
+    division, identical textual shape) is bit-exact across engines.
+    Plan: one shuffle builds the hourly series (bounded: corpus span in
+    hours), which then BROADCASTS into the lag self-join — the 12-row
+    lag spine and both series sides are tiny; per-lag sums aggregate in
+    one more bounded shuffle. At 100 TB the hourly series is still only
+    8,760 rows/year — the heavy lifting is the first aggregation, which
+    is the same single map-side-combinable shuffle as any tumbling
+    count."""
+    ev = table(spark, sf_dir, "events")
+    hc = (
+        ev.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", "ts")).alias("h")
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    a = hc.select(F.col("h").alias("ha"), F.col("c").alias("x"))
+    b = hc.select(F.col("h").alias("hb"), F.col("c").alias("y"))
+    pairs = (
+        F.broadcast(lags)
+        .crossJoin(F.broadcast(a))
+        .join(F.broadcast(b), F.col("hb") == F.col("ha") + F.col("lag") * 3600)
+    )
+    sums = pairs.groupBy("lag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+    dy = F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    return sums.select(
+        "lag",
+        F.col("n").alias("n_pairs"),
+        (num / (dx * dy)).alias("acf"),
+    )
