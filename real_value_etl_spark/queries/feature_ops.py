@@ -579,6 +579,15 @@ _HLL_LC = {v: HLL_M * _math.log(HLL_M / v) for v in range(1, HLL_M)}
 _HLL_LC_THRESHOLD = 2.5 * HLL_M  # raw estimate below this => linear counting
 
 
+def _dlit(x: float) -> str:
+    """Double literal for DuckDB: bare decimals parse as DECIMAL(w,s)
+    FIRST (w <= 18), silently rounding the 17th significant digit before
+    any cast — a 1-ulp corruption (caught live by the streaming-HLL
+    parity). An exponent forces DOUBLE parsing, and repr round-trips."""
+    r = repr(x)
+    return r if ("e" in r or "E" in r) else r + "e0"
+
+
 @register(
     "text_hll_registers",
     oracle=f"""
@@ -628,7 +637,7 @@ _HLL_LC_THRESHOLD = 2.5 * HLL_M  # raw estimate below this => linear counting
     SELECT s.source, s.n_registers, s.sum_geo, s.registers,
            s.est_raw AS est_distinct,
            CASE WHEN s.est_raw <= {_HLL_LC_THRESHOLD!r} AND s.n_empty > 0
-                THEN (CAST([{", ".join(repr(_HLL_LC[v]) for v in range(1, HLL_M))}]
+                THEN (CAST([{", ".join(_dlit(_HLL_LC[v]) for v in range(1, HLL_M))}]
                       AS DOUBLE[]))[s.n_empty]
                 ELSE s.est_raw END AS est_corrected,
            e.exact_distinct

@@ -271,3 +271,76 @@ def stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch SQL replay bit-for-bit — deterministic "approximate"
     cardinality on a live stream with constant per-group state."""
     return jobs.stream_kmv_distinct(spark, sf_dir)
+
+
+def _stream_hll_oracle() -> str:
+    from .feature_ops import (
+        _HLL_EST_NUM,
+        _HLL_LC,
+        _HLL_LC_THRESHOLD,
+        _dlit,
+        HLL_HASH_HEX,
+        HLL_M,
+        HLL_W_BITS,
+    )
+
+    lc_list = ", ".join(_dlit(_HLL_LC[v]) for v in range(1, HLL_M))
+    return f"""
+    WITH hv AS (
+      SELECT event_type,
+             CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                                      1, {HLL_HASH_HEX})) AS BIGINT) AS h
+      FROM events
+    ),
+    br AS (
+      SELECT event_type, h % {HLL_M} AS bucket,
+             CASE WHEN h // {HLL_M} = 0 THEN {HLL_W_BITS + 1}
+                  ELSE {HLL_W_BITS + 1} - length(bin(h // {HLL_M})) END AS rank
+      FROM hv
+    ),
+    regs AS (
+      SELECT event_type, bucket, MAX(rank) AS max_rank
+      FROM br GROUP BY event_type, bucket
+    ),
+    per_key AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_registers,
+             CAST(SUM(CASE WHEN max_rank <= {HLL_W_BITS}
+                           THEN CAST(1 AS BIGINT) << ({HLL_W_BITS} - max_rank)
+                           ELSE 0 END) AS BIGINT) AS sum_geo,
+             array_to_string(
+               list(CAST(bucket AS VARCHAR) || ':' || CAST(max_rank AS VARCHAR)
+                    ORDER BY bucket), ',') AS registers
+      FROM regs GROUP BY event_type
+    ),
+    est AS (
+      SELECT event_type, n_registers, sum_geo, registers,
+             CAST({_HLL_EST_NUM!r} AS DOUBLE)
+               / CAST(sum_geo + ({HLL_M} - n_registers)
+                      * {1 << HLL_W_BITS} AS DOUBLE) AS est_raw,
+             {HLL_M} - n_registers AS n_empty
+      FROM per_key
+    )
+    SELECT event_type, n_registers, sum_geo, registers,
+           est_raw AS est_distinct,
+           CASE WHEN est_raw <= {_HLL_LC_THRESHOLD!r} AND n_empty > 0
+                THEN (CAST([{lc_list}] AS DOUBLE[]))[n_empty]
+                ELSE est_raw END AS est_corrected
+    FROM est
+    """
+
+
+@register(
+    "stream_hll_distinct",
+    oracle=_stream_hll_oracle(),
+    tags=("stream", "stateful", "sketch", "cardinality", "pandas_udf"),
+)
+def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-type distinct-user HyperLogLog register file
+    (applyInPandasWithState): register MAX-merge is order-, batching-
+    and duplicate-independent, so the drained sketch — register file,
+    integer geometric sum, raw AND linear-counting-corrected estimates —
+    equals the batch SQL replay bit-for-bit. Constant 64-long state per
+    group; the streaming twin of text_hll_registers, demonstrating that
+    the same sketch algebra serves batch and stream."""
+    return jobs.stream_hll_distinct(spark, sf_dir)

@@ -688,3 +688,112 @@ def stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__r") == 1)
         .drop("__r")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming HLL registers (the streaming twin of text_hll_registers)
+# ---------------------------------------------------------------------------
+_HLL_STATE_SCHEMA = StructType(
+    [StructField("regs", ArrayType(LongType()))]
+)
+_HLL_OUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_registers", LongType()),
+        StructField("sum_geo", LongType()),
+        StructField("registers", StringType()),
+        StructField("est_distinct", DoubleType()),
+        StructField("est_corrected", DoubleType()),
+    ]
+)
+
+
+def _hll_state(
+    key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState kernel: per-event-type HyperLogLog register
+    file over user_ids — 64 MAX registers fed by the 52-bit md5-prefix
+    hash (identical to the batch text_hll_registers pipeline).
+
+    MAX is commutative, associative and idempotent, so the state
+    transition is order-, batching- AND duplicate-independent: any
+    micro-batch partitioning of the stream (and any replay) yields the
+    same register file, which is why the drained sketch hash-matches a
+    batch SQL oracle. State is a constant 64 longs per group."""
+    import hashlib
+
+    # mirror queries/feature_ops constants (imported lazily at job build:
+    # the kernel must be self-contained for worker pickling)
+    M, WBITS = 64, 46
+    regs = list(state.get[0]) if state.exists else [0] * M
+    for pdf in pdfs:
+        for uid in pdf["user_id"]:
+            h = int(
+                hashlib.md5(str(int(uid)).encode()).hexdigest()[:13], 16
+            )
+            b, w = h % M, h >> 6
+            rank = (WBITS + 1) - w.bit_length() if w else WBITS + 1
+            if rank > regs[b]:
+                regs[b] = rank
+    state.update((regs,))
+    n = sum(1 for r in regs if r > 0)
+    sum_geo = sum((1 << (WBITS - r)) for r in regs if 0 < r <= WBITS)
+    denom = float(sum_geo + (M - n) * (1 << WBITS))
+    est = _HLL_EST_NUM / denom
+    v = M - n
+    corrected = _HLL_LC[v] if (est <= _HLL_LC_THRESHOLD and v > 0) else est
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "n_registers": [n],
+            "sum_geo": [sum_geo],
+            "registers": [
+                ",".join(f"{b}:{r}" for b, r in enumerate(regs) if r > 0)
+            ],
+            "est_distinct": [est],
+            "est_corrected": [corrected],
+        }
+    )
+
+
+# one source of truth for the estimator constants: the batch query module
+from ..queries.feature_ops import (  # noqa: E402
+    _HLL_EST_NUM,
+    _HLL_LC,
+    _HLL_LC_THRESHOLD,
+)
+
+
+def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-user cardinality per event type via HLL
+    registers in applyInPandasWithState — constant 64-long state per
+    group, register MAX-merge independent of batching and duplicates,
+    drained sketch (including the serialized register file and both
+    estimates) hash-checkable against the batch SQL replay."""
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", WATERMARK)
+    out = (
+        ev.select("event_type", "user_id")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _hll_state,
+            outputStructType=_HLL_OUT_SCHEMA,
+            stateStructType=_HLL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    drained = _drain(spark, out, "mem_stream_hll", "update")
+    from pyspark.sql import Window
+
+    # est_distinct grows monotonically as registers fill (every update
+    # strictly shrinks the integer denominator), so the final state per
+    # key is the max-estimate row; registers string is a deterministic
+    # tiebreak for the (astronomically unlikely) equal-estimate case.
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("est_distinct"), F.desc("registers")
+    )
+    return (
+        drained.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .drop("__r")
+    )

@@ -403,3 +403,98 @@ def test_skyline_two_phase_matches_bruteforce(spark):
     got_pts = {(r["p_retailprice"], r["p_size"]) for r in frontier.collect()}
     got = {i for i, p, s in rows if (p, s) in got_pts}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Streaming HLL: batching-independence + multi-batch MAX-merge
+# ---------------------------------------------------------------------------
+
+
+def test_stream_hll_state_is_batching_independent(spark, sf_dir):
+    """Drain the streaming HLL twice (fresh queries) — identical register
+    files and estimates both times (MAX-merge is order/batching/
+    duplicate independent)."""
+    from real_value_etl_spark.queries import all_queries  # noqa: F401
+    from real_value_etl_spark.queries.registry import REGISTRY
+
+    fn = REGISTRY["stream_hll_distinct"].fn
+    a = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    b = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    assert a == b and a
+
+
+def test_stream_hll_multi_batch_equals_single(spark, tmp_path):
+    """Two file arrivals (two micro-batches) must converge to the SAME
+    register file as one batch holding all rows — the mergeability the
+    100 TB story rests on, exercised across a real micro-batch boundary."""
+    import pandas as pd
+
+    from real_value_etl_spark.streaming import jobs
+
+    rows_a = [(i, 100 + i) for i in range(40)]
+    rows_b = [(i + 40, 300 + i) for i in range(40)]
+    src = str(tmp_path / "ev")
+    import os
+
+    os.makedirs(src, exist_ok=True)
+
+    def write(name, rows):
+        pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": pd.to_datetime("2024-01-01 10:00:00"),
+                "user_id": [r[1] for r in rows],
+                "event_type": "click",
+            }
+        ).to_parquet(f"{src}/{name}.parquet")
+
+    write("a", rows_a)
+    write("b", rows_b)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out = (
+        stream.select("event_type", "user_id")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            jobs._hll_state,
+            outputStructType=jobs._HLL_OUT_SCHEMA,
+            stateStructType=jobs._HLL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("mem_hll_two_batches")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    drained = spark.sql("select * from mem_hll_two_batches").collect()
+    assert len(drained) >= 2  # one state row per micro-batch
+    final = max(drained, key=lambda r: r["est_distinct"])
+
+    # single-batch reference: run the kernel once over all rows
+    import types
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.val = v
+
+    st = FakeState()
+    pdf = pd.DataFrame({"user_id": [r[1] for r in rows_a + rows_b]})
+    ref = next(jobs._hll_state(("click",), iter([pdf]), st))
+    assert final["registers"] == ref["registers"][0]
+    assert final["sum_geo"] == ref["sum_geo"][0]
+    assert final["est_corrected"] == ref["est_corrected"][0]
