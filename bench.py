@@ -109,6 +109,8 @@ SF1_HEAVY = [
     # hits 3.17 -> 6.74 s (2.1x for 10x data — distinct edges grow
     # sublinearly), bcubed 5.21 -> 28.65 s (5.5x, the jaccard family's
     # usual shape); rrf/hll/jpeg stay out (1.5/0.5/0.9 s flat-to-linear).
+    # hits third decade (hand probe, sf10 tiles): 34.9 s = 5.2x over sf1
+    # -> e_1_10 ~ 0.71, sublinear through all three measured decades.
     "graph_hits_lineitem",
     "dedup_bcubed_eval",
 ]

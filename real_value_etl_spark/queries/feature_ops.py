@@ -2418,3 +2418,184 @@ def multimodal_pcm_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_zero_cross"),
     )
+
+
+# ---------------------------------------------------------------------------
+# OLAP cube x sketch algebra: HLL registers over the aggregation lattice
+# ---------------------------------------------------------------------------
+_CUBE_ALL = "(all)"
+
+
+def _cube_hll_oracle() -> str:
+    lc_list = ", ".join(_dlit(_HLL_LC[v]) for v in range(1, HLL_M))
+    cell = """
+      SELECT {et} AS et, {hod} AS hod, user_id FROM base"""
+    cells = "\n      UNION ALL".join(
+        cell.format(et=et, hod=hod)
+        for et, hod in (
+            ("event_type", "hod"),
+            ("event_type", f"'{_CUBE_ALL}'"),
+            (f"'{_CUBE_ALL}'", "hod"),
+            (f"'{_CUBE_ALL}'", f"'{_CUBE_ALL}'"),
+        )
+    )
+    return f"""
+    WITH base AS (
+      SELECT event_type,
+             CAST(EXTRACT(hour FROM ts) AS VARCHAR) AS hod,
+             user_id
+      FROM events
+    ),
+    cells AS ({cells}),
+    hv AS (
+      SELECT et, hod,
+             CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                                      1, {HLL_HASH_HEX})) AS BIGINT) AS h
+      FROM cells
+    ),
+    br AS (
+      SELECT et, hod, h % {HLL_M} AS bucket,
+             CASE WHEN h // {HLL_M} = 0 THEN {HLL_W_BITS + 1}
+                  ELSE {HLL_W_BITS + 1} - length(bin(h // {HLL_M})) END AS rank
+      FROM hv
+    ),
+    regs AS (
+      SELECT et, hod, bucket, MAX(rank) AS max_rank
+      FROM br GROUP BY et, hod, bucket
+    ),
+    per_cell AS (
+      SELECT et, hod,
+             CAST(COUNT(*) AS BIGINT) AS n_registers,
+             CAST(SUM(CASE WHEN max_rank <= {HLL_W_BITS}
+                           THEN CAST(1 AS BIGINT) << ({HLL_W_BITS} - max_rank)
+                           ELSE 0 END) AS BIGINT) AS sum_geo
+      FROM regs GROUP BY et, hod
+    ),
+    est AS (
+      SELECT et, hod, n_registers, sum_geo,
+             CAST({_HLL_EST_NUM!r} AS DOUBLE)
+               / CAST(sum_geo + ({HLL_M} - n_registers)
+                      * {1 << HLL_W_BITS} AS DOUBLE) AS est_raw,
+             {HLL_M} - n_registers AS n_empty
+      FROM per_cell
+    ),
+    exact AS (
+      SELECT COALESCE(event_type, '{_CUBE_ALL}') AS et,
+             COALESCE(CAST(hod AS VARCHAR), '{_CUBE_ALL}') AS hod,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM (SELECT event_type, EXTRACT(hour FROM ts) AS hod, user_id
+            FROM events)
+      GROUP BY CUBE (event_type, hod)
+    )
+    SELECT s.et AS event_type, s.hod AS hour_of_day,
+           s.n_registers, s.sum_geo,
+           CASE WHEN s.est_raw <= {_HLL_LC_THRESHOLD!r} AND s.n_empty > 0
+                THEN (CAST([{lc_list}] AS DOUBLE[]))[s.n_empty]
+                ELSE s.est_raw END AS est_distinct,
+           e.exact_distinct
+    FROM est s JOIN exact e ON e.et = s.et AND e.hod = s.hod
+    """
+
+
+@register(
+    "q_cube_hll_users",
+    oracle=_cube_hll_oracle(),
+    tags=("stats", "sketch", "cube", "cardinality"),
+)
+def q_cube_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users across the FULL (event_type x hour-of-day) CUBE
+    lattice — leaf cells, both single-dimension rollups, and the grand
+    total — computed from ONE pass of HLL register state: every event
+    row fans out (map-side) to its 4 lattice cells, and a single
+    groupBy(cell, bucket) MAX builds every cell's register file at once.
+    That is the sketch-algebra property relational engines exploit for
+    COUNT(DISTINCT) cubes at scale: registers re-aggregate by MAX, so
+    the rollup needs no second pass over the data and no per-cell
+    distinct — shuffle volume is rows x 4 x O(1), not rows x distinct
+    combinations. Exact per-cell distincts ride along via a native
+    CUBE aggregation purely to exhibit the estimator error; at 100 TB
+    only the register path survives (the exact cube is the thing this
+    query exists to replace). Linear-counting-corrected estimate per
+    cell, same `_dlit`-pinned literal lookup as text_hll_registers."""
+    ev = table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.hour("ts").cast("string").alias("hod"),
+        "user_id",
+    )
+    all_ = F.lit(_CUBE_ALL)
+    cells = base.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("event_type").alias("et"), F.col("hod").alias("hod")
+                ),
+                F.struct(F.col("event_type").alias("et"), all_.alias("hod")),
+                F.struct(all_.alias("et"), F.col("hod").alias("hod")),
+                F.struct(all_.alias("et"), all_.alias("hod")),
+            )
+        ).alias("c"),
+        "user_id",
+    ).select("c.et", "c.hod", "user_id")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, HLL_HASH_HEX),
+        16,
+        10,
+    ).cast("long")
+    w = F.floor(F.col("h") / HLL_M).cast("long")
+    br = cells.select("et", "hod", h.alias("h")).select(
+        "et",
+        "hod",
+        F.pmod("h", F.lit(HLL_M)).cast("long").alias("bucket"),
+        F.when(w == 0, F.lit(HLL_W_BITS + 1))
+        .otherwise(F.lit(HLL_W_BITS + 1) - F.length(F.bin(w)))
+        .cast("long")
+        .alias("rank"),
+    )
+    regs = (
+        br.groupBy("et", "hod", "bucket")
+        .agg(F.max("rank").alias("max_rank"))
+        .withColumn(
+            "geo",
+            F.expr(
+                f"CASE WHEN max_rank <= {HLL_W_BITS} THEN "
+                f"shiftleft(CAST(1 AS BIGINT), CAST({HLL_W_BITS} - max_rank AS INT)) "
+                "ELSE CAST(0 AS BIGINT) END"
+            ),
+        )
+    )
+    per_cell = regs.groupBy("et", "hod").agg(
+        F.count("*").alias("n_registers"),
+        F.sum("geo").cast("long").alias("sum_geo"),
+    )
+    est_raw = F.lit(_HLL_EST_NUM) / (
+        F.col("sum_geo")
+        + (F.lit(HLL_M) - F.col("n_registers")) * F.lit(1 << HLL_W_BITS)
+    ).cast("double")
+    n_empty = F.lit(HLL_M) - F.col("n_registers")
+    lc_table = F.array(*[F.lit(_HLL_LC[v]) for v in range(1, HLL_M)])
+    sketch = per_cell.withColumn("__raw", est_raw).withColumn(
+        "est_distinct",
+        F.when(
+            (F.col("__raw") <= F.lit(_HLL_LC_THRESHOLD)) & (n_empty > 0),
+            F.element_at(lc_table, n_empty.cast("int")),
+        ).otherwise(F.col("__raw")),
+    )
+    exact = (
+        ev.select("event_type", F.hour("ts").alias("hod"), "user_id")
+        .cube("event_type", "hod")
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+        .select(
+            F.coalesce("event_type", all_).alias("et"),
+            F.coalesce(F.col("hod").cast("string"), all_).alias("hod"),
+            "exact_distinct",
+        )
+    )
+    return sketch.join(exact, ["et", "hod"]).select(
+        F.col("et").alias("event_type"),
+        F.col("hod").alias("hour_of_day"),
+        "n_registers",
+        "sum_geo",
+        "est_distinct",
+        "exact_distinct",
+    )
