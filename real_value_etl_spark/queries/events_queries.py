@@ -2160,3 +2160,94 @@ def events_acf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_pairs"),
         (num / (dx * dy)).alias("acf"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval coalescing: union length of overlapping per-user activity windows
+# ---------------------------------------------------------------------------
+IVU_WINDOW_SEC = 300  # each event opens a 5-minute activity interval
+
+
+@register(
+    "events_interval_union",
+    oracle=f"""
+    WITH iv AS (
+      -- date_trunc before epoch: ts carries sub-second precision, and
+      -- CAST(epoch() AS BIGINT) ROUNDS in DuckDB while Spark's
+      -- unix_timestamp truncates — truncate explicitly on both engines
+      SELECT user_id,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS s,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+               + {IVU_WINDOW_SEC} AS e
+      FROM events
+    ),
+    swept AS (
+      SELECT user_id, s, e,
+             MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS run_max
+      FROM iv
+    ),
+    isl AS (
+      SELECT user_id, s, e,
+             SUM(CASE WHEN run_max IS NULL OR s > run_max THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY s, e
+                     ROWS UNBOUNDED PRECEDING) AS island
+      FROM swept
+    ),
+    merged AS (
+      SELECT user_id, island, MIN(s) AS ms, MAX(e) AS me
+      FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(me - ms) AS BIGINT) AS covered_sec,
+           CAST(MAX(me - ms) AS BIGINT) AS longest_sec
+    FROM merged GROUP BY user_id
+    """,
+    tags=("events", "window", "interval"),
+)
+def events_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval coalescing (the billing/usage-metering primitive): each
+    event opens a [ts, ts+5min) activity window; overlapping windows per
+    user merge, and the query reports merged-interval count, total
+    covered seconds, and the longest stretch. The sweep is the standard
+    running-max island trick — an interval starts a new island iff its
+    start exceeds the max end among ALL earlier intervals (ordered by
+    start; ROWS .. 1 PRECEDING excludes self on both engines) — so no
+    self-join materializes: one window + one agg, all on the same
+    hash(user_id) exchange, integers throughout. At 100 TB this is one
+    shuffle of (user, 2 longs) — the naive overlap self-join it replaces
+    is quadratic per hot user."""
+    ev = table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.unix_timestamp("ts").alias("s"),
+        (F.unix_timestamp("ts") + IVU_WINDOW_SEC).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = iv.withColumn("run_max", F.max("e").over(w_prev)).withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("run_max").isNull() | (F.col("s") > F.col("run_max")), 1
+            ).otherwise(0)
+        ).over(w_run),
+    )
+    merged = isl.groupBy("user_id", "island").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count("*").alias("n_intervals"),
+        F.sum(F.col("me") - F.col("ms")).cast("long").alias("covered_sec"),
+        F.max(F.col("me") - F.col("ms")).cast("long").alias("longest_sec"),
+    )
