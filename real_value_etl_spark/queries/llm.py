@@ -2960,3 +2960,127 @@ def sim_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_expected",
         (F.col("n_hits").cast("double") / F.col("n_expected")).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney smoothed bigram LM (the production smoothing, vs the MLE score)
+# ---------------------------------------------------------------------------
+KN_BOTTOM_K = 10
+# absolute discount D = 3/4 as exact integer ratios: 4*c - 3 and 3*N1+
+# keep every model quantity an integer until the final pinned divisions
+
+
+@register(
+    "text_kneser_ney_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {{tokens}} AS ts FROM documents
+    ),
+    bi AS (
+      SELECT doc_id, i AS pos, ts[i] AS a, ts[i + 1] AS b
+      FROM (
+        SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+        FROM toks WHERE len(ts) >= 2
+      )
+    ),
+    cab AS (SELECT a, b, COUNT(*) AS cab FROM bi GROUP BY a, b),
+    stats_a AS (
+      SELECT a, CAST(SUM(cab) AS BIGINT) AS ca,
+             CAST(COUNT(*) AS BIGINT) AS n1f
+      FROM cab GROUP BY a
+    ),
+    n1b AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n1b FROM cab GROUP BY b),
+    nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS ntypes FROM cab),
+    probs AS (
+      SELECT bi.doc_id, bi.pos,
+             CAST(4 * cab.cab - 3 AS DOUBLE) / CAST(4 * sa.ca AS DOUBLE)
+             + (CAST(3 * sa.n1f AS DOUBLE) / CAST(4 * sa.ca AS DOUBLE))
+               * (CAST(n1b.n1b AS DOUBLE) / CAST(nt.ntypes AS DOUBLE)) AS p
+      FROM bi JOIN cab USING (a, b)
+              JOIN stats_a sa USING (a)
+              JOIN n1b USING (b)
+              CROSS JOIN nt
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+             list_reduce(
+               list_prepend(CAST(0 AS DOUBLE), list(p ORDER BY pos)),
+               (acc, x) -> acc + x) AS psum
+      FROM probs GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           psum / CAST(n_bigrams AS DOUBLE) AS kn_score
+    FROM agg ORDER BY kn_score ASC, doc_id LIMIT {KN_BOTTOM_K}
+    """.replace("{{tokens}}", "{tokens}").format(tokens=T.tokens_sql("text")),
+    tags=("llm", "text", "quality", "join"),
+)
+def text_kneser_ney_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram fluency — the production LM
+    smoothing next to text_bigram_lm_score's raw MLE:
+    P(b|a) = (c(ab) - D)/c(a) + D·N1+(a·)/c(a) · N1+(·b)/N_types with
+    D = 0.75, where the continuation weight N1+(·b) (distinct LEFT
+    contexts of b) replaces raw frequency — the famous "San Francisco"
+    fix. With D = 3/4, every model quantity stays an exact integer
+    (4c-3, 3·N1+, 4·c(a)); the probability is three pinned double
+    divisions + one multiply + one add, identical textual shape on both
+    engines, and the per-doc mean is the position-ordered fold shared
+    with the MLE query. Every scored bigram occurred in training, so
+    c(ab) >= 1 and the discounted term needs no max(,0) branch.
+    Plan: model tables are aggregates OF the bigram-type table (cab) —
+    tiny; they broadcast back onto the bigram stream; the 1-row type
+    count is a scalar cross join. Bottom-10 is TakeOrderedAndProject."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", T.tokens(F.col("text")).alias("ts"))
+    pairs = F.when(
+        F.size("ts") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("ts") - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("ts"), i.cast("int")).alias("a"),
+                F.element_at(F.col("ts"), (i + 1).cast("int")).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    bi = toks.select(
+        "doc_id", F.posexplode(pairs).alias("pos", "pr")
+    ).select("doc_id", "pos", F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+    cab = bi.groupBy("a", "b").agg(F.count("*").alias("cab"))
+    stats_a = cab.groupBy("a").agg(
+        F.sum("cab").cast("long").alias("ca"),
+        F.count("*").cast("long").alias("n1f"),
+    )
+    n1b = cab.groupBy("b").agg(F.count("*").cast("long").alias("n1b"))
+    nt = cab.agg(F.count("*").cast("long").alias("ntypes"))
+    p = (
+        (F.lit(4) * F.col("cab") - 3).cast("double")
+        / (F.lit(4) * F.col("ca")).cast("double")
+    ) + (
+        (F.lit(3) * F.col("n1f")).cast("double")
+        / (F.lit(4) * F.col("ca")).cast("double")
+    ) * (F.col("n1b").cast("double") / F.col("ntypes").cast("double"))
+    probs = (
+        bi.join(cab, ["a", "b"])
+        .join(stats_a, "a")
+        .join(n1b, "b")
+        .crossJoin(F.broadcast(nt))
+        .select("doc_id", "pos", p.alias("p"))
+    )
+    agg = probs.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("pos", "p"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["p"],
+        ).alias("psum"),
+    )
+    return (
+        agg.select(
+            "doc_id",
+            "n_bigrams",
+            (F.col("psum") / F.col("n_bigrams").cast("double")).alias(
+                "kn_score"
+            ),
+        )
+        .orderBy(F.asc("kn_score"), F.asc("doc_id"))
+        .limit(KN_BOTTOM_K)
+    )

@@ -150,6 +150,8 @@ _BNLJ_WAIVERS: dict[str, str] = {
     "lang_id_kappa": _R_PAIRS,
     "orders_market_basket": _R_PAIRS,
     "text_bm25_search": _R_PAIRS,
+    "text_kneser_ney_score": _R_SCALAR
+    + " (1-row bigram-type count broadcast into the scoring join)",
     "text_bpe_train": _R_PAIRS
     + " (merge-candidate frame vs one-row best-pair scalar)",
     "text_collocations": _R_PAIRS,
