@@ -668,3 +668,144 @@ def docs_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("selected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Greedy coverage-maximization selection (submodular data selection)
+# ---------------------------------------------------------------------------
+COV_K = 10  # greedy steps
+
+
+def _greedy_coverage_oracle() -> str:
+    from ..functions import text as T
+
+    head = f"""
+    WITH tok AS MATERIALIZED (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id, unnest({T.tokens_sql("text")}) AS tok FROM documents
+      )
+    )"""
+    stages = []
+    prev_cov = None
+    prev_picked = []
+    for i in range(1, COV_K + 1):
+        not_cov = (
+            f"LEFT JOIN cov{i - 1} c ON c.tok = t.tok" if prev_cov else ""
+        )
+        cov_null = "AND c.tok IS NULL" if prev_cov else ""
+        exclude = (
+            "WHERE t.doc_id NOT IN (SELECT doc_id FROM picked{})".format(i - 1)
+            if prev_picked
+            else ""
+        )
+        gains = f"""
+    gains{i} AS MATERIALIZED (
+      SELECT d.doc_id,
+             CAST(COALESCE(g.gain, 0) AS BIGINT) AS gain
+      FROM (SELECT DISTINCT doc_id FROM tok
+            {("WHERE doc_id NOT IN (SELECT doc_id FROM picked" + str(i - 1) + ")") if prev_picked else ""}) d
+      LEFT JOIN (
+        SELECT t.doc_id, COUNT(*) AS gain
+        FROM tok t {not_cov}
+        WHERE TRUE {cov_null}
+        {"AND t.doc_id NOT IN (SELECT doc_id FROM picked" + str(i - 1) + ")" if prev_picked else ""}
+        GROUP BY t.doc_id
+      ) g ON g.doc_id = d.doc_id
+    ),
+    win{i} AS MATERIALIZED (
+      SELECT {i} AS step, doc_id, gain FROM gains{i}
+      ORDER BY gain DESC, doc_id LIMIT 1
+    ),
+    cov{i} AS MATERIALIZED (
+      SELECT DISTINCT tok FROM (
+        {"SELECT tok FROM cov" + str(i - 1) + " UNION ALL " if prev_cov else ""}
+        SELECT t.tok FROM tok t JOIN win{i} w ON w.doc_id = t.doc_id
+      )
+    ),
+    picked{i} AS MATERIALIZED (
+      {"SELECT doc_id FROM picked" + str(i - 1) + " UNION ALL " if prev_picked else ""}
+      SELECT doc_id FROM win{i}
+    )"""
+        stages.append(gains)
+        prev_cov = f"cov{i}"
+        prev_picked.append(i)
+    wins = "\n      UNION ALL ".join(
+        f"SELECT w.step, w.doc_id, w.gain, (SELECT COUNT(*) FROM cov{i}) AS covered_total FROM win{i} w"
+        for i in range(1, COV_K + 1)
+    )
+    return (
+        head
+        + ","
+        + ",".join(stages)
+        + f"""
+    SELECT CAST(step AS BIGINT) AS step, doc_id, gain,
+           CAST(covered_total AS BIGINT) AS covered_total
+    FROM ({wins})"""
+    )
+
+
+@register(
+    "docs_greedy_coverage",
+    oracle=_greedy_coverage_oracle(),
+    tags=("llm", "selection", "iterative"),
+)
+def docs_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy coverage-maximization selection (the submodular
+    facility-location baseline of data-pruning literature): pick
+    {COV_K} documents, each maximizing the count of vocabulary tokens
+    NOT yet covered by earlier picks — the 1-1/e-approximate optimum for
+    monotone submodular coverage. Purely integer gains with (gain DESC,
+    doc_id) tie-break make every step deterministic; the oracle unrolls
+    all {COV_K} stages as CTEs.
+
+    Plan shape: the distinct (doc, token) index builds once and
+    persists; each step is one ANTI-join against the covered-token set
+    (node-bounded, grows to at most the vocabulary) + one count agg +
+    a top-1 TakeOrdered — only the single winning row reaches the
+    driver per step, and the covered set is rebuilt as a DataFrame
+    union (localCheckpoint-ed so the 10-step lineage stays flat). At
+    100 TB gains compute fully parallel per step; k is the driver-side
+    loop bound, exactly like k-means' k."""
+    d = table(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .distinct()
+        .persist()
+    )
+    picked: list[int] = []
+    covered = None
+    out_rows = []
+    for step in range(1, COV_K + 1):
+        base = tok
+        if picked:
+            base = base.filter(~F.col("doc_id").isin(picked))
+        fresh = (
+            base.join(covered, "tok", "left_anti") if covered is not None else base
+        )
+        gains = fresh.groupBy("doc_id").agg(F.count("*").alias("gain"))
+        # docs whose every token is covered drop out of `gains`; they are
+        # still pickable at gain 0 — surface them with a left join from
+        # the unpicked-doc universe
+        universe = tok.select("doc_id").distinct()
+        if picked:
+            universe = universe.filter(~F.col("doc_id").isin(picked))
+        full = universe.join(gains, "doc_id", "left").select(
+            "doc_id", F.coalesce("gain", F.lit(0)).cast("long").alias("gain")
+        )
+        win = (
+            full.orderBy(F.desc("gain"), F.asc("doc_id")).limit(1).collect()[0]
+        )
+        picked.append(win["doc_id"])
+        new_tokens = tok.filter(F.col("doc_id") == win["doc_id"]).select("tok")
+        covered = (
+            new_tokens
+            if covered is None
+            else covered.unionAll(new_tokens).distinct()
+        ).localCheckpoint(eager=True)
+        out_rows.append(
+            (step, win["doc_id"], win["gain"], covered.count())
+        )
+    tok.unpersist()
+    return spark.createDataFrame(
+        out_rows, "step long, doc_id long, gain long, covered_total long"
+    )
