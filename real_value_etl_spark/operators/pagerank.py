@@ -139,12 +139,20 @@ def hits_fixed_point(
     driver on plan strings by iteration 3. Checkpointed frames are
     node-sized, and the truncation also stops Spark re-executing the
     whole prior round under each scalar-max action.
+
+    The edge list is cached TWICE, hash-partitioned on `src` AND on
+    `dst`: each round joins edges on src (authority inflow) and on dst
+    (hub outflow), and a single-layout cache would re-shuffle the whole
+    edge list on the other key EVERY round — n_iter edge-sized
+    exchanges that the second cached layout eliminates (the same
+    cached-outputPartitioning reuse as pagerank's src-side cache).
     """
     if not pre_partitioned:
         edges = edges.repartition("src")
     edges = edges.persist()
+    edges_by_dst = edges.repartition("dst").persist()
     if caches is not None:
-        caches += [edges]
+        caches += [edges, edges_by_dst]
     hubs = (
         edges.select("src").distinct().select(
             F.col("src").alias("node"), F.lit(HITS_SCALE).cast("long").alias("h")
@@ -164,7 +172,7 @@ def hits_fixed_point(
             F.expr(f"(ra * {HITS_SCALE}) div m").alias("a"),
         )
         raw_h = (
-            edges.join(auths, edges.dst == auths.node)
+            edges_by_dst.join(auths, edges_by_dst.dst == auths.node)
             .groupBy("src")
             .agg(F.sum("a").alias("rh"))
             .localCheckpoint(eager=True)
