@@ -3084,3 +3084,103 @@ def text_kneser_ney_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("kn_score"), F.asc("doc_id"))
         .limit(KN_BOTTOM_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: keep/drop decisions from cluster-blocked embedding cosine
+# ---------------------------------------------------------------------------
+def _semdedup_oracle() -> str:
+    cos_vc = V.cosine_sql("e.v", "c.cv")
+    cos_ab = V.cosine_sql("a.v", "b.v")
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {IVF_CENTROID_MOD} = 0 AND vec_id < {ANN_SEED_CAP}),
+    assigned AS (
+      SELECT vec_id, v, cid AS cluster_id FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos_vc} DESC, c.cid) AS r
+        FROM e, cents c
+      ) WHERE r = 1
+    ),
+    hits AS (
+      SELECT b.vec_id AS vec_id, a.vec_id AS partner, {cos_ab} AS sim
+      FROM assigned a JOIN assigned b
+        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      WHERE {cos_ab} >= {COSINE_DUP_THRESHOLD}
+    ),
+    best AS (
+      SELECT vec_id, partner, sim FROM (
+        SELECT vec_id, partner, sim,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, partner) AS rn
+        FROM hits
+      ) WHERE rn = 1
+    )
+    SELECT s.vec_id, s.cluster_id,
+           b.vec_id IS NOT NULL AS dropped,
+           COALESCE(b.sim, -1.0) AS best_sim,
+           CAST(COALESCE(b.partner, -1) AS BIGINT) AS best_partner
+    FROM assigned s LEFT JOIN best b ON b.vec_id = s.vec_id
+    """
+
+
+@register(
+    "dedup_semdedup",
+    oracle=_semdedup_oracle(),
+    tags=("dedup", "llm", "vector", "selection"),
+)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) keep/drop decisions: cluster the
+    embeddings (seeded IVF assignment), and inside each cluster DROP
+    every vector that has a LOWER-id neighbor with cosine >= 0.4 —
+    the deterministic per-item rule the paper applies per cluster
+    (no transitive closure: b is judged only against earlier kept-or-
+    dropped ids, which is the paper's fixed-order scan). The complement
+    of `dedup_embedding_cosine`'s pair LIST: this emits the per-item
+    decision plus the best offending partner/similarity (-1 sentinel
+    for clean items — null bigints round-trip as NaN floats through
+    the canonicalizer, sentinels don't). Pairs form only inside a
+    centroid bucket — |pairs| ~ n^2/|clusters|, shuffle-local when the
+    assignment is written partitioned; the decision layer adds one
+    bounded per-vec window + a left join."""
+    from ..functions.vectors import dot
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents = emb.filter(
+        (F.col("vec_id") % IVF_CENTROID_MOD == 0) & (F.col("vec_id") < ANN_SEED_CAP)
+    )
+    assigned = S.ivf_assign(emb, cents)
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    sim = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nv") * F.col("b.nv"))
+    hits = (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("b.vec_id").alias("vec_id"),
+            F.col("a.vec_id").alias("partner"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= COSINE_DUP_THRESHOLD)
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("partner"))
+    best = (
+        hits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "partner", "sim")
+    )
+    return (
+        assigned.select("vec_id", "cluster_id")
+        .join(best, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.col("partner").isNotNull().alias("dropped"),
+            F.coalesce("sim", F.lit(-1.0)).alias("best_sim"),
+            F.coalesce("partner", F.lit(-1)).cast("long").alias("best_partner"),
+        )
+    )

@@ -115,6 +115,7 @@ _R_PAIRS = (
 _BNLJ_WAIVERS: dict[str, str] = {
     # vector / similarity family — broadcast bounded query or codebook
     "dedup_embedding_cosine": _R_QUERYSET,
+    "dedup_semdedup": _R_QUERYSET,
     "dedup_lsh_recall": _R_QUERYSET,
     "emb_random_projection": "fixed 48-row projection basis broadcast",
     "sim_ann_ivf": _R_QUERYSET,
