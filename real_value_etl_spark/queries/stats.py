@@ -647,3 +647,84 @@ def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.join(
         F.broadcast(frontier), ["p_retailprice", "p_size"]
     ).select("p_partkey", "p_retailprice", F.col("p_size").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Exact weighted median (quantity-weighted price) per return flag
+# ---------------------------------------------------------------------------
+@register(
+    "q_weighted_median",
+    oracle="""
+    WITH cum AS (
+      SELECT l_returnflag, l_extendedprice,
+             SUM(l_quantity) OVER (PARTITION BY l_returnflag
+                                   ORDER BY l_extendedprice
+                                   ROWS UNBOUNDED PRECEDING) AS cumw,
+             SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS total_w
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(MAX(total_w) AS DECIMAL(18,2)) AS total_weight,
+           MIN(l_extendedprice) FILTER (WHERE 2 * cumw >= total_w)
+             AS weighted_median
+    FROM cum GROUP BY l_returnflag
+    """,
+    tags=("stats", "window", "percentile"),
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted (lower) median: the quantity-weighted median
+    extended price per return flag — the first price whose cumulative
+    weight reaches half the group total, computed as MIN(price) over the
+    qualifying suffix of the cumulative sum. Ties need no explicit
+    tiebreak: the LAST row of an equal-price run has an
+    order-independent cumulative weight, so wherever the half-total
+    crossing lands inside the run, the run's price qualifies and MIN
+    over the suffix returns it. All arithmetic is exact DECIMAL.
+
+    Scale shape: a per-group window would funnel ~N/3 rows through one
+    task per return flag (the hazard class the ntile family escapes),
+    so the cumulative sum is the TWO-PHASE global running sum
+    (operators/scan.py) over the total order (flag, price, orderkey,
+    linenumber); each group's own prefix is recovered by subtracting
+    the cumulative total of EARLIER groups — a 3-row broadcast frame.
+    No task ever sees more than a range-partition of rows."""
+    from ..operators.scan import global_running_sum
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity",
+        "l_orderkey", "l_linenumber",
+    )
+    order_cols = [
+        "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"
+    ]
+    gsum = global_running_sum(
+        li, order_cols, "l_quantity", out_col="g_cum"
+    )
+    group_tot = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(38,2)")).alias("total_w")
+    )
+    w_prev = Window.orderBy("l_returnflag").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = group_tot.select(
+        "l_returnflag",
+        "total_w",
+        F.coalesce(
+            F.sum("total_w").over(w_prev), F.lit(0).cast("decimal(38,2)")
+        ).alias("prev_w"),
+    )
+    cum = gsum.join(F.broadcast(offsets), "l_returnflag").select(
+        "l_returnflag",
+        "l_extendedprice",
+        (F.col("g_cum") - F.col("prev_w")).alias("cumw"),
+        "total_w",
+    )
+    return cum.groupBy("l_returnflag").agg(
+        F.max("total_w").cast("decimal(18,2)").alias("total_weight"),
+        F.min(
+            F.when(
+                F.lit(2) * F.col("cumw") >= F.col("total_w"),
+                F.col("l_extendedprice"),
+            )
+        ).alias("weighted_median"),
+    )

@@ -57,6 +57,9 @@ _SINGLE_PARTITION_WAIVERS: dict[str, re.Pattern] = {
     "lang_id_auc": re.compile(r"keys=\[score"),
     # ten-row decile frame (queries/relational.py, q_cumulative_gains)
     "q_cumulative_gains": re.compile(r"decile_rev"),
+    # 3-row per-returnflag totals frame feeding the group-offset window
+    # (queries/stats.py q_weighted_median — bounded by flag cardinality)
+    "q_weighted_median": re.compile(r"keys=\[l_returnflag"),
     # skyline phase 2: the global window sees only phase-1 survivors —
     # per-partition Pareto frontiers, each already running-min-filtered
     # (queries/stats.py q_skyline_parts; frontier << n by construction)
