@@ -728,3 +728,66 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("weighted_median"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient of customer revenue concentration
+# ---------------------------------------------------------------------------
+@register(
+    "q_gini_revenue",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey, SUM(o_totalprice) AS revenue
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT revenue,
+             ROW_NUMBER() OVER (ORDER BY revenue, o_custkey) AS i
+      FROM rev
+    ),
+    sums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(revenue) AS total,
+             SUM(i * revenue) AS weighted
+      FROM ranked
+    )
+    SELECT n,
+           CAST(total AS DECIMAL(38,2)) AS total_revenue,
+           (2.0 * (CAST(weighted AS DOUBLE) / CAST(total AS DOUBLE))
+            - CAST(n + 1 AS DOUBLE)) / CAST(n AS DOUBLE) AS gini
+    FROM sums
+    """,
+    tags=("stats", "window", "concentration"),
+)
+def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration — the
+    inequality audit behind "top-1% of customers drive X%" claims:
+    G = (2·Σ i·x_(i) / (n·Σx)) - (n+1)/n over revenues sorted ascending.
+    The global rank i comes from the TWO-PHASE row number
+    (operators/scan.py), so no single task ever sorts the whole
+    customer set; Σ i·x and Σx are exact DECIMAL sums (order-free), and
+    the Gini itself is three pinned double ops at the very end — the
+    only non-exact step, identical textual shape on both engines.
+    Ties in revenue break on custkey so the rank (and hence Σ i·x) is
+    total and deterministic."""
+    from ..operators.scan import global_row_number
+
+    o = table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("revenue"))
+    ranked = global_row_number(
+        rev, ["revenue", "o_custkey"], out_col="i"
+    ).drop("__n")
+    sums = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("revenue").alias("total"),
+        F.sum(F.col("i") * F.col("revenue")).alias("weighted"),
+    )
+    gini = (
+        F.lit(2.0) * (F.col("weighted").cast("double") / F.col("total").cast("double"))
+        - (F.col("n") + 1).cast("double")
+    ) / F.col("n").cast("double")
+    return sums.select(
+        "n",
+        F.col("total").cast("decimal(38,2)").alias("total_revenue"),
+        gini.alias("gini"),
+    )
