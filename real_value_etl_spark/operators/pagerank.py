@@ -183,3 +183,72 @@ def hits_fixed_point(
             F.expr(f"(rh * {HITS_SCALE}) div m").alias("h"),
         )
     return hubs, auths
+
+
+def ppr_fixed_point(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iter: int = 3,
+    caches: list[DataFrame] | None = None,
+    pre_partitioned: bool = False,
+) -> DataFrame:
+    """Personalized PageRank (random walk with restart): all teleport
+    mass returns to the SEED set instead of spreading uniformly —
+    the seeded-relevance primitive behind "expand from these known-good
+    documents" selection. `seeds` is a 1-column (node) frame, assumed
+    small (it broadcasts into the teleport term). Same fixed-point
+    integer arithmetic, caching and shuffle shape as
+    pagerank_fixed_point: one inflow shuffle per superstep; the only
+    difference is the teleport term, which is SCALE-div-|seeds| on seed
+    nodes and zero elsewhere (so total mass stays ~SCALE with the same
+    truncation behavior the oracle replays)."""
+    if not pre_partitioned:
+        edges = edges.repartition("src")
+    edges = edges.persist()
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count("*").alias("deg"))
+        .select(F.col("src").alias("node"), "deg")
+        .persist()
+    )
+    if caches is not None:
+        caches += [edges, deg]
+    seed_flags = seeds.select(F.col("node"), F.lit(1).alias("__is_seed"))
+    ns = seeds.agg(F.count("*").alias("ns"))
+    base = (
+        deg.join(F.broadcast(seed_flags), "node", "left")
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "node",
+            "deg",
+            "ns",
+            F.coalesce("__is_seed", F.lit(0)).alias("__is_seed"),
+        )
+    )
+    ranks = base.select(
+        "node",
+        "deg",
+        F.expr(f"CASE WHEN __is_seed = 1 THEN {SCALE} div ns ELSE 0 END").alias(
+            "r"
+        ),
+    )
+    teleport = (
+        f"CASE WHEN __is_seed = 1 THEN "
+        f"({DAMP_DEN - DAMP_NUM} * {SCALE} div {DAMP_DEN}) div ns "
+        f"ELSE 0 END"
+    )
+    for _ in range(n_iter):
+        inflow = (
+            edges.join(ranks, edges.src == ranks.node)
+            .select(F.col("dst"), F.expr("r div deg").alias("share"))
+            .groupBy("dst")
+            .agg(F.sum("share").alias("c"))
+        )
+        ranks = base.join(inflow, base.node == inflow.dst, "left").select(
+            "node",
+            "deg",
+            F.expr(
+                f"{teleport} + ({DAMP_NUM} * coalesce(c, 0)) div {DAMP_DEN}"
+            ).alias("r"),
+        )
+    return ranks.select("node", F.col("r").alias("rank"))

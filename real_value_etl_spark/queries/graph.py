@@ -17,6 +17,7 @@ from ..operators.pagerank import (
     SCALE,
     hits_fixed_point,
     pagerank_fixed_point,
+    ppr_fixed_point,
 )
 from .registry import register, table
 
@@ -192,4 +193,97 @@ def graph_hits_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_h.unionAll(top_a)
         .withColumn("rnk", F.row_number().over(w).cast("long"))
         .select("kind", "node", "score", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank (random walk with restart) from seed suppliers
+# ---------------------------------------------------------------------------
+PPR_ITER = 3
+PPR_TOPK = 20
+PPR_SEED_MOD = 100  # seeds = suppliers with suppkey % 100 == 0
+
+
+def _ppr_oracle() -> str:
+    head = f"""
+    WITH e0 AS (SELECT DISTINCT 2 * l_suppkey AS src,
+                                2 * l_partkey + 1 AS dst FROM lineitem),
+    edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+    seeds AS (SELECT DISTINCT 2 * l_suppkey AS node FROM lineitem
+              WHERE l_suppkey % {PPR_SEED_MOD} = 0),
+    ns AS (SELECT COUNT(*) AS ns FROM seeds),
+    base AS (
+      SELECT d.node, d.deg, ns.ns,
+             CASE WHEN s.node IS NOT NULL THEN 1 ELSE 0 END AS is_seed
+      FROM deg d LEFT JOIN seeds s ON s.node = d.node CROSS JOIN ns
+    ),
+    it0 AS (SELECT node, deg, ns, is_seed,
+                   CASE WHEN is_seed = 1 THEN {SCALE} // ns ELSE 0 END AS r
+            FROM base)"""
+    its = []
+    for i in range(1, PPR_ITER + 1):
+        its.append(f""",
+    it{i} AS (
+      SELECT b.node, b.deg, b.ns, b.is_seed,
+             CASE WHEN b.is_seed = 1
+                  THEN ({DAMP_DEN - DAMP_NUM} * {SCALE} // {DAMP_DEN}) // b.ns
+                  ELSE 0 END
+               + ({DAMP_NUM} * COALESCE(s.c, 0)) // {DAMP_DEN} AS r
+      FROM base b
+      LEFT JOIN (SELECT e.dst AS node, SUM(r.r // r.deg) AS c
+                 FROM edges e JOIN it{i - 1} r ON e.src = r.node
+                 GROUP BY e.dst) s ON s.node = b.node
+    )"""
+        )
+    return (
+        head
+        + "".join(its)
+        + f"""
+    SELECT CASE WHEN t.node % 2 = 0 THEN 's' || (t.node // 2)
+                ELSE 'p' || (t.node // 2) END AS node,
+           CAST(t.r AS BIGINT) AS rank
+    FROM (SELECT node, r FROM it{PPR_ITER}
+          ORDER BY r DESC, node LIMIT {PPR_TOPK}) t"""
+    )
+
+
+@register("graph_ppr_seeds", oracle=_ppr_oracle(), tags=("graph", "iterative"))
+def graph_ppr_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from seed suppliers (suppkey % 100 == 0) on
+    the symmetrized supplier<->part graph — random walk with restart,
+    the "expand relevance from known-good nodes" primitive used for
+    seeded data selection. Identical fixed-point shape to
+    graph_pagerank_lineitem, except all teleport mass returns to the
+    seed set; the oracle replays all {PPR_ITER} iterations bit-exactly.
+    Top-{PPR_TOPK} by rank: seeds dominate, their purchase-graph
+    neighborhoods fill the tail — which is the point."""
+    li = table(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        (F.col("l_suppkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    )
+    rev = li.select(
+        (F.col("l_partkey") * 2 + 1).alias("src"),
+        (F.col("l_suppkey") * 2).alias("dst"),
+    )
+    edges = (
+        fwd.unionAll(rev).repartition("src").dropDuplicates(["src", "dst"])
+    )
+    seeds = (
+        li.filter(F.col("l_suppkey") % PPR_SEED_MOD == 0)
+        .select((F.col("l_suppkey") * 2).alias("node"))
+        .distinct()
+    )
+    ranks = ppr_fixed_point(edges, seeds, PPR_ITER, pre_partitioned=True)
+    return (
+        ranks.orderBy(F.col("rank").desc(), "node")
+        .limit(PPR_TOPK)
+        .select(
+            F.expr(
+                "case when node % 2 = 0 then 's' || (node div 2)"
+                " else 'p' || (node div 2) end"
+            ).alias("node"),
+            "rank",
+        )
     )

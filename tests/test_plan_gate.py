@@ -139,6 +139,8 @@ _BNLJ_WAIVERS: dict[str, str] = {
     + " (per-round MAX normalizer broadcast into the score projection)",
     "graph_label_propagation": _R_SCALAR,
     "graph_pagerank_lineitem": _R_SCALAR,
+    "graph_ppr_seeds": _R_SCALAR
+    + " (1-row seed count broadcast into the teleport term)",
     "graph_triangle_count": _R_SCALAR
     + "; plus the m>n orientation condition over broadcast edge sample",
     # time-spine / category cross products
