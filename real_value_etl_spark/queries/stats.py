@@ -791,3 +791,111 @@ def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total").cast("decimal(38,2)").alias("total_revenue"),
         gini.alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Priority sampling (Duffield et al.): weight-aware sample + HT sum estimate
+# ---------------------------------------------------------------------------
+PRIO_K = 100
+_PRIO_HASH_SPACE = float(1 << 32)
+
+
+@register(
+    "q_priority_sample_sum",
+    oracle=f"""
+    WITH pri AS (
+      SELECT o_orderkey,
+             CAST(o_totalprice AS DOUBLE) AS w,
+             CAST(o_totalprice AS DOUBLE)
+               / ((CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)),
+                                            1, 8)) AS BIGINT) + 1)
+                  / {_PRIO_HASH_SPACE!r}) AS priority
+      FROM orders
+    ),
+    top AS (
+      SELECT o_orderkey, w, priority,
+             ROW_NUMBER() OVER (ORDER BY priority DESC, o_orderkey) AS rnk
+      FROM (SELECT * FROM pri
+            ORDER BY priority DESC, o_orderkey LIMIT {PRIO_K + 1})
+    ),
+    tau AS (SELECT priority AS t FROM top WHERE rnk = {PRIO_K + 1}),
+    est AS (
+      SELECT COUNT(*) AS k,
+             list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                 list(CASE WHEN w > t THEN w ELSE t END ORDER BY o_orderkey)),
+               (acc, x) -> acc + x) AS est_total
+      FROM top CROSS JOIN tau WHERE rnk <= {PRIO_K}
+    ),
+    exact AS (SELECT CAST(SUM(o_totalprice) AS DECIMAL(38,2)) AS exact_total
+              FROM orders)
+    SELECT e.k, t.t AS tau, e.est_total, x.exact_total
+    FROM est e CROSS JOIN tau t CROSS JOIN exact x
+    """,
+    tags=("stats", "sampling", "sketch"),
+)
+def q_priority_sample_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield-Lund-Thorup): a {PRIO_K}-row
+    weight-aware sample of orders with the unbiased Horvitz-Thompson
+    total estimate — the "estimate SUM from k rows" primitive for
+    dashboards over 100 TB facts. Priority = w / u with u the
+    (0,1]-uniform from the portable md5 hash of the key; the sample is
+    the top-k by priority, tau the (k+1)-th, and the estimate
+    sums max(w, tau) over the sample. Fully deterministic: the "random"
+    u is the shared hash, the top-k is TakeOrderedAndProject (no global
+    sort materializes), the rank inside the (k+1)-row frame is a
+    bounded window, and the 100-double estimate sum is an ORDERED fold
+    (key order) so both engines add in the same sequence. The exact
+    total rides along (exact DECIMAL) to exhibit the estimator error.
+    The one non-obvious double step — w / (h+1)/2^32 — is the same two
+    IEEE divisions on both sides."""
+    from ..functions.text import portable_hash32
+
+    o = table(spark, sf_dir, "orders")
+    w = F.col("o_totalprice").cast("double")
+    u = (portable_hash32(F.col("o_orderkey").cast("string")) + 1) / F.lit(
+        _PRIO_HASH_SPACE
+    )
+    pri = o.select(
+        "o_orderkey", w.alias("w"), (w / u).alias("priority")
+    )
+    top = (
+        pri.orderBy(F.desc("priority"), F.asc("o_orderkey"))
+        .limit(PRIO_K + 1)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.desc("priority"), F.asc("o_orderkey"))
+            ),
+        )
+    )
+    tau = top.filter(F.col("rnk") == PRIO_K + 1).select(
+        F.col("priority").alias("t")
+    )
+    est = (
+        top.filter(F.col("rnk") <= PRIO_K)
+        .crossJoin(F.broadcast(tau))
+        .agg(
+            F.count("*").alias("k"),
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "o_orderkey",
+                            F.when(F.col("w") > F.col("t"), F.col("w"))
+                            .otherwise(F.col("t"))
+                            .alias("v"),
+                        )
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, s: acc + s["v"],
+            ).alias("est_total"),
+        )
+    )
+    exact = o.agg(
+        F.sum("o_totalprice").cast("decimal(38,2)").alias("exact_total")
+    )
+    return est.crossJoin(F.broadcast(tau)).crossJoin(
+        F.broadcast(exact)
+    ).select("k", F.col("t").alias("tau"), "est_total", "exact_total")

@@ -169,6 +169,8 @@ _BNLJ_WAIVERS: dict[str, str] = {
     "q22_dormant_customers": _R_SCALAR,
     "q_equidepth_price": _R_SCALAR,
     "q_join_size_estimate": _R_SCALAR,
+    "q_priority_sample_sum": _R_SCALAR
+    + " (1-row tau / exact-total frames cross-joined into the estimate)",
     "q_rollup_share_of_parent": _R_SCALAR,
 }
 
