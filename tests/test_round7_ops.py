@@ -498,3 +498,34 @@ def test_stream_hll_multi_batch_equals_single(spark, tmp_path):
     assert final["registers"] == ref["registers"][0]
     assert final["sum_geo"] == ref["sum_geo"][0]
     assert final["est_corrected"] == ref["est_corrected"][0]
+
+
+# ---------------------------------------------------------------------------
+# Oracle literal hygiene: the DECIMAL-parse 1-ulp bug class, gated
+# ---------------------------------------------------------------------------
+
+
+def test_no_bare_high_precision_decimal_literals_in_oracles():
+    """DuckDB types a bare decimal literal as DECIMAL(w<=18, s) BEFORE
+    any cast, silently rounding the 17th significant digit — a 1-ulp
+    divergence from the Python/Spark double the literal was printed
+    from (found live in the streaming-HLL linear-counting lookup).
+    Literals that need full double precision must carry an exponent
+    (feature_ops._dlit). This sweep fails on any oracle that contains
+    a bare literal with >= 16 significant digits and no exponent."""
+    import re
+
+    from real_value_etl_spark.queries import all_queries  # noqa: F401
+    from real_value_etl_spark.queries.registry import REGISTRY
+
+    # digits on both sides of the dot counted together; exponent absent
+    bare = re.compile(r"(?<![\w.])(\d+)\.(\d+)(?![\d.eE])")
+    offenders = []
+    for name, spec in REGISTRY.items():
+        if not spec.oracle:
+            continue
+        for m in bare.finditer(spec.oracle):
+            digits = (m.group(1) + m.group(2)).lstrip("0")
+            if len(digits) >= 16:
+                offenders.append((name, m.group(0)))
+    assert not offenders, offenders
