@@ -2251,3 +2251,97 @@ def events_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("me") - F.col("ms")).cast("long").alias("covered_sec"),
         F.max(F.col("me") - F.col("ms")).cast("long").alias("longest_sec"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-correlation between the click and purchase hourly series
+# ---------------------------------------------------------------------------
+XCORR_MAX_LAG = 6  # lags -6..+6 hours, purchase series shifted
+
+
+@register(
+    "events_xcorr_click_purchase",
+    oracle=f"""
+    WITH hc AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1, 2
+    ),
+    a AS (SELECT h, c AS x FROM hc WHERE event_type = 'click'),
+    b AS (SELECT h, c AS y FROM hc WHERE event_type = 'purchase'),
+    lags AS (SELECT CAST(l AS BIGINT) AS lag
+             FROM unnest(range({-XCORR_MAX_LAG}, {XCORR_MAX_LAG + 1})) AS t(l)),
+    pairs AS (
+      SELECT g.lag, a.x, b.y
+      FROM lags g
+      JOIN a ON TRUE
+      JOIN b ON b.h = a.h + g.lag * 3600
+    ),
+    sums AS (
+      SELECT lag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM pairs GROUP BY lag
+    )
+    SELECT lag, n AS n_pairs,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS xcorr
+    FROM sums
+    """,
+    tags=("events", "timeseries", "stats"),
+)
+def events_xcorr_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between the hourly click and purchase
+    count series at lags -6..+6 hours — the lead/lag detector ("do
+    clicks lead purchases, and by how much?") that complements the
+    single-series ACF. Same exact-arithmetic recipe as
+    events_acf_hourly: per-lag Pearson r assembled only from integer
+    sums over the lag-aligned pairs, one pinned sqrt/div expression at
+    the end. The two hourly series are bounded (corpus span in hours),
+    so the 13-row lag spine and both series broadcast; the heavy step
+    is the one map-side-combinable hourly aggregation."""
+    ev = table(spark, sf_dir, "events")
+    hc = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(
+            "event_type",
+            F.unix_timestamp(F.date_trunc("hour", "ts")).alias("h"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    a = hc.filter(F.col("event_type") == "click").select(
+        F.col("h").alias("ha"), F.col("c").alias("x")
+    )
+    b = hc.filter(F.col("event_type") == "purchase").select(
+        F.col("h").alias("hb"), F.col("c").alias("y")
+    )
+    lags = spark.range(-XCORR_MAX_LAG, XCORR_MAX_LAG + 1).select(
+        F.col("id").alias("lag")
+    )
+    pairs = (
+        F.broadcast(lags)
+        .crossJoin(F.broadcast(a))
+        .join(F.broadcast(b), F.col("hb") == F.col("ha") + F.col("lag") * 3600)
+    )
+    sums = pairs.groupBy("lag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+    dy = F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    return sums.select(
+        "lag",
+        F.col("n").alias("n_pairs"),
+        (num / (dx * dy)).alias("xcorr"),
+    )

@@ -146,6 +146,8 @@ _BNLJ_WAIVERS: dict[str, str] = {
     # time-spine / category cross products
     "events_acf_hourly": _R_SPINE
     + " (12-row lag spine x the bounded hourly-count series)",
+    "events_xcorr_click_purchase": _R_SPINE
+    + " (13-row lag spine x the bounded hourly-count series)",
     "events_churn_by_cohort": _R_SPINE,
     "events_gapfill_hourly": _R_SPINE,
     "events_gapfill_interp": _R_SPINE,
