@@ -2345,3 +2345,62 @@ def events_xcorr_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_pairs"),
         (num / (dx * dy)).alias("xcorr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Burstiness: Fano factor (index of dispersion) of hourly counts per type
+# ---------------------------------------------------------------------------
+@register(
+    "events_fano_burstiness",
+    oracle="""
+    WITH hc AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    sums AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS BIGINT) AS s1,
+             CAST(SUM(c * c) AS BIGINT) AS s2
+      FROM hc GROUP BY event_type
+    )
+    SELECT event_type, n AS n_hours, s1 AS n_events,
+           CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_per_hour,
+           (CAST(n * s2 - s1 * s1 AS DOUBLE)
+              / CAST(n * (n - 1) AS DOUBLE))
+             / (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS fano
+    FROM sums
+    """,
+    tags=("events", "timeseries", "stats"),
+)
+def events_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness audit: the Fano factor (sample variance / mean of the
+    hourly count series) per event type — F ~ 1 is Poisson-like traffic,
+    F >> 1 is bursty (the signal that decides whether rate limits and
+    capacity need burst headroom). Variance comes from the integer sums
+    (n·Σc² - (Σc)²)/(n·(n-1)) — order-free — and the result is three
+    pinned double divisions; ACTIVE hours only (the zero-truncated
+    convention, mirrored exactly in the oracle). One map-side-combinable
+    hourly aggregation + a per-type roll-up of bounded size."""
+    ev = table(spark, sf_dir, "events")
+    hc = ev.groupBy(
+        "event_type", F.unix_timestamp(F.date_trunc("hour", "ts")).alias("h")
+    ).agg(F.count("*").alias("c"))
+    sums = hc.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n").cast("double")
+    var = (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast(
+        "double"
+    ) / (F.col("n") * (F.col("n") - 1)).cast("double")
+    return sums.select(
+        "event_type",
+        F.col("n").alias("n_hours"),
+        F.col("s1").alias("n_events"),
+        mean.alias("mean_per_hour"),
+        (var / mean).alias("fano"),
+    )
