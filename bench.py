@@ -113,6 +113,13 @@ SF1_HEAVY = [
     # -> e_1_10 ~ 0.71, sublinear through all three measured decades.
     "graph_hits_lineitem",
     "dedup_bcubed_eval",
+    # round-8 (VERDICT r7 ask #5): the two textbook-scale-story plans that
+    # had no measured decade — the one-pass HLL register cube (shuffle is
+    # rows x 4 lattice cells x O(1) registers) and the two-phase skyline
+    # (global pass sees only per-partition frontiers). Both are cheap;
+    # their sf0.1 bases are measured inside bench_sf1 (non-HEADLINE path).
+    "q_cube_hll_users",
+    "q_skyline_parts",
 ]
 
 
@@ -635,6 +642,29 @@ def main() -> None:
     if skew is not None:
         payload["skew_sf1"] = skew
     print(json.dumps(payload))
+    # The driver's capture keeps only the stdout TAIL, which has truncated
+    # the headline block three rounds running (BENCH_r05..r07 "parsed":
+    # null). Make the artifact self-sufficient (VERDICT r7 ask #4): also
+    # write the full payload to BENCH_LOCAL_r{N}.json next to this file,
+    # committed each round, so cross-round tables come from a file instead
+    # of reverse-arithmetic on whatever survived the tail.
+    here = os.path.dirname(os.path.abspath(__file__))
+    rnd = os.environ.get("SPARK_GRAFT_ROUND")
+    if rnd is None:
+        import glob
+        import re
+
+        seen = [
+            int(m.group(1))
+            for f in glob.glob(os.path.join(here, "BENCH_r*.json"))
+            if (m := re.search(r"BENCH_r(\d+)\.json$", f))
+        ]
+        rnd = str(max(seen, default=0) + 1)
+    local = os.path.join(here, f"BENCH_LOCAL_r{int(rnd):02d}.json")
+    with open(local, "w") as fh:
+        json.dump(payload, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(f"# full payload -> {local}", file=sys.stderr)
 
 
 if __name__ == "__main__":

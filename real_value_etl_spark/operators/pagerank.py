@@ -201,7 +201,16 @@ def ppr_fixed_point(
     pagerank_fixed_point: one inflow shuffle per superstep; the only
     difference is the teleport term, which is SCALE-div-|seeds| on seed
     nodes and zero elsewhere (so total mass stays ~SCALE with the same
-    truncation behavior the oracle replays)."""
+    truncation behavior the oracle replays).
+
+    The node universe is the SOURCE set (`deg` is built from edge
+    sources, like pagerank_fixed_point): a seed that never appears as an
+    edge source is not a node of the walk graph and is EXCLUDED — both
+    from the output and from the teleport denominator `ns`, which counts
+    only seeds that survive the join into `deg` (r7 advice: counting
+    absent seeds would under-weight the teleport mass of every real
+    seed, silently). Callers wanting sink-only seeds ranked must add
+    them as sources (e.g. with self-loops) first."""
     if not pre_partitioned:
         edges = edges.repartition("src")
     edges = edges.persist()
@@ -214,17 +223,24 @@ def ppr_fixed_point(
     if caches is not None:
         caches += [edges, deg]
     seed_flags = seeds.select(F.col("node"), F.lit(1).alias("__is_seed"))
-    ns = seeds.agg(F.count("*").alias("ns"))
-    base = (
-        deg.join(F.broadcast(seed_flags), "node", "left")
-        .crossJoin(F.broadcast(ns))
-        .select(
-            "node",
-            "deg",
-            "ns",
-            F.coalesce("__is_seed", F.lit(0)).alias("__is_seed"),
-        )
+    flagged = deg.join(F.broadcast(seed_flags), "node", "left").select(
+        "node",
+        "deg",
+        F.coalesce("__is_seed", F.lit(0)).alias("__is_seed"),
     )
+    # ns rides the flagged frame (not `seeds.count()`), so absent seeds
+    # can't dilute the teleport mass; `base` is persisted because every
+    # superstep references it and the ns aggregate now hangs off the
+    # node-sized subtree — one node-sized materialization, same order as
+    # the `deg` persist above, instead of n_iter re-expansions.
+    ns = flagged.agg(F.sum("__is_seed").alias("ns"))
+    base = (
+        flagged.crossJoin(F.broadcast(ns))
+        .select("node", "deg", "ns", "__is_seed")
+        .persist()
+    )
+    if caches is not None:
+        caches += [base]
     ranks = base.select(
         "node",
         "deg",

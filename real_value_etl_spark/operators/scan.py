@@ -40,16 +40,31 @@ therefore TRACKED in a module registry; callers that own a request
 boundary (the REST layer, batch drivers, registry sweeps) call
 `release_rank_caches()` once the result is materialized, which
 unpersists every tracked frame (non-blocking) and empties the registry.
-A frame whose cache is dropped stays CORRECT if re-executed — persist
-re-materializes on next use and all consumers of a single action share
-the one new materialization; the hazard needs two separate executions
-INSIDE one action, which the persist marker still prevents. Long-lived
-sessions that never call it degrade to Spark's LRU eviction, exactly
-the pre-r6 behavior, never an error. `tests/test_round7_ops.py` holds
-storage flat across repeated API calls.
+A frame whose cache is dropped stays CORRECT if re-executed, but for a
+different reason than while persisted (r7 advice): `unpersist()` removes
+the persist marker entirely, so nothing re-materializes into the cache —
+instead, within any ONE subsequent action Catalyst's ReuseExchange rule
+collapses identical exchange subtrees into a single execution, so the
+nondeterministic range sample is still drawn once per action and every
+consumer in that plan sees the same partitioning. Two SEPARATE actions
+over a released frame may legitimately draw different range boundaries;
+each action is internally consistent, which is all per-action row-level
+determinism requires. Long-lived sessions that never release degrade to
+Spark's LRU eviction, exactly the pre-r6 behavior, never an error.
+`tests/test_round7_ops.py` holds storage flat across repeated API calls.
+
+THREADING: the registry is guarded by a lock, so concurrent appends and
+releases cannot corrupt it — but release scope is GLOBAL, not
+per-request: a `release_rank_caches()` from one request unpersists
+frames another in-flight request persisted (correctness holds per the
+paragraph above; the other request just loses its cache). The REST layer
+(`api.py`) serializes query handling, which is the assumed deployment;
+true multi-tenant concurrency wants per-request cache lists instead.
 """
 
 from __future__ import annotations
+
+import threading
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -58,24 +73,30 @@ from pyspark.sql import functions as F
 # the JVM-side cache outlives the Python DataFrame object, so a weak
 # registry would leak exactly the entries it was meant to release.
 _RANK_CACHES: list[DataFrame] = []
+_RANK_CACHES_LOCK = threading.Lock()
 
 
 def _persist_tracked(df: DataFrame) -> DataFrame:
     """persist() + register for `release_rank_caches` (see module doc)."""
     df = df.persist()
-    _RANK_CACHES.append(df)
+    with _RANK_CACHES_LOCK:
+        _RANK_CACHES.append(df)
     return df
 
 
 def release_rank_caches() -> int:
     """Unpersist every cached range-partitioned frame created by the
     rank-family operators since the last release; returns how many were
-    dropped. Safe at any time: a dropped cache re-materializes on next
-    use (correctness argument in the module doc). Call at request end
-    in long-lived services; one-shot jobs may skip it."""
+    dropped. Safe at any time — a released frame stays per-action
+    consistent via exchange reuse (module doc, CACHE LIFECYCLE) — but
+    GLOBAL in scope: concurrent requests' caches are released too (see
+    module doc, THREADING). Call at request end in long-lived services;
+    one-shot jobs may skip it."""
+    with _RANK_CACHES_LOCK:
+        frames = list(_RANK_CACHES)
+        _RANK_CACHES.clear()
     n = 0
-    while _RANK_CACHES:
-        frame = _RANK_CACHES.pop()
+    for frame in frames:
         try:
             frame.unpersist()
             n += 1

@@ -255,8 +255,15 @@ def ivf_assign_hier(
     # two k-sized codebook frames, identity when the documented subset
     # precondition holds. A non-subset caller loses the orphan SEED
     # (vectors route to the nearest surviving cell), never corpus rows.
-    # (The corpus-side anti-join fallback remains deliberately reverted:
-    # it recomputed the full vector routing, +30% on the kNN bench.)
+    # LIMIT of the guarantee (r7 advice): it needs at least ONE coarse
+    # seed to survive the semi-join. A coarse grid fully DISJOINT from
+    # the centroids (the degenerate extreme of a non-subset caller)
+    # empties the pruned codebook, and the inner routing join then
+    # returns an EMPTY assignment — pass validate=True to get a
+    # ValueError for any non-subset grid (disjointness included) instead;
+    # the default path stays action-free because an eager emptiness count
+    # here would tax every hot-path call (the corpus-side anti-join
+    # fallback was reverted for exactly that: +30% on the kNN bench).
     coarse = coarse.join(
         F.broadcast(centroids.select(id_col)), id_col, "semi"
     )

@@ -34,69 +34,69 @@ from . import (  # noqa: F401
 )
 from .registry import REGISTRY
 
-# Round-7 window (VERDICT r6 ask #1: evidence freshness). Two re-confirm
-# slots lead: `graph_label_propagation`'s plan changed in r6 (tree-router
-# assignment) AFTER the r6 window was cut, so its newest driver row (r5)
-# predates the executed plan; `sim_knn_graph` gets the adaptive-router
-# change THIS round (r6 asks #2/#6). The remaining 48 slots are the
-# oldest-evidence cohort, computed mechanically from CORRECTNESS_r01..r06
-# latest-green rows: all 38 queries whose newest green row is r2, then
-# the first 10 (alphabetical) of the 48-query r3 cohort. Post-window
-# histogram: no query's newest driver evidence predates r3.
+# Round-8 window (VERDICT r7 ask #1: evidence freshness). The 23 round-7
+# additions have NEVER appeared in any CORRECTNESS_r*.json — they lead and
+# take priority (this is also the re-confirm set: `dedup_bcubed_eval`'s
+# quantization moves to DECIMAL(38,0) and `docs_greedy_coverage`'s per-step
+# filter moves to an anti-join THIS round, so their first driver rows land
+# on the changed plans). The remaining 27 slots are the oldest-evidence
+# cohort, computed mechanically from CORRECTNESS_r01..r07 latest-green
+# rows: the first 27 (alphabetical) of the 38-query r3 cohort. The 11
+# overflow r3 stragglers (q9_product_profit .. text_collocations) rotate
+# into r9. Post-window histogram target: {r3: 11, r4: 28, ...}.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- re-confirm: executed plans changed after their last driver row
-    "graph_label_propagation",
-    "sim_knn_graph",
-    # -- r2-latest cohort (all 38)
-    "docs_decontaminate",
-    "events_cdc_apply",
-    "events_cohort_retention",
-    "events_ewma_by_user",
-    "events_funnel",
-    "events_gapfill_hourly",
-    "events_incremental_mv",
-    "events_interval_join",
-    "events_json_extract",
-    "events_sessionize",
-    "events_trailing_1h",
-    "events_tumbling_agg",
-    "events_upsert_scd1",
-    "events_via_duckdb_source",
-    "profile_lineitem",
-    "q11_important_stock",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    "q18_large_orders",
-    "q21_waiting_suppliers",
-    "q22_dormant_customers",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q_corr_qty_price",
-    "q_histogram_totalprice",
-    "q_pivot_status",
-    "q_stats_quantity",
-    "stream_dedup_keys",
-    "stream_dedup_watermark",
-    "stream_incremental_mv",
-    "stream_session_window",
-    "stream_sliding_agg",
-    "stream_static_enrich",
-    "stream_stream_join",
-    "stream_tumbling_agg",
-    "stream_user_totals",
-    # -- r3-latest cohort (first 10 of 48; remainder rotates in r8)
-    "docs_boilerplate_strip",
-    "docs_by_lang_source",
-    "docs_dedup_savings",
-    "docs_header_strip",
-    "docs_length_balanced_buckets",
-    "docs_mix_temperature",
-    "docs_ngram_novelty",
-    "docs_quality_funnel",
-    "docs_quality_lr_score",
-    "docs_repeated_spans",
+    # -- the 23 round-7 queries with zero driver evidence (never windowed)
+    "dedup_bcubed_eval",
+    "dedup_semdedup",
+    "docs_dsir_select",
+    "docs_greedy_coverage",
+    "events_acf_hourly",
+    "events_fano_burstiness",
+    "events_interval_union",
+    "events_longest_streak",
+    "events_xcorr_click_purchase",
+    "graph_hits_lineitem",
+    "graph_ppr_seeds",
+    "multimodal_jpeg_sof_parse",
+    "multimodal_pcm_frame_energy",
+    "multimodal_tiff_exif_parse",
+    "q_cube_hll_users",
+    "q_gini_revenue",
+    "q_priority_sample_sum",
+    "q_skyline_parts",
+    "q_weighted_median",
+    "sim_rrf_fusion",
+    "stream_hll_distinct",
+    "text_hll_registers",
+    "text_kneser_ney_score",
+    # -- r3-latest cohort (first 27 of 38; 11 stragglers rotate in r9)
+    "docs_source_divergence",
+    "docs_source_resample",
+    "emb_gram_matrix",
+    "emb_label_centroids",
+    "events_anomaly_hours",
+    "events_attribution",
+    "events_gapfill_interp",
+    "events_outliers_mad",
+    "events_quality_audit",
+    "events_rate_limit",
+    "events_running_total",
+    "events_scd2_history",
+    "events_session_window",
+    "events_sliding_agg",
+    "events_via_jsonl_source",
+    "lang_confusion",
+    "lang_vocab_overlap",
+    "lineitem_via_partitioned_source",
+    "multimodal_dedup",
+    "orders_via_orc_source",
+    "q10_returned_items",
+    "q12_priority_lines",
+    "q14_promo_share",
+    "q16_parts_suppliers",
+    "q19_discounted_revenue",
+    "q20_excess_suppliers",
+    "q8_market_share",
 )
 
 

@@ -2404,3 +2404,60 @@ def events_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean.alias("mean_per_hour"),
         (var / mean).alias("fano"),
     )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(COUNT(*) AS BIGINT) AS n_trans
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ),
+    marg AS (
+      SELECT prev_type, CAST(SUM(n_trans) AS BIGINT) AS n_from
+      FROM trans GROUP BY prev_type
+    )
+    SELECT t.prev_type, t.next_type, t.n_trans, m.n_from,
+           CAST(t.n_trans AS DOUBLE) / m.n_from AS p_transition
+    FROM trans t JOIN marg m ON m.prev_type = t.prev_type
+    """,
+    tags=("events", "window", "graph"),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    stream: count (prev_type -> next_type) adjacencies in (ts, event_id)
+    order, with the row-conditional probability p(next|prev) — the
+    behavioral model behind next-action prediction and funnel synthesis.
+    Counts are exact integers; the single probability division is one
+    pinned double op (identical IEEE semantics both engines). Plan: one
+    hash exchange for the per-user lag window, one map-side-combinable
+    groupBy on (prev, next) — the transition matrix is |types|^2 rows, so
+    the marginal join broadcasts at any corpus scale; nothing downstream
+    of the window ever exceeds sketch size."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").alias("n_trans")
+    )
+    marg = trans.groupBy("prev_type").agg(F.sum("n_trans").alias("n_from"))
+    return trans.join(F.broadcast(marg), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n_trans",
+        "n_from",
+        (F.col("n_trans").cast("double") / F.col("n_from")).alias(
+            "p_transition"
+        ),
+    )

@@ -2315,6 +2315,172 @@ def multimodal_jpeg_sof_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ID3v2 + MPEG audio frame header — sixth byte codec, first with SYNCSAFE
+# integers (7 bits per byte) and a real bitrate/samplerate table lookup
+# ---------------------------------------------------------------------------
+MP3_BITRATES = (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+MP3_SAMPLE_RATES = (44100, 48000, 32000)  # MPEG1 sr_index 0..2
+MP3_TITLE_POOL = "THEQUICKBROWNFOXJUMPSOV"  # 23 chars, t = doc_id%23+1
+
+
+@register(
+    "multimodal_mp3_id3_parse",
+    oracle=f"""
+    WITH geom AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS blen,
+             doc_id % 23 + 1 AS t,
+             100 + octet_length(encode(text)) % 300 AS pad,
+             1 + doc_id % 14 AS br_idx,
+             doc_id % 3 AS sr_idx,
+             octet_length(encode(text)) % 2 AS pad_bit
+      FROM documents
+    )
+    SELECT doc_id,
+           TRUE AS id3_ok,
+           CAST(11 + t + pad AS BIGINT) AS tag_size,
+           substring('{MP3_TITLE_POOL}', 1, t) AS title,
+           CAST(t AS BIGINT) AS title_len,
+           TRUE AS sync_ok,
+           TRUE AS mpeg1_layer3_ok,
+           CAST(([{", ".join(str(b) for b in MP3_BITRATES)}])[br_idx]
+                AS BIGINT) AS bitrate_kbps,
+           CAST(([{", ".join(str(r) for r in MP3_SAMPLE_RATES)}])[sr_idx + 1]
+                AS BIGINT) AS sample_rate,
+           CAST(pad_bit AS BIGINT) AS padding_bit,
+           CAST((144000 * ([{", ".join(str(b) for b in MP3_BITRATES)}])[br_idx])
+                // ([{", ".join(str(r) for r in MP3_SAMPLE_RATES)}])[sr_idx + 1]
+                + pad_bit AS BIGINT) AS frame_length,
+           CAST(10 + (11 + t + pad) + 4 + 8 AS BIGINT) AS total_len
+    FROM geom
+    """,
+    tags=("multimodal", "llm", "binary", "audio"),
+)
+def multimodal_mp3_id3_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ID3v2.3 + MPEG audio frame parsing — the sixth byte codec,
+    and the first with SYNCSAFE integers: the ID3v2 tag size is stored
+    as four 7-bit bytes (high bit of every byte forced 0 so the tag can
+    never contain a spurious 0xFF sync pattern), so the reader must
+    reassemble (b0&0x7F)<<21 | (b1&0x7F)<<14 | (b2&0x7F)<<7 | (b3&0x7F)
+    — a genuinely different wire encoding from every BE/LE field in the
+    WAV/PNG/MP4/TIFF/JPEG codecs. The decoded size is a DATA-DEPENDENT
+    jump (tag payload is 111..433 bytes here — always multi-syncsafe-
+    byte) over the tag to the first MPEG audio frame header, whose
+    packed bit-fields are then cracked: 11-bit sync, version/layer bits,
+    and 4-bit bitrate / 2-bit samplerate INDICES resolved through the
+    real MPEG1 Layer III tables via `element_at` on literal arrays; the
+    frame length is recomputed with the standard
+    floor(144 * bitrate / samplerate) + padding formula. Inside the tag,
+    the TIT2 frame's size field is PLAIN BE32 (v2.3 frame sizes are not
+    syncsafe — the trap every real ID3 parser must not fall into), and
+    the title STRING is recovered from the walked-to bytes. Everything
+    is JVM binary expressions in one projection — map-only, zero
+    exchanges at any scale. The oracle recomputes all fields
+    arithmetically from doc fields and the same literal tables.
+
+    Wire layout per row (1-based): 'ID3' 03 00 00 | syncsafe32(tag_size)
+    | TIT2 be32(1+t) 0000 | 00 | title(t) | zero padding(pad) | FF FB |
+    brIdx<<4|srIdx<<2|padBit<<1 | 44 | 8 filler bytes, with
+    t = doc_id%23+1, pad = 100+blen%300, tag_size = 11+t+pad."""
+    d = table(spark, sf_dir, "documents")
+
+    def be(c, nbytes):
+        masked = F.pmod(c.cast("long"), F.lit(1 << (8 * nbytes)))
+        return F.unhex(F.lpad(F.hex(masked), 2 * nbytes, "0"))
+
+    blen = F.octet_length(F.encode(F.col("text"), "utf-8")).cast("long")
+    t = (F.col("doc_id") % 23 + 1).cast("int")
+    pad = (F.lit(100) + blen % 300).cast("int")
+    tag_size = (F.lit(11) + t + pad).cast("long")
+    br_idx = (F.col("doc_id") % 14 + 1).cast("long")
+    sr_idx = (F.col("doc_id") % 3).cast("long")
+    pad_bit = (blen % 2).cast("long")
+
+    def syncsafe(c):
+        # four 7-bit bytes, MSB first — each byte's high bit is 0
+        return F.concat(
+            *[be(F.shiftright(c, s) % 128, 1) for s in (21, 14, 7, 0)]
+        )
+
+    tit2 = F.concat(
+        F.encode(F.lit("TIT2"), "utf-8"),
+        be(F.lit(1) + t, 4),  # v2.3 frame size: PLAIN BE32, not syncsafe
+        F.unhex(F.lit("0000")),  # frame flags
+        F.unhex(F.lit("00")),  # text encoding: latin-1
+        F.encode(F.substring(F.lit(MP3_TITLE_POOL), F.lit(1), t), "utf-8"),
+    )
+    byte3 = (
+        F.shiftleft(br_idx, 4) + F.shiftleft(sr_idx, 2) + F.shiftleft(pad_bit, 1)
+    )
+    mp3 = d.select(
+        "doc_id",
+        F.concat(
+            F.encode(F.lit("ID3"), "utf-8"),
+            F.unhex(F.lit("030000")),  # v2.3.0, no flags
+            syncsafe(tag_size),
+            tit2,
+            F.unhex(F.substring(F.lit("0" * 800), F.lit(1), pad * 2)),
+            F.unhex(F.lit("FFFB")),  # sync + MPEG1 + Layer III + no CRC
+            be(byte3, 1),
+            F.unhex(F.lit("44")),  # joint stereo, original
+            F.unhex(F.lit("AB" * 8)),  # frame body filler
+        ).alias("payload"),
+    )
+
+    # ---- the parse: syncsafe jump, then bit-field cracking ----
+    p = F.col("payload")
+
+    def rd(pos, nbytes):
+        return F.conv(F.hex(F.substring(p, pos, nbytes)), 16, 10).cast("long")
+
+    tag_sz = (
+        F.shiftleft(F.pmod(rd(7, 1), 128), 21)
+        + F.shiftleft(F.pmod(rd(8, 1), 128), 14)
+        + F.shiftleft(F.pmod(rd(9, 1), 128), 7)
+        + F.pmod(rd(10, 1), 128)
+    )
+    tit2_sz = rd(15, 4)  # plain BE32
+    title = F.decode(
+        F.substring(p, F.lit(22), (tit2_sz - 1).cast("int")), "utf-8"
+    )
+    audio = F.lit(11).cast("long") + tag_sz  # 1-based offset of the sync byte
+    hdr2 = rd(audio + 1, 1)
+    hdr3 = rd(audio + 2, 1)
+    got_br_idx = F.shiftright(hdr3, 4)
+    got_sr_idx = F.pmod(F.shiftright(hdr3, 2), 4)
+    got_pad = F.pmod(F.shiftright(hdr3, 1), 2)
+    bitrate = F.element_at(
+        F.array(*[F.lit(b).cast("long") for b in MP3_BITRATES]),
+        got_br_idx.cast("int"),
+    )
+    srate = F.element_at(
+        F.array(*[F.lit(r).cast("long") for r in MP3_SAMPLE_RATES]),
+        (got_sr_idx + 1).cast("int"),
+    )
+    return mp3.select(
+        "doc_id",
+        (F.hex(F.substring(p, 1, 3)) == F.lit("494433")).alias("id3_ok"),
+        tag_sz.alias("tag_size"),
+        title.alias("title"),
+        (tit2_sz - 1).alias("title_len"),
+        (
+            (rd(audio, 1) == 0xFF) & (F.shiftright(hdr2, 5) == 0x7)
+        ).alias("sync_ok"),
+        (
+            (F.pmod(F.shiftright(hdr2, 3), 4) == 3)  # version bits: MPEG1
+            & (F.pmod(F.shiftright(hdr2, 1), 4) == 1)  # layer bits: III
+        ).alias("mpeg1_layer3_ok"),
+        bitrate.alias("bitrate_kbps"),
+        srate.alias("sample_rate"),
+        got_pad.alias("padding_bit"),
+        (
+            F.call_function("div", F.lit(144000) * bitrate, srate) + got_pad
+        ).alias("frame_length"),
+        F.octet_length(p).cast("long").alias("total_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # PCM frame energy — REAL audio sample math, not a stub feature hash
 # ---------------------------------------------------------------------------
 PCM_N_SAMPLES = 64  # int16 samples decoded per document

@@ -10,7 +10,7 @@ orders in both engines (verified bit-exact at sf0.01).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import pii as P
@@ -413,6 +413,19 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 BCUBED_Q = 1 << 20  # fixed-point scale for the per-item fraction sums
 
 
+def bcubed_cell_quotient(c_kl: Column, n: Column) -> Column:
+    """div(c_kl^2 * 2^20, n) with DECIMAL(38,0) intermediates (r7 verdict
+    ask #3): the product c_kl^2 * 2^20 would overflow int64 once a
+    (cluster,label) cell exceeds ~2^21 ~= 2.1M rows, so both factors are
+    widened to DECIMAL(38,0) BEFORE multiplying. Spark's IntegralDivide
+    accepts decimal operands and returns BIGINT (truncation toward zero,
+    matching DuckDB's HUGEINT `//` for these nonnegative values), so the
+    quotient — bounded by c_kl * 2^20 since c_kl <= n — needs only
+    c_kl < 2^43 ~= 8.8e12 rows per cell, comfortably past 100 TB."""
+    c = c_kl.cast("decimal(38,0)")
+    return F.call_function("div", c * c * F.lit(BCUBED_Q), n.cast("decimal(38,0)"))
+
+
 def _bcubed_oracle() -> str:
     return f"""
     WITH RECURSIVE {_SHINGLE_IDX_CTE}, {_JACCARD_TAIL_SQL},
@@ -436,8 +449,10 @@ def _bcubed_oracle() -> str:
     nk AS (SELECT cluster, COUNT(*) AS n_k FROM assign GROUP BY cluster),
     nl AS (SELECT lang, COUNT(*) AS n_l FROM assign GROUP BY lang),
     sums AS (
-      SELECT CAST(SUM((t.c_kl * t.c_kl * {BCUBED_Q}) // k.n_k) AS BIGINT) AS p_q,
-             CAST(SUM((t.c_kl * t.c_kl * {BCUBED_Q}) // l.n_l) AS BIGINT) AS r_q
+      SELECT CAST(SUM((CAST(t.c_kl AS HUGEINT) * t.c_kl * {BCUBED_Q}) // k.n_k)
+                  AS BIGINT) AS p_q,
+             CAST(SUM((CAST(t.c_kl AS HUGEINT) * t.c_kl * {BCUBED_Q}) // l.n_l)
+                  AS BIGINT) AS r_q
       FROM cl t JOIN nk k ON k.cluster = t.cluster
                 JOIN nl l ON l.lang = t.lang
     ),
@@ -477,10 +492,14 @@ def dedup_bcubed_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     is an integer — order-free and bit-exact — and only the final
     normalizations are (pinned) double divisions; the quantization
     under-counts each cell by < 1/2^20, immaterial for a quality metric
-    and fully mirrored in the oracle. Scale: c_kl^2 * 2^20 needs
-    n_cell < 2^21 to stay in int64 — near-dup clusters are small by
-    construction; the label marginal n_l is the bound to watch (here
-    ~n/5 per lang: fine through sf10). One shuffle each for the cell /
+    and fully mirrored in the oracle. Scale: the c_kl^2 * 2^20 product is
+    computed in DECIMAL(38,0) (HUGEINT in the oracle) via
+    `bcubed_cell_quotient`, so the binding constraint is the BIGINT
+    quotient, c_kl < 2^43 ~= 8.8e12 rows per (cluster,label) cell — no
+    cliff at the 100 TB target (the old int64 product capped cells at
+    ~2.1M rows; see test_bcubed_quantization_3m_cell). The global sums
+    p_q, r_q are bounded by n_docs * 2^20 < 2^63 for n_docs < 2^43.
+    One shuffle each for the cell /
     cluster-size / label-size aggs; the label marginal broadcasts; the
     cluster step itself reuses the iterative min-label components."""
     from ..operators.components import dedup_clusters
@@ -500,15 +519,14 @@ def dedup_bcubed_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     cl = assign.groupBy("cluster", "lang").agg(F.count("*").alias("c_kl"))
     nk = assign.groupBy("cluster").agg(F.count("*").alias("n_k"))
     nl = assign.groupBy("lang").agg(F.count("*").alias("n_l"))
-    c2q = F.col("c_kl") * F.col("c_kl") * F.lit(BCUBED_Q).cast("long")
     sums = (
         cl.join(nk, "cluster")
         .join(F.broadcast(nl), "lang")
         .agg(
-            F.sum(F.call_function("div", c2q, F.col("n_k")))
+            F.sum(bcubed_cell_quotient(F.col("c_kl"), F.col("n_k")))
             .cast("long")
             .alias("p_q"),
-            F.sum(F.call_function("div", c2q, F.col("n_l")))
+            F.sum(bcubed_cell_quotient(F.col("c_kl"), F.col("n_l")))
             .cast("long")
             .alias("r_q"),
         )

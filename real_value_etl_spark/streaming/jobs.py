@@ -362,7 +362,10 @@ def _stamp_batch(stage_dir: str, batch_id: int) -> None:
 def _swap_state(merged: DataFrame, state_path: str, batch_id: int) -> None:
     """Write `merged` to a staging dir, stamp the batch id, and rename
     into place — the atomic two-phase commit both foreachBatch sinks
-    share."""
+    share. The two renames are NOT jointly atomic: a crash between them
+    leaves no `state_path` at all — `_recover_state` (called at every
+    fold entry) repairs that window from the surviving `__stage`/`__old`
+    dirs before any batch is applied."""
     import os
     import shutil
 
@@ -375,6 +378,37 @@ def _swap_state(merged: DataFrame, state_path: str, batch_id: int) -> None:
         os.rename(state_path, old)
     os.rename(stage, state_path)
     shutil.rmtree(old, ignore_errors=True)
+
+
+def _recover_state(state_path: str) -> None:
+    """Repair the non-atomic window in `_swap_state`: a crash between
+    `os.rename(state_path, old)` and `os.rename(stage, state_path)`
+    leaves NO state dir — without repair, `_last_applied_batch` would
+    report -1 and the replayed micro-batch would rebuild state from only
+    its own delta, silently dropping all previously accumulated MV/CDC
+    state (the older source offsets are already committed and never
+    replayed). Roll FORWARD when the staged dir is complete (`_SUCCESS`
+    from the parquet write AND the `_LAST_BATCH` stamp — it is the full
+    (state, batch_id) pair, so the marker then correctly skips the
+    replay); otherwise roll BACK to `__old` and let the replayed batch
+    re-fold on top. No-op when `state_path` exists. Idempotent: a crash
+    mid-recovery re-enters one of the same cases."""
+    import os
+    import shutil
+
+    if os.path.exists(state_path):
+        return
+    stage = state_path + "__stage"
+    old = state_path + "__old"
+    stage_complete = os.path.exists(
+        os.path.join(stage, "_SUCCESS")
+    ) and os.path.exists(os.path.join(stage, "_LAST_BATCH"))
+    if stage_complete:
+        os.rename(stage, state_path)
+        shutil.rmtree(old, ignore_errors=True)
+    elif os.path.exists(old):
+        shutil.rmtree(stage, ignore_errors=True)
+        os.rename(old, state_path)
 
 
 def incremental_mv_sink(keys: list[str], state_path: str):
@@ -402,6 +436,7 @@ def incremental_mv_sink(keys: list[str], state_path: str):
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         import os
 
+        _recover_state(state_path)
         if batch_id <= _last_applied_batch(state_path):
             return  # crash-replayed batch: state already holds it
         s = batch_df.sparkSession
@@ -465,6 +500,7 @@ def cdc_apply_sink(state_path: str):
     from pyspark.sql import Window
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
+        _recover_state(state_path)
         if batch_id <= _last_applied_batch(state_path):
             return  # crash-replayed batch: state already holds it
         s = batch_df.sparkSession
