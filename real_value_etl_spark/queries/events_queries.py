@@ -2461,3 +2461,91 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_transition"
         ),
     )
+
+
+CUSUM_THRESHOLD_MEANS = 5  # breach when cumulative excess passes 5 mean-hours
+
+
+@register(
+    "events_changepoint_cusum",
+    oracle=f"""
+    WITH hc AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS BIGINT) AS total
+      FROM hc GROUP BY event_type
+    ),
+    x AS (
+      SELECT hc.event_type, hc.h, hc.c, t.total,
+             hc.c * t.n - t.total AS dev
+      FROM hc JOIN tot t ON t.event_type = hc.event_type
+    ),
+    pre AS (
+      SELECT event_type, h, c, total,
+             SUM(dev) OVER (PARTITION BY event_type ORDER BY h) AS p
+      FROM x
+    ),
+    rm AS (
+      SELECT event_type, h, c, total, p,
+             MIN(p) OVER (PARTITION BY event_type ORDER BY h) AS runmin
+      FROM pre
+    )
+    SELECT event_type, h, c,
+           CAST(p - LEAST(0, runmin) AS BIGINT) AS cusum_scaled,
+           (p - LEAST(0, runmin)) > {CUSUM_THRESHOLD_MEANS} * total AS breach
+    FROM rm
+    """,
+    tags=("events", "timeseries", "window"),
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM changepoint detection over each event type's
+    hourly traffic: accumulate deviations from the type's mean rate,
+    reset at zero, flag hours where the statistic passes
+    {CUSUM_THRESHOLD_MEANS} mean-hours of cumulative excess — the
+    classic sequential drift detector for pipeline-volume regressions.
+    The recursive S_h = max(0, S_(h-1) + x_h) is computed CLOSED-FORM as
+    prefix_h - min(0, running_min(prefix)) — two stock window passes, no
+    recursion, no UDF. Deviations are scaled by n_hours (x = c*n - total)
+    so everything stays an exact integer; the threshold comparison
+    (5 * total = 5 mean-hours in the same scale) is integer too —
+    bit-exact both engines. The per-type window runs over the
+    ALREADY-AGGREGATED hourly series, whose length is bounded by the
+    time range (8,760 rows/type-year no matter the corpus size) — a
+    per-group window here can never concentrate data-scale rows on one
+    task, unlike raw-event windows (see the two-phase rank family for
+    those)."""
+    ev = table(spark, sf_dir, "events")
+    hc = ev.groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("hour", "ts")).alias("h"),
+    ).agg(F.count("*").alias("c"))
+    tot = hc.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("c").alias("total")
+    )
+    x = hc.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "h",
+        "c",
+        "total",
+        (F.col("c") * F.col("n") - F.col("total")).alias("dev"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = x.withColumn("p", F.sum("dev").over(w))
+    rm = pre.withColumn("runmin", F.min("p").over(w))
+    s = F.col("p") - F.least(F.lit(0), F.col("runmin"))
+    return rm.select(
+        "event_type",
+        "h",
+        "c",
+        s.alias("cusum_scaled"),
+        (s > F.lit(CUSUM_THRESHOLD_MEANS) * F.col("total")).alias("breach"),
+    )

@@ -37,6 +37,16 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     """Decorator: register fn(spark, sf_dir) -> DataFrame under `name`."""
 
     def deco(fn):
+        if name in REGISTRY:
+            # A silent overwrite means one of the two implementations is
+            # dead code with a live-looking @register — and which one wins
+            # depends on import order. Fail at import instead (caught in
+            # round 8: a duplicate emb_power_iteration shadowed for a
+            # whole session before its wrong schema surfaced in a test).
+            raise ValueError(
+                f"duplicate query registration: {name!r} "
+                f"(existing: {REGISTRY[name].fn.__module__})"
+            )
         REGISTRY[name] = QuerySpec(
             name=name, fn=fn, oracle=oracle, tags=tags, doc=(fn.__doc__ or "").strip()
         )

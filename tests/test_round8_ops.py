@@ -294,3 +294,68 @@ def test_ppr_absent_seed_does_not_dilute_teleport(spark):
     }
     assert a == b
     assert all(n != 99 for n, _ in b)
+
+
+# ---------------------------------------------------------------------------
+# Round-8 new queries: semantics beyond oracle parity
+# ---------------------------------------------------------------------------
+
+
+def test_register_rejects_duplicate_names():
+    """A second @register under an existing name must fail at import
+    time, not silently shadow (round-8 lesson: a duplicate
+    emb_power_iteration registration was last-writer-wins for a whole
+    session before its schema mismatch surfaced)."""
+    from real_value_etl_spark.queries.registry import REGISTRY, register
+
+    name = next(iter(REGISTRY))
+    with pytest.raises(ValueError, match="duplicate query registration"):
+        register(name)(lambda spark, sf_dir: None)
+
+
+def test_cusum_closed_form_equals_recursion(spark, sf_dir):
+    """prefix - min(0, running_min(prefix)) must equal the literal
+    S_h = max(0, S_(h-1) + x_h) recursion on every type's hourly series."""
+    from collections import defaultdict
+
+    from real_value_etl_spark.queries.events_queries import (
+        events_changepoint_cusum,
+    )
+
+    rows = events_changepoint_cusum(spark, sf_dir).collect()
+    by_type = defaultdict(list)
+    for r in rows:
+        by_type[r["event_type"]].append(r)
+    assert by_type
+    for series in by_type.values():
+        series.sort(key=lambda r: r["h"])
+        n = len(series)
+        total = sum(r["c"] for r in series)
+        s = 0
+        for r in series:
+            s = max(0, s + r["c"] * n - total)
+            assert r["cusum_scaled"] == s, (r, s)
+
+
+def test_mp3_codec_recovers_title_and_frame_math(spark, sf_dir):
+    """The title STRING must round-trip through the synthesized bytes,
+    and bitrate/samplerate/frame_length must match the MPEG1 Layer III
+    tables recomputed in Python."""
+    from real_value_etl_spark.queries.feature_ops import (
+        MP3_BITRATES,
+        MP3_SAMPLE_RATES,
+        MP3_TITLE_POOL,
+        multimodal_mp3_id3_parse,
+    )
+
+    rows = multimodal_mp3_id3_parse(spark, sf_dir).limit(50).collect()
+    assert rows
+    for r in rows:
+        t = r["doc_id"] % 23 + 1
+        assert r["title"] == MP3_TITLE_POOL[:t]
+        assert r["id3_ok"] and r["sync_ok"] and r["mpeg1_layer3_ok"]
+        br = MP3_BITRATES[r["doc_id"] % 14]
+        sr = MP3_SAMPLE_RATES[r["doc_id"] % 3]
+        assert r["bitrate_kbps"] == br
+        assert r["sample_rate"] == sr
+        assert r["frame_length"] == 144000 * br // sr + r["padding_bit"]
