@@ -21,6 +21,9 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import threading
+from contextlib import contextmanager
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -154,6 +157,54 @@ def ngram_jaccard_pairs_full(
     return _pair_jaccard(idx).filter(F.col("jac") >= threshold)
 
 
+# Opt-in suite-level pair-graph sharing (r7 verdict ask #8): four
+# registered queries (dedup_clusters, graph_components_star,
+# dedup_bcubed_eval, docs_leakage_safe_split) rebuild the identical
+# Jaccard pair graph. tools/shared_pairs_probe.py measured the rebuild at
+# sf0.1: 22.5 s across the four as shipped vs 10.9 s with one persisted
+# pair frame (3.7 s build paid once) — 52% saved. Inside
+# `shared_pair_cache()` the builder memoizes per (input-plan semantic
+# hash, id_col, text_col, threshold); outside it, behavior is unchanged
+# (per-query rebuild, zero cross-request state). Entries are persisted
+# frames released at context exit — the same explicit-lifecycle contract
+# as operators/scan.py's rank caches, and like them GLOBAL per process:
+# the context is for suite/batch drivers that own the whole run, not for
+# concurrent multi-tenant requests.
+_SHARED_PAIRS_LOCK = threading.Lock()
+_SHARED_PAIRS: dict[tuple, DataFrame] | None = None
+
+
+def _plan_key(df: DataFrame) -> object:
+    try:
+        return df._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:  # non-classic backends: fall back to the plan text
+        return hash(df._jdf.queryExecution().analyzed().toString())
+
+
+@contextmanager
+def shared_pair_cache():
+    """Memoize `ngram_jaccard_pairs` onto one persisted frame per distinct
+    (input, columns, threshold) for the duration of the context; release
+    every frame on exit. Does not nest. See the module comment above for
+    the measured win and the concurrency contract."""
+    global _SHARED_PAIRS
+    with _SHARED_PAIRS_LOCK:
+        if _SHARED_PAIRS is not None:
+            raise RuntimeError("shared_pair_cache does not nest")
+        _SHARED_PAIRS = {}
+    try:
+        yield
+    finally:
+        with _SHARED_PAIRS_LOCK:
+            frames = list(_SHARED_PAIRS.values())
+            _SHARED_PAIRS = None
+        for frame in frames:
+            try:
+                frame.unpersist()
+            except Exception:
+                pass  # session already stopped
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, threshold: float
 ) -> DataFrame:
@@ -165,8 +216,25 @@ def ngram_jaccard_pairs(
     the quadratic hot-shingle partition of the naive inverted-index join
     never forms). Output is bit-identical to `ngram_jaccard_pairs_full`:
     prefix filtering is lossless for Jaccard >= t (proof in
-    `prefix_filtered_candidates`)."""
-    return ngram_jaccard_pairs_prefix(df, id_col, text_col, threshold)
+    `prefix_filtered_candidates`). Inside a `shared_pair_cache()` context
+    the result is memoized+persisted per distinct input/threshold, so a
+    suite of pair-graph consumers pays the build once."""
+    if _SHARED_PAIRS is None:
+        return ngram_jaccard_pairs_prefix(df, id_col, text_col, threshold)
+    key = (_plan_key(df), id_col, text_col, float(threshold))
+    with _SHARED_PAIRS_LOCK:
+        cache = _SHARED_PAIRS
+        hit = None if cache is None else cache.get(key)
+    if cache is None:  # context exited mid-call: plain path
+        return ngram_jaccard_pairs_prefix(df, id_col, text_col, threshold)
+    if hit is None:
+        hit = ngram_jaccard_pairs_prefix(
+            df, id_col, text_col, threshold
+        ).persist()
+        with _SHARED_PAIRS_LOCK:
+            if _SHARED_PAIRS is not None:
+                hit = _SHARED_PAIRS.setdefault(key, hit)
+    return hit
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
