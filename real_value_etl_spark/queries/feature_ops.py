@@ -1999,6 +1999,192 @@ def multimodal_tiff_exif_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# EXIF sub-IFD chain: multi-IFD traversal through a scanned pointer tag
+# ---------------------------------------------------------------------------
+EXIF_PTR_TAG = 34665  # 0x8769 ExifIFDPointer
+EXIF_MAX_IFD0 = 3  # IFD0 holds at most 3 entries here (scan bound)
+
+
+@register(
+    "multimodal_exif_subifd_parse",
+    oracle="""
+    WITH geom AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS blen,
+             2 + doc_id % 2 AS n0,
+             doc_id % 3 AS pad0,
+             doc_id % 7 AS gap
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+           TRUE AS magic_ok,
+           CAST(n0 AS BIGINT) AS ifd0_tags,
+           CAST(16 + doc_id % 1024 AS BIGINT) AS width,
+           TRUE AS ptr_found,
+           CAST(8 + pad0 + 2 + 12 * n0 + 4 + gap AS BIGINT) AS subifd_offset,
+           CAST(3 AS BIGINT) AS sub_n_tags,
+           TRUE AS sub_tags_ok,
+           CAST(100 * (1 + doc_id % 8) AS BIGINT) AS iso,
+           CAST(blen % 4096 + 1 AS BIGINT) AS pixel_x,
+           CAST((blen * 3) % 2160 + 1 AS BIGINT) AS pixel_y,
+           TRUE AS chain_ok
+    FROM geom
+    """,
+    tags=("multimodal", "llm", "binary", "image"),
+)
+def multimodal_exif_subifd_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF SUB-IFD traversal (r7 verdict ask #7's multi-IFD option): the
+    TIFF walk extended to a TWO-IFD chain. IFD0's entry COUNT varies per
+    row (an optional Orientation tag), so the ExifIFDPointer (0x8769)
+    sits at a data-dependent entry slot — the reader must SCAN the entry
+    table for the tag id (stay-once-found over the bounded slot count,
+    the JPEG-walk pattern applied to IFD entries), take its LONG value
+    as a 0-based file offset (pushed further by a data-dependent gap of
+    0-6 bytes), and parse the EXIF sub-IFD found there (ISO /
+    PixelXDimension / PixelYDimension, SHORT-inlining rule intact).
+    Everything inherits the TIFF codec's per-row endianness switching
+    (II even doc_id / MM odd) — two IFDs, a scanned pointer and the
+    jump target all decode under a byte order read from the bytes.
+    Map-only, zero exchanges at any scale; the oracle recomputes every
+    field arithmetically."""
+    d = table(spark, sf_dir, "documents")
+
+    def behex(c, nbytes):
+        masked = F.pmod(c.cast("long"), F.lit(1 << (8 * nbytes)))
+        return F.lpad(F.hex(masked), 2 * nbytes, "0")
+
+    def lehex(c, nbytes):
+        h = behex(c, nbytes)
+        return F.concat(
+            *[F.substring(h, 2 * i + 1, 2) for i in range(nbytes - 1, -1, -1)]
+        )
+
+    little = F.col("doc_id") % 2 == 0
+
+    def enc(c, nbytes):
+        return F.unhex(
+            F.when(little, lehex(c, nbytes)).otherwise(behex(c, nbytes))
+        )
+
+    def entry(tag: int, ftype: int, value):
+        val = (
+            F.concat(enc(value, 2), F.unhex(F.lit("0000")))
+            if ftype == 3
+            else enc(value, 4)
+        )
+        return F.concat(
+            enc(F.lit(tag), 2), enc(F.lit(ftype), 2), enc(F.lit(1), 4), val
+        )
+
+    blen = F.octet_length(F.encode(F.col("text"), "utf-8")).cast("long")
+    n0 = (F.lit(2) + F.col("doc_id") % 2).cast("long")
+    pad0 = (F.col("doc_id") % 3).cast("int")
+    gap = (F.col("doc_id") % 7).cast("int")
+    width = F.lit(16) + F.col("doc_id") % 1024
+    orient = F.col("doc_id") % 8 + 1
+    iso = F.lit(100) * (F.lit(1) + F.col("doc_id") % 8)
+    px = blen % 4096 + 1
+    py = (blen * 3) % 2160 + 1
+    sub_off = F.lit(8) + pad0 + F.lit(2) + F.lit(12) * n0 + F.lit(4) + gap
+
+    header = F.concat(
+        F.when(little, F.encode(F.lit("II"), "utf-8")).otherwise(
+            F.encode(F.lit("MM"), "utf-8")
+        ),
+        enc(F.lit(42), 2),
+        enc(F.lit(8) + pad0, 4),
+        F.substring(F.unhex(F.lit("00" * 3)), 1, pad0),
+    )
+    ifd0 = F.concat(
+        enc(n0, 2),
+        entry(256, 3, width),
+        # optional Orientation entry on ODD doc_ids (n0 = 2 + doc_id % 2)
+        F.when(
+            F.col("doc_id") % 2 == 1, entry(274, 3, orient)
+        ).otherwise(F.unhex(F.lit(""))),
+        entry(EXIF_PTR_TAG, 4, sub_off),
+        enc(F.lit(0), 4),  # next-IFD pointer: none
+    )
+    sub = F.concat(
+        F.substring(F.unhex(F.lit("00" * 7)), 1, gap),
+        enc(F.lit(3), 2),
+        entry(34855, 3, iso),  # ISOSpeedRatings, SHORT
+        entry(40962, 4, px),  # PixelXDimension, LONG
+        entry(40963, 4, py),  # PixelYDimension, LONG
+        enc(F.lit(0), 4),
+    )
+    tiff = d.select("doc_id", F.concat(header, ifd0, sub).alias("payload"))
+
+    # ---- the walk: endianness, both IFD offsets and the pointer slot
+    # are all READ from the bytes ----
+    p = F.col("payload")
+    is_le = F.decode(F.substring(p, 1, 2), "utf-8") == "II"
+
+    def rd(pos, nbytes):
+        h = F.hex(F.substring(p, pos, F.lit(nbytes)))
+        rev = F.concat(
+            *[F.substring(h, 2 * i + 1, 2) for i in range(nbytes - 1, -1, -1)]
+        )
+        return F.conv(F.when(is_le, rev).otherwise(h), 16, 10).cast("long")
+
+    ifd0_off = rd(F.lit(5), 4)
+    got_n0 = rd(ifd0_off + 1, 2)
+
+    def slot(base_off, i):  # 1-based position of entry i in an IFD
+        return base_off + 3 + 12 * i
+
+    # scan IFD0's entries for the ExifIFDPointer tag (stay-once-found)
+    ptr = F.lit(0).cast("long")
+    for i in range(EXIF_MAX_IFD0):
+        hit = (
+            (ptr == 0)
+            & (F.lit(i) < got_n0)
+            & (rd(slot(ifd0_off, i), 2) == EXIF_PTR_TAG)
+        )
+        ptr = F.when(hit, rd(slot(ifd0_off, i) + 8, 4)).otherwise(ptr)
+
+    got_sub = ptr  # 0-based file offset of the sub-IFD
+    got_n1 = rd(got_sub + 1, 2)
+
+    def sub_tag(i):
+        return rd(slot(got_sub, i), 2)
+
+    def sub_type(i):
+        return rd(slot(got_sub, i) + 2, 2)
+
+    def sub_short(i):
+        return rd(slot(got_sub, i) + 8, 2)
+
+    def sub_long(i):
+        return rd(slot(got_sub, i) + 8, 4)
+
+    sub_ok = (
+        (sub_tag(0) == 34855) & (sub_type(0) == 3)
+        & (sub_tag(1) == 40962) & (sub_type(1) == 4)
+        & (sub_tag(2) == 40963) & (sub_type(2) == 4)
+    )
+    return tiff.select(
+        "doc_id",
+        F.decode(F.substring(p, 1, 2), "utf-8").alias("byte_order"),
+        (rd(F.lit(3), 2) == 42).alias("magic_ok"),
+        got_n0.alias("ifd0_tags"),
+        rd(slot(ifd0_off, 0) + 8, 2).alias("width"),
+        (ptr > 0).alias("ptr_found"),
+        got_sub.alias("subifd_offset"),
+        got_n1.alias("sub_n_tags"),
+        sub_ok.alias("sub_tags_ok"),
+        sub_short(0).alias("iso"),
+        sub_long(1).alias("pixel_x"),
+        sub_long(2).alias("pixel_y"),
+        (
+            (rd(ifd0_off + 3 + 12 * got_n0, 4) == 0)
+            & (rd(got_sub + 3 + F.lit(12 * 3), 4) == 0)
+        ).alias("chain_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # KMV sketch SET OPERATIONS: pairwise source-vocabulary Jaccard estimates
 # ---------------------------------------------------------------------------
 KMV_JACC_K = 64

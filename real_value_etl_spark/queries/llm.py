@@ -810,6 +810,122 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the MOSS
+# local document fingerprinting algorithm)
+# ---------------------------------------------------------------------------
+WINNOW_K = 3  # k-gram width (word trigrams, same unit as the shingle index)
+WINNOW_W = 4  # winnowing window: one fingerprint guaranteed per w k-grams
+WINNOW_POS_SCALE = 1 << 24  # (hash, pos) packed key; pos < 2^24 per doc
+
+
+def _winnow_oracle() -> str:
+    gram = " || ' ' || ".join(f"ts[i + {j}]" for j in range(WINNOW_K))
+    return f"""
+    WITH toks AS (SELECT doc_id, {T.tokens_sql("text")} AS ts FROM documents),
+    g AS (
+      SELECT doc_id, len(ts) - {WINNOW_K - 1} AS n_grams, i AS pos,
+             {T.portable_hash32_sql(f"({gram})")} AS h
+      FROM toks,
+           LATERAL (SELECT unnest(range(1,
+                      greatest(len(ts) - {WINNOW_K - 2}, 1))) AS i) r
+      WHERE len(ts) >= {WINNOW_K}
+    ),
+    keyed AS (
+      SELECT doc_id, n_grams, pos,
+             h * {WINNOW_POS_SCALE} + ({WINNOW_POS_SCALE} - pos) AS key
+      FROM g
+    ),
+    win AS (
+      SELECT doc_id, n_grams, pos,
+             MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW
+                            AND {WINNOW_W - 1} FOLLOWING) AS wmin
+      FROM keyed
+    )
+    SELECT DISTINCT doc_id,
+           CAST(wmin // {WINNOW_POS_SCALE} AS BIGINT) AS fp_hash,
+           CAST({WINNOW_POS_SCALE} - (wmin % {WINNOW_POS_SCALE}) AS BIGINT)
+             AS pos
+    FROM win
+    WHERE pos <= n_grams - {WINNOW_W - 1}
+    """
+
+
+@register(
+    "text_winnowing_fingerprints",
+    oracle=_winnow_oracle(),
+    tags=("text", "llm", "hash", "window"),
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINNOWING document fingerprints (the MOSS algorithm): hash every
+    word {WINNOW_K}-gram, slide a {WINNOW_W}-wide window over the hash
+    sequence, and select each window's minimum (rightmost on ties) —
+    guaranteeing a shared fingerprint for any match of length >=
+    w + k - 1 tokens while storing ~2/(w+1) of all grams. The LOCAL
+    selection property (each window chooses independently of the rest of
+    the document) is what makes it the plagiarism/near-dup positional
+    fingerprint, vs `text_fingerprint`'s single whole-doc hash.
+
+    The per-window rightmost-min argmin is ONE stock window pass, no
+    per-window explode: (hash, pos) packs into the integer key
+    h * 2^24 + (2^24 - pos), so MIN(key) over [current, w-1 following]
+    is simultaneously min-hash and rightmost-tie — exact integers, bit-
+    identical both engines (documented bound: < 2^24 ~= 16.7M grams per
+    document; longer docs should be pre-chunked). The window partitions
+    by doc_id over GRAM rows, so task skew is bounded by the longest
+    single document, not data scale. Only full windows select (docs
+    shorter than w+k-1 tokens emit nothing — the standard convention)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", T.tokens(F.col("text")).alias("ts"))
+    n_grams = F.size("ts") - (WINNOW_K - 1)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ",
+        *[F.element_at("ts", (i + j).cast("int")) for j in range(WINNOW_K)],
+    )
+    grams = toks.filter(F.size("ts") >= WINNOW_K).select(
+        "doc_id",
+        n_grams.alias("n_grams"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n_grams),
+                lambda i: F.struct(
+                    i.alias("pos"), T.portable_hash32(gram(i)).alias("h")
+                ),
+            )
+        ).alias("g"),
+    )
+    keyed = grams.select(
+        "doc_id",
+        "n_grams",
+        F.col("g.pos").alias("pos"),
+        (
+            F.col("g.h") * WINNOW_POS_SCALE
+            + (F.lit(WINNOW_POS_SCALE) - F.col("g.pos"))
+        ).alias("key"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    )
+    win = keyed.withColumn("wmin", F.min("key").over(w))
+    return (
+        win.filter(F.col("pos") <= F.col("n_grams") - (WINNOW_W - 1))
+        .select(
+            "doc_id",
+            F.call_function(
+                "div", F.col("wmin"), F.lit(WINNOW_POS_SCALE)
+            ).alias("fp_hash"),
+            (
+                F.lit(WINNOW_POS_SCALE)
+                - F.pmod(F.col("wmin"), F.lit(WINNOW_POS_SCALE))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
 # Deterministic train/val/test split (hash-mod sampling)
 # ---------------------------------------------------------------------------
 @register(
