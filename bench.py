@@ -585,6 +585,14 @@ def main() -> None:
     # window during r7's build was simply worse than the ±15% band;
     # if BENCH_r07's totals read high vs r6, check the untouched-query
     # ratios before attributing anything to code.
+    # r8 addendum: the committed BENCH_LOCAL_r08.json run landed in a
+    # near-quiet window — tfidf 3.50 / jaccard 2.51 / minhash 1.36 read
+    # AT their r6 quiet bases (3.53/2.50/1.37) — confirming the r7
+    # inflation was environment: every untouched family is back at
+    # r6-level or better (pagerank 2.77 vs ~2.88; knn 1.895 vs the r6
+    # 2.28 base, adaptive router). Earlier the same day the host showed
+    # +17-48% on the components_star control, so same-day windows still
+    # vary; min across runs remains the engine number.
     # The cache is CLEARED between every run including warm-ups: several
     # operators persist reused intermediates (jaccard prefix index,
     # pagerank edges, kmeans vectors), and CacheManager would otherwise

@@ -343,6 +343,124 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# NDCG@k of the truncated ranker — graded-position retrieval eval
+# ---------------------------------------------------------------------------
+import decimal as _decimal  # noqa: E402
+import math as _math2  # noqa: E402
+
+# Position weights 1/log2(i+1), i = 1..MAT_K, quantized to 15 dp DECIMAL
+# literals shared verbatim by both engines: decimal addition is exact and
+# order-free, so the per-query DCG sum cannot drift by float ordering;
+# only the final NDCG normalization is (one) double division.
+NDCG_W = tuple(
+    _decimal.Decimal(1 / _math2.log2(i + 1)).quantize(
+        _decimal.Decimal("0.000000000000001")
+    )
+    for i in range(1, MAT_K + 1)
+)
+NDCG_IDCG = sum(NDCG_W)  # binary relevance, gold top-k always full
+
+
+def _ndcg_oracle() -> str:
+    from ..functions import vectors as V
+
+    cos_full = V.cosine_sql("e.v", "q.qv")
+    cos_trunc = V.cosine_sql("e.t", "q.qt")
+    warr = ", ".join(str(w) for w in NDCG_W)
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             CAST(embedding AS DOUBLE[])[1:{MAT_DIM}] AS t
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv, t AS qt FROM e
+          WHERE vec_id % {ANN_QUERY_MOD} = 0 AND vec_id < {ANN_SEED_CAP}),
+    full_top AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                                  ORDER BY {cos_full} DESC, e.vec_id) AS r
+        FROM e, q WHERE e.vec_id <> q.qid) WHERE r <= {MAT_K}
+    ),
+    trunc_rank AS (
+      SELECT qid, vec_id, r FROM (
+        SELECT q.qid, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                                  ORDER BY {cos_trunc} DESC, e.vec_id) AS r
+        FROM e, q WHERE e.vec_id <> q.qid) WHERE r <= {MAT_K}
+    )
+    SELECT t.qid,
+           CAST(COUNT(f.vec_id) AS BIGINT) AS n_hits,
+           CAST(COALESCE(SUM(CASE WHEN f.vec_id IS NOT NULL
+                                  THEN ([{warr}])[t.r] END), 0) AS DOUBLE)
+             / CAST({NDCG_IDCG} AS DOUBLE) AS ndcg
+    FROM trunc_rank t
+    LEFT JOIN full_top f ON f.qid = t.qid AND f.vec_id = t.vec_id
+    GROUP BY t.qid
+    """
+
+
+@register(
+    "sim_ndcg_matryoshka",
+    oracle=_ndcg_oracle(),
+    tags=("similarity", "llm", "vector", "eval"),
+)
+def sim_ndcg_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@{MAT_K} of the {MAT_DIM}-dim truncated ranker against the
+    full-dim exact top-{MAT_K} as binary gold — the POSITION-AWARE
+    companion to `sim_matryoshka_recall` (recall counts hits; NDCG also
+    charges the ranker for WHERE it puts them, the metric retrieval
+    evals actually report). Position weights 1/log2(i+1) are PRECOMPUTED
+    15-dp DECIMAL literals shared with the oracle — the per-query DCG is
+    an exact, order-free decimal sum (float log2 at runtime would make
+    the sum order-dependent and 1-ulp engine-divergent), and IDCG is the
+    constant {MAT_K}-term weight sum, so only the final normalization is
+    one pinned double division. Rides the same two-stage
+    partitioning-invariant `brute_force_topk` passes as the recall
+    query; the eval join touches |queries| x k rows at any corpus
+    scale."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(
+        (F.col("vec_id") % ANN_QUERY_MOD == 0) & (F.col("vec_id") < ANN_SEED_CAP)
+    )
+    gold = brute_force_topk(emb, queries, MAT_K).select(
+        F.col("qid").alias("gqid"), F.col("vec_id").alias("gvid")
+    )
+    emb_t = emb.select(
+        "vec_id",
+        F.slice(F.col("embedding").cast("array<double>"), 1, MAT_DIM).alias(
+            "t"
+        ),
+    )
+    q_t = emb_t.join(queries.select("vec_id"), "vec_id", "left_semi")
+    sys_top = brute_force_topk(emb_t, q_t, MAT_K, vec_col="t").select(
+        "qid", "vec_id", "rnk"
+    )
+    warr = F.array(*[F.lit(w) for w in NDCG_W])
+    joined = sys_top.join(
+        gold,
+        (F.col("qid") == F.col("gqid")) & (F.col("vec_id") == F.col("gvid")),
+        "left",
+    )
+    dcg = F.sum(
+        F.when(
+            F.col("gvid").isNotNull(),
+            F.element_at(warr, F.col("rnk").cast("int")),
+        )
+    )
+    return joined.groupBy("qid").agg(
+        F.count("gvid").alias("n_hits"), dcg.alias("__dcg")
+    ).select(
+        "qid",
+        "n_hits",
+        (
+            F.coalesce(F.col("__dcg").cast("double"), F.lit(0.0))
+            / F.lit(float(NDCG_IDCG))
+        ).alias("ndcg"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Winsorized per-source statistics (nearest-rank percentile clipping)
 # ---------------------------------------------------------------------------
 WINSOR_LO = 0.05
