@@ -344,3 +344,50 @@ def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     group; the streaming twin of text_hll_registers, demonstrating that
     the same sketch algebra serves batch and stream."""
     return jobs.stream_hll_distinct(spark, sf_dir)
+
+
+@register(
+    "stream_priority_sample",
+    oracle=f"""
+    WITH pri AS (
+      SELECT event_type, event_id, CAST(value AS DOUBLE) AS w,
+             CAST(value AS DOUBLE)
+               / ((CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)),
+                                           1, 8)) AS BIGINT) + 1)
+                  / 4294967296.0) AS priority
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, event_id, w, priority,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY priority DESC, event_id) AS rnk
+      FROM pri
+    ),
+    tau AS (SELECT event_type, priority AS t FROM ranked
+            WHERE rnk = {jobs._STREAM_PRIO_K + 1}),
+    samp AS (
+      SELECT r.event_type, r.event_id, r.w, COALESCE(t.t, 0.0) AS t
+      FROM ranked r LEFT JOIN tau t ON t.event_type = r.event_type
+      WHERE r.rnk <= {jobs._STREAM_PRIO_K}
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS k_sample,
+           MAX(t) AS tau,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                    list(GREATEST(w, t) ORDER BY event_id)),
+                       (a, b) -> a + b) AS est_total,
+           array_to_string(list(CAST(event_id AS VARCHAR)
+                                ORDER BY event_id), ',') AS sample_ids
+    FROM samp GROUP BY event_type
+    """,
+    tags=("stream", "stateful", "sketch", "sampling", "pandas_udf"),
+)
+def stream_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-type PRIORITY SAMPLE with Horvitz-Thompson total
+    estimate (applyInPandasWithState): merge-by-id + keep-top-(k+1) is
+    order-, batching- and duplicate-independent, so the drained sample
+    ids, tau and estimate equal the batch SQL replay bit-for-bit — the
+    streaming twin of q_priority_sample_sum, and the third mergeable
+    sketch family (after KMV and HLL) served live with constant
+    per-group state."""
+    return jobs.stream_priority_sample(spark, sf_dir)

@@ -833,3 +833,130 @@ def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__r") == 1)
         .drop("__r")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming priority sample (the streaming twin of q_priority_sample_sum)
+# ---------------------------------------------------------------------------
+_STREAM_PRIO_K = 16  # sample size per event type
+_STREAM_PRIO_SPACE = float(1 << 32)
+
+_PRIO_STATE_SCHEMA = StructType(
+    [
+        StructField("ids", ArrayType(LongType())),
+        StructField("ws", ArrayType(DoubleType())),
+        StructField("prios", ArrayType(DoubleType())),
+    ]
+)
+_PRIO_OUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("k_sample", LongType()),
+        StructField("tau", DoubleType()),
+        StructField("est_total", DoubleType()),
+        StructField("sample_ids", StringType()),
+    ]
+)
+
+
+def _prio_state(
+    key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState kernel: per-event-type PRIORITY SAMPLE
+    (Duffield-Lund-Thorup) of (event_id, value) with the unbiased
+    Horvitz-Thompson total estimate — "estimate SUM(value) from k rows"
+    maintained live on the stream.
+
+    State = the top-(k+1) (id, w, priority) triples, priority = w / u
+    with u the (0,1]-uniform from the portable md5 hash of the id. The
+    transition is merge-by-id then keep-top-(k+1): order-, batching- AND
+    duplicate-independent (a replayed row re-offers an identical
+    (id, priority) pair, which the id-dedupe absorbs), so the drained
+    sample, tau and estimate equal the batch SQL replay bit-for-bit.
+    tau (the (k+1)-th priority) rises STRICTLY on every sample change,
+    which is what makes the final drained row per key selectable
+    deterministically. The estimate folds max(w, tau) in id order —
+    the same IEEE double sequence the oracle's ordered list_reduce
+    performs."""
+    import hashlib
+
+    K = _STREAM_PRIO_K
+    best: dict[int, tuple[float, float]] = {}
+    if state.exists:
+        ids, ws, prios = state.get
+        best = {
+            int(i): (float(w), float(p)) for i, w, p in zip(ids, ws, prios)
+        }
+    for pdf in pdfs:
+        for eid, val in zip(pdf["event_id"], pdf["value"]):
+            eid = int(eid)
+            if eid in best:
+                continue
+            w = float(val)
+            h = int(
+                hashlib.md5(str(eid).encode()).hexdigest()[:8], 16
+            )
+            u = (h + 1) / _STREAM_PRIO_SPACE
+            best[eid] = (w, w / u)
+        # keep-top-(k+1) by (priority desc, id asc)
+        if len(best) > K + 1:
+            kept = sorted(
+                best.items(), key=lambda kv: (-kv[1][1], kv[0])
+            )[: K + 1]
+            best = dict(kept)
+    ordered = sorted(best.items(), key=lambda kv: (-kv[1][1], kv[0]))
+    state.update(
+        (
+            [i for i, _ in ordered],
+            [w for _, (w, _) in ordered],
+            [p for _, (_, p) in ordered],
+        )
+    )
+    tau = ordered[K][1][1] if len(ordered) == K + 1 else 0.0
+    sample = ordered[:K]
+    est = 0.0
+    for eid, (w, _) in sorted(sample, key=lambda kv: kv[0]):
+        est += w if w > tau else tau
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "k_sample": [len(sample)],
+            "tau": [tau],
+            "est_total": [est],
+            "sample_ids": [
+                ",".join(str(eid) for eid, _ in sorted(sample))
+            ],
+        }
+    )
+
+
+def stream_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-type priority sample + Horvitz-Thompson estimate
+    (applyInPandasWithState): constant (k+1)-triple state per type, the
+    streaming twin of q_priority_sample_sum."""
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", WATERMARK)
+    out = (
+        ev.select("event_type", "event_id", "value")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _prio_state,
+            outputStructType=_PRIO_OUT_SCHEMA,
+            stateStructType=_PRIO_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    drained = _drain(spark, out, "mem_stream_prio", "update")
+    from pyspark.sql import Window
+
+    # tau rises strictly whenever the kept set changes (the new minimum
+    # beats the evicted one); before the sample fills, k_sample grows.
+    # (k_sample, tau) is therefore a monotone discriminator of updates.
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("k_sample"), F.desc("tau"), F.desc("sample_ids")
+    )
+    return (
+        drained.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .drop("__r")
+    )

@@ -420,3 +420,88 @@ def test_shared_pair_cache_distinguishes_thresholds(spark, sf_dir):
         assert a is again
         assert a is not b
         assert len(D._SHARED_PAIRS) == 2
+
+
+# ---------------------------------------------------------------------------
+# Streaming priority sample: mergeability + replay idempotence
+# ---------------------------------------------------------------------------
+
+
+def test_stream_priority_sample_multi_batch_equals_single(spark, tmp_path):
+    """Two micro-batches (with a DUPLICATE row re-offered in the second)
+    must converge to the same sample/tau/estimate as one batch holding
+    all rows once — the merge-by-id + keep-top-(k+1) algebra the
+    streaming claim rests on."""
+    import pandas as pd
+
+    from real_value_etl_spark.streaming import jobs
+
+    k = jobs._STREAM_PRIO_K
+    rows_a = [(i, float(10 + 7 * i % 50)) for i in range(k + 5)]
+    rows_b = [(100 + i, float(5 + 11 * i % 60)) for i in range(k + 5)]
+    dup = rows_a[3]  # replayed row: must be absorbed, not double-counted
+    src = str(tmp_path / "ev")
+    os.makedirs(src, exist_ok=True)
+
+    def write(name, rows):
+        pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": pd.to_datetime("2024-01-01 10:00:00"),
+                "event_type": "click",
+                "value": [r[1] for r in rows],
+            }
+        ).to_parquet(f"{src}/{name}.parquet")
+
+    write("a", rows_a)
+    write("b", rows_b + [dup])
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out = (
+        stream.select("event_type", "event_id", "value")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            jobs._prio_state,
+            outputStructType=jobs._PRIO_OUT_SCHEMA,
+            stateStructType=jobs._PRIO_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("mem_prio_two_batches")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    drained = spark.sql("select * from mem_prio_two_batches").collect()
+    assert len(drained) >= 2
+    final = max(drained, key=lambda r: (r["k_sample"], r["tau"]))
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.val = v
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows_a + rows_b],
+            "value": [r[1] for r in rows_a + rows_b],
+        }
+    )
+    ref = next(jobs._prio_state(("click",), iter([pdf]), FakeState()))
+    assert final["sample_ids"] == ref["sample_ids"][0]
+    assert final["tau"] == ref["tau"][0]
+    assert final["est_total"] == ref["est_total"][0]
+    assert final["k_sample"] == k
