@@ -899,3 +899,96 @@ def q_priority_sample_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.crossJoin(F.broadcast(tau)).crossJoin(
         F.broadcast(exact)
     ).select("k", F.col("t").alias("tau"), "est_total", "exact_total")
+
+
+HDR_SUB_BITS = 2  # 4 sub-buckets per power of two (HdrHistogram-style)
+
+
+@register(
+    "q_hdr_histogram_price",
+    oracle=f"""
+    WITH cents AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT) AS c
+      FROM orders
+    ),
+    cells AS (
+      SELECT length(bin(c)) AS b,
+             CASE WHEN length(bin(c)) <= {HDR_SUB_BITS}
+                  THEN 0
+                  ELSE (c // (1 << (length(bin(c)) - {HDR_SUB_BITS + 1})))
+                       - {1 << HDR_SUB_BITS} END AS sub,
+             c
+      FROM cents
+    ),
+    agg AS (
+      SELECT b, sub, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(MIN(c) AS BIGINT) AS min_cents,
+             CAST(MAX(c) AS BIGINT) AS max_cents
+      FROM cells GROUP BY b, sub
+    )
+    SELECT b, sub, n, min_cents, max_cents,
+           CAST(CASE WHEN b <= {HDR_SUB_BITS} THEN (1::BIGINT << (b - 1))
+                ELSE ({1 << HDR_SUB_BITS} + sub)
+                     << (b - {HDR_SUB_BITS + 1}) END AS BIGINT) AS cell_lo,
+           CAST(SUM(n) OVER (ORDER BY b, sub) AS BIGINT) AS cum_n
+    FROM agg
+    """,
+    tags=("stats", "aggregation", "histogram"),
+)
+def q_hdr_histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPONENTIAL (HdrHistogram-style) value histogram of order totals
+    in integer cents: bucket = bit length of the value (a power-of-two
+    decade), sub-bucket = the next {HDR_SUB_BITS} bits — constant
+    relative precision (~{100 // (1 << HDR_SUB_BITS)}% per cell) across
+    nine orders of magnitude with at most 64 x {1 << HDR_SUB_BITS}
+    cells, the structure latency/price monitoring uses where equi-width
+    histograms (q_histogram_totalprice) waste all their cells on one
+    decade. ENTIRELY log-free: bit length is length(bin(x)) and the
+    sub-bucket is a data-dependent right-shift — exact integers on both
+    engines, no float log2 to drift. The map side emits (b, sub) — a
+    map-side-combinable {'<='}256-cell aggregate at any scale; the
+    cumulative count runs on the bounded cell frame (waived
+    single-partition window over {'<='}256 rows)."""
+    o = table(spark, sf_dir, "orders")
+    cents = o.select(
+        (F.col("o_totalprice").cast("decimal(15,2)") * 100)
+        .cast("long")
+        .alias("c")
+    )
+    b = F.length(F.bin(F.col("c")))
+    sub = F.when(b <= HDR_SUB_BITS, F.lit(0)).otherwise(
+        F.expr(
+            f"(c div shiftleft(1, length(bin(c)) - {HDR_SUB_BITS + 1}))"
+            f" - {1 << HDR_SUB_BITS}"
+        )
+    )
+    agg = (
+        cents.select(b.alias("b"), sub.alias("sub"), "c")
+        .groupBy("b", "sub")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("c").alias("min_cents"),
+            F.max("c").alias("max_cents"),
+        )
+    )
+    cell_lo = F.when(
+        F.col("b") <= HDR_SUB_BITS,
+        F.expr("shiftleft(CAST(1 AS BIGINT), b - 1)"),
+    ).otherwise(
+        F.expr(
+            f"shiftleft(CAST({(1 << HDR_SUB_BITS)} + sub AS BIGINT),"
+            f" b - {HDR_SUB_BITS + 1})"
+        )
+    )
+    w = Window.orderBy("b", "sub").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return agg.select(
+        "b",
+        "sub",
+        "n",
+        "min_cents",
+        "max_cents",
+        cell_lo.cast("long").alias("cell_lo"),
+        F.sum("n").over(w).alias("cum_n"),
+    )

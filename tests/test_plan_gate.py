@@ -60,6 +60,9 @@ _SINGLE_PARTITION_WAIVERS: dict[str, re.Pattern] = {
     # 3-row per-returnflag totals frame feeding the group-offset window
     # (queries/stats.py q_weighted_median — bounded by flag cardinality)
     "q_weighted_median": re.compile(r"keys=\[l_returnflag"),
+    # cumulative count over the bounded HDR cell frame (<= 64 * 4 cells
+    # by construction: bit-length x sub-bucket, queries/stats.py)
+    "q_hdr_histogram_price": re.compile(r"min_cents|\bsub\b"),
     # skyline phase 2: the global window sees only phase-1 survivors —
     # per-partition Pareto frontiers, each already running-min-filtered
     # (queries/stats.py q_skyline_parts; frontier << n by construction)
