@@ -1183,3 +1183,135 @@ def docs_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("mean_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-size estimation via Count-Min inner product (AGMS-style)
+# ---------------------------------------------------------------------------
+JS_W = 512  # counters per depth row
+JS_D = 4  # independent hash rows; estimate = min over rows
+
+
+def _join_size_oracle() -> str:
+    def bucket(d: int, key: str) -> str:
+        salted = f"('{d}|' || CAST({key} AS VARCHAR))"
+        return f"{T.portable_hash32_sql(salted)} % {JS_W}"
+
+    a_rows = "\n      UNION ALL ".join(
+        f"SELECT {d} AS depth, {bucket(d, 'o_custkey')} AS bucket FROM orders"
+        for d in range(JS_D)
+    )
+    b_rows = "\n      UNION ALL ".join(
+        f"SELECT {d} AS depth, {bucket(d, 'c_custkey')} AS bucket FROM customer"
+        for d in range(JS_D)
+    )
+    return f"""
+    WITH ah AS ({a_rows}),
+    bh AS ({b_rows}),
+    asx AS (SELECT depth, bucket, CAST(COUNT(*) AS BIGINT) AS ca
+            FROM ah GROUP BY depth, bucket),
+    bsx AS (SELECT depth, bucket, CAST(COUNT(*) AS BIGINT) AS cb
+            FROM bh GROUP BY depth, bucket),
+    ip AS (
+      SELECT a.depth, CAST(SUM(a.ca * b.cb) AS BIGINT) AS inner_product
+      FROM asx a JOIN bsx b ON a.depth = b.depth AND a.bucket = b.bucket
+      GROUP BY a.depth
+    ),
+    exact AS (
+      SELECT CAST(SUM(oa.n * cb.n) AS BIGINT) AS exact_rows
+      FROM (SELECT o_custkey AS k, COUNT(*) AS n FROM orders GROUP BY 1) oa
+      JOIN (SELECT c_custkey AS k, COUNT(*) AS n FROM customer GROUP BY 1) cb
+        ON oa.k = cb.k
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_orders,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_customers,
+           e.exact_rows,
+           (SELECT MIN(inner_product) FROM ip) AS est_rows,
+           (SELECT MIN(inner_product) FROM ip) - e.exact_rows AS overcount
+    FROM exact e
+    """
+
+
+@register(
+    "q_join_size_cm_sketch",
+    oracle=_join_size_oracle(),
+    tags=("stats", "sketch", "planner"),
+)
+def q_join_size_cm_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-SIZE ESTIMATION from Count-Min sketches (the AGMS family —
+    the one-pass MERGEABLE alternative to q_join_size_estimate's
+    key-synchronized sampling probe):
+    |orders JOIN customer ON custkey| is estimated as the INNER PRODUCT
+    of the two sides' bucket-count vectors, min over {JS_D} independent
+    hash rows — the cardinality primitive a distributed planner uses to
+    choose broadcast vs shuffle BEFORE paying for the join. Each side is
+    summarized to {JS_D} x {JS_W} integer counters in one
+    map-side-combinable pass (communication O({JS_D} x {JS_W}) per side
+    at any scale); the product join touches only counter rows. The
+    estimate is one-sided (>= exact, collisions only add), which the
+    `overcount` column exhibits against the exact join size (computed
+    from per-key counts, not by materializing the join). All integers —
+    bit-exact on both engines with the shared salted md5 hash."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+
+    def sketch(df: DataFrame, key: str, out: str) -> DataFrame:
+        rows = df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("depth"),
+                            F.pmod(
+                                T.portable_hash32(
+                                    F.concat(
+                                        F.lit(f"{d}|"),
+                                        F.col(key).cast("string"),
+                                    )
+                                ),
+                                F.lit(JS_W),
+                            ).alias("bucket"),
+                        )
+                        for d in range(JS_D)
+                    ]
+                )
+            ).alias("h")
+        )
+        return rows.groupBy(
+            F.col("h.depth").alias("depth"), F.col("h.bucket").alias("bucket")
+        ).agg(F.count("*").alias(out))
+
+    ip = (
+        sketch(o, "o_custkey", "ca")
+        .join(sketch(c, "c_custkey", "cb"), ["depth", "bucket"])
+        .groupBy("depth")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("inner_product"))
+        .agg(F.min("inner_product").alias("est_rows"))
+    )
+    exact = (
+        o.groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count("*").alias("na"))
+        .join(
+            c.groupBy(F.col("c_custkey").alias("k")).agg(
+                F.count("*").alias("nb")
+            ),
+            "k",
+        )
+        .agg(F.sum(F.col("na") * F.col("nb")).cast("long").alias("exact_rows"))
+    )
+    counts = o.agg(F.count("*").alias("n_orders")).crossJoin(
+        c.agg(F.count("*").alias("n_customers"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(ip))
+        .select(
+            "n_orders",
+            "n_customers",
+            "exact_rows",
+            F.col("est_rows").cast("long").alias("est_rows"),
+            (F.col("est_rows") - F.col("exact_rows"))
+            .cast("long")
+            .alias("overcount"),
+        )
+    )

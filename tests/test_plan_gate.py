@@ -170,7 +170,10 @@ _BNLJ_WAIVERS: dict[str, str] = {
     "text_keyword_extract": _R_PAIRS,
     "text_kmv_jaccard": _R_PAIRS,
     # scalar-subquery shapes
-    "dedup_bcubed_eval": _R_SCALAR
+    "dedup_bcubed_eval": _R_SCALAR,
+    # crossJoins of three one-row frames: counts + exact join size + the
+    # min-over-depths sketch estimate (queries/retrieval_graph.py)
+    "q_join_size_cm_sketch": _R_SCALAR
     + " (two 1-row scalar aggregates cross-joined for the final ratios)",
     "q22_dormant_customers": _R_SCALAR,
     "q_equidepth_price": _R_SCALAR,
