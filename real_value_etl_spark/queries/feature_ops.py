@@ -348,13 +348,17 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 import decimal as _decimal  # noqa: E402
 import math as _math2  # noqa: E402
 
-# Position weights 1/log2(i+1), i = 1..MAT_K, quantized to 15 dp DECIMAL
+# Position weights 1/log2(i+1), i = 1..MAT_K, quantized to 14 dp DECIMAL
 # literals shared verbatim by both engines: decimal addition is exact and
 # order-free, so the per-query DCG sum cannot drift by float ordering;
-# only the final NDCG normalization is (one) double division.
+# only the final NDCG normalization is (one) double division. 14 dp keeps
+# every literal under 16 significant digits — the oracle-literal hygiene
+# gate's bar (bare >= 16-digit decimals hit DuckDB's DECIMAL(18) rounding
+# trap when a DOUBLE is intended; here DECIMAL is intended, but staying
+# under the bar costs nothing at metric precision).
 NDCG_W = tuple(
     _decimal.Decimal(1 / _math2.log2(i + 1)).quantize(
-        _decimal.Decimal("0.000000000000001")
+        _decimal.Decimal("0.00000000000001")
     )
     for i in range(1, MAT_K + 1)
 )
@@ -411,7 +415,7 @@ def sim_ndcg_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     companion to `sim_matryoshka_recall` (recall counts hits; NDCG also
     charges the ranker for WHERE it puts them, the metric retrieval
     evals actually report). Position weights 1/log2(i+1) are PRECOMPUTED
-    15-dp DECIMAL literals shared with the oracle — the per-query DCG is
+    14-dp DECIMAL literals shared with the oracle — the per-query DCG is
     an exact, order-free decimal sum (float log2 at runtime would make
     the sum order-dependent and 1-ulp engine-divergent), and IDCG is the
     constant {MAT_K}-term weight sum, so only the final normalization is
