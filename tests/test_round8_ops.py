@@ -505,3 +505,61 @@ def test_stream_priority_sample_multi_batch_equals_single(spark, tmp_path):
     assert final["tau"] == ref["tau"][0]
     assert final["est_total"] == ref["est_total"][0]
     assert final["k_sample"] == k
+
+
+# ---------------------------------------------------------------------------
+# CUSUM breach detection + winnowing match guarantee (semantic pins)
+# ---------------------------------------------------------------------------
+
+
+def test_cusum_flags_injected_burst(spark, tmp_path):
+    """A synthetic series — steady 10 events/hour then a 200-event burst
+    hour — must flag the burst (cumulative excess passes 5 mean-hours)
+    while the steady prefix stays unflagged."""
+    from datetime import datetime, timedelta
+
+    from real_value_etl_spark.queries.events_queries import (
+        events_changepoint_cusum,
+    )
+
+    rows, eid = [], 0
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    for h in range(30):
+        n = 200 if h == 24 else 10
+        for i in range(n):
+            rows.append((eid, t0 + timedelta(hours=h, seconds=i), 1, "click"))
+            eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = sorted(
+        events_changepoint_cusum(spark, str(tmp_path)).collect(),
+        key=lambda r: r["h"],
+    )
+    assert not any(r["breach"] for r in got[:24])  # steady prefix clean
+    assert got[24]["breach"]  # the burst hour itself trips the detector
+
+
+def test_winnowing_guarantees_shared_fingerprint(spark, tmp_path):
+    """The winnowing theorem: any match of length >= w + k - 1 tokens
+    (here 6) between two documents yields at least one SHARED
+    (fingerprint hash) selection — regardless of where the match sits in
+    either document."""
+    from real_value_etl_spark.queries.llm import (
+        WINNOW_K,
+        WINNOW_W,
+        text_winnowing_fingerprints,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 = w + k - 1 tokens
+    assert len(shared.split()) == WINNOW_W + WINNOW_K - 1
+    doc_a = "one two three four five " + shared + " six seven"
+    doc_b = "red green " + shared + " blue yellow purple orange pink"
+    spark.createDataFrame(
+        [(1, doc_a), (2, doc_b)], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = text_winnowing_fingerprints(spark, str(tmp_path)).collect()
+    fps = {1: set(), 2: set()}
+    for r in rows:
+        fps[r["doc_id"]].add(r["fp_hash"])
+    assert fps[1] & fps[2], "no shared fingerprint for a w+k-1 match"
