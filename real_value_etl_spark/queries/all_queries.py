@@ -34,69 +34,74 @@ from . import (  # noqa: F401
 )
 from .registry import REGISTRY
 
-# Round-8 window (VERDICT r7 ask #1: evidence freshness). The 23 round-7
-# additions have NEVER appeared in any CORRECTNESS_r*.json — they lead and
-# take priority (this is also the re-confirm set: `dedup_bcubed_eval`'s
-# quantization moves to DECIMAL(38,0) and `docs_greedy_coverage`'s per-step
-# filter moves to an anti-join THIS round, so their first driver rows land
-# on the changed plans). The remaining 27 slots are the oldest-evidence
-# cohort, computed mechanically from CORRECTNESS_r01..r07 latest-green
-# rows: the first 27 (alphabetical) of the 38-query r3 cohort. The 11
-# overflow r3 stragglers (q9_product_profit .. text_collocations) rotate
-# into r9. Post-window histogram target: {r3: 11, r4: 28, ...}.
+# Round-9 window (VERDICT r8 asks #1 and #3). Composition, mechanical from
+# CORRECTNESS_r01..r08 latest-green rows (histogram after r8:
+# {r3:11, r4:27, r5:45, r6:49, r7:50, r8:49}):
+#   (a) the 9 round-8 additions that have NEVER appeared in any
+#       CORRECTNESS window — they lead;
+#   (b) the 3 DECIMAL-output fixes that MUST re-confirm on the changed
+#       plans: q_weighted_median (the r8 driver-red — total_weight now
+#       CAST AS DOUBLE on both engines) and its two latent siblings
+#       q_gini_revenue / q_priority_sample_sum (passed r8 only because
+#       their totals happened to carry nonzero cents);
+#   (c) the 11 r3 stragglers deferred from the r8 rotation;
+#   (d) the entire 27-query r4 cohort.
+# 9 + 3 + 11 + 27 = 50 exactly. Post-window oldest-evidence bucket: r5.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- the 23 round-7 queries with zero driver evidence (never windowed)
-    "dedup_bcubed_eval",
-    "dedup_semdedup",
-    "docs_dsir_select",
-    "docs_greedy_coverage",
-    "events_acf_hourly",
-    "events_fano_burstiness",
-    "events_interval_union",
-    "events_longest_streak",
-    "events_xcorr_click_purchase",
-    "graph_hits_lineitem",
-    "graph_ppr_seeds",
-    "multimodal_jpeg_sof_parse",
-    "multimodal_pcm_frame_energy",
-    "multimodal_tiff_exif_parse",
-    "q_cube_hll_users",
+    # -- (a) round-8 additions, zero driver evidence
+    "events_changepoint_cusum",
+    "events_markov_transitions",
+    "multimodal_exif_subifd_parse",
+    "multimodal_mp3_id3_parse",
+    "q_hdr_histogram_price",
+    "q_join_size_cm_sketch",
+    "sim_ndcg_matryoshka",
+    "stream_priority_sample",
+    "text_winnowing_fingerprints",
+    # -- (b) DECIMAL-output fix re-confirms (r8 driver-red + latent pair)
+    "q_weighted_median",
     "q_gini_revenue",
     "q_priority_sample_sum",
-    "q_skyline_parts",
-    "q_weighted_median",
-    "sim_rrf_fusion",
-    "stream_hll_distinct",
-    "text_hll_registers",
-    "text_kneser_ney_score",
-    # -- r3-latest cohort (first 27 of 38; 11 stragglers rotate in r9)
-    "docs_source_divergence",
-    "docs_source_resample",
-    "emb_gram_matrix",
-    "emb_label_centroids",
-    "events_anomaly_hours",
-    "events_attribution",
-    "events_gapfill_interp",
-    "events_outliers_mad",
-    "events_quality_audit",
-    "events_rate_limit",
-    "events_running_total",
-    "events_scd2_history",
-    "events_session_window",
-    "events_sliding_agg",
-    "events_via_jsonl_source",
-    "lang_confusion",
-    "lang_vocab_overlap",
-    "lineitem_via_partitioned_source",
-    "multimodal_dedup",
-    "orders_via_orc_source",
-    "q10_returned_items",
-    "q12_priority_lines",
-    "q14_promo_share",
-    "q16_parts_suppliers",
-    "q19_discounted_revenue",
-    "q20_excess_suppliers",
-    "q8_market_share",
+    # -- (c) r3 stragglers (oldest evidence in the registry)
+    "q9_product_profit",
+    "q_equidepth_price",
+    "q_unpivot_measures",
+    "sim_hard_negatives",
+    "sim_matryoshka_recall",
+    "sim_pair_distance_hist",
+    "sim_quantization_recall",
+    "sim_rerank_quantized",
+    "stream_cdc_apply",
+    "text_bpe_token_count",
+    "text_collocations",
+    # -- (d) the full r4-latest cohort (27 queries)
+    "docs_ccnet_buckets",
+    "docs_containment",
+    "docs_incremental_dedup",
+    "docs_leakage_safe_split",
+    "docs_shuffle_shards",
+    "docs_token_budget_sample",
+    "docs_tokenize_ids",
+    "docs_via_evolved_parquet",
+    "docs_vocab_growth",
+    "docs_winsorize",
+    "events_anomaly_transitions",
+    "events_churn_by_cohort",
+    "events_holt_linear",
+    "events_rolling_active_users",
+    "events_top_paths",
+    "events_transition_matrix",
+    "events_via_snapshot_table",
+    "lang_id_kappa",
+    "multimodal_header_parse",
+    "multimodal_phash_dedup",
+    "q_join_size_estimate",
+    "q_key_skew_report",
+    "q_rollup_share_of_parent",
+    "sim_pq_adc_recall",
+    "sim_pq_encode",
+    "text_countmin_freq",
+    "text_kmv_distinct",
 )
 
 

@@ -664,7 +664,7 @@ def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem
     )
     SELECT l_returnflag,
-           CAST(MAX(total_w) AS DECIMAL(18,2)) AS total_weight,
+           CAST(MAX(total_w) AS DOUBLE) AS total_weight,
            MIN(l_extendedprice) FILTER (WHERE 2 * cumw >= total_w)
              AS weighted_median
     FROM cum GROUP BY l_returnflag
@@ -720,7 +720,11 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_w",
     )
     return cum.groupBy("l_returnflag").agg(
-        F.max("total_w").cast("decimal(18,2)").alias("total_weight"),
+        # exact decimal MAX, then DOUBLE for OUTPUT (repo convention,
+        # relational.py:16): a DecimalType output column hashes as
+        # "506627.00" on the Spark side vs DuckDB-pandas float "506627.0"
+        # — the r8 driver-red. Sum of integral quantities < 2^53, exact.
+        F.max("total_w").cast("double").alias("total_weight"),
         F.min(
             F.when(
                 F.lit(2) * F.col("cumw") >= F.col("total_w"),
@@ -752,7 +756,7 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ranked
     )
     SELECT n,
-           CAST(total AS DECIMAL(38,2)) AS total_revenue,
+           CAST(total AS DOUBLE) AS total_revenue,
            (2.0 * (CAST(weighted AS DOUBLE) / CAST(total AS DOUBLE))
             - CAST(n + 1 AS DOUBLE)) / CAST(n AS DOUBLE) AS gini
     FROM sums
@@ -788,7 +792,9 @@ def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) / F.col("n").cast("double")
     return sums.select(
         "n",
-        F.col("total").cast("decimal(38,2)").alias("total_revenue"),
+        # exact decimal SUM upstream; DOUBLE for OUTPUT (never DecimalType
+        # in a result schema — r8 driver-red class; cents < 2^53, exact)
+        F.col("total").cast("double").alias("total_revenue"),
         gini.alias("gini"),
     )
 
@@ -827,7 +833,7 @@ _PRIO_HASH_SPACE = float(1 << 32)
                (acc, x) -> acc + x) AS est_total
       FROM top CROSS JOIN tau WHERE rnk <= {PRIO_K}
     ),
-    exact AS (SELECT CAST(SUM(o_totalprice) AS DECIMAL(38,2)) AS exact_total
+    exact AS (SELECT CAST(SUM(o_totalprice) AS DOUBLE) AS exact_total
               FROM orders)
     SELECT e.k, t.t AS tau, e.est_total, x.exact_total
     FROM est e CROSS JOIN tau t CROSS JOIN exact x
@@ -894,7 +900,9 @@ def q_priority_sample_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     exact = o.agg(
-        F.sum("o_totalprice").cast("decimal(38,2)").alias("exact_total")
+        # exact decimal SUM, DOUBLE output (r8 driver-red class; the sf0.01
+        # total 3,758,439,620.06 = 375,843,962,006 cents < 2^53, exact)
+        F.sum("o_totalprice").cast("double").alias("exact_total")
     )
     return est.crossJoin(F.broadcast(tau)).crossJoin(
         F.broadcast(exact)

@@ -73,7 +73,15 @@ def _norm(v):
         import decimal
 
         if isinstance(v, decimal.Decimal):
-            return repr(float(v))
+            # DRIVER-FAITHFUL (round-9 fix): the driver hashes the Decimal's
+            # string form, so a Spark DECIMAL(18,2) "506627.00" mismatches
+            # DuckDB's float64 "506627.0" even when values are equal — the
+            # exact class the r8 q_weighted_median driver-red exposed. The
+            # old `repr(float(v))` erased that difference and made the
+            # local gate blind to it. Registered queries must not expose
+            # DecimalType outputs at all (tests/test_round9_ops.py lint);
+            # this normalization makes any violation fail locally first.
+            return str(v)
     except ImportError:
         pass
     return v
