@@ -222,29 +222,48 @@ def bench_sf1(spark, base_timings: dict[str, float]):
         return {"error": f"sf1 fixture unavailable: {exc!r}"[:300]}
     out = {}
     bases = dict(base_timings)  # local: the headline payload stays as-is
+
+    def _timed_runs(fn, n: int) -> list[float]:
+        """n timed executions, cache-cleared each; the MIN is the engine
+        number (established protocol), the spread goes in the artifact.
+        n > 1 only for stream-tagged entries: the r8 committed run read
+        stream_kmv_distinct at 10.99 s where the driver run read 1.79 s —
+        a one-shot availableNow drain folds whatever trigger/worker-pool
+        hiccup the window had into a single reading, so a single reading
+        is not evidence (VERDICT r8 ask #5)."""
+        reads = []
+        for _ in range(n):
+            spark.catalog.clearCache()
+            spark._jvm.System.gc()
+            t0 = time.perf_counter()
+            fn()
+            reads.append(round(time.perf_counter() - t0, 4))
+        return reads
+
     for name in SF1_HEAVY:
         spec = REGISTRY[name]
+        n_reads = 3 if "stream" in spec.tags else 1
         try:
             if name not in bases:
                 # SF1_HEAVY entry outside HEADLINE (the streaming drain):
                 # time its sf0.1 base here, same warm protocol
                 spark.catalog.clearCache()
                 spec.fn(spark, SF_DIR).count()
-                spark.catalog.clearCache()
-                spark._jvm.System.gc()
-                t0 = time.perf_counter()
-                spec.fn(spark, SF_DIR).count()
-                bases[name] = round(time.perf_counter() - t0, 4)
+                base_reads = _timed_runs(
+                    lambda: spec.fn(spark, SF_DIR).count(), n_reads
+                )
+                bases[name] = min(base_reads)
                 print(
-                    f"# sf0.1 base {name}: {bases[name]:.3f}s", file=sys.stderr
+                    f"# sf0.1 base {name}: {bases[name]:.3f}s"
+                    + (f" (readings {base_reads})" if n_reads > 1 else ""),
+                    file=sys.stderr,
                 )
             spark.catalog.clearCache()
             spec.fn(spark, sf1_dir).count()  # one warm pass (JIT + AQE sizes)
-            spark.catalog.clearCache()
-            spark._jvm.System.gc()
-            t0 = time.perf_counter()
-            spec.fn(spark, sf1_dir).count()
-            sec = round(time.perf_counter() - t0, 4)
+            reads = _timed_runs(
+                lambda: spec.fn(spark, sf1_dir).count(), n_reads
+            )
+            sec = min(reads)
         except Exception as exc:
             out[name] = {"error": repr(exc)[:200]}
             continue
@@ -253,6 +272,10 @@ def bench_sf1(spark, base_timings: dict[str, float]):
             "sec": sec,
             "ratio_vs_sf0.1": round(sec / base, 2) if base else None,
         }
+        if n_reads > 1:
+            out[name]["readings"] = reads
+            if name not in base_timings:
+                out[name]["sf0.1_readings"] = base_reads
         if name not in base_timings and base:
             # surface the locally-measured sf0.1 base (ADVICE r6): the
             # headline dict never sees it, and decade_exponents needs it
@@ -444,6 +467,66 @@ def bench_skew(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+    return out
+
+
+# The four registered queries that rebuild the identical Jaccard pair
+# graph (threshold 0.5 over documents.text) — the shared_pair_cache()
+# opt-in context pays the build once across them. Measured by
+# tools/shared_pairs_probe.py at sf0.1 in r8: 22.5 s -> 10.9 s (52%).
+PAIR_GRAPH_CONSUMERS = (
+    "dedup_clusters",
+    "graph_components_star",
+    "dedup_bcubed_eval",
+    "docs_leakage_safe_split",
+)
+
+
+def bench_shared_pairs(spark):
+    """VERDICT r8 ask #6: the 52% suite win existed only in the probe —
+    report BOTH totals (per-query rebuild vs one shared persisted pair
+    frame) in the committed bench artifact every round. Per-query driver
+    semantics are untouched: outside the context the consumers rebuild
+    exactly as the driver measures them; this section only ADDS the
+    shared-mode number next to the baseline."""
+    if not SF_DIR.rstrip("/").endswith("sf0.1"):
+        return None
+    from real_value_etl_spark.operators.dedup import shared_pair_cache
+    from real_value_etl_spark.queries.registry import REGISTRY
+
+    def run_all() -> dict[str, float]:
+        per: dict[str, float] = {}
+        for name in PAIR_GRAPH_CONSUMERS:
+            t0 = time.perf_counter()
+            REGISTRY[name].fn(spark, SF_DIR).count()
+            per[name] = round(time.perf_counter() - t0, 4)
+        return per
+
+    # same warm protocol as the headline loop: one unmeasured pass so JIT
+    # and AQE sizing don't land in whichever mode runs first
+    spark.catalog.clearCache()
+    run_all()
+    spark.catalog.clearCache()
+    spark._jvm.System.gc()
+    solo = run_all()
+
+    spark.catalog.clearCache()
+    spark._jvm.System.gc()
+    with shared_pair_cache():
+        shared = run_all()
+    spark.catalog.clearCache()
+
+    out = {
+        "per_query": solo,
+        "per_query_total": round(sum(solo.values()), 4),
+        "shared": shared,
+        "shared_total": round(sum(shared.values()), 4),
+    }
+    print(
+        f"# shared-pairs: per-query {out['per_query_total']:.2f}s vs "
+        f"shared {out['shared_total']:.2f}s",
+        file=sys.stderr,
+    )
     return out
 
 
@@ -646,6 +729,9 @@ def main() -> None:
         exps = decade_exponents(t001, timings, sf1)
         if exps:
             payload["decade_exponents"] = exps
+    shared = bench_shared_pairs(spark)
+    if shared is not None:
+        payload["shared_pairs"] = shared
     skew = bench_skew(spark)
     if skew is not None:
         payload["skew_sf1"] = skew

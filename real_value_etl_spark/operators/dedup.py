@@ -171,14 +171,40 @@ def ngram_jaccard_pairs_full(
 # the context is for suite/batch drivers that own the whole run, not for
 # concurrent multi-tenant requests.
 _SHARED_PAIRS_LOCK = threading.Lock()
-_SHARED_PAIRS: dict[tuple, DataFrame] | None = None
+# key (semanticHash, id_col, text_col, threshold) -> list of
+# (analyzed-plan handle, persisted frame). The hash alone is NOT identity:
+# Spark itself treats semanticHash as a bucket and confirms with
+# sameResult (r8 ADVICE) — a 32-bit collision between two different input
+# plans must not silently share the wrong pair graph, so lookups re-check
+# sameResult and colliding plans coexist as separate entries in the list.
+_SHARED_PAIRS: dict[tuple, list[tuple[object, DataFrame]]] | None = None
 
 
-def _plan_key(df: DataFrame) -> object:
+def _analyzed_plan(df: DataFrame):
+    return df._jdf.queryExecution().analyzed()
+
+
+def _plan_hash(plan) -> object:
     try:
-        return df._jdf.queryExecution().analyzed().semanticHash()
+        return plan.semanticHash()
     except Exception:  # non-classic backends: fall back to the plan text
-        return hash(df._jdf.queryExecution().analyzed().toString())
+        return hash(plan.toString())
+
+
+def _same_plan(a, b) -> bool:
+    try:
+        return bool(a.sameResult(b))
+    except Exception:
+        return a.toString() == b.toString()
+
+
+def _shared_frames() -> list[DataFrame]:
+    """All persisted frames currently memoized (caller holds no lock:
+    snapshot under the lock, used by release + tests)."""
+    with _SHARED_PAIRS_LOCK:
+        if _SHARED_PAIRS is None:
+            return []
+        return [f for entries in _SHARED_PAIRS.values() for _, f in entries]
 
 
 @contextmanager
@@ -196,7 +222,9 @@ def shared_pair_cache():
         yield
     finally:
         with _SHARED_PAIRS_LOCK:
-            frames = list(_SHARED_PAIRS.values())
+            frames = [
+                f for entries in _SHARED_PAIRS.values() for _, f in entries
+            ]
             _SHARED_PAIRS = None
         for frame in frames:
             try:
@@ -221,20 +249,34 @@ def ngram_jaccard_pairs(
     suite of pair-graph consumers pays the build once."""
     if _SHARED_PAIRS is None:
         return ngram_jaccard_pairs_prefix(df, id_col, text_col, threshold)
-    key = (_plan_key(df), id_col, text_col, float(threshold))
+    plan = _analyzed_plan(df)
+    key = (_plan_hash(plan), id_col, text_col, float(threshold))
+    with _SHARED_PAIRS_LOCK:
+        if _SHARED_PAIRS is None:  # context exited mid-call: plain path
+            return ngram_jaccard_pairs_prefix(
+                df, id_col, text_col, threshold
+            )
+        for p, frame in _SHARED_PAIRS.get(key, ()):
+            if _same_plan(p, plan):  # hash bucket + sameResult = identity
+                return frame
+    built = ngram_jaccard_pairs_prefix(df, id_col, text_col, threshold).persist()
+    winner = None
     with _SHARED_PAIRS_LOCK:
         cache = _SHARED_PAIRS
-        hit = None if cache is None else cache.get(key)
-    if cache is None:  # context exited mid-call: plain path
-        return ngram_jaccard_pairs_prefix(df, id_col, text_col, threshold)
-    if hit is None:
-        hit = ngram_jaccard_pairs_prefix(
-            df, id_col, text_col, threshold
-        ).persist()
-        with _SHARED_PAIRS_LOCK:
-            if _SHARED_PAIRS is not None:
-                hit = _SHARED_PAIRS.setdefault(key, hit)
-    return hit
+        if cache is not None:
+            entries = cache.setdefault(key, [])
+            winner = next(
+                (f for p, f in entries if _same_plan(p, plan)), None
+            )
+            if winner is None:
+                entries.append((plan, built))
+                return built
+    # Lost a concurrent race, or the context exited between build and
+    # publish: release OUR persisted frame so nothing leaks for the
+    # session (r8 ADVICE). The frame stays a valid lazy plan after
+    # unpersist — callers on the exited-context path just lose caching.
+    built.unpersist()
+    return winner if cache is not None else built
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

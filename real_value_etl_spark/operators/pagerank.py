@@ -28,6 +28,21 @@ SCALE = 10**12  # fixed-point unit
 DAMP_NUM, DAMP_DEN = 85, 100  # damping 0.85 as an exact ratio
 
 
+def _persist_for(df: DataFrame, caches: list[DataFrame] | None) -> DataFrame:
+    """persist() + register for release: into the caller's `caches` list
+    when one is passed, else into the scan.py rank-cache module registry
+    so `release_rank_caches()` frees it (r8 ADVICE: graph_ppr_seeds calls
+    with caches=None, and each call in a long-lived session accumulated
+    untracked persisted frames — edges, deg, and PPR's `base`)."""
+    if caches is not None:
+        df = df.persist()
+        caches.append(df)
+        return df
+    from .scan import _persist_tracked
+
+    return _persist_tracked(df)
+
+
 def pagerank_fixed_point(
     edges: DataFrame,
     n_iter: int = 3,
@@ -67,15 +82,13 @@ def pagerank_fixed_point(
     """
     if not pre_partitioned:
         edges = edges.repartition("src")
-    edges = edges.persist()
-    deg = (
+    edges = _persist_for(edges, caches)
+    deg = _persist_for(
         edges.groupBy("src")
         .agg(F.count("*").alias("deg"))
-        .select(F.col("src").alias("node"), "deg")
-        .persist()
+        .select(F.col("src").alias("node"), "deg"),
+        caches,
     )
-    if caches is not None:
-        caches += [edges, deg]
     n = deg.agg(F.count("*").alias("n"))
     # (node, deg, r): r0 = SCALE div N
     ranks = deg.crossJoin(F.broadcast(n)).select(
@@ -149,10 +162,8 @@ def hits_fixed_point(
     """
     if not pre_partitioned:
         edges = edges.repartition("src")
-    edges = edges.persist()
-    edges_by_dst = edges.repartition("dst").persist()
-    if caches is not None:
-        caches += [edges, edges_by_dst]
+    edges = _persist_for(edges, caches)
+    edges_by_dst = _persist_for(edges.repartition("dst"), caches)
     hubs = (
         edges.select("src").distinct().select(
             F.col("src").alias("node"), F.lit(HITS_SCALE).cast("long").alias("h")
@@ -213,15 +224,13 @@ def ppr_fixed_point(
     them as sources (e.g. with self-loops) first."""
     if not pre_partitioned:
         edges = edges.repartition("src")
-    edges = edges.persist()
-    deg = (
+    edges = _persist_for(edges, caches)
+    deg = _persist_for(
         edges.groupBy("src")
         .agg(F.count("*").alias("deg"))
-        .select(F.col("src").alias("node"), "deg")
-        .persist()
+        .select(F.col("src").alias("node"), "deg"),
+        caches,
     )
-    if caches is not None:
-        caches += [edges, deg]
     seed_flags = seeds.select(F.col("node"), F.lit(1).alias("__is_seed"))
     flagged = deg.join(F.broadcast(seed_flags), "node", "left").select(
         "node",
@@ -234,13 +243,12 @@ def ppr_fixed_point(
     # node-sized subtree — one node-sized materialization, same order as
     # the `deg` persist above, instead of n_iter re-expansions.
     ns = flagged.agg(F.sum("__is_seed").alias("ns"))
-    base = (
-        flagged.crossJoin(F.broadcast(ns))
-        .select("node", "deg", "ns", "__is_seed")
-        .persist()
+    base = _persist_for(
+        flagged.crossJoin(F.broadcast(ns)).select(
+            "node", "deg", "ns", "__is_seed"
+        ),
+        caches,
     )
-    if caches is not None:
-        caches += [base]
     ranks = base.select(
         "node",
         "deg",

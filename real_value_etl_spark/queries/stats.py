@@ -923,7 +923,7 @@ HDR_SUB_BITS = 2  # 4 sub-buckets per power of two (HdrHistogram-style)
       SELECT length(bin(c)) AS b,
              CASE WHEN length(bin(c)) <= {HDR_SUB_BITS}
                   THEN 0
-                  ELSE (c // (1 << (length(bin(c)) - {HDR_SUB_BITS + 1})))
+                  ELSE (c // (1::BIGINT << (length(bin(c)) - {HDR_SUB_BITS + 1})))
                        - {1 << HDR_SUB_BITS} END AS sub,
              c
       FROM cents
@@ -966,8 +966,11 @@ def q_hdr_histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = F.length(F.bin(F.col("c")))
     sub = F.when(b <= HDR_SUB_BITS, F.lit(0)).otherwise(
         F.expr(
-            f"(c div shiftleft(1, length(bin(c)) - {HDR_SUB_BITS + 1}))"
-            f" - {1 << HDR_SUB_BITS}"
+            # BIGINT shift base (r8 ADVICE): with an INT literal the shift
+            # amount wraps mod 32, so a value >= 2^34 cents (b >= 35)
+            # would bucket differently here than in DuckDB's 64-bit <<
+            f"(c div shiftleft(CAST(1 AS BIGINT),"
+            f" length(bin(c)) - {HDR_SUB_BITS + 1})) - {1 << HDR_SUB_BITS}"
         )
     )
     agg = (

@@ -383,12 +383,12 @@ def test_shared_pair_cache_identical_results_and_single_build(spark, sf_dir):
     spark.catalog.clearCache()
     with D.shared_pair_cache():
         got_clusters = rows("dedup_clusters")
-        cache = D._SHARED_PAIRS
-        assert cache is not None and len(cache) == 1
-        first = next(iter(cache.values()))
+        frames = D._shared_frames()
+        assert len(frames) == 1
+        first = frames[0]
         got_star = rows("graph_components_star")
-        assert len(D._SHARED_PAIRS) == 1  # second consumer hit the memo
-        assert next(iter(D._SHARED_PAIRS.values())) is first
+        assert len(D._shared_frames()) == 1  # second consumer hit the memo
+        assert D._shared_frames()[0] is first
         assert first.storageLevel.useMemory  # persisted while active
     assert D._SHARED_PAIRS is None
     assert not first.storageLevel.useMemory  # released on exit
@@ -419,7 +419,7 @@ def test_shared_pair_cache_distinguishes_thresholds(spark, sf_dir):
         again = D.ngram_jaccard_pairs(d, "doc_id", "text", 0.5)
         assert a is again
         assert a is not b
-        assert len(D._SHARED_PAIRS) == 2
+        assert len(D._shared_frames()) == 2
 
 
 # ---------------------------------------------------------------------------
