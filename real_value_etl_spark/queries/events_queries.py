@@ -2549,3 +2549,182 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.alias("cusum_scaled"),
         (s > F.lit(CUSUM_THRESHOLD_MEANS) * F.col("total")).alias("breach"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Maximum burst interval (Kadane's max-subarray, closed-form on windows)
+# ---------------------------------------------------------------------------
+BURST_BIAS = 1 << 46  # prefix-sum bias: |prefix| < 2^46 (total*n_hours*2
+# < 2^46 holds through ~4e9 events/type-year; documented bound)
+BURST_PACK = 1 << 14  # position packing: series length/type < 16,384 hours
+# (~1.9 hourly years); longer ranges pre-aggregate to days first
+
+
+@register(
+    "events_max_burst_interval",
+    oracle=f"""
+    WITH hc AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS BIGINT) AS total
+      FROM hc GROUP BY event_type
+    ),
+    x AS (
+      SELECT hc.event_type, hc.h, t.total,
+             hc.c * t.n - t.total AS dev,
+             ROW_NUMBER() OVER (PARTITION BY hc.event_type ORDER BY hc.h)
+               AS rn
+      FROM hc JOIN tot t ON t.event_type = hc.event_type
+    ),
+    pre AS (
+      SELECT *, SUM(dev) OVER (PARTITION BY event_type ORDER BY rn) AS p
+      FROM x
+    ),
+    keyed AS (
+      SELECT *, (p + {BURST_BIAS}) * {BURST_PACK} + rn AS key FROM pre
+    ),
+    mk AS (
+      SELECT *,
+             LEAST({BURST_BIAS * BURST_PACK},
+                   COALESCE(MIN(key) OVER (
+                     PARTITION BY event_type ORDER BY rn
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     {BURST_BIAS * BURST_PACK})) AS mkey
+      FROM keyed
+    ),
+    sfr AS (
+      SELECT event_type, h, rn, total,
+             p - (mkey // {BURST_PACK} - {BURST_BIAS}) AS s,
+             mkey % {BURST_PACK} AS min_pos
+      FROM mk
+    ),
+    best AS (
+      SELECT event_type,
+             MAX(s * {BURST_PACK} + ({BURST_PACK} - rn)) AS bk
+      FROM sfr GROUP BY event_type
+    ),
+    pick AS (
+      SELECT event_type, bk // {BURST_PACK} AS burst_scaled,
+             {BURST_PACK} - bk % {BURST_PACK} AS end_rn
+      FROM best
+    ),
+    at_end AS (
+      SELECT p.event_type, p.burst_scaled, p.end_rn,
+             f.h AS end_h, f.min_pos + 1 AS start_rn, f.total
+      FROM pick p JOIN sfr f
+        ON f.event_type = p.event_type AND f.rn = p.end_rn
+    )
+    SELECT e.event_type, s.h AS start_h, e.end_h,
+           CAST(e.end_rn - e.start_rn + 1 AS BIGINT) AS len_hours,
+           CAST(e.burst_scaled AS BIGINT) AS burst_scaled,
+           CAST(e.burst_scaled AS DOUBLE) / e.total AS burst_mean_hours
+    FROM at_end e JOIN sfr s
+      ON s.event_type = e.event_type AND s.rn = e.start_rn
+    """,
+    tags=("events", "timeseries", "window"),
+)
+def events_max_burst_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MAXIMUM-SUM contiguous hour interval of each event type's
+    traffic above its own mean rate (Kadane's max-subarray over the
+    mean-centered hourly series) — "when exactly was the burst, and how
+    big": start/end hour, length, and the burst mass in exact scaled
+    units plus mean-hours. Kadane's recursive best-ending-here is
+    computed CLOSED-FORM, the same trick as events_changepoint_cusum:
+    best_end(h) = prefix(h) - min(0, min prefix BEFORE h), via two stock
+    window passes. Both argmins and argmaxes are made total and
+    deterministic by integer KEY PACKING (the winnowing trick):
+    minimizing (prefix + 2^46)*2^14 + rn picks the smallest prefix and
+    breaks ties on the EARLIEST position (longest burst); maximizing
+    s*2^14 + (2^14 - rn) picks the largest burst sum, ties to the
+    earliest end. Deviations are scaled by n_hours (dev = c*n - total)
+    so every quantity through the packing is an exact integer —
+    bit-equal on both engines; the single double division at the end is
+    pinned. Bounds (documented): |prefix| < 2^46 holds to ~4e9
+    events/type-year; series length per type < 2^14 rows (~1.9 hourly
+    years — longer ranges pre-aggregate to days). The windows run over
+    the ALREADY-AGGREGATED hourly series (bounded per type-year), and
+    the two recovery joins touch type-count-sized frames — nothing
+    data-scale ever crosses one task."""
+    ev = table(spark, sf_dir, "events")
+    hc = ev.groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("hour", "ts")).alias("h"),
+    ).agg(F.count("*").alias("c"))
+    tot = hc.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("c").alias("total")
+    )
+    w_ord = Window.partitionBy("event_type").orderBy("h")
+    x = hc.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "h",
+        "total",
+        (F.col("c") * F.col("n") - F.col("total")).alias("dev"),
+        F.row_number().over(w_ord).alias("rn"),
+    )
+    w_run = Window.partitionBy("event_type").orderBy("rn").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_prev = Window.partitionBy("event_type").orderBy("rn").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    pre = x.withColumn("p", F.sum("dev").over(w_run))
+    key0 = F.lit(BURST_BIAS * BURST_PACK).cast("long")
+    keyed = pre.withColumn(
+        "key", (F.col("p") + F.lit(BURST_BIAS)) * BURST_PACK + F.col("rn")
+    )
+    mk = keyed.withColumn(
+        "mkey", F.least(key0, F.coalesce(F.min("key").over(w_prev), key0))
+    )
+    sfr = mk.select(
+        "event_type",
+        "h",
+        "rn",
+        "total",
+        (
+            F.col("p")
+            - (F.expr(f"mkey div {BURST_PACK}") - F.lit(BURST_BIAS))
+        ).alias("s"),
+        (F.col("mkey") % BURST_PACK).alias("min_pos"),
+    )
+    best = sfr.groupBy("event_type").agg(
+        F.max(
+            F.col("s") * BURST_PACK + (F.lit(BURST_PACK) - F.col("rn"))
+        ).alias("bk")
+    )
+    pick = best.select(
+        "event_type",
+        F.expr(f"bk div {BURST_PACK}").alias("burst_scaled"),
+        (F.lit(BURST_PACK) - F.col("bk") % BURST_PACK).alias("end_rn"),
+    )
+    at_end = pick.join(
+        sfr.select(
+            "event_type",
+            F.col("rn").alias("end_rn"),
+            F.col("h").alias("end_h"),
+            (F.col("min_pos") + 1).alias("start_rn"),
+            "total",
+        ),
+        ["event_type", "end_rn"],
+    )
+    return at_end.join(
+        sfr.select(
+            "event_type",
+            F.col("rn").alias("start_rn"),
+            F.col("h").alias("start_h"),
+        ),
+        ["event_type", "start_rn"],
+    ).select(
+        "event_type",
+        "start_h",
+        "end_h",
+        (F.col("end_rn") - F.col("start_rn") + 1).alias("len_hours"),
+        "burst_scaled",
+        (F.col("burst_scaled").cast("double") / F.col("total")).alias(
+            "burst_mean_hours"
+        ),
+    )

@@ -287,3 +287,111 @@ def graph_ppr_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (fixed-round peel) on the customer<->supplier graph
+# ---------------------------------------------------------------------------
+KCORE_K = 10
+KCORE_ROUNDS = 4
+
+
+def _kcore_oracle() -> str:
+    head = f"""
+    WITH e0 AS (SELECT DISTINCT 2 * o_custkey AS src, 2 * l_suppkey + 1 AS dst
+                FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    a0 AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)"""
+    its = []
+    for r in range(1, KCORE_ROUNDS + 1):
+        its.append(f""",
+    d{r} AS (SELECT src, COUNT(*) AS c FROM a{r - 1} GROUP BY src),
+    k{r} AS (SELECT src AS node FROM d{r} WHERE c >= {KCORE_K}),
+    a{r} AS (SELECT e.src, e.dst FROM a{r - 1} e
+             JOIN k{r} s ON e.src = s.node
+             JOIN k{r} t ON e.dst = t.node)"""
+        )
+    return (
+        head
+        + "".join(its)
+        + f"""
+    SELECT CASE WHEN src % 2 = 0 THEN 'c' || (src // 2)
+                ELSE 's' || (src // 2) END AS node,
+           CAST(COUNT(*) AS BIGINT) AS core_deg
+    FROM a{KCORE_ROUNDS} GROUP BY src"""
+    )
+
+
+@register("graph_k_core", oracle=_kcore_oracle(), tags=("graph", "iterative"))
+def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{K}-core decomposition of the (symmetrized) customer<->supplier
+    purchase graph: peel nodes of degree < {K}, remove their edges,
+    repeat — the classic density filter that isolates the strongly
+    interconnected trading core (and, on document pair graphs, the
+    "template cluster" detector). {R} peel rounds are UNROLLED with a
+    fixed round count, so the result is exact and the DuckDB oracle
+    replays the identical peel — no convergence heuristic to diverge on
+    (the fixed-round result is the true k-core whenever the peel
+    reaches a fixed point, which the probe confirmed at both driver
+    scales; deeper cascades cost one more round each, the
+    degeneracy-ordering alternative being inherently sequential).
+
+    Scale shape: each round is ONE map-side-combinable degree count
+    plus TWO semi-joins of the edge list against the shrinking survivor
+    set — 3 key-partitioned shuffles per round, node frames never
+    exceed node count, and the edge list only ever SHRINKS. The edge
+    frame is localCheckpoint-ed per round (the HITS trick): each round
+    references its predecessor three times, so an unbroken lineage
+    would grow the logical plan 3^rounds; the checkpoint keeps the plan
+    round-sized and stops re-execution under the per-round jobs. Node
+    ids are integer-encoded (c -> 2c, s -> 2s+1) end-to-end, labels
+    projected only on the final rows (the pagerank lesson: integer keys
+    shuffle several times faster than label strings).
+
+    Reference basis: SURVEY.md §2.12 (graph family beyond the
+    reference; the reference itself has no graph operators)."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    pairs = (
+        o.select("o_orderkey", "o_custkey")
+        .join(li.select("l_orderkey", "l_suppkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+    )
+    fwd = pairs
+    rev = pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    alive = (
+        fwd.unionAll(rev).repartition("src").dropDuplicates(["src", "dst"])
+    ).localCheckpoint(eager=True)
+    for _ in range(KCORE_ROUNDS):
+        keep = (
+            alive.groupBy("src")
+            .agg(F.count("*").alias("c"))
+            .filter(F.col("c") >= KCORE_K)
+            .select(F.col("src").alias("node"))
+        )
+        alive = (
+            alive.join(keep, alive.src == keep.node, "left_semi")
+            .join(
+                keep.select(F.col("node").alias("dnode")),
+                alive.dst == F.col("dnode"),
+                "left_semi",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        alive.groupBy("src")
+        .agg(F.count("*").alias("core_deg"))
+        .select(
+            F.expr(
+                "case when src % 2 = 0 then 'c' || (src div 2)"
+                " else 's' || (src div 2) end"
+            ).alias("node"),
+            "core_deg",
+        )
+    )
+
+
+graph_k_core.__doc__ = graph_k_core.__doc__.format(K=KCORE_K, R=KCORE_ROUNDS)

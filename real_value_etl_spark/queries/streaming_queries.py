@@ -391,3 +391,53 @@ def stream_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch family (after KMV and HLL) served live with constant
     per-group state."""
     return jobs.stream_priority_sample(spark, sf_dir)
+
+
+@register(
+    "stream_countmin",
+    oracle=f"""
+    WITH ex AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+      FROM events GROUP BY user_id
+    ),
+    cand AS (
+      SELECT user_id, n_exact FROM (
+        SELECT user_id, n_exact,
+               ROW_NUMBER() OVER (ORDER BY n_exact DESC, user_id) AS r
+        FROM ex
+      ) WHERE r <= {jobs.SCM_TOPN}
+    ),
+    sk AS (
+      SELECT t.d AS depth,
+             CAST(('0x' || substring(md5(CAST(t.d AS VARCHAR) || '|' ||
+                                         CAST(e.user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % {jobs.SCM_W} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events e CROSS JOIN range(0, {jobs.SCM_D}) t(d)
+      GROUP BY 1, 2
+    ),
+    probes AS (
+      SELECT c.user_id, c.n_exact, t.d AS depth,
+             CAST(('0x' || substring(md5(CAST(t.d AS VARCHAR) || '|' ||
+                                         CAST(c.user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % {jobs.SCM_W} AS bucket
+      FROM cand c CROSS JOIN range(0, {jobs.SCM_D}) t(d)
+    )
+    SELECT p.user_id, ANY_VALUE(p.n_exact) AS n_exact,
+           MIN(s.cnt) AS n_est,
+           MIN(s.cnt) - ANY_VALUE(p.n_exact) AS overcount
+    FROM probes p JOIN sk s ON s.depth = p.depth AND s.bucket = p.bucket
+    GROUP BY p.user_id
+    """,
+    tags=("stream", "stateful", "sketch", "pandas_udf"),
+)
+def stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Count-Min sketch of per-user event counts — the FOURTH
+    mergeable streaming sketch family: state merge is elementwise
+    counter addition (batching-independent; exactly-once delivery is
+    part of the contract and is what availableNow + the checkpointed
+    state store provide, unlike the idempotent KMV/HLL merges). The
+    drained {jobs.SCM_D}x{jobs.SCM_W} counter table answers top-user
+    frequency probes with the classic one-sided overcount, bit-equal to
+    the batch SQL replay."""
+    return jobs.stream_countmin(spark, sf_dir)

@@ -960,3 +960,153 @@ def stream_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__r") == 1)
         .drop("__r")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Count-Min sketch (the streaming twin of text_countmin_freq) —
+# the FOURTH mergeable streaming sketch family: state merge is elementwise
+# counter ADDITION (commutative + associative, so any micro-batch
+# partitioning of the stream yields the same counters — batching-
+# independent; unlike KMV/HLL/priority-sample merges it is NOT idempotent,
+# so exactly-once delivery is part of the contract, which availableNow +
+# the checkpointed state store provide)
+# ---------------------------------------------------------------------------
+SCM_D = 4  # hash rows (the group key: one state row per depth)
+SCM_W = 64  # counters per row — deliberately small so the one-sided
+# overcount is visible against this corpus's ~1.5k users
+SCM_TOPN = 10  # probe users (top by exact count, ties to smaller id)
+
+_SCM_STATE_SCHEMA = StructType([StructField("cnts", ArrayType(LongType()))])
+_SCM_OUT_SCHEMA = StructType(
+    [
+        StructField("depth", LongType()),
+        StructField("bucket", LongType()),
+        StructField("cnt", LongType()),
+    ]
+)
+
+
+def _scm_state(
+    key: Tuple[int], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState kernel: one Count-Min ROW per group (the
+    depth index is the group key), state = SCM_W long counters. Each
+    batch adds its bucket histogram into the counters (np.bincount —
+    vectorized, no per-row Python). Emits the full nonzero counter set
+    every batch; counters are monotone nondecreasing, so the drained
+    latest value per (depth, bucket) is MAX(cnt)."""
+    import numpy as np
+
+    cnts = (
+        np.array(state.get[0], dtype=np.int64)
+        if state.exists
+        else np.zeros(SCM_W, dtype=np.int64)
+    )
+    for pdf in pdfs:
+        if len(pdf):
+            cnts += np.bincount(
+                pdf["bucket"].to_numpy(dtype=np.int64), minlength=SCM_W
+            )
+    state.update((cnts.tolist(),))
+    nz = np.nonzero(cnts)[0]
+    yield pd.DataFrame(
+        {
+            "depth": np.full(len(nz), key[0], dtype=np.int64),
+            "bucket": nz.astype(np.int64),
+            "cnt": cnts[nz],
+        }
+    )
+
+
+def stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Count-Min frequency sketch of per-user event counts:
+    the {d}x{w} counter table lives in applyInPandasWithState state
+    (one group per hash row), fed by JVM-side md5 bucket hashes — the
+    Python kernel only ever adds histograms. After the drain, the
+    top-{k} users by exact count are probed against the sketch
+    (estimate = MIN over rows, always >= exact) exactly like the batch
+    text_countmin_freq, so the streamed sketch's one-sided error is
+    verifiable bit-for-bit against a batch SQL replay."""
+    from ..functions.text import portable_hash32
+
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", WATERMARK)
+    hashed = ev.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(dd).cast("long").alias("depth"),
+                        (
+                            portable_hash32(
+                                F.concat(
+                                    F.lit(f"{dd}|"),
+                                    F.col("user_id").cast("string"),
+                                )
+                            )
+                            % SCM_W
+                        ).alias("bucket"),
+                    )
+                    for dd in range(SCM_D)
+                ]
+            )
+        ).alias("db")
+    ).select(F.col("db.depth").alias("depth"), F.col("db.bucket").alias("bucket"))
+    out = hashed.groupBy("depth").applyInPandasWithState(
+        _scm_state,
+        outputStructType=_SCM_OUT_SCHEMA,
+        stateStructType=_SCM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    drained = _drain(spark, out, "mem_stream_cms", "update")
+    sketch = drained.groupBy("depth", "bucket").agg(F.max("cnt").alias("cnt"))
+
+    from ..queries.registry import table as _table
+
+    exact = (
+        _table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_exact"))
+    )
+    cand = exact.orderBy(F.desc("n_exact"), F.asc("user_id")).limit(SCM_TOPN)
+    probes = cand.select(
+        "user_id",
+        "n_exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(dd).cast("long").alias("depth"),
+                        (
+                            portable_hash32(
+                                F.concat(
+                                    F.lit(f"{dd}|"),
+                                    F.col("user_id").cast("string"),
+                                )
+                            )
+                            % SCM_W
+                        ).alias("bucket"),
+                    )
+                    for dd in range(SCM_D)
+                ]
+            )
+        ).alias("db"),
+    ).select(
+        "user_id", "n_exact",
+        F.col("db.depth").alias("depth"),
+        F.col("db.bucket").alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["depth", "bucket"])
+        .groupBy("user_id")
+        .agg(
+            F.first("n_exact").alias("n_exact"),
+            F.min("cnt").alias("n_est"),
+            (F.min("cnt") - F.first("n_exact")).alias("overcount"),
+        )
+    )
+
+
+stream_countmin.__doc__ = stream_countmin.__doc__.format(
+    d=SCM_D, w=SCM_W, k=SCM_TOPN
+)
