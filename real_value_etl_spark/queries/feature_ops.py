@@ -3363,3 +3363,211 @@ def multimodal_png_idat_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "idat_len",
         F.octet_length(p).cast("long").alias("total_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MPEG audio multi-frame walk — eighth byte codec: a chain where each
+# stride is COMPUTED from per-frame table lookups (bitrate/samplerate
+# indices differ frame to frame), so offset N is unknowable without
+# decoding frames 0..N-1
+# ---------------------------------------------------------------------------
+MP3W_MAX_FRAMES = 5  # frame count ranges 2..5 per row
+_MP3W_FILLER = "AB" * 1441  # >= the largest frame body (320kbps @ 32kHz)
+
+
+def _mp3w_flen_sql(n: str) -> str:
+    """frame length of frame `n` (0-based) as DuckDB SQL, mirroring the
+    Spark build: per-frame indices (doc_id + n) % ... through the real
+    MPEG1 Layer III tables."""
+    br = f"([{', '.join(str(b) for b in MP3_BITRATES)}])[(doc_id + {n}) % 14 + 1]"
+    sr = f"([{', '.join(str(r) for r in MP3_SAMPLE_RATES)}])[(doc_id + {n}) % 3 + 1]"
+    pad = f"(octet_length(encode(text)) + {n}) % 2"
+    return f"((144000 * {br}) // {sr} + {pad})"
+
+
+def _mp3w_oracle() -> str:
+    flen = _mp3w_flen_sql("t.n")
+    last = "(doc_id % 4 + 1)"  # index of the last frame (0-based): N-1
+    br_last = (
+        f"([{', '.join(str(b) for b in MP3_BITRATES)}])"
+        f"[(doc_id + {last}) % 14 + 1]"
+    )
+    sr_last = (
+        f"([{', '.join(str(r) for r in MP3_SAMPLE_RATES)}])"
+        f"[(doc_id + {last}) % 3 + 1]"
+    )
+    return f"""
+    WITH geom AS (
+      SELECT doc_id, doc_id % 4 + 2 AS nf,
+             CAST(SUM({_mp3w_flen_sql('t.n')}) AS BIGINT) AS total_bytes
+      FROM documents, LATERAL (SELECT unnest(range(0, doc_id % 4 + 2)) AS n) t
+      GROUP BY doc_id, text
+    )
+    SELECT g.doc_id,
+           CAST(g.nf AS BIGINT) AS n_frames,
+           TRUE AS all_sync_ok,
+           TRUE AS all_mpeg1_l3_ok,
+           g.total_bytes,
+           CAST({br_last.replace('doc_id', 'g.doc_id')} AS BIGINT)
+             AS last_bitrate_kbps,
+           CAST({sr_last.replace('doc_id', 'g.doc_id')} AS BIGINT)
+             AS last_sample_rate,
+           CAST(g.nf * 1152 AS BIGINT) AS total_samples,
+           CAST(g.total_bytes AS DOUBLE) / g.nf AS avg_frame_len
+    FROM geom g
+    """
+
+
+@register(
+    "multimodal_mp3_frame_walk",
+    oracle=_mp3w_oracle(),
+    tags=("multimodal", "llm", "binary", "audio"),
+)
+def multimodal_mp3_frame_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-FRAME MPEG audio walk — the eighth byte codec, extending
+    multimodal_mp3_id3_parse's single header to the chain a real MP3
+    duration scanner must perform: the file is 2..5 back-to-back MPEG1
+    Layer III frames whose bitrate/samplerate indices CHANGE PER FRAME
+    (a VBR stream), so frame N's offset exists only after frames
+    0..N-1's lengths are each computed from their OWN header via the
+    real bitrate/samplerate tables and floor(144*br/sr)+pad — a
+    data-dependent chain like the EXIF sub-IFD jump and the PNG stored-
+    block walk, but here every stride goes through TWO table lookups.
+    The walk verifies each frame's 11-bit sync and version/layer bits,
+    counts frames to end-of-payload, sums the computed lengths (checked
+    against octet_length), recovers the LAST frame's parameters from
+    its walked-to header, and reports the decoder bookkeeping
+    (1152 samples/frame, average frame length as one pinned double
+    division). Chained narrow projections (the PNG lesson) keep the
+    expression tree linear in the unroll. All JVM binary expressions —
+    map-only, zero exchanges at any scale."""
+    d = table(spark, sf_dir, "documents")
+
+    def be(c, nbytes):
+        masked = F.pmod(c.cast("long"), F.lit(1 << (8 * nbytes)))
+        return F.unhex(F.lpad(F.hex(masked), 2 * nbytes, "0"))
+
+    empty = F.unhex(F.lit(""))
+    nf = (F.col("doc_id") % 4 + 2).cast("long")
+    blen = F.octet_length(F.encode(F.col("text"), "utf-8")).cast("long")
+    brs = F.array(*[F.lit(b).cast("long") for b in MP3_BITRATES])
+    srs = F.array(*[F.lit(r).cast("long") for r in MP3_SAMPLE_RATES])
+
+    # ---- build: 2..5 frames, parameters vary per frame ----------------
+    payload = empty
+    for n in range(MP3W_MAX_FRAMES):
+        br_idx = ((F.col("doc_id") + n) % 14 + 1).cast("long")
+        sr_idx = ((F.col("doc_id") + n) % 3).cast("long")
+        pad = ((blen + n) % 2).cast("long")
+        br = F.element_at(brs, br_idx.cast("int"))
+        sr = F.element_at(srs, (sr_idx + 1).cast("int"))
+        flen = F.call_function("div", F.lit(144000) * br, sr) + pad
+        byte3 = (
+            F.shiftleft(br_idx, 4) + F.shiftleft(sr_idx, 2)
+            + F.shiftleft(pad, 1)
+        )
+        frame = F.concat(
+            F.unhex(F.lit("FFFB")),
+            be(byte3, 1),
+            F.unhex(F.lit("44")),
+            F.unhex(
+                F.substring(
+                    F.lit(_MP3W_FILLER), F.lit(1), ((flen - 4) * 2).cast("int")
+                )
+            ),
+        )
+        payload = F.concat(
+            payload, F.when(F.lit(n) < nf, frame).otherwise(empty)
+        )
+    mp3 = d.select("doc_id", payload.alias("payload"))
+
+    # ---- walk: chained projections, stride from table lookups --------
+    p = F.col("payload")
+
+    def rd(pos, nbytes):
+        return F.conv(
+            F.hex(F.substring(p, pos.cast("int") if hasattr(pos, "cast") else pos, nbytes)),
+            16,
+            10,
+        ).cast("long")
+
+    st = mp3.select(
+        "doc_id",
+        "payload",
+        F.octet_length(p).cast("long").alias("plen"),
+        F.lit(1).cast("long").alias("off"),
+        F.lit(0).cast("long").alias("n_frames"),
+        F.lit(0).cast("long").alias("total_bytes"),
+        F.lit(True).alias("all_sync_ok"),
+        F.lit(True).alias("all_mpeg1_l3_ok"),
+        F.lit(0).cast("long").alias("last_br"),
+        F.lit(0).cast("long").alias("last_sr"),
+    )
+    for _ in range(MP3W_MAX_FRAMES):
+        hdr1 = rd(F.col("off"), 1)
+        hdr2 = rd(F.col("off") + 1, 1)
+        hdr3 = rd(F.col("off") + 2, 1)
+        st = st.select(
+            "doc_id", "payload", "plen", "off", "n_frames", "total_bytes",
+            "all_sync_ok", "all_mpeg1_l3_ok", "last_br", "last_sr",
+            (F.col("off") <= F.col("plen")).alias("active"),
+            hdr1.alias("h1"), hdr2.alias("h2"), hdr3.alias("h3"),
+        )
+        br = F.element_at(brs, F.shiftright(F.col("h3"), 4).cast("int"))
+        sr = F.element_at(
+            srs, (F.pmod(F.shiftright(F.col("h3"), 2), 4) + 1).cast("int")
+        )
+        pad = F.pmod(F.shiftright(F.col("h3"), 1), 2)
+        flen = F.call_function("div", F.lit(144000) * br, sr) + pad
+        st = st.select(
+            "doc_id", "payload", "plen",
+            F.when(F.col("active"), F.col("off") + flen)
+            .otherwise(F.col("off"))
+            .alias("off"),
+            (
+                F.col("n_frames") + F.when(F.col("active"), 1).otherwise(0)
+            ).alias("n_frames"),
+            (
+                F.col("total_bytes")
+                + F.when(F.col("active"), flen).otherwise(0)
+            ).alias("total_bytes"),
+            (
+                F.col("all_sync_ok")
+                & (
+                    ~F.col("active")
+                    | (
+                        (F.col("h1") == 0xFF)
+                        & (F.shiftright(F.col("h2"), 5) == 0x7)
+                    )
+                )
+            ).alias("all_sync_ok"),
+            (
+                F.col("all_mpeg1_l3_ok")
+                & (
+                    ~F.col("active")
+                    | (
+                        (F.pmod(F.shiftright(F.col("h2"), 3), 4) == 3)
+                        & (F.pmod(F.shiftright(F.col("h2"), 1), 4) == 1)
+                    )
+                )
+            ).alias("all_mpeg1_l3_ok"),
+            F.when(F.col("active"), br).otherwise(F.col("last_br")).alias(
+                "last_br"
+            ),
+            F.when(F.col("active"), sr).otherwise(F.col("last_sr")).alias(
+                "last_sr"
+            ),
+        )
+    return st.select(
+        "doc_id",
+        "n_frames",
+        "all_sync_ok",
+        "all_mpeg1_l3_ok",
+        "total_bytes",
+        F.col("last_br").alias("last_bitrate_kbps"),
+        F.col("last_sr").alias("last_sample_rate"),
+        (F.col("n_frames") * 1152).alias("total_samples"),
+        (F.col("total_bytes").cast("double") / F.col("n_frames")).alias(
+            "avg_frame_len"
+        ),
+    )

@@ -3318,3 +3318,335 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("partner", F.lit(-1)).cast("long").alias("best_partner"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Repeated n-gram character coverage (the RefinedWeb/Gopher repetition
+# quality signal): fraction of a document's characters inside duplicated
+# word 5-grams
+# ---------------------------------------------------------------------------
+REP_NGRAM_N = 5
+
+
+def _rep_cov_oracle() -> str:
+    gram = " || ' ' || ".join(f"ts[i + {j}]" for j in range(REP_NGRAM_N))
+    return f"""
+    WITH toks AS (SELECT doc_id, {T.tokens_sql("text")} AS ts FROM documents),
+    words AS (
+      SELECT doc_id, i AS pos, length(ts[i]) AS wlen
+      FROM toks, LATERAL (SELECT unnest(range(1, len(ts) + 1)) AS i) r
+    ),
+    g AS (
+      SELECT doc_id, i AS pos, ({gram}) AS gram
+      FROM toks,
+           LATERAL (SELECT unnest(range(1,
+                      greatest(len(ts) - {REP_NGRAM_N - 2}, 1))) AS i) r
+      WHERE len(ts) >= {REP_NGRAM_N}
+    ),
+    cnt AS (
+      SELECT doc_id, pos,
+             COUNT(*) OVER (PARTITION BY doc_id, gram) AS c
+      FROM g
+    ),
+    cov AS (
+      SELECT DISTINCT doc_id, pos + j AS cpos
+      FROM cnt, LATERAL (SELECT unnest(range(0, {REP_NGRAM_N})) AS j) s
+      WHERE c >= 2
+    ),
+    per AS (
+      SELECT w.doc_id, CAST(SUM(w.wlen) AS BIGINT) AS covered
+      FROM cov c JOIN words w ON w.doc_id = c.doc_id AND w.pos = c.cpos
+      GROUP BY w.doc_id
+    ),
+    tchars AS (
+      SELECT doc_id, CAST(SUM(wlen) AS BIGINT) AS total_chars
+      FROM words GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_words,
+           COALESCE(tc.total_chars, 0) AS total_chars,
+           COALESCE(p.covered, 0) AS covered_chars,
+           CASE WHEN COALESCE(tc.total_chars, 0) = 0 THEN 0.0
+                ELSE CAST(COALESCE(p.covered, 0) AS DOUBLE) / tc.total_chars
+           END AS dup_char_frac
+    FROM toks t
+    LEFT JOIN tchars tc ON tc.doc_id = t.doc_id
+    LEFT JOIN per p ON p.doc_id = t.doc_id
+    """
+
+
+@register(
+    "docs_rep_ngram_coverage",
+    oracle=_rep_cov_oracle(),
+    tags=("llm", "text", "quality"),
+)
+def docs_rep_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-{n}-gram CHARACTER COVERAGE per document — the
+    RefinedWeb / Gopher repetition signal ("fraction of characters in
+    duplicate n-grams") that catches boilerplate loops and degenerate
+    generations which per-line dedup misses: every word position lying
+    inside any {n}-gram that occurs >= 2 times in the SAME document is
+    marked covered (positions under overlapping duplicates count once —
+    the DISTINCT), and the doc's score is covered word chars / total
+    word chars. Counts are exact integers and the final fraction is one
+    pinned double division.
+
+    Scale shape: gram duplication is detected with a window COUNT
+    partitioned by (doc_id, gram) — bounded by one document's copies of
+    one gram, never data-scale; the x{n} position explode runs over DUP
+    INSTANCES only (rare in clean corpora); coverage joins are all
+    doc_id-keyed shuffles. Nothing global, no driver loops.
+
+    Reference basis: SURVEY §2.12 text-quality family (absent in the
+    reference); complements docs_repeated_spans (which finds the spans)
+    with the normalized per-doc score corpus filters threshold on."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", T.tokens(F.col("text")).alias("ts"))
+    words = toks.select(
+        "doc_id", F.posexplode("ts").alias("p", "w")
+    ).select(
+        "doc_id",
+        (F.col("p") + 1).alias("pos"),
+        F.length("w").cast("long").alias("wlen"),
+    )
+    n_grams = F.size("ts") - (REP_NGRAM_N - 1)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ",
+        *[
+            F.element_at("ts", (i + j).cast("int"))
+            for j in range(REP_NGRAM_N)
+        ],
+    )
+    grams = toks.filter(F.size("ts") >= REP_NGRAM_N).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n_grams),
+                lambda i: F.struct(i.alias("pos"), gram(i).alias("gram")),
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+    wcnt = Window.partitionBy("doc_id", "gram")
+    cov = (
+        grams.withColumn("c", F.count("*").over(wcnt))
+        .filter(F.col("c") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (REP_NGRAM_N - 1))
+            ).alias("cpos"),
+        )
+        .distinct()
+    )
+    cov = cov.select(F.col("doc_id").alias("cdoc"), "cpos")
+    per = (
+        cov.join(
+            words,
+            (F.col("cdoc") == words.doc_id) & (F.col("cpos") == words.pos),
+        )
+        .groupBy("cdoc")
+        .agg(F.sum("wlen").alias("covered"))
+        .select(F.col("cdoc").alias("doc_id"), "covered")
+    )
+    tchars = words.groupBy("doc_id").agg(
+        F.sum("wlen").alias("total_chars")
+    )
+    base = toks.select("doc_id", F.size("ts").cast("long").alias("n_words"))
+    out = (
+        base.join(tchars, "doc_id", "left")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.coalesce("total_chars", F.lit(0)).alias("total_chars"),
+            F.coalesce("covered", F.lit(0)).alias("covered_chars"),
+            F.when(F.coalesce("total_chars", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                F.coalesce("covered", F.lit(0)).cast("double")
+                / F.col("total_chars")
+            )
+            .alias("dup_char_frac"),
+        )
+    )
+    return out
+
+
+docs_rep_ngram_coverage.__doc__ = docs_rep_ngram_coverage.__doc__.format(
+    n=REP_NGRAM_N
+)
+
+
+# ---------------------------------------------------------------------------
+# Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998) — the
+# diversity-aware top-k a RAG/retrieval pipeline serves instead of the raw
+# similarity list
+# ---------------------------------------------------------------------------
+MMR_CAND = 16  # relevance candidates per query fed into the greedy rerank
+MMR_K = 8  # greedy picks per query
+
+
+def _mmr_oracle() -> str:
+    cos_eq = V.cosine_sql("e.v", "q.qv")
+    cos_ab = V.cosine_sql("a.v", "b.v")
+    head = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e
+          WHERE vec_id % {ANN_QUERY_MOD} = 0 AND vec_id < {ANN_SEED_CAP}),
+    scored AS MATERIALIZED (
+      SELECT q.qid, e.vec_id, {cos_eq} AS rel
+      FROM e, q WHERE e.vec_id <> q.qid
+    ),
+    cand AS MATERIALIZED (
+      SELECT qid, vec_id, rel FROM (
+        SELECT qid, vec_id, rel,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY rel DESC, vec_id) AS r
+        FROM scored) WHERE r <= {MMR_CAND}
+    ),
+    cv AS MATERIALIZED (SELECT c.qid, c.vec_id, c.rel, e.v
+           FROM cand c JOIN e ON e.vec_id = c.vec_id),
+    pairs AS MATERIALIZED (
+      SELECT a.qid, a.vec_id AS ca, b.vec_id AS cb, {cos_ab} AS psim
+      FROM cv a JOIN cv b ON b.qid = a.qid AND b.vec_id <> a.vec_id
+    ),
+    sel1 AS MATERIALIZED (
+      SELECT qid, vec_id, 0.7 * rel AS score FROM (
+        SELECT qid, vec_id, rel,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY 0.7 * rel DESC, vec_id) AS r
+        FROM cand) WHERE r = 1
+    ),
+    all1 AS MATERIALIZED (SELECT qid, 1 AS step, vec_id, score FROM sel1)"""
+    stages = []
+    for t in range(2, MMR_K + 1):
+        stages.append(f""",
+    pen{t} AS MATERIALIZED (
+      SELECT c.qid, c.vec_id, c.rel, MAX(p.psim) AS pen
+      FROM cand c
+      JOIN pairs p ON p.qid = c.qid AND p.ca = c.vec_id
+      JOIN all{t - 1} s ON s.qid = p.qid AND s.vec_id = p.cb
+      WHERE NOT EXISTS (SELECT 1 FROM all{t - 1} x
+                        WHERE x.qid = c.qid AND x.vec_id = c.vec_id)
+      GROUP BY c.qid, c.vec_id, c.rel
+    ),
+    sel{t} AS MATERIALIZED (
+      SELECT qid, vec_id, score FROM (
+        SELECT qid, vec_id, 0.7 * rel - 0.3 * pen AS score,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY (0.7 * rel - 0.3 * pen) DESC,
+                                           vec_id) AS r
+        FROM pen{t}) WHERE r = 1
+    ),
+    all{t} AS MATERIALIZED (SELECT * FROM all{t - 1}
+               UNION ALL SELECT qid, {t} AS step, vec_id, score FROM sel{t})"""
+        )
+    return (
+        head
+        + "".join(stages)
+        + f"""
+    SELECT qid, CAST(step AS BIGINT) AS step, vec_id, score AS mmr_score
+    FROM all{MMR_K}"""
+    )
+
+
+@register(
+    "sim_mmr_rerank",
+    oracle=_mmr_oracle(),
+    tags=("similarity", "llm", "vector", "iterative"),
+)
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance rerank: from each query's top-{C}
+    cosine candidates, greedily pick {K} documents maximizing
+    0.7 * relevance - 0.3 * (max similarity to anything already picked)
+    — the classic diversity-aware selection that stops a retrieval list
+    from returning {K} near-copies of the same passage. All queries
+    rerank SIMULTANEOUSLY: each greedy step picks one winner PER QUERY
+    with a single qid-partitioned rank over the bounded candidate
+    frame, so the {K}-step loop is executor-side throughout (no
+    per-step collect; the selected set is a growing {K} x |queries|
+    frame, localCheckpoint-ed per step to keep lineage flat).
+
+    Determinism: relevance and candidate-pair cosines are computed once
+    (identical ordered float folds on both engines, the sim-family
+    contract), every score is the same two pinned double ops, and all
+    ranks tie-break on vec_id — so the oracle's {K} unrolled CTE stages
+    reproduce the greedy bit-for-bit.
+
+    Scale shape: candidate generation is the two-stage brute-force
+    top-k (broadcast queries, corpus scanned once); everything after
+    operates on |queries| x {C} rows — the pair matrix is {C}^2 per
+    query by construction. At 100 TB only the candidate scan grows."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(
+        (F.col("vec_id") % ANN_QUERY_MOD == 0) & (F.col("vec_id") < ANN_SEED_CAP)
+    )
+    from ..operators.scan import _persist_tracked
+
+    cand = _persist_tracked(
+        S.brute_force_topk(emb, queries, MMR_CAND).select(
+            "qid", "vec_id", F.col("sim").alias("rel")
+        )
+    )
+    ev = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cv = cand.join(ev, "vec_id").select("qid", "vec_id", "rel", "v")
+    a = cv.alias("a")
+    b = cv.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.qid") == F.col("b.qid"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.qid").alias("qid"),
+            F.col("a.vec_id").alias("ca"),
+            F.col("b.vec_id").alias("cb"),
+            V.cosine(F.col("a.v"), F.col("b.v")).alias("psim"),
+        )
+    )
+    pairs = _persist_tracked(pairs)
+    w_pick = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
+    sel1 = (
+        cand.select("qid", "vec_id", (F.lit(0.7) * F.col("rel")).alias("score"))
+        .withColumn("r", F.row_number().over(w_pick))
+        .filter(F.col("r") == 1)
+        .select("qid", F.lit(1).cast("long").alias("step"), "vec_id", "score")
+    )
+    all_sel = sel1.localCheckpoint(eager=True)
+    for t in range(2, MMR_K + 1):
+        rem = cand.join(
+            all_sel.select("qid", "vec_id"), ["qid", "vec_id"], "left_anti"
+        )
+        pen = (
+            rem.join(
+                pairs.withColumnRenamed("ca", "vec_id"), ["qid", "vec_id"]
+            )
+            .join(
+                all_sel.select("qid", F.col("vec_id").alias("cb")),
+                ["qid", "cb"],
+            )
+            .groupBy("qid", "vec_id", "rel")
+            .agg(F.max("psim").alias("pen"))
+        )
+        win = (
+            pen.select(
+                "qid",
+                "vec_id",
+                (F.lit(0.7) * F.col("rel") - F.lit(0.3) * F.col("pen")).alias(
+                    "score"
+                ),
+            )
+            .withColumn("r", F.row_number().over(w_pick))
+            .filter(F.col("r") == 1)
+            .select(
+                "qid", F.lit(t).cast("long").alias("step"), "vec_id", "score"
+            )
+        )
+        all_sel = all_sel.unionByName(win).localCheckpoint(eager=True)
+    return all_sel.select(
+        "qid", "step", "vec_id", F.col("score").alias("mmr_score")
+    )
+
+
+sim_mmr_rerank.__doc__ = sim_mmr_rerank.__doc__.format(C=MMR_CAND, K=MMR_K)

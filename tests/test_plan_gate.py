@@ -130,6 +130,7 @@ _BNLJ_WAIVERS: dict[str, str] = {
     "sim_ivf_pq_topk": _R_QUERYSET,
     "sim_knn_graph": _R_QUERYSET,
     "sim_matryoshka_recall": _R_QUERYSET,
+    "sim_mmr_rerank": _R_QUERYSET,
     "sim_ndcg_matryoshka": _R_QUERYSET,
     "sim_nprobe_recall_curve": _R_QUERYSET,
     "sim_pair_distance_hist": _R_QUERYSET,
