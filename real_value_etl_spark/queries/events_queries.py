@@ -2728,3 +2728,148 @@ def events_max_burst_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "burst_mean_hours"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters ADDITIVE seasonal smoothing (level + trend + 24 hourly
+# seasonal states) — the 26-state recursive fold
+# ---------------------------------------------------------------------------
+HW_ALPHA = 0.5  # level gain — dyadic
+HW_BETA = 0.25  # trend gain — dyadic
+HW_GAMMA = 0.25  # seasonal gain — dyadic
+HW_M = 24  # season length: hour-of-day
+
+
+def _hw_oracle() -> str:
+    a, b, g = HW_ALPHA, HW_BETA, HW_GAMMA
+    # new level, inlined exactly like the Spark lambda (3 textual copies)
+    lvl = (
+        f"({a} * (x[2] - acc[CAST(x[1] AS BIGINT) + 3])"
+        f" + {1 - a} * (acc[1] + acc[2]))"
+    )
+    step = f"""[
+        {lvl},
+        {b} * ({lvl} - acc[1]) + {1 - b} * acc[2]
+      ] || list_transform(acc[3:{HW_M + 2}],
+             (v, i) -> CASE WHEN i = CAST(x[1] AS BIGINT) + 1
+                            THEN {g} * (x[2] - {lvl}) + {1 - g}
+                                 * acc[CAST(x[1] AS BIGINT) + 3]
+                            ELSE v END)
+        || [x[1]]"""
+    zeros = ", ".join(["CAST(0 AS DOUBLE)"] * (HW_M + 2))
+    return f"""
+    WITH hc AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h,
+             CAST(COUNT(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    folded AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+             list_reduce(
+               list_prepend([{zeros}, CAST(-1 AS DOUBLE)],
+                 list([CAST((h // 3600) % {HW_M} AS DOUBLE), x] ORDER BY h)),
+               (acc, x) -> {step}
+             ) AS st
+      FROM hc GROUP BY event_type
+    )
+    SELECT event_type, n_hours,
+           st[1] AS level, st[2] AS trend,
+           st[CAST((CAST(st[{HW_M + 3}] AS BIGINT) + 1) % {HW_M} AS BIGINT) + 3]
+             AS season_next,
+           st[1] + st[2]
+             + st[CAST((CAST(st[{HW_M + 3}] AS BIGINT) + 1) % {HW_M}
+                       AS BIGINT) + 3] AS forecast_1
+    FROM folded
+    """
+
+
+@register(
+    "events_holt_winters",
+    oracle=_hw_oracle(),
+    tags=("events", "timeseries", "recursive", "forecast"),
+)
+def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type Holt-Winters ADDITIVE seasonal smoothing over the hourly
+    traffic series: level + trend + {m} hour-of-day seasonal states —
+    the forecasting recursion behind "expected volume next hour given
+    the time of day", extending events_holt_linear's 2-state fold to a
+    {m2}-double rotating state vector. No window builtin expresses a
+    26-component recursion; the state rides ONE sequential F.aggregate
+    fold per event type over the pinned h-ordered hourly series, each
+    step replacing exactly the active seasonal slot via an
+    index-addressed transform (Spark's 0-based lambda index vs DuckDB's
+    1-based is offset explicitly — the cross-engine trap). All three
+    gains are dyadic rationals (exact binary literals), the new-level
+    expression is textually inlined three times on BOTH engines so
+    every IEEE op sequence matches, and the fold input is the
+    ALREADY-AGGREGATED hourly series — bounded per type-year, so the
+    collected per-group list can never hold data-scale rows (the same
+    bound every events_* hourly fold documents)."""
+    ev = table(spark, sf_dir, "events")
+    hc = ev.groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("hour", "ts")).alias("h"),
+    ).agg(F.count("*").cast("double").alias("x"))
+    hc = hc.select(
+        "event_type",
+        "h",
+        F.expr(f"CAST((h div 3600) % {HW_M} AS DOUBLE)").alias("slot"),
+        "x",
+    )
+    ordered = F.array_sort(F.collect_list(F.struct("h", "slot", "x")))
+    init = F.array(*([F.lit(0.0)] * (HW_M + 2) + [F.lit(-1.0)]))
+
+    def lvl(acc, s):
+        sm = F.element_at(acc, (s["slot"].cast("int") + 3))
+        return F.lit(HW_ALPHA) * (s["x"] - sm) + F.lit(1 - HW_ALPHA) * (
+            F.element_at(acc, 1) + F.element_at(acc, 2)
+        )
+
+    def step(acc, s):
+        sm = F.element_at(acc, (s["slot"].cast("int") + 3))
+        new_seas = F.transform(
+            F.slice(acc, 3, HW_M),
+            lambda v, i: F.when(
+                i == s["slot"].cast("int"),
+                F.lit(HW_GAMMA) * (s["x"] - lvl(acc, s))
+                + F.lit(1 - HW_GAMMA) * sm,
+            ).otherwise(v),
+        )
+        return F.concat(
+            F.array(
+                lvl(acc, s),
+                F.lit(HW_BETA) * (lvl(acc, s) - F.element_at(acc, 1))
+                + F.lit(1 - HW_BETA) * F.element_at(acc, 2),
+            ),
+            new_seas,
+            F.array(s["slot"]),
+        )
+
+    st = F.aggregate(ordered, init, step)
+    nxt = F.element_at(
+        F.col("st"),
+        (
+            (F.element_at("st", HW_M + 3).cast("long") + 1) % HW_M
+        ).cast("int")
+        + 3,
+    )
+    return (
+        hc.groupBy("event_type")
+        .agg(F.count("*").alias("n_hours"), st.alias("st"))
+        .select(
+            "event_type",
+            "n_hours",
+            F.element_at("st", 1).alias("level"),
+            F.element_at("st", 2).alias("trend"),
+            nxt.alias("season_next"),
+            (
+                F.element_at("st", 1) + F.element_at("st", 2) + nxt
+            ).alias("forecast_1"),
+        )
+    )
+
+
+events_holt_winters.__doc__ = events_holt_winters.__doc__.format(
+    m=HW_M, m2=HW_M + 2
+)

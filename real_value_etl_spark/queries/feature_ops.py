@@ -3571,3 +3571,213 @@ def multimodal_mp3_frame_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_frame_len"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL SET ALGEBRA — union by register max-merge, intersection by
+# inclusion-exclusion: the sketch-algebra answer to "how many users do
+# these two segments share" without ever touching the raw id sets twice
+# ---------------------------------------------------------------------------
+def _hll_est_sql(sum_geo: str, n_reg: str) -> str:
+    """Corrected HLL estimate from (sum_geo, n_registers) columns — the
+    exact textual shape of text_hll_registers' estimator, reused so all
+    three estimates (A, B, union) share one pinned formula."""
+    raw = (
+        f"CAST({_HLL_EST_NUM!r} AS DOUBLE) / CAST({sum_geo} + ({HLL_M} - "
+        f"{n_reg}) * {1 << HLL_W_BITS} AS DOUBLE)"
+    )
+    lc = ", ".join(_dlit(_HLL_LC[v]) for v in range(1, HLL_M))
+    return (
+        f"CASE WHEN {raw} <= {_HLL_LC_THRESHOLD!r} AND {HLL_M} - {n_reg} > 0 "
+        f"THEN (CAST([{lc}] AS DOUBLE[]))[{HLL_M} - {n_reg}] "
+        f"ELSE {raw} END"
+    )
+
+
+def _hll_setops_oracle() -> str:
+    return f"""
+    WITH hv AS (
+      SELECT event_type,
+             CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1,
+                                     {HLL_HASH_HEX})) AS BIGINT) AS hv
+      FROM events
+    ),
+    br AS (
+      SELECT event_type, hv % {HLL_M} AS bucket,
+             CASE WHEN hv // {HLL_M} = 0 THEN {HLL_W_BITS + 1}
+                  ELSE {HLL_W_BITS + 1} - length(bin(hv // {HLL_M})) END
+               AS rank
+      FROM hv
+    ),
+    regs AS (
+      SELECT event_type, bucket, MAX(rank) AS max_rank
+      FROM br GROUP BY event_type, bucket
+    ),
+    per AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_reg,
+             CAST(SUM(CASE WHEN max_rank <= {HLL_W_BITS}
+                           THEN 1::BIGINT << ({HLL_W_BITS} - max_rank)
+                           ELSE 0 END) AS BIGINT) AS sum_geo
+      FROM regs GROUP BY event_type
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM per a JOIN per b ON a.event_type < b.event_type
+    ),
+    uni AS (
+      SELECT p.type_a, p.type_b, r.bucket, MAX(r.max_rank) AS max_rank
+      FROM pairs p JOIN regs r
+        ON r.event_type = p.type_a OR r.event_type = p.type_b
+      GROUP BY p.type_a, p.type_b, r.bucket
+    ),
+    uper AS (
+      SELECT type_a, type_b, CAST(COUNT(*) AS BIGINT) AS n_reg,
+             CAST(SUM(CASE WHEN max_rank <= {HLL_W_BITS}
+                           THEN 1::BIGINT << ({HLL_W_BITS} - max_rank)
+                           ELSE 0 END) AS BIGINT) AS sum_geo
+      FROM uni GROUP BY type_a, type_b
+    ),
+    du AS (SELECT DISTINCT event_type, user_id FROM events),
+    ex AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS exact_intersection
+      FROM du a JOIN du b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b,
+           {_hll_est_sql('pa.sum_geo', 'pa.n_reg')} AS est_a,
+           {_hll_est_sql('pb.sum_geo', 'pb.n_reg')} AS est_b,
+           {_hll_est_sql('u.sum_geo', 'u.n_reg')} AS est_union,
+           {_hll_est_sql('pa.sum_geo', 'pa.n_reg')}
+             + {_hll_est_sql('pb.sum_geo', 'pb.n_reg')}
+             - {_hll_est_sql('u.sum_geo', 'u.n_reg')} AS est_intersection,
+           COALESCE(e.exact_intersection, 0) AS exact_intersection
+    FROM pairs p
+    JOIN per pa ON pa.event_type = p.type_a
+    JOIN per pb ON pb.event_type = p.type_b
+    JOIN uper u ON u.type_a = p.type_a AND u.type_b = p.type_b
+    LEFT JOIN ex e ON e.type_a = p.type_a AND e.type_b = p.type_b
+    """
+
+
+@register(
+    "q_hll_set_ops",
+    oracle=_hll_setops_oracle(),
+    tags=("sketch", "cardinality", "aggregation"),
+)
+def q_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL SET ALGEBRA over per-event-type distinct-user sketches: the
+    union of two segments is the ELEMENTWISE MAX of their register
+    files (the property that makes HLL mergeable), and the shared-user
+    count comes from inclusion-exclusion est_A + est_B - est_union —
+    the sketch-algebra answer to "how many users do segments share"
+    computed from 64-byte structures instead of re-scanning either id
+    set. Every pair of event types is evaluated (|types|^2 bounded);
+    the exact intersection rides along for calibration. Register
+    build = one map + two-level agg (mergeable at any scale); the pair
+    expansion melts (pair, member) and re-merges registers with MAX —
+    sketch-sized frames only. The estimator (with its precomputed
+    linear-counting double literals — runtime ln() is not bit-stable
+    across engines) is textually shared with text_hll_registers, so
+    all three estimates and the derived intersection hash-match the
+    SQL replay exactly."""
+    ev = table(spark, sf_dir, "events")
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, HLL_HASH_HEX),
+        16,
+        10,
+    ).cast("long")
+    w = F.floor(F.col("hv") / HLL_M).cast("long")
+    br = ev.select("event_type", hv.alias("hv")).select(
+        "event_type",
+        F.pmod("hv", F.lit(HLL_M)).cast("long").alias("bucket"),
+        F.when(w == 0, F.lit(HLL_W_BITS + 1))
+        .otherwise(F.lit(HLL_W_BITS + 1) - F.length(F.bin(w)))
+        .cast("long")
+        .alias("rank"),
+    )
+    regs = br.groupBy("event_type", "bucket").agg(
+        F.max("rank").alias("max_rank")
+    )
+    geo = F.expr(
+        f"CASE WHEN max_rank <= {HLL_W_BITS} THEN "
+        f"shiftleft(CAST(1 AS BIGINT), CAST({HLL_W_BITS} - max_rank AS INT)) "
+        "ELSE CAST(0 AS BIGINT) END"
+    )
+    per = (
+        regs.withColumn("geo", geo)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_reg"),
+            F.sum("geo").cast("long").alias("sum_geo"),
+        )
+    )
+    pa = per.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n_reg").alias("n_reg_a"),
+        F.col("sum_geo").alias("sum_geo_a"),
+    )
+    pb = per.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n_reg").alias("n_reg_b"),
+        F.col("sum_geo").alias("sum_geo_b"),
+    )
+    pairs = pa.join(pb, F.col("type_a") < F.col("type_b"))
+    # union registers: melt (pair, member) then MAX-merge member registers
+    melted = pairs.select(
+        "type_a",
+        "type_b",
+        F.explode(F.array("type_a", "type_b")).alias("event_type"),
+    ).join(regs, "event_type")
+    uni = (
+        melted.groupBy("type_a", "type_b", "bucket")
+        .agg(F.max("max_rank").alias("max_rank"))
+        .withColumn("geo", geo)
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count("*").alias("n_reg_u"),
+            F.sum("geo").cast("long").alias("sum_geo_u"),
+        )
+    )
+    du = ev.select("event_type", "user_id").distinct()
+    da = du.select(F.col("event_type").alias("type_a"), "user_id")
+    db = du.select(F.col("event_type").alias("type_b"), "user_id")
+    ex = (
+        da.join(db, ["user_id"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("exact_intersection"))
+    )
+
+    lc_table = F.array(*[F.lit(_HLL_LC[v]) for v in range(1, HLL_M)])
+
+    def est(sum_geo, n_reg):
+        raw = F.lit(_HLL_EST_NUM) / (
+            F.col(sum_geo)
+            + (F.lit(HLL_M) - F.col(n_reg)) * F.lit(1 << HLL_W_BITS)
+        ).cast("double")
+        n_empty = F.lit(HLL_M) - F.col(n_reg)
+        return F.when(
+            (raw <= F.lit(_HLL_LC_THRESHOLD)) & (n_empty > 0),
+            F.element_at(lc_table, n_empty.cast("int")),
+        ).otherwise(raw)
+
+    est_a = est("sum_geo_a", "n_reg_a")
+    est_b = est("sum_geo_b", "n_reg_b")
+    est_u = est("sum_geo_u", "n_reg_u")
+    return (
+        pairs.join(uni, ["type_a", "type_b"])
+        .join(ex, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            est_a.alias("est_a"),
+            est_b.alias("est_b"),
+            est_u.alias("est_union"),
+            (est_a + est_b - est_u).alias("est_intersection"),
+            F.coalesce("exact_intersection", F.lit(0)).alias(
+                "exact_intersection"
+            ),
+        )
+    )

@@ -178,6 +178,9 @@ _BNLJ_WAIVERS: dict[str, str] = {
     + " (two 1-row scalar aggregates cross-joined for the final ratios)",
     "q22_dormant_customers": _R_SCALAR,
     "q_equidepth_price": _R_SCALAR,
+    "q_hll_set_ops": _R_PAIRS
+    + " (event-type pairs: both sides are the |types|-row register "
+    "summary frame, sketch-sized by construction)",
     "q_join_size_estimate": _R_SCALAR,
     "q_priority_sample_sum": _R_SCALAR
     + " (1-row tau / exact-total frames cross-joined into the estimate)",

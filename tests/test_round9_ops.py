@@ -458,3 +458,63 @@ def test_mp3_frame_walk_lengths(spark, sf_dir):
             expect += 144000 * br // sr + pad
         assert r["total_bytes"] == expect
         assert r["total_samples"] == nf * 1152
+
+
+def test_holt_winters_matches_python_reference(spark, sf_dir):
+    """The 26-state fold must equal a plain-Python Holt-Winters run over
+    the same hourly series (same gains, same slot rotation)."""
+    import pandas as pd
+
+    from real_value_etl_spark.queries.all_queries import REGISTRY
+    from real_value_etl_spark.queries.events_queries import (
+        HW_ALPHA,
+        HW_BETA,
+        HW_GAMMA,
+        HW_M,
+    )
+
+    got = {
+        r["event_type"]: r
+        for r in REGISTRY["events_holt_winters"].fn(spark, sf_dir).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    ts = pd.to_datetime(ev["ts"])
+    ev = ev.assign(h=ts.dt.floor("h").astype("int64") // 10**9)
+    for etype, g in ev.groupby("event_type"):
+        hc = g.groupby("h").size().sort_index()
+        level = trend = 0.0
+        seas = [0.0] * HW_M
+        slot = -1
+        for h, x in hc.items():
+            x = float(x)
+            slot = (h // 3600) % HW_M
+            sm = seas[slot]
+            new_level = HW_ALPHA * (x - sm) + (1 - HW_ALPHA) * (level + trend)
+            trend = HW_BETA * (new_level - level) + (1 - HW_BETA) * trend
+            seas[slot] = HW_GAMMA * (x - new_level) + (1 - HW_GAMMA) * sm
+            level = new_level
+        r = got[etype]
+        assert r["n_hours"] == len(hc)
+        assert r["level"] == level
+        assert r["trend"] == trend
+        assert r["season_next"] == seas[(slot + 1) % HW_M]
+        assert r["forecast_1"] == level + trend + seas[(slot + 1) % HW_M]
+
+
+def test_hll_set_ops_algebra_invariants(spark, sf_dir):
+    """Register-max union must dominate each input and respect
+    subadditivity (raw-regime monotonicity); exact intersection is
+    nonnegative and bounded by the smaller exact segment."""
+    from real_value_etl_spark.queries.all_queries import REGISTRY
+
+    rows = REGISTRY["q_hll_set_ops"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["est_union"] >= max(r["est_a"], r["est_b"]) - 1e-9
+        assert r["est_union"] <= r["est_a"] + r["est_b"] + 1e-9
+        assert r["exact_intersection"] >= 0
+        # inclusion-exclusion consistency by construction
+        assert abs(
+            r["est_intersection"]
+            - (r["est_a"] + r["est_b"] - r["est_union"])
+        ) < 1e-9
