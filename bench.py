@@ -120,6 +120,20 @@ SF1_HEAVY = [
     # their sf0.1 bases are measured inside bench_sf1 (non-HEADLINE path).
     "q_cube_hll_users",
     "q_skyline_parts",
+    # round-9 admissions, hand-probed first (tools/r9_sf1_probe.py, quiet-
+    # ratio protocol): sim_mmr_rerank 5.68 -> 12.13 s (2.14x for 10x
+    # embeddings — the candidate brute scan is the only growing stage) and
+    # stream_countmin 2.16 -> 4.30 s (1.99x for a real 10x event stream
+    # through applyInPandasWithState). NOT admitted: graph_k_core — its
+    # ratio measured 0.99 because the tiled fixture reuses the cust/supp
+    # key universe, so the DISTINCT edge set saturates at 586,871 rows at
+    # BOTH scales (verified by count); the fixture cannot exercise the
+    # peel's growth, and a flat leg would overstate the evidence. The
+    # codecs/burst/holt-winters/hll-setops/rep-coverage probes all read
+    # 0.7-1.5x (map-only or bounded-series plans, fixed overhead
+    # dominates) — recorded in COVERAGE.md, no leg needed.
+    "sim_mmr_rerank",
+    "stream_countmin",
 ]
 
 
