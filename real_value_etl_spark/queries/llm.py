@@ -3650,3 +3650,185 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 sim_mmr_rerank.__doc__ = sim_mmr_rerank.__doc__.format(C=MMR_CAND, K=MMR_K)
+
+
+# ---------------------------------------------------------------------------
+# Stupid Backoff n-gram scoring (Brants et al. 2007, "Large Language
+# Models in Machine Translation") — the log-free web-scale LM baseline
+# ---------------------------------------------------------------------------
+SB_TOP_BIGRAMS = 10  # probe contexts
+SB_TOP_UNIGRAMS = 3  # probe continuations
+SB_LAMBDA = "0.4"  # the canonical backoff factor — same literal, both engines
+
+
+def _sb_oracle() -> str:
+    return f"""
+    WITH toks AS (SELECT doc_id, {T.tokens_sql("text")} AS ts FROM documents),
+    uni AS MATERIALIZED (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c1 FROM (
+        SELECT unnest(ts) AS w FROM toks) GROUP BY w
+    ),
+    n_tok AS (SELECT CAST(SUM(c1) AS BIGINT) AS n FROM uni),
+    bi AS MATERIALIZED (
+      SELECT ts[i] AS a, ts[i + 1] AS b, CAST(COUNT(*) AS BIGINT) AS c2
+      FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(ts), 1))) AS i) r
+      WHERE len(ts) >= 2
+      GROUP BY 1, 2
+    ),
+    tri AS MATERIALIZED (
+      SELECT ts[i] AS a, ts[i + 1] AS b, ts[i + 2] AS c,
+             CAST(COUNT(*) AS BIGINT) AS c3
+      FROM toks,
+           LATERAL (SELECT unnest(range(1, greatest(len(ts) - 1, 1))) AS i) r
+      WHERE len(ts) >= 3
+      GROUP BY 1, 2, 3
+    ),
+    top_bi AS (
+      SELECT a, b, c2 FROM (
+        SELECT a, b, c2, ROW_NUMBER() OVER (ORDER BY c2 DESC, a, b) AS r
+        FROM bi) WHERE r <= {SB_TOP_BIGRAMS}
+    ),
+    top_uni AS (
+      SELECT w, c1 FROM (
+        SELECT w, c1, ROW_NUMBER() OVER (ORDER BY c1 DESC, w) AS r
+        FROM uni) WHERE r <= {SB_TOP_UNIGRAMS}
+    ),
+    probes AS (
+      SELECT tb.a, tb.b, tu.w AS c, tb.c2 AS c2_ab
+      FROM top_bi tb CROSS JOIN top_uni tu
+    )
+    SELECT p.a, p.b, p.c,
+           CASE WHEN t.c3 IS NOT NULL THEN 'trigram'
+                WHEN b2.c2 IS NOT NULL THEN 'bigram-backoff'
+                ELSE 'unigram-backoff' END AS path,
+           CASE WHEN t.c3 IS NOT NULL
+                THEN CAST(t.c3 AS DOUBLE) / p.c2_ab
+                WHEN b2.c2 IS NOT NULL
+                THEN {SB_LAMBDA} * (CAST(b2.c2 AS DOUBLE) / ub.c1)
+                ELSE {SB_LAMBDA} * ({SB_LAMBDA}
+                     * (CAST(uc.c1 AS DOUBLE) / nt.n)) END AS score
+    FROM probes p
+    LEFT JOIN tri t ON t.a = p.a AND t.b = p.b AND t.c = p.c
+    LEFT JOIN bi b2 ON b2.a = p.b AND b2.b = p.c
+    JOIN uni ub ON ub.w = p.b
+    JOIN uni uc ON uc.w = p.c
+    CROSS JOIN n_tok nt
+    """
+
+
+@register(
+    "text_stupid_backoff",
+    oracle=_sb_oracle(),
+    tags=("llm", "text", "lm", "search"),
+)
+def text_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STUPID BACKOFF trigram scoring (Brants et al. 2007) — the LM
+    score Google shipped at web scale precisely BECAUSE it needs no
+    normalization and no logs: S(c|a,b) = count(abc)/count(ab) when the
+    trigram exists, else 0.4 * S(c|b), else 0.4 * 0.4 * count(c)/N.
+    The probe set is the top-{nb} bigram contexts x top-{nu} unigram
+    continuations (both deterministic: count desc, token asc), so all
+    three backoff paths exercise on real data; every score is
+    count-ratio arithmetic in a pinned shape — no ln(), the repo's
+    cross-engine doctrine — and hash-matches the SQL replay exactly.
+    Complements text_kneser_ney_score (exact-integer discounts): KN is
+    the quality-eval scorer, Stupid Backoff the serving-scale one.
+
+    Scale shape: the three count tables build map-side-combined from
+    one token explode; the {nb}x{nu}-row probe frame SEMI-PRUNES each
+    count table before its left join (broadcast of the probe keys —
+    never a broadcast of the vocabulary-sized tables), so at 100 TB the
+    big tables are filtered down to probe-key rows before any join
+    builds a hash side."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", T.tokens(F.col("text")).alias("ts"))
+    uni = (
+        toks.select(F.explode("ts").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c1"))
+    )
+    n_tok = uni.agg(F.sum("c1").alias("n"))
+
+    def grams(width, names):
+        g = toks.filter(F.size("ts") >= width).select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - (width - 1)),
+                    lambda i: F.struct(
+                        *[
+                            F.element_at("ts", (i + j).cast("int")).alias(
+                                names[j]
+                            )
+                            for j in range(width)
+                        ]
+                    ),
+                )
+            ).alias("g")
+        )
+        return g.select(*[F.col(f"g.{nm}").alias(nm) for nm in names])
+
+    bi = grams(2, ["a", "b"]).groupBy("a", "b").agg(F.count("*").alias("c2"))
+    tri = (
+        grams(3, ["a", "b", "c"])
+        .groupBy("a", "b", "c")
+        .agg(F.count("*").alias("c3"))
+    )
+    top_bi = bi.orderBy(F.desc("c2"), "a", "b").limit(SB_TOP_BIGRAMS)
+    top_uni = (
+        uni.orderBy(F.desc("c1"), "w")
+        .limit(SB_TOP_UNIGRAMS)
+        .select(F.col("w").alias("c"))
+    )
+    probes = top_bi.select("a", "b", F.col("c2").alias("c2_ab")).crossJoin(
+        F.broadcast(top_uni)
+    )
+    # scale-correct join shape: prune each count table to probe keys
+    # FIRST (broadcast semi-join of the tiny probe-key frame), then left
+    # join small-to-small
+    tri_p = tri.join(
+        F.broadcast(probes.select("a", "b", "c")), ["a", "b", "c"], "left_semi"
+    )
+    bi_bc = bi.select(
+        F.col("a").alias("b"), F.col("b").alias("c"), F.col("c2").alias("c2_bc")
+    )
+    bi_p = bi_bc.join(
+        F.broadcast(probes.select("b", "c")), ["b", "c"], "left_semi"
+    )
+    uni_b = uni.select(F.col("w").alias("b"), F.col("c1").alias("c1_b")).join(
+        F.broadcast(probes.select("b")), ["b"], "left_semi"
+    )
+    uni_c = uni.select(F.col("w").alias("c"), F.col("c1").alias("c1_c")).join(
+        F.broadcast(probes.select("c")), ["c"], "left_semi"
+    )
+    lam = F.lit(float(SB_LAMBDA))
+    out = (
+        probes.join(tri_p, ["a", "b", "c"], "left")
+        .join(bi_p, ["b", "c"], "left")
+        .join(uni_b, ["b"])
+        .join(uni_c, ["c"])
+        .crossJoin(F.broadcast(n_tok))
+    )
+    score = (
+        F.when(
+            F.col("c3").isNotNull(),
+            F.col("c3").cast("double") / F.col("c2_ab"),
+        )
+        .when(
+            F.col("c2_bc").isNotNull(),
+            lam * (F.col("c2_bc").cast("double") / F.col("c1_b")),
+        )
+        .otherwise(lam * (lam * (F.col("c1_c").cast("double") / F.col("n"))))
+    )
+    path = (
+        F.when(F.col("c3").isNotNull(), "trigram")
+        .when(F.col("c2_bc").isNotNull(), "bigram-backoff")
+        .otherwise("unigram-backoff")
+    )
+    return out.select(
+        "a", "b", "c", path.alias("path"), score.alias("score")
+    )
+
+
+text_stupid_backoff.__doc__ = text_stupid_backoff.__doc__.format(
+    nb=SB_TOP_BIGRAMS, nu=SB_TOP_UNIGRAMS
+)
