@@ -34,74 +34,73 @@ from . import (  # noqa: F401
 )
 from .registry import REGISTRY
 
-# Round-9 window (VERDICT r8 asks #1 and #3). Composition, mechanical from
-# CORRECTNESS_r01..r08 latest-green rows (histogram after r8:
-# {r3:11, r4:27, r5:45, r6:49, r7:50, r8:49}):
-#   (a) the 9 round-8 additions that have NEVER appeared in any
-#       CORRECTNESS window — they lead;
-#   (b) the 3 DECIMAL-output fixes that MUST re-confirm on the changed
-#       plans: q_weighted_median (the r8 driver-red — total_weight now
-#       CAST AS DOUBLE on both engines) and its two latent siblings
-#       q_gini_revenue / q_priority_sample_sum (passed r8 only because
-#       their totals happened to carry nonzero cents);
-#   (c) the 11 r3 stragglers deferred from the r8 rotation;
-#   (d) the entire 27-query r4 cohort.
-# 9 + 3 + 11 + 27 = 50 exactly. Post-window oldest-evidence bucket: r5.
+# Round-10 window (VERDICT r9 ask #2). Composition, mechanical from
+# CORRECTNESS_r01..r09 latest-green rows (histogram after r9:
+# {r4:1, r5:45, r6:49, r7:50, r8:47, r9:50}, 10 never-checked):
+#   (a) the 10 round-9 additions that have NEVER appeared in any
+#       CORRECTNESS window — they lead (incl. text_stupid_backoff, now
+#       gated/budgeted/inventoried per VERDICT r9 ask #1);
+#   (b) q_approx_stats — the lone r4-evidence row (rows-only by
+#       construction: approx sketches, no DuckDB oracle);
+#   (c) the first 39 (alphabetical) of the 45-query r5 cohort; the
+#       remaining 6 (stream_kmv_distinct, text_bpe_train,
+#       text_kmv_jaccard, text_postings, text_tfidf_cosine_pairs,
+#       text_tokenizer_fertility) rotate to r11.
+# 10 + 1 + 39 = 50 exactly. Post-window oldest-evidence bucket: r5 (6).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- (a) round-8 additions, zero driver evidence
-    "events_changepoint_cusum",
-    "events_markov_transitions",
-    "multimodal_exif_subifd_parse",
-    "multimodal_mp3_id3_parse",
-    "q_hdr_histogram_price",
-    "q_join_size_cm_sketch",
-    "sim_ndcg_matryoshka",
-    "stream_priority_sample",
-    "text_winnowing_fingerprints",
-    # -- (b) DECIMAL-output fix re-confirms (r8 driver-red + latent pair)
-    "q_weighted_median",
-    "q_gini_revenue",
-    "q_priority_sample_sum",
-    # -- (c) r3 stragglers (oldest evidence in the registry)
-    "q9_product_profit",
-    "q_equidepth_price",
-    "q_unpivot_measures",
-    "sim_hard_negatives",
-    "sim_matryoshka_recall",
-    "sim_pair_distance_hist",
-    "sim_quantization_recall",
-    "sim_rerank_quantized",
-    "stream_cdc_apply",
-    "text_bpe_token_count",
-    "text_collocations",
-    # -- (d) the full r4-latest cohort (27 queries)
-    "docs_ccnet_buckets",
-    "docs_containment",
-    "docs_incremental_dedup",
-    "docs_leakage_safe_split",
-    "docs_shuffle_shards",
-    "docs_token_budget_sample",
-    "docs_tokenize_ids",
-    "docs_via_evolved_parquet",
-    "docs_vocab_growth",
-    "docs_winsorize",
-    "events_anomaly_transitions",
-    "events_churn_by_cohort",
-    "events_holt_linear",
-    "events_rolling_active_users",
-    "events_top_paths",
-    "events_transition_matrix",
-    "events_via_snapshot_table",
-    "lang_id_kappa",
-    "multimodal_header_parse",
-    "multimodal_phash_dedup",
-    "q_join_size_estimate",
-    "q_key_skew_report",
-    "q_rollup_share_of_parent",
-    "sim_pq_adc_recall",
-    "sim_pq_encode",
-    "text_countmin_freq",
-    "text_kmv_distinct",
+    # -- (a) round-9 additions, zero driver evidence
+    "docs_rep_ngram_coverage",
+    "events_holt_winters",
+    "events_max_burst_interval",
+    "graph_k_core",
+    "multimodal_mp3_frame_walk",
+    "multimodal_png_idat_parse",
+    "q_hll_set_ops",
+    "sim_mmr_rerank",
+    "stream_countmin",
+    "text_stupid_backoff",
+    # -- (b) the lone r4-evidence row (rows-only check by construction)
+    "q_approx_stats",
+    # -- (c) r5 cohort, first 39 alphabetical
+    "asof_next_click",
+    "customer_via_csv_source",
+    "dedup_exact_docs",
+    "dedup_jaccard_prefix",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "docs_pack_sequences",
+    "docs_pretraining_mix",
+    "docs_quality_calibration",
+    "docs_span_pair_dedup",
+    "docs_udtf_token_spans",
+    "emb_power_iteration",
+    "emb_random_projection",
+    "etl_array_funcs",
+    "etl_scalar_funcs",
+    "events_ab_test_zscore",
+    "events_dedup_keepfirst",
+    "events_k_anonymity",
+    "events_late_arrival_audit",
+    "events_scd2_pointintime",
+    "events_seasonal_baseline",
+    "fuzzy_match_customers",
+    "graph_bfs_distance",
+    "graph_components_star",
+    "graph_pagerank_lineitem",
+    "graph_triangle_count",
+    "lang_id_auc",
+    "multimodal_decode",
+    "multimodal_wav_header_parse",
+    "orders_market_basket",
+    "q_null_semantics",
+    "q_percentile_disc",
+    "q_salted_hot_key_agg",
+    "q_try_arithmetic",
+    "sim_embedding_topk",
+    "sim_kmeans_train",
+    "sim_nprobe_recall_curve",
+    "sim_silhouette",
+    "stream_holt_forecast",
 )
 
 

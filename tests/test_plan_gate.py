@@ -165,6 +165,11 @@ _BNLJ_WAIVERS: dict[str, str] = {
     "text_bm25_search": _R_PAIRS,
     "text_kneser_ney_score": _R_SCALAR
     + " (1-row bigram-type count broadcast into the scoring join)",
+    "text_stupid_backoff": "probe frame = top-SB_TOP_BIGRAMS bigram "
+    "contexts x top-SB_TOP_UNIGRAMS continuations (10 x 3 = 30 rows by "
+    "construction, queries/llm.py SB_TOP_* constants); the corpus-sized "
+    "tri/bi/uni count frames join the 30-row probe set with equi-keys "
+    "only — this crossJoin never touches a corpus-sized side",
     "text_bpe_train": _R_PAIRS
     + " (merge-candidate frame vs one-row best-pair scalar)",
     "text_collocations": _R_PAIRS,
@@ -258,13 +263,20 @@ def test_plan_gate(spark, sf_dir, name):
 
     sf_label = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     budget = _SHUFFLE_BUDGET.get(sf_label, {}).get(name)
-    if budget is not None:
-        got = {
-            "exchange": len(_EXCHANGE_RE.findall(plan)),
-            "broadcast": len(_BROADCAST_RE.findall(plan)),
-        }
-        assert got == budget, (
-            f"{name}: exchange counts changed (got {got}, budget "
-            f"{budget}) — if the plan change is deliberate, regenerate "
-            "with `python tools/make_shuffle_budget.py` and commit"
-        )
+    # A registered query with NO pinned budget is a gate FAILURE, not a
+    # skip: round 9 ended red because a final-commit query slipped in
+    # unbudgeted and the silent skip hid it (VERDICT r9 ask #1).
+    assert budget is not None, (
+        f"{name}: no shuffle-budget entry for sf{sf_label} — run "
+        "`python tools/make_shuffle_budget.py` (or tools/refresh_evidence.py) "
+        "and commit tests/shuffle_budget.json"
+    )
+    got = {
+        "exchange": len(_EXCHANGE_RE.findall(plan)),
+        "broadcast": len(_BROADCAST_RE.findall(plan)),
+    }
+    assert got == budget, (
+        f"{name}: exchange counts changed (got {got}, budget "
+        f"{budget}) — if the plan change is deliberate, regenerate "
+        "with `python tools/make_shuffle_budget.py` and commit"
+    )
