@@ -257,6 +257,12 @@ def bench_sf1(spark, base_timings: dict[str, float]):
     for name in SF1_HEAVY:
         spec = REGISTRY[name]
         n_reads = 3 if "stream" in spec.tags else 1
+        # base_reads exists ONLY when this loop measured the sf0.1 base
+        # itself (name outside HEADLINE); key every consumer on that one
+        # fact instead of the coincidentally-equivalent `name not in
+        # base_timings` (r9 ADVICE: the two drifting apart would
+        # attribute a stale reading to the wrong query)
+        base_reads = None
         try:
             if name not in bases:
                 # SF1_HEAVY entry outside HEADLINE (the streaming drain):
@@ -288,9 +294,9 @@ def bench_sf1(spark, base_timings: dict[str, float]):
         }
         if n_reads > 1:
             out[name]["readings"] = reads
-            if name not in base_timings:
+            if base_reads is not None:
                 out[name]["sf0.1_readings"] = base_reads
-        if name not in base_timings and base:
+        if base_reads is not None and base:
             # surface the locally-measured sf0.1 base (ADVICE r6): the
             # headline dict never sees it, and decade_exponents needs it
             # to emit the third-decade exponent for non-HEADLINE entries

@@ -256,9 +256,16 @@ def ngram_jaccard_pairs(
             return ngram_jaccard_pairs_prefix(
                 df, id_col, text_col, threshold
             )
-        for p, frame in _SHARED_PAIRS.get(key, ()):
-            if _same_plan(p, plan):  # hash bucket + sameResult = identity
-                return frame
+        candidates = list(_SHARED_PAIRS.get(key, ()))
+    # sameResult is a py4j JVM round-trip — run it OUTSIDE the lock so a
+    # stalled gateway never serializes every concurrent consumer (r9
+    # ADVICE). The snapshot may go stale either way harmlessly: a hit on
+    # a since-released frame is still a valid lazy plan (see the publish
+    # path), and a concurrent publish we miss just means we build too
+    # and lose the locked re-validation race below.
+    for p, frame in candidates:
+        if _same_plan(p, plan):  # hash bucket + sameResult = identity
+            return frame
     built = ngram_jaccard_pairs_prefix(df, id_col, text_col, threshold).persist()
     winner = None
     with _SHARED_PAIRS_LOCK:

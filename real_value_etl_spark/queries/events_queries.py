@@ -2560,6 +2560,23 @@ BURST_PACK = 1 << 14  # position packing: series length/type < 16,384 hours
 # (~1.9 hourly years); longer ranges pre-aggregate to days first
 
 
+def burst_key_guarded_sql() -> str:
+    """The packed Kadane key with a LOUD bound guard (r9 ADVICE): a
+    violated packing bound would corrupt the key IDENTICALLY on both
+    engines, so the oracle-parity gate cannot catch it — the result
+    would be green but not the true max burst. raise_error() fails the
+    job instead; the DuckDB oracle carries the same CASE with error().
+    Expects columns `rn` (per-type position) and `p` (scaled prefix sum)
+    in scope. Unit-tested directly in tests/test_round10_ops.py."""
+    return (
+        f"CASE WHEN rn >= {BURST_PACK} OR abs(p) >= {BURST_BIAS} THEN"
+        " CAST(raise_error('events_max_burst_interval: packing bound"
+        " exceeded (rn < 2^14, |prefix| < 2^46); pre-aggregate to"
+        f" days') AS BIGINT) ELSE (p + {BURST_BIAS}L) * {BURST_PACK}L"
+        " + rn END"
+    )
+
+
 @register(
     "events_max_burst_interval",
     oracle=f"""
@@ -2586,7 +2603,12 @@ BURST_PACK = 1 << 14  # position packing: series length/type < 16,384 hours
       FROM x
     ),
     keyed AS (
-      SELECT *, (p + {BURST_BIAS}) * {BURST_PACK} + rn AS key FROM pre
+      SELECT *, CASE WHEN rn >= {BURST_PACK} OR abs(p) >= {BURST_BIAS}
+                THEN CAST(error('events_max_burst_interval: packing bound '
+                                'exceeded (rn < 2^14, |prefix| < 2^46)')
+                          AS BIGINT)
+                ELSE (p + {BURST_BIAS}) * {BURST_PACK} + rn END AS key
+      FROM pre
     ),
     mk AS (
       SELECT *,
@@ -2674,9 +2696,7 @@ def events_max_burst_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pre = x.withColumn("p", F.sum("dev").over(w_run))
     key0 = F.lit(BURST_BIAS * BURST_PACK).cast("long")
-    keyed = pre.withColumn(
-        "key", (F.col("p") + F.lit(BURST_BIAS)) * BURST_PACK + F.col("rn")
-    )
+    keyed = pre.withColumn("key", F.expr(burst_key_guarded_sql()))
     mk = keyed.withColumn(
         "mkey", F.least(key0, F.coalesce(F.min("key").over(w_prev), key0))
     )

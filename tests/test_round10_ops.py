@@ -1,0 +1,163 @@
+"""Round-10 additions: loud-guard semantics, Stupid Backoff hand
+verification, and regression tests for this round's fixes."""
+
+from __future__ import annotations
+
+import math
+import os
+from collections import Counter
+
+import pytest
+
+
+def test_burst_guard_fires_loudly(spark):
+    """The Kadane key guard (r9 ADVICE) must RAISE on a bound violation —
+    never return an agreeing-but-wrong packed key — and be a no-op
+    inside the documented bounds."""
+    from real_value_etl_spark.queries.events_queries import (
+        BURST_BIAS,
+        BURST_PACK,
+        burst_key_guarded_sql,
+    )
+    from pyspark.sql import functions as F
+
+    ok = spark.createDataFrame(
+        [(5, -123), (1, 0)], "rn int, p long"
+    ).select(F.expr(burst_key_guarded_sql()).alias("key"))
+    got = sorted(r["key"] for r in ok.collect())
+    assert got == sorted(
+        [(-123 + BURST_BIAS) * BURST_PACK + 5, BURST_BIAS * BURST_PACK + 1]
+    )
+
+    for rn, p in [(BURST_PACK, 0), (1, BURST_BIAS), (1, -BURST_BIAS)]:
+        bad = spark.createDataFrame([(rn, p)], "rn int, p long").select(
+            F.expr(burst_key_guarded_sql())
+        )
+        with pytest.raises(Exception, match="packing bound exceeded"):
+            bad.collect()
+
+
+def test_burst_guard_oracle_fires_too(sf_dir):
+    """The DuckDB oracle carries the SAME guard: replaying the oracle
+    over a series long enough to break the rn bound must error, not
+    return a corrupt interval."""
+    import duckdb
+
+    from real_value_etl_spark.queries.all_queries import REGISTRY
+    from real_value_etl_spark.queries.events_queries import BURST_PACK
+
+    oracle = REGISTRY["events_max_burst_interval"].oracle
+    con = duckdb.connect()
+    # one event per hour for BURST_PACK+8 hours => rn exceeds the bound
+    con.execute(
+        f"""CREATE VIEW events AS
+            SELECT 'burst' AS event_type, 1 AS user_id,
+                   TIMESTAMP '2024-01-01 00:00:00'
+                     + INTERVAL (i) HOUR AS ts
+            FROM range({BURST_PACK + 8}) t(i)"""
+    )
+    with pytest.raises(Exception, match="packing bound exceeded"):
+        con.execute(oracle).fetchall()
+
+
+def _write_documents(tmp_path, texts) -> str:
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(1, len(texts) + 1)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["t"] * len(texts),
+        }
+    )
+    d = str(tmp_path)
+    pq.write_table(pa.Table.from_pandas(pdf), os.path.join(d, "documents.parquet"))
+    return d
+
+
+def test_stupid_backoff_hand_corpus(spark, tmp_path):
+    """Full hand replication on a constructed corpus that exercises all
+    three backoff paths: per-probe (path, score) must equal the pure-
+    Python Stupid Backoff computed from whitespace-token counts."""
+    from real_value_etl_spark.queries.llm import (
+        SB_LAMBDA,
+        SB_TOP_BIGRAMS,
+        SB_TOP_UNIGRAMS,
+        text_stupid_backoff,
+    )
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat sat on a log",
+        "a dog sat on the mat",
+        "the dog ran",
+        "sat the cat",
+    ]
+    sf_dir = _write_documents(tmp_path, texts)
+
+    toks = [t.split() for t in texts]
+    uni: Counter = Counter(w for ts in toks for w in ts)
+    bi: Counter = Counter(
+        (ts[i], ts[i + 1]) for ts in toks for i in range(len(ts) - 1)
+    )
+    tri: Counter = Counter(
+        (ts[i], ts[i + 1], ts[i + 2])
+        for ts in toks
+        for i in range(len(ts) - 2)
+    )
+    n = sum(uni.values())
+    lam = float(SB_LAMBDA)
+    top_bi = sorted(bi.items(), key=lambda kv: (-kv[1], kv[0]))[
+        :SB_TOP_BIGRAMS
+    ]
+    top_uni = sorted(uni.items(), key=lambda kv: (-kv[1], kv[0]))[
+        :SB_TOP_UNIGRAMS
+    ]
+    want = {}
+    for (a, b), c2_ab in top_bi:
+        for c, _ in top_uni:
+            if (a, b, c) in tri:
+                want[(a, b, c)] = ("trigram", tri[(a, b, c)] / c2_ab)
+            elif (b, c) in bi:
+                want[(a, b, c)] = (
+                    "bigram-backoff",
+                    lam * (bi[(b, c)] / uni[b]),
+                )
+            else:
+                want[(a, b, c)] = (
+                    "unigram-backoff",
+                    lam * (lam * (uni[c] / n)),
+                )
+    rows = text_stupid_backoff(spark, sf_dir).collect()
+    got = {(r["a"], r["b"], r["c"]): (r["path"], r["score"]) for r in rows}
+    assert set(got) == set(want)
+    assert len(got) == min(SB_TOP_BIGRAMS, len(bi)) * min(
+        SB_TOP_UNIGRAMS, len(uni)
+    )
+    paths_seen = {p for p, _ in got.values()}
+    assert paths_seen == {"trigram", "bigram-backoff", "unigram-backoff"}
+    for key, (path, score) in want.items():
+        assert got[key][0] == path, key
+        assert math.isclose(got[key][1], score, rel_tol=1e-15), key
+
+
+def test_stupid_backoff_fixture_bounds(spark, sf_dir):
+    """On the driver fixture: exactly nb*nu probe rows and path-specific
+    score bounds (trigram MLE <= 1, bigram path <= lambda, unigram path
+    <= lambda^2)."""
+    from real_value_etl_spark.queries.all_queries import REGISTRY
+    from real_value_etl_spark.queries.llm import (
+        SB_LAMBDA,
+        SB_TOP_BIGRAMS,
+        SB_TOP_UNIGRAMS,
+    )
+
+    rows = REGISTRY["text_stupid_backoff"].fn(spark, sf_dir).collect()
+    assert len(rows) == SB_TOP_BIGRAMS * SB_TOP_UNIGRAMS
+    lam = float(SB_LAMBDA)
+    cap = {"trigram": 1.0, "bigram-backoff": lam, "unigram-backoff": lam * lam}
+    for r in rows:
+        assert 0.0 < r["score"] <= cap[r["path"]], r

@@ -303,15 +303,51 @@ def test_max_burst_interval_matches_bruteforce(spark, sf_dir):
 
 
 def test_k_core_peel_properties(spark, sf_dir):
-    """Every surviving node's core degree >= K (the peel reached its
-    fixed point at this scale), and re-peeling the survivors changes
-    nothing (idempotence)."""
+    """Every surviving node's core degree >= K, the reported (node,
+    core_deg) set equals an independent pure-Python synchronized peel
+    run TO ITS FIXED POINT over the same symmetrized edge list, and the
+    fixed point is reached within the query's unrolled round count —
+    i.e. re-peeling the survivors removes nothing (idempotence)."""
+    import duckdb
+
     from real_value_etl_spark.queries.all_queries import REGISTRY
-    from real_value_etl_spark.queries.graph import KCORE_K
+    from real_value_etl_spark.queries.graph import KCORE_K, KCORE_ROUNDS
 
     rows = REGISTRY["graph_k_core"].fn(spark, sf_dir).collect()
     assert rows, "k-core emptied — K is mis-tuned for the fixture"
     assert min(r["core_deg"] for r in rows) >= KCORE_K
+
+    edges = duckdb.connect().execute(
+        f"""SELECT DISTINCT 2 * o_custkey AS src, 2 * l_suppkey + 1 AS dst
+            FROM '{sf_dir}/orders.parquet'
+            JOIN '{sf_dir}/lineitem.parquet' ON l_orderkey = o_orderkey"""
+    ).fetchall()
+    adj: dict[int, set[int]] = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    rounds = 0
+    while True:
+        # synchronized sweep: the dead set is decided on the round's
+        # snapshot BEFORE any removal, exactly like the unrolled joins
+        dead = [n for n, nb in adj.items() if len(nb) < KCORE_K]
+        if not dead:
+            break
+        rounds += 1
+        for n in dead:
+            for m in adj.pop(n):
+                if m in adj:
+                    adj[m].discard(n)
+    assert rounds <= KCORE_ROUNDS, (
+        f"peel needs {rounds} rounds; the query unrolls only "
+        f"{KCORE_ROUNDS} — its output is NOT a fixed point here"
+    )
+    got = {r["node"]: r["core_deg"] for r in rows}
+    want = {
+        ("c" if n % 2 == 0 else "s") + str(n // 2): len(nb)
+        for n, nb in adj.items()
+    }
+    assert got == want  # idempotent fixed point, degree-exact
 
 
 def test_png_idat_codec_fields(spark, sf_dir):
@@ -391,6 +427,56 @@ def test_mmr_rerank_greedy_invariants(spark, sf_dir):
         assert [r["step"] for r in rs] == list(range(1, MMR_K + 1))
         picks = [r["vec_id"] for r in rs]
         assert len(set(picks)) == len(picks)  # no repeats
+
+    # Recompute the full greedy for ONE query from the raw embeddings
+    # (sequential-fold cosines, the engines' shared contract): every
+    # step's pick must be the argmax of 0.7*rel - 0.3*max-pair-sim over
+    # the unpicked candidates, ties to the smaller vec_id.
+    import math
+
+    import duckdb
+
+    from real_value_etl_spark.queries.llm import MMR_CAND
+
+    qid = min(by_q)
+    vecs = dict(
+        duckdb.connect()
+        .execute(
+            "SELECT vec_id, CAST(embedding AS DOUBLE[]) FROM "
+            f"'{sf_dir}/embeddings.parquet'"
+        )
+        .fetchall()
+    )
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def cos(a, b):
+        return dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+
+    qv = vecs[qid]
+    rel = {v: cos(vec, qv) for v, vec in vecs.items() if v != qid}
+    cand = sorted(rel, key=lambda v: (-rel[v], v))[:MMR_CAND]
+    selected: list[int] = []
+    expect: list[tuple[int, float]] = []
+    for _step in range(MMR_K):
+        best = None
+        for c in cand:
+            if c in selected:
+                continue
+            score = 0.7 * rel[c]
+            if selected:
+                score -= 0.3 * max(cos(vecs[c], vecs[s]) for s in selected)
+            if best is None or (-score, c) < best[0]:
+                best = ((-score, c), c, score)
+        selected.append(best[1])
+        expect.append((best[1], best[2]))
+    assert [r["vec_id"] for r in by_q[qid]] == [v for v, _ in expect]
+    for r, (_, sc) in zip(by_q[qid], expect):
+        assert math.isclose(r["mmr_score"], sc, rel_tol=1e-9, abs_tol=1e-12)
 
 
 def test_rep_ngram_coverage_hand_example(spark):
