@@ -3781,3 +3781,314 @@ def q_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deflate FIXED-HUFFMAN block decode — ninth byte codec, and the first at
+# BIT granularity: variable-length (7/8/9-bit) canonical Huffman codes
+# packed LSB-first across byte boundaries (RFC 1951 §3.1.1 / §3.2.6)
+# ---------------------------------------------------------------------------
+ZFH_MAX_LITS = 12  # literal count per row = doc_id % 5 + 8 (8..12)
+
+
+def _zfh_oracle() -> str:
+    return f"""
+    WITH lits AS (
+      SELECT d.doc_id, t.k,
+             ((CAST('0x' || substring(
+                 hex(encode(rpad(d.text, 16, ' '))), 2 * t.k + 1, 2)
+               AS BIGINT) * 7 + d.doc_id + t.k * 13) % 256) AS lit
+      FROM documents d,
+           LATERAL (SELECT unnest(range(0, d.doc_id % 5 + 8)) AS k) t
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_literals,
+             CAST(SUM(CASE WHEN lit >= 144 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_9bit_literals,
+             CAST(SUM(lit) AS BIGINT) AS literal_sum,
+             CAST(3 + SUM(8 + CASE WHEN lit >= 144 THEN 1 ELSE 0 END) + 7
+               AS BIGINT) AS total_bits
+      FROM lits GROUP BY doc_id
+    )
+    SELECT doc_id, TRUE AS zlib_fixed_hdr_ok, TRUE AS eob_ok,
+           TRUE AS codes_ok, n_literals, n_9bit_literals, literal_sum,
+           total_bits, TRUE AS padding_ok, TRUE AS stream_len_ok,
+           CAST(2 + (total_bits + 7) // 8 + 4 AS BIGINT) AS total_len
+    FROM agg
+    """
+
+
+
+def _zfh_byt(x):  # one byte from a 0..255 long expression
+    return F.unhex(F.lpad(F.hex(x), 2, "0"))
+
+
+def _zfh_bit(c, j):  # bit j (literal int) of a long column, as long
+    return F.shiftright(c, j).bitwiseAND(F.lit(1))
+
+
+def _zfh_rd(col, pos, nbytes):  # big-endian read, 1-based position column
+    return F.coalesce(
+        F.conv(
+            F.hex(
+                F.substring(
+                    col,
+                    pos if isinstance(pos, int) else pos.cast("int"),
+                    nbytes,
+                )
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(0).cast("long"),
+    )
+
+
+def _zfh_build(d: DataFrame) -> DataFrame:
+    """Bit-pack each doc's literal sequence as ONE genuine zlib
+    fixed-Huffman member (header bits, MSB-first codes LSB-first into
+    bytes, 7-bit EOB, byte-edge padding): (doc_id, nl, payload).
+    Module-level so tests can inflate the payload with CPython's zlib
+    independently of the parser."""
+    empty = F.unhex(F.lit(""))
+    byt, bit = _zfh_byt, _zfh_bit
+    st = d.select(
+        "doc_id",
+        (F.col("doc_id") % 5 + 8).cast("long").alias("nl"),
+        F.hex(F.encode(F.rpad(F.col("text"), 16, " "), "utf-8")).alias("hx"),
+        F.lit(3).cast("long").alias("bitbuf"),  # bits 1,1,0 LSB-first
+        F.lit(3).cast("int").alias("nbits"),
+        empty.alias("out"),
+    )
+    base = ["doc_id", "nl", "hx"]
+    for k in range(ZFH_MAX_LITS):
+        byte_k = F.conv(F.substring("hx", 2 * k + 1, 2), 16, 10).cast("long")
+        st = st.select(
+            *base,
+            "bitbuf",
+            "nbits",
+            "out",
+            ((byte_k * 7 + F.col("doc_id") + k * 13) % 256).alias("lit"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), nbits)").alias("pw"),
+            (F.lit(k) < F.col("nl")).alias("active"),
+        )
+        code = F.when(F.col("lit") < 144, F.col("lit") + 48).otherwise(
+            F.col("lit") + 256
+        )
+        rev8 = sum(
+            (bit(code, j) * F.lit(1 << (7 - j)) for j in range(1, 8)),
+            bit(code, 0) * F.lit(1 << 7),
+        )
+        rev9 = sum(
+            (bit(code, j) * F.lit(1 << (8 - j)) for j in range(1, 9)),
+            bit(code, 0) * F.lit(1 << 8),
+        )
+        rcode = F.when(F.col("lit") < 144, rev8).otherwise(rev9)
+        ln = F.when(F.col("lit") < 144, F.lit(8)).otherwise(F.lit(9))
+        st = st.select(
+            *base,
+            F.when(
+                F.col("active"), F.col("bitbuf") + rcode * F.col("pw")
+            )
+            .otherwise(F.col("bitbuf"))
+            .alias("newbuf"),
+            F.when(F.col("active"), F.col("nbits") + ln)
+            .otherwise(F.col("nbits"))
+            .alias("total"),
+            "out",
+        )
+        st = st.select(
+            *base,
+            F.expr(
+                "shiftright(newbuf, CAST((total div 8) * 8 AS INT))"
+            ).alias("bitbuf"),
+            F.expr("CAST(total % 8 AS INT)").alias("nbits"),
+            F.concat(
+                "out",
+                F.when(F.col("total") >= 8, byt(F.pmod("newbuf", F.lit(256))))
+                .otherwise(empty),
+                F.when(
+                    F.col("total") >= 16,
+                    byt(F.pmod(F.expr("newbuf div 256"), F.lit(256))),
+                ).otherwise(empty),
+            ).alias("out"),
+        )
+    # EOB (7 zero bits) + flush the partial byte(s)
+    built = st.select(
+        "doc_id",
+        "nl",
+        F.concat(
+            F.unhex(F.lit("7801")),
+            "out",
+            byt(F.pmod("bitbuf", F.lit(256))),
+            F.when(
+                F.col("nbits") + 7 > 8,
+                byt(F.pmod(F.expr("bitbuf div 256"), F.lit(256))),
+            ).otherwise(empty),
+            byt((F.col("nl") * 2654435761 % 4294967296) % 256),  # fake
+            byt((F.col("nl") * 40503 % 65536) % 256),  # adler32
+            byt((F.col("nl") * 65521 % 65536) % 256),
+            byt((F.col("nl") * 97 + 1) % 256),
+        ).alias("payload"),
+    )
+    return built
+
+
+@register(
+    "multimodal_deflate_fixed_huffman",
+    oracle=_zfh_oracle(),
+    tags=("multimodal", "llm", "binary", "image"),
+)
+def multimodal_deflate_fixed_huffman(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL deflate FIXED-HUFFMAN (BTYPE=01) decode — the ninth byte
+    codec and the first at BIT granularity: every previous walk moved
+    in whole bytes, while fixed-Huffman literal codes are 8 bits for
+    values 0-143 (codes 0x30..0xBF) but 9 bits for 144-255 (codes
+    0x190..0x1FF) and the end-of-block is 7 bits of zero, all packed
+    LSB-first into the byte stream with the code's own bits MSB-first
+    (RFC 1951 §3.1.1) — so the decoder must (a) bit-reverse every code
+    window, (b) classify the code class from its 7-bit prefix
+    (canonical-Huffman ranges: <=0b0010111 is the 7-bit class, then
+    c8<=0xBF literal, 0xC0..0xC7 length, else 9-bit literal) and
+    (c) advance a BIT cursor by a data-dependent 7/8/9 — offset N is
+    unknowable without decoding codes 0..N-1, the same chain property
+    as the MP3 frame walk but at sub-byte resolution. The walk is the
+    established stay-once-done unroll in CHAINED NARROW PROJECTIONS
+    (the PNG IDAT lesson: one projection per step keeps the expression
+    tree linear in steps); each step reads a 3-byte little-endian
+    window at the cursor's byte, shifts by cursor%8, bit-reverses the
+    9-bit view with integer arithmetic, and updates (cursor, counts,
+    literal checksum). Dynamic-Huffman (BTYPE=10) remains an honestly-
+    documented non-goal: its code lengths are themselves Huffman-coded,
+    which needs an unbounded per-symbol state table, not a closed form.
+
+    Wire layout per row: 78 01 (zlib: deflate/32k) | 3 header bits
+    (BFINAL=1, BTYPE=01 LSB-first => first byte & 7 == 3) | one
+    fixed-Huffman code per literal | 7-bit EOB | zero padding to the
+    byte edge | 4 fake adler bytes. Literal k = (byte_k(text)*7 +
+    doc_id + 13k) % 256 over the doc's utf-8 bytes, so both the 8- and
+    9-bit classes occur on real data. The builder packs bits with the
+    mirrored closed form (bitbuf += reverse(code) << nbits, emit full
+    bytes) — byte-identical to what zlib's fixed-mode compressor emits
+    for the same literals, minus the real adler32 (rolling checksums
+    would need an explode; structural fields are all real). Map-only,
+    zero exchanges at any scale; parse verified against the closed-form
+    geometry replay (the oracle recomputes literal counts/sums/bit
+    totals from the same formulas — equality proves the byte round
+    trip; additionally tests/test_round10_ops.py feeds the built stream
+    to CPython's zlib, which must inflate it — external proof the
+    builder emits genuine RFC 1951 fixed-Huffman bytes, not a private
+    dialect the parser happens to mirror). Reference basis: SURVEY.md
+    §2.12 multimodal family (absent in reference)."""
+    built = _zfh_build(table(spark, sf_dir, "documents"))
+    empty = F.unhex(F.lit(""))
+    byt, bit, rd = _zfh_byt, _zfh_bit, _zfh_rd
+    # ---- parse: the bit-cursor walk, one code per chained step -------
+    p = F.col("payload")
+    st = built.select(
+        "doc_id",
+        "payload",
+        ((rd(p, 1, 2) == 0x7801) & (F.pmod(rd(p, 3, 1), F.lit(8)) == 3))
+        .alias("hdr_ok"),
+        F.lit(3).cast("long").alias("bp"),
+        F.lit(False).alias("done"),
+        F.lit(True).alias("ok"),
+        F.lit(0).cast("long").alias("n_lit"),
+        F.lit(0).cast("long").alias("n9"),
+        F.lit(0).cast("long").alias("lsum"),
+    )
+    carry = ["doc_id", "payload", "hdr_ok"]
+    for _ in range(ZFH_MAX_LITS + 1):
+        st = st.select(
+            *carry,
+            "bp",
+            "done",
+            "ok",
+            "n_lit",
+            "n9",
+            "lsum",
+            F.expr(
+                "shiftright("
+                "  conv(hex(substring(payload, CAST(bp div 8 + 3 AS INT), 1)), 16, 10)"
+                "  + conv(hex(substring(payload, CAST(bp div 8 + 4 AS INT), 1)), 16, 10) * 256"
+                "  + conv(hex(substring(payload, CAST(bp div 8 + 5 AS INT), 1)), 16, 10) * 65536,"
+                "  CAST(bp % 8 AS INT))"
+            )
+            .cast("long")
+            .alias("v"),
+        )
+        c7 = sum(
+            (bit(F.col("v"), j) * F.lit(1 << (6 - j)) for j in range(1, 7)),
+            bit(F.col("v"), 0) * F.lit(1 << 6),
+        )
+        st = st.select(
+            *carry,
+            "bp",
+            "done",
+            "ok",
+            "n_lit",
+            "n9",
+            "lsum",
+            c7.alias("c7"),
+            (c7 * 2 + bit(F.col("v"), 7)).alias("c8"),
+            (c7 * 4 + bit(F.col("v"), 7) * 2 + bit(F.col("v"), 8)).alias(
+                "c9"
+            ),
+        )
+        active = ~F.col("done")
+        is_eob = F.col("c7") <= 23
+        is8 = ~is_eob & (F.col("c8") <= 191)
+        is9 = ~is_eob & (F.col("c8") >= 200)
+        lit = F.when(is8, F.col("c8") - 48).otherwise(F.col("c9") - 256)
+        st = st.select(
+            *carry,
+            (
+                F.col("bp")
+                + F.when(~active, 0)
+                .when(is_eob, 7)
+                .when(is8, 8)
+                .otherwise(9)
+            ).alias("bp"),
+            (F.col("done") | (active & is_eob)).alias("done"),
+            (
+                F.col("ok")
+                & (~active | (is_eob & (F.col("c7") == 0)) | is8 | is9)
+            ).alias("ok"),
+            (F.col("n_lit") + (active & ~is_eob).cast("long")).alias(
+                "n_lit"
+            ),
+            (F.col("n9") + (active & is9).cast("long")).alias("n9"),
+            (
+                F.col("lsum")
+                + F.when(active & ~is_eob, lit).otherwise(0)
+            ).alias("lsum"),
+        )
+    return st.select(
+        "doc_id",
+        F.col("hdr_ok").alias("zlib_fixed_hdr_ok"),
+        F.col("done").alias("eob_ok"),
+        F.col("ok").alias("codes_ok"),
+        F.col("n_lit").alias("n_literals"),
+        F.col("n9").alias("n_9bit_literals"),
+        F.col("lsum").alias("literal_sum"),
+        F.col("bp").alias("total_bits"),
+        (
+            (F.pmod("bp", F.lit(8)) == 0)
+            | (
+                F.expr(
+                    "shiftright("
+                    "  conv(hex(substring(payload, CAST(bp div 8 + 3 AS INT), 1)), 16, 10),"
+                    "  CAST(bp % 8 AS INT))"
+                )
+                == 0
+            )
+        ).alias("padding_ok"),
+        (
+            F.octet_length("payload")
+            == F.lit(2) + F.expr("(bp + 7) div 8") + F.lit(4)
+        ).alias("stream_len_ok"),
+        F.octet_length("payload").cast("long").alias("total_len"),
+    )
