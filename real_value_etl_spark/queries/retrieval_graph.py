@@ -1037,6 +1037,144 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# k-truss decomposition over the mutual-kNN graph (edge-support peel)
+# ---------------------------------------------------------------------------
+KTRUSS_K = 4  # every surviving edge sits in >= K-2 = 2 triangles
+KTRUSS_ROUNDS = 3  # probed: peel converges in 2 rounds at sf0.001
+# (834 -> 50 -> 12 -> 12 edges) and sf0.01 (859 -> 72 -> 18 -> 18);
+# round 3 is the margin AND the fixed-point witness. K=5 empties both
+# scales — don't raise it.
+
+
+def _ktruss_tri_sql(src: str) -> str:
+    """Triangle rows (a, mid, c) of the oriented edge set `src` — each
+    triangle exactly once since a < mid < c under low-id -> high-id
+    orientation (same shape as graph_triangle_count)."""
+    return f"""
+      SELECT w.a, w.mid, w.c
+      FROM (SELECT e1.a, e1.b AS mid, e2.b AS c
+            FROM {src} e1 JOIN {src} e2 ON e2.a = e1.b) w
+      JOIN {src} e3 ON e3.a = w.a AND e3.b = w.c"""
+
+
+def _ktruss_oracle() -> str:
+    rounds = []
+    for r in range(1, KTRUSS_ROUNDS + 1):
+        rounds.append(f""",
+    tri{r} AS MATERIALIZED ({_ktruss_tri_sql(f"a{r - 1}")}
+    ),
+    a{r} AS MATERIALIZED (
+      SELECT a, b FROM (
+        SELECT a, b, COUNT(*) AS sup FROM (
+          SELECT a, mid AS b FROM tri{r}
+          UNION ALL SELECT mid, c FROM tri{r}
+          UNION ALL SELECT a, c FROM tri{r}
+        ) GROUP BY a, b
+      ) WHERE sup >= {KTRUSS_K - 2}
+    )""")
+    return f"""
+    WITH {_knn_edges_cte()},
+    a0 AS MATERIALIZED (
+      SELECT e.src AS a, e.dst AS b FROM edges e
+      JOIN edges m ON m.src = e.dst AND m.dst = e.src
+      WHERE e.src < e.dst
+    ){''.join(rounds)},
+    trif AS MATERIALIZED ({_ktruss_tri_sql(f"a{KTRUSS_ROUNDS}")}
+    ),
+    supf AS (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS sup FROM (
+        SELECT a, mid AS b FROM trif
+        UNION ALL SELECT mid, c FROM trif
+        UNION ALL SELECT a, c FROM trif
+      ) GROUP BY a, b
+    )
+    SELECT e.a, e.b, CAST(COALESCE(s.sup, 0) AS BIGINT) AS support
+    FROM a{KTRUSS_ROUNDS} e
+    LEFT JOIN supf s ON s.a = e.a AND s.b = e.b
+    """
+
+
+def _edge_support(und: DataFrame) -> DataFrame:
+    """Per-edge triangle support of an oriented (a < b) edge frame: one
+    wedge join on mid, one closing equi-join on (a, c), then the three
+    edge sides of each triangle counted per edge. Edges in no triangle
+    are ABSENT from the result (support 0)."""
+    e1 = und.select("a", F.col("b").alias("mid"))
+    e2 = und.select(F.col("a").alias("mid"), F.col("b").alias("c"))
+    w = e1.join(e2, "mid").select("a", "mid", "c")
+    tri = w.join(und.select("a", F.col("b").alias("c")), ["a", "c"]).select(
+        "a", "mid", "c"
+    )
+    sides = (
+        tri.select("a", F.col("mid").alias("b"))
+        .unionByName(
+            tri.select(F.col("mid").alias("a"), F.col("c").alias("b"))
+        )
+        .unionByName(tri.select("a", F.col("c").alias("b")))
+    )
+    return sides.groupBy("a", "b").agg(F.count("*").alias("sup"))
+
+
+@register(
+    "graph_k_truss", oracle=_ktruss_oracle(), tags=("graph", "iterative")
+)
+def graph_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{K}-TRUSS of the mutual-kNN graph: keep only edges that sit in
+    at least {K}-2 triangles WITHIN the surviving subgraph — the
+    edge-analogue of k-core and a strictly stronger cohesion filter
+    (every k-truss is inside the (k-1)-core, but not vice versa); on
+    document/embedding graphs it isolates tightly-knit near-duplicate
+    or topic cliques that degree alone (k-core) cannot separate from
+    hubs. {R} peel rounds are UNROLLED (probe: both driver scales reach
+    the fixed point in 2; the third round is margin and the fixed-point
+    witness), and the final pass re-measures each surviving edge's
+    support so the output is the truss WITH its cohesion evidence.
+
+    Scale shape per round: one wedge join shuffled on the mid node, one
+    closing equi-join on (a, c), one map-side-combinable support count,
+    one semi-join — all on integer keys, and the edge list only ever
+    SHRINKS (the first peel here drops ~94% of edges). Triangles are
+    enumerated once each via low-id -> high-id orientation (the
+    graph_triangle_count shape; at 100 TB orient by degree-then-id to
+    kill hub wedges — same plan, different sort key). The edge frame is
+    localCheckpoint-ed per round: each round references its predecessor
+    three times, so unbroken lineage would grow the plan ~3^rounds (the
+    k-core / HITS lesson). Reference basis: SURVEY.md §2.12 graph
+    family (absent in reference)."""
+    edges = _knn_edges(spark, sf_dir).select("src", "dst")
+    rev = edges.select(
+        F.col("src").alias("m_src"), F.col("dst").alias("m_dst")
+    )
+    und = (
+        edges.join(
+            rev,
+            (F.col("m_src") == F.col("dst"))
+            & (F.col("m_dst") == F.col("src")),
+            "left_semi",
+        )
+        .filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(KTRUSS_ROUNDS):
+        sup = _edge_support(und)
+        und = und.join(
+            sup.filter(F.col("sup") >= KTRUSS_K - 2), ["a", "b"], "left_semi"
+        ).localCheckpoint(eager=True)
+    fin = _edge_support(und)
+    return und.join(fin, ["a", "b"], "left").select(
+        "a",
+        "b",
+        F.coalesce(F.col("sup"), F.lit(0)).cast("long").alias("support"),
+    )
+
+
+graph_k_truss.__doc__ = graph_k_truss.__doc__.format(
+    K=KTRUSS_K, R=KTRUSS_ROUNDS
+)
+
+
+# ---------------------------------------------------------------------------
 # Multi-source BFS hop distance over the kNN graph (bounded rounds)
 # ---------------------------------------------------------------------------
 BFS_SEED_MOD = 25  # vec_id % MOD == 0 are the seed set

@@ -201,3 +201,31 @@ def test_deflate_fixed_huffman_real_zlib_inflates(spark, sf_dir):
             (raw[k] * 7 + r["doc_id"] + 13 * k) % 256 for k in range(nl)
         )
         assert got == want, r["doc_id"]
+
+
+def test_k_truss_fixed_point(spark, sf_dir):
+    """The output must be a true k-truss: recomputing every edge's
+    triangle support IN PURE PYTHON over the output edge set alone must
+    (a) reproduce the reported support exactly and (b) show every edge
+    >= K-2 — i.e. one more peel round would remove nothing."""
+    from itertools import combinations
+
+    from real_value_etl_spark.queries.all_queries import REGISTRY
+    from real_value_etl_spark.queries.retrieval_graph import KTRUSS_K
+
+    rows = REGISTRY["graph_k_truss"].fn(spark, sf_dir).collect()
+    assert rows, "k-truss emptied — K is mis-tuned for the fixture"
+    edges = {(r["a"], r["b"]) for r in rows}
+    nbrs: dict[int, set[int]] = {}
+    for a, b in edges:
+        assert a < b  # orientation invariant
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    for r in rows:
+        common = nbrs[r["a"]] & nbrs[r["b"]]
+        assert len(common) == r["support"], (r["a"], r["b"])
+        assert r["support"] >= KTRUSS_K - 2
+    # every truss edge's endpoints also satisfy the containment theorem:
+    # the k-truss is inside the (k-1)-core of its own subgraph
+    for n, nb in nbrs.items():
+        assert len(nb) >= KTRUSS_K - 1, n
