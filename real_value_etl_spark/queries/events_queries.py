@@ -2893,3 +2893,244 @@ def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
 events_holt_winters.__doc__ = events_holt_winters.__doc__.format(
     m=HW_M, m2=HW_M + 2
 )
+
+
+# ---------------------------------------------------------------------------
+# STL-lite seasonal decomposition (centered MA detrend -> seasonal means)
+# ---------------------------------------------------------------------------
+STL_HALF = 12  # half-window of the period-24 centered moving average
+
+
+@register(
+    "events_stl_seasonal",
+    oracle=f"""
+    WITH hc AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    seq AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM hc
+    ),
+    ma AS (
+      SELECT event_type, h, c, rn, n,
+             2 * SUM(c) OVER (PARTITION BY event_type ORDER BY rn
+                              ROWS BETWEEN {STL_HALF - 1} PRECEDING
+                                       AND {STL_HALF - 1} FOLLOWING)
+             + LAG(c, {STL_HALF}) OVER (PARTITION BY event_type ORDER BY rn)
+             + LEAD(c, {STL_HALF}) OVER (PARTITION BY event_type ORDER BY rn)
+               AS trend_x48
+      FROM seq
+    ),
+    inner_pts AS (
+      SELECT event_type, (h // 3600) % 24 AS hod,
+             48 * c - trend_x48 AS dev_x48
+      FROM ma WHERE rn > {STL_HALF} AND rn <= n - {STL_HALF}
+    )
+    SELECT event_type, CAST(hod AS BIGINT) AS hod,
+           CAST(COUNT(*) AS BIGINT) AS n_obs,
+           CAST(SUM(dev_x48) AS BIGINT) AS dev_x48_sum,
+           CAST(SUM(dev_x48) AS DOUBLE) / (48 * COUNT(*)) AS seasonal_mean
+    FROM inner_pts GROUP BY 1, 2
+    """,
+    tags=("events", "timeseries", "window"),
+)
+def events_stl_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-LITE seasonal profile of each event type's hourly traffic:
+    classical decomposition step 1-2 (Cleveland's STL without the loess
+    refits — the log-free, iteration-free variant that stays EXACT):
+    trend = period-24 CENTERED moving average with half-weights at the
+    window edges (the standard even-period fix: 2x the inner 23 hours
+    plus the two boundary hours, denominator 48, kept as the INTEGER
+    trend_x48 so nothing rounds), detrended = 48*c - trend_x48 (exact
+    integer), seasonal = per hour-of-day mean of the detrended series
+    over interior points only (full windows). Output is the bounded
+    24-row-per-type seasonal fingerprint: hour-of-day, observation
+    count, exact integer deviation sum, and the mean as the query's ONE
+    pinned double division — the additive-seasonality profile a
+    capacity planner or anomaly baseline consumes (complements
+    events_holt_winters, which FORECASTS with dyadic smoothing, and
+    events_seasonal_baseline, which compares to raw hourly means
+    without detrending).
+
+    Scale shape: the windows run over the ALREADY-AGGREGATED hourly
+    series (time-bounded per type), all on ONE (event_type, rn) window
+    partitioning — a single exchange; the seasonal agg is map-side
+    combinable on (type, hod). Rows-based windows over the OBSERVED
+    hourly sequence (documented: a missing hour shifts neighbors in,
+    identically on both engines). Reference basis: SURVEY.md §2.5
+    window family (absent in reference)."""
+    ev = table(spark, sf_dir, "events")
+    hc = ev.groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("hour", "ts")).alias("h"),
+    ).agg(F.count("*").alias("c"))
+    w_ord = Window.partitionBy("event_type").orderBy("h")
+    w_all = Window.partitionBy("event_type")
+    seq = hc.select(
+        "event_type",
+        "h",
+        "c",
+        F.row_number().over(w_ord).alias("rn"),
+        F.count("*").over(w_all).alias("n"),
+    )
+    w_rn = Window.partitionBy("event_type").orderBy("rn")
+    w_ma = w_rn.rowsBetween(-(STL_HALF - 1), STL_HALF - 1)
+    ma = seq.select(
+        "event_type",
+        "h",
+        "c",
+        "rn",
+        "n",
+        (
+            F.sum("c").over(w_ma) * 2
+            + F.lag("c", STL_HALF).over(w_rn)
+            + F.lead("c", STL_HALF).over(w_rn)
+        ).alias("trend_x48"),
+    )
+    pts = ma.filter(
+        (F.col("rn") > STL_HALF) & (F.col("rn") <= F.col("n") - STL_HALF)
+    ).select(
+        "event_type",
+        F.pmod(F.expr("h div 3600"), F.lit(24)).alias("hod"),
+        (F.col("c") * 48 - F.col("trend_x48")).alias("dev_x48"),
+    )
+    return pts.groupBy("event_type", "hod").agg(
+        F.count("*").alias("n_obs"),
+        F.sum("dev_x48").alias("dev_x48_sum"),
+        (
+            F.sum("dev_x48").cast("double") / (F.count("*") * 48)
+        ).alias("seasonal_mean"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MAD robust outliers (exact integer medians — no distribution assumption)
+# ---------------------------------------------------------------------------
+MAD_K = 3  # flag hours with |c - median| > K * MAD
+
+
+@register(
+    "events_mad_outliers",
+    oracle=f"""
+    WITH hc AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    med AS (
+      SELECT event_type, c AS med FROM (
+        SELECT event_type, c,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY c, h) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM hc) WHERE rn = (n + 1) // 2
+    ),
+    dev AS (
+      SELECT hc.event_type, hc.h, hc.c, m.med,
+             abs(hc.c - m.med) AS ad
+      FROM hc JOIN med m ON m.event_type = hc.event_type
+    ),
+    mad AS (
+      SELECT event_type, ad AS mad FROM (
+        SELECT event_type, ad,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY ad, h) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM dev) WHERE rn = (n + 1) // 2
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           MIN(d.med) AS median_rate,
+           MIN(m.mad) AS mad,
+           CAST(SUM(CASE WHEN d.ad > {MAD_K} * m.mad THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_outliers,
+           MAX(d.ad) AS max_abs_dev,
+           MIN(CASE WHEN d.ad = (SELECT MAX(d2.ad) FROM dev d2
+                                 WHERE d2.event_type = d.event_type)
+                    THEN d.h END) AS worst_hour
+    FROM dev d JOIN mad m ON m.event_type = d.event_type
+    GROUP BY d.event_type
+    """,
+    tags=("events", "timeseries", "stats"),
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST outlier scan of each type's hourly rate via MEDIAN
+    ABSOLUTE DEVIATION — the estimator that survives the very outliers
+    it hunts (mean/stddev z-scores are dragged by the burst itself; the
+    breakdown point of MAD is 50%). Everything stays an EXACT INTEGER:
+    median = the lower median (rank (n+1)//2 of the count-ordered
+    series, ties broken by hour — total order, both engines), MAD = the
+    lower median of |c - med|, and the {K}x-MAD flag is an integer
+    comparison — no distribution assumption, no doubles anywhere, so
+    the oracle hash-matches bit-for-bit by construction. Output per
+    type: hour count, median rate, MAD, outlier count, the worst
+    deviation and its (earliest) hour.
+
+    Scale shape: both median ranks ride ONE (event_type) hash
+    partitioning — the rank windows run over the time-bounded hourly
+    aggregate, never raw events; the two scalar-per-type frames
+    (median, MAD) broadcast back onto the series. At 100 TB the hourly
+    aggregate is the only thing that grows, and it grows with TIME, not
+    traffic. Reference basis: SURVEY.md §2.5 window family (absent in
+    reference)."""
+    ev = table(spark, sf_dir, "events")
+    hc = ev.groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("hour", "ts")).alias("h"),
+    ).agg(F.count("*").alias("c"))
+    w_c = Window.partitionBy("event_type").orderBy("c", "h")
+    w_n = Window.partitionBy("event_type")
+    med = (
+        hc.select(
+            "event_type",
+            "c",
+            F.row_number().over(w_c).alias("rn"),
+            F.count("*").over(w_n).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("c").alias("med"))
+    )
+    dev = hc.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "h",
+        "c",
+        "med",
+        F.abs(F.col("c") - F.col("med")).alias("ad"),
+    )
+    w_ad = Window.partitionBy("event_type").orderBy("ad", "h")
+    mad = (
+        dev.select(
+            "event_type",
+            "ad",
+            F.row_number().over(w_ad).alias("rn"),
+            F.count("*").over(w_n).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("ad").alias("mad"))
+    )
+    w_max = Window.partitionBy("event_type")
+    scored = (
+        dev.join(F.broadcast(mad), "event_type")
+        .withColumn("mx", F.max("ad").over(w_max))
+    )
+    return scored.groupBy("event_type").agg(
+        F.count("*").alias("n_hours"),
+        F.min("med").alias("median_rate"),
+        F.min("mad").alias("mad"),
+        F.sum(
+            (F.col("ad") > F.lit(MAD_K) * F.col("mad")).cast("long")
+        ).alias("n_outliers"),
+        F.max("ad").alias("max_abs_dev"),
+        F.min(F.when(F.col("ad") == F.col("mx"), F.col("h"))).alias(
+            "worst_hour"
+        ),
+    )
+
+
+events_mad_outliers.__doc__ = events_mad_outliers.__doc__.format(K=MAD_K)

@@ -229,3 +229,91 @@ def test_k_truss_fixed_point(spark, sf_dir):
     # the k-truss is inside the (k-1)-core of its own subgraph
     for n, nb in nbrs.items():
         assert len(nb) >= KTRUSS_K - 1, n
+
+
+def test_stl_seasonal_python_replication(spark, sf_dir):
+    """Pure-Python replication of the STL-lite pipeline from the raw
+    hourly counts: centered half-weight MA, interior-point detrend,
+    per-hod sums — must match the query's integers exactly and the one
+    pinned division to the last ulp."""
+    import duckdb
+
+    from real_value_etl_spark.queries.all_queries import REGISTRY
+    from real_value_etl_spark.queries.events_queries import STL_HALF
+
+    hc = duckdb.connect().execute(
+        f"""SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT),
+                   COUNT(*) FROM '{sf_dir}/events.parquet' GROUP BY 1, 2"""
+    ).fetchall()
+    series: dict[str, list[tuple[int, int]]] = {}
+    for et, h, c in hc:
+        series.setdefault(et, []).append((h, c))
+    want: dict[tuple[str, int], list[int]] = {}
+    for et, pts in series.items():
+        pts.sort()
+        hs = [h for h, _ in pts]
+        cs = [c for _, c in pts]
+        n = len(cs)
+        for i in range(STL_HALF, n - STL_HALF):
+            trend = (
+                2 * sum(cs[i - STL_HALF + 1 : i + STL_HALF])
+                + cs[i - STL_HALF]
+                + cs[i + STL_HALF]
+            )
+            dev = 48 * cs[i] - trend
+            key = (et, (hs[i] // 3600) % 24)
+            want.setdefault(key, [0, 0])
+            want[key][0] += 1
+            want[key][1] += dev
+    rows = REGISTRY["events_stl_seasonal"].fn(spark, sf_dir).collect()
+    got = {
+        (r["event_type"], r["hod"]): (
+            r["n_obs"],
+            r["dev_x48_sum"],
+            r["seasonal_mean"],
+        )
+        for r in rows
+    }
+    assert set(got) == set(want)
+    for key, (n_obs, dsum) in want.items():
+        assert got[key][0] == n_obs, key
+        assert got[key][1] == dsum, key
+        assert got[key][2] == dsum / (48 * n_obs), key
+
+
+def test_mad_outliers_python_replication(spark, sf_dir):
+    """Pure-Python replication: lower medians with (value, hour) tie
+    order, MAD, K*MAD outlier counts, worst hour — all integers, all
+    exact."""
+    import duckdb
+
+    from real_value_etl_spark.queries.all_queries import REGISTRY
+    from real_value_etl_spark.queries.events_queries import MAD_K
+
+    hc = duckdb.connect().execute(
+        f"""SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT),
+                   COUNT(*) FROM '{sf_dir}/events.parquet' GROUP BY 1, 2"""
+    ).fetchall()
+    series: dict[str, list[tuple[int, int]]] = {}
+    for et, h, c in hc:
+        series.setdefault(et, []).append((h, c))
+
+    def lower_median(vals_keys):  # [(value, tiebreak_hour)]
+        vals_keys.sort()
+        return vals_keys[(len(vals_keys) + 1) // 2 - 1][0]
+
+    rows = REGISTRY["events_mad_outliers"].fn(spark, sf_dir).collect()
+    got = {r["event_type"]: r for r in rows}
+    assert set(got) == set(series)
+    for et, pts in series.items():
+        med = lower_median([(c, h) for h, c in pts])
+        mad = lower_median([(abs(c - med), h) for h, c in pts])
+        ads = [(abs(c - med), h) for h, c in pts]
+        mx = max(a for a, _ in ads)
+        r = got[et]
+        assert r["median_rate"] == med
+        assert r["mad"] == mad
+        assert r["n_hours"] == len(pts)
+        assert r["n_outliers"] == sum(1 for a, _ in ads if a > MAD_K * mad)
+        assert r["max_abs_dev"] == mx
+        assert r["worst_hour"] == min(h for a, h in ads if a == mx)
