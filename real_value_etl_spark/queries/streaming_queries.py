@@ -441,3 +441,85 @@ def stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency probes with the classic one-sided overcount, bit-equal to
     the batch SQL replay."""
     return jobs.stream_countmin(spark, sf_dir)
+
+
+@register(
+    "stream_hdr_quantile",
+    oracle=f"""
+    WITH cells AS (
+      SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS c
+      FROM events
+    ),
+    binned AS (
+      SELECT event_type,
+             CAST(length(bin(c)) * {1 << jobs.SHQ_SUB_BITS}
+                  + CASE WHEN length(bin(c)) <= {jobs.SHQ_SUB_BITS} THEN 0
+                    ELSE (c // (1::BIGINT
+                                << (length(bin(c))
+                                    - {jobs.SHQ_SUB_BITS + 1})))
+                         - {1 << jobs.SHQ_SUB_BITS} END AS BIGINT) AS cell
+      FROM cells
+    ),
+    hist AS (
+      SELECT event_type, cell, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM binned GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, cell, cnt,
+             CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY cell)
+               AS BIGINT) AS cum_n,
+             CAST(SUM(cnt) OVER (PARTITION BY event_type)
+               AS BIGINT) AS n_total
+      FROM hist
+    ),
+    qs AS (SELECT unnest([{', '.join(f'CAST({q} AS DOUBLE)'
+                                     for q in jobs.SHQ_QS)}]) AS q),
+    tgt AS (
+      SELECT t.event_type, t.n_total, q.q,
+             CAST(CEIL(q.q * t.n_total) AS BIGINT) AS target
+      FROM (SELECT DISTINCT event_type, n_total FROM cum) t
+      CROSS JOIN qs q
+    ),
+    pick AS (
+      SELECT event_type, q, target, cell, cum_n, n_total FROM (
+        SELECT c.event_type, g.q, g.target, c.cell, c.cum_n, c.n_total,
+               ROW_NUMBER() OVER (PARTITION BY c.event_type, g.q
+                                  ORDER BY c.cell) AS r
+        FROM cum c JOIN tgt g ON g.event_type = c.event_type
+                             AND c.cum_n >= g.target
+      ) WHERE r = 1
+    ),
+    ranked AS (
+      SELECT event_type, c,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c) AS rn
+      FROM cells
+    )
+    SELECT p.event_type, p.q, p.cell,
+           CAST(p.cell // {1 << jobs.SHQ_SUB_BITS} AS BIGINT) AS b,
+           CAST(p.cell % {1 << jobs.SHQ_SUB_BITS} AS BIGINT) AS sub,
+           CAST(CASE WHEN p.cell // {1 << jobs.SHQ_SUB_BITS}
+                          <= {jobs.SHQ_SUB_BITS}
+                THEN (1::BIGINT << (CAST(p.cell // {1 << jobs.SHQ_SUB_BITS}
+                                         AS INT) - 1))
+                ELSE ({1 << jobs.SHQ_SUB_BITS}
+                      + p.cell % {1 << jobs.SHQ_SUB_BITS})
+                     << (CAST(p.cell // {1 << jobs.SHQ_SUB_BITS} AS INT)
+                         - {jobs.SHQ_SUB_BITS + 1}) END AS BIGINT)
+             AS cell_lo,
+           p.cum_n, p.n_total, r.c AS exact_cents
+    FROM pick p
+    JOIN ranked r ON r.event_type = p.event_type AND r.rn = p.target
+    """,
+    tags=("stream", "stateful", "sketch", "histogram", "pandas_udf"),
+)
+def stream_hdr_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HDR-histogram quantiles — the FIFTH mergeable streaming
+    sketch family: an exponential (bit-length x sub-bucket) value
+    histogram per event type held in applyInPandasWithState state,
+    merged by elementwise counter ADDITION (the Count-Min merge law on
+    a histogram — batching-independent, exactly-once by availableNow +
+    checkpointed state). p50/p90/p99 are rank lookups over the drained
+    cumulative counts; the exact target-rank value from a batch replay
+    must land inside the reported cell — the constant-relative-error
+    guarantee, checked bit-for-bit against this SQL replay."""
+    return jobs.stream_hdr_quantile(spark, sf_dir)

@@ -1110,3 +1110,187 @@ def stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
 stream_countmin.__doc__ = stream_countmin.__doc__.format(
     d=SCM_D, w=SCM_W, k=SCM_TOPN
 )
+
+
+# ---------------------------------------------------------------------------
+# Streaming HDR-histogram quantiles — the FIFTH mergeable streaming sketch
+# family: state merge is elementwise bucket-count ADDITION (the Count-Min
+# merge law applied to an exponential value histogram), so any micro-batch
+# partitioning of the stream lands identical counters; quantiles are then
+# rank lookups over the drained cumulative histogram
+# ---------------------------------------------------------------------------
+SHQ_SUB_BITS = 2  # 4 sub-buckets per power of two (the batch HDR scheme)
+SHQ_CELLS = 64 * (1 << SHQ_SUB_BITS) + (1 << SHQ_SUB_BITS)  # flat cell space
+SHQ_QS = ("0.5", "0.9", "0.99")  # shared decimal literals, both engines
+
+_SHQ_STATE_SCHEMA = StructType([StructField("cnts", ArrayType(LongType()))])
+_SHQ_OUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("cell", LongType()),
+        StructField("cnt", LongType()),
+    ]
+)
+
+
+def _shq_state(
+    key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState kernel: one exponential histogram per
+    event type, state = SHQ_CELLS long counters. Each batch adds its
+    flat-cell histogram (np.bincount — vectorized, no per-row Python).
+    Counters are monotone nondecreasing, so the drained latest value
+    per (event_type, cell) is MAX(cnt)."""
+    import numpy as np
+
+    cnts = (
+        np.array(state.get[0], dtype=np.int64)
+        if state.exists
+        else np.zeros(SHQ_CELLS, dtype=np.int64)
+    )
+    for pdf in pdfs:
+        if len(pdf):
+            cnts += np.bincount(
+                pdf["cell"].to_numpy(dtype=np.int64), minlength=SHQ_CELLS
+            )
+    state.update((cnts.tolist(),))
+    nz = np.nonzero(cnts)[0]
+    yield pd.DataFrame(
+        {
+            "event_type": np.full(len(nz), key[0], dtype=object),
+            "cell": nz.astype(np.int64),
+            "cnt": cnts[nz],
+        }
+    )
+
+
+def stream_hdr_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HDR-histogram quantiles of event value (integer cents)
+    per event type: the exponential (bit-length x sub-bucket) histogram
+    lives in applyInPandasWithState state as a flat counter array, fed
+    by JVM-side integer cell ids — the Python kernel only ever adds
+    histograms. After the drain, p50/p90/p99 are rank lookups over the
+    cumulative cell counts (target = ceil(q*N), the quantile cell is
+    the first whose cumulative count reaches it), and the EXACT
+    target-rank value from a batch replay rides along — it must land
+    inside the reported cell, the constant-relative-error guarantee."""
+    from ..queries.registry import table as _table
+
+    sub_w = 1 << SHQ_SUB_BITS
+    cents = F.floor(F.col("value") * 100).cast("long")
+
+    def cell_of(frame):
+        b = F.length(F.bin(F.col("c")))
+        sub = F.when(b <= SHQ_SUB_BITS, F.lit(0)).otherwise(
+            F.expr(
+                f"(c div shiftleft(CAST(1 AS BIGINT),"
+                f" length(bin(c)) - {SHQ_SUB_BITS + 1})) - {sub_w}"
+            )
+        )
+        return frame.select(
+            "event_type", (b * sub_w + sub).cast("long").alias("cell")
+        )
+
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", WATERMARK)
+    cells = cell_of(ev.select("event_type", cents.alias("c")))
+    out = cells.groupBy("event_type").applyInPandasWithState(
+        _shq_state,
+        outputStructType=_SHQ_OUT_SCHEMA,
+        stateStructType=_SHQ_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    drained = _drain(spark, out, "mem_stream_shq", "update")
+    hist = drained.groupBy("event_type", "cell").agg(
+        F.max("cnt").alias("cnt")
+    )
+
+    from pyspark.sql import Window
+
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("cell")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "cell",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum_n"),
+        F.sum("cnt").over(w_tot).alias("n_total"),
+    )
+    qs = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(float(q)).alias("q") for q in SHQ_QS])
+        ).alias("q")
+    )
+    # alias the derived scalar frame's key before joining it back onto
+    # its own parent (Catalyst rejects the ambiguous self-derived ref)
+    tgt = (
+        cum.select(F.col("event_type").alias("t_et"), "n_total")
+        .distinct()
+        .crossJoin(F.broadcast(qs))
+        .select(
+            "t_et",
+            "q",
+            F.ceil(F.col("q") * F.col("n_total")).cast("long").alias(
+                "target"
+            ),
+        )
+    )
+    w_pick = Window.partitionBy("event_type", "q").orderBy("cell")
+    pick = (
+        cum.join(
+            F.broadcast(tgt), F.col("event_type") == F.col("t_et")
+        )
+        .filter(F.col("cum_n") >= F.col("target"))
+        .withColumn("r", F.row_number().over(w_pick))
+        .filter(F.col("r") == 1)
+        .select("event_type", "q", "target", "cell", "cum_n", "n_total")
+    )
+    raw = _table(spark, sf_dir, "events").select(
+        "event_type", cents.alias("c")
+    )
+    w_rank = Window.partitionBy("event_type").orderBy("c")
+    ranked = raw.select(
+        "event_type", "c", F.row_number().over(w_rank).alias("rn")
+    )
+    cell_lo = F.when(
+        F.expr(f"cell div {sub_w}") <= SHQ_SUB_BITS,
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(cell div {sub_w} AS INT) - 1)"),
+    ).otherwise(
+        F.expr(
+            f"shiftleft(CAST({sub_w} + cell % {sub_w} AS BIGINT),"
+            f" CAST(cell div {sub_w} AS INT) - {SHQ_SUB_BITS + 1})"
+        )
+    )
+    # alias the pick side before joining back: both frames carry an
+    # `event_type` lineage and Catalyst rejects the ambiguous reference
+    # (the docs_rep_ngram_coverage lesson)
+    picked = pick.select(
+        F.col("event_type").alias("p_et"),
+        "q",
+        "target",
+        "cell",
+        "cum_n",
+        "n_total",
+    )
+    return (
+        picked.join(
+            ranked,
+            (F.col("p_et") == ranked.event_type)
+            & (F.col("target") == ranked.rn),
+        )
+        .select(
+            F.col("p_et").alias("event_type"),
+            "q",
+            "cell",
+            F.expr(f"CAST(cell div {sub_w} AS BIGINT)").alias("b"),
+            F.expr(f"CAST(cell % {sub_w} AS BIGINT)").alias("sub"),
+            cell_lo.cast("long").alias("cell_lo"),
+            "cum_n",
+            "n_total",
+            F.col("c").alias("exact_cents"),
+        )
+    )

@@ -157,6 +157,9 @@ _BNLJ_WAIVERS: dict[str, str] = {
     "events_gapfill_hourly": _R_SPINE,
     "events_gapfill_interp": _R_SPINE,
     "events_seasonal_baseline": _R_SPINE,
+    "stream_hdr_quantile": _R_SPINE
+    + " (3-row quantile spine x the |types|-row distinct-total frame — "
+    "both bounded by construction; the histogram itself is sketch-sized)",
     # bounded pairwise comparisons
     "docs_mix_temperature": _R_PAIRS,
     "docs_source_divergence": _R_PAIRS,

@@ -317,3 +317,66 @@ def test_mad_outliers_python_replication(spark, sf_dir):
         assert r["n_outliers"] == sum(1 for a, _ in ads if a > MAD_K * mad)
         assert r["max_abs_dev"] == mx
         assert r["worst_hour"] == min(h for a, h in ads if a == mx)
+
+
+def test_stream_hdr_state_multibatch_equals_single(spark):
+    """Elementwise-add merge law: two micro-batches must land the same
+    histogram counters as one batch with all rows."""
+    import numpy as np
+    import pandas as pd
+
+    from real_value_etl_spark.streaming import jobs
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    cells = [(i * 7) % 37 for i in range(60)]
+
+    def run(batches):
+        st = FakeState()
+        out = None
+        for b in batches:
+            pdf = pd.DataFrame({"cell": b})
+            out = list(jobs._shq_state(("view",), iter([pdf]), st))[-1]
+        return st._v[0], out
+
+    single, _ = run([cells])
+    double, out = run([cells[:25], cells[25:]])
+    assert single == double
+    nz = {(int(c), int(n)) for c, n in zip(out["cell"], out["cnt"])}
+    assert nz == {(i, c) for i, c in enumerate(single) if c > 0}
+    assert set(out["event_type"]) == {"view"}
+
+
+def test_stream_hdr_quantile_cell_contains_exact(spark, sf_dir):
+    """The constant-relative-error guarantee: the exact target-rank
+    value must bucket into the REPORTED quantile cell (recomputed in
+    pure Python), and cum_n must cover the target = ceil(q * N)."""
+    import math
+
+    from real_value_etl_spark.queries.all_queries import REGISTRY
+    from real_value_etl_spark.streaming.jobs import SHQ_SUB_BITS
+
+    rows = REGISTRY["stream_hdr_quantile"].fn(spark, sf_dir).collect()
+    assert len(rows) == 15  # 5 types x 3 quantiles
+    sub_w = 1 << SHQ_SUB_BITS
+    for r in rows:
+        c = r["exact_cents"]
+        b = c.bit_length()
+        sub = 0 if b <= SHQ_SUB_BITS else (c >> (b - SHQ_SUB_BITS - 1)) - sub_w
+        assert b * sub_w + sub == r["cell"], r
+        assert r["b"] == b and r["sub"] == sub
+        assert r["cell_lo"] <= c
+        assert r["cum_n"] >= math.ceil(r["q"] * r["n_total"])
