@@ -503,12 +503,13 @@ PAIR_GRAPH_CONSUMERS = (
 
 
 def bench_shared_pairs(spark):
-    """VERDICT r8 ask #6: the 52% suite win existed only in the probe —
-    report BOTH totals (per-query rebuild vs one shared persisted pair
-    frame) in the committed bench artifact every round. Per-query driver
-    semantics are untouched: outside the context the consumers rebuild
-    exactly as the driver measures them; this section only ADDS the
-    shared-mode number next to the baseline."""
+    """VERDICT r8 ask #6 + r9 ask #6: SHARED is the DEFAULT mode of this
+    4-consumer suite leg (the r9 safety fixes — sameResult-confirmed
+    hits, race/exit unpersists — made it promotable); the per-query
+    rebuild total stays in the artifact as the comparison mode, and the
+    persisted pair frame's measured memory cost is recorded. Per-query
+    driver semantics are untouched: outside the context the consumers
+    rebuild exactly as the driver measures them."""
     if not SF_DIR.rstrip("/").endswith("sf0.1"):
         return None
     from real_value_etl_spark.operators.dedup import shared_pair_cache
@@ -526,25 +527,34 @@ def bench_shared_pairs(spark):
     # and AQE sizing don't land in whichever mode runs first
     spark.catalog.clearCache()
     run_all()
-    spark.catalog.clearCache()
-    spark._jvm.System.gc()
-    solo = run_all()
 
+    # DEFAULT mode first: one shared persisted pair graph for the suite.
+    # Memory cost = the cached RDD footprint snapshotted while the
+    # context is live (the price of the 2x win, documented per round).
     spark.catalog.clearCache()
     spark._jvm.System.gc()
     with shared_pair_cache():
         shared = run_all()
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        shared_mem = int(sum(i.memSize() + i.diskSize() for i in infos))
+    spark.catalog.clearCache()
+
+    spark._jvm.System.gc()
+    solo = run_all()
     spark.catalog.clearCache()
 
     out = {
-        "per_query": solo,
-        "per_query_total": round(sum(solo.values()), 4),
+        "default_mode": "shared",
         "shared": shared,
         "shared_total": round(sum(shared.values()), 4),
+        "shared_mem_bytes": shared_mem,
+        "per_query": solo,
+        "per_query_total": round(sum(solo.values()), 4),
     }
     print(
-        f"# shared-pairs: per-query {out['per_query_total']:.2f}s vs "
-        f"shared {out['shared_total']:.2f}s",
+        f"# shared-pairs (default): {out['shared_total']:.2f}s holding "
+        f"{shared_mem / 1e6:.1f} MB vs per-query rebuild "
+        f"{out['per_query_total']:.2f}s",
         file=sys.stderr,
     )
     return out
