@@ -3832,3 +3832,75 @@ def text_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
 text_stupid_backoff.__doc__ = text_stupid_backoff.__doc__.format(
     nb=SB_TOP_BIGRAMS, nu=SB_TOP_UNIGRAMS
 )
+
+
+# ---------------------------------------------------------------------------
+# Exact radius (range) similarity search — the API companion to top-k
+# ---------------------------------------------------------------------------
+RADIUS_TAU = "0.3"  # cosine radius — the same decimal literal, both engines
+
+
+@register(
+    "sim_radius_search",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e
+          WHERE vec_id % {ANN_QUERY_MOD} = 0 AND vec_id < {ANN_SEED_CAP}),
+    hits AS (
+      SELECT q.qid, e.vec_id, {V.cosine_sql("e.v", "q.qv")} AS sim
+      FROM e, q
+      WHERE e.vec_id <> q.qid
+        AND {V.cosine_sql("e.v", "q.qv")} >= {RADIUS_TAU}
+    )
+    SELECT qid, vec_id, sim,
+           CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY sim DESC, vec_id) AS BIGINT)
+             AS rnk,
+           CAST(COUNT(*) OVER (PARTITION BY qid) AS BIGINT) AS n_within
+    FROM hits
+    """,
+    tags=("similarity", "llm", "vector"),
+)
+def sim_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT RADIUS SEARCH: every corpus vector within cosine >= {tau}
+    of each query — the range-query companion to the top-k family
+    (sim_embedding_topk answers "the k closest no matter how far";
+    radius search answers "everything at least this similar no matter
+    how many" — the primitive behind near-duplicate lookups with a
+    quality bar, recall-oriented retrieval, and density estimates).
+    Each hit carries its similarity, its rank within the ball, and the
+    ball's population. Exact semantics: a broadcast of the bounded
+    query set against ONE streaming corpus scan with the filter fused
+    into the scan projection — no shuffle before the per-ball window
+    over the (tiny) hit set. At 100 TB this is the same map-only scan
+    shape as the brute-force top-k baseline (the adaptive IVF router
+    family covers the approximate path); the radius filter prunes
+    map-side, so only matches ever reach an exchange. Reference basis:
+    SURVEY.md §2.12 vector family (absent in reference)."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.filter(
+        (F.col("vec_id") % ANN_QUERY_MOD == 0)
+        & (F.col("vec_id") < ANN_SEED_CAP)
+    ).select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
+    sim = V.cosine(F.col("v"), F.col("qv"))
+    hits = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", sim.alias("sim"))
+        .filter(F.col("sim") >= F.lit(float(RADIUS_TAU)))
+    )
+    w_r = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    w_n = Window.partitionBy("qid")
+    return hits.select(
+        "qid",
+        "vec_id",
+        "sim",
+        F.row_number().over(w_r).cast("long").alias("rnk"),
+        F.count("*").over(w_n).alias("n_within"),
+    )
+
+
+sim_radius_search.__doc__ = sim_radius_search.__doc__.format(tau=RADIUS_TAU)

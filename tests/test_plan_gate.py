@@ -134,6 +134,7 @@ _BNLJ_WAIVERS: dict[str, str] = {
     "sim_ndcg_matryoshka": _R_QUERYSET,
     "sim_nprobe_recall_curve": _R_QUERYSET,
     "sim_pair_distance_hist": _R_QUERYSET,
+    "sim_radius_search": _R_QUERYSET,
     "sim_pq_adc_recall": _R_QUERYSET,
     "sim_quantization_recall": _R_QUERYSET,
     "sim_rerank_quantized": _R_QUERYSET,

@@ -380,3 +380,61 @@ def test_stream_hdr_quantile_cell_contains_exact(spark, sf_dir):
         assert r["b"] == b and r["sub"] == sub
         assert r["cell_lo"] <= c
         assert r["cum_n"] >= math.ceil(r["q"] * r["n_total"])
+
+
+def test_radius_search_matches_brute_force(spark, sf_dir):
+    """Radius semantics vs a pure-Python brute force: exactly the pairs
+    with sequential-fold cosine >= tau, with correct ball ranks and
+    populations."""
+    import math
+
+    import duckdb
+
+    from real_value_etl_spark.queries.all_queries import REGISTRY
+    from real_value_etl_spark.queries.llm import (
+        ANN_QUERY_MOD,
+        ANN_SEED_CAP,
+        RADIUS_TAU,
+    )
+
+    vecs = dict(
+        duckdb.connect()
+        .execute(
+            "SELECT vec_id, CAST(embedding AS DOUBLE[]) FROM "
+            f"'{sf_dir}/embeddings.parquet'"
+        )
+        .fetchall()
+    )
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def cos(a, b):
+        return dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+
+    tau = float(RADIUS_TAU)
+    qids = [v for v in vecs if v % ANN_QUERY_MOD == 0 and v < ANN_SEED_CAP]
+    want = {}
+    for qid in qids:
+        ball = sorted(
+            (
+                (cos(v, vecs[qid]), vid)
+                for vid, v in vecs.items()
+                if vid != qid and cos(v, vecs[qid]) >= tau
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for r, (s, vid) in enumerate(ball, 1):
+            want[(qid, vid)] = (s, r, len(ball))
+    rows = REGISTRY["sim_radius_search"].fn(spark, sf_dir).collect()
+    got = {
+        (r["qid"], r["vec_id"]): (r["sim"], r["rnk"], r["n_within"])
+        for r in rows
+    }
+    assert set(got) == set(want)
+    for k, (s, r, n) in want.items():
+        assert got[k][1] == r and got[k][2] == n, k
+        assert math.isclose(got[k][0], s, rel_tol=1e-12), k
