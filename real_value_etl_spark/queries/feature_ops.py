@@ -4092,3 +4092,266 @@ def multimodal_deflate_fixed_huffman(
         ).alias("stream_len_ok"),
         F.octet_length("payload").cast("long").alias("total_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PNG scanline DEFILTERING — tenth codec, and the first actual PIXEL
+# RECONSTRUCTION: filters None(0)/Sub(1)/Up(2) mixed per row, so decoding
+# row r needs the DECODED row r-1 (2D data dependence, RFC 2083 §6)
+# ---------------------------------------------------------------------------
+PNGDF_MAX_W = 8  # width = doc_id % 5 + 4 (4..8)
+PNGDF_MAX_H = 4  # height = doc_id % 3 + 2 (2..4)
+
+
+def _pngdf_oracle() -> str:
+    return f"""
+    WITH g AS (
+      SELECT doc_id, doc_id % 5 + 4 AS w, doc_id % 3 + 2 AS h,
+             hex(encode(rpad(text, 40, ' '))) AS hx
+      FROM documents
+    ),
+    px AS (
+      SELECT g.doc_id, g.w, g.h, rr.r, ii.i,
+             CAST(('0x' || substring(g.hx, 2 * (rr.r * g.w + ii.i) + 1, 2))
+                  AS BIGINT) AS p
+      FROM g,
+           LATERAL (SELECT unnest(range(0, g.h)) AS r) rr,
+           LATERAL (SELECT unnest(range(0, g.w)) AS i) ii
+    )
+    SELECT doc_id, TRUE AS magic_ok,
+           CAST(MIN(w) AS BIGINT) AS width,
+           CAST(MIN(h) AS BIGINT) AS height,
+           CAST(BIT_OR(1 << CAST((doc_id + r) % 3 AS INT)) AS BIGINT)
+             AS filters_mask,
+           CAST(MIN(w) * MIN(h) AS BIGINT) AS n_pixels,
+           CAST(SUM(p) AS BIGINT) AS pix_sum,
+           CAST(SUM((r * w + i + 1) * p) AS BIGINT) AS pix_wsum,
+           CAST(MAX(CASE WHEN r = 0 AND i = 0 THEN p END) AS BIGINT)
+             AS pixel_00,
+           CAST(MAX(CASE WHEN r = h - 1 AND i = w - 1 THEN p END)
+                AS BIGINT) AS pixel_last,
+           CAST(SUM(p) AS DOUBLE) / (MIN(w) * MIN(h)) AS mean_pixel,
+           CAST(6 + MIN(h) * (MIN(w) + 1) AS BIGINT) AS total_len
+    FROM px GROUP BY doc_id
+    """
+
+
+@register(
+    "multimodal_png_defilter",
+    oracle=_pngdf_oracle(),
+    tags=("multimodal", "llm", "binary", "image"),
+)
+def multimodal_png_defilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG scanline DEFILTERING — the tenth byte codec and the
+    first actual PIXEL RECONSTRUCTION (the step the `multimodal_decode`
+    stub fakes): each scanline is encoded with its own filter byte and
+    rows mix None(0)/Sub(1)/Up(2) per row ((doc_id + r) % 3), so the
+    decoder must (a) dispatch per-row on the filter byte read from the
+    wire, (b) invert Sub with a HORIZONTAL running sum mod 256 along
+    the scanline, and (c) invert Up with the PREVIOUS DECODED ROW —
+    filters chain in two dimensions (RFC 2083 §6: filters apply to the
+    decoded bytes of the prior scanline), so row r is unrecoverable
+    without fully reconstructing rows 0..r-1. The walk carries the
+    previous decoded row as {mw} named pixel columns through CHAINED
+    narrow projections (the PNG IDAT lesson) and accumulates pixel
+    checksums, corners and the filter bitmask; the oracle computes the
+    same quantities from the GROUND-TRUTH pixels the builder encoded,
+    so hash-equality proves the reconstruction is byte-exact. Only the
+    wire layout is simplified (magic|w|h|rows instead of the full
+    chunk+zlib container — that container walk IS
+    multimodal_png_idat_parse; this query is the complementary
+    filter-inversion stage). Map-only, zero exchanges at any scale.
+    Reference basis: SURVEY.md §2.12 multimodal family (absent in
+    reference)."""
+    d = table(spark, sf_dir, "documents")
+    empty = F.unhex(F.lit(""))
+    byt, rd = _zfh_byt, _zfh_rd
+
+    # ---- build: encode ground-truth pixels with per-row filters ------
+    g = d.select(
+        "doc_id",
+        (F.col("doc_id") % 5 + 4).cast("long").alias("w"),
+        (F.col("doc_id") % 3 + 2).cast("long").alias("h"),
+        F.hex(F.encode(F.rpad(F.col("text"), 40, " "), "utf-8")).alias("hx"),
+    )
+
+    def truth(r, i):  # ground-truth pixel (r, i) from the text bytes
+        return F.coalesce(
+            F.conv(
+                F.substring(
+                    "hx",
+                    (F.lit(2 * i + 1) + F.lit(2 * r) * F.col("w")).cast(
+                        "int"
+                    ),
+                    2,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(0).cast("long"),
+        )
+
+    rows = empty
+    for r in range(PNGDF_MAX_H):
+        f_r = (F.col("doc_id") + r) % 3
+        cells = [byt(f_r)]
+        for i in range(PNGDF_MAX_W):
+            enc = (
+                F.when(f_r == 0, truth(r, i))
+                .when(
+                    f_r == 1,
+                    truth(r, i)
+                    - (truth(r, i - 1) if i > 0 else F.lit(0)),
+                )
+                .otherwise(
+                    truth(r, i)
+                    - (truth(r - 1, i) if r > 0 else F.lit(0))
+                )
+            )
+            cells.append(
+                F.when(F.lit(i) < F.col("w"), byt(F.pmod(enc, F.lit(256))))
+                .otherwise(empty)
+            )
+        rows = F.concat(
+            rows,
+            F.when(F.lit(r) < F.col("h"), F.concat(*cells)).otherwise(empty),
+        )
+    built = g.select(
+        "doc_id",
+        F.concat(
+            F.unhex(F.lit("44463031")),  # 'DF01'
+            byt(F.col("w")),
+            byt(F.col("h")),
+            rows,
+        ).alias("payload"),
+    )
+
+    # ---- parse: per-row filter dispatch + 2D reconstruction ----------
+    # Array-column state (prev decoded row + accumulators) instead of
+    # per-pixel named columns: the first cut carried 8 pixel columns of
+    # nested CASE sums and the projection blew past the JVM method-size
+    # limit (codegen fell back to interpreted) — arrays keep each step's
+    # expression tree small enough to stay inside WholeStageCodegen.
+    p = F.col("payload")
+    zero_row = F.transform(
+        F.sequence(F.lit(1), F.lit(PNGDF_MAX_W)), lambda _: F.lit(0).cast("long")
+    )
+    st = built.select(
+        "doc_id",
+        "payload",
+        (F.hex(F.substring(p, 1, 4)) == F.lit("44463031")).alias("magic_ok"),
+        rd(p, 5, 1).alias("width"),
+        rd(p, 6, 1).alias("height"),
+        F.lit(0).cast("long").alias("mask"),
+        F.lit(0).cast("long").alias("pix_sum"),
+        F.lit(0).cast("long").alias("pix_wsum"),
+        F.lit(0).cast("long").alias("pixel_00"),
+        F.lit(0).cast("long").alias("pixel_last"),
+        zero_row.alias("pv"),
+    )
+    carry = ["doc_id", "payload", "magic_ok", "width", "height"]
+    acc = ["mask", "pix_sum", "pix_wsum", "pixel_00", "pixel_last"]
+    lsum = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    for r in range(PNGDF_MAX_H):
+        off = F.lit(7) + F.lit(r) * (F.col("width") + 1)
+        st = st.select(
+            *carry,
+            *acc,
+            "pv",
+            rd(p, off, 1).alias("f"),
+            F.transform(
+                F.sequence(F.lit(1), F.col("width").cast("int")),
+                lambda i: rd(p, off + i, 1),
+            ).alias("e"),
+        )
+        cur = (
+            F.when(F.col("f") == 0, F.col("e"))
+            .when(
+                F.col("f") == 1,
+                F.transform(
+                    F.sequence(F.lit(1), F.col("width").cast("int")),
+                    lambda k: F.pmod(
+                        lsum(F.slice(F.col("e"), F.lit(1), k)), F.lit(256)
+                    ),
+                ),
+            )
+            .otherwise(
+                # slice pv to width: zip_with pads the SHORTER side with
+                # nulls, so an 8-slot pv against a width-sized e would
+                # grow cur and poison the sums
+                F.zip_with(
+                    F.slice(F.col("pv"), F.lit(1), F.col("width").cast("int")),
+                    F.col("e"),
+                    lambda a, b: F.pmod(a + b, F.lit(256)),
+                )
+            )
+        )
+        st = st.select(*carry, *acc, "pv", "f", cur.alias("cur"))
+        active = F.lit(r) < F.col("height")
+        wrow = F.zip_with(
+            F.col("cur"),
+            F.sequence(F.lit(1), F.col("width").cast("int")),
+            lambda c, i: (F.lit(r) * F.col("width") + i) * c,
+        )
+        st = st.select(
+            *carry,
+            F.col("mask")
+            .bitwiseOR(
+                F.when(
+                    active,
+                    F.when(F.col("f") == 0, 1)
+                    .when(F.col("f") == 1, 2)
+                    .otherwise(4),
+                )
+                .otherwise(0)
+                .cast("long")
+            )
+            .alias("mask"),
+            (
+                F.col("pix_sum")
+                + F.when(active, lsum(F.col("cur"))).otherwise(0)
+            ).alias("pix_sum"),
+            (
+                F.col("pix_wsum") + F.when(active, lsum(wrow)).otherwise(0)
+            ).alias("pix_wsum"),
+            (
+                F.col("pixel_00")
+                + F.when(
+                    F.lit(r) == 0, F.element_at(F.col("cur"), 1)
+                ).otherwise(0)
+            ).alias("pixel_00"),
+            (
+                F.col("pixel_last")
+                + F.when(
+                    F.lit(r) == F.col("height") - 1,
+                    F.element_at(
+                        F.col("cur"), F.col("width").cast("int")
+                    ),
+                ).otherwise(0)
+            ).alias("pixel_last"),
+            F.when(active, F.col("cur")).otherwise(F.col("pv")).alias("pv"),
+        )
+    return st.select(
+        "doc_id",
+        "magic_ok",
+        "width",
+        "height",
+        F.col("mask").alias("filters_mask"),
+        (F.col("width") * F.col("height")).alias("n_pixels"),
+        "pix_sum",
+        "pix_wsum",
+        "pixel_00",
+        "pixel_last",
+        (
+            F.col("pix_sum").cast("double")
+            / (F.col("width") * F.col("height"))
+        ).alias("mean_pixel"),
+        F.octet_length("payload").cast("long").alias("total_len"),
+    )
+
+
+multimodal_png_defilter.__doc__ = multimodal_png_defilter.__doc__.format(
+    mw=PNGDF_MAX_W
+)

@@ -438,3 +438,84 @@ def test_radius_search_matches_brute_force(spark, sf_dir):
     for k, (s, r, n) in want.items():
         assert got[k][1] == r and got[k][2] == n, k
         assert math.isclose(got[k][0], s, rel_tol=1e-12), k
+
+
+def test_png_defilter_wire_roundtrip(spark, sf_dir):
+    """Pure-Python PNG defilter over the WIRE bytes (independent of the
+    query's own parser): reconstructed pixels must equal the ground
+    truth from the text bytes, and the wire must genuinely need
+    defiltering (Sub/Up rows differ from their raw pixels)."""
+    from real_value_etl_spark.queries.feature_ops import (
+        multimodal_png_defilter,
+    )
+    from real_value_etl_spark.queries.registry import table
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .limit(30)
+        .collect()
+    }
+    # rebuild payloads via the registered query's builder stage: the
+    # output frame has no payload column, so re-derive the wire from the
+    # same formulas and check the query's summary against OUR decode
+    rows = {
+        r["doc_id"]: r
+        for r in multimodal_png_defilter(spark, sf_dir)
+        .filter(F.col("doc_id").isin(*docs))
+        .collect()
+    }
+    assert set(rows) == set(docs)
+    filtered_rows_differ = 0
+    for doc_id, text in docs.items():
+        w = doc_id % 5 + 4
+        h = doc_id % 3 + 2
+        raw = text.ljust(40).encode("utf-8")
+        truth = [[raw[r * w + i] for i in range(w)] for r in range(h)]
+        # encode exactly as the builder does, then defilter from the wire
+        wire = []
+        for r in range(h):
+            f = (doc_id + r) % 3
+            enc = []
+            for i in range(w):
+                if f == 0:
+                    enc.append(truth[r][i])
+                elif f == 1:
+                    left = truth[r][i - 1] if i else 0
+                    enc.append((truth[r][i] - left) % 256)
+                else:
+                    up = truth[r - 1][i] if r else 0
+                    enc.append((truth[r][i] - up) % 256)
+            wire.append((f, enc))
+            if f and enc != truth[r]:
+                filtered_rows_differ += 1
+        # independent defilter pass
+        prev = [0] * w
+        dec = []
+        for f, enc in wire:
+            if f == 0:
+                cur = list(enc)
+            elif f == 1:
+                cur = []
+                acc = 0
+                for x in enc:
+                    acc = (acc + x) % 256
+                    cur.append(acc)
+            else:
+                cur = [(a + b) % 256 for a, b in zip(prev, enc)]
+            dec.append(cur)
+            prev = cur
+        assert dec == truth, doc_id
+        r = rows[doc_id]
+        flat = [v for row in truth for v in row]
+        assert r["pix_sum"] == sum(flat)
+        assert r["pix_wsum"] == sum((k + 1) * v for k, v in enumerate(flat))
+        assert r["pixel_00"] == truth[0][0]
+        assert r["pixel_last"] == truth[h - 1][w - 1]
+        assert r["filters_mask"] == (
+            __import__("functools").reduce(
+                lambda m, rr: m | (1 << ((doc_id + rr) % 3)), range(h), 0
+            )
+        )
+    assert filtered_rows_differ > 0, "no row ever actually filtered"
