@@ -134,6 +134,19 @@ SF1_HEAVY = [
     # dominates) — recorded in COVERAGE.md, no leg needed.
     "sim_mmr_rerank",
     "stream_countmin",
+    # round-10 admissions, hand-probed first (min-of-2, warm):
+    # graph_k_truss 4.05 -> 5.93 s (1.47x for 10x embeddings — the
+    # wedge/closing joins ride the mutual-kNN edge set, which grows
+    # sublinearly under cluster-blocked assignment), stream_hdr_quantile
+    # 2.52 -> 3.21 s (1.27x; stream-tagged => min-of-3 readings), and
+    # sim_radius_search 1.30 -> 9.11 s (7.0x against a 10x work floor —
+    # the broadcast-queries corpus scan IS the work; sublinear per unit).
+    # NOT admitted: the two r10 codecs (2.5-3.0 s FLAT at both scales,
+    # map-only with fixed overhead dominating) and STL/MAD (bounded
+    # hourly series, 0.35-0.6 s flat) — recorded here, no leg needed.
+    "graph_k_truss",
+    "stream_hdr_quantile",
+    "sim_radius_search",
 ]
 
 

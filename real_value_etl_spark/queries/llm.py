@@ -3904,3 +3904,142 @@ def sim_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 sim_radius_search.__doc__ = sim_radius_search.__doc__.format(tau=RADIUS_TAU)
+
+
+# ---------------------------------------------------------------------------
+# Adjusted Rand Index between two deterministic clusterings (eval family)
+# ---------------------------------------------------------------------------
+def _ari_oracle() -> str:
+    from ..functions.vectors import hyperplane_band_sql
+
+    cos_xc = V.cosine_sql("x.v", "c.cv")
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM e
+              WHERE vec_id % {IVF_CENTROID_MOD} = 0
+                AND vec_id < {ANN_SEED_CAP}),
+    cell AS (
+      SELECT vec_id, cell FROM (
+        SELECT x.vec_id, c.cid AS cell,
+               ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                                  ORDER BY {cos_xc} DESC, c.cid) AS r
+        FROM e x, cents c) WHERE r = 1
+    ),
+    buck AS (SELECT vec_id, {hyperplane_band_sql('v', 0)} AS bucket FROM e),
+    cont AS (
+      SELECT cell, bucket, CAST(COUNT(*) AS BIGINT) AS nij
+      FROM cell JOIN buck USING (vec_id) GROUP BY 1, 2
+    ),
+    comp AS (
+      SELECT CAST(SUM(nij) AS BIGINT) AS n,
+             CAST(SUM(nij * (nij - 1) // 2) AS BIGINT) AS s_ij,
+             (SELECT CAST(SUM(a * (a - 1) // 2) AS BIGINT) FROM (
+                SELECT SUM(nij) AS a FROM cont GROUP BY cell)) AS s_a,
+             (SELECT CAST(SUM(b * (b - 1) // 2) AS BIGINT) FROM (
+                SELECT SUM(nij) AS b FROM cont GROUP BY bucket)) AS s_b
+      FROM cont
+    )
+    SELECT n, s_ij, s_a, s_b,
+           CAST(n * (n - 1) // 2 AS BIGINT) AS c_pairs,
+           (CAST(s_ij AS DOUBLE)
+            - CAST(s_a AS DOUBLE) * CAST(s_b AS DOUBLE)
+              / CAST(n * (n - 1) // 2 AS DOUBLE))
+           / ((CAST(s_a AS DOUBLE) + CAST(s_b AS DOUBLE)) / 2.0
+              - CAST(s_a AS DOUBLE) * CAST(s_b AS DOUBLE)
+                / CAST(n * (n - 1) // 2 AS DOUBLE)) AS ari
+    FROM comp
+    """
+
+
+@register(
+    "sim_ari_clusterings",
+    oracle=_ari_oracle(),
+    tags=("similarity", "llm", "vector", "eval"),
+)
+def sim_ari_clusterings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADJUSTED RAND INDEX between two deterministic clusterings of the
+    embedding corpus — nearest-IVF-centroid cells vs sign-LSH band-0
+    buckets: the chance-corrected agreement score (Hubert & Arabie
+    1985) that answers "do my cheap hash buckets approximate the
+    centroid partition" with one number in [-0.5, 1]. Joins the eval
+    family next to dedup_bcubed_eval (set-overlap view) and
+    lang_id_kappa (label-agreement view); ARI is the PAIR-COUNTING
+    view. Everything through the contingency table is EXACT INTEGER
+    combinatorics: n_ij, the three sums of C(.,2), and total pairs are
+    BIGINTs in the output (exact for corpora to ~3e9 rows before
+    C(n,2) itself overflows — documented bound); only the final index
+    is computed in doubles, with the expectation term E = S_a*S_b/C
+    and the index shape pinned to the identical operation order on
+    both engines.
+
+    Scale shape: one broadcast of the bounded centroid set against a
+    streaming corpus scan (argmax per row), one map-side signature
+    expression, ONE (cell, bucket) hash aggregation — the contingency
+    table is |cells| x |buckets| bounded regardless of corpus size,
+    and every downstream sum runs on that bounded frame. Reference
+    basis: SURVEY.md §2.12 eval family (absent in reference)."""
+    from ..functions.vectors import hyperplane_band, hyperplane_signature
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = emb.filter(
+        (F.col("vec_id") % IVF_CENTROID_MOD == 0)
+        & (F.col("vec_id") < ANN_SEED_CAP)
+    ).select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    w_c = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos"), F.asc("cid")
+    )
+    cell = (
+        emb.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "v",
+            "cid",
+            V.cosine(F.col("v"), F.col("cv")).alias("cos"),
+        )
+        .withColumn("r", F.row_number().over(w_c))
+        .filter(F.col("r") == 1)
+        .select(
+            "vec_id",
+            F.col("cid").alias("cell"),
+            hyperplane_band(hyperplane_signature(F.col("v")), 0).alias(
+                "bucket"
+            ),
+        )
+    )
+    cont = cell.groupBy("cell", "bucket").agg(F.count("*").alias("nij"))
+    pairs = lambda c: F.expr(f"CAST({c} * ({c} - 1) div 2 AS BIGINT)")  # noqa: E731
+    s_a = (
+        cont.groupBy("cell")
+        .agg(F.sum("nij").alias("a"))
+        .agg(F.sum(pairs("a")).alias("s_a"))
+    )
+    s_b = (
+        cont.groupBy("bucket")
+        .agg(F.sum("nij").alias("b"))
+        .agg(F.sum(pairs("b")).alias("s_b"))
+    )
+    comp = (
+        cont.agg(
+            F.sum("nij").alias("n"), F.sum(pairs("nij")).alias("s_ij")
+        )
+        .crossJoin(F.broadcast(s_a))
+        .crossJoin(F.broadcast(s_b))
+    )
+    c_d = F.expr("CAST(n * (n - 1) div 2 AS DOUBLE)")
+    e_term = F.col("s_a").cast("double") * F.col("s_b").cast("double") / c_d
+    ari = (F.col("s_ij").cast("double") - e_term) / (
+        (F.col("s_a").cast("double") + F.col("s_b").cast("double"))
+        / F.lit(2.0)
+        - e_term
+    )
+    return comp.select(
+        "n",
+        "s_ij",
+        "s_a",
+        "s_b",
+        F.expr("CAST(n * (n - 1) div 2 AS BIGINT)").alias("c_pairs"),
+        ari.alias("ari"),
+    )

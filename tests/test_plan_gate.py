@@ -135,6 +135,9 @@ _BNLJ_WAIVERS: dict[str, str] = {
     "sim_nprobe_recall_curve": _R_QUERYSET,
     "sim_pair_distance_hist": _R_QUERYSET,
     "sim_radius_search": _R_QUERYSET,
+    "sim_ari_clusterings": _R_QUERYSET
+    + "; plus two one-row C(.,2)-sum scalar frames cross-joined into "
+    "the single-row index",
     "sim_pq_adc_recall": _R_QUERYSET,
     "sim_quantization_recall": _R_QUERYSET,
     "sim_rerank_quantized": _R_QUERYSET,

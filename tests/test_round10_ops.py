@@ -519,3 +519,85 @@ def test_png_defilter_wire_roundtrip(spark, sf_dir):
             )
         )
     assert filtered_rows_differ > 0, "no row ever actually filtered"
+
+
+def test_ari_python_replication(spark, sf_dir):
+    """Pure-Python ARI from the raw embeddings: recompute both
+    clusterings (cosine-argmax cells, sign-LSH band-0 buckets) and the
+    pair-counting components; integers must match exactly, the index to
+    1e-12."""
+    import math
+
+    import duckdb
+
+    from real_value_etl_spark.functions.vectors import (
+        HYPERPLANES,
+        LSH_BAND_BITS,
+    )
+    from real_value_etl_spark.queries.all_queries import REGISTRY
+    from real_value_etl_spark.queries.llm import (
+        ANN_SEED_CAP,
+        IVF_CENTROID_MOD,
+    )
+
+    vecs = dict(
+        duckdb.connect()
+        .execute(
+            "SELECT vec_id, CAST(embedding AS DOUBLE[]) FROM "
+            f"'{sf_dir}/embeddings.parquet'"
+        )
+        .fetchall()
+    )
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def cos(a, b):
+        return dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+
+    cents = {
+        v: vecs[v]
+        for v in vecs
+        if v % IVF_CENTROID_MOD == 0 and v < ANN_SEED_CAP
+    }
+    from collections import Counter
+
+    cont: Counter = Counter()
+    for vid, v in vecs.items():
+        cell = min(cents, key=lambda c: (-cos(v, cents[c]), c))
+        bucket = sum(
+            (1 << j)
+            for j in range(LSH_BAND_BITS)
+            if dot(v, HYPERPLANES[j]) >= 0
+        )
+        cont[(cell, bucket)] += 1
+
+    def pairs(x):
+        return x * (x - 1) // 2
+
+    n = sum(cont.values())
+    s_ij = sum(pairs(x) for x in cont.values())
+    a_s: Counter = Counter()
+    b_s: Counter = Counter()
+    for (cl, bu), x in cont.items():
+        a_s[cl] += x
+        b_s[bu] += x
+    s_a = sum(pairs(x) for x in a_s.values())
+    s_b = sum(pairs(x) for x in b_s.values())
+    c = pairs(n)
+    e = s_a * s_b / c
+    want_ari = (s_ij - e) / ((s_a + s_b) / 2.0 - e)
+
+    [r] = REGISTRY["sim_ari_clusterings"].fn(spark, sf_dir).collect()
+    assert (r["n"], r["s_ij"], r["s_a"], r["s_b"], r["c_pairs"]) == (
+        n,
+        s_ij,
+        s_a,
+        s_b,
+        c,
+    )
+    assert math.isclose(r["ari"], want_ari, rel_tol=1e-12)
+    assert -0.5 <= r["ari"] <= 1.0
