@@ -31,6 +31,18 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _persist_for(df: DataFrame, caches: list[DataFrame] | None) -> DataFrame:
+    """persist() + register for release: into the caller's `caches` list
+    when given, else the scan-module tracker (see bpe_train docstring)."""
+    if caches is not None:
+        df = df.persist()
+        caches.append(df)
+        return df
+    from .scan import _persist_tracked
+
+    return _persist_tracked(df)
+
+
 def words_with_symbols(tokens: DataFrame, token_col: str = "token") -> DataFrame:
     """Distinct-word table: (word, freq, syms) with syms = character list."""
     return (
@@ -130,10 +142,12 @@ def bpe_train(
     Each iteration's word table is persisted (it feeds pair counting, the
     top-pair selection, AND the next rebuild — without a cache the
     lineage would re-run all previous merges once per consumer). Same
-    cache-lifecycle contract as operators/pagerank.py."""
-    words = words_with_symbols(tokens).persist()
-    if caches is not None:
-        caches.append(words)
+    cache-lifecycle contract as operators/pagerank.py: with caches=None
+    (how the registered queries call it) the frames register in the
+    scan-module tracker so `release_rank_caches()` frees them instead of
+    accumulating per call in a long-lived session (the r8/r9 PPR leak
+    class, closed here too)."""
+    words = _persist_for(words_with_symbols(tokens), caches)
     rules: list[DataFrame] = []
     for step in range(1, n_merges + 1):
         rule = top_pair(pair_counts(words))
@@ -146,10 +160,24 @@ def bpe_train(
             )
         )
         if step < n_merges:
-            words = apply_merge(words, rule).persist()
-            if caches is not None:
-                caches.append(words)
+            words = _persist_for(apply_merge(words, rule), caches)
     out = rules[0]
     for r in rules[1:]:
         out = out.unionAll(r)
     return out
+
+
+def bpe_encode(
+    tokens: DataFrame,
+    n_merges: int,
+    caches: list[DataFrame] | None = None,
+) -> DataFrame:
+    """The ENCODE half of BPE: learn `n_merges` rules (identical greedy
+    trajectory to `bpe_train`) and apply ALL of them, returning the
+    encoded distinct-word table (word, freq, syms). Same persist
+    contract as bpe_train."""
+    words = _persist_for(words_with_symbols(tokens), caches)
+    for _ in range(n_merges):
+        rule = top_pair(pair_counts(words))
+        words = _persist_for(apply_merge(words, rule), caches)
+    return words

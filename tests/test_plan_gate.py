@@ -179,6 +179,10 @@ _BNLJ_WAIVERS: dict[str, str] = {
     "only — this crossJoin never touches a corpus-sized side",
     "text_bpe_train": _R_PAIRS
     + " (merge-candidate frame vs one-row best-pair scalar)",
+    "text_bpe_apply": _R_PAIRS
+    + " (same trainer machinery: each merge rule is a broadcast one-row"
+    " frame crossed into the word table; the extra final application"
+    " adds one more such rule, never a data-sized side)",
     "text_collocations": _R_PAIRS,
     "text_keyword_extract": _R_PAIRS,
     "text_kmv_jaccard": _R_PAIRS,

@@ -601,3 +601,89 @@ def test_ari_python_replication(spark, sf_dir):
     )
     assert math.isclose(r["ari"], want_ari, rel_tol=1e-12)
     assert -0.5 <= r["ari"] <= 1.0
+
+
+def _bpe_python(texts, n_merges):
+    """Reference BPE: learn greedy merges over the weighted distinct-word
+    table, apply left-to-right non-overlapping; returns encoded words."""
+    from collections import Counter
+
+    freq = Counter(w for t in texts for w in t.split() if w)
+    words = {w: list(w) for w in freq}
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for w, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += freq[w]
+        if not pairs:
+            break
+        (a, b), _ = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    return freq, words
+
+
+def test_bpe_apply_hand_corpus(spark, tmp_path):
+    """Learn-then-encode vs the pure-Python reference on a corpus with
+    overlapping merge sites ('aaa' must merge 1st+2nd) and a merge whose
+    output participates in a later merge."""
+    from real_value_etl_spark.queries.tokenizer import (
+        BPE_MERGES,
+        text_bpe_apply,
+    )
+
+    texts = [
+        "aaab aaab banana aaa",
+        "banana band aaab an",
+        "an an aaa banana",
+    ]
+    sf_dir = _write_documents(tmp_path, texts)
+    freq, words = _bpe_python(texts, BPE_MERGES)
+    rows = text_bpe_apply(spark, sf_dir).collect()
+    got = {r["word"]: r for r in rows}
+    assert set(got) == set(words)
+    for w, syms in words.items():
+        r = got[w]
+        assert r["encoded"] == " ".join(syms), w
+        assert r["n_tokens"] == len(syms)
+        assert r["freq"] == freq[w]
+        assert r["n_chars"] == len(w)
+        assert r["chars_per_token"] == len(w) / len(syms)
+
+
+def test_bpe_persists_are_tracked(spark, sf_dir):
+    """bpe_train/bpe_encode with caches=None must register every
+    persisted word table in the scan tracker (the PPR leak class):
+    release_rank_caches() frees them all."""
+    from real_value_etl_spark.operators import scan
+    from real_value_etl_spark.operators.bpe import bpe_encode, bpe_train
+    from real_value_etl_spark.queries.registry import table
+    from real_value_etl_spark.queries.tokenizer import BPE_MERGES
+
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    scan.release_rank_caches()
+    bpe_train(toks, BPE_MERGES).count()
+    n1 = scan.release_rank_caches()
+    assert n1 == BPE_MERGES  # words + (n_merges - 1) rebuilds
+    bpe_encode(toks, BPE_MERGES).count()
+    n2 = scan.release_rank_caches()
+    assert n2 == BPE_MERGES + 1  # words + n_merges rebuilds
+    # caches= list still takes precedence and tracker stays empty
+    caches: list = []
+    bpe_train(toks, BPE_MERGES, caches=caches).count()
+    assert len(caches) == BPE_MERGES
+    assert scan.release_rank_caches() == 0
+    for f in caches:
+        f.unpersist()
