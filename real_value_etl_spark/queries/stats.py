@@ -1003,3 +1003,123 @@ def q_hdr_histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         cell_lo.cast("long").alias("cell_lo"),
         F.sum("n").over(w).alias("cum_n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitmap-index set intersection (packed 64-bit words — the roaring-style
+# primitive behind bitmap indexes and audience-overlap engines)
+# ---------------------------------------------------------------------------
+@register(
+    "q_bitmap_intersect",
+    oracle="""
+    WITH bm AS (
+      SELECT event_type, user_id // 63 AS word,
+             bit_or(1::BIGINT << CAST(user_id % 63 AS INT)) AS w
+      FROM events GROUP BY 1, 2
+    ),
+    sizes AS (
+      SELECT event_type, CAST(SUM(bit_count(w)) AS BIGINT) AS n
+      FROM bm GROUP BY event_type
+    ),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(SUM(bit_count(a.w & b.w)) AS BIGINT) AS n_intersect
+      FROM bm a JOIN bm b
+        ON b.word = a.word AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT i.type_a, i.type_b, sa.n AS n_a, sb.n AS n_b, i.n_intersect,
+           sa.n + sb.n - i.n_intersect AS n_union,
+           CAST(i.n_intersect AS DOUBLE)
+             / (sa.n + sb.n - i.n_intersect) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.event_type = i.type_a
+    JOIN sizes sb ON sb.event_type = i.type_b
+    """,
+    tags=("aggregation", "set", "bitmap"),
+)
+def q_bitmap_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT audience overlap via a PACKED-BITMAP INDEX: each event
+    type's user set becomes one packed word per 63-id block (bit i of
+    word k set iff user 63k+i appeared; 63 bits per word, not 64,
+    because DuckDB's checked << rejects shifting into the sign bit
+    while Spark's shiftleft silently wraps there — the one-bit haircut
+    keeps the arithmetic identical and overflow-free on both engines), then every pair's intersection
+    and union are BITWISE AND/popcount arithmetic over co-located words
+    — the roaring-bitmap primitive OLAP engines use for segment-overlap
+    and audience queries, here in pure Catalyst expressions. Three
+    properties make it the scale answer to "how many users do segments
+    share": (1) bit_or ABSORBS duplicates, so the raw event stream
+    feeds the build directly — no distinct-users shuffle ever happens;
+    (2) the bitmap is 1 bit per possible id instead of 8+ bytes per
+    observed id, and blocks with no members never exist (sparse by
+    construction); (3) the pair join is an equi-join on the block id —
+    only co-populated blocks meet, and |types|^2 stays in the group-by
+    key, never in the data. Distinct counts fall out for free
+    (popcount of the own-bitmap), and exactness is unit-verified
+    against plain set arithmetic. All integers except the final
+    Jaccard division (pinned shape both engines).
+
+    At 100 TB: the build is ONE map-side-combinable aggregate on
+    (type, block); for sparse/64-bit id spaces, hash ids into a dense
+    surrogate domain first (the standard bitmap-index prep) — the
+    operator is unchanged. Reference basis: SURVEY.md §2.4 aggregation
+    family (absent in reference)."""
+    ev = table(spark, sf_dir, "events")
+    bm = (
+        ev.select(
+            "event_type",
+            F.expr("user_id div 63").alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))"
+            ).alias("b"),
+        )
+        .groupBy("event_type", "word")
+        .agg(F.expr("bit_or(b)").alias("w"))
+    )
+    sizes = bm.groupBy("event_type").agg(
+        F.sum(F.expr("CAST(bit_count(w) AS BIGINT)")).alias("n")
+    )
+    a = bm.select(
+        F.col("event_type").alias("type_a"),
+        "word",
+        F.col("w").alias("wa"),
+    )
+    b = bm.select(
+        F.col("event_type").alias("type_b"),
+        F.col("word").alias("word_b"),
+        F.col("w").alias("wb"),
+    )
+    inter = (
+        a.join(
+            b,
+            (F.col("word") == F.col("word_b"))
+            & (F.col("type_a") < F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.sum(
+                F.expr("CAST(bit_count(wa & wb) AS BIGINT)")
+            ).alias("n_intersect")
+        )
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_intersect",
+            (F.col("n_a") + F.col("n_b") - F.col("n_intersect")).alias(
+                "n_union"
+            ),
+            (
+                F.col("n_intersect").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_intersect"))
+            ).alias("jaccard"),
+        )
+    )

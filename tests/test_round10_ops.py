@@ -687,3 +687,29 @@ def test_bpe_persists_are_tracked(spark, sf_dir):
     assert scan.release_rank_caches() == 0
     for f in caches:
         f.unpersist()
+
+
+def test_bitmap_intersect_exact_sets(spark, sf_dir):
+    """The packed-bitmap arithmetic must equal plain set arithmetic:
+    per-pair intersection/union/jaccard from Python sets over the raw
+    (event_type, user_id) pairs."""
+    import duckdb
+
+    from real_value_etl_spark.queries.all_queries import REGISTRY
+
+    raw = duckdb.connect().execute(
+        f"SELECT DISTINCT event_type, user_id FROM '{sf_dir}/events.parquet'"
+    ).fetchall()
+    sets: dict[str, set[int]] = {}
+    for et, uid in raw:
+        sets.setdefault(et, set()).add(uid)
+    rows = REGISTRY["q_bitmap_intersect"].fn(spark, sf_dir).collect()
+    types = sorted(sets)
+    assert len(rows) == len(types) * (len(types) - 1) // 2
+    for r in rows:
+        a, b = sets[r["type_a"]], sets[r["type_b"]]
+        assert r["type_a"] < r["type_b"]
+        assert r["n_a"] == len(a) and r["n_b"] == len(b)
+        assert r["n_intersect"] == len(a & b)
+        assert r["n_union"] == len(a | b)
+        assert r["jaccard"] == len(a & b) / len(a | b)
