@@ -3134,3 +3134,99 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 events_mad_outliers.__doc__ = events_mad_outliers.__doc__.format(K=MAD_K)
+
+
+# ---------------------------------------------------------------------------
+# EXACT sliding-window COUNT DISTINCT (window-explode dedup)
+# ---------------------------------------------------------------------------
+SLIDE_W_HOURS = 24  # trailing window length
+
+
+@register(
+    "events_sliding_distinct_users",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT event_type,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h, user_id
+      FROM events
+    ),
+    b AS (
+      SELECT MAX(CAST(epoch(date_trunc('hour', ts)) AS BIGINT)) AS hmax
+      FROM events
+    ),
+    expl AS (
+      SELECT DISTINCT p.event_type, p.user_id,
+             p.h + 3600 * t.k AS wend
+      FROM pairs p,
+           LATERAL (SELECT unnest(range(0, {SLIDE_W_HOURS})) AS k) t, b
+      WHERE p.h + 3600 * t.k <= b.hmax
+    )
+    SELECT event_type, wend AS window_end_h,
+           wend - {3600 * (SLIDE_W_HOURS - 1)} AS window_start_h,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_users
+    FROM expl GROUP BY 1, 2
+    """,
+    tags=("events", "timeseries", "window", "distinct"),
+)
+def events_sliding_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT trailing-{W}h DISTINCT USERS per event type for EVERY hour
+    — the sliding COUNT(DISTINCT) that window frames cannot express
+    (distinct aggregates are unsupported over moving frames in both
+    engines, and the naive per-window re-scan is O(W) full passes).
+    The window-explode dedup trick makes it one pipeline: dedup the
+    stream to (type, user, hour) pairs, explode each pair into the {W}
+    trailing windows it participates in, dedup again on (type, user,
+    window) — a user active in 5 hours of one window still counts once
+    — and count. The exact companion to the sketch path
+    (q_cube_hll_users / stream_kmv_distinct estimate the same class
+    when W x active-users blows the budget).
+
+    Scale shape: both dedups are map-side-combinable hash aggregates on
+    integer-key tuples; the explode factor is the FIXED window length
+    W={W}, applied to the hour-deduped pair table (bounded by active
+    users x hours), never to raw events. The global max-hour bound is a
+    one-row broadcast. Reference basis: SURVEY.md §2.5 window family
+    (absent in reference)."""
+    ev = table(spark, sf_dir, "events")
+    hour = F.unix_timestamp(F.date_trunc("hour", "ts")).alias("h")
+    pairs = ev.select("event_type", hour, "user_id").distinct()
+    hmax = ev.agg(
+        F.max(F.unix_timestamp(F.date_trunc("hour", "ts"))).alias("hmax")
+    )
+    expl = (
+        pairs.crossJoin(F.broadcast(hmax))
+        .select(
+            "event_type",
+            "user_id",
+            "hmax",
+            F.explode(
+                F.sequence(
+                    F.col("h"),
+                    F.col("h") + F.lit(3600 * (SLIDE_W_HOURS - 1)),
+                    F.lit(3600),
+                )
+            ).alias("wend"),
+        )
+        .filter(F.col("wend") <= F.col("hmax"))
+        .select("event_type", "user_id", "wend")
+        .distinct()
+    )
+    return expl.groupBy(
+        "event_type", F.col("wend").alias("window_end_h")
+    ).agg(
+        F.count("*").alias("n_distinct_users")
+    ).select(
+        "event_type",
+        "window_end_h",
+        (F.col("window_end_h") - F.lit(3600 * (SLIDE_W_HOURS - 1))).alias(
+            "window_start_h"
+        ),
+        "n_distinct_users",
+    )
+
+
+events_sliding_distinct_users.__doc__ = (
+    events_sliding_distinct_users.__doc__.format(W=SLIDE_W_HOURS)
+)

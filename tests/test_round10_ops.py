@@ -713,3 +713,41 @@ def test_bitmap_intersect_exact_sets(spark, sf_dir):
         assert r["n_intersect"] == len(a & b)
         assert r["n_union"] == len(a | b)
         assert r["jaccard"] == len(a & b) / len(a | b)
+
+
+def test_sliding_distinct_users_brute_force(spark, sf_dir):
+    """Exactness vs a brute-force per-window set scan in pure Python."""
+    import duckdb
+
+    from real_value_etl_spark.queries.all_queries import REGISTRY
+    from real_value_etl_spark.queries.events_queries import SLIDE_W_HOURS
+
+    raw = duckdb.connect().execute(
+        f"""SELECT DISTINCT event_type,
+                   CAST(epoch(date_trunc('hour', ts)) AS BIGINT), user_id
+            FROM '{sf_dir}/events.parquet'"""
+    ).fetchall()
+    by_type: dict[str, list[tuple[int, int]]] = {}
+    hmax = max(h for _, h, _ in raw)
+    for et, h, u in raw:
+        by_type.setdefault(et, []).append((h, u))
+    rows = REGISTRY["events_sliding_distinct_users"].fn(spark, sf_dir).collect()
+    got = {(r["event_type"], r["window_end_h"]): r for r in rows}
+    want_keys = set()
+    for et, pts in by_type.items():
+        wends = set()
+        for h, _ in pts:
+            for k in range(SLIDE_W_HOURS):
+                if h + 3600 * k <= hmax:
+                    wends.add(h + 3600 * k)
+        for wend in wends:
+            users = {
+                u
+                for h, u in pts
+                if wend - 3600 * (SLIDE_W_HOURS - 1) <= h <= wend
+            }
+            want_keys.add((et, wend))
+            r = got[(et, wend)]
+            assert r["n_distinct_users"] == len(users), (et, wend)
+            assert r["window_start_h"] == wend - 3600 * (SLIDE_W_HOURS - 1)
+    assert set(got) == want_keys
