@@ -1453,3 +1453,119 @@ def q_join_size_cm_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("overcount"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Link prediction (common-neighbors / Jaccard) over the mutual-kNN graph
+# ---------------------------------------------------------------------------
+LP_MIN_CN = 2  # candidate pairs need >= 2 common neighbors
+
+
+def _linkpred_oracle() -> str:
+    return f"""
+    WITH {_knn_edges_cte()},
+    und AS MATERIALIZED (
+      SELECT e.src AS a, e.dst AS b FROM edges e
+      JOIN edges m ON m.src = e.dst AND m.dst = e.src
+      WHERE e.src < e.dst
+    ),
+    nb AS (SELECT a AS x, b AS n FROM und
+           UNION ALL SELECT b AS x, a AS n FROM und),
+    deg AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS d FROM nb GROUP BY x),
+    cand AS (
+      SELECT e1.x AS a, e2.x AS b, CAST(COUNT(*) AS BIGINT) AS cn
+      FROM nb e1 JOIN nb e2 ON e2.n = e1.n AND e1.x < e2.x
+      WHERE NOT EXISTS (SELECT 1 FROM und u
+                        WHERE u.a = e1.x AND u.b = e2.x)
+      GROUP BY 1, 2 HAVING COUNT(*) >= {LP_MIN_CN}
+    )
+    SELECT c.a, c.b, c.cn, da.d AS deg_a, db.d AS deg_b,
+           CAST(c.cn AS DOUBLE) / (da.d + db.d - c.cn) AS jaccard
+    FROM cand c
+    JOIN deg da ON da.x = c.a
+    JOIN deg db ON db.x = c.b
+    """
+
+
+@register(
+    "graph_link_prediction",
+    oracle=_linkpred_oracle(),
+    tags=("graph", "similarity"),
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINK PREDICTION over the mutual-kNN graph: for every NON-adjacent
+    node pair sharing at least {m} neighbors, the common-neighbor count
+    and neighbor-set Jaccard |CN| / |N(a) u N(b)| — the classic
+    structural "these two should probably be connected" scores (missing
+    near-duplicates a too-small k hid, merge candidates in entity
+    graphs). Adamic-Adar is deliberately NOT offered: its 1/ln(deg)
+    weights violate the repo's cross-engine log doctrine, while
+    common-neighbors and Jaccard are exact integers plus ONE pinned
+    division. The non-adjacency check is an anti-join against the edge
+    set (candidates come out of the same oriented wedge join the
+    triangle family uses — x < y counts each pair once).
+
+    Scale shape: the wedge join shuffles on the shared-neighbor id —
+    per-key width is bounded by the kNN degree cap (mutual edges have
+    degree <= k), so the candidate fan-out is O(k^2) per node, never
+    quadratic in the graph; degrees broadcast back onto the bounded
+    candidate set; the >= {m}-common-neighbor floor prunes map-side
+    combined counts before the joins. Reference basis: SURVEY.md §2.12
+    graph family (absent in reference)."""
+    edges = _knn_edges(spark, sf_dir).select("src", "dst")
+    rev = edges.select(
+        F.col("src").alias("m_src"), F.col("dst").alias("m_dst")
+    )
+    und = (
+        edges.join(
+            rev,
+            (F.col("m_src") == F.col("dst"))
+            & (F.col("m_dst") == F.col("src")),
+            "left_semi",
+        )
+        .filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .localCheckpoint(eager=True)
+    )
+    nb = und.select(F.col("a").alias("x"), F.col("b").alias("n")).unionAll(
+        und.select(F.col("b").alias("x"), F.col("a").alias("n"))
+    )
+    deg = nb.groupBy("x").agg(F.count("*").alias("d"))
+    e1 = nb.select(F.col("x").alias("ca"), F.col("n").alias("n1"))
+    e2 = nb.select(F.col("x").alias("cb"), F.col("n").alias("n2"))
+    cand = (
+        e1.join(
+            e2,
+            (F.col("n2") == F.col("n1")) & (F.col("ca") < F.col("cb")),
+        )
+        .groupBy("ca", "cb")
+        .agg(F.count("*").alias("cn"))
+        .filter(F.col("cn") >= LP_MIN_CN)
+        .join(
+            und,
+            (F.col("ca") == F.col("a")) & (F.col("cb") == F.col("b")),
+            "left_anti",
+        )
+    )
+    da = deg.select(F.col("x").alias("ca"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("x").alias("cb"), F.col("d").alias("deg_b"))
+    return (
+        cand.join(da, "ca")
+        .join(db, "cb")
+        .select(
+            F.col("ca").alias("a"),
+            F.col("cb").alias("b"),
+            "cn",
+            "deg_a",
+            "deg_b",
+            (
+                F.col("cn").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("cn"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+graph_link_prediction.__doc__ = graph_link_prediction.__doc__.format(
+    m=LP_MIN_CN
+)

@@ -751,3 +751,47 @@ def test_sliding_distinct_users_brute_force(spark, sf_dir):
             assert r["n_distinct_users"] == len(users), (et, wend)
             assert r["window_start_h"] == wend - 3600 * (SLIDE_W_HOURS - 1)
     assert set(got) == want_keys
+
+
+def test_link_prediction_python_replication(spark, sf_dir):
+    """Pure-Python replication over the SAME mutual edge set: candidate
+    pairs, common-neighbor counts, degrees and Jaccard must all match;
+    no reported pair may be an existing edge."""
+    from real_value_etl_spark.queries.all_queries import REGISTRY
+    from real_value_etl_spark.queries.retrieval_graph import (
+        LP_MIN_CN,
+        _knn_edges,
+    )
+    from pyspark.sql import functions as F
+
+    edges = {
+        (r["src"], r["dst"])
+        for r in _knn_edges(spark, sf_dir).select("src", "dst").collect()
+    }
+    und = {(a, b) for a, b in edges if (b, a) in edges and a < b}
+    nbrs: dict[int, set[int]] = {}
+    for a, b in und:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    want = {}
+    nodes = sorted(nbrs)
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1 :]:
+            if (a, b) in und:
+                continue
+            cn = len(nbrs[a] & nbrs[b])
+            if cn >= LP_MIN_CN:
+                want[(a, b)] = (
+                    cn,
+                    len(nbrs[a]),
+                    len(nbrs[b]),
+                    cn / (len(nbrs[a]) + len(nbrs[b]) - cn),
+                )
+    rows = REGISTRY["graph_link_prediction"].fn(spark, sf_dir).collect()
+    got = {
+        (r["a"], r["b"]): (r["cn"], r["deg_a"], r["deg_b"], r["jaccard"])
+        for r in rows
+    }
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert got[k] == v, k
