@@ -523,3 +523,39 @@ def stream_hdr_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     must land inside the reported cell — the constant-relative-error
     guarantee, checked bit-for-bit against this SQL replay."""
     return jobs.stream_hdr_quantile(spark, sf_dir)
+
+
+@register(
+    "stream_bitmap_distinct",
+    oracle="""
+    WITH bm AS (
+      SELECT event_type, user_id // 63 AS block,
+             bit_or(1::BIGINT << CAST(user_id % 63 AS INT)) AS w
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+             CAST(SUM(bit_count(w)) AS BIGINT) AS n_distinct_stream
+      FROM bm GROUP BY event_type
+    ),
+    ex AS (
+      SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+               AS n_distinct_exact
+      FROM events GROUP BY event_type
+    )
+    SELECT s.event_type, s.n_blocks, s.n_distinct_stream,
+           e.n_distinct_exact,
+           s.n_distinct_stream = e.n_distinct_exact AS exact_match
+    FROM s JOIN ex e ON e.event_type = s.event_type
+    """,
+    tags=("stream", "stateful", "bitmap", "distinct", "pandas_udf"),
+)
+def stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EXACT distinct users via sparse packed-bitmap state —
+    the SIXTH streaming state family and the first with an IDEMPOTENT
+    merge (bitwise OR): replayed/duplicated batches are no-ops, so the
+    result survives AT-LEAST-ONCE delivery where the counter sketches
+    (Count-Min, HDR histogram) require exactly-once. The drained
+    popcount sums must EQUAL batch COUNT(DISTINCT) — verified
+    bit-for-bit against this SQL replay."""
+    return jobs.stream_bitmap_distinct(spark, sf_dir)

@@ -1294,3 +1294,110 @@ def stream_hdr_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c").alias("exact_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming EXACT distinct via bitmap OR — the SIXTH streaming state family,
+# and the first whose merge is IDEMPOTENT as well as commutative/associative:
+# OR-ing a replayed batch changes nothing, so unlike the counter sketches
+# (Count-Min, HDR) it tolerates AT-LEAST-ONCE delivery, not just
+# exactly-once — the strongest delivery contract in the suite
+# ---------------------------------------------------------------------------
+_SBD_STATE_SCHEMA = StructType(
+    [
+        StructField("blocks", ArrayType(LongType())),
+        StructField("words", ArrayType(LongType())),
+    ]
+)
+_SBD_OUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("block", LongType()),
+        StructField("w", LongType()),
+    ]
+)
+
+
+def _sbd_state(
+    key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState kernel: one SPARSE bitmap per event type —
+    state = aligned (block, word) arrays, one 63-bit word per populated
+    63-id block. Each batch ORs its per-block bit masks in; a replayed
+    batch is a no-op (idempotence). Word values only ever gain bits
+    (bits 0..62, so the signed long is nondecreasing) — the drained
+    latest value per (type, block) is MAX(w)."""
+    import numpy as np
+
+    bm: dict = (
+        dict(zip(state.get[0], state.get[1])) if state.exists else {}
+    )
+    for pdf in pdfs:
+        if len(pdf):
+            grouped = pdf.groupby("block")["bits"].apply(
+                lambda s: int(np.bitwise_or.reduce(s.to_numpy(dtype=np.int64)))
+            )
+            for blk, w in grouped.items():
+                bm[int(blk)] = bm.get(int(blk), 0) | int(w)
+    blocks = sorted(bm)
+    state.update(([int(b) for b in blocks], [int(bm[b]) for b in blocks]))
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]] * len(blocks),
+            "block": blocks,
+            "w": [bm[b] for b in blocks],
+        }
+    )
+
+
+def stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EXACT distinct users per event type via a sparse packed
+    bitmap (the streaming twin of q_bitmap_intersect's build): JVM-side
+    (block, bitmask) hashing, a kernel that only ORs, and popcount sums
+    after the drain. The drained distinct count must EQUAL the batch
+    COUNT(DISTINCT) — no estimate, no error bound — and the OR merge is
+    idempotent, so the result survives duplicate delivery (unit-tested
+    by replaying a batch), not just exactly-once. State is one 63-bit
+    word per POPULATED 63-id block per type — bounded by the dense id
+    domain, the documented contract inherited from the batch bitmap
+    operator (hash sparse id spaces into a surrogate domain first)."""
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", WATERMARK)
+    cells = ev.select(
+        "event_type",
+        F.expr("user_id div 63").alias("block"),
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))"
+        ).alias("bits"),
+    )
+    out = cells.groupBy("event_type").applyInPandasWithState(
+        _sbd_state,
+        outputStructType=_SBD_OUT_SCHEMA,
+        stateStructType=_SBD_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    drained = _drain(spark, out, "mem_stream_sbd", "update")
+    bm = drained.groupBy("event_type", "block").agg(F.max("w").alias("w"))
+    stream_n = bm.groupBy("event_type").agg(
+        F.sum(F.expr("CAST(bit_count(w) AS BIGINT)")).alias(
+            "n_distinct_stream"
+        ),
+        F.count("*").alias("n_blocks"),
+    )
+
+    from ..queries.registry import table as _table
+
+    exact = (
+        _table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_distinct_exact"))
+    )
+    return stream_n.join(exact, "event_type").select(
+        "event_type",
+        "n_blocks",
+        "n_distinct_stream",
+        "n_distinct_exact",
+        (F.col("n_distinct_stream") == F.col("n_distinct_exact")).alias(
+            "exact_match"
+        ),
+    )

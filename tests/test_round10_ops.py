@@ -795,3 +795,61 @@ def test_link_prediction_python_replication(spark, sf_dir):
     assert set(got) == set(want)
     for k, v in want.items():
         assert got[k] == v, k
+
+
+def test_stream_bitmap_idempotent_under_replay(spark):
+    """The OR merge must be idempotent: replaying an already-delivered
+    batch leaves the state byte-identical (at-least-once tolerance),
+    and any batching lands the same bitmap."""
+    import pandas as pd
+
+    from real_value_etl_spark.streaming import jobs
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    rows = [(u // 63, 1 << (u % 63)) for u in [5, 70, 5, 200, 63, 70, 1000]]
+
+    def run(batches):
+        st = FakeState()
+        for b in batches:
+            pdf = pd.DataFrame(
+                {"block": [x for x, _ in b], "bits": [y for _, y in b]}
+            )
+            list(jobs._sbd_state(("view",), iter([pdf]), st))
+        return st._v
+
+    single = run([rows])
+    split = run([rows[:3], rows[3:]])
+    replay = run([rows, rows[:4], rows])  # duplicates + full replay
+    assert single == split == replay
+    blocks, words = single
+    want: dict = {}
+    for blk, bits in rows:
+        want[blk] = want.get(blk, 0) | bits
+    assert dict(zip(blocks, words)) == want
+    assert blocks == sorted(blocks)
+
+
+def test_stream_bitmap_matches_exact(spark, sf_dir):
+    """The drained popcount sums must EQUAL batch COUNT(DISTINCT) for
+    every type — exactness, not an estimate."""
+    from real_value_etl_spark.queries.all_queries import REGISTRY
+
+    rows = REGISTRY["stream_bitmap_distinct"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["exact_match"] is True
+        assert r["n_distinct_stream"] == r["n_distinct_exact"]
