@@ -1094,17 +1094,23 @@ def _ktruss_oracle() -> str:
     """
 
 
-def _edge_support(und: DataFrame) -> DataFrame:
-    """Per-edge triangle support of an oriented (a < b) edge frame: one
-    wedge join on mid, one closing equi-join on (a, c), then the three
-    edge sides of each triangle counted per edge. Edges in no triangle
-    are ABSENT from the result (support 0)."""
+def _triangles(und: DataFrame) -> DataFrame:
+    """Triangle rows (a, mid, c), a < mid < c, of an oriented (a < b)
+    edge frame: one wedge join on mid + one closing equi-join on (a, c)
+    — each triangle exactly once under the orientation."""
     e1 = und.select("a", F.col("b").alias("mid"))
     e2 = und.select(F.col("a").alias("mid"), F.col("b").alias("c"))
     w = e1.join(e2, "mid").select("a", "mid", "c")
-    tri = w.join(und.select("a", F.col("b").alias("c")), ["a", "c"]).select(
-        "a", "mid", "c"
-    )
+    return w.join(
+        und.select("a", F.col("b").alias("c")), ["a", "c"]
+    ).select("a", "mid", "c")
+
+
+def _edge_support(und: DataFrame) -> DataFrame:
+    """Per-edge triangle support of an oriented (a < b) edge frame: the
+    three edge sides of each triangle counted per edge. Edges in no
+    triangle are ABSENT from the result (support 0)."""
+    tri = _triangles(und)
     sides = (
         tri.select("a", F.col("mid").alias("b"))
         .unionByName(
@@ -1569,3 +1575,101 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 graph_link_prediction.__doc__ = graph_link_prediction.__doc__.format(
     m=LP_MIN_CN
 )
+
+
+# ---------------------------------------------------------------------------
+# Per-node local clustering coefficient over the mutual-kNN graph
+# ---------------------------------------------------------------------------
+def _local_clustering_oracle() -> str:
+    return f"""
+    WITH {_knn_edges_cte()},
+    und AS MATERIALIZED (
+      SELECT e.src AS a, e.dst AS b FROM edges e
+      JOIN edges m ON m.src = e.dst AND m.dst = e.src
+      WHERE e.src < e.dst
+    ),
+    tri AS MATERIALIZED ({_ktruss_tri_sql("und")}
+    ),
+    tn AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS tri FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT mid FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY node
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT a AS node FROM und UNION ALL SELECT b FROM und
+      ) GROUP BY node
+    )
+    SELECT d.node, d.d AS degree,
+           COALESCE(t.tri, 0) AS n_triangles,
+           CASE WHEN d.d < 2 THEN 0.0
+                ELSE CAST(2 * COALESCE(t.tri, 0) AS DOUBLE)
+                     / (d.d * (d.d - 1)) END AS clustering_coeff
+    FROM deg d LEFT JOIN tn t ON t.node = d.node
+    """
+
+
+@register(
+    "graph_local_clustering",
+    oracle=_local_clustering_oracle(),
+    tags=("graph",),
+)
+def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-NODE local clustering coefficient of the mutual-kNN graph:
+    for each node, triangles through it over C(degree, 2) possible —
+    the node-level density profile that `graph_triangle_count`'s single
+    global coefficient averages away (a corpus can have a healthy
+    global coefficient while entire regions are hub-and-spoke noise;
+    the per-node histogram is what community-detection and near-dup
+    triage actually read). Triangle and degree counts are exact
+    integers; the coefficient is the query's one pinned double
+    division, 0.0 for degree < 2 nodes by convention.
+
+    Scale shape: the same oriented wedge + closing equi-join as the
+    triangle/truss family (each triangle enumerated once, per-key width
+    bounded by the kNN degree cap), then the three corners explode into
+    a map-side-combinable per-node count joined LEFT onto the degree
+    table so triangle-free nodes keep coefficient 0. Reference basis:
+    SURVEY.md §2.12 graph family (absent in reference)."""
+    edges = _knn_edges(spark, sf_dir).select("src", "dst")
+    rev = edges.select(
+        F.col("src").alias("m_src"), F.col("dst").alias("m_dst")
+    )
+    und = (
+        edges.join(
+            rev,
+            (F.col("m_src") == F.col("dst"))
+            & (F.col("m_dst") == F.col("src")),
+            "left_semi",
+        )
+        .filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .localCheckpoint(eager=True)
+    )
+    tri = _triangles(und)
+    tn = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("mid").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("tri"))
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    return deg.join(tn, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce("tri", F.lit(0)).cast("long").alias("n_triangles"),
+        F.when(F.col("degree") < 2, F.lit(0.0))
+        .otherwise(
+            (F.coalesce("tri", F.lit(0)) * 2).cast("double")
+            / (F.col("degree") * (F.col("degree") - 1))
+        )
+        .alias("clustering_coeff"),
+    )

@@ -853,3 +853,41 @@ def test_stream_bitmap_matches_exact(spark, sf_dir):
     for r in rows:
         assert r["exact_match"] is True
         assert r["n_distinct_stream"] == r["n_distinct_exact"]
+
+
+def test_local_clustering_python_replication(spark, sf_dir):
+    """Per-node triangle counts, degrees, and coefficients vs a pure-
+    Python recount over the same mutual edge set; global consistency:
+    sum of per-node triangles = 3 * total triangles."""
+    from real_value_etl_spark.queries.all_queries import REGISTRY
+    from real_value_etl_spark.queries.retrieval_graph import _knn_edges
+
+    edges = {
+        (r["src"], r["dst"])
+        for r in _knn_edges(spark, sf_dir).select("src", "dst").collect()
+    }
+    und = {(a, b) for a, b in edges if (b, a) in edges and a < b}
+    nbrs: dict[int, set[int]] = {}
+    for a, b in und:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    tri_n = {n: 0 for n in nbrs}
+    total = 0
+    for a, b in und:
+        for c in nbrs[a] & nbrs[b]:
+            if c > b:  # count each triangle once (a < b < c)
+                tri_n[a] += 1
+                tri_n[b] += 1
+                tri_n[c] += 1
+                total += 1
+    rows = REGISTRY["graph_local_clustering"].fn(spark, sf_dir).collect()
+    got = {r["node"]: r for r in rows}
+    assert set(got) == set(nbrs)
+    for n, r in got.items():
+        d = len(nbrs[n])
+        assert r["degree"] == d
+        assert r["n_triangles"] == tri_n[n], n
+        want = 0.0 if d < 2 else 2 * tri_n[n] / (d * (d - 1))
+        assert r["clustering_coeff"] == want
+        assert 0.0 <= r["clustering_coeff"] <= 1.0
+    assert sum(r["n_triangles"] for r in rows) == 3 * total
