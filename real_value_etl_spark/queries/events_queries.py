@@ -3230,3 +3230,106 @@ def events_sliding_distinct_users(
 events_sliding_distinct_users.__doc__ = (
     events_sliding_distinct_users.__doc__.format(W=SLIDE_W_HOURS)
 )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square goodness-of-fit vs uniform hour-of-day (exact-integer numerator)
+# ---------------------------------------------------------------------------
+CHI2_BINS = 24  # hour-of-day cells
+# Upper-tail critical value chi2(df=23, alpha=0.05) — a fixed published
+# constant (Abramowitz & Stegun table), embedded as the SAME literal in
+# both engines (the codebook-literal pattern; no stats library needed).
+CHI2_CRIT_DF23_05 = "35.172"
+
+
+@register(
+    "events_chi2_uniform",
+    oracle=f"""
+    WITH oc AS (
+      SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, CAST(SUM(o) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_cells
+      FROM oc GROUP BY event_type
+    ),
+    dev AS (
+      SELECT o.event_type,
+             SUM(({CHI2_BINS} * o.o - t.n) * ({CHI2_BINS} * o.o - t.n))
+               AS sq_obs
+      FROM oc o JOIN tot t ON t.event_type = o.event_type
+      GROUP BY o.event_type
+    )
+    SELECT t.event_type, t.n, t.n_cells,
+           CAST(d.sq_obs + ({CHI2_BINS} - t.n_cells) * t.n * t.n
+                AS BIGINT) AS chi2_num,
+           CAST(d.sq_obs + ({CHI2_BINS} - t.n_cells) * t.n * t.n
+                AS DOUBLE) / ({CHI2_BINS} * t.n) AS chi2,
+           CAST({CHI2_BINS} - 1 AS BIGINT) AS df,
+           (CAST(d.sq_obs + ({CHI2_BINS} - t.n_cells) * t.n * t.n
+                 AS DOUBLE) / ({CHI2_BINS} * t.n))
+             > {CHI2_CRIT_DF23_05} AS reject_uniform
+    FROM tot t JOIN dev d ON d.event_type = t.event_type
+    """,
+    tags=("events", "stats"),
+)
+def events_chi2_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHI-SQUARE goodness-of-fit of each type's hour-of-day histogram
+    against the uniform null — the "is this traffic actually diurnal or
+    just noisy" test that belongs next to the z-score A/B machinery
+    (events_ab_test_zscore) as the repo's second classical test. The
+    statistic sum((O-E)^2/E) with E = n/{b} is computed EXACTLY: scale
+    by {b} so each term is the integer ({b}*O - n)^2, add the implicit
+    ({b} - observed_cells) * n^2 for hours with ZERO events (they
+    deviate by a full E and a naive join would silently drop them), and
+    divide ONCE by {b}*n — the whole statistic is one exact BIGINT
+    numerator (emitted for the hash gate) over one pinned double
+    division. The decision threshold is the published chi2(23, 0.05)
+    critical value embedded as the same literal on both engines (the
+    codebook-literal pattern — no scipy anywhere). Bounds: the summed
+    squares stay under 2^63 through ~5e7 events/type ({b}^2 * n^2-class
+    terms; pre-aggregate longer ranges or widen to DECIMAL).
+
+    Scale shape: ONE map-side-combinable (type, hour) count, a
+    type-keyed rollup, and a {b}-bounded per-type reduce — nothing
+    beyond the hourly aggregate ever shuffles. Reference basis:
+    SURVEY.md §2.4 stats family (absent in reference)."""
+    ev = table(spark, sf_dir, "events")
+    oc = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hod")
+    ).agg(F.count("*").alias("o"))
+    tot = oc.groupBy("event_type").agg(
+        F.sum("o").alias("n"), F.count("*").alias("n_cells")
+    )
+    dev = (
+        oc.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            (
+                (F.col("o") * CHI2_BINS - F.col("n"))
+                * (F.col("o") * CHI2_BINS - F.col("n"))
+            ).alias("sq"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("sq").alias("sq_obs"))
+    )
+    num = F.col("sq_obs") + (F.lit(CHI2_BINS) - F.col("n_cells")) * F.col(
+        "n"
+    ) * F.col("n")
+    chi2 = num.cast("double") / (F.col("n") * CHI2_BINS)
+    return tot.join(dev, "event_type").select(
+        "event_type",
+        "n",
+        "n_cells",
+        num.cast("long").alias("chi2_num"),
+        chi2.alias("chi2"),
+        F.lit(CHI2_BINS - 1).cast("long").alias("df"),
+        (chi2 > F.lit(float(CHI2_CRIT_DF23_05))).alias("reject_uniform"),
+    )
+
+
+events_chi2_uniform.__doc__ = events_chi2_uniform.__doc__.format(
+    b=CHI2_BINS
+)

@@ -891,3 +891,40 @@ def test_local_clustering_python_replication(spark, sf_dir):
         assert r["clustering_coeff"] == want
         assert 0.0 <= r["clustering_coeff"] <= 1.0
     assert sum(r["n_triangles"] for r in rows) == 3 * total
+
+
+def test_chi2_uniform_python_replication(spark, sf_dir):
+    """The exact-integer chi-square identity: sum((O-E)^2/E) with
+    E = n/24 must equal chi2_num / (24n) including the implicit
+    zero-count hours; replicate from raw counts in Python fractions."""
+    from fractions import Fraction
+
+    import duckdb
+
+    from real_value_etl_spark.queries.all_queries import REGISTRY
+    from real_value_etl_spark.queries.events_queries import CHI2_BINS
+
+    raw = duckdb.connect().execute(
+        f"""SELECT event_type, CAST(hour(ts) AS BIGINT), COUNT(*)
+            FROM '{sf_dir}/events.parquet' GROUP BY 1, 2"""
+    ).fetchall()
+    counts: dict[str, dict[int, int]] = {}
+    for et, h, c in raw:
+        counts.setdefault(et, {})[h] = c
+    rows = REGISTRY["events_chi2_uniform"].fn(spark, sf_dir).collect()
+    got = {r["event_type"]: r for r in rows}
+    assert set(got) == set(counts)
+    for et, by_h in counts.items():
+        n = sum(by_h.values())
+        e = Fraction(n, CHI2_BINS)
+        chi2_frac = sum(
+            (Fraction(by_h.get(h, 0)) - e) ** 2 / e
+            for h in range(CHI2_BINS)
+        )
+        r = got[et]
+        assert r["n"] == n
+        assert r["n_cells"] == len(by_h)
+        # chi2_num / (24n) must equal the Fraction exactly
+        assert Fraction(r["chi2_num"], CHI2_BINS * n) == chi2_frac
+        assert r["chi2"] == r["chi2_num"] / (CHI2_BINS * n)
+        assert r["df"] == CHI2_BINS - 1
