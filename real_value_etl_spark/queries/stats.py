@@ -216,15 +216,25 @@ def q_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_corr_qty_price",
     oracle="""
     WITH s AS (
+      -- decimal -> double goes THROUGH VARCHAR: DuckDB's direct decimal
+      -- cast is not correctly rounded once the unscaled digits exceed
+      -- 2^53 (observed: syy at sf0.1 landed 1 ulp low), while its
+      -- strtod and Spark/Java BigDecimal.doubleValue are both correctly
+      -- rounded -- the r10 latent-divergence class
       SELECT COUNT(*) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
-                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
-                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                  AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                  AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2)))
+                  AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2)))
+                  AS VARCHAR) AS DOUBLE) AS syy,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2)))
+                  AS VARCHAR) AS DOUBLE) AS sxy
       FROM lineitem
     )
     SELECT n,
@@ -741,7 +751,10 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_gini_revenue",
     oracle="""
     WITH rev AS (
-      SELECT o_custkey, SUM(o_totalprice) AS revenue
+      -- exact decimal accumulate (the _dsum pattern): SUM over the raw
+      -- DOUBLE is accumulation-order-dependent and diverged at sf0.1
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
       FROM orders GROUP BY o_custkey
     ),
     ranked AS (
@@ -755,9 +768,12 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(i * revenue) AS weighted
       FROM ranked
     )
+    -- decimal -> double via VARCHAR (r10 class: DuckDB's direct cast
+    -- mis-rounds once unscaled digits exceed 2^53; weighted does at sf0.1)
     SELECT n,
-           CAST(total AS DOUBLE) AS total_revenue,
-           (2.0 * (CAST(weighted AS DOUBLE) / CAST(total AS DOUBLE))
+           CAST(CAST(total AS VARCHAR) AS DOUBLE) AS total_revenue,
+           (2.0 * (CAST(CAST(weighted AS VARCHAR) AS DOUBLE)
+                   / CAST(CAST(total AS VARCHAR) AS DOUBLE))
             - CAST(n + 1 AS DOUBLE)) / CAST(n AS DOUBLE) AS gini
     FROM sums
     """,
@@ -769,7 +785,8 @@ def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     G = (2·Σ i·x_(i) / (n·Σx)) - (n+1)/n over revenues sorted ascending.
     The global rank i comes from the TWO-PHASE row number
     (operators/scan.py), so no single task ever sorts the whole
-    customer set; Σ i·x and Σx are exact DECIMAL sums (order-free), and
+    customer set; revenue, Σ i·x and Σx are exact DECIMAL sums
+    (order-free — the raw-double SUM diverged at sf0.1, r10 find), and
     the Gini itself is three pinned double ops at the very end — the
     only non-exact step, identical textual shape on both engines.
     Ties in revenue break on custkey so the rank (and hence Σ i·x) is
@@ -777,7 +794,11 @@ def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.scan import global_row_number
 
     o = table(spark, sf_dir, "orders")
-    rev = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("revenue"))
+    rev = o.groupBy("o_custkey").agg(
+        # exact decimal accumulate (_dsum pattern): the raw-double SUM is
+        # accumulation-order-dependent and diverged at sf0.1 (r10 find)
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue")
+    )
     ranked = global_row_number(
         rev, ["revenue", "o_custkey"], out_col="i"
     ).drop("__n")
