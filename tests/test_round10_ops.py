@@ -928,3 +928,37 @@ def test_chi2_uniform_python_replication(spark, sf_dir):
         assert Fraction(r["chi2_num"], CHI2_BINS * n) == chi2_frac
         assert r["chi2"] == r["chi2_num"] / (CHI2_BINS * n)
         assert r["df"] == CHI2_BINS - 1
+
+
+def test_decimal_double_cast_contract(spark):
+    """The r10 doctrine: oracle-side decimal->double goes THROUGH
+    VARCHAR. Pin the contract on adversarial values whose unscaled
+    digits exceed 2^53: the VARCHAR route and Spark's cast must both
+    equal Python's correctly-rounded conversion. (DuckDB's direct cast
+    is known to land 1 ulp off on the first value — if an engine
+    upgrade fixes it, this test still passes; the doctrine simply stops
+    mattering.)"""
+    from decimal import Decimal
+
+    import duckdb
+
+    vals = [
+        "2224071148386123.1690",  # the observed sf0.1 divergence
+        "339255184892171.30",
+        "9007199254740993.0001",
+        "123456789012345678.9999",
+        "3217409187501240.123456",
+    ]
+    con = duckdb.connect()
+    for v in vals:
+        scale = len(v.split(".")[1])
+        want = float(Decimal(v))
+        via_str = con.execute(
+            f"SELECT CAST(CAST(CAST('{v}' AS DECIMAL(38,{scale}))"
+            " AS VARCHAR) AS DOUBLE)"
+        ).fetchall()[0][0]
+        assert via_str == want, v
+        got_spark = spark.sql(
+            f"SELECT CAST(CAST('{v}' AS DECIMAL(38,{scale})) AS DOUBLE)"
+        ).collect()[0][0]
+        assert got_spark == want, v
