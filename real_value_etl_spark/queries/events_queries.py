@@ -3333,3 +3333,246 @@ def events_chi2_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
 events_chi2_uniform.__doc__ = events_chi2_uniform.__doc__.format(
     b=CHI2_BINS
 )
+
+
+# ---------------------------------------------------------------------------
+# Allan variance of the hourly rate (two-sample stability, zero-filled grid)
+# ---------------------------------------------------------------------------
+@register(
+    "events_allan_variance",
+    oracle="""
+    WITH hc AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (SELECT event_type, min(h) AS lo, max(h) AS hi FROM hc GROUP BY 1),
+    spine AS (
+      SELECT event_type, CAST(unnest(generate_series(lo, hi, 3600)) AS BIGINT) AS h
+      FROM b
+    ),
+    f AS (
+      SELECT s.event_type, s.h, COALESCE(c.c, 0) AS c
+      FROM spine s LEFT JOIN hc c ON c.event_type = s.event_type AND c.h = s.h
+    ),
+    d AS (
+      SELECT event_type,
+             c - LAG(c) OVER (PARTITION BY event_type ORDER BY h) AS dd
+      FROM f
+    ),
+    g AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+             CAST(SUM(dd * dd) AS BIGINT) AS sum_sq_diff
+      FROM d GROUP BY 1
+    )
+    SELECT event_type, n_hours, sum_sq_diff,
+           CAST(sum_sq_diff AS DOUBLE) / (2 * (n_hours - 1)) AS allan_var
+    FROM g WHERE n_hours >= 2
+    """,
+    tags=("events", "timeseries", "stats"),
+)
+def events_allan_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALLAN VARIANCE of each type's hourly event rate — the clock-world
+    two-sample stability statistic sum((c_{t+1} - c_t)^2) / (2(n-1))
+    that separates genuine rate DRIFT from white counting noise (for a
+    Poisson-stable stream it equals the mean rate; drift inflates it) —
+    the right first-look "is this source's throughput stationary enough
+    to extrapolate" number for pipeline capacity planning. Consecutive
+    differences need a DENSE series, so missing hours are zero-filled
+    from an exploded per-type `sequence(min_h, max_h, 1h)` spine (an
+    absent hour IS a rate observation of zero; skipping it would splice
+    non-adjacent samples). The numerator is an exact BIGINT sum of
+    squared integer diffs; the single double division is pinned.
+
+    Scale shape: ONE map-side-combinable (type, hour) count, a tiny
+    per-type bounds aggregate, the spine join at bucket cardinality,
+    and a per-type bounded window — nothing after the hourly aggregate
+    is data-sized (the events_gapfill_hourly argument). Reference
+    basis: SURVEY.md §2.4 stats family (absent in reference)."""
+    ev = table(spark, sf_dir, "events")
+    hc = ev.groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("hour", "ts")).alias("h"),
+    ).agg(F.count("*").alias("c"))
+    b = hc.groupBy("event_type").agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    spine = b.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.lit(3600))).alias("h"),
+    )
+    f = spine.join(hc, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    d = f.select(
+        "event_type", (F.col("c") - F.lag("c").over(w)).alias("dd")
+    )
+    g = d.groupBy("event_type").agg(
+        F.count("*").alias("n_hours"),
+        F.sum(F.col("dd") * F.col("dd")).alias("sum_sq_diff"),
+    )
+    return g.filter(F.col("n_hours") >= 2).select(
+        "event_type",
+        "n_hours",
+        "sum_sq_diff",
+        (
+            F.col("sum_sq_diff").cast("double")
+            / (2 * (F.col("n_hours") - 1))
+        ).alias("allan_var"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SAX-style quartile symbolization + trigram motif mining of hourly traffic
+# ---------------------------------------------------------------------------
+MOTIF_LEN = 3  # symbols per motif window (trigram)
+
+
+@register(
+    "events_quartile_motifs",
+    oracle="""
+    WITH hc AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (SELECT event_type, min(h) AS lo, max(h) AS hi FROM hc GROUP BY 1),
+    spine AS (
+      SELECT event_type, CAST(unnest(generate_series(lo, hi, 3600)) AS BIGINT) AS h
+      FROM b
+    ),
+    f AS (
+      SELECT s.event_type, s.h, COALESCE(c.c, 0) AS c
+      FROM spine s LEFT JOIN hc c ON c.event_type = s.event_type AND c.h = s.h
+    ),
+    r AS (
+      SELECT event_type, h, c,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c, h) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM f
+    ),
+    q AS (
+      SELECT event_type,
+             MAX(CASE WHEN rn <= (n + 3) // 4 THEN c END) AS q1,
+             MAX(CASE WHEN rn <= (n + 1) // 2 THEN c END) AS q2,
+             MAX(CASE WHEN rn <= (3 * n + 3) // 4 THEN c END) AS q3
+      FROM r GROUP BY event_type
+    ),
+    sym AS (
+      SELECT f.event_type, f.h,
+             chr(97 + CASE WHEN f.c > q.q1 THEN 1 ELSE 0 END
+                    + CASE WHEN f.c > q.q2 THEN 1 ELSE 0 END
+                    + CASE WHEN f.c > q.q3 THEN 1 ELSE 0 END) AS s
+      FROM f JOIN q ON q.event_type = f.event_type
+    ),
+    m AS (
+      SELECT event_type,
+             s || LEAD(s, 1) OVER (PARTITION BY event_type ORDER BY h)
+               || LEAD(s, 2) OVER (PARTITION BY event_type ORDER BY h) AS motif
+      FROM sym
+    )
+    SELECT event_type, motif, CAST(COUNT(*) AS BIGINT) AS n_windows
+    FROM m WHERE motif IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    tags=("events", "timeseries", "window"),
+)
+def events_quartile_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX-STYLE SYMBOLIC MOTIF MINING of each type's hourly traffic:
+    zero-fill the hourly series, discretize every hour into a 4-letter
+    alphabet a<b<c<d by the series' own EXACT quartiles, then count
+    every sliding {L}-symbol word — the classic symbolic-aggregate-
+    approximation pipeline (SAX) with the Gaussian breakpoints swapped
+    for exact order statistics, because z-score breakpoints need a
+    sqrt/std whose cross-engine determinism the repo's doctrine
+    rejects. The quartile for fraction p is the value at sorted
+    position ceil(p*n), computed as MAX over the rn <= (pn ceil'd by
+    integer floor-div) prefix of a (c, h)-ordered rank — pure integer
+    arithmetic, identical on both engines and insensitive to tie
+    order (the value at a fixed sorted position is tie-stable). Motif
+    counts answer "what rhythm does this source actually have" (aaa =
+    dead zone, ddd = sustained peak, ada = spike) and feed the same
+    anomaly consumers as events_anomaly_transitions, with the alphabet
+    robust to heavy tails where the z-score version saturates.
+
+    Scale shape: ONE (type, hour) count, the spine fill at bucket
+    cardinality, two per-type bounded windows (rank, lead) over the
+    ALREADY-AGGREGATED hourly series, and a <= 64-motifs-per-type
+    final count — nothing data-sized past the first aggregate.
+    Reference basis: SURVEY.md §2.5 window family (absent in
+    reference)."""
+    ev = table(spark, sf_dir, "events")
+    hc = ev.groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("hour", "ts")).alias("h"),
+    ).agg(F.count("*").alias("c"))
+    b = hc.groupBy("event_type").agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    spine = b.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.lit(3600))).alias("h"),
+    )
+    f = spine.join(hc, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    w_rank = Window.partitionBy("event_type").orderBy("c", "h")
+    w_all = Window.partitionBy("event_type")
+    r = f.select(
+        "event_type",
+        "h",
+        "c",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count("*").over(w_all).alias("n"),
+    )
+    # integer floor-div ranks (ceil(p*n) = (p_num*n + p_den-1) // p_den)
+    q = r.groupBy("event_type").agg(
+        F.max(
+            F.when(
+                F.col("rn") <= F.expr("(n + 3) div 4"), F.col("c")
+            )
+        ).alias("q1"),
+        F.max(
+            F.when(
+                F.col("rn") <= F.expr("(n + 1) div 2"), F.col("c")
+            )
+        ).alias("q2"),
+        F.max(
+            F.when(
+                F.col("rn") <= F.expr("(3 * n + 3) div 4"), F.col("c")
+            )
+        ).alias("q3"),
+    )
+    sym = f.join(F.broadcast(q), "event_type").select(
+        "event_type",
+        "h",
+        F.element_at(
+            F.array(F.lit("a"), F.lit("b"), F.lit("c"), F.lit("d")),
+            (F.col("c") > F.col("q1")).cast("int")
+            + (F.col("c") > F.col("q2")).cast("int")
+            + (F.col("c") > F.col("q3")).cast("int")
+            + 1,
+        ).alias("s"),
+    )
+    w_ord = Window.partitionBy("event_type").orderBy("h")
+    m = sym.select(
+        "event_type",
+        F.concat(
+            F.col("s"),
+            F.lead("s", 1).over(w_ord),
+            F.lead("s", 2).over(w_ord),
+        ).alias("motif"),
+    )
+    return (
+        m.filter(F.col("motif").isNotNull())
+        .groupBy("event_type", "motif")
+        .agg(F.count("*").alias("n_windows"))
+    )
+
+
+events_quartile_motifs.__doc__ = events_quartile_motifs.__doc__.format(
+    L=MOTIF_LEN
+)

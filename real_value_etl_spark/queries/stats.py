@@ -1144,3 +1144,124 @@ def q_bitmap_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit (chi-square cells vs the Benford law literals)
+# ---------------------------------------------------------------------------
+# round(log10(1 + 1/d) * 1e9) for d = 1..9 — fixed published constants
+# embedded as the SAME integer literals in both engines (the
+# codebook-literal pattern: no log() ever crosses an engine boundary,
+# per the repo's cross-engine log doctrine).
+BENFORD_P9 = [
+    301029996, 176091259, 124938737, 96910013, 79181246,
+    66946790, 57991947, 51152522, 45757491,
+]
+BENFORD_S = 10**9  # the literals' fixed-point scale
+
+
+@register(
+    "q_benford_audit",
+    oracle=f"""
+    WITH oc AS (
+      SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS BIGINT) AS digit,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM oc),
+    spine AS (SELECT CAST(unnest(range(1, 10)) AS BIGINT) AS digit),
+    cells AS (
+      SELECT s.digit,
+             COALESCE(oc.o, 0) AS n_obs,
+             t.n,
+             CAST({BENFORD_P9} AS BIGINT[])[CAST(s.digit AS INTEGER)] AS ps
+      FROM spine s
+      LEFT JOIN oc ON oc.digit = s.digit
+      CROSS JOIN tot t
+    ),
+    dev AS (
+      SELECT digit, n_obs, n, ps,
+             CAST({BENFORD_S} AS HUGEINT) * n_obs
+               - CAST(n AS HUGEINT) * ps AS d
+      FROM cells
+    )
+    SELECT digit,
+           n_obs,
+           n AS n_orders,
+           CAST(d AS BIGINT) AS dev_scaled,
+           CAST(ps AS DOUBLE) / {BENFORD_S}.0 AS benford_p,
+           CAST(CAST(d * d AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(CAST({BENFORD_S} AS HUGEINT) * n * ps AS VARCHAR)
+                    AS DOUBLE) AS chi2_contrib
+    FROM dev
+    """,
+    tags=("stats", "audit"),
+)
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD'S-LAW first-digit audit of order totals — the classic
+    fabricated-numbers screen (expense fraud, synthetic-data tells):
+    the observed first-significant-digit histogram against the Benford
+    expectation P(d) = log10(1 + 1/d), one chi-square cell per digit.
+    The log constants are fixed PUBLISHED integers at scale 1e9 (the
+    codebook-literal pattern — no engine ever evaluates a log), the
+    first digit comes from the EXACT integer part (floor of the double
+    is exact in IEEE, so no decimal-rounding boundary can flip 999.995
+    into a different leading digit across engines), zero-observation
+    digits are spine-filled (a missing cell deviates by its full
+    expectation — dropping it understates the statistic), and each
+    cell's deviation S*O_d - n*P_d is EXACT DECIMAL(38,0) arithmetic
+    (HUGEINT in the oracle; the EMITTED dev column is BIGINT — exact
+    through ~9e9 orders, widen to string-rendered decimals beyond). The per-cell chi2 contribution is the one double
+    division, its operands converted via the VARCHAR doctrine
+    (COVERAGE.md r10: decimal->double above 2^53 goes through strings,
+    where both engines round correctly). Cross-row double sums are
+    deliberately NOT emitted — consumers rank cells by |dev_scaled|,
+    which is exact.
+
+    Scale shape: ONE map-side-combinable 9-cell digit count, a 9-row
+    spine join — nothing after the first aggregate is data-sized.
+    Reference basis: SURVEY.md §2.4 stats family (absent in
+    reference)."""
+    o = table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+    ).cast("long")
+    oc = o.groupBy(digit.alias("digit")).agg(F.count("*").alias("o"))
+    tot = oc.agg(F.sum("o").alias("n"))
+    spine = spark.range(1, 10).select(F.col("id").alias("digit"))
+    ps = F.element_at(
+        F.array(*[F.lit(p) for p in BENFORD_P9]), F.col("digit").cast("int")
+    )
+    cells = (
+        spine.join(F.broadcast(oc), "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("o"), F.lit(0)).alias("n_obs"),
+            "n",
+            ps.alias("ps"),
+        )
+    )
+    d = (
+        F.lit(BENFORD_S).cast("decimal(38,0)") * F.col("n_obs")
+        - F.col("n").cast("decimal(38,0)") * F.col("ps")
+    )
+    den = (
+        F.lit(BENFORD_S).cast("decimal(38,0)")
+        * F.col("n").cast("decimal(38,0)")
+        * F.col("ps").cast("decimal(38,0)")
+    )
+    return cells.select(
+        "digit",
+        "n_obs",
+        F.col("n").alias("n_orders"),
+        d.cast("long").alias("dev_scaled"),
+        (F.col("ps").cast("double") / F.lit(float(BENFORD_S))).alias(
+            "benford_p"
+        ),
+        (
+            (d * d).cast("decimal(38,0)").cast("double")
+            / den.cast("double")
+        ).alias("chi2_contrib"),
+    )
