@@ -4355,3 +4355,446 @@ def multimodal_png_defilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 multimodal_png_defilter.__doc__ = multimodal_png_defilter.__doc__.format(
     mw=PNGDF_MAX_W
 )
+
+
+# ---------------------------------------------------------------------------
+# FLAC STREAMINFO — tenth byte codec: sub-byte bit fields spanning byte
+# boundaries (20-bit sample rate / 3-bit channels / 5-bit bps / 36-bit
+# total-samples packed into one 64-bit big-endian word)
+# ---------------------------------------------------------------------------
+FLAC_RATES = [8000, 16000, 44100, 96000]
+FLAC_BPS = [8, 12, 16, 24]
+FLAC_SAMPLES_PER_BYTE = 441  # synthetic total_samples = 441 * payload bytes
+
+
+@register(
+    "multimodal_flac_streaminfo",
+    oracle=f"""
+    WITH src AS (
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS blen,
+             CAST([8000, 16000, 44100, 96000]
+                  [CAST(doc_id % 4 AS INTEGER) + 1] AS BIGINT) AS rate,
+             CAST(doc_id % 2 + 1 AS BIGINT) AS ch,
+             CAST([8, 12, 16, 24]
+                  [CAST(doc_id % 4 AS INTEGER) + 1] AS BIGINT) AS bps
+      FROM documents
+    )
+    SELECT doc_id,
+           TRUE AS magic_ok,
+           TRUE AS is_last_block,
+           CAST(0 AS BIGINT) AS block_type,
+           CAST(34 AS BIGINT) AS block_len,
+           CAST(4096 AS BIGINT) AS min_blocksize,
+           CAST(4096 + (doc_id % 8) * 256 AS BIGINT) AS max_blocksize,
+           CAST(1000 + doc_id % 100 AS BIGINT) AS min_framesize,
+           CAST(9000 + doc_id % 1000 AS BIGINT) AS max_framesize,
+           rate AS sample_rate,
+           ch AS channels,
+           bps AS bits_per_sample,
+           (blen * {FLAC_SAMPLES_PER_BYTE}) % 68719476736 AS total_samples,
+           TRUE AS md5_zero,
+           CAST((blen * {FLAC_SAMPLES_PER_BYTE}) % 68719476736 AS DOUBLE)
+             / rate AS duration_s
+    FROM src
+    """,
+    tags=("multimodal", "llm", "binary", "audio"),
+)
+def multimodal_flac_streaminfo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC STREAMINFO parse — the tenth byte codec and the first with
+    SUB-BYTE FIELDS SPANNING BYTE BOUNDARIES: the spec packs sample
+    rate (20 bits), channels-1 (3), bits-per-sample-1 (5) and total
+    samples (36) into ONE 64-bit big-endian word, so no field except
+    the first is byte-aligned — the parse must read the whole word and
+    recover each field by shift/mask, exactly like a real FLAC demuxer
+    (prior codecs all read byte-aligned fields; the deflate fixed-
+    Huffman query is bit-granular but stream-oriented). Each document
+    becomes a byte-valid fLaC header: magic, a METADATA_BLOCK_HEADER
+    whose top bit flags last-block and low 7 bits the type, a 3-byte
+    big-endian length (= 34), the four blocksize/framesize fields (two
+    16-bit, two 24-bit — odd-width byte-aligned reads), the packed
+    word, and a zeroed MD5 (a real MD5 of the stream needs the actual
+    audio — documented stub, the container layer is real). The oracle
+    recomputes every field from doc_id + byte length; the Spark side
+    must recover them FROM THE BYTES. Map-only, zero exchanges; bytes
+    never leave the executors."""
+    d = table(spark, sf_dir, "documents")
+    blen = F.octet_length(F.encode(F.col("text"), "utf-8")).cast("long")
+    rate = F.element_at(
+        F.array(*[F.lit(r).cast("long") for r in FLAC_RATES]),
+        (F.col("doc_id") % 4).cast("int") + 1,
+    )
+    ch = (F.col("doc_id") % 2 + 1).cast("long")
+    bps = F.element_at(
+        F.array(*[F.lit(b).cast("long") for b in FLAC_BPS]),
+        (F.col("doc_id") % 4).cast("int") + 1,
+    )
+    total = F.pmod(blen * FLAC_SAMPLES_PER_BYTE, F.lit(1 << 36).cast("long"))
+
+    def be(c, nbytes):
+        return F.unhex(F.lpad(F.hex(c.cast("long")), 2 * nbytes, "0"))
+
+    packed = (
+        F.shiftleft(rate, 44)
+        + F.shiftleft(ch - 1, 41)
+        + F.shiftleft(bps - 1, 36)
+        + total
+    )
+    payload = F.concat(
+        F.encode(F.lit("fLaC"), "utf-8"),
+        be(F.lit(0x80), 1),           # last-block flag | type 0
+        be(F.lit(34), 3),             # 3-byte BE block length
+        be(F.lit(4096), 2),           # min blocksize
+        be(F.lit(4096) + (F.col("doc_id") % 8) * 256, 2),
+        be(F.lit(1000) + F.col("doc_id") % 100, 3),
+        be(F.lit(9000) + F.col("doc_id") % 1000, 3),
+        be(packed, 8),
+        F.unhex(F.lit("00" * 16)),    # zeroed MD5
+    )
+    flac = d.select("doc_id", payload.alias("payload"))
+    p = F.col("payload")
+
+    def rd_be(pos, nbytes):
+        return F.conv(F.hex(F.substring(p, pos, nbytes)), 16, 10).cast(
+            "long"
+        )
+
+    hdr = rd_be(5, 1)
+    word = rd_be(19, 8)
+    sr = F.shiftright(word, 44)
+    chp = F.pmod(F.shiftright(word, 41), 8) + 1
+    bpsp = F.pmod(F.shiftright(word, 36), 32) + 1
+    tot = F.pmod(word, F.lit(1 << 36).cast("long"))
+    return flac.select(
+        "doc_id",
+        (F.decode(F.substring(p, 1, 4), "utf-8") == "fLaC").alias("magic_ok"),
+        (F.shiftright(hdr, 7) == 1).alias("is_last_block"),
+        F.pmod(hdr, 128).alias("block_type"),
+        rd_be(6, 3).alias("block_len"),
+        rd_be(9, 2).alias("min_blocksize"),
+        rd_be(11, 2).alias("max_blocksize"),
+        rd_be(13, 3).alias("min_framesize"),
+        rd_be(16, 3).alias("max_framesize"),
+        sr.alias("sample_rate"),
+        chp.alias("channels"),
+        bpsp.alias("bits_per_sample"),
+        tot.alias("total_samples"),
+        (F.hex(F.substring(p, 27, 16)) == "00" * 16).alias("md5_zero"),
+        (tot.cast("double") / sr).alias("duration_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ogg page walk — eleventh byte codec: the segment lacing table (a
+# data-dependent array of per-segment lengths that must be SUMMED to find
+# where the payload ends and how many packets terminate on the page)
+# ---------------------------------------------------------------------------
+OGG_TEXT_CAP = 4000  # chars of text carried as the page payload
+OGG_GRANULES_PER_BYTE = 441
+
+
+@register(
+    "multimodal_ogg_page_walk",
+    oracle=f"""
+    WITH src AS (
+      SELECT doc_id,
+             CAST(octet_length(encode(substr(text, 1, {OGG_TEXT_CAP})))
+                  AS BIGINT) AS plen
+      FROM documents
+    )
+    SELECT doc_id,
+           TRUE AS capture_ok,
+           CAST(0 AS BIGINT) AS version,
+           TRUE AS is_bos,
+           plen * {OGG_GRANULES_PER_BYTE} AS granule_position,
+           CAST(doc_id % 2147483647 AS BIGINT) AS serial,
+           CAST(doc_id % 1000 AS BIGINT) AS page_seq,
+           plen // 255 + 1 AS n_segments,
+           plen AS payload_len,
+           TRUE AS length_ok,
+           plen // 255 AS n_full_segments,
+           CAST(1 AS BIGINT) AS n_packets_done,
+           (plen // 255 + 1 > 1) AS packet_spans_segments
+    FROM src
+    """,
+    tags=("multimodal", "llm", "binary", "audio"),
+)
+def multimodal_ogg_page_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGG PAGE parse — the eleventh byte codec, whose defining
+    structure is the SEGMENT LACING TABLE: a page header ends with
+    n_segments and then n_segments one-byte lacing values; the payload
+    length exists only as THEIR SUM, and packet boundaries only as the
+    positions of sub-255 values (a 255 means "continues in the next
+    segment") — so the parse is a data-dependent scan whose width
+    differs per row, here an `aggregate(sequence(1, n_segs))` fold over
+    JVM byte reads (the first codec where the variable-length walk is
+    an expression-level FOLD rather than an unrolled chain — n_segs
+    varies too widely to unroll). Each document becomes one byte-valid
+    BOS page: capture pattern, version 0, header-type 0x02, a 64-bit
+    LITTLE-endian granule position, serial/sequence numbers, a zeroed
+    CRC (real Ogg CRC32 needs a 256-entry table per byte — documented
+    stub; the structural layer is real), the lacing table encoding one
+    packet of len(text-bytes) as floor(L/255) full segments plus one
+    terminator, and the payload. The parse recovers every field FROM
+    THE BYTES, sums the lacing table, verifies total length, and
+    counts terminated packets. Map-only, zero exchanges."""
+    d = table(spark, sf_dir, "documents")
+    data = F.encode(F.substring(F.col("text"), 1, OGG_TEXT_CAP), "utf-8")
+    plen = F.octet_length(data).cast("long")
+    n_full = F.call_function("div", plen, F.lit(255).cast("long"))
+    rem = F.pmod(plen, 255)
+    n_segs = n_full + 1
+
+    def le(c, nbytes):
+        h = F.lpad(F.hex(c.cast("long")), 2 * nbytes, "0")
+        return F.unhex(
+            F.concat(
+                *[
+                    F.substring(h, 2 * nbytes - 1 - 2 * i, 2)
+                    for i in range(nbytes)
+                ]
+            )
+        )
+
+    lacing = F.unhex(
+        F.concat(
+            F.repeat(F.lit("ff"), n_full.cast("int")),
+            F.lpad(F.hex(rem), 2, "0"),
+        )
+    )
+    payload = F.concat(
+        F.encode(F.lit("OggS"), "utf-8"),
+        F.unhex(F.lit("00")),                      # version 0
+        F.unhex(F.lit("02")),                      # header type: BOS
+        le(plen * OGG_GRANULES_PER_BYTE, 8),       # granule position LE
+        le(F.col("doc_id") % 2147483647, 4),       # serial LE
+        le(F.col("doc_id") % 1000, 4),             # page sequence LE
+        F.unhex(F.lit("00000000")),                # CRC stub (documented)
+        le(n_segs, 1),
+        lacing,
+        data,
+    )
+    ogg = d.select("doc_id", payload.alias("payload"))
+    p = F.col("payload")
+
+    def rd(pos, nbytes):
+        return F.conv(F.hex(F.substring(p, pos, nbytes)), 16, 10).cast(
+            "long"
+        )
+
+    def rd_le(off, nbytes):
+        h = F.hex(F.substring(p, off, nbytes))
+        return F.conv(
+            F.concat(
+                *[
+                    F.substring(h, 2 * nbytes - 1 - 2 * i, 2)
+                    for i in range(nbytes)
+                ]
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    nsg = rd(27, 1)
+    lace_at = lambda i: F.conv(  # noqa: E731 — byte i of the lacing table
+        F.hex(F.substring(p, (F.lit(27) + i).cast("int"), 1)), 16, 10
+    ).cast("long")
+    lace_sum = F.aggregate(
+        F.sequence(F.lit(1).cast("long"), nsg),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc + lace_at(i),
+    )
+    n_full_p = F.aggregate(
+        F.sequence(F.lit(1).cast("long"), nsg),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc + (lace_at(i) == 255).cast("long"),
+    )
+    return ogg.select(
+        "doc_id",
+        (F.decode(F.substring(p, 1, 4), "utf-8") == "OggS").alias(
+            "capture_ok"
+        ),
+        rd(5, 1).alias("version"),
+        (F.pmod(rd(6, 1), 4) >= 2).alias("is_bos"),
+        rd_le(7, 8).alias("granule_position"),
+        rd_le(15, 4).alias("serial"),
+        rd_le(19, 4).alias("page_seq"),
+        nsg.alias("n_segments"),
+        lace_sum.alias("payload_len"),
+        (
+            F.octet_length(p).cast("long") == F.lit(27) + nsg + lace_sum
+        ).alias("length_ok"),
+        n_full_p.alias("n_full_segments"),
+        (nsg - n_full_p).alias("n_packets_done"),
+        (nsg > 1).alias("packet_spans_segments"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ZIP EOCD walk — twelfth byte codec: the archive is parsed BACKWARD
+# (end-of-central-directory record found by signature scan through the
+# variable-length trailing comment, then central directory -> local header
+# pointer chase, name/size cross-checks between the two copies)
+# ---------------------------------------------------------------------------
+ZIP_EOCD_SCAN = 86  # tail window: 22-byte EOCD + up to 64 comment bytes
+
+
+@register(
+    "multimodal_zip_eocd_walk",
+    oracle="""
+    WITH src AS (
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS dlen,
+             'doc' || CAST(doc_id AS VARCHAR) || '.txt' AS fname
+      FROM documents
+    )
+    SELECT doc_id,
+           TRUE AS eocd_found,
+           CAST(doc_id % 40 AS BIGINT) AS comment_len,
+           CAST(1 AS BIGINT) AS n_entries,
+           CAST(46 + length(fname) AS BIGINT) AS cd_size,
+           30 + length(fname) + dlen AS cd_offset,
+           fname,
+           dlen AS uncompressed_size,
+           TRUE AS sig_chain_ok,
+           TRUE AS names_match,
+           TRUE AS data_ok,
+           TRUE AS sizes_ok
+    FROM src
+    """,
+    tags=("multimodal", "llm", "binary"),
+)
+def multimodal_zip_eocd_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIP ARCHIVE parse — the twelfth byte codec and the first parsed
+    BACKWARD, the way every real unzip works: the End-Of-Central-
+    Directory record sits at a variable distance from EOF (a trailing
+    comment of unknown length follows it), so the reader must SCAN the
+    tail for the PK\\x05\\x06 signature, then follow the recovered
+    central-directory offset forward, then follow the CD entry's
+    local-header offset back to the file's second metadata copy — a
+    three-hop pointer chase with the redundant name/size fields
+    cross-checked between the CD and local copies (the redundancy is
+    the format's corruption defense; checking it is what makes this a
+    parse, not arithmetic). Each document becomes a byte-valid
+    one-entry STORED archive (method 0; CRC zeroed — a real CRC32
+    needs a table per byte, documented stub like the Ogg page) whose
+    comment length varies per row, so the signature scan distance is
+    data-dependent. The scan window is the spec's bounded tail
+    (comment <= 64 bytes here; real readers cap at 64 KiB), the
+    signature cannot occur earlier in the window (the only bytes there
+    are the CD entry whose signature differs and ASCII name/comment
+    bytes), and alignment is asserted by requiring an odd hex-string
+    position. Map-only, zero exchanges; bytes never reach Python."""
+    d = table(spark, sf_dir, "documents")
+    data = F.encode(F.col("text"), "utf-8")
+    dlen = F.octet_length(data).cast("long")
+    fname = F.concat(F.lit("doc"), F.col("doc_id").cast("string"), F.lit(".txt"))
+    fnlen = F.length(fname).cast("long")
+    clen = (F.col("doc_id") % 40).cast("long")
+
+    def le(c, nbytes):
+        h = F.lpad(F.hex(c.cast("long")), 2 * nbytes, "0")
+        return F.unhex(
+            F.concat(
+                *[
+                    F.substring(h, 2 * nbytes - 1 - 2 * i, 2)
+                    for i in range(nbytes)
+                ]
+            )
+        )
+
+    lfh = F.concat(
+        F.unhex(F.lit("504B0304")),        # local file header signature
+        le(F.lit(20), 2),                  # version needed
+        le(F.lit(0), 2), le(F.lit(0), 2),  # flags, method (stored)
+        le(F.lit(0), 2), le(F.lit(0), 2),  # mod time, mod date
+        F.unhex(F.lit("00000000")),        # CRC32 stub (documented)
+        le(dlen, 4), le(dlen, 4),          # compressed == uncompressed
+        le(fnlen, 2), le(F.lit(0), 2),     # name len, extra len
+        F.encode(fname, "utf-8"),
+        data,
+    )
+    cd = F.concat(
+        F.unhex(F.lit("504B0102")),        # central directory signature
+        le(F.lit(20), 2), le(F.lit(20), 2),
+        le(F.lit(0), 2), le(F.lit(0), 2),
+        le(F.lit(0), 2), le(F.lit(0), 2),
+        F.unhex(F.lit("00000000")),
+        le(dlen, 4), le(dlen, 4),
+        le(fnlen, 2), le(F.lit(0), 2), le(F.lit(0), 2),
+        le(F.lit(0), 2), le(F.lit(0), 2),  # disk, internal attrs
+        le(F.lit(0), 4),                   # external attrs
+        le(F.lit(0), 4),                   # local header offset
+        F.encode(fname, "utf-8"),
+    )
+    cd_off = F.lit(30) + fnlen + dlen
+    cd_size = F.lit(46) + fnlen
+    eocd = F.concat(
+        F.unhex(F.lit("504B0506")),
+        le(F.lit(0), 2), le(F.lit(0), 2),  # disk numbers
+        le(F.lit(1), 2), le(F.lit(1), 2),  # entries (disk, total)
+        le(cd_size, 4), le(cd_off, 4),
+        le(clen, 2),
+        F.encode(F.repeat(F.lit("c"), clen.cast("int")), "utf-8"),
+    )
+    z = d.select(
+        "doc_id", "text", F.concat(lfh, cd, eocd).alias("payload")
+    )
+    p = F.col("payload")
+
+    def rd_le(off, nbytes):
+        h = F.hex(F.substring(p, off.cast("int"), nbytes))
+        return F.conv(
+            F.concat(
+                *[
+                    F.substring(h, 2 * nbytes - 1 - 2 * i, 2)
+                    for i in range(nbytes)
+                ]
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    plen = F.octet_length(p).cast("long")
+    tail_off = F.greatest(F.lit(1).cast("long"), plen - (ZIP_EOCD_SCAN - 1))
+    tail_hex = F.hex(F.substring(p, tail_off.cast("int"), ZIP_EOCD_SCAN))
+    hexpos = F.instr(tail_hex, "504B0506").cast("long")
+    aligned = (hexpos > 0) & (F.pmod(hexpos, 2) == 1)
+    e_at = tail_off + F.call_function(
+        "div", hexpos - 1, F.lit(2).cast("long")
+    )
+    n_entries = rd_le(e_at + 10, 2)
+    cdsz = rd_le(e_at + 12, 4)
+    cdof = rd_le(e_at + 16, 4)
+    cl = rd_le(e_at + 20, 2)
+    c_at = cdof + 1
+    cd_sig_ok = F.hex(F.substring(p, c_at.cast("int"), 4)) == "504B0102"
+    fnl = rd_le(c_at + 28, 2)
+    usz = rd_le(c_at + 24, 4)
+    lho = rd_le(c_at + 42, 4)
+    cd_name = F.decode(
+        F.substring(p, (c_at + 46).cast("int"), fnl.cast("int")), "utf-8"
+    )
+    l_at = lho + 1
+    lfh_sig_ok = F.hex(F.substring(p, l_at.cast("int"), 4)) == "504B0304"
+    lfh_fnl = rd_le(l_at + 26, 2)
+    lfh_name = F.decode(
+        F.substring(p, (l_at + 30).cast("int"), lfh_fnl.cast("int")), "utf-8"
+    )
+    file_data = F.substring(
+        p, (l_at + 30 + lfh_fnl).cast("int"), usz.cast("int")
+    )
+    return z.select(
+        "doc_id",
+        aligned.alias("eocd_found"),
+        cl.alias("comment_len"),
+        n_entries.alias("n_entries"),
+        cdsz.alias("cd_size"),
+        cdof.alias("cd_offset"),
+        cd_name.alias("fname"),
+        usz.alias("uncompressed_size"),
+        (cd_sig_ok & lfh_sig_ok).alias("sig_chain_ok"),
+        (cd_name == lfh_name).alias("names_match"),
+        (file_data == F.encode(F.col("text"), "utf-8")).alias("data_ok"),
+        (plen == cdof + cdsz + 22 + cl).alias("sizes_ok"),
+    )

@@ -79,3 +79,73 @@ def test_quartile_motifs_window_accounting(spark, sf_dir):
     assert letters <= set("abcd")
     for t, total in per.items():
         assert total == av[t] - 2
+
+
+def test_flac_streaminfo_fields_from_bytes(spark, sf_dir):
+    """Every recovered field matches an independent recomputation from
+    the raw parquet (duckdb octet_length), and the packed-word fields
+    obey the spec's bit budgets."""
+    from real_value_etl_spark.queries.feature_ops import (
+        FLAC_BPS,
+        FLAC_RATES,
+        FLAC_SAMPLES_PER_BYTE,
+    )
+
+    rows = REGISTRY["multimodal_flac_streaminfo"].fn(spark, sf_dir).collect()
+    assert rows
+    blen = dict(
+        duckdb.connect().execute(
+            f"SELECT doc_id, octet_length(encode(text)) "
+            f"FROM '{sf_dir}/documents.parquet'"
+        ).fetchall()
+    )
+    for r in rows:
+        i = r["doc_id"]
+        assert r["magic_ok"] and r["is_last_block"] and r["md5_zero"]
+        assert r["block_type"] == 0 and r["block_len"] == 34
+        assert r["sample_rate"] == FLAC_RATES[i % 4] < (1 << 20)
+        assert r["channels"] == i % 2 + 1 <= 8
+        assert r["bits_per_sample"] == FLAC_BPS[i % 4] <= 32
+        want_total = (blen[i] * FLAC_SAMPLES_PER_BYTE) % (1 << 36)
+        assert r["total_samples"] == want_total
+        assert r["min_blocksize"] == 4096
+        assert r["max_blocksize"] == 4096 + (i % 8) * 256
+        assert r["duration_s"] == want_total / r["sample_rate"]
+
+
+def test_ogg_lacing_table_accounting(spark, sf_dir):
+    """The lacing-table fold conserves: payload_len == byte length of
+    the capped text, n_segments == floor(L/255)+1, exactly one packet
+    terminates, and the length equation holds on every row."""
+    rows = REGISTRY["multimodal_ogg_page_walk"].fn(spark, sf_dir).collect()
+    assert rows
+    blen = dict(
+        duckdb.connect().execute(
+            f"SELECT doc_id, octet_length(encode(substr(text, 1, 4000))) "
+            f"FROM '{sf_dir}/documents.parquet'"
+        ).fetchall()
+    )
+    for r in rows:
+        length = blen[r["doc_id"]]
+        assert r["capture_ok"] and r["length_ok"]
+        assert r["payload_len"] == length
+        assert r["n_segments"] == length // 255 + 1
+        assert r["n_full_segments"] == length // 255
+        assert r["n_packets_done"] == 1
+        assert r["packet_spans_segments"] == (length >= 255)
+
+
+def test_zip_pointer_chase_round_trip(spark, sf_dir):
+    """The backward walk recovers a consistent archive on every row:
+    both signature copies verified, CD and local names identical, the
+    stored bytes equal the source text, and the EOCD arithmetic closes
+    (cd_offset + cd_size + 22 + comment_len == file size)."""
+    rows = REGISTRY["multimodal_zip_eocd_walk"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["eocd_found"] and r["sig_chain_ok"]
+        assert r["names_match"] and r["data_ok"] and r["sizes_ok"]
+        assert r["fname"] == f"doc{r['doc_id']}.txt"
+        assert r["n_entries"] == 1
+        assert r["cd_size"] == 46 + len(r["fname"])
+        assert r["comment_len"] == r["doc_id"] % 40
