@@ -1673,3 +1673,366 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("clustering_coeff"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Modularity of the ground-truth labels over the mutual-kNN graph
+# ---------------------------------------------------------------------------
+def _modularity_oracle() -> str:
+    return f"""
+    WITH {_knn_edges_cte()},
+    und AS MATERIALIZED (
+      SELECT e.src AS a, e.dst AS b FROM edges e
+      JOIN edges m ON m.src = e.dst AND m.dst = e.src
+      WHERE e.src < e.dst
+    ),
+    mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM und),
+    lab AS (SELECT vec_id, CAST(COALESCE(label, -1) AS BIGINT) AS lab
+            FROM embeddings),
+    nodes AS (
+      SELECT x, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        SELECT a AS x FROM und UNION ALL SELECT b AS x FROM und
+      ) GROUP BY x
+    ),
+    bylab AS (
+      SELECT l.lab, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(n.deg) AS BIGINT) AS deg_sum
+      FROM nodes n JOIN lab l ON l.vec_id = n.x GROUP BY l.lab
+    ),
+    inn AS (
+      SELECT la.lab, CAST(COUNT(*) AS BIGINT) AS in_edges
+      FROM und u
+      JOIN lab la ON la.vec_id = u.a
+      JOIN lab lb ON lb.vec_id = u.b
+      WHERE la.lab = lb.lab GROUP BY la.lab
+    )
+    SELECT b.lab AS label, b.n_nodes, b.deg_sum,
+           COALESCE(i.in_edges, 0) AS in_edges,
+           4 * mm.m * COALESCE(i.in_edges, 0) - b.deg_sum * b.deg_sum
+             AS q_num,
+           CAST(4 * mm.m * COALESCE(i.in_edges, 0)
+                - b.deg_sum * b.deg_sum AS DOUBLE)
+             / (4.0 * mm.m * mm.m) AS q_contrib
+    FROM bylab b LEFT JOIN inn i ON i.lab = b.lab CROSS JOIN mm
+    """
+
+
+@register(
+    "graph_modularity",
+    oracle=_modularity_oracle(),
+    tags=("graph", "similarity"),
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEWMAN MODULARITY of the ground-truth label partition over the
+    mutual-kNN graph — the standard "do the communities explain the
+    edges" score, here answering the index-quality question "does the
+    kNN graph's wiring agree with the labels" (low modularity = the
+    embedding mixes classes; the complement of sim_cluster_quality's
+    centroid view). Q = sum_c [in_c/m - (deg_c/2m)^2] is computed as
+    the EXACT INTEGER numerator q_num_c = 4*m*in_c - deg_c^2 per
+    community over the common denominator 4m^2 — modularity is a
+    rational with known denominator, so no floating accumulation ever
+    happens; the per-community contribution is ONE pinned double
+    division, and consumers that want total Q sum the exact integer
+    column (bounds: |q_num| <= 4m^2 stays in BIGINT through m ~ 1.5e9
+    mutual edges — beyond that, widen to DECIMAL(38,0)). Null labels
+    group under -1.
+
+    Scale shape: the mutual-edge build reuses the cluster-blocked kNN
+    join; after it, ONE edge-sized count (map-side combinable), one
+    node-sized degree aggregate, two label joins keyed on node id, and
+    a communities-sized rollup — the scalar m crosses in as a 1-row
+    broadcast. Reference basis: SURVEY.md §2.12 graph family (absent
+    in reference)."""
+    edges = _knn_edges(spark, sf_dir).select("src", "dst")
+    rev = edges.select(
+        F.col("src").alias("m_src"), F.col("dst").alias("m_dst")
+    )
+    und = (
+        edges.join(
+            rev,
+            (F.col("m_src") == F.col("dst"))
+            & (F.col("m_dst") == F.col("src")),
+            "left_semi",
+        )
+        .filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .localCheckpoint(eager=True)
+    )
+    lab = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.coalesce(F.col("label").cast("long"), F.lit(-1)).alias("lab"),
+    )
+    mm = und.agg(F.count("*").alias("m"))
+    nodes = (
+        und.select(F.col("a").alias("x"))
+        .unionAll(und.select(F.col("b").alias("x")))
+        .groupBy("x")
+        .agg(F.count("*").alias("deg"))
+    )
+    bylab = nodes.join(lab, nodes.x == lab.vec_id).groupBy("lab").agg(
+        F.count("*").alias("n_nodes"), F.sum("deg").alias("deg_sum")
+    )
+    la = lab.select(F.col("vec_id").alias("a"), F.col("lab").alias("la"))
+    lb = lab.select(F.col("vec_id").alias("b"), F.col("lab").alias("lb"))
+    inn = (
+        und.join(la, "a")
+        .join(lb, "b")
+        .filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("lab"))
+        .agg(F.count("*").alias("in_edges"))
+    )
+    q_num = 4 * F.col("m") * F.col("in_edges") - F.col("deg_sum") * F.col(
+        "deg_sum"
+    )
+    out = (
+        bylab.join(inn, "lab", "left")
+        .select(
+            F.col("lab").alias("label"),
+            "n_nodes",
+            "deg_sum",
+            F.coalesce(F.col("in_edges"), F.lit(0)).alias("in_edges"),
+        )
+        .crossJoin(F.broadcast(mm))
+    )
+    return out.select(
+        "label",
+        "n_nodes",
+        "deg_sum",
+        "in_edges",
+        q_num.alias("q_num"),
+        (
+            q_num.cast("double")
+            / (F.lit(4.0) * F.col("m") * F.col("m"))
+        ).alias("q_contrib"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Resource-allocation link-prediction index (the 1/deg complement of the
+# common-neighbors/Jaccard scores — exact via integer floor division)
+# ---------------------------------------------------------------------------
+RA_SCALE = 10**12  # fixed-point scale for 1/deg(w)
+RA_MIN_CN = 2  # candidate pairs need >= 2 common neighbors
+
+
+def _ra_oracle() -> str:
+    return f"""
+    WITH {_knn_edges_cte()},
+    und AS MATERIALIZED (
+      SELECT e.src AS a, e.dst AS b FROM edges e
+      JOIN edges m ON m.src = e.dst AND m.dst = e.src
+      WHERE e.src < e.dst
+    ),
+    nb AS (SELECT a AS x, b AS n FROM und
+           UNION ALL SELECT b AS x, a AS n FROM und),
+    deg AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS d FROM nb GROUP BY x),
+    nbd AS (SELECT nb.x, nb.n, deg.d AS dn
+            FROM nb JOIN deg ON deg.x = nb.n),
+    cand AS (
+      SELECT e1.x AS a, e2.x AS b,
+             CAST(COUNT(*) AS BIGINT) AS cn,
+             CAST(SUM({RA_SCALE} // e1.dn) AS BIGINT) AS ra_scaled
+      FROM nbd e1 JOIN nbd e2 ON e2.n = e1.n AND e1.x < e2.x
+      WHERE NOT EXISTS (SELECT 1 FROM und u
+                        WHERE u.a = e1.x AND u.b = e2.x)
+      GROUP BY 1, 2 HAVING COUNT(*) >= {RA_MIN_CN}
+    )
+    SELECT a, b, cn, ra_scaled,
+           CAST(ra_scaled AS DOUBLE) / {RA_SCALE} AS ra_index
+    FROM cand
+    """
+
+
+@register(
+    "graph_resource_allocation",
+    oracle=_ra_oracle(),
+    tags=("graph", "similarity"),
+)
+def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESOURCE-ALLOCATION link prediction over the mutual-kNN graph:
+    for non-adjacent pairs with >= {m} common neighbors, the RA index
+    sum over shared neighbors w of 1/deg(w) — consistently the
+    strongest LOCAL link-prediction score in the benchmark literature
+    (Zhou/Lu/Zhang 2009) because it discounts promiscuous hubs
+    HARDER than Adamic-Adar's 1/log(deg). It also fits this repo's
+    determinism doctrine where Adamic-Adar cannot (graph_link_
+    prediction's docstring records that refusal): 1/deg is computed as
+    the integer floor division {s} // deg(w) and SUMMED EXACTLY — no
+    log, no float accumulation; the one double division at the end is
+    pinned. Quantization error is bounded by cn/{s} per pair —
+    invisible next to the 1/deg quanta consumers rank by.
+
+    Scale shape: identical to graph_link_prediction's wedge join —
+    per-neighbor degree is attached BEFORE the wedge (one node-keyed
+    join on the bounded nb frame), the wedge shuffles on the shared-
+    neighbor id with fan-out bounded by the kNN degree cap, and the
+    >= {m} floor prunes before the anti-join. Reference basis:
+    SURVEY.md §2.12 graph family (absent in reference)."""
+    edges = _knn_edges(spark, sf_dir).select("src", "dst")
+    rev = edges.select(
+        F.col("src").alias("m_src"), F.col("dst").alias("m_dst")
+    )
+    und = (
+        edges.join(
+            rev,
+            (F.col("m_src") == F.col("dst"))
+            & (F.col("m_dst") == F.col("src")),
+            "left_semi",
+        )
+        .filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .localCheckpoint(eager=True)
+    )
+    nb = und.select(F.col("a").alias("x"), F.col("b").alias("n")).unionAll(
+        und.select(F.col("b").alias("x"), F.col("a").alias("n"))
+    )
+    deg = nb.groupBy("x").agg(F.count("*").alias("d"))
+    nbd = nb.join(
+        deg.select(F.col("x").alias("n"), F.col("d").alias("dn")), "n"
+    )
+    e1 = nbd.select(
+        F.col("x").alias("ca"), F.col("n").alias("n1"), F.col("dn").alias("d1")
+    )
+    e2 = nbd.select(F.col("x").alias("cb"), F.col("n").alias("n2"))
+    cand = (
+        e1.join(
+            e2,
+            (F.col("n2") == F.col("n1")) & (F.col("ca") < F.col("cb")),
+        )
+        .groupBy("ca", "cb")
+        .agg(
+            F.count("*").alias("cn"),
+            F.sum(
+                F.call_function(
+                    "div", F.lit(RA_SCALE).cast("long"), F.col("d1")
+                )
+            ).alias("ra_scaled"),
+        )
+        .filter(F.col("cn") >= RA_MIN_CN)
+        .join(
+            und,
+            (F.col("ca") == F.col("a")) & (F.col("cb") == F.col("b")),
+            "left_anti",
+        )
+    )
+    return cand.select(
+        F.col("ca").alias("a"),
+        F.col("cb").alias("b"),
+        "cn",
+        "ra_scaled",
+        (F.col("ra_scaled").cast("double") / F.lit(float(RA_SCALE))).alias(
+            "ra_index"
+        ),
+    )
+
+
+graph_resource_allocation.__doc__ = graph_resource_allocation.__doc__.format(
+    m=RA_MIN_CN, s=RA_SCALE
+)
+
+
+# ---------------------------------------------------------------------------
+# Shortest-path counting (multi-source sigma — the Brandes forward pass)
+# ---------------------------------------------------------------------------
+SPC_SEED_MOD = 50  # vec_id % MOD == 0 are the seed set
+SPC_HOPS = 3  # fixed unrolled BFS rounds
+
+
+def _spc_oracle() -> str:
+    steps = []
+    for t in range(1, SPC_HOPS + 1):
+        steps.append(f""",
+    f{t} AS (
+      SELECT e.dst AS node, CAST({t} AS BIGINT) AS dist,
+             CAST(SUM(f.sigma) AS BIGINT) AS sigma
+      FROM f{t - 1} f JOIN und e ON e.src = f.node
+      WHERE NOT EXISTS (SELECT 1 FROM a{t - 1} v WHERE v.node = e.dst)
+      GROUP BY e.dst
+    ),
+    a{t} AS (SELECT node, dist, sigma FROM a{t - 1}
+             UNION ALL SELECT node, dist, sigma FROM f{t})""")
+    return f"""
+    WITH {_knn_edges_cte()},
+    und AS MATERIALIZED (
+      SELECT e.src, e.dst FROM edges e
+      JOIN edges m ON m.src = e.dst AND m.dst = e.src
+    ),
+    f0 AS (
+      SELECT vec_id AS node, CAST(0 AS BIGINT) AS dist,
+             CAST(1 AS BIGINT) AS sigma
+      FROM embeddings WHERE vec_id % {SPC_SEED_MOD} = 0
+    ),
+    a0 AS (SELECT node, dist, sigma FROM f0){"".join(steps)}
+    SELECT node, dist, sigma FROM a{SPC_HOPS}
+    """
+
+
+@register(
+    "graph_path_counts",
+    oracle=_spc_oracle(),
+    tags=("graph", "iterative"),
+)
+def graph_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHORTEST-PATH COUNTING (the sigma forward pass of Brandes'
+    betweenness algorithm) from a seed set through the mutual kNN
+    graph: for every node within {h} hops, its BFS distance AND the
+    exact NUMBER of distinct shortest paths from the seed set — the
+    quantity that upgrades graph_bfs_distance's "how far" to "how
+    redundantly connected": a node at distance 2 via 40 paths is
+    structurally central, one via a single path is a bottleneck
+    (and in contamination audits, sigma is the exposure multiplicity,
+    not just reachability). Unlike min-distance BFS, sigma must only
+    accumulate along FIRST-discovery edges, so each round joins the
+    previous FRONTIER (not the full label frame), sums sigma per
+    target, and anti-joins the visited set before admitting a node —
+    the textbook forward pass, expressed as {h} unrolled
+    join+aggregate+anti-join rounds so the result is a pure function
+    of the graph that an unrolled-CTE oracle replays bit-for-bit.
+    Path counts are exact BIGINTs (bounded by deg_cap^{h} * |seeds| —
+    the kNN degree cap keeps this far inside 2^63).
+
+    Scale shape: per round, ONE frontier-sized hash join on node id,
+    one map-side-combinable sigma sum, one anti-join against the
+    visited frame; localCheckpoint bounds lineage (the k-core trick).
+    Reference basis: SURVEY.md §2.12 graph family (absent in
+    reference)."""
+    edges = _knn_edges(spark, sf_dir).select("src", "dst")
+    rev = edges.select(
+        F.col("src").alias("m_src"), F.col("dst").alias("m_dst")
+    )
+    und = (
+        edges.join(
+            rev,
+            (F.col("src") == F.col("m_dst"))
+            & (F.col("dst") == F.col("m_src")),
+            "left_semi",
+        )
+        .select("src", "dst")
+        .persist()
+    )
+    emb = table(spark, sf_dir, "embeddings")
+    frontier = emb.filter(F.col("vec_id") % SPC_SEED_MOD == 0).select(
+        F.col("vec_id").alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+        F.lit(1).cast("long").alias("sigma"),
+    )
+    acc = frontier
+    for t in range(1, SPC_HOPS + 1):
+        relaxed = (
+            und.join(frontier, und.src == frontier.node)
+            .groupBy(F.col("dst").alias("nnode"))
+            .agg(F.sum("sigma").alias("nsigma"))
+        )
+        frontier = (
+            relaxed.join(acc, relaxed.nnode == acc.node, "left_anti")
+            .select(
+                F.col("nnode").alias("node"),
+                F.lit(t).cast("long").alias("dist"),
+                F.col("nsigma").alias("sigma"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        acc = acc.unionByName(frontier).localCheckpoint(eager=True)
+    und.unpersist()
+    return acc

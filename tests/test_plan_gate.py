@@ -190,6 +190,9 @@ _BNLJ_WAIVERS: dict[str, str] = {
     "dedup_bcubed_eval": _R_SCALAR,
     "q_benford_audit": _R_SCALAR
     + " (9-digit spine x the 1-row total-order-count frame)",
+    "graph_modularity": _R_SCALAR
+    + " (1-row mutual-edge-count frame m broadcast into the "
+    "communities-sized rollup)",
     "events_sliding_distinct_users": _R_SCALAR
     + " (1-row global max-hour bound broadcast into the window filter)",
     # crossJoins of three one-row frames: counts + exact join size + the

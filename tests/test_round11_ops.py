@@ -149,3 +149,121 @@ def test_zip_pointer_chase_round_trip(spark, sf_dir):
         assert r["n_entries"] == 1
         assert r["cd_size"] == 46 + len(r["fname"])
         assert r["comment_len"] == r["doc_id"] % 40
+
+
+def _mutual_und(spark, sf_dir):
+    from real_value_etl_spark.queries.retrieval_graph import _knn_edges
+
+    edges = {
+        (r["src"], r["dst"])
+        for r in _knn_edges(spark, sf_dir).select("src", "dst").collect()
+    }
+    return {(a, b) for a, b in edges if (b, a) in edges and a < b}
+
+
+def test_modularity_python_replication(spark, sf_dir):
+    """Per-community integer numerators match a pure-Python replay over
+    the SAME mutual edge set, and total Q = sum(q_num)/(4m^2) lies in
+    Newman's [-1/2, 1] range."""
+    und = _mutual_und(spark, sf_dir)
+    m = len(und)
+    labels = dict(
+        duckdb.connect().execute(
+            f"SELECT vec_id, COALESCE(label, -1) "
+            f"FROM '{sf_dir}/embeddings.parquet'"
+        ).fetchall()
+    )
+    deg: dict[int, int] = {}
+    inn: dict[int, int] = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+        if labels[a] == labels[b]:
+            inn[labels[a]] = inn.get(labels[a], 0) + 1
+    by_lab: dict[int, list[int]] = {}
+    for n, d in deg.items():
+        by_lab.setdefault(labels[n], []).append(d)
+    rows = REGISTRY["graph_modularity"].fn(spark, sf_dir).collect()
+    got = {r["label"]: r for r in rows}
+    assert set(got) == set(by_lab)
+    for lab, ds in by_lab.items():
+        r = got[lab]
+        assert r["n_nodes"] == len(ds)
+        assert r["deg_sum"] == sum(ds)
+        assert r["in_edges"] == inn.get(lab, 0)
+        q = 4 * m * inn.get(lab, 0) - sum(ds) ** 2
+        assert r["q_num"] == q
+        assert r["q_contrib"] == q / (4.0 * m * m)
+    total_q = sum(r["q_num"] for r in rows) / (4.0 * m * m)
+    assert -0.5 <= total_q <= 1.0
+
+
+def test_resource_allocation_python_replication(spark, sf_dir):
+    """RA indices match a pure-Python replay: same candidate pairs as
+    the CN filter admits, ra_scaled the exact sum of floor-divided
+    reciprocal degrees, and RA never exceeds cn/min_deg."""
+    from real_value_etl_spark.queries.retrieval_graph import (
+        RA_MIN_CN,
+        RA_SCALE,
+    )
+
+    und = _mutual_und(spark, sf_dir)
+    nbrs: dict[int, set[int]] = {}
+    for a, b in und:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    want = {}
+    nodes = sorted(nbrs)
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1 :]:
+            if (a, b) in und:
+                continue
+            common = nbrs[a] & nbrs[b]
+            if len(common) >= RA_MIN_CN:
+                want[(a, b)] = (
+                    len(common),
+                    sum(RA_SCALE // len(nbrs[w]) for w in common),
+                )
+    rows = REGISTRY["graph_resource_allocation"].fn(spark, sf_dir).collect()
+    got = {(r["a"], r["b"]): (r["cn"], r["ra_scaled"]) for r in rows}
+    assert got == want
+    for r in rows:
+        assert r["ra_index"] == r["ra_scaled"] / RA_SCALE
+        assert r["ra_scaled"] <= r["cn"] * RA_SCALE // 2  # deg(w) >= 2 twice
+
+
+def test_path_counts_python_replication(spark, sf_dir):
+    """Distances and path counts match a pure-Python multi-source BFS
+    with sigma accumulation over the SAME mutual edge set; seeds carry
+    sigma 1 at distance 0."""
+    from real_value_etl_spark.queries.retrieval_graph import (
+        SPC_HOPS,
+        SPC_SEED_MOD,
+    )
+
+    und = _mutual_und(spark, sf_dir)
+    adj: dict[int, set[int]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    vec_ids = [
+        v
+        for (v,) in duckdb.connect().execute(
+            f"SELECT vec_id FROM '{sf_dir}/embeddings.parquet'"
+        ).fetchall()
+    ]
+    frontier = {v: 1 for v in vec_ids if v % SPC_SEED_MOD == 0}
+    want = {v: (0, 1) for v in frontier}
+    for t in range(1, SPC_HOPS + 1):
+        nxt: dict[int, int] = {}
+        for u, sig in frontier.items():
+            for w in adj.get(u, ()):
+                if w not in want:
+                    nxt[w] = nxt.get(w, 0) + sig
+        nxt = {w: s for w, s in nxt.items() if w not in want}
+        for w, s in nxt.items():
+            want[w] = (t, s)
+        frontier = nxt
+    rows = REGISTRY["graph_path_counts"].fn(spark, sf_dir).collect()
+    got = {r["node"]: (r["dist"], r["sigma"]) for r in rows}
+    assert got == want
