@@ -822,3 +822,77 @@ def docs_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out_rows, "step long, doc_id long, gain long, covered_total long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Simpson / Gini-Simpson lexical diversity per source (exact rational)
+# ---------------------------------------------------------------------------
+@register(
+    "docs_simpson_diversity",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest({T.tokens_sql("text")}) AS token FROM documents
+    ),
+    tc AS (
+      SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT source,
+             CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(SUM(c * (c - 1)) AS BIGINT) AS simpson_num
+      FROM tc GROUP BY source
+    )
+    SELECT source, n_tokens, n_types, simpson_num,
+           CAST(simpson_num AS DOUBLE) / (n_tokens * (n_tokens - 1))
+             AS simpson,
+           1.0 - CAST(simpson_num AS DOUBLE) / (n_tokens * (n_tokens - 1))
+             AS gini_simpson
+    FROM agg WHERE n_tokens >= 2
+    """,
+    tags=("llm", "text", "stats"),
+)
+def docs_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIMPSON LEXICAL DIVERSITY per source: the probability that two
+    tokens drawn without replacement are the same type, sum n_i(n_i-1)
+    / (N(N-1)) over the source's term counts — the ecology diversity
+    index applied to vocabulary, and the right repetitiveness screen
+    next to docs_vocab_growth's Heaps curve (a template-spam source
+    scores high Simpson / low Gini-Simpson long before its vocab curve
+    flattens). Unlike Shannon entropy, Simpson is a RATIONAL function
+    of the counts — the numerator sum n_i(n_i-1) is an exact BIGINT
+    (bounded by N^2: fine through ~3e9 tokens/source, widen to
+    DECIMAL beyond) and the diversity is ONE pinned double division;
+    the Gini-Simpson complement reuses the same rounded quotient, so
+    no log and no float accumulation ever crosses an engine boundary.
+    Single-token sources are excluded (the index is undefined at
+    N < 2).
+
+    Scale shape: tokenize-explode into ONE map-side-combinable
+    (source, token) count, then a source-sized rollup — the same
+    two-stage shape as text_term_frequency, nothing data-sized after
+    the first aggregate. Reference basis: SURVEY.md §2.12 text family
+    (absent in reference)."""
+    d = table(spark, sf_dir, "documents")
+    tc = (
+        d.select("source", F.explode(T.tokens(F.col("text"))).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    agg = tc.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.sum(F.col("c") * (F.col("c") - 1)).alias("simpson_num"),
+    )
+    simpson = F.col("simpson_num").cast("double") / (
+        F.col("n_tokens") * (F.col("n_tokens") - 1)
+    )
+    return agg.filter(F.col("n_tokens") >= 2).select(
+        "source",
+        "n_tokens",
+        "n_types",
+        "simpson_num",
+        simpson.alias("simpson"),
+        (F.lit(1.0) - simpson).alias("gini_simpson"),
+    )

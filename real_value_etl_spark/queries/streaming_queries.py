@@ -559,3 +559,42 @@ def stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     popcount sums must EQUAL batch COUNT(DISTINCT) — verified
     bit-for-bit against this SQL replay."""
     return jobs.stream_bitmap_distinct(spark, sf_dir)
+
+
+@register(
+    "stream_minmax_witness",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, MIN(value) AS min_value, MAX(value) AS max_value
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
+    ),
+    wi AS (
+      SELECT e.event_type, CAST(MIN(e.event_id) AS BIGINT) AS min_event_id
+      FROM events e JOIN m ON m.event_type = e.event_type
+                   AND e.value = m.min_value
+      GROUP BY e.event_type
+    ),
+    wx AS (
+      SELECT e.event_type, CAST(MIN(e.event_id) AS BIGINT) AS max_event_id
+      FROM events e JOIN m ON m.event_type = e.event_type
+                   AND e.value = m.max_value
+      GROUP BY e.event_type
+    )
+    SELECT m.event_type, m.min_value, wi.min_event_id,
+           m.max_value, wx.max_event_id,
+           m.max_value - m.min_value AS value_range
+    FROM m JOIN wi ON wi.event_type = m.event_type
+           JOIN wx ON wx.event_type = m.event_type
+    """,
+    tags=("stream", "stateful", "extrema", "pandas_udf"),
+)
+def stream_minmax_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming running extrema with WITNESS event ids — the SEVENTH
+    streaming state family and the second idempotent one (after the
+    bitmap OR), but at O(1) state per key: lexicographic (value, id)
+    min/max means replayed batches are no-ops, so at-least-once
+    delivery is safe. Witness rule: smallest event_id among rows
+    attaining the extreme value. The drained state must equal the
+    batch MIN/MAX + witness recovery bit-for-bit (doubles compare
+    exactly — no arithmetic ever touches the carried values)."""
+    return jobs.stream_minmax_witness(spark, sf_dir)

@@ -1401,3 +1401,110 @@ def stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_match"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming extrema with witnesses — min/max value per type plus the EVENT
+# that attained each (witness ids). The merge is idempotent like the bitmap
+# OR (lexicographic (value, id) min/max), so at-least-once delivery is safe,
+# but unlike the bitmap the state is O(1) per key — the cheapest member of
+# the idempotent family.
+# ---------------------------------------------------------------------------
+_EXT_STATE_SCHEMA = StructType(
+    [
+        StructField("min_v", DoubleType()),
+        StructField("min_id", LongType()),
+        StructField("max_v", DoubleType()),
+        StructField("max_id", LongType()),
+        StructField("n_batches", LongType()),
+    ]
+)
+_EXT_OUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("min_value", DoubleType()),
+        StructField("min_event_id", LongType()),
+        StructField("max_value", DoubleType()),
+        StructField("max_event_id", LongType()),
+        StructField("n_batches", LongType()),
+    ]
+)
+
+
+def _ext_state(
+    key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState kernel: O(1) extrema state per key. The
+    witness rule is lexicographic — min by (value, event_id), max by
+    (value, -event_id)... stated precisely: the SMALLEST event_id among
+    rows attaining the extreme value wins, so the merge is a total
+    order and replaying any batch is a no-op (idempotent)."""
+    cur = (
+        (state.get[0], state.get[1], state.get[2], state.get[3], state.get[4])
+        if state.exists
+        else (None, None, None, None, 0)
+    )
+    mn_v, mn_i, mx_v, mx_i, nb = cur
+    for pdf in pdfs:
+        pdf = pdf.dropna(subset=["value"])
+        if not len(pdf):
+            continue
+        vmin = pdf["value"].min()
+        cand_i = int(pdf.loc[pdf["value"] == vmin, "event_id"].min())
+        if mn_v is None or (float(vmin), cand_i) < (mn_v, mn_i):
+            mn_v, mn_i = float(vmin), cand_i
+        vmax = pdf["value"].max()
+        cand_x = int(pdf.loc[pdf["value"] == vmax, "event_id"].min())
+        if mx_v is None or (float(vmax), -cand_x) > (mx_v, -mx_i):
+            mx_v, mx_i = float(vmax), cand_x
+    nb += 1
+    state.update((mn_v, mn_i, mx_v, mx_i, nb))
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "min_value": [mn_v],
+            "min_event_id": [mn_i],
+            "max_value": [mx_v],
+            "max_event_id": [mx_i],
+            "n_batches": [nb],
+        }
+    )
+
+
+def stream_minmax_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming running min/max value per event type WITH WITNESS ids
+    (the event that attained each extremum, smallest event_id on
+    ties) — the live "worst transaction so far / best score so far"
+    panel. State is four scalars + a batch counter per key; the merge
+    is idempotent (lexicographic extrema), so duplicate delivery
+    cannot move the answer. The drained final state must equal the
+    batch MIN/MAX + witness recovery bit-for-bit."""
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", WATERMARK)
+    out = (
+        ev.select("event_type", "event_id", "value")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _ext_state,
+            outputStructType=_EXT_OUT_SCHEMA,
+            stateStructType=_EXT_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    drained = _drain(spark, out, "mem_stream_extrema", "update")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.desc("n_batches"))
+    return (
+        drained.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .drop("__r", "n_batches")
+        .select(
+            "event_type",
+            "min_value",
+            "min_event_id",
+            "max_value",
+            "max_event_id",
+            (F.col("max_value") - F.col("min_value")).alias("value_range"),
+        )
+    )

@@ -267,3 +267,77 @@ def test_path_counts_python_replication(spark, sf_dir):
     rows = REGISTRY["graph_path_counts"].fn(spark, sf_dir).collect()
     got = {r["node"]: (r["dist"], r["sigma"]) for r in rows}
     assert got == want
+
+
+class _FakeState:
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def test_stream_extrema_batching_independent_and_idempotent(spark):
+    """The extrema kernel lands the same (min, max, witnesses) whether
+    rows arrive as one batch or three, and REPLAYING a batch is a
+    no-op on everything except the batch counter (idempotent merge)."""
+    import pandas as pd
+
+    from real_value_etl_spark.streaming import jobs
+
+    rows = [(float(v), i) for i, v in enumerate([5, 3, 9, 3, 9, 7])]
+
+    def run(batches):
+        st = _FakeState()
+        for b in batches:
+            pdf = pd.DataFrame(
+                {"value": [v for v, _ in b], "event_id": [i for _, i in b]}
+            )
+            list(jobs._ext_state(("click",), iter([pdf]), st))
+        return st._v
+
+    single = run([rows])
+    multi = run([rows[:2], rows[2:4], rows[4:]])
+    assert single[:4] == multi[:4] == (3.0, 1, 9.0, 2)
+    st = _FakeState()
+    pdf = pd.DataFrame(
+        {"value": [v for v, _ in rows], "event_id": [i for _, i in rows]}
+    )
+    list(jobs._ext_state(("click",), iter([pdf]), st))
+    first = st._v
+    list(jobs._ext_state(("click",), iter([pdf]), st))  # replay
+    assert st._v[:4] == first[:4]  # extrema unmoved by duplicate delivery
+
+
+def test_simpson_diversity_python_replication(spark, sf_dir):
+    """Exact numerator and one-division quotients match a pure-Python
+    recomputation over duckdb-tokenized term counts per source."""
+    rows = REGISTRY["docs_simpson_diversity"].fn(spark, sf_dir).collect()
+    assert rows
+    tc = duckdb.connect().execute(
+        f"""SELECT source, token, COUNT(*) FROM (
+              SELECT source, unnest(list_filter(string_split(text, ' '),
+                                                x -> x <> '')) AS token
+              FROM '{sf_dir}/documents.parquet') GROUP BY 1, 2"""
+    ).fetchall()
+    per: dict[str, list[int]] = {}
+    for src, _, c in tc:
+        per.setdefault(src, []).append(c)
+    for r in rows:
+        cs = per[r["source"]]
+        n = sum(cs)
+        assert n >= 2
+        assert r["n_tokens"] == n
+        assert r["n_types"] == len(cs)
+        num = sum(c * (c - 1) for c in cs)
+        assert r["simpson_num"] == num
+        assert r["simpson"] == num / (n * (n - 1))
+        assert r["gini_simpson"] == 1.0 - num / (n * (n - 1))
