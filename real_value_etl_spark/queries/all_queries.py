@@ -34,21 +34,52 @@ from . import (  # noqa: F401
 )
 from .registry import REGISTRY
 
-# Round-10 window (VERDICT r9 ask #2). Composition, mechanical from
-# CORRECTNESS_r01..r09 latest-green rows (histogram after r9:
-# {r4:1, r5:45, r6:49, r7:50, r8:47, r9:50}, 10 never-checked):
-#   (a) the 10 round-9 additions that have NEVER appeared in any
-#       CORRECTNESS window — they lead (incl. text_stupid_backoff, now
-#       gated/budgeted/inventoried per VERDICT r9 ask #1);
-#   (b) q_approx_stats — the lone r4-evidence row (rows-only by
-#       construction: approx sketches, no DuckDB oracle);
-#   (c) the first 39 (alphabetical) of the 45-query r5 cohort; the
-#       remaining 6 (stream_kmv_distinct, text_bpe_train,
-#       text_kmv_jaccard, text_postings, text_tfidf_cosine_pairs,
-#       text_tokenizer_fertility) rotate to r11.
-# 10 + 1 + 39 = 50 exactly. Post-window oldest-evidence bucket: r5 (6).
+# Round-11 window. Composition, mechanical from CORRECTNESS_r01..r09
+# latest-green rows (r1..r9 histogram after r9: {r4:1, r5:45, r6:49,
+# r7:50, r8:47, r9:50}); NOTE: no CORRECTNESS_r10.json artifact ever
+# landed, so the round-10 window's coverage is UNPROVEN — its leads are
+# re-booked here as insurance:
+#   (a) the 11 round-11 additions (never in any window);
+#   (b) the 16 round-10 additions (never in any window — r10's window
+#       held the r9 cohort, and the r10 artifact is missing anyway);
+#   (c) the 10 round-9 additions that led the r10 window (re-booked:
+#       without CORRECTNESS_r10 they still have zero driver evidence);
+#   (d) q_approx_stats — rows-only by construction, oldest evidence;
+#   (e) the 6 r5 stragglers the r10 rotation deferred to r11;
+#   (f) the first 7 (alphabetical) of the 49-query r6 cohort
+#       (text_stupid_backoff counts once, under (b)).
+# 11 + 16 + 9 + 1 + 6 + 7 = 50 exactly.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- (a) round-9 additions, zero driver evidence
+    # -- (a) round-11 additions, zero driver evidence
+    "docs_simpson_diversity",
+    "events_allan_variance",
+    "events_quartile_motifs",
+    "graph_modularity",
+    "graph_path_counts",
+    "graph_resource_allocation",
+    "multimodal_flac_streaminfo",
+    "multimodal_ogg_page_walk",
+    "multimodal_zip_eocd_walk",
+    "q_benford_audit",
+    "stream_minmax_witness",
+    # -- (b) round-10 additions, zero driver evidence
+    "events_chi2_uniform",
+    "events_mad_outliers",
+    "events_sliding_distinct_users",
+    "events_stl_seasonal",
+    "graph_k_truss",
+    "graph_link_prediction",
+    "graph_local_clustering",
+    "multimodal_deflate_fixed_huffman",
+    "multimodal_png_defilter",
+    "q_bitmap_intersect",
+    "sim_ari_clusterings",
+    "sim_radius_search",
+    "stream_bitmap_distinct",
+    "stream_hdr_quantile",
+    "text_bpe_apply",
+    "text_stupid_backoff",
+    # -- (c) round-9 additions re-booked (r10 artifact missing)
     "docs_rep_ngram_coverage",
     "events_holt_winters",
     "events_max_burst_interval",
@@ -58,49 +89,23 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_hll_set_ops",
     "sim_mmr_rerank",
     "stream_countmin",
-    "text_stupid_backoff",
-    # -- (b) the lone r4-evidence row (rows-only check by construction)
+    # -- (d) rows-only, oldest evidence (r4)
     "q_approx_stats",
-    # -- (c) r5 cohort, first 39 alphabetical
-    "asof_next_click",
-    "customer_via_csv_source",
-    "dedup_exact_docs",
-    "dedup_jaccard_prefix",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "docs_pack_sequences",
-    "docs_pretraining_mix",
-    "docs_quality_calibration",
-    "docs_span_pair_dedup",
-    "docs_udtf_token_spans",
-    "emb_power_iteration",
-    "emb_random_projection",
-    "etl_array_funcs",
-    "etl_scalar_funcs",
-    "events_ab_test_zscore",
-    "events_dedup_keepfirst",
-    "events_k_anonymity",
-    "events_late_arrival_audit",
-    "events_scd2_pointintime",
-    "events_seasonal_baseline",
-    "fuzzy_match_customers",
-    "graph_bfs_distance",
-    "graph_components_star",
-    "graph_pagerank_lineitem",
-    "graph_triangle_count",
-    "lang_id_auc",
-    "multimodal_decode",
-    "multimodal_wav_header_parse",
-    "orders_market_basket",
-    "q_null_semantics",
-    "q_percentile_disc",
-    "q_salted_hot_key_agg",
-    "q_try_arithmetic",
-    "sim_embedding_topk",
-    "sim_kmeans_train",
-    "sim_nprobe_recall_curve",
-    "sim_silhouette",
-    "stream_holt_forecast",
+    # -- (e) r5 stragglers deferred by the r10 rotation
+    "stream_kmv_distinct",
+    "text_bpe_train",
+    "text_kmv_jaccard",
+    "text_postings",
+    "text_tfidf_cosine_pairs",
+    "text_tokenizer_fertility",
+    # -- (f) r6 cohort, first 7 alphabetical
+    "asof_purchase_login",
+    "bloom_semi_lineitem",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    "dedup_lsh_recall",
+    "dedup_ngram_jaccard",
+    "docs_chunking",
 )
 
 
