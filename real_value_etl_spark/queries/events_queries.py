@@ -3576,3 +3576,155 @@ def events_quartile_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
 events_quartile_motifs.__doc__ = events_quartile_motifs.__doc__.format(
     L=MOTIF_LEN
 )
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test for randomness of the hourly series
+# ---------------------------------------------------------------------------
+@register(
+    "events_runs_test",
+    oracle="""
+    WITH hc AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (SELECT event_type, min(h) AS lo, max(h) AS hi FROM hc GROUP BY 1),
+    spine AS (
+      SELECT event_type, CAST(unnest(generate_series(lo, hi, 3600)) AS BIGINT) AS h
+      FROM b
+    ),
+    f AS (
+      SELECT s.event_type, s.h, COALESCE(c.c, 0) AS c
+      FROM spine s LEFT JOIN hc c ON c.event_type = s.event_type AND c.h = s.h
+    ),
+    r AS (
+      SELECT event_type, h, c,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c, h) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM f
+    ),
+    med AS (
+      SELECT event_type, MAX(CASE WHEN rn <= (n + 1) // 2 THEN c END) AS md
+      FROM r GROUP BY event_type
+    ),
+    sg AS (
+      SELECT f.event_type, f.h,
+             CASE WHEN f.c > m.md THEN 1 ELSE -1 END AS s
+      FROM f JOIN med m ON m.event_type = f.event_type
+      WHERE f.c <> m.md
+    ),
+    ch AS (
+      SELECT event_type, s,
+             CASE WHEN LAG(s) OVER (PARTITION BY event_type ORDER BY h)
+                       IS DISTINCT FROM s THEN 1 ELSE 0 END AS new_run
+      FROM sg
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(SUM(new_run) AS BIGINT) AS n_runs
+      FROM ch GROUP BY event_type
+    )
+    SELECT event_type, n1, n2, n_runs,
+           CAST(2 * n1 * n2 AS DOUBLE) / (n1 + n2) + 1.0 AS mu_runs,
+           (n_runs - (CAST(2 * n1 * n2 AS DOUBLE) / (n1 + n2) + 1.0))
+             / sqrt(CAST(2 * n1 * n2 * (2 * n1 * n2 - (n1 + n2)) AS DOUBLE)
+                    / CAST((n1 + n2) * (n1 + n2) * (n1 + n2 - 1) AS DOUBLE))
+             AS z_runs
+    FROM agg WHERE n1 >= 1 AND n2 >= 1 AND n1 + n2 >= 3
+    """,
+    tags=("events", "stats", "timeseries"),
+)
+def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WALD-WOLFOWITZ RUNS TEST for randomness of each type's hourly
+    traffic around its median — the third classical test (after the
+    z- and chi-square families): too FEW runs of above/below-median
+    hours means trending/clustered load, too MANY means oscillation;
+    either rejects the independence assumption every capacity model
+    quietly makes. The median is the exact lower order statistic
+    (position ceil(n/2) by integer floor-div rank — the quartile-motif
+    machinery), tie hours (c == median) are dropped per the classical
+    prescription, runs count via one LAG pass, and n1/n2/R are exact
+    integers. mu and z follow the q_corr_qty_price sqrt doctrine: each
+    double op is individually correctly rounded and the expression
+    shape is IDENTICAL on both engines, so the values are bit-equal
+    (the variance ratio's numerator and denominator are exact BIGINTs
+    first — safe through ~2^15 hourly buckets per type, the documented
+    events_max_burst_interval series bound).
+
+    Scale shape: ONE (type, hour) count, the spine fill at bucket
+    cardinality, two bounded per-type windows (rank, lag), a per-type
+    reduce — nothing data-sized past the first aggregate. Reference
+    basis: SURVEY.md §2.4 stats family (absent in reference)."""
+    ev = table(spark, sf_dir, "events")
+    hc = ev.groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("hour", "ts")).alias("h"),
+    ).agg(F.count("*").alias("c"))
+    b = hc.groupBy("event_type").agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    spine = b.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.lit(3600))).alias("h"),
+    )
+    f = spine.join(hc, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    w_rank = Window.partitionBy("event_type").orderBy("c", "h")
+    w_all = Window.partitionBy("event_type")
+    r = f.select(
+        "event_type",
+        "c",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count("*").over(w_all).alias("n"),
+    )
+    med = r.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("rn") <= F.expr("(n + 1) div 2"), F.col("c"))
+        ).alias("md")
+    )
+    sg = (
+        f.join(F.broadcast(med), "event_type")
+        .filter(F.col("c") != F.col("md"))
+        .select(
+            "event_type",
+            "h",
+            F.when(F.col("c") > F.col("md"), F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("s"),
+        )
+    )
+    w_ord = Window.partitionBy("event_type").orderBy("h")
+    ch = sg.select(
+        "event_type",
+        "s",
+        F.when(
+            ~F.lag("s").over(w_ord).eqNullSafe(F.col("s")), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("new_run"),
+    )
+    agg = ch.groupBy("event_type").agg(
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0)).alias("n2"),
+        F.sum("new_run").alias("n_runs"),
+    )
+    n = F.col("n1") + F.col("n2")
+    mu = (2 * F.col("n1") * F.col("n2")).cast("double") / n + F.lit(1.0)
+    var = (
+        2 * F.col("n1") * F.col("n2") * (2 * F.col("n1") * F.col("n2") - n)
+    ).cast("double") / (n * n * (n - 1)).cast("double")
+    return agg.filter(
+        (F.col("n1") >= 1) & (F.col("n2") >= 1) & (n >= 3)
+    ).select(
+        "event_type",
+        "n1",
+        "n2",
+        "n_runs",
+        mu.alias("mu_runs"),
+        ((F.col("n_runs") - mu) / F.sqrt(var)).alias("z_runs"),
+    )

@@ -2036,3 +2036,114 @@ def graph_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         acc = acc.unionByName(frontier).localCheckpoint(eager=True)
     und.unpersist()
     return acc
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity of the mutual-kNN graph (Pearson r over edge-endpoint
+# degrees — exact integer moments, one final pinned expression)
+# ---------------------------------------------------------------------------
+def _assort_oracle() -> str:
+    return f"""
+    WITH {_knn_edges_cte()},
+    und AS MATERIALIZED (
+      SELECT e.src AS a, e.dst AS b FROM edges e
+      JOIN edges m ON m.src = e.dst AND m.dst = e.src
+      WHERE e.src < e.dst
+    ),
+    sym AS (SELECT a AS x, b AS y FROM und
+            UNION ALL SELECT b AS x, a AS y FROM und),
+    deg AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY x),
+    ed AS (
+      SELECT dx.d AS xd, dy.d AS yd
+      FROM sym s JOIN deg dx ON dx.x = s.x JOIN deg dy ON dy.x = s.y
+    ),
+    mo AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m_edges,
+             CAST(SUM(xd) AS BIGINT) AS sum_x,
+             CAST(SUM(xd * yd) AS BIGINT) AS sum_xy,
+             CAST(SUM(xd * xd) AS BIGINT) AS sum_xx
+      FROM ed
+    )
+    SELECT m_edges, sum_x, sum_xy, sum_xx,
+           m_edges * sum_xy - sum_x * sum_x AS r_num,
+           m_edges * sum_xx - sum_x * sum_x AS r_den,
+           CAST(m_edges * sum_xy - sum_x * sum_x AS DOUBLE)
+             / (m_edges * sum_xx - sum_x * sum_x) AS assortativity
+    FROM mo
+    """
+
+
+@register(
+    "graph_degree_assortativity",
+    oracle=_assort_oracle(),
+    tags=("graph", "stats"),
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEGREE ASSORTATIVITY (Newman 2002) of the mutual-kNN graph: the
+    Pearson correlation of endpoint degrees over the directed edge
+    list — positive means hubs prefer hubs (social-network shape),
+    negative means hubs fan out to leaves (star/broadcast shape); for
+    a kNN graph it is the one-number answer to "is similarity density
+    uniform or does the corpus have dense cores feeding sparse
+    satellites", which decides whether per-cluster ANN probes can use
+    one global nprobe. On the SYMMETRIC edge listing the x- and
+    y-marginals coincide (sum_x = sum_y, sum_xx = sum_yy), so Pearson
+    reduces to (M*sum_xy - sum_x^2) / (M*sum_xx - sum_x^2) — BOTH
+    moments exact BIGINTs and the final value ONE pinned double
+    division (no sqrt at all: the two variance factors are equal
+    integers, and dividing the exact integers avoids sqrt(d)*sqrt(d)
+    != d rounding). BIGINT bounds hold through ~1.9e8 mutual edges at
+    the kNN degree cap (M*sum_xy <= 4m^2 k^2) — widen to
+    DECIMAL(38,0) beyond.
+
+    Scale shape: degrees from one node-keyed count; two node-keyed
+    joins attach endpoint degrees edge-wise; then a single
+    map-side-combinable 1-row moment reduce. Reference basis:
+    SURVEY.md §2.12 graph family (absent in reference)."""
+    edges = _knn_edges(spark, sf_dir).select("src", "dst")
+    rev = edges.select(
+        F.col("src").alias("m_src"), F.col("dst").alias("m_dst")
+    )
+    und = (
+        edges.join(
+            rev,
+            (F.col("m_src") == F.col("dst"))
+            & (F.col("m_dst") == F.col("src")),
+            "left_semi",
+        )
+        .filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .localCheckpoint(eager=True)
+    )
+    sym = und.select(F.col("a").alias("x"), F.col("b").alias("y")).unionAll(
+        und.select(F.col("b").alias("x"), F.col("a").alias("y"))
+    )
+    deg = sym.groupBy("x").agg(F.count("*").alias("d"))
+    ed = sym.join(
+        deg.select(F.col("x").alias("jx"), F.col("d").alias("xd")),
+        F.col("x") == F.col("jx"),
+    ).join(
+        deg.select(F.col("x").alias("jy"), F.col("d").alias("yd")),
+        F.col("y") == F.col("jy"),
+    )
+    mo = ed.agg(
+        F.count("*").alias("m_edges"),
+        F.sum("xd").alias("sum_x"),
+        F.sum(F.col("xd") * F.col("yd")).alias("sum_xy"),
+        F.sum(F.col("xd") * F.col("xd")).alias("sum_xx"),
+    )
+    r_num = F.col("m_edges") * F.col("sum_xy") - F.col("sum_x") * F.col(
+        "sum_x"
+    )
+    r_den = F.col("m_edges") * F.col("sum_xx") - F.col("sum_x") * F.col(
+        "sum_x"
+    )
+    return mo.select(
+        "m_edges",
+        "sum_x",
+        "sum_xy",
+        "sum_xx",
+        r_num.alias("r_num"),
+        r_den.alias("r_den"),
+        (r_num.cast("double") / r_den).alias("assortativity"),
+    )

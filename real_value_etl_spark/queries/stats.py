@@ -1265,3 +1265,84 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / den.cast("double")
         ).alias("chi2_contrib"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hoover (Robin Hood) index of customer revenue concentration
+# ---------------------------------------------------------------------------
+@register(
+    "q_hoover_index",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS total_cents
+      FROM cust
+    ),
+    dev AS (
+      SELECT CAST(SUM(ABS(c.cents * t.n - t.total_cents)) AS BIGINT)
+               AS hoover_num
+      FROM cust c CROSS JOIN tot t
+    )
+    SELECT t.n AS n_customers, t.total_cents, d.hoover_num,
+           CAST(d.hoover_num AS DOUBLE) / (2.0 * t.n * t.total_cents)
+             AS hoover
+    FROM tot t CROSS JOIN dev d
+    """,
+    tags=("stats", "inequality"),
+)
+def q_hoover_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOOVER (Robin Hood) INDEX of revenue concentration across
+    customers — the fraction of total revenue that would have to move
+    between customers to equalize them, the L1 complement of
+    q_gini_revenue's L-curve view (Hoover is the max vertical gap to
+    the line of equality; Gini the area): together they distinguish
+    "mildly unequal everywhere" from "a few whales". H = sum|x_i/X -
+    1/n| / 2 is RATIONAL in the exact per-customer cent totals:
+    the numerator sum|n*x_i - X| is one exact BIGINT (cents * customer
+    count: safe through ~9e13 total cents x 1e5 customers — widen to
+    DECIMAL(38,0) beyond 2^63), and the index is ONE pinned double
+    division by 2nX. No sort, no percentile machinery — unlike Gini,
+    Hoover needs no rank, which is why it scales as a pure two-pass
+    aggregate.
+
+    Scale shape: ONE map-side-combinable per-customer cents rollup, a
+    1-row (n, X) scalar broadcast back over the customer frame, and a
+    second map-side-combinable |dev| reduce — customer-keyed shuffle
+    only. Reference basis: SURVEY.md §2.4 stats family (absent in
+    reference)."""
+    o = table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        ).alias("cents")
+    )
+    tot = cust.agg(
+        F.count("*").alias("n"), F.sum("cents").alias("total_cents")
+    )
+    dev = (
+        cust.crossJoin(F.broadcast(tot))
+        .select(
+            F.abs(
+                F.col("cents") * F.col("n") - F.col("total_cents")
+            ).alias("ad")
+        )
+        .agg(F.sum("ad").alias("hoover_num"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(dev))
+        .select(
+            F.col("n").alias("n_customers"),
+            "total_cents",
+            "hoover_num",
+            (
+                F.col("hoover_num").cast("double")
+                / (F.lit(2.0) * F.col("n") * F.col("total_cents"))
+            ).alias("hoover"),
+        )
+    )

@@ -190,6 +190,9 @@ _BNLJ_WAIVERS: dict[str, str] = {
     "dedup_bcubed_eval": _R_SCALAR,
     "q_benford_audit": _R_SCALAR
     + " (9-digit spine x the 1-row total-order-count frame)",
+    "q_hoover_index": _R_SCALAR
+    + " (1-row (n, total) frame broadcast over the customer rollup, "
+    "then two 1-row frames crossed for the final index)",
     "graph_modularity": _R_SCALAR
     + " (1-row mutual-edge-count frame m broadcast into the "
     "communities-sized rollup)",

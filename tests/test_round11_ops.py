@@ -341,3 +341,134 @@ def test_simpson_diversity_python_replication(spark, sf_dir):
         assert r["simpson_num"] == num
         assert r["simpson"] == num / (n * (n - 1))
         assert r["gini_simpson"] == 1.0 - num / (n * (n - 1))
+
+
+def test_tar_recipe_readable_by_real_tarfile(spark, sf_dir):
+    """Rebuild the query's archive bytes in pure Python for a sample of
+    docs and hand them to Python's tarfile — which VERIFIES the ustar
+    checksum itself: if tarfile returns the right name/size/content,
+    the recipe (octal fields, NUL padding, checksum rule) is correct
+    independently of Spark. Then assert the Spark parse agrees."""
+    import io
+    import tarfile
+
+    docs = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' "
+        f"ORDER BY doc_id LIMIT 5"
+    ).fetchall()
+
+    def build(doc_id, text):
+        data = text.encode()
+        name = f"doc{doc_id}.txt".encode()
+        hdr_pre = (
+            name + b"\x00" * (100 - len(name))
+            + b"0000644\x00" + b"0001750\x00" + b"0001750\x00"
+            + (b"%011o\x00" % len(data))
+            + b"00000000000\x00"
+        )
+        hdr_post = (
+            b"0" + b"\x00" * 100 + b"ustar\x00" + b"00"
+            + b"\x00" * (32 + 32 + 8 + 8 + 155 + 12)
+        )
+        chk = sum(hdr_pre + b" " * 8 + hdr_post)
+        hdr = hdr_pre + (b"%06o\x00 " % chk) + hdr_post
+        pad = (512 - len(data) % 512) % 512
+        return hdr + data + b"\x00" * pad
+
+    for doc_id, text in docs:
+        blob = build(doc_id, text) + b"\x00" * 1024
+        with tarfile.open(fileobj=io.BytesIO(blob)) as tf:
+            (m,) = tf.getmembers()
+            assert m.name == f"doc{doc_id}.txt"
+            assert m.size == len(text.encode())
+            assert tf.extractfile(m).read() == text.encode()
+
+    rows = {
+        r["doc_id"]: r
+        for r in REGISTRY["multimodal_tar_header_parse"].fn(spark, sf_dir).collect()
+    }
+    for doc_id, text in docs:
+        r = rows[doc_id]
+        assert r["fname"] == f"doc{doc_id}.txt"
+        assert r["size_parsed"] == len(text.encode())
+        assert r["mode_parsed"] == 0o644
+        assert r["typeflag"] == "0"
+        assert r["magic_ok"] and r["checksum_ok"] and r["data_ok"]
+        assert r["total_len"] == 512 + 512 * -(-len(text.encode()) // 512)
+
+
+def test_assortativity_python_replication(spark, sf_dir):
+    """Moments and the final quotient match a pure-Python replay over
+    the SAME mutual edge set; r stays in [-1, 1]."""
+    und = _mutual_und(spark, sf_dir)
+    deg: dict[int, int] = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    pairs = [(deg[a], deg[b]) for a, b in und]
+    pairs += [(y, x) for x, y in pairs]
+    M = len(pairs)
+    sx = sum(x for x, _ in pairs)
+    sxy = sum(x * y for x, y in pairs)
+    sxx = sum(x * x for x, _ in pairs)
+    (row,) = REGISTRY["graph_degree_assortativity"].fn(spark, sf_dir).collect()
+    assert (row["m_edges"], row["sum_x"], row["sum_xy"], row["sum_xx"]) == (
+        M, sx, sxy, sxx,
+    )
+    assert row["r_num"] == M * sxy - sx * sx
+    assert row["r_den"] == M * sxx - sx * sx
+    assert row["assortativity"] == (M * sxy - sx * sx) / (M * sxx - sx * sx)
+    assert -1.0 <= row["assortativity"] <= 1.0
+
+
+def test_hoover_index_python_replication(spark, sf_dir):
+    """Numerator exact vs a cent-level replay; index in [0, 1) and
+    consistent with the emitted integers."""
+    per = duckdb.connect().execute(
+        f"""SELECT o_custkey, SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                  * 100 AS BIGINT))
+            FROM '{sf_dir}/orders.parquet' GROUP BY 1"""
+    ).fetchall()
+    cents = [c for _, c in per]
+    n, X = len(cents), sum(cents)
+    num = sum(abs(c * n - X) for c in cents)
+    (row,) = REGISTRY["q_hoover_index"].fn(spark, sf_dir).collect()
+    assert row["n_customers"] == n
+    assert row["total_cents"] == X
+    assert row["hoover_num"] == num
+    assert row["hoover"] == num / (2.0 * n * X)
+    assert 0.0 <= row["hoover"] < 1.0
+
+
+def test_runs_test_python_replication(spark, sf_dir):
+    """n1/n2/R match a pure-Python replay (lower-median split, ties
+    dropped), and mu/z follow the exact formula chain."""
+    import math
+
+    hc = duckdb.connect().execute(
+        f"""SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT),
+                   COUNT(*)
+            FROM '{sf_dir}/events.parquet' GROUP BY 1, 2"""
+    ).fetchall()
+    series: dict[str, dict[int, int]] = {}
+    for t, h, c in hc:
+        series.setdefault(t, {})[h] = c
+    rows = {r["event_type"]: r for r in REGISTRY["events_runs_test"].fn(spark, sf_dir).collect()}
+    for t, s in series.items():
+        lo, hi = min(s), max(s)
+        cs = [s.get(h, 0) for h in range(lo, hi + 1, 3600)]
+        md = sorted(cs)[(len(cs) + 1) // 2 - 1]
+        signs = [1 if c > md else -1 for c in cs if c != md]
+        n1 = signs.count(1)
+        n2 = signs.count(-1)
+        if n1 < 1 or n2 < 1 or n1 + n2 < 3:
+            assert t not in rows
+            continue
+        runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+        r = rows[t]
+        assert (r["n1"], r["n2"], r["n_runs"]) == (n1, n2, runs)
+        n = n1 + n2
+        mu = 2 * n1 * n2 / n + 1.0
+        var = (2 * n1 * n2 * (2 * n1 * n2 - n)) / ((n * n * (n - 1)))
+        assert r["mu_runs"] == mu
+        assert r["z_runs"] == (runs - mu) / math.sqrt(var)
