@@ -39,20 +39,21 @@ from .registry import REGISTRY
 # r7:50, r8:47, r9:50}); NOTE: no CORRECTNESS_r10.json artifact ever
 # landed, so the round-10 window's coverage is UNPROVEN — its leads are
 # re-booked here as insurance:
-#   (a) the 15 round-11 additions (never in any window);
+#   (a) the 17 round-11 additions (never in any window);
 #   (b) the 16 round-10 additions (never in any window — r10's window
 #       held the r9 cohort, and the r10 artifact is missing anyway);
 #   (c) the 10 round-9 additions that led the r10 window (re-booked:
 #       without CORRECTNESS_r10 they still have zero driver evidence);
 #   (d) q_approx_stats — rows-only by construction, oldest evidence;
 #   (e) the 6 r5 stragglers the r10 rotation deferred to r11;
-#   (f) the first 3 (alphabetical) of the 49-query r6 cohort
+#   (f) the first 1 (alphabetical) of the 49-query r6 cohort
 #       (text_stupid_backoff counts once, under (b)).
-# 15 + 16 + 9 + 1 + 6 + 3 = 50 exactly.
+# 17 + 16 + 9 + 1 + 6 + 1 = 50 exactly.
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- (a) round-11 additions, zero driver evidence
     "docs_simpson_diversity",
     "events_allan_variance",
+    "events_bootstrap_ci",
     "events_runs_test",
     "graph_degree_assortativity",
     "multimodal_tar_header_parse",
@@ -61,6 +62,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "graph_modularity",
     "graph_path_counts",
     "graph_resource_allocation",
+    "graph_rich_club",
     "multimodal_flac_streaminfo",
     "multimodal_ogg_page_walk",
     "multimodal_zip_eocd_walk",
@@ -102,10 +104,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_postings",
     "text_tfidf_cosine_pairs",
     "text_tokenizer_fertility",
-    # -- (f) r6 cohort, first 3 alphabetical
+    # -- (f) r6 cohort, first 1 alphabetical
     "asof_purchase_login",
-    "bloom_semi_lineitem",
-    "dedup_clusters",
 )
 
 

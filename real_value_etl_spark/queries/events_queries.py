@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import text as T
 from ..operators.asof import asof_join_backward
 from ..operators.dedup import exact_dedup_keepfirst
 from ..operators.sessionize import session_stats
@@ -3728,3 +3729,192 @@ def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         mu.alias("mu_runs"),
         ((F.col("n_runs") - mu) / F.sqrt(var)).alias("z_runs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic bootstrap CI for the hourly-rate total (hash-indexed
+# resampling — reproducible "randomness", exact order-statistic interval)
+# ---------------------------------------------------------------------------
+BOOT_B = 200  # resamples per event type
+BOOT_LO = (25 * BOOT_B + 999) // 1000    # ceil(0.025 * B) -> 2.5th pct rank
+BOOT_HI = (975 * BOOT_B + 999) // 1000   # ceil(0.975 * B) -> 97.5th pct rank
+
+
+@register(
+    "events_bootstrap_ci",
+    oracle=f"""
+    WITH hc AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (SELECT event_type, min(h) AS lo, max(h) AS hi FROM hc GROUP BY 1),
+    spine AS (
+      SELECT event_type, CAST(unnest(generate_series(lo, hi, 3600)) AS BIGINT) AS h
+      FROM b
+    ),
+    f AS (
+      SELECT s.event_type, s.h, COALESCE(c.c, 0) AS c
+      FROM spine s LEFT JOIN hc c ON c.event_type = s.event_type AND c.h = s.h
+    ),
+    r AS (
+      SELECT event_type, c,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) - 1 AS j,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM f
+    ),
+    tn AS (SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+                  CAST(SUM(c) AS BIGINT) AS obs_total
+           FROM r GROUP BY event_type),
+    draws AS (
+      SELECT t.event_type, t.n, bb.b, jj.j,
+             {T.portable_hash32_sql(
+                 "t.event_type || ':' || CAST(bb.b AS VARCHAR) "
+                 "|| ':' || CAST(jj.j AS VARCHAR)")} % t.n AS idx
+      FROM tn t, range(0, {BOOT_B}) bb(b), unnest(range(t.n)) AS jj(j)
+    ),
+    sums AS (
+      SELECT d.event_type, d.b, CAST(SUM(r.c) AS BIGINT) AS s
+      FROM draws d JOIN r ON r.event_type = d.event_type AND r.j = d.idx
+      GROUP BY d.event_type, d.b
+    ),
+    ranked AS (
+      SELECT event_type, s,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY s, b) AS rs
+      FROM sums
+    ),
+    ci AS (
+      SELECT event_type,
+             MAX(CASE WHEN rs <= {BOOT_LO} THEN s END) AS boot_lo_sum,
+             MAX(CASE WHEN rs <= {BOOT_HI} THEN s END) AS boot_hi_sum
+      FROM ranked GROUP BY event_type
+    )
+    SELECT t.event_type, t.n AS n_hours, t.obs_total,
+           CAST({BOOT_B} AS BIGINT) AS n_resamples,
+           c.boot_lo_sum, c.boot_hi_sum,
+           CAST(c.boot_lo_sum AS DOUBLE) / t.n AS boot_lo_mean,
+           CAST(c.boot_hi_sum AS DOUBLE) / t.n AS boot_hi_mean,
+           t.obs_total BETWEEN c.boot_lo_sum AND c.boot_hi_sum AS covered
+    FROM tn t JOIN ci c ON c.event_type = t.event_type
+    """,
+    tags=("events", "stats", "timeseries"),
+)
+def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC BOOTSTRAP 95% CI for each type's hourly-count total
+    — the fourth classical-inference tool (after z, chi-square, runs):
+    {B} resamples of the zero-filled hourly series, each drawing n
+    indices WITH REPLACEMENT, where draw (b, j) picks index
+    hash32(type:b:j) % n — the repo's portable 32-bit hash replaces
+    the RNG, so the "random" resampling is REPRODUCIBLE, engine-
+    independent, and hash-checkable (the only honest bootstrap under
+    the determinism doctrine; a seeded RNG would diverge across
+    engines). The CI bounds are EXACT ORDER STATISTICS of the {B}
+    resample sums (ranks ceil(.025B) / ceil(.975B) by integer
+    arithmetic, ties broken by resample id); sums are exact BIGINTs,
+    the two mean divisions pinned. `covered` flags whether the
+    observed total sits inside its own interval — the quick sanity
+    readout.
+
+    Scale shape: the resample grid is B x n rows PER TYPE (n = hourly
+    buckets, bounded by the series length like all the hourly
+    analytics) joined back to the counts on an integer index — bucket-
+    cardinality work, nothing data-sized past the first (type, hour)
+    count; the per-type rank window runs over {B} rows. Reference
+    basis: SURVEY.md §2.4 stats family (absent in reference)."""
+    ev = table(spark, sf_dir, "events")
+    hc = ev.groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("hour", "ts")).alias("h"),
+    ).agg(F.count("*").alias("c"))
+    b = hc.groupBy("event_type").agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    spine = b.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.lit(3600))).alias("h"),
+    )
+    f = spine.join(hc, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    w_ord = Window.partitionBy("event_type").orderBy("h")
+    w_all = Window.partitionBy("event_type")
+    r = f.select(
+        "event_type",
+        "c",
+        (F.row_number().over(w_ord) - 1).alias("j"),
+        F.count("*").over(w_all).alias("n"),
+    )
+    tn = r.groupBy("event_type").agg(
+        F.max("n").alias("n"), F.sum("c").alias("obs_total")
+    )
+    draws = (
+        tn.select(
+            "event_type",
+            "n",
+            F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "b",
+            F.explode(F.sequence(F.lit(0), F.col("n") - 1)).alias("j"),
+        )
+        .select(
+            "event_type",
+            "b",
+            F.pmod(
+                T.portable_hash32(
+                    F.concat_ws(
+                        ":",
+                        F.col("event_type"),
+                        F.col("b").cast("string"),
+                        F.col("j").cast("string"),
+                    )
+                ),
+                F.col("n"),
+            ).alias("idx"),
+        )
+    )
+    sums = (
+        draws.join(
+            r.select("event_type", F.col("j").alias("idx"), "c"),
+            ["event_type", "idx"],
+        )
+        .groupBy("event_type", "b")
+        .agg(F.sum("c").alias("s"))
+    )
+    w_rank = Window.partitionBy("event_type").orderBy("s", "b")
+    ranked = sums.select(
+        "event_type", "s", F.row_number().over(w_rank).alias("rs")
+    )
+    ci = ranked.groupBy("event_type").agg(
+        F.max(F.when(F.col("rs") <= BOOT_LO, F.col("s"))).alias(
+            "boot_lo_sum"
+        ),
+        F.max(F.when(F.col("rs") <= BOOT_HI, F.col("s"))).alias(
+            "boot_hi_sum"
+        ),
+    )
+    return tn.join(ci, "event_type").select(
+        "event_type",
+        F.col("n").alias("n_hours"),
+        "obs_total",
+        F.lit(BOOT_B).cast("long").alias("n_resamples"),
+        "boot_lo_sum",
+        "boot_hi_sum",
+        (F.col("boot_lo_sum").cast("double") / F.col("n")).alias(
+            "boot_lo_mean"
+        ),
+        (F.col("boot_hi_sum").cast("double") / F.col("n")).alias(
+            "boot_hi_mean"
+        ),
+        (
+            (F.col("obs_total") >= F.col("boot_lo_sum"))
+            & (F.col("obs_total") <= F.col("boot_hi_sum"))
+        ).alias("covered"),
+    )
+
+
+events_bootstrap_ci.__doc__ = events_bootstrap_ci.__doc__.format(B=BOOT_B)

@@ -2147,3 +2147,127 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_den.alias("r_den"),
         (r_num.cast("double") / r_den).alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rich-club coefficient of the mutual-kNN graph at fixed degree thresholds
+# ---------------------------------------------------------------------------
+# mutual degree is capped by KNN_GRAPH_K (an edge is mutual only if it sits
+# in BOTH endpoints' top-k), so the informative thresholds live below k
+RICH_CLUB_KS = (1, 2, 3, 4)
+
+
+def _rich_club_oracle() -> str:
+    ks = ", ".join(str(k) for k in RICH_CLUB_KS)
+    return f"""
+    WITH {_knn_edges_cte()},
+    und AS MATERIALIZED (
+      SELECT e.src AS a, e.dst AS b FROM edges e
+      JOIN edges m ON m.src = e.dst AND m.dst = e.src
+      WHERE e.src < e.dst
+    ),
+    deg AS (
+      SELECT x, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT a AS x FROM und UNION ALL SELECT b AS x FROM und
+      ) GROUP BY x
+    ),
+    ks AS (SELECT CAST(unnest([{ks}]) AS BIGINT) AS k),
+    club AS (
+      SELECT k.k, CAST(COUNT(*) AS BIGINT) AS n_club
+      FROM ks k JOIN deg ON deg.d > k.k GROUP BY k.k
+    ),
+    ce AS (
+      SELECT k.k, CAST(COUNT(*) AS BIGINT) AS e_club
+      FROM ks k
+      JOIN und u ON TRUE
+      JOIN deg da ON da.x = u.a AND da.d > k.k
+      JOIN deg db ON db.x = u.b AND db.d > k.k
+      GROUP BY k.k
+    )
+    SELECT c.k, c.n_club, COALESCE(ce.e_club, 0) AS e_club,
+           CAST(2 * COALESCE(ce.e_club, 0) AS DOUBLE)
+             / (c.n_club * (c.n_club - 1)) AS phi
+    FROM club c LEFT JOIN ce ON ce.k = c.k
+    WHERE c.n_club >= 2
+    """
+
+
+@register(
+    "graph_rich_club",
+    oracle=_rich_club_oracle(),
+    tags=("graph", "stats"),
+)
+def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RICH-CLUB COEFFICIENT phi(k) = 2*E_k / (N_k*(N_k-1)) of the
+    mutual-kNN graph at fixed degree thresholds {K} — the density of
+    the subgraph induced by nodes of degree > k, i.e. "do the most-
+    connected documents preferentially connect to EACH OTHER" (a rich
+    club in a near-dup graph is a template/boilerplate core; in a
+    citation-style graph, an elite cluster). Complements
+    graph_degree_assortativity: assortativity is the global
+    correlation, phi(k) localizes WHERE on the degree axis the mixing
+    happens. Exact rational — edge and node counts are integers, phi
+    is ONE pinned double division per threshold; thresholds are fixed
+    literals so both engines induce identical clubs.
+
+    Scale shape: degrees from one node-keyed count; the |K|=4
+    thresholds are EXPLODED map-side onto the degree and edge frames
+    (a literal-array explode — no threshold join exists in the plan,
+    so nothing non-equi ever reaches the optimizer; the first draft's
+    tiny-frame theta join planned as a CartesianProduct and the gate
+    rejected it); induced-edge membership tests ride the already-
+    joined endpoint degrees; final frame is |K| rows. Reference
+    basis: SURVEY.md §2.12 graph family (absent in reference)."""
+    edges = _knn_edges(spark, sf_dir).select("src", "dst")
+    rev = edges.select(
+        F.col("src").alias("m_src"), F.col("dst").alias("m_dst")
+    )
+    und = (
+        edges.join(
+            rev,
+            (F.col("m_src") == F.col("dst"))
+            & (F.col("m_dst") == F.col("src")),
+            "left_semi",
+        )
+        .filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.select(F.col("a").alias("x"))
+        .unionAll(und.select(F.col("b").alias("x")))
+        .groupBy("x")
+        .agg(F.count("*").alias("d"))
+    )
+    klits = F.array(*[F.lit(int(k)).cast("long") for k in RICH_CLUB_KS])
+    club = (
+        deg.select("d", F.explode(klits).alias("k"))
+        .filter(F.col("d") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n_club"))
+    )
+    da = deg.select(F.col("x").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("x").alias("b"), F.col("d").alias("db"))
+    ed = und.join(da, "a").join(db, "b")
+    ce = (
+        ed.select("da", "db", F.explode(klits).alias("k"))
+        .filter((F.col("da") > F.col("k")) & (F.col("db") > F.col("k")))
+        .groupBy("k")
+        .agg(F.count("*").alias("e_club"))
+    )
+    return (
+        club.join(ce, "k", "left")
+        .filter(F.col("n_club") >= 2)
+        .select(
+            "k",
+            "n_club",
+            F.coalesce(F.col("e_club"), F.lit(0)).alias("e_club"),
+            (
+                (2 * F.coalesce(F.col("e_club"), F.lit(0))).cast("double")
+                / (F.col("n_club") * (F.col("n_club") - 1))
+            ).alias("phi"),
+        )
+    )
+
+
+graph_rich_club.__doc__ = graph_rich_club.__doc__.format(K=RICH_CLUB_KS)

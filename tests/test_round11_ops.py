@@ -472,3 +472,69 @@ def test_runs_test_python_replication(spark, sf_dir):
         var = (2 * n1 * n2 * (2 * n1 * n2 - n)) / ((n * n * (n - 1)))
         assert r["mu_runs"] == mu
         assert r["z_runs"] == (runs - mu) / math.sqrt(var)
+
+
+def test_bootstrap_ci_python_replication(spark, sf_dir):
+    """Full resampling replay in pure Python: identical hash-indexed
+    draws, identical resample sums, identical order-statistic bounds."""
+    import hashlib
+
+    from real_value_etl_spark.queries.events_queries import (
+        BOOT_B,
+        BOOT_HI,
+        BOOT_LO,
+    )
+
+    def h32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    hc = duckdb.connect().execute(
+        f"""SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT),
+                   COUNT(*)
+            FROM '{sf_dir}/events.parquet' GROUP BY 1, 2"""
+    ).fetchall()
+    series: dict[str, dict[int, int]] = {}
+    for t, h, c in hc:
+        series.setdefault(t, {})[h] = c
+    rows = {r["event_type"]: r for r in REGISTRY["events_bootstrap_ci"].fn(spark, sf_dir).collect()}
+    for t, s in series.items():
+        lo, hi = min(s), max(s)
+        cs = [s.get(h, 0) for h in range(lo, hi + 1, 3600)]
+        n = len(cs)
+        sums = sorted(
+            sum(cs[h32(f"{t}:{b}:{j}") % n] for j in range(n))
+            for b in range(BOOT_B)
+        )
+        r = rows[t]
+        assert r["n_hours"] == n
+        assert r["obs_total"] == sum(cs)
+        assert r["boot_lo_sum"] == sums[BOOT_LO - 1]
+        assert r["boot_hi_sum"] == sums[BOOT_HI - 1]
+        assert r["boot_lo_mean"] == sums[BOOT_LO - 1] / n
+        assert r["covered"] == (
+            sums[BOOT_LO - 1] <= sum(cs) <= sums[BOOT_HI - 1]
+        )
+
+
+def test_rich_club_python_replication(spark, sf_dir):
+    """phi(k) matches a pure-Python replay over the SAME mutual edge
+    set at every threshold; phi is a density in [0, 1]."""
+    from real_value_etl_spark.queries.retrieval_graph import RICH_CLUB_KS
+
+    und = _mutual_und(spark, sf_dir)
+    deg: dict[int, int] = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    rows = {r["k"]: r for r in REGISTRY["graph_rich_club"].fn(spark, sf_dir).collect()}
+    for k in RICH_CLUB_KS:
+        club = {x for x, d in deg.items() if d > k}
+        if len(club) < 2:
+            assert k not in rows
+            continue
+        e_club = sum(1 for a, b in und if a in club and b in club)
+        r = rows[k]
+        assert r["n_club"] == len(club)
+        assert r["e_club"] == e_club
+        assert r["phi"] == 2 * e_club / (len(club) * (len(club) - 1))
+        assert 0.0 <= r["phi"] <= 1.0
