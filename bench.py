@@ -158,6 +158,24 @@ SF1_HEAVY = [
     # (0.6-0.9x: state bounded by the id DOMAIN, not the row count — flat
     # by design), events_chi2_uniform (flat, 24-cell reduce).
     "graph_link_prediction",
+    # round-11 admissions, hand-probed first (tools/r11_sf1_probe.py,
+    # min-of-2 warm, graph_components_star control 5.50x):
+    # graph_degree_assortativity 2.56 -> 6.36 s (2.49x for 10x
+    # embeddings — full-edge-list degree joins, the heaviest and most
+    # distinct plan shape of the five new mutual-kNN consumers) and
+    # docs_simpson_diversity 0.39 -> 1.81 s (4.62x — the (source,token)
+    # count grows with the corpus; the steepest genuine growth of the
+    # round). NOT admitted: graph_modularity / graph_resource_allocation
+    # / graph_path_counts / graph_rich_club (1.70/2.12/2.07/2.10x — all
+    # ride the same mutual-kNN edge build as the admitted legs; one new
+    # representative is enough, the r10 local_clustering rule),
+    # events_bootstrap_ci / events_runs_test (1.09/1.22x — bounded
+    # hourly series), q_hoover_index / q_benford_audit /
+    # multimodal_tar_header_parse / stream_minmax_witness
+    # (0.80-1.10x flat — scalar reduces, 9-cell spine, map-only codec,
+    # O(1)-state stream).
+    "graph_degree_assortativity",
+    "docs_simpson_diversity",
 ]
 
 
@@ -799,6 +817,16 @@ def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     rnd = os.environ.get("SPARK_GRAFT_ROUND")
     if rnd is None:
+        # PROGRESS.jsonl's last line carries the live round number — the
+        # authoritative source. Counting BENCH_r*.json underestimates when
+        # a driver round leaves no artifact (round 10 did: this run would
+        # have silently OVERWRITTEN the committed BENCH_LOCAL_r10.json).
+        try:
+            with open(os.path.join(here, "PROGRESS.jsonl")) as fh:
+                rnd = str(json.loads(fh.readlines()[-1])["round"])
+        except Exception:
+            rnd = None
+    if rnd is None:
         import glob
         import re
 
@@ -806,6 +834,11 @@ def main() -> None:
             int(m.group(1))
             for f in glob.glob(os.path.join(here, "BENCH_r*.json"))
             if (m := re.search(r"BENCH_r(\d+)\.json$", f))
+        ]
+        seen += [
+            int(m.group(1))
+            for f in glob.glob(os.path.join(here, "BENCH_LOCAL_r*.json"))
+            if (m := re.search(r"BENCH_LOCAL_r(\d+)\.json$", f))
         ]
         rnd = str(max(seen, default=0) + 1)
     local = os.path.join(here, f"BENCH_LOCAL_r{int(rnd):02d}.json")
