@@ -538,3 +538,83 @@ def test_rich_club_python_replication(spark, sf_dir):
         assert r["e_club"] == e_club
         assert r["phi"] == 2 * e_club / (len(club) * (len(club) - 1))
         assert 0.0 <= r["phi"] <= 1.0
+
+
+# --------------------------- property tests (pure Python, no Spark) --------
+
+
+def _tar_build(name: bytes, data: bytes) -> bytes:
+    """The exact recipe multimodal_tar_header_parse implements in Column
+    expressions, in pure Python — property-tested against tarfile."""
+    hdr_pre = (
+        name + b"\x00" * (100 - len(name))
+        + b"0000644\x00" + b"0001750\x00" + b"0001750\x00"
+        + (b"%011o\x00" % len(data))
+        + b"00000000000\x00"
+    )
+    hdr_post = (
+        b"0" + b"\x00" * 100 + b"ustar\x00" + b"00"
+        + b"\x00" * (32 + 32 + 8 + 8 + 155 + 12)
+    )
+    chk = sum(hdr_pre + b" " * 8 + hdr_post)
+    hdr = hdr_pre + (b"%06o\x00 " % chk) + hdr_post
+    pad = (512 - len(data) % 512) % 512
+    return hdr + data + b"\x00" * pad
+
+
+def test_tar_recipe_property():
+    """tarfile (which validates the ustar checksum itself) must accept
+    the recipe for adversarial sizes: empty file, 511/512/513-byte
+    data (padding boundaries), long names, and random payloads."""
+    import io
+    import random
+    import tarfile
+
+    rng = random.Random(11)
+    cases = [
+        (b"a.txt", b""),
+        (b"b.txt", b"x" * 511),
+        (b"c.txt", b"y" * 512),
+        (b"d.txt", b"z" * 513),
+        (b"n" * 99 + b"x", b"edge-name"),
+    ] + [
+        (
+            f"doc{rng.randrange(10**9)}.txt".encode(),
+            bytes(rng.randrange(256) for _ in range(rng.randrange(0, 2000))),
+        )
+        for _ in range(20)
+    ]
+    for name, data in cases:
+        blob = _tar_build(name, data) + b"\x00" * 1024
+        with tarfile.open(fileobj=io.BytesIO(blob)) as tf:
+            (m,) = tf.getmembers()
+            assert m.name == name.decode()
+            assert m.size == len(data)
+            assert tf.extractfile(m).read() == data
+
+
+def test_bootstrap_rank_formulas_property():
+    """The integer rank formulas equal ceil(q*B) for every B in 1..2000
+    (the arithmetic the CI bounds stand on), and the shipped constants
+    are consistent with BOOT_B."""
+    import math
+
+    from real_value_etl_spark.queries.events_queries import (
+        BOOT_B,
+        BOOT_HI,
+        BOOT_LO,
+    )
+
+    for B in range(1, 2001):
+        assert (25 * B + 999) // 1000 == math.ceil(0.025 * B) or (
+            # float ceil can land one high exactly at representation
+            # boundaries; the INTEGER form is the contract
+            (25 * B) % 1000 == 0
+            and (25 * B + 999) // 1000 == 25 * B // 1000
+        )
+        assert (975 * B + 999) // 1000 == math.ceil(0.975 * B) or (
+            (975 * B) % 1000 == 0
+            and (975 * B + 999) // 1000 == 975 * B // 1000
+        )
+    assert BOOT_LO == (25 * BOOT_B + 999) // 1000 == 5
+    assert BOOT_HI == (975 * BOOT_B + 999) // 1000 == 195
