@@ -39,16 +39,16 @@ from .registry import REGISTRY
 # r7:50, r8:47, r9:50}); NOTE: no CORRECTNESS_r10.json artifact ever
 # landed, so the round-10 window's coverage is UNPROVEN — its leads are
 # re-booked here as insurance:
-#   (a) the 17 round-11 additions (never in any window);
+#   (a) the 20 round-11 additions (never in any window);
 #   (b) the 16 round-10 additions (never in any window — r10's window
 #       held the r9 cohort, and the r10 artifact is missing anyway);
 #   (c) the 10 round-9 additions that led the r10 window (re-booked:
 #       without CORRECTNESS_r10 they still have zero driver evidence);
 #   (d) q_approx_stats — rows-only by construction, oldest evidence;
-#   (e) the 6 r5 stragglers the r10 rotation deferred to r11;
-#   (f) the first 1 (alphabetical) of the 49-query r6 cohort
-#       (text_stupid_backoff counts once, under (b)).
-# 17 + 16 + 9 + 1 + 6 + 1 = 50 exactly.
+#   (e) the first 4 (alphabetical) of the 6 r5 stragglers the r10
+#       rotation deferred (text_postings, text_tfidf_cosine_pairs
+#       and the r6 cohort roll to r12 — additions take the slots).
+# 20 + 16 + 9 + 1 + 4 = 50 exactly.
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- (a) round-11 additions, zero driver evidence
     "docs_simpson_diversity",
@@ -63,11 +63,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "graph_path_counts",
     "graph_resource_allocation",
     "graph_rich_club",
+    "multimodal_bmp_parse",
     "multimodal_flac_streaminfo",
     "multimodal_ogg_page_walk",
     "multimodal_zip_eocd_walk",
     "q_benford_audit",
+    "q_hhi_concentration",
     "stream_minmax_witness",
+    "text_readability_fk",
     # -- (b) round-10 additions, zero driver evidence
     "events_chi2_uniform",
     "events_mad_outliers",
@@ -97,15 +100,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stream_countmin",
     # -- (d) rows-only, oldest evidence (r4)
     "q_approx_stats",
-    # -- (e) r5 stragglers deferred by the r10 rotation
+    # -- (e) r5 stragglers, first 4 alphabetical
     "stream_kmv_distinct",
     "text_bpe_train",
     "text_kmv_jaccard",
-    "text_postings",
-    "text_tfidf_cosine_pairs",
     "text_tokenizer_fertility",
-    # -- (f) r6 cohort, first 1 alphabetical
-    "asof_purchase_login",
 )
 
 

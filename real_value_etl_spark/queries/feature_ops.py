@@ -4930,3 +4930,141 @@ def multimodal_tar_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("data_ok"),
         F.octet_length(p).cast("long").alias("total_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BMP header — fourteenth byte codec: the first SIGNED field (the height is
+# a two's-complement int32 whose sign flips the raster direction)
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_bmp_parse",
+    oracle="""
+    WITH src AS (
+      SELECT doc_id,
+             CAST(doc_id % 31 + 1 AS BIGINT) AS w,
+             CAST(doc_id % 17 + 1 AS BIGINT) AS h,
+             (doc_id % 2 = 1) AS top_down
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, w, h, top_down,
+             ((w * 3 + 3) // 4) * 4 AS row_stride
+      FROM src
+    )
+    SELECT doc_id,
+           TRUE AS magic_ok,
+           54 + row_stride * h AS file_size,
+           CAST(54 AS BIGINT) AS data_offset,
+           CAST(40 AS BIGINT) AS info_size,
+           w AS width,
+           CASE WHEN top_down THEN -h ELSE h END AS height_signed,
+           h AS height_abs,
+           top_down AS is_top_down,
+           CAST(1 AS BIGINT) AS planes,
+           CAST(24 AS BIGINT) AS bits_per_pixel,
+           row_stride,
+           row_stride * h AS image_size,
+           TRUE AS size_ok
+    FROM g
+    """,
+    tags=("multimodal", "llm", "binary", "image"),
+)
+def multimodal_bmp_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BMP (DIB) header parse — the fourteenth byte codec and the first
+    to decode a SIGNED field: biHeight is a two's-complement int32
+    whose SIGN is semantic (negative = top-down raster, positive =
+    bottom-up), so the parse must reconstruct signedness from the raw
+    unsigned read (>= 2^31 means subtract 2^32) before any geometry is
+    right — every prior codec's integers were unsigned by format. Also
+    exercises the 4-byte ROW-STRIDE rule (rows pad to 4-byte
+    boundaries: stride = ((3w + 3) div 4) * 4), the derived quantity a
+    BMP consumer actually needs and the one that silently corrupts
+    images when naive code uses 3w. Each document becomes a byte-valid
+    24-bit uncompressed BMP (zeroed pixel payload — the structural
+    layer is the target, the pixel stub is documented like the PNG
+    family) with doc-dependent dimensions and raster direction; the
+    parse recovers magic, sizes, offsets, signed height, stride, and
+    verifies the file-size equation. Map-only, zero exchanges."""
+    d = table(spark, sf_dir, "documents")
+    w = (F.col("doc_id") % 31 + 1).cast("long")
+    h = (F.col("doc_id") % 17 + 1).cast("long")
+    top_down = F.col("doc_id") % 2 == 1
+    stride = F.call_function("div", w * 3 + 3, F.lit(4).cast("long")) * 4
+    img = stride * h
+    henc = F.when(top_down, F.lit(1 << 32).cast("long") - h).otherwise(h)
+
+    def le(c, nbytes):
+        hx = F.lpad(F.hex(c.cast("long")), 2 * nbytes, "0")
+        return F.unhex(
+            F.concat(
+                *[
+                    F.substring(hx, 2 * nbytes - 1 - 2 * i, 2)
+                    for i in range(nbytes)
+                ]
+            )
+        )
+
+    payload = F.concat(
+        F.encode(F.lit("BM"), "utf-8"),
+        le(F.lit(54) + img, 4),
+        le(F.lit(0), 4),
+        le(F.lit(54), 4),
+        le(F.lit(40), 4),
+        le(w, 4),
+        le(henc, 4),
+        le(F.lit(1), 2),
+        le(F.lit(24), 2),
+        le(F.lit(0), 4),
+        le(img, 4),
+        le(F.lit(2835), 4),
+        le(F.lit(2835), 4),
+        le(F.lit(0), 4),
+        le(F.lit(0), 4),
+        F.unhex(F.repeat(F.lit("00"), img.cast("int"))),
+    )
+    bmp = d.select("doc_id", payload.alias("payload"))
+    p = F.col("payload")
+
+    def rd_le(off, nbytes):
+        hx = F.hex(F.substring(p, off, nbytes))
+        return F.conv(
+            F.concat(
+                *[
+                    F.substring(hx, 2 * nbytes - 1 - 2 * i, 2)
+                    for i in range(nbytes)
+                ]
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    h_raw = rd_le(23, 4)
+    h_signed = F.when(
+        h_raw >= F.lit(1 << 31).cast("long"),
+        h_raw - F.lit(1 << 32).cast("long"),
+    ).otherwise(h_raw)
+    h_abs = F.abs(h_signed)
+    wp = rd_le(19, 4)
+    stride_p = F.call_function("div", wp * 3 + 3, F.lit(4).cast("long")) * 4
+    fsize = rd_le(3, 4)
+    img_p = rd_le(35, 4)
+    return bmp.select(
+        "doc_id",
+        (F.decode(F.substring(p, 1, 2), "utf-8") == "BM").alias("magic_ok"),
+        fsize.alias("file_size"),
+        rd_le(11, 4).alias("data_offset"),
+        rd_le(15, 4).alias("info_size"),
+        wp.alias("width"),
+        h_signed.alias("height_signed"),
+        h_abs.alias("height_abs"),
+        (h_signed < 0).alias("is_top_down"),
+        rd_le(27, 2).alias("planes"),
+        rd_le(29, 2).alias("bits_per_pixel"),
+        stride_p.alias("row_stride"),
+        img_p.alias("image_size"),
+        (
+            (F.octet_length(p).cast("long") == fsize)
+            & (img_p == stride_p * h_abs)
+            & (fsize == F.lit(54) + img_p)
+        ).alias("size_ok"),
+    )

@@ -896,3 +896,87 @@ def docs_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         simpson.alias("simpson"),
         (F.lit(1.0) - simpson).alias("gini_simpson"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Flesch-Kincaid readability grade (log-free: vowel-group syllable heuristic)
+# ---------------------------------------------------------------------------
+@register(
+    "text_readability_fk",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             {T.tokens_sql("text")} AS ts,
+             GREATEST(1, len(regexp_extract_all(text, '[.!?]+')))
+               AS n_sentences
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(ts) AS BIGINT) AS n_words,
+             CAST(n_sentences AS BIGINT) AS n_sentences,
+             CAST(list_sum(list_transform(ts,
+                    w -> GREATEST(1, len(regexp_extract_all(lower(w),
+                                                            '[aeiouy]+')))))
+                  AS BIGINT) AS n_syllables
+      FROM t WHERE len(ts) >= 1
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+             + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
+             - 15.59 AS fk_grade
+    FROM m
+    """,
+    tags=("llm", "text", "quality"),
+)
+def text_readability_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLESCH-KINCAID GRADE LEVEL per document — the classic
+    readability filter (CCNet and most pretraining-quality stacks keep
+    a readability band; pathologically low grades are boilerplate/
+    lists, pathologically high are OCR junk or run-ons). Syllables use
+    the standard VOWEL-GROUP heuristic (each maximal [aeiouy]+ run is
+    one syllable, minimum 1 per word) — a fixed regex both engines
+    evaluate identically, keeping the whole statistic log-free and
+    sqrt-free: counts are exact integers and the grade is the
+    published linear form 0.39*(words/sentence) + 11.8*(syllables/
+    word) - 15.59, two pinned divisions and a literal combination with
+    IDENTICAL expression shape on both engines. Sentence count clamps
+    to >= 1 (terminal-punctuation-free docs are one sentence), empty
+    docs are excluded.
+
+    Scale shape: map-only — tokenization, two regexp counts and the
+    per-token fold all run inside the row's projection; no shuffle
+    exists in the plan at any scale. Reference basis: SURVEY.md §2.12
+    text-quality family (absent in reference)."""
+    d = table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    n_sent = F.greatest(
+        F.lit(1), F.regexp_count(F.col("text"), F.lit(r"[.!?]+"))
+    ).cast("long")
+    n_syll = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc
+        + F.greatest(
+            F.lit(1), F.regexp_count(F.lower(w), F.lit(r"[aeiouy]+"))
+        ).cast("long"),
+    )
+    m = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syll.alias("n_syllables"),
+    ).filter(F.col("n_words") >= 1)
+    return m.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        (
+            F.lit(0.39)
+            * (F.col("n_words").cast("double") / F.col("n_sentences"))
+            + F.lit(11.8)
+            * (F.col("n_syllables").cast("double") / F.col("n_words"))
+            - F.lit(15.59)
+        ).alias("fk_grade"),
+    )

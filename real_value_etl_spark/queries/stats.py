@@ -1346,3 +1346,85 @@ def q_hoover_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hoover"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl-Hirschman concentration index of customer revenue
+# ---------------------------------------------------------------------------
+@register(
+    "q_hhi_concentration",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS total_cents,
+             SUM(CAST(cents AS HUGEINT) * cents) AS sq
+      FROM cust
+    )
+    SELECT n AS n_customers, total_cents,
+           CAST(CAST(sq AS VARCHAR) AS DOUBLE)
+             / (CAST(total_cents AS DOUBLE) * CAST(total_cents AS DOUBLE))
+             * 10000.0 AS hhi,
+           (CAST(CAST(sq AS VARCHAR) AS DOUBLE)
+             / (CAST(total_cents AS DOUBLE) * CAST(total_cents AS DOUBLE))
+             * 10000.0 - 10000.0 / n)
+             / (10000.0 - 10000.0 / n) AS hhi_normalized
+    FROM agg
+    """,
+    tags=("stats", "inequality"),
+)
+def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HERFINDAHL-HIRSCHMAN INDEX of revenue concentration — the
+    antitrust-standard sum of squared market shares (x10000, the
+    regulator's scale: > 2500 = highly concentrated), completing the
+    inequality trio next to q_gini_revenue (area view) and
+    q_hoover_index (L1 view): HHI is the L2 view and the only one of
+    the three that maps directly to an "effective number of players"
+    (10000/HHI). The numerator sum(x_i^2) over exact cent totals
+    EXCEEDS BIGINT at realistic scales (1e5 customers x (5e7 cents)^2
+    ~ 2.5e20), so it is DECIMAL(38,0) on the Spark side and HUGEINT in
+    the oracle, converted to DOUBLE THROUGH VARCHAR per the r10
+    doctrine (direct decimal->double is not correctly rounded in
+    DuckDB above 2^53); the index is then one multiply-divide chain
+    with identical shape on both engines, and the normalized variant
+    ((H - 1/n)/(1 - 1/n)) reuses the same rounded quotient.
+
+    Scale shape: ONE map-side-combinable per-customer cents rollup and
+    a 1-row moment reduce — nothing after the first aggregate is
+    data-sized. Reference basis: SURVEY.md §2.4 stats family (absent
+    in reference)."""
+    o = table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        ).alias("cents")
+    )
+    agg = cust.agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("total_cents"),
+        F.sum(
+            F.col("cents").cast("decimal(38,0)") * F.col("cents")
+        ).alias("sq"),
+    )
+    hhi = (
+        F.col("sq").cast("double")
+        / (
+            F.col("total_cents").cast("double")
+            * F.col("total_cents").cast("double")
+        )
+        * F.lit(10000.0)
+    )
+    return agg.select(
+        F.col("n").alias("n_customers"),
+        "total_cents",
+        hhi.alias("hhi"),
+        (
+            (hhi - F.lit(10000.0) / F.col("n"))
+            / (F.lit(10000.0) - F.lit(10000.0) / F.col("n"))
+        ).alias("hhi_normalized"),
+    )

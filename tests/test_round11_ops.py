@@ -618,3 +618,72 @@ def test_bootstrap_rank_formulas_property():
         )
     assert BOOT_LO == (25 * BOOT_B + 999) // 1000 == 5
     assert BOOT_HI == (975 * BOOT_B + 999) // 1000 == 195
+
+
+def test_hhi_python_replication(spark, sf_dir):
+    """Exact-integer replication of the HHI chain, including the
+    VARCHAR-doctrine double conversion and the normalized variant."""
+    per = duckdb.connect().execute(
+        f"""SELECT SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                            * 100 AS BIGINT))
+            FROM '{sf_dir}/orders.parquet' GROUP BY o_custkey"""
+    ).fetchall()
+    cents = [c for (c,) in per]
+    n, X, sq = len(cents), sum(cents), sum(c * c for c in cents)
+    (row,) = REGISTRY["q_hhi_concentration"].fn(spark, sf_dir).collect()
+    assert row["n_customers"] == n
+    assert row["total_cents"] == X
+    hhi = float(sq) / (float(X) * float(X)) * 10000.0
+    assert row["hhi"] == hhi
+    assert row["hhi_normalized"] == (hhi - 10000.0 / n) / (10000.0 - 10000.0 / n)
+    assert 10000.0 / n <= row["hhi"] <= 10000.0
+
+
+def test_readability_python_replication(spark, sf_dir):
+    """Word/sentence/syllable counts and the grade match a pure-Python
+    replay of the same heuristics on every document."""
+    import re
+
+    docs = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    rows = {r["doc_id"]: r for r in REGISTRY["text_readability_fk"].fn(spark, sf_dir).collect()}
+    for doc_id, text in docs:
+        words = [w for w in text.split(" ") if w]
+        if not words:
+            assert doc_id not in rows
+            continue
+        sent = max(1, len(re.findall(r"[.!?]+", text)))
+        syll = sum(
+            max(1, len(re.findall(r"[aeiouy]+", w.lower()))) for w in words
+        )
+        r = rows[doc_id]
+        assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (
+            len(words), sent, syll,
+        )
+        assert r["fk_grade"] == 0.39 * (len(words) / sent) + 11.8 * (
+            syll / len(words)
+        ) - 15.59
+
+
+def test_bmp_signed_height_and_stride(spark, sf_dir):
+    """Sign reconstruction and the 4-byte stride rule hold on every
+    row; the file-size equation closes."""
+    rows = REGISTRY["multimodal_bmp_parse"].fn(spark, sf_dir).collect()
+    assert rows
+    saw_top_down = saw_bottom_up = False
+    for r in rows:
+        i = r["doc_id"]
+        w, h = i % 31 + 1, i % 17 + 1
+        assert r["magic_ok"] and r["size_ok"]
+        assert r["width"] == w and r["height_abs"] == h
+        assert r["is_top_down"] == (i % 2 == 1)
+        assert r["height_signed"] == (-h if i % 2 == 1 else h)
+        stride = ((w * 3 + 3) // 4) * 4
+        assert r["row_stride"] == stride
+        assert r["image_size"] == stride * h
+        assert r["file_size"] == 54 + stride * h
+        assert r["planes"] == 1 and r["bits_per_pixel"] == 24
+        saw_top_down |= r["is_top_down"]
+        saw_bottom_up |= not r["is_top_down"]
+    assert saw_top_down and saw_bottom_up  # both sign branches exercised
