@@ -5068,3 +5068,220 @@ def multimodal_bmp_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (fsize == F.lit(54) + img_p)
         ).alias("size_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Second principal direction via DEFLATED power iteration (exact fixed-point
+# Gram-Schmidt against the dominant eigenvector each round)
+# ---------------------------------------------------------------------------
+def _defl_py(w: list[int], v1: list[int]) -> list[int]:
+    """Exact integer Gram-Schmidt step: w' = w - trunc((<w,v1> * v1_j) /
+    <v1,v1>) with SIGN-SPLIT truncating division (Python // is floor, so
+    negatives are routed through |.| exactly like the engines' div)."""
+    c = sum(wj * vj for wj, vj in zip(w, v1))
+    V = sum(vj * vj for vj in v1) or 1
+    out = []
+    for wj, vj in zip(w, v1):
+        p = c * vj
+        t = -((-p) // V) if p < 0 else p // V
+        out.append(wj - t)
+    return out
+
+
+def _pca2_oracle() -> str:
+    v1_rounds = "".join(
+        f"""
+    w{t} AS (
+      SELECT g.i AS j, SUM(CAST(g.s AS HUGEINT) * v{t - 1}.v) AS w
+      FROM g JOIN v{t - 1} ON v{t - 1}.j = g.j GROUP BY g.i
+    ),
+    m{t} AS (SELECT GREATEST(MAX(ABS(w)), 1) AS mw FROM w{t}),
+    v{t} AS (
+      SELECT j,
+             CASE WHEN w < 0 THEN -(((-w) * {POW_V_FX}) // mw)
+                  ELSE (w * {POW_V_FX}) // mw END AS v
+      FROM w{t}, m{t}
+    ),"""
+        for t in range(1, POW_ITERS + 1)
+    )
+    v1_final = f"v{POW_ITERS}"
+    vv = f"(SELECT SUM(CAST(v AS HUGEINT) * v) FROM {v1_final})"
+    u_rounds = ""
+    for t in range(1, POW_ITERS + 1):
+        u_rounds += f"""
+    uw{t} AS (
+      SELECT g.i AS j, SUM(CAST(g.s AS HUGEINT) * u{t - 1}.v) AS w
+      FROM g JOIN u{t - 1} ON u{t - 1}.j = g.j GROUP BY g.i
+    ),
+    uc{t} AS (
+      SELECT SUM(uw{t}.w * f.v) AS c
+      FROM uw{t} JOIN {v1_final} f ON f.j = uw{t}.j
+    ),
+    ud{t} AS (
+      SELECT uw{t}.j,
+             uw{t}.w - (CASE WHEN uc{t}.c * f.v < 0
+                             THEN -((-(uc{t}.c * f.v)) // {vv})
+                             ELSE (uc{t}.c * f.v) // {vv} END) AS w
+      FROM uw{t}, uc{t}
+      JOIN {v1_final} f ON f.j = uw{t}.j
+    ),
+    um{t} AS (SELECT GREATEST(MAX(ABS(w)), 1) AS mw FROM ud{t}),
+    u{t} AS (
+      SELECT j,
+             CASE WHEN w < 0 THEN -(((-w) * {POW_V_FX}) // mw)
+                  ELSE (w * {POW_V_FX}) // mw END AS v
+      FROM ud{t}, um{t}
+    ),"""
+    return f"""
+    WITH q AS (
+      SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * {float(GRAM_FX)}) AS BIGINT))
+               AS v
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT i.range AS i, j.range AS j
+      FROM range(0, {GRAM_DIM}) i, range(0, {GRAM_DIM}) j
+    ),
+    g AS (
+      SELECT p.i, p.j, SUM(v[p.i + 1] * v[p.j + 1]) AS s
+      FROM q, pairs p GROUP BY p.i, p.j
+    ),
+    v0 AS (SELECT range AS j, CAST({POW_V_FX} AS HUGEINT) AS v
+           FROM range(0, {GRAM_DIM})),{v1_rounds}
+    u0 AS (SELECT range AS j,
+                  CAST(CASE WHEN range % 2 = 0 THEN {POW_V_FX}
+                            ELSE -{POW_V_FX} END AS HUGEINT) AS v
+           FROM range(0, {GRAM_DIM})),{u_rounds}
+    lastu AS (SELECT * FROM u{POW_ITERS})
+    SELECT CAST(f.j AS INTEGER) AS i,
+           CAST(f.v AS BIGINT) AS v1_fx,
+           CAST(lastu.v AS BIGINT) AS v2_fx,
+           CAST(f.v AS DOUBLE) / {float(POW_V_FX)} AS v1,
+           CAST(lastu.v AS DOUBLE) / {float(POW_V_FX)} AS v2
+    FROM {v1_final} f JOIN lastu ON lastu.j = f.j
+    """
+
+
+@register(
+    "emb_pca_deflation",
+    oracle=_pca2_oracle(),
+    tags=("llm", "vector", "linear-algebra", "iterative", "pandas_udf"),
+)
+def emb_pca_deflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SECOND PRINCIPAL DIRECTION of the embedding Gram matrix via
+    DEFLATED power iteration — the step from "leading direction"
+    (emb_power_iteration) to an actual PCA basis, and the operation
+    behind 2-D corpus maps, ABTT top-k common-direction removal, and
+    whitening's first two axes. Classical deflation rebuilds A' = A -
+    l1 v1 v1^T, which floats through l1; here the iterate is instead
+    GRAM-SCHMIDT-ORTHOGONALIZED against v1 after every matvec — w' =
+    w - trunc(<w, v1> * v1 / <v1, v1>) — mathematically the same
+    subspace projection (A and the projector commute in the limit)
+    but EXACT: every quantity stays a big integer, the projection's
+    truncating division is sign-split so Spark's `div`, DuckDB's
+    HUGEINT `//` and Python's floor all agree, and both engines unroll
+    the identical {T}-round chain for v1 and then for v2 — the result
+    hash-matches, like every other iterative query in this repo. The
+    residual |<v1, v2>| is bounded by the 2^20 quantization, not by
+    float drift.
+
+    Scale shape: the corpus-sized pass is the SAME one-shot partial-
+    Gram kernel (O(partitions * d^2) communication); both iteration
+    chains run over the d x d frame with d-vectors broadcast as
+    literals; the d-row pulls between rounds are the sanctioned
+    k-sized collect (the kmeans/power-iteration contract); the FINAL
+    deflate+renormalize stays in-plan, so the returned frame is a
+    distributed result. Reference basis: SURVEY.md §2.12 vector
+    family (absent in reference)."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.round(x * F.lit(float(GRAM_FX)), 0).cast("long"),
+        ).alias("q")
+    )
+    tri = q.mapInPandas(_gram_batches, schema=GRAM_SCHEMA).groupBy(
+        "i", "j"
+    ).agg(F.sum("s").alias("s"))
+    g = (
+        tri.select("i", "j", "s")
+        .unionByName(
+            tri.filter(F.col("i") != F.col("j")).select(
+                F.col("j").alias("i"), F.col("i").alias("j"), "s"
+            )
+        )
+        .persist()
+    )
+
+    def matvec(v: list[int]) -> DataFrame:
+        vlit = F.array(*[F.lit(x) for x in v])
+        prod = F.col("s").cast("decimal(38,0)") * F.element_at(
+            vlit, F.col("j") + 1
+        )
+        return g.groupBy("i").agg(F.sum(prod).alias("w"))
+
+    def pull(df) -> list[int]:
+        w = [0] * GRAM_DIM
+        for r in df.collect():  # d rows — the sanctioned k-sized pull
+            w[r["i"]] = int(r["w"])
+        return w
+
+    # -- v1: the emb_power_iteration chain, fully driver-side exact ints
+    v1 = [POW_V_FX] * GRAM_DIM
+    for _ in range(POW_ITERS):
+        v1 = _pow_renorm_py(pull(matvec(v1)))
+    vv = sum(x * x for x in v1) or 1
+
+    # -- v2: deflated chain; all but the last round driver-side
+    u = [POW_V_FX if j % 2 == 0 else -POW_V_FX for j in range(GRAM_DIM)]
+    for _ in range(POW_ITERS - 1):
+        u = _pow_renorm_py(_defl_py(pull(matvec(u)), v1))
+
+    from ..operators.scan import _persist_tracked
+
+    # wf is materialized by the pull below; it is the d-row frame the
+    # RETURNED plan reads, so it stays persisted under the scan tracker
+    # (release_rank_caches frees it — the BPE/PPR leak-class contract)
+    # while the corpus-sized g cache is released as soon as wf exists.
+    wf = _persist_tracked(matvec(u))
+    c = sum(
+        wj * vj for wj, vj in zip(pull(wf), v1)
+    )  # <w, v1> — one exact scalar off the d-row frame
+    v1lit = F.array(*[F.lit(x).cast("decimal(38,0)") for x in v1])
+    p = F.lit(str(c)).cast("decimal(38,0)") * F.element_at(
+        v1lit, F.col("i") + 1
+    )
+    defl = F.col("w") - F.when(
+        p < 0, -F.call_function("div", -p, F.lit(str(vv)).cast("decimal(38,0)"))
+    ).otherwise(F.call_function("div", p, F.lit(str(vv)).cast("decimal(38,0)")))
+    d2 = wf.select("i", defl.alias("w"))
+    mw = int(
+        d2.agg(
+            F.greatest(
+                F.max(F.abs(F.col("w"))), F.lit(1).cast("decimal(38,0)")
+            ).alias("m")
+        ).collect()[0]["m"]
+    )
+    out = d2.select(
+        F.col("i").cast("int").alias("i"),
+        F.expr(
+            f"CAST(CASE WHEN w < 0 THEN -(((-w) * {POW_V_FX}) div {mw}) "
+            f"ELSE (w * {POW_V_FX}) div {mw} END AS BIGINT)"
+        ).alias("v2_fx"),
+    )
+    v1fx = F.element_at(
+        F.array(*[F.lit(x) for x in v1]), F.col("i").cast("int") + 1
+    )
+    res = out.select(
+        "i",
+        v1fx.alias("v1_fx"),
+        "v2_fx",
+        (v1fx.cast("double") / F.lit(float(POW_V_FX))).alias("v1"),
+        (F.col("v2_fx").cast("double") / F.lit(float(POW_V_FX))).alias("v2"),
+    )
+    g.unpersist()
+    return res
+
+
+emb_pca_deflation.__doc__ = emb_pca_deflation.__doc__.format(T=POW_ITERS)

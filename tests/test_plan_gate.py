@@ -86,6 +86,7 @@ _PY_EVAL_WAIVERS = {"docs_udtf_token_spans"}
 # row-at-a-time
 _ARROW_KERNEL_WAIVERS = {
     "emb_gram_matrix",
+    "emb_pca_deflation",
     "emb_power_iteration",
     "multimodal_decode",
     "multimodal_features",

@@ -687,3 +687,58 @@ def test_bmp_signed_height_and_stride(spark, sf_dir):
         saw_top_down |= r["is_top_down"]
         saw_bottom_up |= not r["is_top_down"]
     assert saw_top_down and saw_bottom_up  # both sign branches exercised
+
+
+def test_pca_deflation_python_replication(spark, sf_dir):
+    """Full exact-integer replay: Gram matrix from quantized embeddings,
+    both unrolled chains (v1 power iteration, v2 deflated), bit-equal
+    fixed-point outputs; v2 is near-orthogonal to v1 (quantization
+    bound, not float drift) and not parallel to it."""
+    from real_value_etl_spark.queries.feature_ops import (
+        GRAM_DIM,
+        GRAM_FX,
+        POW_ITERS,
+        POW_V_FX,
+        _defl_py,
+        _pow_renorm_py,
+    )
+
+    vecs = duckdb.connect().execute(
+        f"""SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                     x -> CAST(round(x * {float(GRAM_FX)}) AS BIGINT))
+            FROM '{sf_dir}/embeddings.parquet'"""
+    ).fetchall()
+    qs = [v for (v,) in vecs]
+    G = [[0] * GRAM_DIM for _ in range(GRAM_DIM)]
+    for q in qs:
+        for i in range(GRAM_DIM):
+            qi = q[i]
+            if qi:
+                for j in range(GRAM_DIM):
+                    G[i][j] += qi * q[j]
+
+    def mv(v):
+        return [sum(G[i][j] * v[j] for j in range(GRAM_DIM)) for i in range(GRAM_DIM)]
+
+    v1 = [POW_V_FX] * GRAM_DIM
+    for _ in range(POW_ITERS):
+        v1 = _pow_renorm_py(mv(v1))
+    u = [POW_V_FX if j % 2 == 0 else -POW_V_FX for j in range(GRAM_DIM)]
+    for _ in range(POW_ITERS):
+        u = _pow_renorm_py(_defl_py(mv(u), v1))
+    rows = REGISTRY["emb_pca_deflation"].fn(spark, sf_dir).collect()
+    got1 = {r["i"]: r["v1_fx"] for r in rows}
+    got2 = {r["i"]: r["v2_fx"] for r in rows}
+    assert got1 == {i: v1[i] for i in range(GRAM_DIM)}
+    assert got2 == {i: u[i] for i in range(GRAM_DIM)}
+    # near-orthogonality: |cos(v1, v2)| small but v2 nonzero
+    import math
+
+    dot = sum(a * b for a, b in zip(v1, u))
+    n1 = math.sqrt(sum(a * a for a in v1))
+    n2 = math.sqrt(sum(b * b for b in u))
+    assert n2 > 0
+    assert abs(dot) / (n1 * n2) < 0.01
+    for r in rows:
+        assert r["v1"] == r["v1_fx"] / POW_V_FX
+        assert r["v2"] == r["v2_fx"] / POW_V_FX
