@@ -4043,3 +4043,118 @@ def sim_ari_clusterings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(n * (n - 1) div 2 AS BIGINT)").alias("c_pairs"),
         ari.alias("ari"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance verification of LSH candidates (levenshtein is a builtin
+# with identical classic semantics in both engines — unit cost ins/del/sub)
+# ---------------------------------------------------------------------------
+EDIT_PREFIX_CHARS = 120  # DP cost is O(len^2): bound the compared prefix
+EDIT_MAX_RATIO = 0.4
+
+
+def _editdist_oracle() -> str:
+    sig_cols = ",\n         ".join(
+        f"min({T.minhash_sql('h', i)}) AS mh{i}" for i in range(T.MINHASH_K)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        "SELECT did, {b} AS band, {key} AS bkey FROM sig".format(
+            b=b,
+            key="CAST(mh{0} AS VARCHAR) || '_' || CAST(mh{1} AS VARCHAR)".format(
+                b * T.LSH_ROWS, b * T.LSH_ROWS + 1
+            ),
+        )
+        for b in range(T.LSH_BANDS)
+    )
+    return f"""
+    WITH {_SHINGLE_IDX_CTE},
+    {_HASHES_CTE},
+    sig AS (SELECT did, {sig_cols} FROM hashes GROUP BY did),
+    bands AS ({band_selects}),
+    cand AS (
+      SELECT DISTINCT x.did AS doc_a, y.did AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.bkey = y.bkey AND x.did < y.did
+    ),
+    pref AS (
+      SELECT doc_id, substr(text, 1, {EDIT_PREFIX_CHARS}) AS p
+      FROM documents
+    ),
+    scored AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(levenshtein(pa.p, pb.p) AS BIGINT) AS edit_dist,
+             CAST(GREATEST(length(pa.p), length(pb.p), 1) AS BIGINT)
+               AS max_len
+      FROM cand c
+      JOIN pref pa ON pa.doc_id = c.doc_a
+      JOIN pref pb ON pb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, edit_dist, max_len,
+           CAST(edit_dist AS DOUBLE) / max_len AS edit_ratio
+    FROM scored
+    WHERE CAST(edit_dist AS DOUBLE) / max_len <= {EDIT_MAX_RATIO}
+    """
+
+
+@register(
+    "text_edit_distance_pairs",
+    oracle=_editdist_oracle(),
+    tags=("dedup", "llm", "text", "lsh"),
+)
+def text_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EDIT-DISTANCE verification over the banded-LSH candidate pairs —
+    the character-level complement of the Jaccard verify: shingle
+    Jaccard is blind to WITHIN-token edits (OCR noise, diacritics
+    stripping, s/&/and/ substitutions) that Levenshtein counts one by
+    one, so this is the verify stage fuzzy-dedup pipelines run when
+    token-level similarity saturates. The distance is the engines' own
+    `levenshtein` builtin — classic unit-cost insert/delete/substitute
+    DP with IDENTICAL semantics in Spark and DuckDB, so the values
+    hash-match with no reimplementation — computed over the first
+    {P} characters (the DP is O(len^2) per pair; a bounded prefix
+    keeps the verify stage linear in candidates, the same cost
+    argument as the prefix-filtered Jaccard path). Ratio = dist /
+    max(prefix lengths), one pinned division; pairs at ratio <=
+    {R} survive.
+
+    Scale shape: candidates come from the SAME 8x2 banded minhash join
+    as dedup_minhash_lsh (never all-pairs); the verify joins two
+    bounded prefix columns onto the candidate frame by doc id; DP cost
+    is capped at {P}^2 per candidate. Reference basis: SURVEY.md
+    §2.12 dedup family (absent in reference)."""
+    d = table(spark, sf_dir, "documents")
+    sig = D.minhash_signatures(d, "doc_id", "text")
+    cand = D.lsh_candidate_pairs(sig)
+    pref = d.select(
+        "doc_id",
+        F.substring(F.col("text"), 1, EDIT_PREFIX_CHARS).alias("p"),
+    )
+    scored = (
+        cand.join(
+            pref.select(F.col("doc_id").alias("doc_a"), F.col("p").alias("pa")),
+            "doc_a",
+        )
+        .join(
+            pref.select(F.col("doc_id").alias("doc_b"), F.col("p").alias("pb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein(F.col("pa"), F.col("pb")).cast("long").alias(
+                "edit_dist"
+            ),
+            F.greatest(
+                F.length("pa"), F.length("pb"), F.lit(1)
+            ).cast("long").alias("max_len"),
+        )
+    )
+    ratio = F.col("edit_dist").cast("double") / F.col("max_len")
+    return scored.filter(ratio <= EDIT_MAX_RATIO).select(
+        "doc_a", "doc_b", "edit_dist", "max_len", ratio.alias("edit_ratio")
+    )
+
+
+text_edit_distance_pairs.__doc__ = text_edit_distance_pairs.__doc__.format(
+    P=EDIT_PREFIX_CHARS, R=EDIT_MAX_RATIO
+)

@@ -742,3 +742,40 @@ def test_pca_deflation_python_replication(spark, sf_dir):
     for r in rows:
         assert r["v1"] == r["v1_fx"] / POW_V_FX
         assert r["v2"] == r["v2_fx"] / POW_V_FX
+
+
+def test_edit_distance_python_replication(spark, sf_dir):
+    """Every surviving pair's distance matches a pure-Python Levenshtein
+    DP over the same 120-char prefixes, the ratio filter is honored,
+    and pairs are LSH candidates (not all-pairs)."""
+    from real_value_etl_spark.queries.llm import (
+        EDIT_MAX_RATIO,
+        EDIT_PREFIX_CHARS,
+    )
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    texts = dict(
+        duckdb.connect().execute(
+            f"SELECT doc_id, substr(text, 1, {EDIT_PREFIX_CHARS}) "
+            f"FROM '{sf_dir}/documents.parquet'"
+        ).fetchall()
+    )
+    rows = REGISTRY["text_edit_distance_pairs"].fn(spark, sf_dir).collect()
+    assert rows, "LSH candidates produced no verified pair — fixture drift"
+    for r in rows:
+        a, b = texts[r["doc_a"]], texts[r["doc_b"]]
+        d = lev(a, b)
+        assert r["edit_dist"] == d
+        assert r["max_len"] == max(len(a), len(b), 1)
+        assert r["edit_ratio"] == d / max(len(a), len(b), 1)
+        assert r["edit_ratio"] <= EDIT_MAX_RATIO
