@@ -39,22 +39,24 @@ from .registry import REGISTRY
 # r7:50, r8:47, r9:50}); NOTE: no CORRECTNESS_r10.json artifact ever
 # landed, so the round-10 window's coverage is UNPROVEN — its leads are
 # re-booked here as insurance:
-#   (a) the 22 round-11 additions (never in any window);
+#   (a) the 23 round-11 additions (never in any window);
 #   (b) the 16 round-10 additions (never in any window — r10's window
 #       held the r9 cohort, and the r10 artifact is missing anyway);
 #   (c) the 10 round-9 additions that led the r10 window (re-booked:
 #       without CORRECTNESS_r10 they still have zero driver evidence);
 #   (d) q_approx_stats — rows-only by construction, oldest evidence;
-#   (e) the first 2 (alphabetical) of the 6 r5 stragglers the r10
-#       rotation deferred (text_kmv_jaccard, text_postings,
-#       text_tfidf_cosine_pairs, text_tokenizer_fertility and the r6
-#       cohort roll to r12 — additions take the slots).
-# 22 + 16 + 9 + 1 + 2 = 50 exactly.
+#   (e) the first 1 (alphabetical) of the 6 r5 stragglers the r10
+#       rotation deferred (text_bpe_train, text_kmv_jaccard,
+#       text_postings, text_tfidf_cosine_pairs,
+#       text_tokenizer_fertility and the r6 cohort roll to r12 —
+#       additions take the slots).
+# 23 + 16 + 9 + 1 + 1 = 50 exactly.
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- (a) round-11 additions, zero driver evidence
     "docs_simpson_diversity",
     "emb_pca_deflation",
     "events_allan_variance",
+    "events_allen_relations",
     "events_bootstrap_ci",
     "events_runs_test",
     "graph_degree_assortativity",
@@ -103,9 +105,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stream_countmin",
     # -- (d) rows-only, oldest evidence (r4)
     "q_approx_stats",
-    # -- (e) r5 stragglers, first 2 alphabetical
+    # -- (e) r5 stragglers, first 1 alphabetical
     "stream_kmv_distinct",
-    "text_bpe_train",
 )
 
 

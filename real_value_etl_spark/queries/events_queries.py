@@ -3918,3 +3918,119 @@ def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 events_bootstrap_ci.__doc__ = events_bootstrap_ci.__doc__.format(B=BOOT_B)
+
+
+# ---------------------------------------------------------------------------
+# Allen interval-algebra relations between consecutive user intervals
+# ---------------------------------------------------------------------------
+ALLEN_MIN_DUR_S = 60  # floor duration so every event is a real interval
+
+
+@register(
+    "events_allen_relations",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id, event_type,
+             -- explicit FLOOR: epoch(ts) keeps sub-second fraction and a
+             -- bare BIGINT cast ROUNDS in DuckDB while Spark's
+             -- unix_timestamp truncates — the same cast trap as the
+             -- duration, caught by the sf0.1 sweep before commit
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
+             CAST(FLOOR(epoch(ts)) AS BIGINT)
+               + GREATEST({ALLEN_MIN_DUR_S},
+                          CAST(FLOOR(value * 60) AS BIGINT)) AS e,
+             event_id
+      FROM events WHERE value IS NOT NULL
+    ),
+    nx AS (
+      SELECT event_type, s AS s1, e AS e1,
+             LEAD(s) OVER w AS s2, LEAD(e) OVER w AS e2
+      FROM iv
+      WINDOW w AS (PARTITION BY user_id ORDER BY s, e, event_id)
+    ),
+    rel AS (
+      SELECT event_type,
+             CASE WHEN e1 < s2 THEN 'before'
+                  WHEN e1 = s2 THEN 'meets'
+                  WHEN s1 < s2 AND e1 > s2 AND e1 < e2 THEN 'overlaps'
+                  WHEN s1 < s2 AND e1 = e2 THEN 'finished_by'
+                  WHEN s1 < s2 AND e1 > e2 THEN 'contains'
+                  WHEN s1 = s2 AND e1 < e2 THEN 'starts'
+                  WHEN s1 = s2 AND e1 = e2 THEN 'equals'
+                  ELSE 'started_by' END AS relation
+      FROM nx WHERE s2 IS NOT NULL
+    )
+    SELECT event_type, relation, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM rel GROUP BY 1, 2
+    """,
+    tags=("events", "interval", "window"),
+)
+def events_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALLEN'S INTERVAL ALGEBRA over each user's activity stream: every
+    event becomes an interval [ts, ts + max(60s, floor(60*value))] and
+    each consecutive pair (start-ordered per user) is classified into
+    its Allen relation — before / meets / overlaps / finished_by /
+    contains / starts / equals / started_by (the eight relations
+    reachable under start ordering; the five inverses cannot occur).
+    This is the temporal-reasoning vocabulary behind overlap audits
+    ("do sessions nest or chain?"), double-billing detection
+    (contains/equals on usage intervals), and the gap/adjacency
+    statistics interval joins consume. All boundary comparisons are
+    exact BIGINT seconds; the duration uses an EXPLICIT floor() —
+    Spark's double->long cast truncates while DuckDB's ROUNDS, a
+    known cross-engine cast trap this query routes around — and the
+    per-user ordering is made total by (start, end, event_id).
+
+    Scale shape: ONE user-keyed window (lead) over the event stream,
+    then a map-side-combinable (type, relation) count — |relations| <=
+    8 per type out. Reference basis: SURVEY.md §2.3 interval family
+    (absent in reference)."""
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    s = F.unix_timestamp("ts")
+    e = s + F.greatest(
+        F.lit(ALLEN_MIN_DUR_S).cast("long"),
+        F.floor(F.col("value") * 60).cast("long"),
+    )
+    iv = ev.select(
+        "user_id", "event_type", s.alias("s"), e.alias("e"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "e", "event_id")
+    nx = iv.select(
+        "event_type",
+        F.col("s").alias("s1"),
+        F.col("e").alias("e1"),
+        F.lead("s").over(w).alias("s2"),
+        F.lead("e").over(w).alias("e2"),
+    ).filter(F.col("s2").isNotNull())
+    rel = (
+        F.when(F.col("e1") < F.col("s2"), "before")
+        .when(F.col("e1") == F.col("s2"), "meets")
+        .when(
+            (F.col("s1") < F.col("s2"))
+            & (F.col("e1") > F.col("s2"))
+            & (F.col("e1") < F.col("e2")),
+            "overlaps",
+        )
+        .when(
+            (F.col("s1") < F.col("s2")) & (F.col("e1") == F.col("e2")),
+            "finished_by",
+        )
+        .when(
+            (F.col("s1") < F.col("s2")) & (F.col("e1") > F.col("e2")),
+            "contains",
+        )
+        .when(
+            (F.col("s1") == F.col("s2")) & (F.col("e1") < F.col("e2")),
+            "starts",
+        )
+        .when(
+            (F.col("s1") == F.col("s2")) & (F.col("e1") == F.col("e2")),
+            "equals",
+        )
+        .otherwise("started_by")
+    )
+    return (
+        nx.select("event_type", rel.alias("relation"))
+        .groupBy("event_type", "relation")
+        .agg(F.count("*").alias("n_pairs"))
+    )

@@ -779,3 +779,48 @@ def test_edit_distance_python_replication(spark, sf_dir):
         assert r["max_len"] == max(len(a), len(b), 1)
         assert r["edit_ratio"] == d / max(len(a), len(b), 1)
         assert r["edit_ratio"] <= EDIT_MAX_RATIO
+
+
+def test_allen_relations_python_replication(spark, sf_dir):
+    """Relation classification matches a pure-Python replay over the
+    same (floored-second) intervals, pair counts conserve (one pair per
+    consecutive interval), and only start-ordered relations appear."""
+    from real_value_etl_spark.queries.events_queries import ALLEN_MIN_DUR_S
+
+    rows = duckdb.connect().execute(
+        f"""SELECT user_id, event_type, CAST(FLOOR(epoch(ts)) AS BIGINT),
+                   CAST(FLOOR(value * 60) AS BIGINT), event_id
+            FROM '{sf_dir}/events.parquet' WHERE value IS NOT NULL"""
+    ).fetchall()
+    per: dict[int, list] = {}
+    for u, t, s, d, eid in rows:
+        per.setdefault(u, []).append((s, s + max(ALLEN_MIN_DUR_S, d), eid, t))
+    want: dict[tuple, int] = {}
+    n_pairs = 0
+    for ivs in per.values():
+        ivs.sort(key=lambda x: (x[0], x[1], x[2]))
+        for (s1, e1, _, t), (s2, e2, _, _) in zip(ivs, ivs[1:]):
+            n_pairs += 1
+            if e1 < s2:
+                r = "before"
+            elif e1 == s2:
+                r = "meets"
+            elif s1 < s2 and e1 > s2 and e1 < e2:
+                r = "overlaps"
+            elif s1 < s2 and e1 == e2:
+                r = "finished_by"
+            elif s1 < s2 and e1 > e2:
+                r = "contains"
+            elif s1 == s2 and e1 < e2:
+                r = "starts"
+            elif s1 == s2 and e1 == e2:
+                r = "equals"
+            else:
+                r = "started_by"
+            want[(t, r)] = want.get((t, r), 0) + 1
+    got = {
+        (r["event_type"], r["relation"]): r["n_pairs"]
+        for r in REGISTRY["events_allen_relations"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert sum(got.values()) == n_pairs
