@@ -4034,3 +4034,290 @@ def events_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "relation")
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend (median of pairwise slopes) per type's hourly rate
+# ---------------------------------------------------------------------------
+@register(
+    "events_theil_sen",
+    oracle="""
+    WITH hc AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (SELECT event_type, min(h) AS lo, max(h) AS hi FROM hc GROUP BY 1),
+    spine AS (
+      SELECT event_type,
+             CAST(unnest(generate_series(lo, hi, 3600)) AS BIGINT) AS h
+      FROM b
+    ),
+    f AS (
+      SELECT s.event_type, s.h, COALESCE(c.c, 0) AS c
+      FROM spine s LEFT JOIN hc c ON c.event_type = s.event_type
+                                 AND c.h = s.h
+    ),
+    pairs AS (
+      SELECT a.event_type,
+             b.c - a.c AS num,
+             (b.h - a.h) // 3600 AS den,
+             a.h AS ha
+      FROM f a JOIN f b ON b.event_type = a.event_type AND b.h > a.h
+    ),
+    ranked AS (
+      SELECT event_type, num, den, ha,
+             CAST(num AS DOUBLE) / den AS slope,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY CAST(num AS DOUBLE) / den,
+                                         num, den, ha) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS m
+      FROM pairs
+    ),
+    nh AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours
+           FROM f GROUP BY 1)
+    SELECT r.event_type, nh.n_hours, CAST(r.m AS BIGINT) AS n_pairs,
+           r.num AS slope_num, r.den AS slope_den,
+           r.slope AS ts_slope_per_hour
+    FROM ranked r JOIN nh ON nh.event_type = r.event_type
+    WHERE r.rn = (r.m + 1) // 2
+    """,
+    tags=("events", "timeseries", "stats", "robust"),
+)
+def events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL-SEN robust trend of each type's hourly rate: the MEDIAN of
+    all pairwise slopes (c_j - c_i)/(j - i) over the zero-filled hourly
+    series — the classic 29%-breakdown alternative to OLS that one
+    traffic spike cannot drag. Slopes are exact rationals (integer
+    count diff over integer hour diff); the median is the house lower
+    order statistic (rank (m+1) div 2) under the total order (slope
+    double, num, den, first-hour) — the double division of two exact
+    integers is correctly rounded identically on both engines, and the
+    integer tie-break keys make the chosen WITNESS pair deterministic
+    even when distinct rationals collide in the double. The reported
+    slope is the witness's num/den — so the emitted statistic is the
+    median slope to double rounding, with its exact fraction alongside.
+
+    Scale shape: the pair join is per-type over the BOUNDED hourly
+    spine (span^2 pairs — a property of elapsed wall-clock, ~720 hours
+    per month, NOT of data volume; the 5-type join fans out to <= 5
+    tasks x span^2 rows) after the one map-side-combinable (type,
+    hour) count; the per-type rank window is bounded by the same
+    span^2 (the runs-test precedent). Reference basis: SURVEY.md §2.5
+    robust-statistics family (absent in reference)."""
+    ev = table(spark, sf_dir, "events")
+    hc = ev.groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("hour", "ts")).alias("h"),
+    ).agg(F.count("*").alias("c"))
+    b = hc.groupBy("event_type").agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    spine = b.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.lit(3600))).alias("h"),
+    )
+    f = spine.join(hc, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    a = f.select("event_type", F.col("h").alias("ha"), F.col("c").alias("ca"))
+    bb = f.select("event_type", F.col("h").alias("hb"), F.col("c").alias("cb"))
+    pairs = (
+        a.join(bb, "event_type")
+        .filter(F.col("hb") > F.col("ha"))
+        .select(
+            "event_type",
+            (F.col("cb") - F.col("ca")).alias("num"),
+            ((F.col("hb") - F.col("ha")) / 3600).cast("long").alias("den"),
+            "ha",
+        )
+    )
+    slope = F.col("num").cast("double") / F.col("den")
+    w_rank = Window.partitionBy("event_type").orderBy(
+        slope, "num", "den", "ha"
+    )
+    w_all = Window.partitionBy("event_type")
+    ranked = pairs.select(
+        "event_type",
+        "num",
+        "den",
+        "ha",
+        slope.alias("slope"),
+        F.row_number().over(w_rank).alias("rn"),
+        F.count("*").over(w_all).alias("m"),
+    )
+    nh = f.groupBy("event_type").agg(F.count("*").alias("n_hours"))
+    return (
+        ranked.filter(F.col("rn") == F.expr("(m + 1) div 2"))
+        .join(F.broadcast(nh), "event_type")
+        .select(
+            "event_type",
+            "n_hours",
+            F.col("m").alias("n_pairs"),
+            F.col("num").alias("slope_num"),
+            F.col("den").alias("slope_den"),
+            F.col("slope").alias("ts_slope_per_hour"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b concordance between every pair of types' hourly series
+# ---------------------------------------------------------------------------
+@register(
+    "events_kendall_tau",
+    oracle="""
+    WITH hc AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (SELECT event_type, min(h) AS lo, max(h) AS hi FROM hc GROUP BY 1),
+    spine AS (
+      SELECT event_type,
+             CAST(unnest(generate_series(lo, hi, 3600)) AS BIGINT) AS h
+      FROM b
+    ),
+    f AS (
+      SELECT s.event_type, s.h, COALESCE(c.c, 0) AS c
+      FROM spine s LEFT JOIN hc c ON c.event_type = s.event_type
+                                 AND c.h = s.h
+    ),
+    al AS (
+      SELECT x.event_type AS ta, y.event_type AS tb, x.h,
+             x.c AS xa, y.c AS xb
+      FROM f x JOIN f y ON y.h = x.h AND x.event_type < y.event_type
+    ),
+    pp AS (
+      SELECT i.ta, i.tb,
+             CASE WHEN j.xa > i.xa THEN 1
+                  WHEN j.xa < i.xa THEN -1 ELSE 0 END AS dx,
+             CASE WHEN j.xb > i.xb THEN 1
+                  WHEN j.xb < i.xb THEN -1 ELSE 0 END AS dy
+      FROM al i JOIN al j ON j.ta = i.ta AND j.tb = i.tb AND j.h > i.h
+    ),
+    agg AS (
+      SELECT ta AS type_a, tb AS type_b,
+             CAST(SUM(CASE WHEN dx * dy = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS nc,
+             CAST(SUM(CASE WHEN dx * dy = -1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS nd,
+             CAST(SUM(CASE WHEN dx = 0 AND dy <> 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_tie_x,
+             CAST(SUM(CASE WHEN dx <> 0 AND dy = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_tie_y,
+             CAST(SUM(CASE WHEN dx = 0 AND dy = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_tie_both
+      FROM pp GROUP BY 1, 2
+    ),
+    nh AS (
+      SELECT i.ta, i.tb, CAST(COUNT(*) AS BIGINT) AS n_hours_common
+      FROM al i GROUP BY 1, 2
+    )
+    SELECT a.type_a, a.type_b, nh.n_hours_common,
+           a.nc, a.nd, a.n_tie_x, a.n_tie_y, a.n_tie_both,
+           (CAST(a.nc AS DOUBLE) - a.nd)
+             / sqrt((CAST(a.nc AS DOUBLE) + a.nd + a.n_tie_x)
+                    * (CAST(a.nc AS DOUBLE) + a.nd + a.n_tie_y)) AS tau_b
+    FROM agg a JOIN nh ON nh.ta = a.type_a AND nh.tb = a.type_b
+    """,
+    tags=("events", "timeseries", "stats"),
+)
+def events_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KENDALL TAU-B rank concordance between every PAIR of event
+    types' hourly series — "when clicks rise hour-over-hour, do
+    purchases rise too?" measured without any linearity assumption,
+    with the tau-b TIE correction (integer counts of concordant,
+    discordant, x-tied, y-tied, both-tied hour pairs are all exact;
+    zero-filled series tie often, so the correction is load-bearing).
+    Series align on the INTERSECTION of the two types' spines (inner
+    join on hour); tau-b's one double expression is shaped identically
+    on both engines.
+
+    Scale shape: hour-pair fan-out is span^2 per type pair (wall-clock
+    property, not data volume — the Theil-Sen argument) over the
+    map-side-combinable (type, hour) count; type pairs are C(5,2) = 10
+    bounded keys; everything downstream of the first aggregate is
+    span-sized. Reference basis: SURVEY.md §2.4 stats family (absent
+    in reference)."""
+    ev = table(spark, sf_dir, "events")
+    hc = ev.groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("hour", "ts")).alias("h"),
+    ).agg(F.count("*").alias("c"))
+    b = hc.groupBy("event_type").agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    spine = b.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.lit(3600))).alias("h"),
+    )
+    f = spine.join(hc, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    x = f.select(F.col("event_type").alias("ta"), "h", F.col("c").alias("xa"))
+    y = f.select(
+        F.col("event_type").alias("tb"),
+        F.col("h").alias("hy"),
+        F.col("c").alias("xb"),
+    )
+    al = (
+        x.join(y, (F.col("hy") == F.col("h")) & (F.col("ta") < F.col("tb")))
+        .select("ta", "tb", "h", "xa", "xb")
+    )
+    i = al.select("ta", "tb", F.col("h").alias("hi_"), F.col("xa").alias("xai"), F.col("xb").alias("xbi"))
+    j = al.select("ta", "tb", F.col("h").alias("hj_"), F.col("xa").alias("xaj"), F.col("xb").alias("xbj"))
+    dx = (
+        F.when(F.col("xaj") > F.col("xai"), 1)
+        .when(F.col("xaj") < F.col("xai"), -1)
+        .otherwise(0)
+    )
+    dy = (
+        F.when(F.col("xbj") > F.col("xbi"), 1)
+        .when(F.col("xbj") < F.col("xbi"), -1)
+        .otherwise(0)
+    )
+    pp = (
+        i.join(j, ["ta", "tb"])
+        .filter(F.col("hj_") > F.col("hi_"))
+        .select("ta", "tb", dx.alias("dx"), dy.alias("dy"))
+    )
+    agg = pp.groupBy(
+        F.col("ta").alias("type_a"), F.col("tb").alias("type_b")
+    ).agg(
+        F.sum(F.when(F.col("dx") * F.col("dy") == 1, 1).otherwise(0)).alias(
+            "nc"
+        ),
+        F.sum(F.when(F.col("dx") * F.col("dy") == -1, 1).otherwise(0)).alias(
+            "nd"
+        ),
+        F.sum(
+            F.when((F.col("dx") == 0) & (F.col("dy") != 0), 1).otherwise(0)
+        ).alias("n_tie_x"),
+        F.sum(
+            F.when((F.col("dx") != 0) & (F.col("dy") == 0), 1).otherwise(0)
+        ).alias("n_tie_y"),
+        F.sum(
+            F.when((F.col("dx") == 0) & (F.col("dy") == 0), 1).otherwise(0)
+        ).alias("n_tie_both"),
+    )
+    nh = al.groupBy(
+        F.col("ta").alias("type_a"), F.col("tb").alias("type_b")
+    ).agg(F.count("*").alias("n_hours_common"))
+    tau = (F.col("nc").cast("double") - F.col("nd")) / F.sqrt(
+        (F.col("nc").cast("double") + F.col("nd") + F.col("n_tie_x"))
+        * (F.col("nc").cast("double") + F.col("nd") + F.col("n_tie_y"))
+    )
+    return agg.join(F.broadcast(nh), ["type_a", "type_b"]).select(
+        "type_a",
+        "type_b",
+        "n_hours_common",
+        "nc",
+        "nd",
+        "n_tie_x",
+        "n_tie_y",
+        "n_tie_both",
+        tau.alias("tau_b"),
+    )

@@ -1428,3 +1428,436 @@ def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(10000.0) - F.lit(10000.0) / F.col("n"))
         ).alias("hhi_normalized"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kolmogorov-Smirnov two-sample test (exact D via integer cross-counts)
+# ---------------------------------------------------------------------------
+KS_PACK = 10**12  # cum-count packing base for the two-phase running sum:
+# cum_hi * KS_PACK + cum_lo rides ONE decimal(38,0) prefix scan, so both
+# ECDFs come out of a single range-partitioned pass. Exact while each
+# side's cumulative count < 10^12 (the packed sum peaks at n_hi*10^12 +
+# n_lo ~ 10^24 << 10^38); widen the base and the emitted BIGINTs to
+# string-rendered decimals beyond ~10^12 rows per side.
+
+
+@register(
+    "q_ks_two_sample",
+    oracle=f"""
+    WITH pv AS (
+      SELECT o_totalprice AS v,
+             CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 0 ELSE 1 END) AS BIGINT) AS b
+      FROM orders GROUP BY 1
+    ),
+    cum AS (
+      SELECT v,
+             SUM(a) OVER (ORDER BY v) AS ca,
+             SUM(b) OVER (ORDER BY v) AS cb
+      FROM pv
+    ),
+    tot AS (
+      SELECT CAST(SUM(a) AS BIGINT) AS n1, CAST(SUM(b) AS BIGINT) AS n2
+      FROM pv
+    ),
+    dev AS (
+      SELECT c.v,
+             abs(CAST(c.ca AS HUGEINT) * t.n2
+                 - CAST(c.cb AS HUGEINT) * t.n1) AS d,
+             t.n1, t.n2
+      FROM cum c CROSS JOIN tot t
+    ),
+    pick AS (
+      SELECT n1, n2, CAST(d AS BIGINT) AS d_scaled, v AS witness_value
+      FROM dev ORDER BY d DESC, v ASC LIMIT 1
+    )
+    SELECT n1 AS n_hi, n2 AS n_lo, d_scaled, witness_value,
+           CAST(d_scaled AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2) AS ks_d,
+           CAST(d_scaled AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)
+             * sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)) AS ks_z
+    FROM pick
+    """,
+    tags=("stats", "inference"),
+)
+def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KOLMOGOROV-SMIRNOV two-sample test: is the order-value
+    distribution of urgent orders (priority 1-2) the SAME distribution
+    as the rest? D = sup_v |F_hi(v) - F_lo(v)| is computed EXACTLY as
+    max |cum_hi(v)*n_lo - cum_lo(v)*n_hi| over the distinct-value
+    spine — an integer, so the supremum and its witness value are
+    engine-exact; the one double division and the asymptotic z =
+    D*sqrt(n1*n2/n) happen once on the final row with identical
+    expression shape on both engines. Both ECDFs ride ONE two-phase
+    running sum (operators/scan.py:global_running_sum) by packing the
+    per-value (hi, lo) counts into a single decimal word (KS_PACK) —
+    no Exchange SinglePartition anywhere; the argmax is a
+    deterministic lexicographic struct-max (max D, then min value).
+
+    Scale shape: map-side-combinable distinct-value count, the
+    range-partitioned prefix scan, one broadcast of the 1-row totals
+    frame, one scalar reduce. Reference basis: SURVEY.md §2.4 stats
+    family (absent in reference)."""
+    from ..operators.scan import global_running_sum
+
+    o = table(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    pv = (
+        o.select(F.col("o_totalprice").alias("v"), hi.alias("hi"))
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("hi"), 1).otherwise(0)).alias("a"),
+            F.sum(F.when(F.col("hi"), 0).otherwise(1)).alias("b"),
+        )
+    )
+    packed = pv.withColumn(
+        "pk",
+        F.col("a").cast("decimal(38,0)") * F.lit(KS_PACK).cast("decimal(38,0)")
+        + F.col("b"),
+    )
+    rs = global_running_sum(
+        packed, ["v"], "pk", out_col="rs", decimal_type="decimal(38,0)"
+    )
+    unpacked = rs.select(
+        "v",
+        F.expr(f"rs div CAST({KS_PACK} AS DECIMAL(38,0))").alias("ca"),
+        F.expr(
+            f"CAST(pmod(rs, CAST({KS_PACK} AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("cb"),
+    )
+    tot = pv.agg(F.sum("a").alias("n1"), F.sum("b").alias("n2"))
+    dev = unpacked.crossJoin(F.broadcast(tot)).select(
+        "n1",
+        "n2",
+        F.abs(
+            F.col("ca").cast("decimal(38,0)") * F.col("n2")
+            - F.col("cb").cast("decimal(38,0)") * F.col("n1")
+        ).alias("d"),
+        "v",
+    )
+    pick = dev.agg(
+        F.first("n1").alias("n1"),
+        F.first("n2").alias("n2"),
+        F.max(F.struct(F.col("d"), (-F.col("v")).alias("nv"))).alias("mx"),
+    ).select(
+        "n1",
+        "n2",
+        F.col("mx.d").cast("long").alias("d_scaled"),
+        (-F.col("mx.nv")).alias("witness_value"),
+    )
+    ks_d = F.col("d_scaled").cast("double") / (
+        F.col("n1").cast("double") * F.col("n2")
+    )
+    return pick.select(
+        F.col("n1").alias("n_hi"),
+        F.col("n2").alias("n_lo"),
+        "d_scaled",
+        "witness_value",
+        ks_d.alias("ks_d"),
+        (
+            ks_d
+            * F.sqrt(
+                F.col("n1").cast("double")
+                * F.col("n2")
+                / (F.col("n1") + F.col("n2"))
+            )
+        ).alias("ks_z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U (rank-sum) test with tie correction — exact integers
+# ---------------------------------------------------------------------------
+@register(
+    "q_mann_whitney",
+    oracle="""
+    WITH pv AS (
+      SELECT l_extendedprice AS v,
+             CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 0 ELSE 1 END)
+                  AS BIGINT) AS c2
+      FROM lineitem GROUP BY 1
+    ),
+    cum AS (
+      SELECT v, c1, c2, c1 + c2 AS c,
+             SUM(c1 + c2) OVER (ORDER BY v) - (c1 + c2) AS cb
+      FROM pv
+    ),
+    agg AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(c2) AS BIGINT) AS n2,
+             CAST(SUM(CAST(c1 AS HUGEINT) * (2 * cb + c + 1)) AS HUGEINT)
+               AS r1x2,
+             CAST(SUM(c * c * c - c) AS BIGINT) AS tie_term
+      FROM cum
+    ),
+    d AS (
+      SELECT n1, n2, n1 + n2 AS n,
+             CAST(r1x2 AS BIGINT) AS r1_x2,
+             CAST(2 * CAST(n1 AS HUGEINT) * n2 + CAST(n1 AS HUGEINT) * (n1 + 1)
+                  - r1x2 AS BIGINT) AS u1_x2,
+             tie_term
+      FROM agg
+    )
+    SELECT n1, n2, r1_x2, u1_x2, tie_term,
+           CAST(u1_x2 AS DOUBLE)
+             / (2.0 * (CAST(n1 AS DOUBLE) * n2)) AS auc_u,
+           (CAST(u1_x2 AS DOUBLE) - CAST(n1 AS DOUBLE) * n2)
+             / (2.0 * sqrt(
+                 CAST(CAST(CAST(n1 AS HUGEINT) * n2
+                      * (CAST(n AS HUGEINT) * (n + 1) * (n - 1) - tie_term)
+                      AS VARCHAR) AS DOUBLE)
+                 / (12.0 * (CAST(n AS DOUBLE) * (n - 1))))) AS z_u
+    FROM d
+    """,
+    tags=("stats", "inference"),
+)
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-WHITNEY U (Wilcoxon rank-sum) test between open ('O') and
+    finished ('F') line items on extended price — the nonparametric
+    two-group location test, with the textbook TIE CORRECTION. Every
+    statistic is exact integer arithmetic to the last step: average
+    ranks enter as 2*R1 = sum over distinct values of
+    c1*(2*cum_before + c + 1) (twice the rank-sum is always integral,
+    even with ties), U follows by identity, and the tie term
+    sum(t^3 - t) is a per-value polynomial — all riding ONE two-phase
+    running count (no single-partition exchange). The variance
+    numerator n1*n2*(n(n+1)(n-1) - T) is exact DECIMAL(38,0) rendered
+    to double through strings on the DuckDB side (the >2^53 VARCHAR
+    doctrine, COVERAGE.md r10); z and the rank-biserial AUC
+    U/(n1*n2) are the only doubles, shaped identically in both
+    engines. Emitted BIGINTs are exact through ~10^9 rows per side
+    (r1_x2 peaks near n^2); widen to string-rendered decimals beyond.
+
+    Scale shape: map-side-combinable distinct-value count, one
+    range-partitioned prefix scan, one scalar reduce — nothing
+    data-sized after the first aggregate. Reference basis: SURVEY.md
+    §2.4 stats family (absent in reference)."""
+    from ..operators.scan import global_running_sum
+
+    li = table(spark, sf_dir, "lineitem")
+    pv = (
+        li.select(
+            F.col("l_extendedprice").alias("v"),
+            (F.col("l_linestatus") == "O").alias("g1"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("g1"), 1).otherwise(0)).alias("c1"),
+            F.sum(F.when(F.col("g1"), 0).otherwise(1)).alias("c2"),
+        )
+        .withColumn("c", F.col("c1") + F.col("c2"))
+    )
+    rs = global_running_sum(pv, ["v"], "c", out_col="ci", decimal_type="long")
+    cum = rs.withColumn("cb", F.col("ci") - F.col("c"))
+    agg = cum.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum(
+            F.col("c1").cast("decimal(38,0)")
+            * (2 * F.col("cb") + F.col("c") + 1)
+        ).alias("r1x2"),
+        F.sum(
+            F.col("c") * F.col("c") * F.col("c") - F.col("c")
+        ).alias("tie_term"),
+    )
+    n = F.col("n1") + F.col("n2")
+    u1x2 = (
+        F.lit(2).cast("decimal(38,0)") * F.col("n1") * F.col("n2")
+        + F.col("n1").cast("decimal(38,0)") * (F.col("n1") + 1)
+        - F.col("r1x2")
+    )
+    d = agg.select(
+        "n1",
+        "n2",
+        F.col("r1x2").cast("long").alias("r1_x2"),
+        u1x2.cast("long").alias("u1_x2"),
+        "tie_term",
+        n.alias("n"),
+    )
+    var_num = (
+        F.col("n1").cast("decimal(38,0)")
+        * F.col("n2")
+        * (
+            F.col("n").cast("decimal(38,0)")
+            * (F.col("n") + 1)
+            * (F.col("n") - 1)
+            - F.col("tie_term")
+        )
+    )
+    var_d = var_num.cast("string").cast("double") / (
+        F.lit(12.0) * (F.col("n").cast("double") * (F.col("n") - 1))
+    )
+    return d.select(
+        "n1",
+        "n2",
+        "r1_x2",
+        "u1_x2",
+        "tie_term",
+        (
+            F.col("u1_x2").cast("double")
+            / (F.lit(2.0) * (F.col("n1").cast("double") * F.col("n2")))
+        ).alias("auc_u"),
+        (
+            (
+                F.col("u1_x2").cast("double")
+                - F.col("n1").cast("double") * F.col("n2")
+            )
+            / (F.lit(2.0) * F.sqrt(var_d))
+        ).alias("z_u"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Contingency chi-square + Cramer's V (priority x status), ordered-fold sum
+# ---------------------------------------------------------------------------
+@register(
+    "q_cramers_v",
+    oracle="""
+    WITH obs AS (
+      SELECT o_orderpriority AS p, o_orderstatus AS s,
+             CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM orders GROUP BY 1, 2
+    ),
+    pr AS (SELECT DISTINCT o_orderpriority AS p FROM orders),
+    st AS (SELECT DISTINCT o_orderstatus AS s FROM orders),
+    rm AS (SELECT p, CAST(SUM(n_obs) AS BIGINT) AS r FROM obs GROUP BY p),
+    cm AS (SELECT s, CAST(SUM(n_obs) AS BIGINT) AS c FROM obs GROUP BY s),
+    tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs),
+    cells AS (
+      SELECT pr.p, st.s, COALESCE(o.n_obs, 0) AS n_obs, rm.r, cm.c, t.n,
+             CAST(t.n AS HUGEINT) * COALESCE(o.n_obs, 0)
+               - CAST(rm.r AS HUGEINT) * cm.c AS dev
+      FROM pr CROSS JOIN st
+      LEFT JOIN obs o ON o.p = pr.p AND o.s = st.s
+      JOIN rm ON rm.p = pr.p JOIN cm ON cm.s = st.s CROSS JOIN tot t
+    ),
+    terms AS (
+      SELECT p, s,
+             CAST(CAST(dev * dev AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(CAST(n AS HUGEINT) * n * r * c AS VARCHAR)
+                      AS DOUBLE) AS term
+      FROM cells
+    ),
+    fold AS (
+      SELECT list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                            list(term ORDER BY p, s)),
+               (acc, x) -> acc + x) AS chi2_over_n,
+             COUNT(*) AS n_cells
+      FROM terms
+    )
+    SELECT t.n AS n_orders,
+           (SELECT COUNT(*) FROM pr) AS n_priority_levels,
+           (SELECT COUNT(*) FROM st) AS n_status_levels,
+           ((SELECT COUNT(*) FROM pr) - 1)
+             * ((SELECT COUNT(*) FROM st) - 1) AS dof,
+           f.chi2_over_n,
+           sqrt(f.chi2_over_n / (LEAST((SELECT COUNT(*) FROM pr),
+                                       (SELECT COUNT(*) FROM st)) - 1))
+             AS cramers_v
+    FROM fold f CROSS JOIN tot t
+    """,
+    tags=("stats", "inference"),
+)
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINGENCY chi-square + CRAMER'S V between order priority and
+    order status — the categorical-association screen (is fulfilment
+    status independent of priority?). Each spine-complete cell's
+    deviation n*n_ij - r_i*c_j is EXACT (HUGEINT / DECIMAL(38,0));
+    the classical cell term (O-E)^2/E equals dev^2/(n*r*c), so the
+    emitted total is the n-NORMALIZED chi2_over_n = sum of
+    dev^2/(n^2*r*c) — exactly the quantity Cramer's V consumes
+    (V = sqrt((chi2/n)/(min(r,c)-1))), with no large/small double
+    products. Each term goes through the VARCHAR-doctrine double
+    render, and the cross-cell sum is an ORDERED (p, s) left fold
+    over the sorted cell array — the docs_source_divergence pattern
+    — so the double total is bit-identical on any engine and any
+    partitioning. Levels are counted from the data. Bound: dev^2
+    stays inside DECIMAL(38,0) through ~10^9 orders; widen beyond.
+
+    Scale shape: one map-side-combinable (p, s) count; everything
+    after is level-cardinality-sized (15 cells). The spine cross
+    join is two broadcast level frames — bounded by construction.
+    Reference basis: SURVEY.md §2.4 stats family (absent in
+    reference)."""
+    o = table(spark, sf_dir, "orders")
+    obs = o.groupBy(
+        F.col("o_orderpriority").alias("p"), F.col("o_orderstatus").alias("s")
+    ).agg(F.count("*").alias("n_obs"))
+    pr = obs.select("p").distinct()
+    st = obs.select("s").distinct()
+    rm = obs.groupBy("p").agg(F.sum("n_obs").alias("r"))
+    cm = obs.groupBy("s").agg(F.sum("n_obs").alias("c"))
+    tot = obs.agg(F.sum("n_obs").alias("n"))
+    cells = (
+        pr.crossJoin(F.broadcast(st))
+        .join(F.broadcast(obs), ["p", "s"], "left")
+        .join(F.broadcast(rm), "p")
+        .join(F.broadcast(cm), "s")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "p",
+            "s",
+            F.coalesce(F.col("n_obs"), F.lit(0)).alias("n_obs"),
+            "r",
+            "c",
+            "n",
+        )
+    )
+    dev = (
+        F.col("n").cast("decimal(38,0)") * F.col("n_obs")
+        - F.col("r").cast("decimal(38,0)") * F.col("c")
+    )
+    den = (
+        F.col("n").cast("decimal(38,0)")
+        * F.col("n")
+        * F.col("r").cast("decimal(38,0)")
+        * F.col("c")
+    )
+    terms = cells.select(
+        "p",
+        "s",
+        (
+            (dev * dev).cast("decimal(38,0)").cast("string").cast("double")
+            / den.cast("decimal(38,0)").cast("string").cast("double")
+        ).alias("term"),
+    )
+    fold = terms.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("p"), F.col("s"), F.col("term")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["term"],
+        ).alias("chi2_over_n"),
+        F.count("*").alias("n_cells"),
+    )
+    npr = pr.agg(F.count("*").alias("n_priority_levels"))
+    nst = st.agg(F.count("*").alias("n_status_levels"))
+    return (
+        fold.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(npr))
+        .crossJoin(F.broadcast(nst))
+        .select(
+            F.col("n").alias("n_orders"),
+            "n_priority_levels",
+            "n_status_levels",
+            (
+                (F.col("n_priority_levels") - 1)
+                * (F.col("n_status_levels") - 1)
+            ).alias("dof"),
+            F.col("chi2_over_n"),
+            F.sqrt(
+                F.col("chi2_over_n")
+                / (
+                    F.least(
+                        F.col("n_priority_levels"), F.col("n_status_levels")
+                    )
+                    - 1
+                )
+            ).alias("cramers_v"),
+        )
+    )

@@ -209,6 +209,12 @@ _BNLJ_WAIVERS: dict[str, str] = {
     + " (event-type pairs: both sides are the |types|-row register "
     "summary frame, sketch-sized by construction)",
     "q_join_size_estimate": _R_SCALAR,
+    "q_ks_two_sample": _R_SCALAR
+    + " (1-row (n1, n2) totals frame broadcast into the per-value "
+    "ECDF deviation)",
+    "q_cramers_v": _R_PAIRS
+    + " (level-spine cross: |priorities| x |statuses| <= 15 cells; plus "
+    "three 1-row scalar frames crossed into the single-row summary)",
     "q_priority_sample_sum": _R_SCALAR
     + " (1-row tau / exact-total frames cross-joined into the estimate)",
     "q_rollup_share_of_parent": _R_SCALAR,

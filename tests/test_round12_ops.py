@@ -1,0 +1,194 @@
+"""Targeted invariants for the round-12 additions, beyond the oracle-parity
+hash gate: each test recomputes the operator's defining property from the
+raw parquet independently (pure Python / DuckDB), so a both-engines-wrong
+implementation cannot hide behind an agreeing oracle."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from real_value_etl_spark.queries.all_queries import REGISTRY
+
+
+def _duck(sf_dir, sql):
+    return duckdb.connect().execute(sql.replace("$SF", sf_dir)).fetchall()
+
+
+def test_ks_two_sample_matches_pure_python(spark, sf_dir):
+    """D, its witness, and both sample sizes match a from-scratch ECDF
+    walk over the raw order values."""
+    row = REGISTRY["q_ks_two_sample"].fn(spark, sf_dir).collect()[0]
+    vals = _duck(
+        sf_dir,
+        "SELECT o_totalprice, o_orderpriority IN ('1-URGENT','2-HIGH') "
+        "FROM '$SF/orders.parquet'",
+    )
+    hi = sorted(v for v, h in vals if h)
+    lo = sorted(v for v, h in vals if not h)
+    n1, n2 = len(hi), len(lo)
+    assert (row["n_hi"], row["n_lo"]) == (n1, n2)
+    values = sorted({v for v, _ in vals})
+    import bisect
+
+    best, witness = -1, None
+    for v in values:
+        ca = bisect.bisect_right(hi, v)
+        cb = bisect.bisect_right(lo, v)
+        d = abs(ca * n2 - cb * n1)
+        if d > best or (d == best and v < witness):
+            best, witness = d, v
+    assert row["d_scaled"] == best
+    assert row["witness_value"] == witness
+    assert row["ks_d"] == pytest.approx(best / (n1 * n2), rel=1e-15)
+    assert row["ks_z"] == pytest.approx(
+        best / (n1 * n2) * math.sqrt(n1 * n2 / (n1 + n2)), rel=1e-12
+    )
+
+
+def test_mann_whitney_matches_rank_recomputation(spark, sf_dir):
+    """2*R1, U, the tie term, AUC, and z match an average-rank
+    recomputation over the raw prices (pure Python, no engine)."""
+    row = REGISTRY["q_mann_whitney"].fn(spark, sf_dir).collect()[0]
+    vals = _duck(
+        sf_dir,
+        "SELECT l_extendedprice, l_linestatus FROM '$SF/lineitem.parquet'",
+    )
+    ranked = sorted(vals)
+    # average ranks, doubled to stay integral under ties
+    r1x2 = 0
+    i, n = 0, len(ranked)
+    tie_term = 0
+    while i < n:
+        j = i
+        while j < n and ranked[j][0] == ranked[i][0]:
+            j += 1
+        t = j - i
+        tie_term += t * t * t - t
+        # doubled average rank of positions i+1 .. j (1-based): (i+1 + j)
+        dar = i + 1 + j
+        for k in range(i, j):
+            if ranked[k][1] == "O":
+                r1x2 += dar
+        i = j
+    n1 = sum(1 for _, s in vals if s == "O")
+    n2 = n - n1
+    assert (row["n1"], row["n2"]) == (n1, n2)
+    assert row["r1_x2"] == r1x2
+    u1x2 = 2 * n1 * n2 + n1 * (n1 + 1) - r1x2
+    assert row["u1_x2"] == u1x2
+    assert row["tie_term"] == tie_term
+    assert row["auc_u"] == pytest.approx(u1x2 / (2 * n1 * n2), rel=1e-15)
+    var = n1 * n2 * (n * (n + 1) * (n - 1) - tie_term) / (12 * n * (n - 1))
+    assert row["z_u"] == pytest.approx(
+        (u1x2 - n1 * n2) / (2 * math.sqrt(var)), rel=1e-12
+    )
+
+
+def test_cramers_v_matches_contingency_recomputation(spark, sf_dir):
+    """chi2/n and V match a from-scratch contingency recomputation,
+    and the spine is complete (|levels_p| * |levels_s| cells folded)."""
+    row = REGISTRY["q_cramers_v"].fn(spark, sf_dir).collect()[0]
+    cells = _duck(
+        sf_dir,
+        "SELECT o_orderpriority, o_orderstatus, COUNT(*) "
+        "FROM '$SF/orders.parquet' GROUP BY 1, 2",
+    )
+    obs = {(p, s): c for p, s, c in cells}
+    ps = sorted({p for p, _, _ in cells})
+    ss = sorted({s for _, s, _ in cells})
+    n = sum(obs.values())
+    r = {p: sum(c for (pp, _), c in obs.items() if pp == p) for p in ps}
+    c = {s: sum(cc for (_, sss), cc in obs.items() if sss == s) for s in ss}
+    chi2_over_n = 0.0
+    for p in ps:  # same (p, s) fold order as both engines
+        for s in ss:
+            dev = n * obs.get((p, s), 0) - r[p] * c[s]
+            chi2_over_n += (dev * dev) / (n * n * r[p] * c[s])
+    assert (row["n_priority_levels"], row["n_status_levels"]) == (
+        len(ps),
+        len(ss),
+    )
+    assert row["dof"] == (len(ps) - 1) * (len(ss) - 1)
+    assert row["n_orders"] == n
+    assert row["chi2_over_n"] == pytest.approx(chi2_over_n, rel=1e-12)
+    assert row["cramers_v"] == pytest.approx(
+        math.sqrt(chi2_over_n / (min(len(ps), len(ss)) - 1)), rel=1e-12
+    )
+
+
+def _hourly_series(sf_dir):
+    rows = _duck(
+        sf_dir,
+        "SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT), "
+        "COUNT(*) FROM '$SF/events.parquet' GROUP BY 1, 2",
+    )
+    series: dict[str, dict[int, int]] = {}
+    for t, h, c in rows:
+        series.setdefault(t, {})[h] = c
+    return {
+        t: [(h, s.get(h, 0)) for h in range(min(s), max(s) + 1, 3600)]
+        for t, s in series.items()
+    }
+
+
+def test_theil_sen_matches_pure_python(spark, sf_dir):
+    """The reported median slope (and its witness fraction) equals a
+    pure-Python replay of the pairwise-slope median per type."""
+    got = {
+        r["event_type"]: r
+        for r in REGISTRY["events_theil_sen"].fn(spark, sf_dir).collect()
+    }
+    for t, sv in _hourly_series(sf_dir).items():
+        pairs = []
+        for a in range(len(sv)):
+            for b in range(a + 1, len(sv)):
+                num = sv[b][1] - sv[a][1]
+                den = (sv[b][0] - sv[a][0]) // 3600
+                pairs.append((num / den, num, den, sv[a][0]))
+        pairs.sort()
+        m = len(pairs)
+        med = pairs[(m + 1) // 2 - 1]
+        r = got[t]
+        assert r["n_hours"] == len(sv)
+        assert r["n_pairs"] == m
+        assert (r["slope_num"], r["slope_den"]) == (med[1], med[2])
+        assert r["ts_slope_per_hour"] == med[0]
+
+
+def test_kendall_tau_matches_pure_python(spark, sf_dir):
+    """Concordance counts conserve C(m,2) and tau-b equals the
+    pure-Python replay for every type pair."""
+    rows = REGISTRY["events_kendall_tau"].fn(spark, sf_dir).collect()
+    assert rows
+    series = {t: dict(sv) for t, sv in _hourly_series(sf_dir).items()}
+    for r in rows:
+        sa, sb = series[r["type_a"]], series[r["type_b"]]
+        hs = sorted(set(sa) & set(sb))
+        assert r["n_hours_common"] == len(hs)
+        x = [sa[h] for h in hs]
+        y = [sb[h] for h in hs]
+        nc = nd = tx = ty = txy = 0
+        for i in range(len(hs)):
+            for j in range(i + 1, len(hs)):
+                dx = (x[j] > x[i]) - (x[j] < x[i])
+                dy = (y[j] > y[i]) - (y[j] < y[i])
+                if dx * dy == 1:
+                    nc += 1
+                elif dx * dy == -1:
+                    nd += 1
+                elif dx == 0 and dy == 0:
+                    txy += 1
+                elif dx == 0:
+                    tx += 1
+                else:
+                    ty += 1
+        m = len(hs)
+        assert nc + nd + tx + ty + txy == m * (m - 1) // 2
+        assert (r["nc"], r["nd"]) == (nc, nd)
+        assert (r["n_tie_x"], r["n_tie_y"], r["n_tie_both"]) == (tx, ty, txy)
+        assert r["tau_b"] == pytest.approx(
+            (nc - nd) / math.sqrt((nc + nd + tx) * (nc + nd + ty)), rel=1e-12
+        )
