@@ -2271,3 +2271,259 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 graph_rich_club.__doc__ = graph_rich_club.__doc__.format(K=RICH_CLUB_KS)
+
+
+# ---------------------------------------------------------------------------
+# Katz centrality (finite attenuated path counts) over the mutual-kNN graph
+# ---------------------------------------------------------------------------
+KATZ_DEPTH = 3  # path lengths 1..3
+KATZ_BETA_DEN = 8  # attenuation beta = 1/8; scaled score uses 8^(3-k)
+
+
+def _katz_oracle() -> str:
+    return f"""
+    WITH {_knn_edges_cte()},
+    und AS MATERIALIZED (
+      SELECT e.src AS a, e.dst AS b FROM edges e
+      JOIN edges m ON m.src = e.dst AND m.dst = e.src
+      WHERE e.src < e.dst
+    ),
+    sym AS (SELECT a AS x, b AS y FROM und
+            UNION ALL SELECT b AS x, a AS y FROM und),
+    p1 AS (SELECT x AS node, CAST(COUNT(*) AS BIGINT) AS paths1
+           FROM sym GROUP BY x),
+    p2 AS (
+      SELECT s.x AS node, CAST(SUM(p.paths1) AS BIGINT) AS paths2
+      FROM sym s JOIN p1 p ON p.node = s.y GROUP BY s.x
+    ),
+    p3 AS (
+      SELECT s.x AS node, CAST(SUM(p.paths2) AS BIGINT) AS paths3
+      FROM sym s JOIN p2 p ON p.node = s.y GROUP BY s.x
+    )
+    SELECT p1.node, p1.paths1 AS deg, p2.paths2, p3.paths3,
+           {KATZ_BETA_DEN ** 2} * p1.paths1
+             + {KATZ_BETA_DEN} * p2.paths2 + p3.paths3 AS katz_scaled,
+           CAST({KATZ_BETA_DEN ** 2} * p1.paths1
+                + {KATZ_BETA_DEN} * p2.paths2 + p3.paths3 AS DOUBLE)
+             / {KATZ_BETA_DEN ** 3} AS katz
+    FROM p1 JOIN p2 ON p2.node = p1.node JOIN p3 ON p3.node = p1.node
+    """
+
+
+@register(
+    "graph_katz_centrality",
+    oracle=_katz_oracle(),
+    tags=("graph", "centrality"),
+)
+def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KATZ CENTRALITY over the mutual-kNN graph, truncated at path
+    length {D}: katz(i) = sum_k beta^k * (# walks of length k ending
+    at i) with beta = 1/{B} — the attenuated-influence score that
+    (unlike degree) credits a node for having WELL-CONNECTED
+    neighbors, and (unlike PageRank) without a stochastic
+    normalization, so every quantity stays an exact INTEGER walk
+    count: the emitted katz_scaled = {B}^2*p1 + {B}*p2 + p3 is exact
+    (p_k bounded by the mutual-degree cap deg <= k_nn, so p3 <=
+    {K}^3 = {K3} — far inside BIGINT at any corpus size), and the
+    single double division by {B}^3 is the only float. Truncation at
+    depth {D} makes the score a PURE FUNCTION of the graph (the
+    graph_bfs_distance argument) — no convergence tolerance to drift
+    across engines.
+
+    Scale shape: the mutual-edge build reuses the cluster-blocked kNN
+    join; each of the {D} hops is one node-keyed join + count-combine
+    on a frame bounded by the edge list (never wider), the Pregel
+    matvec shape with integer messages. Reference basis: SURVEY.md §2
+    graph family (absent in reference)."""
+    edges = _knn_edges(spark, sf_dir).select("src", "dst")
+    rev = edges.select(F.col("src").alias("m_src"), F.col("dst").alias("m_dst"))
+    und = (
+        edges.join(
+            rev,
+            (F.col("m_src") == F.col("dst")) & (F.col("m_dst") == F.col("src")),
+            "left_semi",
+        )
+        .filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    )
+    sym = und.select(F.col("a").alias("x"), F.col("b").alias("y")).unionByName(
+        und.select(F.col("b").alias("x"), F.col("a").alias("y"))
+    ).persist()
+    p1 = sym.groupBy(F.col("x").alias("node")).agg(
+        F.count("*").alias("paths1")
+    )
+    p2 = (
+        sym.join(p1.select(F.col("node").alias("y"), "paths1"), "y")
+        .groupBy(F.col("x").alias("node"))
+        .agg(F.sum("paths1").alias("paths2"))
+    )
+    p3 = (
+        sym.join(p2.select(F.col("node").alias("y"), "paths2"), "y")
+        .groupBy(F.col("x").alias("node"))
+        .agg(F.sum("paths2").alias("paths3"))
+    )
+    scaled = (
+        F.lit(KATZ_BETA_DEN**2) * F.col("paths1")
+        + F.lit(KATZ_BETA_DEN) * F.col("paths2")
+        + F.col("paths3")
+    )
+    out = (
+        p1.join(p2, "node")
+        .join(p3, "node")
+        .select(
+            "node",
+            F.col("paths1").alias("deg"),
+            "paths2",
+            "paths3",
+            scaled.cast("long").alias("katz_scaled"),
+            (scaled.cast("double") / F.lit(float(KATZ_BETA_DEN**3))).alias(
+                "katz"
+            ),
+        )
+    )
+    sym.unpersist()
+    return out
+
+
+graph_katz_centrality.__doc__ = graph_katz_centrality.__doc__.format(
+    D=KATZ_DEPTH, B=KATZ_BETA_DEN, K=KNN_GRAPH_K, K3=KNN_GRAPH_K**3
+)
+
+
+# ---------------------------------------------------------------------------
+# Double-sweep bounded eccentricity (diameter lower bound) over the
+# mutual-kNN graph
+# ---------------------------------------------------------------------------
+DSWEEP_HOPS = 5  # per-sweep BFS bound: "eccentricity within <= 5 hops"
+
+
+def _dsweep_bfs_cte(tag: str, seed_cte: str) -> str:
+    steps = []
+    for t in range(1, DSWEEP_HOPS + 1):
+        steps.append(f""",
+    {tag}{t} AS (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM {tag}{t - 1}
+        UNION ALL
+        SELECT s.y AS node, d.dist + 1 AS dist
+        FROM {tag}{t - 1} d JOIN sym s ON s.x = d.node
+      ) GROUP BY node
+    )""")
+    return f"""
+    {tag}0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM {seed_cte})
+    {"".join(steps)}"""
+
+
+def _dsweep_oracle() -> str:
+    return f"""
+    WITH {_knn_edges_cte()},
+    und AS MATERIALIZED (
+      SELECT e.src AS a, e.dst AS b FROM edges e
+      JOIN edges m ON m.src = e.dst AND m.dst = e.src
+      WHERE e.src < e.dst
+    ),
+    sym AS (SELECT a AS x, b AS y FROM und
+            UNION ALL SELECT b AS x, a AS y FROM und),
+    deg AS (SELECT x AS node, COUNT(*) AS d FROM sym GROUP BY x),
+    root AS (SELECT node FROM deg ORDER BY d DESC, node ASC LIMIT 1),
+    {_dsweep_bfs_cte("ra", "root")},
+    far AS (SELECT node FROM ra{DSWEEP_HOPS}
+            ORDER BY dist DESC, node ASC LIMIT 1),
+    {_dsweep_bfs_cte("fb", "far")}
+    SELECT (SELECT node FROM root) AS root_node,
+           (SELECT CAST(MAX(dist) AS BIGINT) FROM ra{DSWEEP_HOPS})
+             AS ecc_root,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM ra{DSWEEP_HOPS})
+             AS n_reached_root,
+           (SELECT node FROM far) AS far_node,
+           (SELECT CAST(MAX(dist) AS BIGINT) FROM fb{DSWEEP_HOPS})
+             AS ecc_far,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM fb{DSWEEP_HOPS})
+             AS n_reached_far
+    """
+
+
+@register(
+    "graph_double_sweep",
+    oracle=_dsweep_oracle(),
+    tags=("graph", "iterative"),
+)
+def graph_double_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOUBLE-SWEEP diameter probe of the mutual-kNN graph: BFS from
+    the max-degree node (tie: min id), hop to the farthest node it
+    reached (tie: min id), BFS again — ecc_far is the classic
+    near-tight DIAMETER LOWER BOUND at two traversals' cost (vs the
+    all-pairs O(n) sweeps an exact diameter needs — the standard
+    trade on big graphs). Both sweeps are bounded at {H} relax
+    rounds (the graph_bfs_distance contract: "eccentricity within <=
+    {H} hops" is a pure function of the graph — no convergence
+    drift), so the statistic is exact and engine-identical; both
+    seed selections are deterministic lexicographic argmaxes. On the
+    fragmented mutual graph the sweep stays inside the root's
+    component (n_reached_* reports its size — itself the diagnostic
+    for "is the semantic graph one blob or islands").
+
+    Scale shape: per round one node-keyed join + min-combine over a
+    frontier-bounded frame (the Pregel shape); seed frames are 1-row
+    broadcasts; the two tiny argmax reduces are TakeOrdered, never a
+    global sort. Reference basis: SURVEY.md §2 graph family (absent
+    in reference)."""
+    edges = _knn_edges(spark, sf_dir).select("src", "dst")
+    rev = edges.select(F.col("src").alias("m_src"), F.col("dst").alias("m_dst"))
+    und = (
+        edges.join(
+            rev,
+            (F.col("m_src") == F.col("dst")) & (F.col("m_dst") == F.col("src")),
+            "left_semi",
+        )
+        .filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    )
+    sym = und.select(F.col("a").alias("x"), F.col("b").alias("y")).unionByName(
+        und.select(F.col("b").alias("x"), F.col("a").alias("y"))
+    ).persist()
+
+    def bfs(seed: DataFrame) -> DataFrame:
+        dist = seed.select("node", F.lit(0).cast("long").alias("dist"))
+        for _ in range(DSWEEP_HOPS):
+            relaxed = sym.join(
+                dist, sym.x == dist.node
+            ).select(F.col("y").alias("node"), (F.col("dist") + 1).alias("dist"))
+            dist = (
+                dist.unionByName(relaxed)
+                .groupBy("node")
+                .agg(F.min("dist").alias("dist"))
+                .localCheckpoint(eager=True)
+            )
+        return dist
+
+    deg = sym.groupBy(F.col("x").alias("node")).agg(F.count("*").alias("d"))
+    root = deg.orderBy(F.desc("d"), F.asc("node")).limit(1).select("node")
+    ra = bfs(root)
+    far = ra.orderBy(F.desc("dist"), F.asc("node")).limit(1).select("node")
+    fb = bfs(far)
+    sym.unpersist()
+    root_1 = root.select(F.col("node").alias("root_node"))
+    far_1 = far.select(F.col("node").alias("far_node"))
+    ecc_a = ra.agg(
+        F.max("dist").alias("ecc_root"), F.count("*").alias("n_reached_root")
+    )
+    ecc_b = fb.agg(
+        F.max("dist").alias("ecc_far"), F.count("*").alias("n_reached_far")
+    )
+    return (
+        root_1.crossJoin(F.broadcast(ecc_a))
+        .crossJoin(F.broadcast(far_1))
+        .crossJoin(F.broadcast(ecc_b))
+        .select(
+            "root_node",
+            "ecc_root",
+            "n_reached_root",
+            "far_node",
+            "ecc_far",
+            "n_reached_far",
+        )
+    )
+
+
+graph_double_sweep.__doc__ = graph_double_sweep.__doc__.format(H=DSWEEP_HOPS)

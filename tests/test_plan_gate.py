@@ -194,6 +194,12 @@ _BNLJ_WAIVERS: dict[str, str] = {
     "q_hoover_index": _R_SCALAR
     + " (1-row (n, total) frame broadcast over the customer rollup, "
     "then two 1-row frames crossed for the final index)",
+    "graph_katz_centrality": _R_QUERYSET
+    + " (the shared kNN assignment's broadcast codebook routing)",
+    "graph_double_sweep": _R_QUERYSET
+    + " (kNN assignment codebook) plus three 1-row frames — the root/"
+    "far seed picks and the two eccentricity reduces — crossed into "
+    "the single summary row",
     "graph_modularity": _R_SCALAR
     + " (1-row mutual-edge-count frame m broadcast into the "
     "communities-sized rollup)",

@@ -192,3 +192,67 @@ def test_kendall_tau_matches_pure_python(spark, sf_dir):
         assert r["tau_b"] == pytest.approx(
             (nc - nd) / math.sqrt((nc + nd + tx) * (nc + nd + ty)), rel=1e-12
         )
+
+
+def _mutual_adj(spark, sf_dir):
+    """Undirected adjacency of the mutual-kNN graph, rebuilt from the
+    already-driver-verified sim_knn_graph edge list."""
+    edges = REGISTRY["sim_knn_graph"].fn(spark, sf_dir).collect()
+    adj: dict[int, set[int]] = {}
+    for e in edges:
+        if e["mutual"]:
+            adj.setdefault(e["src"], set()).add(e["dst"])
+            adj.setdefault(e["dst"], set()).add(e["src"])
+    return adj
+
+
+def test_katz_centrality_matches_walk_counts(spark, sf_dir):
+    """katz_scaled equals 64*deg + 8*p2 + p3 with p_k true walk counts
+    recomputed by pure-Python neighborhood sums."""
+    adj = _mutual_adj(spark, sf_dir)
+    rows = REGISTRY["graph_katz_centrality"].fn(spark, sf_dir).collect()
+    assert rows and len(rows) == len(adj)
+    p1 = {n: len(ns) for n, ns in adj.items()}
+    p2 = {n: sum(p1[m] for m in adj[n]) for n in adj}
+    p3 = {n: sum(p2[m] for m in adj[n]) for n in adj}
+    for r in rows:
+        n = r["node"]
+        assert r["deg"] == p1[n]
+        assert r["paths2"] == p2[n]
+        assert r["paths3"] == p3[n]
+        scaled = 64 * p1[n] + 8 * p2[n] + p3[n]
+        assert r["katz_scaled"] == scaled
+        assert r["katz"] == scaled / 512
+
+
+def test_double_sweep_matches_pure_bfs(spark, sf_dir):
+    """Root choice, both bounded eccentricities, reach counts, and the
+    far-node choice all match a pure-Python double sweep."""
+    adj = _mutual_adj(spark, sf_dir)
+    row = REGISTRY["graph_double_sweep"].fn(spark, sf_dir).collect()[0]
+
+    def bfs(seed, hops=5):
+        dist = {seed: 0}
+        frontier = [seed]
+        for d in range(1, hops + 1):
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in dist:
+                        dist[v] = d
+                        nxt.append(v)
+            frontier = nxt
+        return dist
+
+    root = min(adj, key=lambda n: (-len(adj[n]), n))
+    assert row["root_node"] == root
+    da = bfs(root)
+    assert row["ecc_root"] == max(da.values())
+    assert row["n_reached_root"] == len(da)
+    far = min(da, key=lambda n: (-da[n], n))
+    assert row["far_node"] == far
+    db = bfs(far)
+    assert row["ecc_far"] == max(db.values())
+    assert row["n_reached_far"] == len(db)
+    # the double-sweep invariant: the second eccentricity dominates
+    assert row["ecc_far"] >= row["ecc_root"] - 0  # lower bound witness
