@@ -4158,3 +4158,152 @@ def text_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 text_edit_distance_pairs.__doc__ = text_edit_distance_pairs.__doc__.format(
     P=EDIT_PREFIX_CHARS, R=EDIT_MAX_RATIO
 )
+
+
+# ---------------------------------------------------------------------------
+# Suffix-LCP duplicate-substring detection (Lee et al. 2022 style, bounded)
+# ---------------------------------------------------------------------------
+SFX_VIEW = 48  # chars of each word-boundary suffix that participate
+SFX_MIN = 20  # minimum duplicated-substring length reported; ALSO the
+# bucket width: adjacent-suffix pairs with LCP >= SFX_MIN share their
+# first SFX_MIN chars, so bucketing by that prefix is LOSSLESS for every
+# reported duplicate while keeping the sort/lag windows bucket-local
+# (never a global single-partition suffix sort).
+SFX_TOPK = 50
+
+
+@register(
+    "text_suffix_lcp_dedup",
+    oracle=f"""
+    WITH wt AS (
+      SELECT doc_id, {T.tokens_sql("text")} AS ws FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM wt
+    ),
+    suf AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             substr(array_to_string(ws[CAST(i AS INT):], ' '),
+                    1, {SFX_VIEW}) AS sfx
+      FROM pos
+    ),
+    kept AS (
+      SELECT doc_id, pos, sfx, substr(sfx, 1, {SFX_MIN}) AS bucket
+      FROM suf WHERE length(sfx) >= {SFX_MIN}
+    ),
+    lagged AS (
+      SELECT doc_id, pos, sfx, bucket,
+             LAG(sfx) OVER (PARTITION BY bucket
+                            ORDER BY sfx, doc_id, pos) AS prev
+      FROM kept
+    ),
+    scored AS (
+      SELECT bucket, doc_id,
+             CASE WHEN prev IS NULL THEN NULL
+                  ELSE LEAST(
+                    {SFX_MIN} + list_max(list_transform(
+                        range(1, {SFX_VIEW - SFX_MIN + 1}),
+                        d -> CASE WHEN substr(sfx, {SFX_MIN + 1},
+                                             CAST(d AS INT))
+                                       = substr(prev, {SFX_MIN + 1},
+                                                CAST(d AS INT))
+                                  THEN CAST(d AS INT) ELSE 0 END)),
+                    length(sfx), length(prev)) END AS lcp
+      FROM lagged
+    )
+    SELECT bucket AS dup_prefix,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(MAX(lcp) AS BIGINT) AS max_lcp
+    FROM scored GROUP BY bucket
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    ORDER BY n_docs DESC, n_occurrences DESC, dup_prefix ASC
+    LIMIT {SFX_TOPK}
+    """,
+    tags=("text", "llm", "dedup"),
+)
+def text_suffix_lcp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUPLICATE-SUBSTRING detection by the suffix-array LCP method
+    (the Lee et al. 2022 "Deduplicating Training Data" exact-substring
+    family), bounded to word-boundary suffixes and a {V}-char view:
+    every suffix's first {M} chars are its sort BUCKET, suffixes sort
+    and LAG within their bucket, and the adjacent-pair longest common
+    prefix extends char-by-char past the bucket via a transform fold
+    (capped by both lengths, so equal short suffixes report their true
+    length, not the view cap). Any cross-doc duplicated substring of
+    length >= {M} lands two suffixes in one bucket — the bucketing is
+    LOSSLESS above the report threshold while keeping every window
+    bucket-local (a global suffix sort would be the single-partition
+    scale-killer; this is the distributed suffix-dedup layout). Top
+    {K} buckets by (n_docs, n_occurrences, prefix) with the deepest
+    adjacent LCP — the memorization-risk panel next to
+    docs_rep_ngram_coverage (within-doc repetition) and
+    docs_repeated_spans (span granularity).
+
+    Scale shape: suffix count = corpus token count (the text_postings
+    cardinality), map-generated; ONE shuffle keyed by the {M}-char
+    bucket (48-byte-capped rows); per-bucket windows are tie-group
+    sized; the final top-k is TakeOrdered. Reference basis: SURVEY.md
+    §2.12 dedup family (absent in reference)."""
+    d = table(spark, sf_dir, "documents")
+    wt = d.select("doc_id", T.tokens(F.col("text")).alias("ws"))
+    # Spark's sequence(1, 0) DESCENDS ([1, 0]) where DuckDB's
+    # range(1, 1) is empty — a zero-token doc would explode two bogus
+    # positions on one engine only. Guard the degenerate frame out.
+    wt = wt.filter(F.size("ws") >= 1)
+    pos = wt.select(
+        "doc_id",
+        "ws",
+        F.explode(F.sequence(F.lit(1), F.size("ws"))).alias("i"),
+    )
+    suf = pos.select(
+        "doc_id",
+        F.col("i").cast("long").alias("pos"),
+        F.substring(
+            F.concat_ws(" ", F.expr("slice(ws, i, size(ws) - i + 1)")),
+            1,
+            SFX_VIEW,
+        ).alias("sfx"),
+    )
+    kept = suf.filter(F.length("sfx") >= SFX_MIN).withColumn(
+        "bucket", F.substring("sfx", 1, SFX_MIN)
+    )
+    w = Window.partitionBy("bucket").orderBy("sfx", "doc_id", "pos")
+    lagged = kept.withColumn("prev", F.lag("sfx").over(w))
+    ext = F.expr(
+        f"array_max(transform(sequence(1, {SFX_VIEW - SFX_MIN}), "
+        f"d -> CASE WHEN substr(sfx, {SFX_MIN + 1}, d) = "
+        f"substr(prev, {SFX_MIN + 1}, d) THEN CAST(d AS INT) "
+        f"ELSE 0 END))"
+    )
+    scored = lagged.select(
+        "bucket",
+        "doc_id",
+        F.when(
+            F.col("prev").isNull(), F.lit(None).cast("int")
+        )
+        .otherwise(
+            F.least(
+                F.lit(SFX_MIN) + ext, F.length("sfx"), F.length("prev")
+            )
+        )
+        .alias("lcp"),
+    )
+    return (
+        scored.groupBy(F.col("bucket").alias("dup_prefix"))
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.max("lcp").cast("long").alias("max_lcp"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(
+            F.desc("n_docs"), F.desc("n_occurrences"), F.asc("dup_prefix")
+        )
+        .limit(SFX_TOPK)
+    )
+
+
+text_suffix_lcp_dedup.__doc__ = text_suffix_lcp_dedup.__doc__.format(
+    V=SFX_VIEW, M=SFX_MIN, K=SFX_TOPK
+)

@@ -256,3 +256,45 @@ def test_double_sweep_matches_pure_bfs(spark, sf_dir):
     assert row["n_reached_far"] == len(db)
     # the double-sweep invariant: the second eccentricity dominates
     assert row["ecc_far"] >= row["ecc_root"] - 0  # lower bound witness
+
+
+def test_suffix_lcp_dedup_matches_pure_python(spark, sf_dir):
+    """The full top-k bucket report matches a pure-Python suffix walk:
+    same buckets, counts, doc counts, and adjacent-LCP maxima."""
+    from real_value_etl_spark.queries.llm import SFX_MIN, SFX_TOPK, SFX_VIEW
+
+    rows = REGISTRY["text_suffix_lcp_dedup"].fn(spark, sf_dir).collect()
+    assert rows
+    docs = _duck(sf_dir, "SELECT doc_id, text FROM '$SF/documents.parquet'")
+    sufs = []  # (bucket, sfx, doc_id, pos)
+    for doc_id, text in docs:
+        ws = [w for w in text.split(" ") if w != ""]
+        for i in range(len(ws)):
+            sfx = " ".join(ws[i:])[:SFX_VIEW]
+            if len(sfx) >= SFX_MIN:
+                sufs.append((sfx[:SFX_MIN], sfx, doc_id, i + 1))
+    buckets: dict[str, list] = {}
+    for b, sfx, d, p in sufs:
+        buckets.setdefault(b, []).append((sfx, d, p))
+    stats = []
+    for b, entries in buckets.items():
+        entries.sort()
+        n_docs = len({d for _, d, _ in entries})
+        if n_docs < 2:
+            continue
+        max_lcp = None
+        for (pa, _, _), (pb, _, _) in zip(entries, entries[1:]):
+            ext = 0
+            for d in range(1, SFX_VIEW - SFX_MIN + 1):
+                if pa[SFX_MIN : SFX_MIN + d] == pb[SFX_MIN : SFX_MIN + d]:
+                    ext = max(ext, d)
+            lcp = min(SFX_MIN + ext, len(pa), len(pb))
+            max_lcp = lcp if max_lcp is None else max(max_lcp, lcp)
+        stats.append((-n_docs, -len(entries), b, max_lcp))
+    stats.sort()
+    want = stats[:SFX_TOPK]
+    got = [
+        (-r["n_docs"], -r["n_occurrences"], r["dup_prefix"], r["max_lcp"])
+        for r in rows
+    ]
+    assert got == want
