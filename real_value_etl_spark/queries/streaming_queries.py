@@ -598,3 +598,69 @@ def stream_minmax_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch MIN/MAX + witness recovery bit-for-bit (doubles compare
     exactly — no arithmetic ever touches the carried values)."""
     return jobs.stream_minmax_witness(spark, sf_dir)
+
+
+@register(
+    "stream_moments",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s1,
+             SUM(CAST(cents AS HUGEINT) * cents) AS s2h,
+             SUM(CAST(cents AS HUGEINT) * cents * cents) AS s3h,
+             SUM(CAST(cents AS HUGEINT) * cents * cents * cents) AS s4h
+      FROM c GROUP BY 1
+    ),
+    d AS (
+      SELECT event_type, n, s1,
+             CAST(s2h AS VARCHAR) AS s2_str,
+             CAST(s3h AS VARCHAR) AS s3_str,
+             CAST(s4h AS VARCHAR) AS s4_str,
+             CAST(n AS DOUBLE) AS nd,
+             CAST(CAST(s1 AS VARCHAR) AS DOUBLE) AS s1d,
+             CAST(CAST(s2h AS VARCHAR) AS DOUBLE) AS s2d,
+             CAST(CAST(s3h AS VARCHAR) AS DOUBLE) AS s3d,
+             CAST(CAST(s4h AS VARCHAR) AS DOUBLE) AS s4d
+      FROM s
+    ),
+    m AS (
+      SELECT event_type, n, s1, s2_str, s3_str, s4_str, nd, s1d,
+             (nd * s2d - s1d * s1d) / (nd * nd) AS m2,
+             (nd * nd * s3d - 3.0 * nd * s1d * s2d
+              + 2.0 * s1d * s1d * s1d) / (nd * nd * nd) AS m3,
+             (nd * nd * nd * s4d
+              - 4.0 * nd * nd * s1d * s3d
+              + 6.0 * nd * s1d * s1d * s2d
+              - 3.0 * s1d * s1d * s1d * s1d)
+               / (nd * nd * nd * nd) AS m4
+      FROM d
+    )
+    SELECT event_type, n AS n_values, s1 AS sum_cents,
+           s2_str, s3_str, s4_str,
+           s1d / nd / 100.0 AS mean_value,
+           m2 AS var_pop_cents2,
+           m3 / (m2 * sqrt(m2)) AS skewness,
+           m4 / (m2 * m2) - 3.0 AS kurtosis_excess
+    FROM m
+    """,
+    tags=("stream", "stateful", "moments", "pandas_udf"),
+)
+def stream_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact MOMENTS per event type — the EIGHTH streaming
+    state family: the state is the merge-by-addition power-sum vector
+    (n, sum c, sum c^2..c^4) over integer cents, held as
+    arbitrary-precision strings so it NEVER saturates (cents^4 alone
+    breaks int64); any point-in-time drain yields exact mean /
+    population variance / skewness / excess kurtosis with one
+    identically-shaped double expression per statistic (the exact
+    sums render to double through strings — the VARCHAR doctrine).
+    Counter-family merge law (like Count-Min / HDR): needs
+    exactly-once delivery, provided by availableNow + checkpointed
+    state. The drained sums must equal a batch SQL replay
+    bit-for-bit, strings included."""
+    return jobs.stream_moments(spark, sf_dir)

@@ -1508,3 +1508,125 @@ def stream_minmax_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("max_value") - F.col("min_value")).alias("value_range"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming exact power-sum moments — the EIGHTH streaming state family:
+# the state is the merge-by-ADDITION vector (n, s1..s4) of integer-cent
+# power sums, so mean/variance/skew/kurtosis of the whole stream are
+# recoverable from O(1) state per key at any point. s2..s4 overflow int64
+# (cents^4 alone is ~6e18), so they live as STRINGS of arbitrary-precision
+# Python ints — the state stays EXACT at any stream length; the emitted
+# moment ratios are the only doubles, derived from the string-rendered
+# exact sums identically on both engines (the VARCHAR doctrine).
+# ---------------------------------------------------------------------------
+_MOM_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("s1", StringType()),
+        StructField("s2", StringType()),
+        StructField("s3", StringType()),
+        StructField("s4", StringType()),
+        StructField("n_batches", LongType()),
+    ]
+)
+_MOM_OUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n", LongType()),
+        StructField("s1", StringType()),
+        StructField("s2", StringType()),
+        StructField("s3", StringType()),
+        StructField("s4", StringType()),
+        StructField("n_batches", LongType()),
+    ]
+)
+
+
+def _mom_state(
+    key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState kernel: integer power-sum state. The cents
+    are floored JVM-side (the kernel never touches a double), so the
+    Python side only ever ADDS exact ints — the counter-family merge law
+    (exactly-once via availableNow + checkpointed state)."""
+    if state.exists:
+        n, s1, s2, s3, s4, nb = state.get
+        s1, s2, s3, s4 = int(s1), int(s2), int(s3), int(s4)
+    else:
+        n, s1, s2, s3, s4, nb = 0, 0, 0, 0, 0, 0
+    for pdf in pdfs:
+        cl = [int(c) for c in pdf["cents"]]
+        n += len(cl)
+        s1 += sum(cl)
+        s2 += sum(c * c for c in cl)
+        s3 += sum(c * c * c for c in cl)
+        s4 += sum(c * c * c * c for c in cl)
+    nb += 1
+    state.update((n, str(s1), str(s2), str(s3), str(s4), nb))
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "n": [n],
+            "s1": [str(s1)],
+            "s2": [str(s2)],
+            "s3": [str(s3)],
+            "s4": [str(s4)],
+            "n_batches": [nb],
+        }
+    )
+
+
+def stream_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact moments per event type from O(1) mergeable
+    power-sum state: n, sum(c), sum(c^2..c^4) over integer cents
+    (floored JVM-side), held as arbitrary-precision strings so the
+    state NEVER saturates; mean/variance/skewness/excess-kurtosis are
+    derived once at drain time from the string-rendered exact sums,
+    with the identical double expression shape on both engines."""
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", WATERMARK)
+    cents = ev.filter(F.col("value").isNotNull()).select(
+        "event_type", F.floor(F.col("value") * 100).cast("long").alias("cents")
+    )
+    out = cents.groupBy("event_type").applyInPandasWithState(
+        _mom_state,
+        outputStructType=_MOM_OUT_SCHEMA,
+        stateStructType=_MOM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    drained = _drain(spark, out, "mem_stream_moments", "update")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.desc("n_batches"))
+    last = (
+        drained.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .drop("__r", "n_batches")
+    )
+    nd = F.col("n").cast("double")
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    s3d = F.col("s3").cast("double")
+    s4d = F.col("s4").cast("double")
+    m2 = (nd * s2d - s1d * s1d) / (nd * nd)
+    m3 = (nd * nd * s3d - F.lit(3.0) * nd * s1d * s2d
+          + F.lit(2.0) * s1d * s1d * s1d) / (nd * nd * nd)
+    m4 = (
+        nd * nd * nd * s4d
+        - F.lit(4.0) * nd * nd * s1d * s3d
+        + F.lit(6.0) * nd * s1d * s1d * s2d
+        - F.lit(3.0) * s1d * s1d * s1d * s1d
+    ) / (nd * nd * nd * nd)
+    return last.select(
+        "event_type",
+        F.col("n").alias("n_values"),
+        F.col("s1").cast("long").alias("sum_cents"),
+        F.col("s2").alias("s2_str"),
+        F.col("s3").alias("s3_str"),
+        F.col("s4").alias("s4_str"),
+        (s1d / nd / F.lit(100.0)).alias("mean_value"),
+        m2.alias("var_pop_cents2"),
+        (m3 / (m2 * F.sqrt(m2))).alias("skewness"),
+        (m4 / (m2 * m2) - F.lit(3.0)).alias("kurtosis_excess"),
+    )

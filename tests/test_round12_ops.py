@@ -298,3 +298,59 @@ def test_suffix_lcp_dedup_matches_pure_python(spark, sf_dir):
         for r in rows
     ]
     assert got == want
+
+
+def test_stream_moments_matches_exact_power_sums(spark, sf_dir):
+    """Drained streaming state equals exact big-int power sums over the
+    raw values — including s4, which exceeds 2^53 already at sf0.001
+    (so a double-typed state would silently lose exactness; int64
+    overflows at larger scales — the reason the state is string-typed)
+    — and the derived moments match the identical double expressions."""
+    rows = REGISTRY["stream_moments"].fn(spark, sf_dir).collect()
+    assert rows
+    raw = _duck(
+        sf_dir,
+        "SELECT event_type, CAST(floor(value * 100) AS BIGINT) "
+        "FROM '$SF/events.parquet' WHERE value IS NOT NULL",
+    )
+    sums: dict[str, list[int]] = {}
+    for t, c in raw:
+        s = sums.setdefault(t, [0, 0, 0, 0, 0])
+        s[0] += 1
+        s[1] += c
+        s[2] += c * c
+        s[3] += c**3
+        s[4] += c**4
+    assert any(s[4] > 2**53 for s in sums.values())  # double exactness breaks
+    for r in rows:
+        n, s1, s2, s3, s4 = sums[r["event_type"]]
+        assert r["n_values"] == n
+        assert r["sum_cents"] == s1
+        assert (r["s2_str"], r["s3_str"], r["s4_str"]) == (
+            str(s2),
+            str(s3),
+            str(s4),
+        )
+        nd, s1d, s2d, s3d, s4d = (
+            float(n),
+            float(s1),
+            float(s2),
+            float(s3),
+            float(s4),
+        )
+        m2 = (nd * s2d - s1d * s1d) / (nd * nd)
+        m3 = (nd * nd * s3d - 3.0 * nd * s1d * s2d + 2.0 * s1d * s1d * s1d) / (
+            nd * nd * nd
+        )
+        m4 = (
+            nd * nd * nd * s4d
+            - 4.0 * nd * nd * s1d * s3d
+            + 6.0 * nd * s1d * s1d * s2d
+            - 3.0 * s1d * s1d * s1d * s1d
+        ) / (nd * nd * nd * nd)
+        assert r["mean_value"] == pytest.approx(s1 / n / 100.0, rel=1e-12)
+        assert r["var_pop_cents2"] == pytest.approx(m2, rel=1e-9)
+        assert r["skewness"] == pytest.approx(m3 / (m2 * math.sqrt(m2)), rel=1e-6)
+        assert r["kurtosis_excess"] == pytest.approx(
+            m4 / (m2 * m2) - 3.0, rel=1e-6
+        )
