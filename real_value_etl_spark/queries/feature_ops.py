@@ -5285,3 +5285,276 @@ def emb_pca_deflation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 emb_pca_deflation.__doc__ = emb_pca_deflation.__doc__.format(T=POW_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# GIF89a block walk — fifteenth byte codec: the file is a CHAIN of tagged
+# blocks (extensions / image descriptors / trailer) and every data region
+# is a SUB-BLOCK chain (length byte + payload, 0-terminated), so the walk
+# is a two-level data-dependent scan: outer block introducers, inner
+# length-byte hops — the container structure that makes GIF the classic
+# streaming-parse format.
+# ---------------------------------------------------------------------------
+GIF_MAX_BLOCKS = 7  # n_ext (<= 2) + n_frames (<= 4) + trailer
+GIF_MAX_SUBBLOCKS = 4  # per chain: <= 1 full (255) + 1 remainder + term
+
+
+@register(
+    "multimodal_gif_frame_walk",
+    oracle="""
+    WITH src AS (
+      SELECT doc_id,
+             doc_id % 317 + 4 AS width,
+             doc_id % 211 + 3 AS height,
+             doc_id % 3 AS n,
+             doc_id % 3 AS n_ext,
+             doc_id % 4 + 1 AS n_frames,
+             doc_id % 29 + 1 AS fw,
+             doc_id % 13 + 1 AS fh
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, width, height, n, n_ext, n_frames, fw, fh,
+             (fw * fh) AS l,
+             (fw * fh) // 255 AS nfull,
+             3 * (1 << (CAST(n AS INT) + 1)) AS gct_bytes
+      FROM src
+    )
+    SELECT doc_id,
+           TRUE AS magic_ok,
+           CAST(width AS BIGINT) AS width,
+           CAST(height AS BIGINT) AS height,
+           TRUE AS gct_flag,
+           CAST(1 << (CAST(n AS INT) + 1) AS BIGINT) AS gct_entries,
+           CAST(n_ext AS BIGINT) AS n_extensions,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(n_frames * l AS BIGINT) AS lzw_data_bytes,
+           CAST(fw AS BIGINT) AS last_frame_w,
+           CAST(fh AS BIGINT) AS last_frame_h,
+           TRUE AS trailer_ok,
+           CAST(13 + gct_bytes + 8 * n_ext
+                + n_frames * (11 + l + nfull + 2) + 1 AS BIGINT)
+             AS total_len,
+           TRUE AS length_ok
+    FROM g
+    """,
+    tags=("multimodal", "llm", "binary", "image"),
+)
+def multimodal_gif_frame_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF89a BLOCK WALK — the fifteenth byte codec and the first with a
+    TWO-LEVEL data-dependent scan: the outer loop dispatches on block
+    INTRODUCERS (0x21 extension, 0x2C image descriptor, 0x3B trailer),
+    and every data region inside is a SUB-BLOCK CHAIN — a length byte,
+    that many payload bytes, repeat until a 0x00 terminator — so
+    neither a block's extent nor the file's frame count exists without
+    walking every length byte (the Ogg lacing idea, but NESTED inside
+    a tagged-block stream). Each document becomes a byte-valid GIF89a:
+    logical screen descriptor with little-endian dims and a packed
+    flags byte whose low bits size the global color table
+    (3 * 2^(N+1) bytes, skipped by the parse exactly as a decoder
+    must), 0..2 graphic-control extensions, 1..4 image descriptors
+    with equal dims and a sub-block-chained fake-LZW payload (real LZW
+    entropy coding is the documented stub — the CONTAINER layer, which
+    is what a corpus scanner needs for dimensions/frame counts, is
+    fully real), and the 0x3B trailer. The walk re-derives every
+    emitted field from the bytes alone: magic, dims, GCT geometry,
+    per-introducer block counts, summed sub-block payload bytes, the
+    LAST frame's descriptor dims (proof the walk reached it), trailer
+    presence, and a total-length cross-check. Chained narrow
+    projections (the MP3-walk idiom), {B} outer x {S} inner bounded
+    steps. Map-only, zero exchanges at any scale; bytes never reach
+    Python."""
+    d = table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+
+    def hx(c, nbytes):  # big-endian fixed-width hex of a column
+        return F.lpad(F.hex(c.cast("long")), 2 * nbytes, "0")
+
+    def lehex(c, nbytes):  # little-endian fixed-width hex
+        h = hx(c, nbytes)
+        return F.concat(
+            *[F.substring(h, 2 * nbytes - 1 - 2 * i, 2) for i in range(nbytes)]
+        )
+
+    width = did % 317 + 4
+    height = did % 211 + 3
+    n_bits = (did % 3).cast("long")
+    pow2 = F.array(*[F.lit(1 << k).cast("long") for k in range(9)])
+    gct_bytes = F.lit(3) * F.element_at(pow2, (n_bits + 2).cast("int"))
+    n_ext = (did % 3).cast("long")
+    n_frames = (did % 4 + 1).cast("long")
+    fw = (did % 29 + 1).cast("long")
+    fh = (did % 13 + 1).cast("long")
+    big_l = fw * fh
+    nfull = F.call_function("div", big_l, F.lit(255).cast("long"))
+    rem = big_l - F.lit(255) * nfull
+    gct_fill = hx(did % 251, 1)
+    bh = hx((did * 7 + 13) % 256, 1)
+    ext_hex = F.concat(
+        F.lit("21f904"),
+        hx(did % 8, 1),
+        lehex(did % 1000, 2),
+        F.lit("00"),
+        F.lit("00"),
+    )
+    chain_hex = F.when(
+        nfull >= 1,
+        F.concat(
+            F.lit("ff"),
+            F.repeat(bh, 255),
+            hx(rem, 1),
+            F.repeat(bh, rem.cast("int")),
+            F.lit("00"),
+        ),
+    ).otherwise(
+        F.concat(hx(big_l, 1), F.repeat(bh, big_l.cast("int")), F.lit("00"))
+    )
+    frame_hex = F.concat(
+        F.lit("2c"),
+        F.lit("00000000"),  # left, top (LE u16 each)
+        lehex(fw, 2),
+        lehex(fh, 2),
+        F.lit("00"),  # packed: no local color table
+        F.lit("02"),  # LZW minimum code size
+        chain_hex,
+    )
+    payload_hex = F.concat(
+        F.lit("474946383961"),  # "GIF89a"
+        lehex(width, 2),
+        lehex(height, 2),
+        hx(F.lit(0xF0) + n_bits, 1),  # GCT flag + color res 7 + size N
+        F.lit("0000"),  # background index, aspect
+        F.repeat(gct_fill, gct_bytes.cast("int")),
+        F.repeat(ext_hex, n_ext.cast("int")),
+        F.repeat(frame_hex, n_frames.cast("int")),
+        F.lit("3b"),
+    )
+    gif = d.select("doc_id", F.unhex(payload_hex).alias("payload"))
+    p = F.col("payload")
+
+    def rd(pos, nbytes=1):
+        return F.conv(
+            F.hex(F.substring(p, pos.cast("int"), nbytes)), 16, 10
+        ).cast("long")
+
+    def rd_le16(pos):
+        h = F.hex(F.substring(p, pos.cast("int"), 2))
+        return F.conv(
+            F.concat(F.substring(h, 3, 2), F.substring(h, 1, 2)), 16, 10
+        ).cast("long")
+
+    pk = rd(F.lit(11))
+    st = gif.select(
+        "doc_id",
+        "payload",
+        F.octet_length(p).cast("long").alias("plen"),
+        (F.decode(F.substring(p, 1, 6), "utf-8") == "GIF89a").alias(
+            "magic_ok"
+        ),
+        rd_le16(F.lit(7)).alias("width"),
+        rd_le16(F.lit(9)).alias("height"),
+        (F.call_function("div", pk, F.lit(128).cast("long")) == 1).alias(
+            "gct_flag"
+        ),
+        F.element_at(pow2, (F.pmod(pk, 8) + 2).cast("int")).alias(
+            "gct_entries"
+        ),
+        # first block starts after the 13-byte header + the GCT
+        (
+            F.lit(14)
+            + F.lit(3)
+            * F.element_at(pow2, (F.pmod(pk, 8) + 2).cast("int"))
+        ).alias("off"),
+        F.lit(0).cast("long").alias("n_extensions"),
+        F.lit(0).cast("long").alias("n_frames"),
+        F.lit(0).cast("long").alias("lzw_data_bytes"),
+        F.lit(0).cast("long").alias("last_frame_w"),
+        F.lit(0).cast("long").alias("last_frame_h"),
+        F.lit(False).alias("trailer_ok"),
+        F.lit(False).alias("done"),
+    )
+    carry = [
+        "doc_id", "payload", "plen", "magic_ok", "width", "height",
+        "gct_flag", "gct_entries",
+    ]
+    for _ in range(GIF_MAX_BLOCKS):
+        intro = rd(F.col("off"))
+        is_ext = ~F.col("done") & (intro == 0x21)
+        is_img = ~F.col("done") & (intro == 0x2C)
+        is_trl = ~F.col("done") & (intro == 0x3B)
+        # chain start: after <intro, label> for extensions, after the
+        # 10-byte descriptor + LZW-min byte for images
+        st = st.select(
+            *carry, "off", "n_extensions", "n_frames", "lzw_data_bytes",
+            "last_frame_w", "last_frame_h", "trailer_ok", "done",
+            is_ext.alias("is_ext"), is_img.alias("is_img"),
+            is_trl.alias("is_trl"),
+            F.when(is_ext, F.col("off") + 2)
+            .when(is_img, F.col("off") + 11)
+            .otherwise(F.col("off"))
+            .alias("cpos"),
+            F.lit(0).cast("long").alias("dl"),
+            (~is_ext & ~is_img).alias("cdone"),
+        )
+        for _k in range(GIF_MAX_SUBBLOCKS):
+            ln = rd(F.col("cpos"))
+            st = st.select(
+                *carry, "off", "n_extensions", "n_frames",
+                "lzw_data_bytes", "last_frame_w", "last_frame_h",
+                "trailer_ok", "done", "is_ext", "is_img", "is_trl",
+                F.when(F.col("cdone"), F.col("cpos"))
+                .when(ln == 0, F.col("cpos") + 1)
+                .otherwise(F.col("cpos") + 1 + ln)
+                .alias("cpos"),
+                F.when(F.col("cdone") | (ln == 0), F.col("dl"))
+                .otherwise(F.col("dl") + ln)
+                .alias("dl"),
+                (F.col("cdone") | (ln == 0)).alias("cdone"),
+            )
+        st = st.select(
+            *carry,
+            F.when(F.col("is_trl"), F.col("off") + 1)
+            .when(F.col("is_ext") | F.col("is_img"), F.col("cpos"))
+            .otherwise(F.col("off"))
+            .alias("off"),
+            (F.col("n_extensions") + F.col("is_ext").cast("long")).alias(
+                "n_extensions"
+            ),
+            (F.col("n_frames") + F.col("is_img").cast("long")).alias(
+                "n_frames"
+            ),
+            F.when(
+                F.col("is_img"), F.col("lzw_data_bytes") + F.col("dl")
+            )
+            .otherwise(F.col("lzw_data_bytes"))
+            .alias("lzw_data_bytes"),
+            F.when(F.col("is_img"), rd_le16(F.col("off") + 5))
+            .otherwise(F.col("last_frame_w"))
+            .alias("last_frame_w"),
+            F.when(F.col("is_img"), rd_le16(F.col("off") + 7))
+            .otherwise(F.col("last_frame_h"))
+            .alias("last_frame_h"),
+            (F.col("trailer_ok") | F.col("is_trl")).alias("trailer_ok"),
+            (F.col("done") | F.col("is_trl")).alias("done"),
+        )
+    return st.select(
+        "doc_id",
+        "magic_ok",
+        "width",
+        "height",
+        "gct_flag",
+        "gct_entries",
+        "n_extensions",
+        "n_frames",
+        "lzw_data_bytes",
+        "last_frame_w",
+        "last_frame_h",
+        "trailer_ok",
+        (F.col("off") - 1).alias("total_len"),
+        (F.col("off") - 1 == F.col("plen")).alias("length_ok"),
+    )
+
+
+multimodal_gif_frame_walk.__doc__ = multimodal_gif_frame_walk.__doc__.format(
+    B=GIF_MAX_BLOCKS, S=GIF_MAX_SUBBLOCKS
+)

@@ -354,3 +354,94 @@ def test_stream_moments_matches_exact_power_sums(spark, sf_dir):
         assert r["kurtosis_excess"] == pytest.approx(
             m4 / (m2 * m2) - 3.0, rel=1e-6
         )
+
+
+def _build_gif(doc_id: int) -> bytes:
+    """Independent byte-level replica of the GIF build recipe."""
+    w, h = doc_id % 317 + 4, doc_id % 211 + 3
+    n = doc_id % 3
+    n_ext, n_frames = doc_id % 3, doc_id % 4 + 1
+    fw, fh = doc_id % 29 + 1, doc_id % 13 + 1
+    out = b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0xF0 + n, 0, 0])
+    out += bytes([doc_id % 251]) * (3 * (1 << (n + 1)))
+    ext = bytes([0x21, 0xF9, 0x04, doc_id % 8]) + (doc_id % 1000).to_bytes(
+        2, "little"
+    ) + bytes([0, 0])
+    out += ext * n_ext
+    data = bytes([(doc_id * 7 + 13) % 256]) * (fw * fh)
+    chain = b""
+    rest = data
+    while len(rest) > 255:
+        chain += bytes([255]) + rest[:255]
+        rest = rest[255:]
+    chain += bytes([len(rest)]) + rest + b"\x00"
+    frame = (
+        bytes([0x2C, 0, 0, 0, 0])
+        + fw.to_bytes(2, "little")
+        + fh.to_bytes(2, "little")
+        + bytes([0, 2])
+        + chain
+    )
+    out += frame * n_frames
+    return out + b"\x3b"
+
+
+def _walk_gif(b: bytes):
+    """Generic GIF block walker (recipe-agnostic)."""
+    assert b[:6] == b"GIF89a"
+    w = int.from_bytes(b[6:8], "little")
+    h = int.from_bytes(b[8:10], "little")
+    pk = b[10]
+    gct_entries = 1 << ((pk & 7) + 1)
+    off = 13 + (3 * gct_entries if pk & 0x80 else 0)
+    n_ext = n_frames = data_bytes = 0
+    lw = lh = 0
+    trailer = False
+    while off < len(b):
+        intro = b[off]
+        if intro == 0x3B:
+            trailer = True
+            off += 1
+            break
+        if intro == 0x21:
+            cpos = off + 2
+        elif intro == 0x2C:
+            lw = int.from_bytes(b[off + 5 : off + 7], "little")
+            lh = int.from_bytes(b[off + 7 : off + 9], "little")
+            cpos = off + 11
+        else:  # pragma: no cover - malformed
+            raise AssertionError(f"bad introducer {intro:#x}")
+        dl = 0
+        while True:
+            ln = b[cpos]
+            cpos += 1
+            if ln == 0:
+                break
+            dl += ln
+            cpos += ln
+        if intro == 0x21:
+            n_ext += 1
+        else:
+            n_frames += 1
+            data_bytes += dl
+        off = cpos
+    return dict(
+        width=w, height=h, gct_entries=gct_entries, n_extensions=n_ext,
+        n_frames=n_frames, lzw_data_bytes=data_bytes, last_frame_w=lw,
+        last_frame_h=lh, trailer_ok=trailer, total_len=off,
+    )
+
+
+def test_gif_frame_walk_matches_independent_walker(spark, sf_dir):
+    """Every emitted field matches a generic pure-Python GIF walker run
+    over an independently rebuilt byte stream."""
+    rows = REGISTRY["multimodal_gif_frame_walk"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        b = _build_gif(r["doc_id"])
+        want = _walk_gif(b)
+        assert r["magic_ok"] and r["gct_flag"] and r["length_ok"]
+        for k, v in want.items():
+            assert r[k] == v, (r["doc_id"], k, r[k], v)
+        assert len(b) == r["total_len"]
