@@ -4321,3 +4321,158 @@ def events_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tie_both",
         tau.alias("tau_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Friedman blocked rank test: do the event types keep the same daily
+# traffic ordering, or does the ranking reshuffle day to day?
+# ---------------------------------------------------------------------------
+@register(
+    "events_friedman_test",
+    oracle="""
+    WITH dc AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM dc),
+    days AS (
+      SELECT CAST(unnest(generate_series(lo, hi, 86400)) AS BIGINT) AS d
+      FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM dc),
+    f AS (
+      SELECT t.event_type, s.d, COALESCE(dc.c, 0) AS c
+      FROM days s CROSS JOIN types t
+      LEFT JOIN dc ON dc.event_type = t.event_type AND dc.d = s.d
+    ),
+    r2 AS (
+      SELECT l.d, l.event_type,
+             2 * SUM(CASE WHEN r.c < l.c THEN 1 ELSE 0 END)
+               + SUM(CASE WHEN r.c = l.c THEN 1 ELSE 0 END) + 1 AS r2
+      FROM f l JOIN f r ON r.d = l.d
+      GROUP BY l.d, l.event_type, l.c
+    ),
+    per_type AS (
+      SELECT event_type, CAST(SUM(r2) AS BIGINT) AS r2_sum
+      FROM r2 GROUP BY event_type
+    ),
+    consts AS (
+      SELECT CAST((SELECT COUNT(*) FROM days) AS BIGINT) AS b,
+             CAST((SELECT COUNT(*) FROM types) AS BIGINT) AS k,
+             CAST((SELECT SUM(r2 * r2) FROM r2) AS BIGINT) AS a4
+    ),
+    stat AS (
+      SELECT c.b, c.k, c.a4,
+             c.b * c.k * (c.k + 1) * (c.k + 1) AS c4,
+             (SELECT CAST(SUM((p.r2_sum - c.b * (c.k + 1))
+                              * (p.r2_sum - c.b * (c.k + 1))) AS BIGINT)
+              FROM per_type p) AS ssq
+      FROM consts c
+    )
+    SELECT p.event_type, p.r2_sum,
+           CAST(p.r2_sum AS DOUBLE) / (2.0 * s.b) AS mean_rank,
+           s.b AS n_days, s.k AS n_types, s.a4 AS a4, s.ssq AS sum_sq_dev,
+           s.k - 1 AS dof,
+           CASE WHEN s.a4 = s.c4 THEN NULL
+                ELSE CAST((s.k - 1) * s.ssq AS DOUBLE) / (s.a4 - s.c4)
+           END AS chi2_friedman
+    FROM per_type p CROSS JOIN stat s
+    """,
+    tags=("events", "stats", "inference"),
+)
+def events_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRIEDMAN blocked rank test: each DAY is a block, each event type
+    a treatment, the blocks rank the types' daily counts — does the
+    traffic ORDERING reshuffle day to day or is one type's dominance
+    systematic? (The nonparametric repeated-measures ANOVA; the runs /
+    KS / Mann-Whitney kit tests levels, this tests rank STABILITY
+    across blocks.) Every rank is the DOUBLED average rank 2r = 2*|{x_o
+    < x}| + |{x_o = x}| + 1 — an integer even under ties (zero-filled
+    days tie constantly, so the tie-exact form is load-bearing) — and
+    the tie-corrected statistic (k-1)*sum_j(R2_j - b(k+1))^2 /
+    (4A - 4C) is a ratio of EXACT integers (the doubling cancels), so
+    the single emitted double division is the whole float surface.
+    Degenerate blocks (every day ranks all types identically) null the
+    statistic on both engines rather than dividing by zero.
+
+    Scale shape: one map-side-combinable (type, day) count; the rank
+    self-join is k^2 rows per day (k = |types|, bounded); everything
+    downstream is (days x types)-sized — wall-clock-bounded, never
+    data-sized. Reference basis: SURVEY.md §2.4 stats family (absent
+    in reference)."""
+    ev = table(spark, sf_dir, "events")
+    dc = ev.groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("day", "ts")).alias("d"),
+    ).agg(F.count("*").alias("c"))
+    bounds = dc.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    days = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.lit(86400))).alias("d")
+    )
+    types = dc.select("event_type").distinct()
+    f = (
+        days.crossJoin(F.broadcast(types))
+        .join(dc, ["event_type", "d"], "left")
+        .select(
+            "event_type", "d", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+        )
+    )
+    left = f.select("event_type", "d", "c")
+    right = f.select(
+        F.col("d").alias("d_r"), F.col("c").alias("c_r")
+    )
+    r2 = (
+        left.join(right, F.col("d_r") == F.col("d"))
+        .groupBy("d", "event_type", "c")
+        .agg(
+            (
+                2 * F.sum(F.when(F.col("c_r") < F.col("c"), 1).otherwise(0))
+                + F.sum(F.when(F.col("c_r") == F.col("c"), 1).otherwise(0))
+                + 1
+            ).alias("r2")
+        )
+        .select("d", "event_type", "r2")
+    )
+    per_type = r2.groupBy("event_type").agg(F.sum("r2").alias("r2_sum"))
+    b = days.agg(F.count("*").alias("b"))
+    k = types.agg(F.count("*").alias("k"))
+    a4 = r2.agg(F.sum(F.col("r2") * F.col("r2")).alias("a4"))
+    consts = b.crossJoin(F.broadcast(k)).crossJoin(F.broadcast(a4))
+    ssq = (
+        per_type.crossJoin(F.broadcast(consts))
+        .agg(
+            F.sum(
+                (F.col("r2_sum") - F.col("b") * (F.col("k") + 1))
+                * (F.col("r2_sum") - F.col("b") * (F.col("k") + 1))
+            ).alias("ssq")
+        )
+    )
+    stat = consts.crossJoin(F.broadcast(ssq)).select(
+        "b",
+        "k",
+        "a4",
+        (F.col("b") * F.col("k") * (F.col("k") + 1) * (F.col("k") + 1)).alias(
+            "c4"
+        ),
+        "ssq",
+    )
+    return per_type.crossJoin(F.broadcast(stat)).select(
+        "event_type",
+        "r2_sum",
+        (F.col("r2_sum").cast("double") / (F.lit(2.0) * F.col("b"))).alias(
+            "mean_rank"
+        ),
+        F.col("b").alias("n_days"),
+        F.col("k").alias("n_types"),
+        "a4",
+        F.col("ssq").alias("sum_sq_dev"),
+        (F.col("k") - 1).alias("dof"),
+        F.when(F.col("a4") == F.col("c4"), F.lit(None).cast("double"))
+        .otherwise(
+            ((F.col("k") - 1) * F.col("ssq")).cast("double")
+            / (F.col("a4") - F.col("c4"))
+        )
+        .alias("chi2_friedman"),
+    )

@@ -2527,3 +2527,244 @@ def graph_double_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 graph_double_sweep.__doc__ = graph_double_sweep.__doc__.format(H=DSWEEP_HOPS)
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center (Gonzalez) seed selection over the embedding corpus
+# ---------------------------------------------------------------------------
+KCENTER_K = 5  # centers picked (seed + 4 farthest-point steps)
+
+
+def _kcenter_oracle() -> str:
+    cos_seed = V.cosine_sql("e.v", "s.cv")
+    ctes = [
+        """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+    seed AS (SELECT vec_id AS c_id, v AS cv FROM e
+             ORDER BY vec_id ASC LIMIT 1),
+    m0 AS (
+      SELECT e.vec_id, e.v, 1.0 - {cs} AS dist
+      FROM e CROSS JOIN seed s
+    )""".format(cs=cos_seed)
+    ]
+    picks = ["SELECT CAST(0 AS BIGINT) AS step, c_id AS center_id, "
+             "CAST(NULL AS DOUBLE) AS radius FROM seed"]
+    for k in range(1, KCENTER_K):
+        cos_k = V.cosine_sql("m.v", "p.cv")
+        ctes.append(f"""
+    p{k} AS (SELECT vec_id AS c_id, v AS cv, dist AS radius
+             FROM m{k - 1} ORDER BY dist DESC, vec_id ASC LIMIT 1),
+    m{k} AS (
+      SELECT m.vec_id, m.v, LEAST(m.dist, 1.0 - {cos_k}) AS dist
+      FROM m{k - 1} m CROSS JOIN p{k} p
+    )""")
+        picks.append(
+            f"SELECT CAST({k} AS BIGINT) AS step, c_id AS center_id, "
+            f"radius FROM p{k}"
+        )
+    union = " UNION ALL ".join(picks)
+    return f"""
+    WITH {",".join(ctes)},
+    fin AS (SELECT MAX(dist) AS final_radius FROM m{KCENTER_K - 1}),
+    pk AS ({union})
+    SELECT pk.step, pk.center_id, pk.radius, f.final_radius
+    FROM pk CROSS JOIN fin f
+    """
+
+
+@register(
+    "sim_kcenter_seeds",
+    oracle=_kcenter_oracle(),
+    tags=("similarity", "llm", "coreset"),
+)
+def sim_kcenter_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GREEDY K-CENTER (Gonzalez 1985) seed selection over the embedding
+    corpus: start from the min-id vector, then {K}-1 times pick the
+    point FARTHEST (cosine distance) from every chosen center — the
+    2-approximation to the k-center cover and the standard coreset /
+    diverse-probe seeder (each pick's `radius` is the exact coverage
+    radius the corpus had before that center landed; `final_radius` is
+    the cover radius of the finished set). Fully DECLARATIVE: each
+    step is one map pass (running min of {K} cosine distances) plus a
+    TakeOrdered argmax with a deterministic (dist DESC, id ASC)
+    tie-break — no driver-side collect; the sequential K-step chain is
+    the algorithm's own data dependency (the greedy-coverage
+    precedent), each step a 1-row broadcast into the next map. Doubles
+    are the sequential-fold cosines shaped identically on both engines.
+
+    Scale shape: {K} corpus-wide map passes + {K} TakeOrdered reduces
+    — linear in the corpus, never a pair join; the distance state
+    rides in the row (no shuffle between steps). Reference basis:
+    SURVEY.md §2.12 similarity family (absent in reference)."""
+    emb = table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    seed = (
+        e.orderBy(F.asc("vec_id"))
+        .limit(1)
+        .select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
+    )
+    md = e.crossJoin(F.broadcast(seed)).select(
+        "vec_id",
+        "v",
+        (F.lit(1.0) - V.cosine(F.col("v"), F.col("cv"))).alias("dist"),
+    )
+    picks = [
+        seed.select(
+            F.lit(0).cast("long").alias("step"),
+            F.col("c_id").alias("center_id"),
+            F.lit(None).cast("double").alias("radius"),
+        )
+    ]
+    for k in range(1, KCENTER_K):
+        pick = (
+            md.orderBy(F.desc("dist"), F.asc("vec_id"))
+            .limit(1)
+            .select(
+                F.col("vec_id").alias("c_id"),
+                F.col("v").alias("cv"),
+                F.col("dist").alias("radius"),
+            )
+        )
+        picks.append(
+            pick.select(
+                F.lit(k).cast("long").alias("step"),
+                F.col("c_id").alias("center_id"),
+                "radius",
+            )
+        )
+        md = md.crossJoin(
+            F.broadcast(pick.select(F.col("cv").alias("cv_new")))
+        ).select(
+            "vec_id",
+            "v",
+            F.least(
+                F.col("dist"),
+                F.lit(1.0) - V.cosine(F.col("v"), F.col("cv_new")),
+            ).alias("dist"),
+        )
+    fin = md.agg(F.max("dist").alias("final_radius"))
+    out = picks[0]
+    for pf in picks[1:]:
+        out = out.unionByName(pf)
+    return out.crossJoin(F.broadcast(fin)).select(
+        "step", "center_id", "radius", "final_radius"
+    )
+
+
+sim_kcenter_seeds.__doc__ = sim_kcenter_seeds.__doc__.format(K=KCENTER_K)
+
+
+# ---------------------------------------------------------------------------
+# Per-edge neighborhood Jaccard over the mutual-kNN graph
+# ---------------------------------------------------------------------------
+def _edge_jaccard_oracle() -> str:
+    return f"""
+    WITH {_knn_edges_cte()},
+    und AS MATERIALIZED (
+      SELECT e.src AS a, e.dst AS b FROM edges e
+      JOIN edges m ON m.src = e.dst AND m.dst = e.src
+      WHERE e.src < e.dst
+    ),
+    sym AS (SELECT a AS x, b AS y FROM und
+            UNION ALL SELECT b AS x, a AS y FROM und),
+    deg AS (SELECT x AS node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM sym GROUP BY x),
+    wedge AS (
+      SELECT s1.y AS a, s2.y AS b, COUNT(*) AS common
+      FROM sym s1 JOIN sym s2 ON s2.x = s1.x AND s1.y < s2.y
+      GROUP BY s1.y, s2.y
+    ),
+    ej AS (
+      SELECT u.a, u.b, COALESCE(w.common, 0) AS common,
+             da.d AS deg_a, db.d AS deg_b
+      FROM und u
+      LEFT JOIN wedge w ON w.a = u.a AND w.b = u.b
+      JOIN deg da ON da.node = u.a
+      JOIN deg db ON db.node = u.b
+    )
+    SELECT a, b, CAST(common AS BIGINT) AS n_common,
+           deg_a, deg_b,
+           CAST(common AS DOUBLE)
+             / (deg_a + deg_b - common) AS edge_jaccard
+    FROM ej
+    """
+
+
+@register(
+    "graph_edge_jaccard",
+    oracle=_edge_jaccard_oracle(),
+    tags=("graph", "similarity"),
+)
+def graph_edge_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-EDGE NEIGHBORHOOD JACCARD of the mutual-kNN graph: for every
+    edge (a, b), |N(a) int N(b)| / |N(a) un N(b)| over OPEN
+    neighborhoods (b sits in N(a) but never in the intersection —
+    no self-loops — so the union is exactly deg_a + deg_b - common)
+    — the standard EDGE-STRENGTH embedding: low-Jaccard edges are the
+    between-community bridges the Jarvis-Patrick / SNN clustering
+    family cuts first, complementing graph_link_prediction (which
+    scores NON-adjacent pairs with the same wedge machinery).
+    Common-neighbor counts come from the oriented wedge join (s1.y <
+    s2.y kills double-counting); all counts exact integers, one
+    pinned double division.
+
+    Scale shape: wedge fan-out is bounded by the mutual-degree cap
+    (deg <= k per node, so <= k^2 wedges per center node); the edge
+    join is keyed (a, b) both sides. Reference basis: SURVEY.md §2
+    graph family (absent in reference)."""
+    edges = _knn_edges(spark, sf_dir).select("src", "dst")
+    rev = edges.select(F.col("src").alias("m_src"), F.col("dst").alias("m_dst"))
+    und = (
+        edges.join(
+            rev,
+            (F.col("m_src") == F.col("dst")) & (F.col("m_dst") == F.col("src")),
+            "left_semi",
+        )
+        .filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    )
+    sym = und.select(F.col("a").alias("x"), F.col("b").alias("y")).unionByName(
+        und.select(F.col("b").alias("x"), F.col("a").alias("y"))
+    ).persist()
+    deg = sym.groupBy(F.col("x").alias("node")).agg(F.count("*").alias("d"))
+    s1 = sym.select(F.col("x").alias("mid"), F.col("y").alias("a"))
+    s2 = sym.select(F.col("x").alias("mid"), F.col("y").alias("b"))
+    wedge = (
+        s1.join(s2, "mid")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common"))
+    )
+    ej = (
+        und.join(wedge, ["a", "b"], "left")
+        .join(
+            deg.select(F.col("node").alias("a"), F.col("d").alias("deg_a")),
+            "a",
+        )
+        .join(
+            deg.select(F.col("node").alias("b"), F.col("d").alias("deg_b")),
+            "b",
+        )
+        .select(
+            "a",
+            "b",
+            F.coalesce(F.col("common"), F.lit(0)).alias("common"),
+            "deg_a",
+            "deg_b",
+        )
+    )
+    out = ej.select(
+        "a",
+        "b",
+        F.col("common").cast("long").alias("n_common"),
+        "deg_a",
+        "deg_b",
+        (
+            F.col("common").cast("double")
+            / (F.col("deg_a") + F.col("deg_b") - F.col("common"))
+        ).alias("edge_jaccard"),
+    )
+    sym.unpersist()
+    return out

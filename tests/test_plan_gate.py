@@ -203,6 +203,14 @@ _BNLJ_WAIVERS: dict[str, str] = {
     "graph_modularity": _R_SCALAR
     + " (1-row mutual-edge-count frame m broadcast into the "
     "communities-sized rollup)",
+    "events_friedman_test": _R_SPINE
+    + " (day-grid x |types| block spine; plus the 1-row b/k/A4/ssq "
+    "scalar frames crossed into the statistic)",
+    "sim_kcenter_seeds": _R_SCALAR
+    + " (each greedy step broadcasts ONE picked center row into the "
+    "next distance map — K = 5 one-row frames by construction)",
+    "graph_edge_jaccard": _R_QUERYSET
+    + " (the shared kNN assignment's broadcast codebook routing)",
     "events_sliding_distinct_users": _R_SCALAR
     + " (1-row global max-hour bound broadcast into the window filter)",
     # crossJoins of three one-row frames: counts + exact join size + the

@@ -445,3 +445,108 @@ def test_gif_frame_walk_matches_independent_walker(spark, sf_dir):
         for k, v in want.items():
             assert r[k] == v, (r["doc_id"], k, r[k], v)
         assert len(b) == r["total_len"]
+
+
+def test_friedman_matches_pure_python(spark, sf_dir):
+    """Per-type doubled rank sums, A4, the squared-deviation sum, and
+    the tie-corrected statistic all match a pure-Python blocked-rank
+    replay over the zero-filled (day, type) grid."""
+    rows = REGISTRY["events_friedman_test"].fn(spark, sf_dir).collect()
+    assert rows
+    raw = _duck(
+        sf_dir,
+        "SELECT event_type, CAST(epoch(date_trunc('day', ts)) AS BIGINT), "
+        "COUNT(*) FROM '$SF/events.parquet' GROUP BY 1, 2",
+    )
+    grid: dict[tuple, int] = {(t, d): c for t, d, c in raw}
+    types = sorted({t for t, _, _ in raw})
+    ds = [d for _, d, _ in raw]
+    days = list(range(min(ds), max(ds) + 1, 86400))
+    b, k = len(days), len(types)
+    r2sum = {t: 0 for t in types}
+    a4 = 0
+    for d in days:
+        cs = {t: grid.get((t, d), 0) for t in types}
+        for t in types:
+            r2 = (
+                2 * sum(1 for o in types if cs[o] < cs[t])
+                + sum(1 for o in types if cs[o] == cs[t])
+                + 1
+            )
+            r2sum[t] += r2
+            a4 += r2 * r2
+    ssq = sum((r2sum[t] - b * (k + 1)) ** 2 for t in types)
+    c4 = b * k * (k + 1) * (k + 1)
+    for r in rows:
+        assert (r["n_days"], r["n_types"]) == (b, k)
+        assert r["r2_sum"] == r2sum[r["event_type"]]
+        assert r["mean_rank"] == pytest.approx(
+            r2sum[r["event_type"]] / (2 * b), rel=1e-15
+        )
+        assert r["a4"] == a4
+        assert r["sum_sq_dev"] == ssq
+        assert r["dof"] == k - 1
+        assert r["chi2_friedman"] == pytest.approx(
+            (k - 1) * ssq / (a4 - c4), rel=1e-12
+        )
+
+
+def test_kcenter_matches_greedy_replay(spark, sf_dir):
+    """Center choices and radii match a pure-Python Gonzalez greedy."""
+    rows = sorted(
+        REGISTRY["sim_kcenter_seeds"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["step"],
+    )
+    embs = {
+        vid: v
+        for vid, v in _duck(
+            sf_dir,
+            "SELECT vec_id, CAST(embedding AS DOUBLE[]) "
+            "FROM '$SF/embeddings.parquet'",
+        )
+    }
+
+    def cos(a, b):
+        dp = 0.0
+        for x, y in zip(a, b):
+            dp += x * y
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return dp / (na * nb)
+
+    seed = min(embs)
+    dist = {i: 1.0 - cos(v, embs[seed]) for i, v in embs.items()}
+    picks = [(0, seed, None)]
+    for step in range(1, len(rows)):
+        far = min(dist, key=lambda i: (-dist[i], i))
+        picks.append((step, far, dist[far]))
+        for i, v in embs.items():
+            dist[i] = min(dist[i], 1.0 - cos(v, embs[far]))
+    for r, (step, cid, radius) in zip(rows, picks):
+        assert (r["step"], r["center_id"]) == (step, cid)
+        if radius is None:
+            assert r["radius"] is None
+        else:
+            assert r["radius"] == pytest.approx(radius, rel=1e-9)
+        assert r["final_radius"] == pytest.approx(max(dist.values()), rel=1e-9)
+    # greedy invariant: radii are non-increasing
+    radii = [p[2] for p in picks[1:]]
+    assert all(x >= y for x, y in zip(radii, radii[1:]))
+
+
+def test_edge_jaccard_matches_set_replay(spark, sf_dir):
+    """Every edge's common-neighbor count and Jaccard match Python set
+    arithmetic over the mutual adjacency."""
+    adj = _mutual_adj(spark, sf_dir)
+    rows = REGISTRY["graph_edge_jaccard"].fn(spark, sf_dir).collect()
+    n_edges = sum(len(v) for v in adj.values()) // 2
+    assert len(rows) == n_edges
+    for r in rows:
+        a, b = r["a"], r["b"]
+        assert b in adj[a] and a < b
+        common = len(adj[a] & adj[b])
+        assert r["n_common"] == common
+        assert (r["deg_a"], r["deg_b"]) == (len(adj[a]), len(adj[b]))
+        assert r["edge_jaccard"] == pytest.approx(
+            common / (len(adj[a]) + len(adj[b]) - common), rel=1e-12
+        )
