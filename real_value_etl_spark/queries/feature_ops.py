@@ -5558,3 +5558,246 @@ def multimodal_gif_frame_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
 multimodal_gif_frame_walk.__doc__ = multimodal_gif_frame_walk.__doc__.format(
     B=GIF_MAX_BLOCKS, S=GIF_MAX_SUBBLOCKS
 )
+
+
+# ---------------------------------------------------------------------------
+# ICO directory walk — sixteenth byte codec: a DIRECTORY of fixed-width
+# entries whose u32 offsets must chase to per-image DIB headers, each of
+# which doubles its height (the XOR+AND mask quirk unique to ICO)
+# ---------------------------------------------------------------------------
+ICO_MAX_ENTRIES = 3
+
+
+@register(
+    "multimodal_ico_parse",
+    oracle=f"""
+    WITH src AS (
+      SELECT doc_id, doc_id % 3 + 1 AS cnt FROM documents
+    ),
+    e AS (
+      SELECT doc_id, cnt,
+             unnest(range(0, 3)) AS i
+      FROM src
+    ),
+    ent AS (
+      SELECT doc_id, cnt, CAST(i AS BIGINT) AS i,
+             (doc_id + 7 * i) % 29 + 1 AS w,
+             (doc_id + 13 * i) % 17 + 1 AS h
+      FROM e WHERE i < cnt
+    ),
+    sz AS (
+      SELECT doc_id, cnt, i, w, h,
+             4 * w * h AS xor_bytes,
+             4 * h AS and_bytes,
+             40 + 4 * w * h + 4 * h AS size
+      FROM ent
+    ),
+    agg AS (
+      SELECT doc_id, CAST(MAX(cnt) AS BIGINT) AS n_entries,
+             CAST(SUM(xor_bytes) AS BIGINT) AS total_xor_bytes,
+             CAST(SUM(and_bytes) AS BIGINT) AS total_and_bytes,
+             CAST(SUM(size) AS BIGINT) AS total_image_bytes,
+             CAST(MAX(CASE WHEN i = cnt - 1 THEN w END) AS BIGINT)
+               AS last_w,
+             CAST(MAX(CASE WHEN i = cnt - 1 THEN h END) AS BIGINT)
+               AS last_h
+      FROM sz GROUP BY doc_id
+    )
+    SELECT doc_id,
+           TRUE AS magic_ok,
+           n_entries,
+           total_xor_bytes,
+           total_and_bytes,
+           last_w,
+           last_h,
+           TRUE AS offsets_ok,
+           TRUE AS heights_doubled_ok,
+           TRUE AS sizes_ok,
+           6 + 16 * n_entries + total_image_bytes AS total_len,
+           TRUE AS length_ok
+    FROM agg
+    """,
+    tags=("multimodal", "llm", "binary", "image"),
+)
+def multimodal_ico_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICO DIRECTORY parse — the sixteenth byte codec and the first
+    DIRECTORY format: a fixed-width entry table up front whose u32
+    LITTLE-endian offsets must each be CHASED to a BITMAPINFOHEADER
+    elsewhere in the file (ZIP chased one central-directory pointer;
+    ICO chases one per entry), plus the quirk unique to ICO: every
+    embedded DIB declares biHeight = 2 x the real height, because the
+    image is an XOR color plane stacked on a 1-bit AND mask whose rows
+    pad to 32-BIT boundaries (stride = ((w+31) div 32)*4 — a third
+    stride rule after BMP's 4-byte and TAR's 512-byte). Each document
+    becomes a byte-valid 1-3 entry icon: ICONDIR (reserved 0, type 1,
+    count), per-entry (w, h, 0, 0, planes=1, bpp=32, bytes_in_res,
+    offset), then the 40-byte headers + XOR pixels + zeroed AND masks.
+    The parse re-reads every entry, verifies the offset CHAIN is
+    contiguous (each offset = end of the previous image), that every
+    DIB's height is exactly doubled, that bytes_in_res = 40 + xor +
+    and for the declared geometry, and that the final image ends at
+    EOF. Unrolled {N}-entry walk (chained narrow projections);
+    map-only, zero exchanges; bytes never reach Python."""
+    d = table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+
+    def hx(c, nbytes):
+        return F.lpad(F.hex(c.cast("long")), 2 * nbytes, "0")
+
+    def lehex(c, nbytes):
+        h = hx(c, nbytes)
+        return F.concat(
+            *[F.substring(h, 2 * nbytes - 1 - 2 * i, 2) for i in range(nbytes)]
+        )
+
+    cnt = (did % 3 + 1).cast("long")
+    ws = [((did + 7 * i) % 29 + 1).cast("long") for i in range(ICO_MAX_ENTRIES)]
+    hs = [((did + 13 * i) % 17 + 1).cast("long") for i in range(ICO_MAX_ENTRIES)]
+    xors = [4 * w * h for w, h in zip(ws, hs)]
+    ands = [4 * h for h in hs]
+    sizes = [F.lit(40) + x + a for x, a in zip(xors, ands)]
+    offs = []
+    base = F.lit(6).cast("long") + 16 * cnt
+    acc = base
+    for i in range(ICO_MAX_ENTRIES):
+        offs.append(acc)
+        acc = acc + sizes[i]
+    fill = hx((did * 11 + 5) % 256, 1)
+    dir_hex = F.concat(
+        F.lit("0000"), F.lit("0100"), lehex(cnt, 2),
+        *[
+            F.when(
+                F.lit(i) < cnt,
+                F.concat(
+                    hx(ws[i], 1), hx(hs[i], 1), F.lit("0000"),
+                    F.lit("0100"), F.lit("2000"),
+                    lehex(sizes[i], 4), lehex(offs[i], 4),
+                ),
+            ).otherwise(F.lit(""))
+            for i in range(ICO_MAX_ENTRIES)
+        ],
+    )
+    img_hex = F.concat(
+        *[
+            F.when(
+                F.lit(i) < cnt,
+                F.concat(
+                    F.lit("28000000"),          # biSize = 40 LE
+                    lehex(ws[i], 4),            # biWidth LE
+                    lehex(2 * hs[i], 4),        # biHeight DOUBLED LE
+                    F.lit("0100"), F.lit("2000"),  # planes, bpp
+                    F.lit("00000000"),          # compression
+                    lehex(xors[i] + ands[i], 4),  # biSizeImage
+                    F.lit("00000000" * 4),      # resolutions, colors
+                    F.repeat(fill, xors[i].cast("int")),
+                    F.repeat(F.lit("00"), ands[i].cast("int")),
+                ),
+            ).otherwise(F.lit(""))
+            for i in range(ICO_MAX_ENTRIES)
+        ]
+    )
+    ico = d.select(
+        "doc_id", F.unhex(F.concat(dir_hex, img_hex)).alias("payload")
+    )
+    p = F.col("payload")
+
+    def rd(pos, nbytes=1):
+        return F.conv(
+            F.hex(F.substring(p, pos.cast("int") if hasattr(pos, "cast") else pos, nbytes)),
+            16, 10,
+        ).cast("long")
+
+    def rd_le(pos, nbytes):
+        posc = pos.cast("int") if hasattr(pos, "cast") else F.lit(pos).cast("int")
+        h = F.hex(F.substring(p, posc, nbytes))
+        return F.conv(
+            F.concat(
+                *[
+                    F.substring(h, 2 * nbytes - 1 - 2 * i, 2)
+                    for i in range(nbytes)
+                ]
+            ),
+            16, 10,
+        ).cast("long")
+
+    n_ent = rd_le(F.lit(5), 2)
+    st = ico.select(
+        "doc_id",
+        "payload",
+        F.octet_length(p).cast("long").alias("plen"),
+        (
+            (rd_le(F.lit(1), 2) == 0) & (rd_le(F.lit(3), 2) == 1)
+        ).alias("magic_ok"),
+        n_ent.alias("n_entries"),
+        (F.lit(6).cast("long") + 16 * n_ent).alias("expect_off"),
+        F.lit(0).cast("long").alias("total_xor_bytes"),
+        F.lit(0).cast("long").alias("total_and_bytes"),
+        F.lit(0).cast("long").alias("last_w"),
+        F.lit(0).cast("long").alias("last_h"),
+        F.lit(True).alias("offsets_ok"),
+        F.lit(True).alias("heights_doubled_ok"),
+        F.lit(True).alias("sizes_ok"),
+    )
+    carry = ["doc_id", "payload", "plen", "magic_ok", "n_entries"]
+    for i in range(ICO_MAX_ENTRIES):
+        ebase = F.lit(6 + 16 * i + 1).cast("long")  # 1-based entry start
+        active = F.lit(i) < F.col("n_entries")
+        dir_w = rd(ebase)
+        dir_h = rd(ebase + 1)
+        res_sz = rd_le(ebase + 8, 4)
+        img_off = rd_le(ebase + 12, 4)
+        dib = img_off + 1  # 1-based DIB start
+        bi_size = rd_le(dib, 4)
+        bi_w = rd_le(dib + 4, 4)
+        bi_h = rd_le(dib + 8, 4)
+        stride_and = F.call_function(
+            "div", bi_w + 31, F.lit(32).cast("long")
+        ) * 4
+        xor_b = 4 * bi_w * dir_h
+        and_b = stride_and * dir_h
+        st = st.select(
+            *carry,
+            F.when(active, F.col("expect_off") + res_sz)
+            .otherwise(F.col("expect_off"))
+            .alias("expect_off"),
+            F.when(active, F.col("total_xor_bytes") + xor_b)
+            .otherwise(F.col("total_xor_bytes"))
+            .alias("total_xor_bytes"),
+            F.when(active, F.col("total_and_bytes") + and_b)
+            .otherwise(F.col("total_and_bytes"))
+            .alias("total_and_bytes"),
+            F.when(active, dir_w).otherwise(F.col("last_w")).alias("last_w"),
+            F.when(active, dir_h).otherwise(F.col("last_h")).alias("last_h"),
+            (
+                F.col("offsets_ok")
+                & (~active | (img_off == F.col("expect_off")))
+            ).alias("offsets_ok"),
+            (
+                F.col("heights_doubled_ok")
+                & (~active | ((bi_size == 40) & (bi_h == 2 * dir_h)
+                              & (bi_w == dir_w)))
+            ).alias("heights_doubled_ok"),
+            (
+                F.col("sizes_ok")
+                & (~active | (res_sz == F.lit(40) + xor_b + and_b))
+            ).alias("sizes_ok"),
+        )
+    return st.select(
+        "doc_id",
+        "magic_ok",
+        "n_entries",
+        "total_xor_bytes",
+        "total_and_bytes",
+        "last_w",
+        "last_h",
+        "offsets_ok",
+        "heights_doubled_ok",
+        "sizes_ok",
+        F.col("expect_off").alias("total_len"),
+        (F.col("expect_off") == F.col("plen")).alias("length_ok"),
+    )
+
+
+multimodal_ico_parse.__doc__ = multimodal_ico_parse.__doc__.format(
+    N=ICO_MAX_ENTRIES
+)

@@ -550,3 +550,72 @@ def test_edge_jaccard_matches_set_replay(spark, sf_dir):
         assert r["edge_jaccard"] == pytest.approx(
             common / (len(adj[a]) + len(adj[b]) - common), rel=1e-12
         )
+
+
+def _build_ico(doc_id: int) -> bytes:
+    """Independent byte-level replica of the ICO build recipe."""
+    cnt = doc_id % 3 + 1
+    entries = []
+    for i in range(cnt):
+        w = (doc_id + 7 * i) % 29 + 1
+        h = (doc_id + 13 * i) % 17 + 1
+        entries.append((w, h))
+    out = b"\x00\x00\x01\x00" + cnt.to_bytes(2, "little")
+    imgs = b""
+    off = 6 + 16 * cnt
+    fill = bytes([(doc_id * 11 + 5) % 256])
+    for w, h in entries:
+        xor, andb = 4 * w * h, 4 * h
+        size = 40 + xor + andb
+        out += bytes([w, h, 0, 0]) + (1).to_bytes(2, "little")
+        out += (32).to_bytes(2, "little")
+        out += size.to_bytes(4, "little") + off.to_bytes(4, "little")
+        dib = (
+            (40).to_bytes(4, "little")
+            + w.to_bytes(4, "little")
+            + (2 * h).to_bytes(4, "little")
+            + (1).to_bytes(2, "little")
+            + (32).to_bytes(2, "little")
+            + (0).to_bytes(4, "little")
+            + (xor + andb).to_bytes(4, "little")
+            + b"\x00" * 16
+            + fill * xor
+            + b"\x00" * andb
+        )
+        imgs += dib
+        off += size
+    return out + imgs
+
+
+def test_ico_parse_matches_independent_walker(spark, sf_dir):
+    """Every field matches a generic directory walk over independently
+    rebuilt bytes, including the offset chain and doubled heights."""
+    rows = REGISTRY["multimodal_ico_parse"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        b = _build_ico(r["doc_id"])
+        assert b[:4] == b"\x00\x00\x01\x00" and r["magic_ok"]
+        cnt = int.from_bytes(b[4:6], "little")
+        assert r["n_entries"] == cnt
+        expect = 6 + 16 * cnt
+        tx = ta = 0
+        lw = lh = None
+        for i in range(cnt):
+            e = 6 + 16 * i
+            w, h = b[e], b[e + 1]
+            size = int.from_bytes(b[e + 8 : e + 12], "little")
+            off = int.from_bytes(b[e + 12 : e + 16], "little")
+            assert off == expect  # the chase the query verifies
+            bi_w = int.from_bytes(b[off + 4 : off + 8], "little")
+            bi_h = int.from_bytes(b[off + 8 : off + 12], "little")
+            assert bi_w == w and bi_h == 2 * h
+            stride = ((bi_w + 31) // 32) * 4
+            tx += 4 * bi_w * h
+            ta += stride * h
+            assert size == 40 + 4 * bi_w * h + stride * h
+            expect = off + size
+            lw, lh = w, h
+        assert (r["total_xor_bytes"], r["total_and_bytes"]) == (tx, ta)
+        assert (r["last_w"], r["last_h"]) == (lw, lh)
+        assert r["offsets_ok"] and r["heights_doubled_ok"] and r["sizes_ok"]
+        assert r["total_len"] == len(b) and r["length_ok"]
