@@ -980,3 +980,116 @@ def text_readability_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.lit(15.59)
         ).alias("fk_grade"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Total-variation distance of each source's unigram mix from the corpus —
+# the EXACT-integer companion to docs_source_divergence's chi-square
+# ---------------------------------------------------------------------------
+@register(
+    "docs_tv_distance",
+    oracle=f"""
+    WITH ex AS (
+      SELECT source, unnest({T.tokens_sql("text")}) AS tok FROM documents
+    ),
+    st AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c_st
+           FROM ex GROUP BY source, tok),
+    s_tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s
+              FROM ex GROUP BY source),
+    t_tot AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c_t
+              FROM ex GROUP BY tok),
+    corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_c FROM ex),
+    seen AS (
+      SELECT st.source,
+             SUM(abs(CAST(st.c_st AS HUGEINT) * c.n_c
+                     - CAST(t.c_t AS HUGEINT) * s.n_s)) AS num_seen,
+             CAST(SUM(t.c_t) AS BIGINT) AS ct_seen,
+             CAST(COUNT(*) AS BIGINT) AS n_vocab_seen
+      FROM st
+      JOIN s_tot s USING (source) JOIN t_tot t USING (tok)
+      CROSS JOIN corpus c
+      GROUP BY st.source
+    )
+    SELECT s.source,
+           s.n_vocab_seen,
+           st2.n_s AS n_tokens_source,
+           c.n_c AS n_tokens_corpus,
+           CAST(s.num_seen
+                + CAST(st2.n_s AS HUGEINT) * (c.n_c - s.ct_seen)
+                AS BIGINT) AS tv_num,
+           CAST(CAST(s.num_seen
+                     + CAST(st2.n_s AS HUGEINT) * (c.n_c - s.ct_seen)
+                     AS VARCHAR) AS DOUBLE)
+             / (2.0 * (CAST(st2.n_s AS DOUBLE) * c.n_c)) AS tv_distance
+    FROM seen s
+    JOIN s_tot st2 USING (source)
+    CROSS JOIN corpus c
+    """,
+    tags=("llm", "stats", "mix"),
+)
+def docs_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOTAL-VARIATION distance of each source's unigram distribution
+    from the corpus mix — the EXACT-integer companion to
+    docs_source_divergence's chi-square: TV = (1/2) sum_tok
+    |p_s(tok) - p_c(tok)| is the worst-case probability gap any
+    downstream sampler can exploit, and over common denominators it
+    is a pure integer: sum over the source's vocabulary of
+    |c_st*n_c - c_t*n_s|, plus n_s*(n_c - sum c_t) for every corpus
+    token the source never emits (each contributes its full corpus
+    mass). tv_num is that exact HUGEINT/DECIMAL numerator (emitted
+    BIGINT — exact through ~10^9-token corpora per the benford bound
+    class, widen beyond); the single double division by 2*n_s*n_c
+    goes through the VARCHAR render. No ordered fold needed — unlike
+    the chi-square, the sum is of integers, so partitioning cannot
+    reorder doubles.
+
+    Scale shape: token-keyed aggregates (map-side combinable), one
+    token-keyed join of the source-vocab frame against the corpus
+    totals, one source-keyed reduce; the 1-row corpus count
+    broadcasts. Reference basis: SURVEY.md §2.12 mix family (absent
+    in reference)."""
+    d = table(spark, sf_dir, "documents")
+    ex = d.select("source", F.explode(T.tokens(F.col("text"))).alias("tok"))
+    st = ex.groupBy("source", "tok").agg(F.count("*").alias("c_st"))
+    s_tot = ex.groupBy("source").agg(F.count("*").alias("n_s"))
+    t_tot = ex.groupBy("tok").agg(F.count("*").alias("c_t"))
+    corpus = ex.agg(F.count("*").alias("n_c"))
+    seen = (
+        st.join(F.broadcast(s_tot), "source")
+        .join(t_tot, "tok")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("c_st").cast("decimal(38,0)") * F.col("n_c")
+                    - F.col("c_t").cast("decimal(38,0)") * F.col("n_s")
+                )
+            ).alias("num_seen"),
+            F.sum("c_t").alias("ct_seen"),
+            F.count("*").alias("n_vocab_seen"),
+        )
+    )
+    num = (
+        F.col("num_seen")
+        + F.col("n_s").cast("decimal(38,0)")
+        * (F.col("n_c") - F.col("ct_seen"))
+    )
+    return (
+        seen.join(F.broadcast(s_tot), "source")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "source",
+            "n_vocab_seen",
+            F.col("n_s").alias("n_tokens_source"),
+            F.col("n_c").alias("n_tokens_corpus"),
+            num.cast("long").alias("tv_num"),
+            (
+                num.cast("decimal(38,0)").cast("string").cast("double")
+                / (
+                    F.lit(2.0)
+                    * (F.col("n_s").cast("double") * F.col("n_c"))
+                )
+            ).alias("tv_distance"),
+        )
+    )

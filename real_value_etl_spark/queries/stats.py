@@ -1861,3 +1861,150 @@ def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cramers_v"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Welch's t-test (unequal variances) — exact integer moments per group
+# ---------------------------------------------------------------------------
+@register(
+    "q_welch_t_test",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents,
+             o_orderpriority IN ('1-URGENT', '2-HIGH') AS hi
+      FROM orders
+    ),
+    m AS (
+      SELECT CAST(SUM(CASE WHEN hi THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN hi THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+             CAST(SUM(CASE WHEN hi THEN cents ELSE 0 END) AS BIGINT) AS s1,
+             CAST(SUM(CASE WHEN hi THEN 0 ELSE cents END) AS BIGINT) AS s2,
+             SUM(CASE WHEN hi THEN CAST(cents AS HUGEINT) * cents
+                      ELSE 0 END) AS q1,
+             SUM(CASE WHEN hi THEN 0
+                      ELSE CAST(cents AS HUGEINT) * cents END) AS q2
+      FROM c
+    ),
+    d AS (
+      SELECT n1, n2, s1, s2,
+             CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
+             CAST(CAST(s1 AS VARCHAR) AS DOUBLE) AS s1d,
+             CAST(CAST(s2 AS VARCHAR) AS DOUBLE) AS s2d,
+             CAST(CAST(CAST(n1 AS HUGEINT) * q1 - CAST(s1 AS HUGEINT) * s1
+                       AS VARCHAR) AS DOUBLE) AS a1,
+             CAST(CAST(CAST(n2 AS HUGEINT) * q2 - CAST(s2 AS HUGEINT) * s2
+                       AS VARCHAR) AS DOUBLE) AS a2
+      FROM m
+    ),
+    v AS (
+      SELECT n1, n2, s1, s2, n1d, n2d, s1d, s2d,
+             a1 / (n1d * (n1d - 1.0)) AS v1,
+             a2 / (n2d * (n2d - 1.0)) AS v2
+      FROM d
+    )
+    SELECT n1 AS n_hi, n2 AS n_lo,
+           s1d / n1d / 100.0 AS mean_hi,
+           s2d / n2d / 100.0 AS mean_lo,
+           v1 AS var_hi_cents2, v2 AS var_lo_cents2,
+           (s1d / n1d - s2d / n2d) / sqrt(v1 / n1d + v2 / n2d) AS t_welch,
+           (v1 / n1d + v2 / n2d) * (v1 / n1d + v2 / n2d)
+             / ((v1 / n1d) * (v1 / n1d) / (n1d - 1.0)
+                + (v2 / n2d) * (v2 / n2d) / (n2d - 1.0)) AS dof_welch
+    FROM v
+    """,
+    tags=("stats", "inference"),
+)
+def q_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WELCH'S t-TEST (unequal variances) between urgent and other
+    orders on total price — the parametric counterpart to
+    q_mann_whitney on the same split, closing the two-sample kit
+    (means: Welch; ranks: Mann-Whitney; whole distribution: KS). Both
+    groups' moments come out of ONE scalar pass as exact integers
+    (cents, cents^2 in HUGEINT/DECIMAL), the sample-variance
+    numerators n*q - s^2 are exact and rendered to double through
+    strings (the >2^53 VARCHAR doctrine), and t plus the
+    Welch-Satterthwaite dof are the only float expressions — shaped
+    identically on both engines. Exact through ~10^9 rows per side
+    (q peaks near n*c^2); widen beyond.
+
+    Scale shape: one map-side-combinable scalar aggregate; everything
+    after is a 1-row projection. Reference basis: SURVEY.md §2.4
+    stats family (absent in reference)."""
+    o = table(spark, sf_dir, "orders")
+    cents = (
+        F.col("o_totalprice").cast("decimal(18,2)") * 100
+    ).cast("long")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    c = o.select(cents.alias("cents"), hi.alias("hi"))
+    m = c.agg(
+        F.sum(F.when(F.col("hi"), 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("hi"), 0).otherwise(1)).alias("n2"),
+        F.sum(F.when(F.col("hi"), F.col("cents")).otherwise(0)).alias("s1"),
+        F.sum(F.when(F.col("hi"), 0).otherwise(F.col("cents"))).alias("s2"),
+        F.sum(
+            F.when(
+                F.col("hi"),
+                F.col("cents").cast("decimal(38,0)") * F.col("cents"),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("q1"),
+        F.sum(
+            F.when(
+                F.col("hi"), F.lit(0).cast("decimal(38,0)")
+            ).otherwise(
+                F.col("cents").cast("decimal(38,0)") * F.col("cents")
+            )
+        ).alias("q2"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    s1d = F.col("s1").cast("string").cast("double")
+    s2d = F.col("s2").cast("string").cast("double")
+    a1 = (
+        (
+            F.col("n1").cast("decimal(38,0)") * F.col("q1")
+            - F.col("s1").cast("decimal(38,0)") * F.col("s1")
+        )
+        .cast("string")
+        .cast("double")
+    )
+    a2 = (
+        (
+            F.col("n2").cast("decimal(38,0)") * F.col("q2")
+            - F.col("s2").cast("decimal(38,0)") * F.col("s2")
+        )
+        .cast("string")
+        .cast("double")
+    )
+    d = m.select(
+        "n1", "n2",
+        n1d.alias("n1d"), n2d.alias("n2d"),
+        s1d.alias("s1d"), s2d.alias("s2d"),
+        a1.alias("a1"), a2.alias("a2"),
+    )
+    v = d.select(
+        "n1", "n2", "n1d", "n2d", "s1d", "s2d",
+        (F.col("a1") / (F.col("n1d") * (F.col("n1d") - 1.0))).alias("v1"),
+        (F.col("a2") / (F.col("n2d") * (F.col("n2d") - 1.0))).alias("v2"),
+    )
+    se2_1 = F.col("v1") / F.col("n1d")
+    se2_2 = F.col("v2") / F.col("n2d")
+    return v.select(
+        F.col("n1").alias("n_hi"),
+        F.col("n2").alias("n_lo"),
+        (F.col("s1d") / F.col("n1d") / F.lit(100.0)).alias("mean_hi"),
+        (F.col("s2d") / F.col("n2d") / F.lit(100.0)).alias("mean_lo"),
+        F.col("v1").alias("var_hi_cents2"),
+        F.col("v2").alias("var_lo_cents2"),
+        (
+            (F.col("s1d") / F.col("n1d") - F.col("s2d") / F.col("n2d"))
+            / F.sqrt(se2_1 + se2_2)
+        ).alias("t_welch"),
+        (
+            (se2_1 + se2_2) * (se2_1 + se2_2)
+            / (
+                se2_1 * se2_1 / (F.col("n1d") - 1.0)
+                + se2_2 * se2_2 / (F.col("n2d") - 1.0)
+            )
+        ).alias("dof_welch"),
+    )

@@ -168,6 +168,9 @@ _BNLJ_WAIVERS: dict[str, str] = {
     # bounded pairwise comparisons
     "docs_mix_temperature": _R_PAIRS,
     "docs_source_divergence": _R_PAIRS,
+    "docs_tv_distance": _R_SCALAR
+    + " (1-row corpus token-count frame broadcast into the per-source "
+    "deviation and the final ratio)",
     "lang_id_kappa": _R_PAIRS,
     "orders_market_basket": _R_PAIRS,
     "text_bm25_search": _R_PAIRS,

@@ -619,3 +619,95 @@ def test_ico_parse_matches_independent_walker(spark, sf_dir):
         assert (r["last_w"], r["last_h"]) == (lw, lh)
         assert r["offsets_ok"] and r["heights_doubled_ok"] and r["sizes_ok"]
         assert r["total_len"] == len(b) and r["length_ok"]
+
+
+def test_welch_t_matches_pure_python(spark, sf_dir):
+    """Group moments, t, and the Welch-Satterthwaite dof match an
+    exact-integer recomputation over the raw cents."""
+    row = REGISTRY["q_welch_t_test"].fn(spark, sf_dir).collect()[0]
+    from decimal import Decimal
+
+    vals = _duck(
+        sf_dir,
+        "SELECT o_totalprice, o_orderpriority IN ('1-URGENT','2-HIGH') "
+        "FROM '$SF/orders.parquet'",
+    )
+    g = {True: [], False: []}
+    for v, hi in vals:
+        g[hi].append(int(Decimal(str(v)) * 100))
+    n1, n2 = len(g[True]), len(g[False])
+    s1, s2 = sum(g[True]), sum(g[False])
+    q1 = sum(c * c for c in g[True])
+    q2 = sum(c * c for c in g[False])
+    assert (row["n_hi"], row["n_lo"]) == (n1, n2)
+    v1 = (n1 * q1 - s1 * s1) / (n1 * (n1 - 1))
+    v2 = (n2 * q2 - s2 * s2) / (n2 * (n2 - 1))
+    assert row["mean_hi"] == pytest.approx(s1 / n1 / 100, rel=1e-12)
+    assert row["mean_lo"] == pytest.approx(s2 / n2 / 100, rel=1e-12)
+    assert row["var_hi_cents2"] == pytest.approx(v1, rel=1e-9)
+    assert row["var_lo_cents2"] == pytest.approx(v2, rel=1e-9)
+    se2 = v1 / n1 + v2 / n2
+    assert row["t_welch"] == pytest.approx(
+        (s1 / n1 - s2 / n2) / math.sqrt(se2), rel=1e-9
+    )
+    assert row["dof_welch"] == pytest.approx(
+        se2 * se2 / ((v1 / n1) ** 2 / (n1 - 1) + (v2 / n2) ** 2 / (n2 - 1)),
+        rel=1e-9,
+    )
+
+
+def test_tv_distance_matches_pure_python(spark, sf_dir):
+    """The exact TV numerator and the distance match a from-scratch
+    unigram recount, and TV respects its [0, 1) bound."""
+    rows = REGISTRY["docs_tv_distance"].fn(spark, sf_dir).collect()
+    assert rows
+    docs = _duck(sf_dir, "SELECT source, text FROM '$SF/documents.parquet'")
+    per: dict[str, dict[str, int]] = {}
+    corpus: dict[str, int] = {}
+    for src, text in docs:
+        d = per.setdefault(src, {})
+        for t in (w for w in text.split(" ") if w != ""):
+            d[t] = d.get(t, 0) + 1
+            corpus[t] = corpus.get(t, 0) + 1
+    n_c = sum(corpus.values())
+    for r in rows:
+        d = per[r["source"]]
+        n_s = sum(d.values())
+        assert r["n_tokens_source"] == n_s
+        assert r["n_tokens_corpus"] == n_c
+        assert r["n_vocab_seen"] == len(d)
+        num = sum(
+            abs(c_st * n_c - corpus[t] * n_s) for t, c_st in d.items()
+        )
+        num += n_s * (n_c - sum(corpus[t] for t in d))
+        assert r["tv_num"] == num
+        tv = num / (2 * n_s * n_c)
+        assert r["tv_distance"] == pytest.approx(tv, rel=1e-12)
+        assert 0.0 <= tv < 1.0
+
+
+def test_png_crc32_matches_zlib(spark, sf_dir):
+    """Every emitted CRC equals zlib.crc32 over independently rebuilt
+    chunk bytes — a third implementation neither engine shares — and
+    the stored-vs-recomputed flags all hold."""
+    import zlib
+
+    rows = REGISTRY["multimodal_png_crc32"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["sig_ok"] and r["length_ok"]
+        assert r["ihdr_len"] == 13
+        w, h = r["width"], r["height"]
+        assert (w, h) == (r["doc_id"] % 317 + 1, r["doc_id"] % 211 + 1)
+        ihdr = (
+            b"IHDR"
+            + w.to_bytes(4, "big")
+            + h.to_bytes(4, "big")
+            + bytes([8, 2, 0, 0, 0])
+        )
+        assert r["ihdr_crc"] == zlib.crc32(ihdr) and r["ihdr_crc_ok"]
+        text = b"tEXt" + b"doc\x00id=" + str(r["doc_id"]).encode()
+        assert r["text_len"] == 7 + len(str(r["doc_id"]))
+        assert r["text_crc"] == zlib.crc32(text) and r["text_crc_ok"]
+        assert r["iend_crc"] == zlib.crc32(b"IEND") == 0xAE426082
+        assert r["iend_crc_ok"]
