@@ -4476,3 +4476,208 @@ def events_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("chi2_friedman"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lag-1 Granger screen between every ORDERED pair of types' hourly series
+# ---------------------------------------------------------------------------
+@register(
+    "events_granger_lag1",
+    oracle="""
+    WITH hc AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (SELECT event_type, min(h) AS lo, max(h) AS hi FROM hc GROUP BY 1),
+    spine AS (
+      SELECT event_type,
+             CAST(unnest(generate_series(lo, hi, 3600)) AS BIGINT) AS h
+      FROM b
+    ),
+    f AS (
+      SELECT s.event_type, s.h, COALESCE(c.c, 0) AS c
+      FROM spine s LEFT JOIN hc c ON c.event_type = s.event_type
+                                 AND c.h = s.h
+    ),
+    al AS (
+      SELECT x.event_type AS tx, y.event_type AS ty, x.h,
+             x.c AS xv, y.c AS yv
+      FROM f x JOIN f y ON y.h = x.h AND x.event_type <> y.event_type
+    ),
+    lagged AS (
+      SELECT tx, ty, h, yv AS y,
+             LAG(yv) OVER (PARTITION BY tx, ty ORDER BY h) AS u,
+             LAG(xv) OVER (PARTITION BY tx, ty ORDER BY h) AS v
+      FROM al
+    ),
+    s AS (
+      SELECT tx, ty,
+             CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(u) AS BIGINT) AS su,
+             CAST(SUM(v) AS BIGINT) AS sv,
+             SUM(CAST(y AS HUGEINT) * y) AS syy,
+             SUM(CAST(u AS HUGEINT) * u) AS suu,
+             SUM(CAST(v AS HUGEINT) * v) AS svv,
+             SUM(CAST(y AS HUGEINT) * u) AS syu,
+             SUM(CAST(y AS HUGEINT) * v) AS syv,
+             SUM(CAST(u AS HUGEINT) * v) AS suv
+      FROM lagged WHERE u IS NOT NULL
+      GROUP BY tx, ty
+    ),
+    cmom AS (
+      SELECT tx, ty, m,
+             CAST(CAST(m * syy - CAST(sy AS HUGEINT) * sy AS VARCHAR)
+                  AS DOUBLE) AS cyy,
+             CAST(CAST(m * suu - CAST(su AS HUGEINT) * su AS VARCHAR)
+                  AS DOUBLE) AS cuu,
+             CAST(CAST(m * svv - CAST(sv AS HUGEINT) * sv AS VARCHAR)
+                  AS DOUBLE) AS cvv,
+             CAST(CAST(m * syu - CAST(sy AS HUGEINT) * su AS VARCHAR)
+                  AS DOUBLE) AS cyu,
+             CAST(CAST(m * syv - CAST(sy AS HUGEINT) * sv AS VARCHAR)
+                  AS DOUBLE) AS cyv,
+             CAST(CAST(m * suv - CAST(su AS HUGEINT) * sv AS VARCHAR)
+                  AS DOUBLE) AS cuv
+      FROM s
+    ),
+    rss AS (
+      SELECT tx, ty, m,
+             (cyy - cyu * cyu / cuu) / m AS rss_r,
+             (cyy - (cyu * cyu * cvv - 2.0 * cyu * cyv * cuv
+                     + cyv * cyv * cuu)
+                    / (cuu * cvv - cuv * cuv)) / m AS rss_u
+      FROM cmom
+      WHERE cuu > 0 AND (cuu * cvv - cuv * cuv) > 0
+    )
+    SELECT tx AS type_cause, ty AS type_effect, m AS n_obs,
+           rss_r, rss_u,
+           (rss_r - rss_u) * (m - 3.0) / rss_u AS f_granger
+    FROM rss WHERE rss_u > 0
+    """,
+    tags=("events", "timeseries", "stats", "inference"),
+)
+def events_granger_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG-1 GRANGER screen between every ORDERED pair of event types:
+    does knowing last hour's CAUSE-series count improve the one-step
+    forecast of the EFFECT series beyond its own history? F compares
+    the restricted AR(1) fit y_t ~ y_{t-1} against the augmented
+    y_t ~ y_{t-1} + x_{t-1} — the standard first-pass causality
+    screen over operational telemetry (does click traffic LEAD
+    purchases?). Every regression moment is an EXACT integer (counts
+    and their products in HUGEINT/DECIMAL over the zero-filled common
+    spine); the centered moments n*Sab - Sa*Sb render to double
+    through strings (VARCHAR doctrine), and both RSS closed forms
+    (Cramer's rule on the 2-predictor normal equations) are pinned
+    double expressions shaped identically on both engines. Degenerate
+    pairs (zero-variance lag columns or singular normal matrix) are
+    filtered on BOTH engines rather than emitting +-inf.
+
+    Scale shape: one (type, hour) count; the pair alignment joins on
+    the hour key; per-ordered-pair LAG windows are span-bounded (the
+    Theil-Sen argument); one reduce per ordered pair — nothing
+    data-sized past the first aggregate. Reference basis: SURVEY.md
+    §2.5 time-series family (absent in reference)."""
+    ev = table(spark, sf_dir, "events")
+    hc = ev.groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("hour", "ts")).alias("h"),
+    ).agg(F.count("*").alias("c"))
+    b = hc.groupBy("event_type").agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    spine = b.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.lit(3600))).alias("h"),
+    )
+    f = spine.join(hc, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    x = f.select(F.col("event_type").alias("tx"), "h", F.col("c").alias("xv"))
+    y = f.select(
+        F.col("event_type").alias("ty"),
+        F.col("h").alias("hy"),
+        F.col("c").alias("yv"),
+    )
+    al = x.join(
+        y, (F.col("hy") == F.col("h")) & (F.col("tx") != F.col("ty"))
+    ).select("tx", "ty", "h", "xv", "yv")
+    w = Window.partitionBy("tx", "ty").orderBy("h")
+    lagged = al.select(
+        "tx",
+        "ty",
+        F.col("yv").alias("y"),
+        F.lag("yv").over(w).alias("u"),
+        F.lag("xv").over(w).alias("v"),
+    ).filter(F.col("u").isNotNull())
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = lagged.groupBy("tx", "ty").agg(
+        F.count("*").alias("m"),
+        F.sum("y").alias("sy"),
+        F.sum("u").alias("su"),
+        F.sum("v").alias("sv"),
+        F.sum(dec("y") * F.col("y")).alias("syy"),
+        F.sum(dec("u") * F.col("u")).alias("suu"),
+        F.sum(dec("v") * F.col("v")).alias("svv"),
+        F.sum(dec("y") * F.col("u")).alias("syu"),
+        F.sum(dec("y") * F.col("v")).alias("syv"),
+        F.sum(dec("u") * F.col("v")).alias("suv"),
+    )
+
+    def cm(ab, a, bcol):
+        return (
+            (F.col("m") * F.col(ab) - dec(a) * F.col(bcol))
+            .cast("decimal(38,0)")
+            .cast("string")
+            .cast("double")
+        )
+
+    cmom = s.select(
+        "tx",
+        "ty",
+        "m",
+        cm("syy", "sy", "sy").alias("cyy"),
+        cm("suu", "su", "su").alias("cuu"),
+        cm("svv", "sv", "sv").alias("cvv"),
+        cm("syu", "sy", "su").alias("cyu"),
+        cm("syv", "sy", "sv").alias("cyv"),
+        cm("suv", "su", "sv").alias("cuv"),
+    )
+    det = F.col("cuu") * F.col("cvv") - F.col("cuv") * F.col("cuv")
+    rss_r = (
+        F.col("cyy") - F.col("cyu") * F.col("cyu") / F.col("cuu")
+    ) / F.col("m")
+    rss_u = (
+        F.col("cyy")
+        - (
+            F.col("cyu") * F.col("cyu") * F.col("cvv")
+            - F.lit(2.0) * F.col("cyu") * F.col("cyv") * F.col("cuv")
+            + F.col("cyv") * F.col("cyv") * F.col("cuu")
+        )
+        / det
+    ) / F.col("m")
+    rss = (
+        cmom.filter((F.col("cuu") > 0) & (det > 0))
+        .select(
+            "tx",
+            "ty",
+            "m",
+            rss_r.alias("rss_r"),
+            rss_u.alias("rss_u"),
+        )
+        .filter(F.col("rss_u") > 0)
+    )
+    return rss.select(
+        F.col("tx").alias("type_cause"),
+        F.col("ty").alias("type_effect"),
+        F.col("m").alias("n_obs"),
+        "rss_r",
+        "rss_u",
+        (
+            (F.col("rss_r") - F.col("rss_u"))
+            * (F.col("m") - F.lit(3.0))
+            / F.col("rss_u")
+        ).alias("f_granger"),
+    )

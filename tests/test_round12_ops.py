@@ -711,3 +711,52 @@ def test_png_crc32_matches_zlib(spark, sf_dir):
         assert r["text_crc"] == zlib.crc32(text) and r["text_crc_ok"]
         assert r["iend_crc"] == zlib.crc32(b"IEND") == 0xAE426082
         assert r["iend_crc_ok"]
+
+
+def test_granger_matches_pure_ols(spark, sf_dir):
+    """RSS of both nested models and the F statistic match a pure-Python
+    least-squares replay (normal equations solved with exact ints then
+    floats) for every ordered type pair."""
+    rows = REGISTRY["events_granger_lag1"].fn(spark, sf_dir).collect()
+    assert rows
+    series = {t: dict(sv) for t, sv in _hourly_series(sf_dir).items()}
+    seen = 0
+    for r in rows:
+        sx = series[r["type_cause"]]
+        sy = series[r["type_effect"]]
+        hs = sorted(set(sx) & set(sy))
+        y = [sy[h] for h in hs][1:]
+        u = [sy[h] for h in hs][:-1]
+        v = [sx[h] for h in hs][:-1]
+        m = len(y)
+        assert r["n_obs"] == m
+        Sy, Su, Sv = sum(y), sum(u), sum(v)
+        syy = sum(a * a for a in y)
+        suu = sum(a * a for a in u)
+        svv = sum(a * a for a in v)
+        syu = sum(a * b for a, b in zip(y, u))
+        syv = sum(a * b for a, b in zip(y, v))
+        suv = sum(a * b for a, b in zip(u, v))
+        cyy = float(m * syy - Sy * Sy)
+        cuu = float(m * suu - Su * Su)
+        cvv = float(m * svv - Sv * Sv)
+        cyu = float(m * syu - Sy * Su)
+        cyv = float(m * syv - Sy * Sv)
+        cuv = float(m * suv - Su * Sv)
+        det = cuu * cvv - cuv * cuv
+        assert cuu > 0 and det > 0
+        rss_r = (cyy - cyu * cyu / cuu) / m
+        rss_u = (
+            cyy
+            - (cyu * cyu * cvv - 2.0 * cyu * cyv * cuv + cyv * cyv * cuu)
+            / det
+        ) / m
+        assert r["rss_r"] == pytest.approx(rss_r, rel=1e-9)
+        assert r["rss_u"] == pytest.approx(rss_u, rel=1e-9)
+        assert r["f_granger"] == pytest.approx(
+            (rss_r - rss_u) * (m - 3.0) / rss_u, rel=1e-6
+        )
+        # nested models: the augmented fit can never be worse
+        assert rss_u <= rss_r + 1e-9
+        seen += 1
+    assert seen == len(rows)
