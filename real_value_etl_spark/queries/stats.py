@@ -1590,7 +1590,7 @@ def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(c2) AS BIGINT) AS n2,
              CAST(SUM(CAST(c1 AS HUGEINT) * (2 * cb + c + 1)) AS HUGEINT)
                AS r1x2,
-             CAST(SUM(c * c * c - c) AS BIGINT) AS tie_term
+             CAST(SUM(CAST(c AS HUGEINT) * c * c - c) AS BIGINT) AS tie_term
       FROM cum
     ),
     d AS (
@@ -1659,9 +1659,14 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c1").cast("decimal(38,0)")
             * (2 * F.col("cb") + F.col("c") + 1)
         ).alias("r1x2"),
+        # c^3 in 128-bit: a single value with ~2.1e6 duplicates would
+        # wrap silently in Spark's long while DuckDB's BIGINT raises —
+        # the engines would DIVERGE, not agree-wrong (the r8 lesson's
+        # sibling). DECIMAL(38,0)/HUGEINT keeps both exact to ~1e12 ties.
         F.sum(
-            F.col("c") * F.col("c") * F.col("c") - F.col("c")
-        ).alias("tie_term"),
+            F.col("c").cast("decimal(38,0)") * F.col("c") * F.col("c")
+            - F.col("c")
+        ).cast("long").alias("tie_term"),
     )
     n = F.col("n1") + F.col("n2")
     u1x2 = (
