@@ -176,6 +176,27 @@ SF1_HEAVY = [
     # O(1)-state stream).
     "graph_degree_assortativity",
     "docs_simpson_diversity",
+    # round-12 admissions, hand-probed first (tools/r12_sf1_probe.py,
+    # min-of-2 warm, graph_components_star control 3.01x):
+    # text_suffix_lcp_dedup 2.65 -> 21.88 s (8.25x for 10x docs — the
+    # suffix table IS the corpus token count, the steepest genuine
+    # growth in the suite and still sub-linear per unit) and
+    # sim_kcenter_seeds 3.11 -> 8.23 s (2.65x for 10x embeddings — K
+    # chained broadcast map passes, a plan shape no existing leg has).
+    # NOT admitted: docs_tv_distance (3.51x — token-keyed aggregate +
+    # join, the simpson_diversity machinery; one representative rule),
+    # graph_katz_centrality / graph_edge_jaccard / graph_double_sweep
+    # (1.92/2.93/1.43x — all ride the mutual-kNN edge build already
+    # represented by assortativity/link_prediction), q_mann_whitney
+    # (0.88x — the tiled fixture reuses the price domain so the
+    # distinct-value spine SATURATES, the k_core fixture effect),
+    # stream_moments (1.37x — O(1) state, stream legs covered),
+    # q_ks_two_sample / q_welch_t_test (orders is UNSCALED in the
+    # fixture — flat by construction), events_theil_sen / kendall_tau /
+    # friedman (0.99-1.26x — wall-clock-bounded spines), the three
+    # codecs (0.96-1.17x — map-only).
+    "text_suffix_lcp_dedup",
+    "sim_kcenter_seeds",
 ]
 
 
