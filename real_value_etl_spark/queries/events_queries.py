@@ -4681,3 +4681,166 @@ def events_granger_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("rss_u")
         ).alias("f_granger"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ljung-Box portmanteau white-noise test per type (classical rho, lags 1-6)
+# ---------------------------------------------------------------------------
+LB_LAGS = 6
+
+
+def _lb_oracle() -> str:
+    lag_cols = ",\n             ".join(
+        f"CAST(SUM(CASE WHEN rn > {k} THEN y * ylag{k} ELSE 0 END) "
+        f"AS BIGINT) AS c{k}n2" for k in range(1, LB_LAGS + 1)
+    )
+    ylags = ",\n             ".join(
+        f"LAG(y, {k}) OVER (PARTITION BY event_type ORDER BY h) AS ylag{k}"
+        for k in range(1, LB_LAGS + 1)
+    )
+    rhos = ",\n           ".join(
+        f"CAST(c{k}n2 AS DOUBLE) / c0n2 AS rho_{k}"
+        for k in range(1, LB_LAGS + 1)
+    )
+    q_terms = " + ".join(
+        f"(CAST(c{k}n2 AS DOUBLE) / c0n2) * (CAST(c{k}n2 AS DOUBLE) / c0n2)"
+        f" / (n - {k})" for k in range(1, LB_LAGS + 1)
+    )
+    return f"""
+    WITH hc AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (SELECT event_type, min(h) AS lo, max(h) AS hi FROM hc GROUP BY 1),
+    spine AS (
+      SELECT event_type,
+             CAST(unnest(generate_series(lo, hi, 3600)) AS BIGINT) AS h
+      FROM b
+    ),
+    f AS (
+      SELECT s.event_type, s.h, COALESCE(c.c, 0) AS c
+      FROM spine s LEFT JOIN hc c ON c.event_type = s.event_type
+                                 AND c.h = s.h
+    ),
+    tot AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS BIGINT) AS s1
+      FROM f GROUP BY event_type
+    ),
+    yv AS (
+      SELECT f.event_type, f.h, t.n,
+             t.n * f.c - t.s1 AS y,
+             ROW_NUMBER() OVER (PARTITION BY f.event_type
+                                ORDER BY f.h) AS rn
+      FROM f JOIN tot t ON t.event_type = f.event_type
+    ),
+    lagged AS (
+      SELECT event_type, n, y, rn,
+             {ylags}
+      FROM yv
+    ),
+    sums AS (
+      SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+             CAST(SUM(y * y) AS BIGINT) AS c0n2,
+             {lag_cols}
+      FROM lagged GROUP BY event_type
+    )
+    SELECT event_type, n AS n_hours, c0n2,
+           {rhos},
+           CAST(n AS DOUBLE) * (n + 2) * ({q_terms}) AS q_ljung_box
+    FROM sums WHERE c0n2 > 0
+    """
+
+
+@register(
+    "events_ljung_box",
+    oracle=_lb_oracle(),
+    tags=("events", "timeseries", "stats", "inference"),
+)
+def events_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LJUNG-BOX portmanteau test per event type: is the hourly series
+    white noise, or does autocorrelation at ANY of lags 1..{L} remain
+    (the residual-diagnostic gate every forecasting family — Holt,
+    Holt-Winters, STL — should pass before its intervals are
+    trusted)? Classical rho_k with the FULL-series mean, made exact:
+    y_t = n*x_t - s1 (an integer), so every autocovariance c_k*n^2 =
+    sum y_t*y_(t-k) is an exact BIGINT (bounded by span * (span *
+    max_rate)^2 — ~1e14 here, ~1e20 per-million-hour bound documented)
+    and rho_k = c_k/c_0 is one double division per lag; Q = n(n+2) *
+    sum rho_k^2/(n-k) is a literal-unrolled fixed-order sum, shaped
+    identically on both engines. Degenerate constant series
+    (c0 = 0) filter identically. Complements events_acf_hourly
+    (global Pearson per lag spine) with the per-type CLASSICAL rho
+    and the single test statistic capacity reviews quote.
+
+    Scale shape: one (type, hour) count; {L} bounded per-type window
+    lags over the wall-clock-sized spine; one reduce per type.
+    Reference basis: SURVEY.md §2.4 stats family (absent in
+    reference)."""
+    ev = table(spark, sf_dir, "events")
+    hc = ev.groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("hour", "ts")).alias("h"),
+    ).agg(F.count("*").alias("c"))
+    b = hc.groupBy("event_type").agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    spine = b.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.lit(3600))).alias("h"),
+    )
+    f = spine.join(hc, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    tot = f.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("c").alias("s1")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    yv = (
+        f.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "h",
+            "n",
+            (F.col("n") * F.col("c") - F.col("s1")).alias("y"),
+            F.row_number().over(w).alias("rn"),
+        )
+    )
+    lag_cols = [
+        F.lag("y", k).over(w).alias(f"ylag{k}") for k in range(1, LB_LAGS + 1)
+    ]
+    lagged = yv.select("event_type", "n", "y", "rn", *lag_cols)
+    aggs = [
+        F.max("n").alias("n_out"),
+        F.sum(F.col("y") * F.col("y")).alias("c0n2"),
+    ] + [
+        F.sum(
+            F.when(
+                F.col("rn") > k, F.col("y") * F.col(f"ylag{k}")
+            ).otherwise(0)
+        ).alias(f"c{k}n2")
+        for k in range(1, LB_LAGS + 1)
+    ]
+    sums = lagged.groupBy("event_type").agg(*aggs)
+    rho = {
+        k: F.col(f"c{k}n2").cast("double") / F.col("c0n2")
+        for k in range(1, LB_LAGS + 1)
+    }
+    q = F.lit(None).cast("double")
+    q_sum = None
+    for k in range(1, LB_LAGS + 1):
+        term = rho[k] * rho[k] / (F.col("n_out") - k)
+        q_sum = term if q_sum is None else q_sum + term
+    q = F.col("n_out").cast("double") * (F.col("n_out") + 2) * q_sum
+    return sums.filter(F.col("c0n2") > 0).select(
+        "event_type",
+        F.col("n_out").alias("n_hours"),
+        "c0n2",
+        *[rho[k].alias(f"rho_{k}") for k in range(1, LB_LAGS + 1)],
+        q.alias("q_ljung_box"),
+    )
+
+
+events_ljung_box.__doc__ = events_ljung_box.__doc__.format(L=LB_LAGS)

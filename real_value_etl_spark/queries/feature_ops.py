@@ -5997,3 +5997,243 @@ def multimodal_png_crc32(spark: SparkSession, sf_dir: str) -> DataFrame:
         (iend_pos + 11).alias("total_len"),
         (iend_pos + 11 == F.octet_length(p)).alias("length_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RIFF/AVI idx1 walk — seventeenth byte codec: nested LIST structure, the
+# RIFF even-byte padding rule (odd chunk sizes get a pad byte NOT counted
+# in the size field), and an index table whose offsets must match the walk
+# ---------------------------------------------------------------------------
+AVI_MAX_FRAMES = 4
+
+
+@register(
+    "multimodal_avi_idx1_walk",
+    oracle="""
+    WITH src AS (
+      SELECT doc_id, doc_id % 4 + 1 AS n FROM documents
+    ),
+    ch AS (
+      SELECT doc_id, n, CAST(i AS BIGINT) AS i,
+             (doc_id + 31 * i) % 97 + 1 AS sz
+      FROM src, unnest(range(0, 4)) AS t(i)
+      WHERE i < n
+    ),
+    agg AS (
+      SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n,
+             CAST(SUM(sz) AS BIGINT) AS data_bytes,
+             CAST(SUM(sz % 2) AS BIGINT) AS pad_bytes
+      FROM ch GROUP BY doc_id
+    )
+    SELECT doc_id,
+           TRUE AS riff_ok, TRUE AS avi_ok, TRUE AS movi_ok,
+           TRUE AS idx1_ok,
+           n AS n_chunks, n AS n_idx_entries,
+           (n + 1) // 2 AS n_keyframes,
+           data_bytes, pad_bytes,
+           TRUE AS offsets_ok, TRUE AS sizes_ok, TRUE AS riff_size_ok,
+           8 + 4 + 8 + (4 + 8 * n + data_bytes + pad_bytes)
+             + 8 + 16 * n AS total_len,
+           TRUE AS length_ok
+    FROM agg
+    """,
+    tags=("multimodal", "llm", "binary", "video"),
+)
+def multimodal_avi_idx1_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIFF/AVI idx1 INDEX walk — the seventeenth byte codec and two
+    structural firsts: the RIFF EVEN-PADDING rule (a chunk with an odd
+    size field is followed by one pad byte that the size does NOT
+    count — the walk must re-align or every later offset is off by
+    the number of preceding odd chunks), and an INDEX TABLE whose
+    entries must be verified against the walk itself (each idx1
+    record's offset — relative to the byte after 'movi' — and size
+    must equal what the chunk walk actually found; a video player
+    seeks by this table, so a builder/index mismatch is the
+    corruption this parse exists to catch). Each document becomes a
+    byte-valid single-stream AVI skeleton: RIFF('AVI ') containing a
+    LIST('movi') of 1..{N} '00dc' frame chunks (sizes derived from
+    doc_id, odd sizes common so pads are really exercised) and the
+    idx1 chunk with per-entry KEYFRAME flags on even frames. The
+    parse re-reads every fourCC, walks the movi list under the
+    padding rule, cross-checks every index entry, counts keyframes
+    from the flag words, and verifies the RIFF size and EOF. Unrolled
+    {N}-step walk (chained narrow projections); map-only, zero
+    exchanges; bytes never reach Python."""
+    d = table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+
+    def hx(c, nbytes):
+        return F.lpad(F.hex(c.cast("long")), 2 * nbytes, "0")
+
+    def lehex(c, nbytes):
+        h = hx(c, nbytes)
+        return F.concat(
+            *[F.substring(h, 2 * nbytes - 1 - 2 * i, 2) for i in range(nbytes)]
+        )
+
+    n = (did % 4 + 1).cast("long")
+    szs = [((did + 31 * i) % 97 + 1).cast("long") for i in range(AVI_MAX_FRAMES)]
+    pads = [F.pmod(s, 2) for s in szs]
+    fill = hx((did * 13 + 7) % 256, 1)
+    # movi list data = "movi" + chunks (with pad bytes)
+    chunk_hexes = []
+    offs = []
+    acc = F.lit(0).cast("long")
+    for i in range(AVI_MAX_FRAMES):
+        offs.append(acc)
+        chunk_hexes.append(
+            F.when(
+                F.lit(i) < n,
+                F.concat(
+                    F.lit("30306463"),  # "00dc"
+                    lehex(szs[i], 4),
+                    F.repeat(fill, szs[i].cast("int")),
+                    F.when(pads[i] == 1, F.lit("00")).otherwise(F.lit("")),
+                ),
+            ).otherwise(F.lit("")),
+        )
+        acc = acc + F.when(
+            F.lit(i) < n, F.lit(8) + szs[i] + pads[i]
+        ).otherwise(F.lit(0))
+    movi_data_len = F.lit(4).cast("long") + acc  # "movi" + chunks
+    idx_entries = [
+        F.when(
+            F.lit(i) < n,
+            F.concat(
+                F.lit("30306463"),
+                lehex(F.lit(0x10 if i % 2 == 0 else 0).cast("long"), 4),
+                lehex(offs[i], 4),
+                lehex(szs[i], 4),
+            ),
+        ).otherwise(F.lit(""))
+        for i in range(AVI_MAX_FRAMES)
+    ]
+    idx_size = 16 * n
+    riff_size = F.lit(4).cast("long") + 8 + movi_data_len + 8 + idx_size
+    payload_hex = F.concat(
+        F.lit("52494646"), lehex(riff_size, 4), F.lit("41564920"),
+        F.lit("4c495354"), lehex(movi_data_len, 4), F.lit("6d6f7669"),
+        *chunk_hexes,
+        F.lit("69647831"), lehex(idx_size, 4),
+        *idx_entries,
+    )
+    avi = d.select("doc_id", F.unhex(payload_hex).alias("payload"))
+    p = F.col("payload")
+
+    def fourcc(pos):
+        return F.decode(
+            F.substring(p, pos.cast("int") if hasattr(pos, "cast") else pos, 4),
+            "utf-8",
+        )
+
+    def rd_le(pos, nbytes=4):
+        posc = pos.cast("int") if hasattr(pos, "cast") else F.lit(pos).cast("int")
+        h = F.hex(F.substring(p, posc, nbytes))
+        return F.conv(
+            F.concat(
+                *[
+                    F.substring(h, 2 * nbytes - 1 - 2 * i, 2)
+                    for i in range(nbytes)
+                ]
+            ),
+            16, 10,
+        ).cast("long")
+
+    list_size = rd_le(F.lit(17))
+    st = avi.select(
+        "doc_id",
+        "payload",
+        F.octet_length(p).cast("long").alias("plen"),
+        (fourcc(F.lit(1)) == "RIFF").alias("riff_ok"),
+        (fourcc(F.lit(9)) == "AVI ").alias("avi_ok"),
+        (
+            (fourcc(F.lit(13)) == "LIST") & (fourcc(F.lit(21)) == "movi")
+        ).alias("movi_ok"),
+        rd_le(F.lit(5)).alias("riff_size_field"),
+        list_size.alias("list_size"),
+        (F.lit(21).cast("long") + list_size).alias("movi_end"),
+        F.lit(25).cast("long").alias("pos"),
+        F.lit(0).cast("long").alias("n_chunks"),
+        F.lit(0).cast("long").alias("data_bytes"),
+        F.lit(0).cast("long").alias("pad_bytes"),
+        F.lit(True).alias("chunk_ids_ok"),
+    )
+    carry = [
+        "doc_id", "payload", "plen", "riff_ok", "avi_ok", "movi_ok",
+        "riff_size_field", "list_size", "movi_end",
+    ]
+    walked_cols = []
+    for i in range(AVI_MAX_FRAMES):
+        active = F.col("pos") < F.col("movi_end")
+        sz = rd_le(F.col("pos") + 4)
+        pad = F.pmod(sz, 2)
+        walked_cols += [f"w_off_{i}", f"w_sz_{i}"]
+        st = st.select(
+            *carry,
+            *[c for c in walked_cols[:-2]],
+            F.when(active, F.col("pos") - 25)
+            .otherwise(F.lit(None).cast("long"))
+            .alias(f"w_off_{i}"),
+            F.when(active, sz)
+            .otherwise(F.lit(None).cast("long"))
+            .alias(f"w_sz_{i}"),
+            F.when(active, F.col("pos") + 8 + sz + pad)
+            .otherwise(F.col("pos"))
+            .alias("pos"),
+            (F.col("n_chunks") + active.cast("long")).alias("n_chunks"),
+            F.when(active, F.col("data_bytes") + sz)
+            .otherwise(F.col("data_bytes"))
+            .alias("data_bytes"),
+            F.when(active, F.col("pad_bytes") + pad)
+            .otherwise(F.col("pad_bytes"))
+            .alias("pad_bytes"),
+            (
+                F.col("chunk_ids_ok")
+                & (~active | (fourcc(F.col("pos")) == "00dc"))
+            ).alias("chunk_ids_ok"),
+        )
+    idx_base = F.col("movi_end")  # "idx1" fourcc position
+    idx_size_p = rd_le(idx_base + 4)
+    ent0 = idx_base + 8
+    offsets_ok = F.lit(True)
+    sizes_ok = F.lit(True)
+    n_kf = F.lit(0).cast("long")
+    for i in range(AVI_MAX_FRAMES):
+        e = ent0 + 16 * i
+        in_idx = F.lit(i) < F.col("n_chunks")
+        offsets_ok = offsets_ok & (
+            ~in_idx | (rd_le(e + 8) == F.col(f"w_off_{i}"))
+        )
+        sizes_ok = sizes_ok & (
+            ~in_idx | (rd_le(e + 12) == F.col(f"w_sz_{i}"))
+        )
+        n_kf = n_kf + F.when(
+            in_idx & (F.pmod(rd_le(e + 4), 32) >= 16), 1
+        ).otherwise(0)
+    total_len = idx_base + 8 + idx_size_p - 1
+    return st.select(
+        "doc_id",
+        "riff_ok",
+        "avi_ok",
+        "movi_ok",
+        (fourcc(idx_base) == "idx1").alias("idx1_ok"),
+        F.col("n_chunks").alias("n_chunks"),
+        F.call_function("div", idx_size_p, F.lit(16).cast("long")).alias(
+            "n_idx_entries"
+        ),
+        n_kf.alias("n_keyframes"),
+        "data_bytes",
+        "pad_bytes",
+        offsets_ok.alias("offsets_ok"),
+        (sizes_ok & F.col("chunk_ids_ok")).alias("sizes_ok"),
+        (
+            F.col("riff_size_field") == F.col("plen") - 8
+        ).alias("riff_size_ok"),
+        total_len.alias("total_len"),
+        (total_len == F.col("plen")).alias("length_ok"),
+    )
+
+
+multimodal_avi_idx1_walk.__doc__ = multimodal_avi_idx1_walk.__doc__.format(
+    N=AVI_MAX_FRAMES
+)

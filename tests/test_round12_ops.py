@@ -760,3 +760,96 @@ def test_granger_matches_pure_ols(spark, sf_dir):
         assert rss_u <= rss_r + 1e-9
         seen += 1
     assert seen == len(rows)
+
+
+def test_ljung_box_matches_pure_python(spark, sf_dir):
+    """c0*n^2, every rho_k, and Q match a pure-Python classical-ACF
+    replay over the zero-filled hourly series."""
+    rows = REGISTRY["events_ljung_box"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        sv = _hourly_series(sf_dir)[r["event_type"]]
+        xs = [c for _, c in sv]
+        n, s1 = len(xs), sum(xs)
+        y = [n * x - s1 for x in xs]
+        c0 = sum(v * v for v in y)
+        assert (r["n_hours"], r["c0n2"]) == (n, c0)
+        q = 0.0
+        for k in range(1, 7):
+            ck = sum(y[t] * y[t - k] for t in range(k, n))
+            rho = ck / c0
+            assert r[f"rho_{k}"] == pytest.approx(rho, rel=1e-12)
+            q += rho * rho / (n - k)
+        assert r["q_ljung_box"] == pytest.approx(n * (n + 2) * q, rel=1e-9)
+
+
+def _build_avi(doc_id: int) -> bytes:
+    """Independent byte-level replica of the AVI build recipe."""
+    n = doc_id % 4 + 1
+    fill = bytes([(doc_id * 13 + 7) % 256])
+    chunks = b""
+    entries = b""
+    off = 0
+    for i in range(n):
+        sz = (doc_id + 31 * i) % 97 + 1
+        pad = sz % 2
+        chunks += b"00dc" + sz.to_bytes(4, "little") + fill * sz + b"\x00" * pad
+        flags = 0x10 if i % 2 == 0 else 0
+        entries += (
+            b"00dc"
+            + flags.to_bytes(4, "little")
+            + off.to_bytes(4, "little")
+            + sz.to_bytes(4, "little")
+        )
+        off += 8 + sz + pad
+    movi = b"movi" + chunks
+    idx = b"idx1" + (16 * n).to_bytes(4, "little") + entries
+    riff_size = 4 + 8 + len(movi) + len(idx)
+    return (
+        b"RIFF"
+        + riff_size.to_bytes(4, "little")
+        + b"AVI "
+        + b"LIST"
+        + len(movi).to_bytes(4, "little")
+        + movi
+        + idx
+    )
+
+
+def test_avi_idx1_matches_independent_walker(spark, sf_dir):
+    """Every field matches a generic RIFF walker (with the even-padding
+    rule) over independently rebuilt bytes; the idx1 cross-check holds."""
+    rows = REGISTRY["multimodal_avi_idx1_walk"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        b = _build_avi(r["doc_id"])
+        assert b[:4] == b"RIFF" and b[8:12] == b"AVI " and r["riff_ok"]
+        assert int.from_bytes(b[4:8], "little") == len(b) - 8
+        assert r["riff_size_ok"] and r["avi_ok"] and r["movi_ok"]
+        list_size = int.from_bytes(b[16:20], "little")
+        pos = 24  # first chunk (0-based)
+        walked = []
+        data = pads = 0
+        while pos < 20 + list_size:
+            assert b[pos : pos + 4] == b"00dc"
+            sz = int.from_bytes(b[pos + 4 : pos + 8], "little")
+            walked.append((pos - 24, sz))
+            data += sz
+            pads += sz % 2
+            pos += 8 + sz + (sz % 2)
+        assert r["n_chunks"] == len(walked)
+        assert (r["data_bytes"], r["pad_bytes"]) == (data, pads)
+        assert b[pos : pos + 4] == b"idx1" and r["idx1_ok"]
+        n_idx = int.from_bytes(b[pos + 4 : pos + 8], "little") // 16
+        assert r["n_idx_entries"] == n_idx == len(walked)
+        kf = 0
+        for i in range(n_idx):
+            e = pos + 8 + 16 * i
+            flags = int.from_bytes(b[e + 4 : e + 8], "little")
+            eoff = int.from_bytes(b[e + 8 : e + 12], "little")
+            esz = int.from_bytes(b[e + 12 : e + 16], "little")
+            assert (eoff, esz) == walked[i]
+            kf += 1 if flags & 0x10 else 0
+        assert r["n_keyframes"] == kf == (len(walked) + 1) // 2
+        assert r["offsets_ok"] and r["sizes_ok"]
+        assert r["total_len"] == len(b) and r["length_ok"]
