@@ -4844,3 +4844,126 @@ def events_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 events_ljung_box.__doc__ = events_ljung_box.__doc__.format(L=LB_LAGS)
+
+
+# ---------------------------------------------------------------------------
+# Cochran's Q (k related binary treatments per user), pure-integer ratio
+# ---------------------------------------------------------------------------
+@register(
+    "events_cochran_q",
+    oracle="""
+    WITH first_day AS (
+      SELECT user_id, CAST(MIN(ts) AS DATE) AS d0 FROM events GROUP BY 1
+    ),
+    k AS (
+      SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k FROM events
+    ),
+    pres0 AS (
+      SELECT DISTINCT e.user_id, e.event_type
+      FROM events e JOIN first_day f ON f.user_id = e.user_id
+      WHERE CAST(e.ts AS DATE) = f.d0
+    ),
+    rows0 AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS r
+      FROM pres0 GROUP BY user_id
+    ),
+    keep AS (
+      SELECT user_id, r FROM rows0, k WHERE r < k.k
+    ),
+    cols AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS c
+      FROM pres0 JOIN keep USING (user_id)
+      GROUP BY event_type
+    ),
+    cs AS (
+      SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS t,
+             CAST(COALESCE(SUM(CAST(c AS HUGEINT) * c), 0) AS HUGEINT)
+               AS c2
+      FROM cols
+    ),
+    rs AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(COALESCE(SUM(CAST(r AS HUGEINT) * r), 0) AS HUGEINT)
+               AS r2
+      FROM keep
+    )
+    SELECT k.k, rs.n_users, cs.t AS total_marks,
+           CAST(k.k - 1 AS DOUBLE)
+             * CAST(CAST(k.k * cs.c2 - CAST(cs.t AS HUGEINT) * cs.t
+                         AS VARCHAR) AS DOUBLE)
+             / NULLIF(CAST(CAST(CAST(k.k AS HUGEINT) * cs.t - rs.r2
+                                AS VARCHAR) AS DOUBLE), 0.0) AS q_cochran
+    FROM k, cs, rs
+    """,
+    tags=("events", "stats", "inference"),
+)
+def events_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COCHRAN'S Q over the k event types as RELATED binary treatments
+    per user — "did user u fire type j on u's own FIRST ACTIVE DAY" —
+    the k-treatment generalization of McNemar and the categorical
+    sibling of events_friedman_test: are the five first-day engagement
+    rates homogeneous once the per-user pairing is respected?
+    All-positive rows (users who fired every type on day one) carry no
+    information and are EXCLUDED per the classical convention (they
+    also degenerate the denominator: with only saturated rows
+    k*T = sum R_i^2 exactly); all-zero rows cannot occur since day one
+    has >= 1 event. Q = (k-1)*(k*sum C_j^2 - T^2)/(k*T - sum R_i^2) is
+    then a pure integer ratio: column totals C_j, row totals R_i, T in
+    one distinct-pair aggregate, the only double the final division
+    (exact terms VARCHAR-rendered past 2^53; NULLIF guards the
+    fully-degenerate corpus).
+
+    Scale shape: per-user min reduce, one distinct on (user, type) —
+    both map-side combinable — two key-sized aggs, a three-scalar
+    cross join. Reference basis: SURVEY.md §2.4 stats family (absent
+    in reference)."""
+    ev = table(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("d0")
+    )
+    k = ev.agg(F.countDistinct("event_type").alias("k"))
+    pres0 = (
+        ev.join(first_day, "user_id")
+        .filter(F.col("ts").cast("date") == F.col("d0"))
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    rows0 = pres0.groupBy("user_id").agg(F.count("*").alias("r"))
+    keep = rows0.crossJoin(F.broadcast(k)).filter(
+        F.col("r") < F.col("k")
+    ).select("user_id", "r")
+    cols = (
+        pres0.join(keep.select("user_id"), "user_id")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("c"))
+    )
+    cs = cols.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).alias("t"),
+        F.coalesce(
+            F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("c2"),
+    )
+    rs = keep.agg(
+        F.count("*").alias("n_users"),
+        F.coalesce(
+            F.sum(F.col("r").cast("decimal(38,0)") * F.col("r")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("r2"),
+    )
+    j = k.crossJoin(F.broadcast(cs)).crossJoin(F.broadcast(rs))
+    num = (
+        F.col("k").cast("decimal(38,0)") * F.col("c2")
+        - F.col("t").cast("decimal(38,0)") * F.col("t")
+    )
+    den = F.col("k").cast("decimal(38,0)") * F.col("t") - F.col("r2")
+    return j.select(
+        "k",
+        "n_users",
+        F.col("t").alias("total_marks"),
+        (
+            (F.col("k") - 1).cast("double")
+            * num.cast("string").cast("double")
+            / F.nullif(den.cast("string").cast("double"), F.lit(0.0))
+        ).alias("q_cochran"),
+    )

@@ -6237,3 +6237,643 @@ def multimodal_avi_idx1_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
 multimodal_avi_idx1_walk.__doc__ = multimodal_avi_idx1_walk.__doc__.format(
     N=AVI_MAX_FRAMES
 )
+
+
+# ---------------------------------------------------------------------------
+# gzip member — nineteenth byte codec: the first OPTIONAL-FIELD header
+# (FLG bits gate three variable-length fields the walk must skip in order)
+# plus a REAL CRC-32 trailer over the reassembled stored-deflate stream
+# ---------------------------------------------------------------------------
+GZ_MAX_BLOCKS = 8  # dlen <= 48, cap >= 7 -> ceil(48/7) = 7 blocks max
+GZ_DLEN_MOD = 37  # dlen = doc_id % 37 + 12 (12..48 bytes of doc text)
+
+
+def _gz_oracle() -> str:
+    return f"""
+    WITH src AS (
+      SELECT doc_id,
+             doc_id % {GZ_DLEN_MOD} + 12 AS dlen,
+             doc_id % 5 + 7 AS cap,
+             (doc_id % 2 = 0) AS has_extra,
+             (doc_id % 3 <> 0) AS has_name,
+             (doc_id % 5 = 0) AS has_comment,
+             doc_id % 7 + 4 AS xlen,
+             doc_id % 6 + 1 AS clen,
+             (doc_id * 37) % 2147483648 AS mtime,
+             'doc' || CAST(doc_id AS VARCHAR) || '.txt' AS nm
+      FROM documents
+    )
+    SELECT doc_id,
+           TRUE AS magic_ok,
+           TRUE AS method_ok,
+           CAST(CASE WHEN has_extra THEN 4 ELSE 0 END
+                + CASE WHEN has_name THEN 8 ELSE 0 END
+                + CASE WHEN has_comment THEN 16 ELSE 0 END AS BIGINT)
+             AS flg,
+           CAST(mtime AS BIGINT) AS mtime,
+           CAST(CASE WHEN has_extra THEN xlen ELSE 0 END AS BIGINT)
+             AS xlen,
+           CASE WHEN has_name THEN nm ELSE '' END AS fname,
+           CAST(CASE WHEN has_comment THEN clen ELSE 0 END AS BIGINT)
+             AS comment_len,
+           CAST((dlen + cap - 1) // cap AS BIGINT) AS n_blocks,
+           CAST(dlen AS BIGINT) AS sum_len,
+           TRUE AS nlen_ok,
+           TRUE AS chain_complete,
+           TRUE AS crc_ok,
+           TRUE AS isize_ok,
+           TRUE AS data_ok,
+           CAST(10 + CASE WHEN has_extra THEN 2 + xlen ELSE 0 END
+                + CASE WHEN has_name THEN length(nm) + 1 ELSE 0 END
+                + CASE WHEN has_comment THEN clen + 1 ELSE 0 END
+                + ((dlen + cap - 1) // cap) * 5 + dlen + 8 AS BIGINT)
+             AS total_len
+    FROM src
+    """
+
+
+@register(
+    "multimodal_gzip_member_parse",
+    oracle=_gz_oracle(),
+    tags=("multimodal", "llm", "binary"),
+)
+def multimodal_gzip_member_parse(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL gzip (RFC 1952) member parse — the first codec whose header
+    is OPTIONAL-FIELD structured: FLG bits FEXTRA/FNAME/FCOMMENT gate
+    three variable-length fields (LE16-prefixed extra block,
+    NUL-terminated name, NUL-terminated comment) that the walk must
+    skip IN SPEC ORDER, each next offset known only after the previous
+    field is parsed — a harder data-dependence than a length-prefixed
+    chunk chain because two of the three lengths are discovered by
+    SCANNING for NUL. The deflate body reuses the PNG IDAT stored-block
+    chain (LE LEN/NLEN + one's-complement verify, stay-once-final
+    unrolled, one narrow projection per step), and the trailer is a
+    REAL CRC-32 (the embedded IEEE table fold, multimodal_png_crc32's
+    machinery) computed at build time over the source bytes and
+    INDEPENDENTLY recomputed at parse time over the REASSEMBLED walked
+    stream — plus the ISIZE mod-2^32 length check. The unit test
+    rebuilds the bytes in pure Python and `gzip.decompress`es them (a
+    third implementation), so build and parse cannot be wrong
+    together. Flag combinations, extra length, comment length, block
+    cap, and mtime all vary per doc_id, so every gate sees both
+    branches.
+
+    Scale shape: map-only JVM binary expressions, zero exchanges;
+    bytes never reach Python. Reference basis: SURVEY.md §2.12
+    multimodal family (absent in reference)."""
+    d = table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    tbl = F.array(*[F.lit(v).cast("long") for v in CRC32_TABLE])
+    empty = F.unhex(F.lit(""))
+
+    def hx(c, nbytes):
+        return F.lpad(F.hex(c.cast("long")), 2 * nbytes, "0")
+
+    def le_hex(c, nbytes):
+        h = hx(c, nbytes)
+        return F.concat(
+            *[F.substring(h, 2 * nbytes - 1 - 2 * i, 2) for i in range(nbytes)]
+        )
+
+    # ---- build, stage 1: geometry + data + real CRC ------------------
+    g = d.select(
+        "doc_id",
+        (did % GZ_DLEN_MOD + 12).cast("long").alias("dlen"),
+        (did % 5 + 7).cast("long").alias("cap"),
+        (did % 2 == 0).alias("has_extra"),
+        (did % 3 != 0).alias("has_name"),
+        (did % 5 == 0).alias("has_comment"),
+        (did % 7 + 4).cast("long").alias("xlen"),
+        (did % 6 + 1).cast("long").alias("clen"),
+        ((did * 37) % (1 << 31)).cast("long").alias("mtime"),
+        F.concat(F.lit("doc"), did.cast("string"), F.lit(".txt")).alias(
+            "nm"
+        ),
+        F.encode(F.rpad(F.col("text"), 49, " "), "utf-8").alias("full"),
+    )
+    g = g.select(
+        "*",
+        F.substring(F.col("full"), 1, F.col("dlen").cast("int")).alias(
+            "data"
+        ),
+    )
+
+    def crc_of(col, length):
+        byte_at = lambda i: F.conv(  # noqa: E731
+            F.hex(F.substring(col, (i + 1).cast("int"), 1)), 16, 10
+        ).cast("long")
+        raw = F.aggregate(
+            F.sequence(F.lit(0).cast("long"), length - 1),
+            F.lit(0xFFFFFFFF).cast("long"),
+            lambda acc, i: F.element_at(
+                tbl,
+                (F.pmod(acc.bitwiseXOR(byte_at(i)), 256) + 1).cast("int"),
+            ).bitwiseXOR(F.shiftright(acc, 8)),
+        )
+        return raw.bitwiseXOR(F.lit(0xFFFFFFFF).cast("long"))
+
+    g = g.select("*", crc_of(F.col("data"), F.col("dlen")).alias("crc"))
+
+    # ---- build, stage 2: stored-block chain (PNG IDAT machinery) -----
+    blocks = empty
+    for i in range(GZ_MAX_BLOCKS):
+        off0 = F.lit(i).cast("long") * F.col("cap")
+        len_i = F.least(F.col("cap"), F.col("dlen") - off0)
+        bfinal = (off0 + len_i == F.col("dlen")).cast("long")
+        blk = F.concat(
+            F.unhex(hx(bfinal, 1)),
+            F.unhex(le_hex(len_i, 2)),
+            F.unhex(le_hex(F.lit(65535) - len_i, 2)),
+            F.substring(
+                F.col("data"), (off0 + 1).cast("int"), len_i.cast("int")
+            ),
+        )
+        blocks = F.concat(
+            blocks, F.when(len_i > 0, blk).otherwise(empty)
+        )
+
+    # ---- build, stage 3: header with optional fields + trailer -------
+    flg = (
+        F.when(F.col("has_extra"), 4).otherwise(0)
+        + F.when(F.col("has_name"), 8).otherwise(0)
+        + F.when(F.col("has_comment"), 16).otherwise(0)
+    ).cast("long")
+    header = F.concat(
+        F.unhex(F.lit("1F8B08")),
+        F.unhex(hx(flg, 1)),
+        F.unhex(le_hex(F.col("mtime"), 4)),
+        F.unhex(F.lit("00FF")),  # XFL, OS=unknown
+        F.when(
+            F.col("has_extra"),
+            F.concat(
+                F.unhex(le_hex(F.col("xlen"), 2)),
+                F.unhex(F.repeat(F.lit("AB"), F.col("xlen").cast("int"))),
+            ),
+        ).otherwise(empty),
+        F.when(
+            F.col("has_name"),
+            F.concat(F.encode(F.col("nm"), "utf-8"), F.unhex(F.lit("00"))),
+        ).otherwise(empty),
+        F.when(
+            F.col("has_comment"),
+            F.concat(
+                F.encode(
+                    F.repeat(F.lit("c"), F.col("clen").cast("int")), "utf-8"
+                ),
+                F.unhex(F.lit("00")),
+            ),
+        ).otherwise(empty),
+    )
+    trailer = F.concat(
+        F.unhex(le_hex(F.col("crc"), 4)),
+        F.unhex(le_hex(F.pmod(F.col("dlen"), F.lit(1 << 32)), 4)),
+    )
+    gz = g.select(
+        "doc_id",
+        "data",
+        "dlen",
+        F.concat(header, blocks, trailer).alias("payload"),
+    )
+    p = F.col("payload")
+
+    def rd(pos, nbytes):
+        return F.conv(
+            F.hex(
+                F.substring(
+                    p,
+                    pos.cast("int") if hasattr(pos, "cast") else pos,
+                    nbytes,
+                )
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    def rd_le(pos, nbytes):
+        b = [rd(pos + i, 1) for i in range(nbytes)]
+        out = b[0]
+        for i in range(1, nbytes):
+            out = out + b[i] * (1 << (8 * i))
+        return out
+
+    # ---- parse, stage 1: fixed header + FLG bit gates -----------------
+    flg_p = rd(4, 1)
+    st = gz.select(
+        "doc_id",
+        "payload",
+        "data",
+        "dlen",
+        (F.hex(F.substring(p, 1, 2)) == "1F8B").alias("magic_ok"),
+        (rd(3, 1) == 8).alias("method_ok"),
+        flg_p.alias("flg"),
+        rd_le(F.lit(5), 4).alias("mtime"),
+        (F.pmod(F.shiftright(flg_p, 2), 2) == 1).alias("f_extra"),
+        (F.pmod(F.shiftright(flg_p, 3), 2) == 1).alias("f_name"),
+        (F.pmod(F.shiftright(flg_p, 4), 2) == 1).alias("f_comment"),
+    )
+    # FEXTRA: LE16 length, skip
+    st = st.select(
+        "*",
+        F.when(F.col("f_extra"), rd_le(F.lit(11).cast("long"), 2))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("xlen"),
+    )
+    st = st.select(
+        "*",
+        (
+            F.lit(11).cast("long")
+            + F.when(F.col("f_extra"), F.col("xlen") + 2).otherwise(0)
+        ).alias("off_name"),
+    )
+    # FNAME: NUL scan from off_name (bounded 64-byte window)
+    # scan windows slice into binary block data -> decode with the
+    # total single-byte charset (every byte valid), not utf-8 (ANSI
+    # decode raises on malformed sequences); the fields are ASCII
+    nm_str = F.substring_index(
+        F.decode(
+            F.substring(p, F.col("off_name").cast("int"), 64), "ISO-8859-1"
+        ),
+        "\x00",
+        1,
+    )
+    st = st.select(
+        "*",
+        F.when(F.col("f_name"), nm_str).otherwise(F.lit("")).alias("fname"),
+    )
+    st = st.select(
+        "*",
+        (
+            F.col("off_name")
+            + F.when(
+                F.col("f_name"), F.length(F.col("fname")).cast("long") + 1
+            ).otherwise(0)
+        ).alias("off_comment"),
+    )
+    cm_str = F.substring_index(
+        F.decode(
+            F.substring(p, F.col("off_comment").cast("int"), 64),
+            "ISO-8859-1",
+        ),
+        "\x00",
+        1,
+    )
+    st = st.select(
+        "*",
+        F.when(F.col("f_comment"), F.length(cm_str).cast("long"))
+        .otherwise(0)
+        .alias("comment_len"),
+    )
+    st = st.select(
+        "doc_id",
+        "payload",
+        "data",
+        "dlen",
+        "magic_ok",
+        "method_ok",
+        "flg",
+        "mtime",
+        "xlen",
+        "fname",
+        "comment_len",
+        (
+            F.col("off_comment")
+            + F.when(F.col("f_comment"), F.col("comment_len") + 1).otherwise(
+                0
+            )
+        ).alias("off"),
+        F.lit(False).alias("done"),
+        F.lit(0).cast("long").alias("n_blocks"),
+        F.lit(0).cast("long").alias("sum_len"),
+        F.lit(True).alias("nlen_ok"),
+        empty.alias("raw_out"),
+    )
+
+    # ---- parse, stage 2: stored-block walk, one projection per step --
+    carry = [
+        "doc_id", "payload", "data", "dlen", "magic_ok", "method_ok",
+        "flg", "mtime", "xlen", "fname", "comment_len",
+    ]
+    for _ in range(GZ_MAX_BLOCKS):
+        st = st.select(
+            *carry,
+            "off", "done", "n_blocks", "sum_len", "nlen_ok", "raw_out",
+            rd(F.col("off"), 1).alias("hdr"),
+            rd_le(F.col("off") + 1, 2).alias("blen"),
+            rd_le(F.col("off") + 3, 2).alias("bnlen"),
+            (~F.col("done")).alias("active"),
+        )
+        st = st.select(
+            *carry,
+            F.when(F.col("active"), F.col("off") + 5 + F.col("blen"))
+            .otherwise(F.col("off"))
+            .alias("off"),
+            (
+                F.col("done")
+                | (F.col("active") & (F.pmod(F.col("hdr"), 2) == 1))
+            ).alias("done"),
+            (
+                F.col("n_blocks") + F.when(F.col("active"), 1).otherwise(0)
+            ).alias("n_blocks"),
+            (
+                F.col("sum_len")
+                + F.when(F.col("active"), F.col("blen")).otherwise(0)
+            ).alias("sum_len"),
+            (
+                F.col("nlen_ok")
+                & (
+                    ~F.col("active")
+                    | (F.col("blen") + F.col("bnlen") == 65535)
+                )
+            ).alias("nlen_ok"),
+            F.when(
+                F.col("active"),
+                F.concat(
+                    F.col("raw_out"),
+                    F.substring(
+                        p,
+                        (F.col("off") + 5).cast("int"),
+                        F.col("blen").cast("int"),
+                    ),
+                ),
+            )
+            .otherwise(F.col("raw_out"))
+            .alias("raw_out"),
+        )
+
+    # ---- parse, stage 3: trailer verify over the REASSEMBLED stream --
+    st = st.select(
+        "*",
+        rd_le(F.col("off"), 4).alias("crc_stored"),
+        rd_le(F.col("off") + 4, 4).alias("isize"),
+        crc_of(F.col("raw_out"), F.octet_length(F.col("raw_out")).cast("long")).alias(
+            "crc_recomputed"
+        ),
+    )
+    return st.select(
+        "doc_id",
+        "magic_ok",
+        "method_ok",
+        "flg",
+        "mtime",
+        "xlen",
+        "fname",
+        "comment_len",
+        "n_blocks",
+        "sum_len",
+        "nlen_ok",
+        F.col("done").alias("chain_complete"),
+        (F.col("crc_stored") == F.col("crc_recomputed")).alias("crc_ok"),
+        (F.col("isize") == F.pmod(F.col("sum_len"), F.lit(1 << 32))).alias(
+            "isize_ok"
+        ),
+        (F.col("raw_out") == F.col("data")).alias("data_ok"),
+        F.octet_length(p).cast("long").alias("total_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MIDI (SMF) — twentieth byte codec: big-endian chunk chain + the first
+# 7-BIT VARINT field (delta-times carry an MSB continuation bit, the same
+# wire trick as protobuf varints but big-end-first)
+# ---------------------------------------------------------------------------
+MIDI_MAX_TRACKS = 4
+MIDI_DIVISION = 480
+
+
+def _midi_oracle() -> str:
+    # per-track delta and its varint length, closed-form
+    delta = "((doc_id * 31 + {t} * 97) % 2097152)"
+    vlen = (
+        "(CASE WHEN {d} < 128 THEN 1 WHEN {d} < 16384 THEN 2 ELSE 3 END)"
+    )
+    track_terms_len = []
+    track_terms_delta = []
+    for t in range(1, MIDI_MAX_TRACKS + 1):
+        d = delta.format(t=t)
+        v = vlen.format(d=d)
+        track_terms_len.append(
+            f"CASE WHEN ntrks >= {t} THEN 8 + {v} + 7 ELSE 0 END"
+        )
+        track_terms_delta.append(
+            f"CASE WHEN ntrks >= {t} THEN {d} ELSE 0 END"
+        )
+    return f"""
+    WITH src AS (
+      SELECT doc_id, doc_id % {MIDI_MAX_TRACKS} + 1 AS ntrks
+      FROM documents
+    )
+    SELECT doc_id,
+           TRUE AS mthd_ok,
+           CAST(6 AS BIGINT) AS hdr_len,
+           CAST(1 AS BIGINT) AS fmt,
+           CAST(ntrks AS BIGINT) AS ntrks,
+           CAST({MIDI_DIVISION} AS BIGINT) AS division,
+           CAST(ntrks AS BIGINT) AS tracks_walked,
+           TRUE AS sigs_ok,
+           TRUE AS eot_ok,
+           CAST((doc_id * 31 + 97) % 2097152 AS BIGINT) AS first_delta,
+           CAST({' + '.join(track_terms_delta)} AS BIGINT) AS sum_deltas,
+           CAST(14 + {' + '.join(track_terms_len)} AS BIGINT) AS total_len,
+           TRUE AS length_ok
+    FROM src
+    """
+
+
+@register(
+    "multimodal_midi_track_walk",
+    oracle=_midi_oracle(),
+    tags=("multimodal", "llm", "binary"),
+)
+def multimodal_midi_track_walk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Standard MIDI File chunk walk — the first codec with a 7-BIT
+    VARINT wire field: SMF delta-times are 1-4 bytes where every byte
+    contributes 7 payload bits and the high bit says "more follows"
+    (protobuf's trick, but big-end-first per the MIDI spec), so the
+    event parse cannot know field width until it reads each byte —
+    byte-level data-dependence INSIDE a chunk, one level below the
+    chunk chain's length-dependence. Each document becomes a format-1
+    SMF: MThd (big-endian u32 length 6, format, ntrks = doc_id%4+1,
+    division 480) + per track one delta-time varint ((doc_id*31+t*97)
+    mod 2^21, spanning all three 1/2/3-byte widths across docs), a
+    note-on, and the FF 2F 00 end-of-track meta. The walk verifies
+    MThd, chases the big-endian track-length chain (stay-once-final
+    unrolled, one projection per step), decodes each track's varint
+    with the continuation-bit conditional, requires the end-of-track
+    marker to land exactly at each declared boundary, and cross-checks
+    the file length. The unit test replays an independent Python
+    walker (with a real varint decoder) over rebuilt bytes.
+
+    Scale shape: map-only JVM binary expressions, zero exchanges;
+    bytes never reach Python. Reference basis: SURVEY.md §2.12
+    multimodal family (absent in reference)."""
+    d = table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    empty = F.unhex(F.lit(""))
+
+    def hx(c, nbytes):
+        return F.lpad(F.hex(c.cast("long")), 2 * nbytes, "0")
+
+    # ---- build: varint encoding (1-3 bytes for < 2^21) ---------------
+    def varint_hex(v):
+        b2 = F.pmod(v, 128)  # low 7 bits (last byte, MSB clear)
+        b1 = F.pmod(F.shiftright(v, 7), 128)
+        b0 = F.pmod(F.shiftright(v, 14), 128)
+        return F.when(
+            v < 128, hx(b2, 1)
+        ).when(
+            v < 16384, F.concat(hx(b1 + 128, 1), hx(b2, 1))
+        ).otherwise(
+            F.concat(hx(b0 + 128, 1), hx(b1 + 128, 1), hx(b2, 1))
+        )
+
+    g = d.select(
+        "doc_id",
+        (did % MIDI_MAX_TRACKS + 1).cast("long").alias("ntrks"),
+    )
+    tracks = empty
+    for t in range(1, MIDI_MAX_TRACKS + 1):
+        delta = ((did * 31 + t * 97) % (1 << 21)).cast("long")
+        body_hex = F.concat(
+            varint_hex(delta),
+            F.lit("903C64"),      # note-on ch0, middle C, velocity 100
+            F.lit("00FF2F00"),    # delta 0 + end-of-track meta
+        )
+        blen = (F.length(body_hex) / 2).cast("long")
+        chunk = F.concat(
+            F.encode(F.lit("MTrk"), "utf-8"),
+            F.unhex(hx(blen, 4)),
+            F.unhex(body_hex),
+        )
+        tracks = F.concat(
+            tracks,
+            F.when(F.col("ntrks") >= t, chunk).otherwise(empty),
+        )
+    mthd = F.concat(
+        F.encode(F.lit("MThd"), "utf-8"),
+        F.unhex(F.lit("00000006")),
+        F.unhex(F.lit("0001")),
+        F.unhex(hx(F.col("ntrks"), 2)),
+        F.unhex(hx(F.lit(MIDI_DIVISION).cast("long"), 2)),
+    )
+    smf = g.select(
+        "doc_id", "ntrks", F.concat(mthd, tracks).alias("payload")
+    )
+    p = F.col("payload")
+
+    def rd(pos, nbytes):
+        return F.conv(
+            F.hex(
+                F.substring(
+                    p,
+                    pos.cast("int") if hasattr(pos, "cast") else pos,
+                    nbytes,
+                )
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    # ---- parse: MThd ---------------------------------------------------
+    st = smf.select(
+        "doc_id",
+        "payload",
+        (F.decode(F.substring(p, 1, 4), "utf-8") == "MThd").alias(
+            "mthd_ok"
+        ),
+        rd(5, 4).alias("hdr_len"),
+        rd(9, 2).alias("fmt"),
+        rd(11, 2).alias("ntrks"),
+        rd(13, 2).alias("division"),
+        F.lit(15).cast("long").alias("off"),
+        F.lit(0).cast("long").alias("tracks_walked"),
+        F.lit(True).alias("sigs_ok"),
+        F.lit(True).alias("eot_ok"),
+        F.lit(-1).cast("long").alias("first_delta"),
+        F.lit(0).cast("long").alias("sum_deltas"),
+    )
+
+    # ---- parse: track chain + varint decode, one projection per step --
+    carry = ["doc_id", "payload", "mthd_ok", "hdr_len", "fmt", "ntrks",
+             "division"]
+    for _ in range(MIDI_MAX_TRACKS):
+        b0 = rd(F.col("off") + 8, 1)
+        b1 = rd(F.col("off") + 9, 1)
+        b2 = rd(F.col("off") + 10, 1)
+        delta = (
+            F.when(b0 < 128, b0)
+            .when(
+                b1 < 128,
+                F.pmod(b0, 128) * 128 + b1,
+            )
+            .otherwise(
+                (F.pmod(b0, 128) * 128 + F.pmod(b1, 128)) * 128 + b2
+            )
+        )
+        st = st.select(
+            *carry,
+            "off", "tracks_walked", "sigs_ok", "eot_ok", "first_delta",
+            "sum_deltas",
+            (F.col("tracks_walked") < F.col("ntrks")).alias("active"),
+            (F.decode(F.substring(p, F.col("off").cast("int"), 4),
+                      "ISO-8859-1") == "MTrk").alias("sig_i"),
+            rd(F.col("off") + 4, 4).alias("blen_i"),
+            delta.alias("delta_i"),
+        )
+        eot_at = F.col("off") + 8 + F.col("blen_i") - 4
+        st = st.select(
+            *carry,
+            F.when(
+                F.col("active"), F.col("off") + 8 + F.col("blen_i")
+            )
+            .otherwise(F.col("off"))
+            .alias("off"),
+            (
+                F.col("tracks_walked")
+                + F.when(F.col("active"), 1).otherwise(0)
+            ).alias("tracks_walked"),
+            (
+                F.col("sigs_ok") & (~F.col("active") | F.col("sig_i"))
+            ).alias("sigs_ok"),
+            (
+                F.col("eot_ok")
+                & (
+                    ~F.col("active")
+                    | (
+                        F.hex(
+                            F.substring(p, eot_at.cast("int"), 4)
+                        )
+                        == "00FF2F00"
+                    )
+                )
+            ).alias("eot_ok"),
+            F.when(
+                F.col("active") & (F.col("first_delta") == -1),
+                F.col("delta_i"),
+            )
+            .otherwise(F.col("first_delta"))
+            .alias("first_delta"),
+            (
+                F.col("sum_deltas")
+                + F.when(F.col("active"), F.col("delta_i")).otherwise(0)
+            ).alias("sum_deltas"),
+        )
+
+    return st.select(
+        "doc_id",
+        "mthd_ok",
+        "hdr_len",
+        "fmt",
+        "ntrks",
+        "division",
+        "tracks_walked",
+        "sigs_ok",
+        "eot_ok",
+        "first_delta",
+        "sum_deltas",
+        (F.octet_length(p).cast("long")).alias("total_len"),
+        (F.octet_length(p) == F.col("off") - 1).alias("length_ok"),
+    )

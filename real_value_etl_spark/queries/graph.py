@@ -395,3 +395,96 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 graph_k_core.__doc__ = graph_k_core.__doc__.format(K=KCORE_K, R=KCORE_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# Bipartite squares (C4): supplier co-purchasing backbone via wedge join
+# ---------------------------------------------------------------------------
+SQ_DEG_CAP = 256  # customer-degree cap: a customer linking d suppliers
+# emits C(d,2) wedges — capping d keeps the wedge fan-out linear in the
+# edge count at any corpus size (the df-cap doctrine from the dedup
+# family). The fixture's max degree is far below the cap, so the capped
+# answer EQUALS the exact one here; at 100 TB the cap is the documented
+# approximation knob (hub customers contribute connectivity, not signal).
+SQ_TOPK = 20
+
+
+@register(
+    "graph_bipartite_squares",
+    oracle=f"""
+    WITH e AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    deg AS (
+      SELECT c, COUNT(*) AS d FROM e GROUP BY c
+    ),
+    keep AS (
+      SELECT e.c, e.s FROM e JOIN deg ON deg.c = e.c
+      WHERE deg.d <= {SQ_DEG_CAP}
+    ),
+    wedges AS (
+      SELECT a.s AS s1, b.s AS s2, CAST(COUNT(*) AS BIGINT) AS m
+      FROM keep a JOIN keep b ON a.c = b.c AND a.s < b.s
+      GROUP BY a.s, b.s
+    )
+    SELECT s1, s2, m AS common_customers,
+           CAST(m * (m - 1) / 2 AS BIGINT) AS squares
+    FROM wedges
+    ORDER BY m DESC, s1, s2
+    LIMIT {SQ_TOPK}
+    """,
+    tags=("graph", "join"),
+)
+def graph_bipartite_squares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The supplier CO-PURCHASING backbone: for every supplier pair, how
+    many customers buy from both (the wedge count m), and how many C4
+    squares they anchor (C(m,2) — the bipartite graph's only cycle
+    primitive, where triangles cannot exist). The top-{K} pairs by
+    common-customer mass are the substitution/bundling candidates a
+    marketplace watches; summed over all pairs, C(m,2) is the bipartite
+    clustering numerator. One customer-keyed self-join emits each
+    customer's C(d,2) supplier wedges — fan-out bounded by the
+    {CAP}-degree cap (df-cap doctrine: hub customers contribute
+    quadratic wedge volume and near-zero pair signal; the fixture never
+    hits the cap, so the capped answer is exact here). Ties at the
+    top-{K} cut break on the (s1, s2) key.
+
+    Scale shape: distinct edge agg, degree filter, one key-partitioned
+    wedge join (never all supplier pairs — only co-purchased ones),
+    one TakeOrdered. Reference basis: SURVEY.md §2.3 join family
+    (absent in reference)."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    e = (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    deg = e.groupBy("c").agg(F.count("*").alias("d"))
+    keep = e.join(deg.filter(F.col("d") <= SQ_DEG_CAP), "c").select("c", "s")
+    a = keep.select("c", F.col("s").alias("s1"))
+    b = keep.select("c", F.col("s").alias("s2"))
+    wedges = (
+        a.join(b, "c")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count("*").alias("m"))
+    )
+    return (
+        wedges.select(
+            "s1",
+            "s2",
+            F.col("m").alias("common_customers"),
+            (F.col("m") * (F.col("m") - 1) / 2).cast("long").alias(
+                "squares"
+            ),
+        )
+        .orderBy(F.desc("common_customers"), "s1", "s2")
+        .limit(SQ_TOPK)
+    )
+
+
+graph_bipartite_squares.__doc__ = graph_bipartite_squares.__doc__.format(
+    K=SQ_TOPK, CAP=SQ_DEG_CAP
+)

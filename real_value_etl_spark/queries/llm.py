@@ -4307,3 +4307,253 @@ def text_suffix_lcp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 text_suffix_lcp_dedup.__doc__ = text_suffix_lcp_dedup.__doc__.format(
     V=SFX_VIEW, M=SFX_MIN, K=SFX_TOPK
 )
+
+
+# ---------------------------------------------------------------------------
+# Yule's K lexical-concentration characteristic (pure-integer spectrum)
+# ---------------------------------------------------------------------------
+@register(
+    "text_yule_k",
+    oracle="""
+    WITH tf AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      WHERE token <> ''
+      GROUP BY token
+    )
+    SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS v1_hapax,
+           CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS v2_dis,
+           10000.0 * CAST(CAST(SUM(CAST(c AS HUGEINT) * c) - SUM(c)
+                               AS VARCHAR) AS DOUBLE)
+             / (CAST(SUM(c) AS DOUBLE) * SUM(c)) AS yule_k,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS hapax_share
+    FROM tf
+    """,
+    tags=("llm", "text", "quality"),
+)
+def text_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YULE'S K lexical-concentration characteristic of the corpus —
+    the classical repeat-rate statistic (10^4 * (sum m^2*V_m - N)/N^2,
+    equivalently 10^4*(sum_t c_t^2 - N)/N^2) that, unlike type-token
+    ratio and docs_simpson_diversity's per-doc index, is length-
+    INVARIANT in expectation — the one vocabulary-richness number
+    comparable across corpora of different sizes. Pure integer to the
+    last division: one token count, one frequency-spectrum reduce
+    (sum c^2 in DECIMAL(38,0), VARCHAR-rendered past 2^53), plus the
+    hapax/dis-legomena spectrum heads V_1, V_2 every Good-Turing
+    smoother starts from.
+
+    Scale shape: one map-side-combinable token agg, one scalar reduce.
+    Reference basis: SURVEY.md §2.12 text family (absent in
+    reference)."""
+    d = table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("c"))
+    )
+    agg = tf.agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("v1_hapax"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).alias("v2_dis"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("sc2"),
+    )
+    return agg.select(
+        "n_tokens",
+        "n_types",
+        "v1_hapax",
+        "v2_dis",
+        (
+            F.lit(10000.0)
+            * (F.col("sc2") - F.col("n_tokens"))
+            .cast("string")
+            .cast("double")
+            / (F.col("n_tokens").cast("double") * F.col("n_tokens"))
+        ).alias("yule_k"),
+        (
+            F.col("v1_hapax").cast("double") / F.col("n_types")
+        ).alias("hapax_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Burrows' Delta stylometric distance between sources (integer z-cores)
+# ---------------------------------------------------------------------------
+BURROWS_F = 30  # most-frequent-token feature set (classical Delta uses
+# the top 30-150 function words; the fixture has no stopword list, so
+# plain corpus-frequency rank with a token tie-break is the analog)
+BURROWS_SCALE = 1_000_000_000  # per-mille*1e6 fixed-point for relative
+# frequencies: fi = floor(c_sw * 1e9 / n_s) keeps every moment integral
+
+
+def _burrows_oracle() -> str:
+    return f"""
+    WITH ex AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    exf AS (SELECT source, tok FROM ex WHERE tok <> ''),
+    topf AS (
+      SELECT tok FROM (
+        SELECT tok, COUNT(*) AS ct FROM exf GROUP BY tok
+        ORDER BY ct DESC, tok LIMIT {BURROWS_F}
+      )
+    ),
+    s_tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s
+              FROM exf GROUP BY source),
+    cnt AS (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c_sw
+      FROM exf JOIN topf USING (tok) GROUP BY source, tok
+    ),
+    spine AS (
+      SELECT s_tot.source, topf.tok, s_tot.n_s FROM s_tot CROSS JOIN topf
+    ),
+    fi AS (
+      SELECT spine.source, spine.tok,
+             CAST(COALESCE(cnt.c_sw, 0) AS HUGEINT)
+               * {BURROWS_SCALE} // spine.n_s AS fi
+      FROM spine LEFT JOIN cnt
+        ON cnt.source = spine.source AND cnt.tok = spine.tok
+    ),
+    wstat AS (
+      SELECT tok,
+             CAST(COUNT(*) AS BIGINT) AS s,
+             CAST(SUM(fi) AS HUGEINT) AS sfi,
+             CAST(SUM(fi * fi) AS HUGEINT) AS sfi2
+      FROM fi GROUP BY tok
+    ),
+    wv AS (
+      SELECT tok, s, s * sfi2 - sfi * sfi AS v_w
+      FROM wstat WHERE s * sfi2 - sfi * sfi > 0
+    ),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b, a.tok,
+             abs(a.fi - b.fi) AS d_w, wv.v_w, wv.s
+      FROM fi a JOIN fi b ON a.tok = b.tok AND a.source < b.source
+      JOIN wv ON wv.tok = a.tok
+    )
+    SELECT src_a, src_b,
+           CAST(COUNT(*) AS BIGINT) AS n_features,
+           CAST(MAX(s) AS DOUBLE)
+             * list_reduce(
+                 list_prepend(CAST(0 AS DOUBLE),
+                              list(CAST(CAST(d_w AS VARCHAR) AS DOUBLE)
+                                   / sqrt(CAST(CAST(v_w AS VARCHAR)
+                                               AS DOUBLE))
+                                   ORDER BY tok)),
+                 (acc, x) -> acc + x)
+             / COUNT(*) AS burrows_delta
+    FROM pairs GROUP BY src_a, src_b
+    """
+
+
+@register(
+    "text_burrows_delta",
+    oracle=_burrows_oracle(),
+    tags=("llm", "text", "stats"),
+)
+def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BURROWS' DELTA stylometric distance between every source pair —
+    the standard authorship/register attribution measure: mean absolute
+    difference of the sources' z-scored relative frequencies over the
+    top-{F} corpus tokens. Who-wrote-this for corpus forensics: a
+    source pair with tiny Delta is stylistically one voice (scraper
+    clones, templated spam); a big Delta flags register drift. Exact to
+    one sqrt per feature: relative frequencies enter as FIXED-POINT
+    integers fi = floor(c_sw * 1e9 / n_s), so each feature's across-
+    source variance V_w = S*sum(fi^2) - (sum fi)^2 is an exact integer
+    and |z_a - z_b| = S * |fi_a - fi_b| / sqrt(V_w) needs no mean at
+    all (it cancels in the difference). Per-pair Delta folds the
+    {F}-feature terms in token order (the docs_source_divergence
+    ordered-fold doctrine), so the double total is partitioning- and
+    engine-independent. Zero-variance features drop identically on
+    both engines.
+
+    Scale shape: one token agg for the feature set (top-{F} via one
+    TakeOrdered), one (source x {F}) spine — categorical x constant,
+    O(1) in data volume — and a pair join over the |sources|-bounded
+    frame. Reference basis: SURVEY.md §2.12 text family (absent in
+    reference)."""
+    d = table(spark, sf_dir, "documents")
+    exf = d.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    topf = (
+        exf.groupBy("tok")
+        .agg(F.count("*").alias("ct"))
+        .orderBy(F.desc("ct"), F.asc("tok"))
+        .limit(BURROWS_F)
+        .select("tok")
+    )
+    s_tot = exf.groupBy("source").agg(F.count("*").alias("n_s"))
+    cnt = (
+        exf.join(F.broadcast(topf), "tok")
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("c_sw"))
+    )
+    spine = s_tot.crossJoin(F.broadcast(topf))
+    fi = spine.join(cnt, ["source", "tok"], "left").select(
+        "source",
+        "tok",
+        F.expr(
+            f"(cast(coalesce(c_sw, 0) as decimal(38,0))"
+            f" * {BURROWS_SCALE}) div cast(n_s as decimal(38,0))"
+        ).alias("fi"),
+    )
+    wstat = fi.groupBy("tok").agg(
+        F.count("*").alias("s"),
+        F.sum("fi").alias("sfi"),
+        F.sum(F.col("fi").cast("decimal(38,0)") * F.col("fi")).alias("sfi2"),
+    )
+    wv = wstat.select(
+        "tok",
+        "s",
+        (
+            F.col("s").cast("decimal(38,0)") * F.col("sfi2")
+            - F.col("sfi").cast("decimal(38,0)") * F.col("sfi")
+        ).alias("v_w"),
+    ).filter(F.col("v_w") > 0)
+    a = fi.select(
+        F.col("source").alias("src_a"), "tok", F.col("fi").alias("fi_a")
+    )
+    b = fi.select(
+        F.col("source").alias("src_b"), "tok", F.col("fi").alias("fi_b")
+    )
+    pairs = (
+        a.join(b, "tok")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .join(wv, "tok")
+        .select(
+            "src_a",
+            "src_b",
+            "tok",
+            F.abs(F.col("fi_a") - F.col("fi_b")).alias("d_w"),
+            "v_w",
+            "s",
+        )
+    )
+    term = F.col("d_w").cast("string").cast("double") / F.sqrt(
+        F.col("v_w").cast("string").cast("double")
+    )
+    return pairs.groupBy("src_a", "src_b").agg(
+        F.count("*").alias("n_features"),
+        (
+            F.max("s").cast("double")
+            * F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct("tok", term.alias("t")))
+                ),
+                F.lit(0.0),
+                lambda acc, st: acc + st["t"],
+            )
+            / F.count("*")
+        ).alias("burrows_delta"),
+    )
+
+
+text_burrows_delta.__doc__ = text_burrows_delta.__doc__.format(F=BURROWS_F)

@@ -2013,3 +2013,739 @@ def q_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("dof_welch"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis H (k-group rank ANOVA), exact midranks + tie correction
+# ---------------------------------------------------------------------------
+_KW_PRIOS = (
+    "1-URGENT",
+    "2-HIGH",
+    "3-MEDIUM",
+    "4-NOT SPECIFIED",
+    "5-LOW",
+)
+
+
+def _kw_oracle() -> str:
+    cg = ",\n             ".join(
+        f"CAST(SUM(CASE WHEN o_orderpriority = '{p}' THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS c{i}"
+        for i, p in enumerate(_KW_PRIOS, 1)
+    )
+    ng = ", ".join(
+        f"CAST(SUM(c{i}) AS BIGINT) AS n{i}" for i in range(1, 6)
+    )
+    rg = ",\n             ".join(
+        f"CAST(SUM(CAST(c{i} AS HUGEINT) * (2 * cb + c + 1)) AS HUGEINT)"
+        f" AS r{i}x2"
+        for i in range(1, 6)
+    )
+    terms = " + ".join(
+        f"(CAST(CAST(CAST(r{i}x2 AS HUGEINT) * r{i}x2 AS VARCHAR) AS DOUBLE)"
+        f" / CAST(n{i} AS DOUBLE))"
+        for i in range(1, 6)
+    )
+    return f"""
+    WITH pv AS (
+      SELECT o_totalprice AS v,
+             {cg}
+      FROM orders GROUP BY 1
+    ),
+    cum AS (
+      SELECT v, c1, c2, c3, c4, c5,
+             c1 + c2 + c3 + c4 + c5 AS c,
+             SUM(c1 + c2 + c3 + c4 + c5) OVER (ORDER BY v)
+               - (c1 + c2 + c3 + c4 + c5) AS cb
+      FROM pv
+    ),
+    agg AS (
+      SELECT {ng},
+             {rg},
+             CAST(SUM(CAST(c AS HUGEINT) * c * c - c) AS BIGINT) AS tie_term
+      FROM cum
+    ),
+    d AS (
+      SELECT n1, n2, n3, n4, n5, tie_term,
+             n1 + n2 + n3 + n4 + n5 AS n,
+             CAST(r1x2 AS BIGINT) AS r1_x2,
+             CAST(r2x2 AS BIGINT) AS r2_x2,
+             CAST(r3x2 AS BIGINT) AS r3_x2,
+             CAST(r4x2 AS BIGINT) AS r4_x2,
+             CAST(r5x2 AS BIGINT) AS r5_x2,
+             3.0 / (CAST(n1 + n2 + n3 + n4 + n5 AS DOUBLE)
+                    * (n1 + n2 + n3 + n4 + n5 + 1))
+               * ({terms})
+             - 3.0 * (n1 + n2 + n3 + n4 + n5 + 1) AS h_raw
+      FROM agg
+    )
+    SELECT n, n1, n2, n3, n4, n5,
+           r1_x2, r2_x2, r3_x2, r4_x2, r5_x2, tie_term, h_raw,
+           h_raw / (1.0 - CAST(tie_term AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * n * n - n)) AS h_adj
+    FROM d
+    """
+
+
+@register(
+    "q_kruskal_wallis",
+    oracle=_kw_oracle(),
+    tags=("stats", "inference"),
+)
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KRUSKAL-WALLIS H across the five order priorities on order value —
+    the k-group generalization of q_mann_whitney (rank ANOVA), with the
+    textbook tie correction. The same exact-midrank machinery: per
+    distinct value, one pivoted count per group (the priorities are a
+    CLOSED enum, so the pivot is five literal columns, no dynamic
+    pivot); twice each group's rank sum is the integer
+    sum(c_g * (2*cum_before + c + 1)) riding ONE two-phase running
+    count. H = 12/(N(N+1)) * sum R_g^2/n_g - 3(N+1) enters doubles only
+    at the last step: each r2_g^2 is exact DECIMAL(38,0) rendered
+    through VARCHAR (the >2^53 doctrine), the five terms fold in one
+    fixed literal order, and the tie denominator 1 - T/(N^3-N) is an
+    exact-integer ratio. r2_g^2 stays in 38 digits through ~10^9 rows
+    per group.
+
+    Scale shape: map-side-combinable distinct-value pivot, one
+    range-partitioned prefix scan, one scalar reduce. Reference basis:
+    SURVEY.md §2.4 stats family (absent in reference)."""
+    from ..operators.scan import global_running_sum
+
+    o = table(spark, sf_dir, "orders")
+    pv = (
+        o.select(
+            F.col("o_totalprice").alias("v"),
+            F.col("o_orderpriority").alias("g"),
+        )
+        .groupBy("v")
+        .agg(
+            *[
+                F.sum(F.when(F.col("g") == p, 1).otherwise(0)).alias(
+                    f"c{i}"
+                )
+                for i, p in enumerate(_KW_PRIOS, 1)
+            ]
+        )
+        .withColumn(
+            "c",
+            F.col("c1") + F.col("c2") + F.col("c3") + F.col("c4")
+            + F.col("c5"),
+        )
+    )
+    rs = global_running_sum(pv, ["v"], "c", out_col="ci", decimal_type="long")
+    cum = rs.withColumn("cb", F.col("ci") - F.col("c"))
+    agg = cum.agg(
+        *[F.sum(f"c{i}").alias(f"n{i}") for i in range(1, 6)],
+        *[
+            F.sum(
+                F.col(f"c{i}").cast("decimal(38,0)")
+                * (2 * F.col("cb") + F.col("c") + 1)
+            ).alias(f"r{i}x2")
+            for i in range(1, 6)
+        ],
+        F.sum(
+            F.col("c").cast("decimal(38,0)") * F.col("c") * F.col("c")
+            - F.col("c")
+        ).cast("long").alias("tie_term"),
+    )
+    n = (
+        F.col("n1") + F.col("n2") + F.col("n3") + F.col("n4") + F.col("n5")
+    )
+    term = None
+    for i in range(1, 6):
+        t = (
+            (F.col(f"r{i}x2") * F.col(f"r{i}x2"))
+            .cast("string")
+            .cast("double")
+            / F.col(f"n{i}").cast("double")
+        )
+        term = t if term is None else term + t
+    h_raw = (
+        F.lit(3.0) / (n.cast("double") * (n + 1)) * term
+        - F.lit(3.0) * (n + 1)
+    )
+    d = agg.select(
+        n.alias("n"),
+        "n1", "n2", "n3", "n4", "n5",
+        *[
+            F.col(f"r{i}x2").cast("long").alias(f"r{i}_x2")
+            for i in range(1, 6)
+        ],
+        "tie_term",
+        h_raw.alias("h_raw"),
+    )
+    return d.select(
+        "n", "n1", "n2", "n3", "n4", "n5",
+        "r1_x2", "r2_x2", "r3_x2", "r4_x2", "r5_x2", "tie_term", "h_raw",
+        (
+            F.col("h_raw")
+            / (
+                F.lit(1.0)
+                - F.col("tie_term").cast("double")
+                / (F.col("n").cast("double") * F.col("n") * F.col("n")
+                   - F.col("n"))
+            )
+        ).alias("h_adj"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (exact midranks, Pearson-on-ranks identity)
+# ---------------------------------------------------------------------------
+@register(
+    "q_spearman_rho",
+    oracle="""
+    WITH xr AS (
+      SELECT v, 2 * cb + c + 1 AS rx2 FROM (
+        SELECT l_quantity AS v, CAST(COUNT(*) AS BIGINT) AS c,
+               SUM(COUNT(*)) OVER (ORDER BY l_quantity) - COUNT(*) AS cb
+        FROM lineitem GROUP BY 1
+      )
+    ),
+    yr AS (
+      SELECT v, 2 * cb + c + 1 AS ry2 FROM (
+        SELECT l_extendedprice AS v, CAST(COUNT(*) AS BIGINT) AS c,
+               SUM(COUNT(*)) OVER (ORDER BY l_extendedprice) - COUNT(*)
+                 AS cb
+        FROM lineitem GROUP BY 1
+      )
+    ),
+    paired AS (
+      SELECT xr.rx2, yr.ry2
+      FROM lineitem li
+      JOIN xr ON xr.v = li.l_quantity
+      JOIN yr ON yr.v = li.l_extendedprice
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(CAST(rx2 AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(SUM(CAST(ry2 AS HUGEINT)) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(rx2 AS HUGEINT) * rx2) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(ry2 AS HUGEINT) * ry2) AS HUGEINT) AS syy,
+             CAST(SUM(CAST(rx2 AS HUGEINT) * ry2) AS HUGEINT) AS sxy
+      FROM paired
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+             / sqrt(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)
+                    * CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE))
+             AS rho_spearman
+    FROM s
+    """,
+    tags=("stats", "inference"),
+)
+def q_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPEARMAN rank correlation between line quantity and extended
+    price — the nonparametric monotone-association coefficient, exact
+    under ties via the Pearson-on-midranks identity (the d_i^2 shortcut
+    formula is WRONG with ties; this is the correct general form).
+    Twice each midrank (2*cum_before + c + 1, always integral) comes
+    from one distinct-value running count per variable; rows join back
+    to their two rank maps (the quantity map is ~50 rows — broadcast;
+    the price map is distinct-value-sized — one shuffle join, the
+    inherent cost of exact ranks at scale). All five cross sums are
+    exact DECIMAL(38,0) (good through ~10^9 rows: n*Sxy peaks near
+    4*N^3), rendered through VARCHAR; rho is three pinned double ops +
+    one IEEE sqrt.
+
+    Scale shape: two distinct-value aggs, one broadcast + one key join,
+    one scalar reduce — no row-count-sized state on the driver.
+    Reference basis: SURVEY.md §2.4 stats family (absent in
+    reference)."""
+    from ..operators.scan import global_running_sum
+
+    li = table(spark, sf_dir, "lineitem")
+
+    def rank2(col: str, alias: str) -> DataFrame:
+        pv = (
+            li.groupBy(F.col(col).alias("v"))
+            .agg(F.count("*").alias("c"))
+        )
+        rs = global_running_sum(
+            pv, ["v"], "c", out_col="ci", decimal_type="long"
+        )
+        return rs.select(
+            "v", (2 * (F.col("ci") - F.col("c")) + F.col("c") + 1).alias(alias)
+        )
+
+    xr = rank2("l_quantity", "rx2")
+    yr = rank2("l_extendedprice", "ry2")
+    paired = (
+        li.select("l_quantity", "l_extendedprice")
+        .join(
+            F.broadcast(xr.withColumnRenamed("v", "l_quantity")),
+            "l_quantity",
+        )
+        .join(yr.withColumnRenamed("v", "l_extendedprice"), "l_extendedprice")
+    )
+    s = paired.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("rx2").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("ry2").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.col("rx2").cast("decimal(38,0)") * F.col("rx2")).alias("sxx"),
+        F.sum(F.col("ry2").cast("decimal(38,0)") * F.col("ry2")).alias("syy"),
+        F.sum(F.col("rx2").cast("decimal(38,0)") * F.col("ry2")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+    denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        (
+            num.cast("string").cast("double")
+            / F.sqrt(
+                denx.cast("string").cast("double")
+                * deny.cast("string").cast("double")
+            )
+        ).alias("rho_spearman"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jarque-Bera normality test (anchored exact power sums -> pinned moments)
+# ---------------------------------------------------------------------------
+@register(
+    "q_jarque_bera",
+    oracle="""
+    WITH q AS (
+      SELECT l_returnflag,
+             CAST(l_quantity * 100 AS BIGINT) AS x
+      FROM lineitem
+    ),
+    mu AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT)
+               // CAST(COUNT(*) AS HUGEINT) AS m0
+      FROM q GROUP BY 1
+    ),
+    t AS (
+      SELECT q.l_returnflag, mu.n,
+             CAST(SUM(CAST(x - m0 AS HUGEINT)) AS HUGEINT) AS t1,
+             CAST(SUM(CAST(x - m0 AS HUGEINT) * (x - m0)) AS HUGEINT) AS t2,
+             CAST(SUM(CAST(x - m0 AS HUGEINT) * (x - m0) * (x - m0))
+                  AS HUGEINT) AS t3,
+             CAST(SUM(CAST(x - m0 AS HUGEINT) * (x - m0) * (x - m0)
+                      * (x - m0)) AS HUGEINT) AS t4
+      FROM q JOIN mu ON mu.l_returnflag = q.l_returnflag
+      GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT l_returnflag, n,
+             CAST(CAST(t1 AS VARCHAR) AS DOUBLE) / n AS a1,
+             CAST(CAST(t2 AS VARCHAR) AS DOUBLE) / n AS a2,
+             CAST(CAST(t3 AS VARCHAR) AS DOUBLE) / n AS a3,
+             CAST(CAST(t4 AS VARCHAR) AS DOUBLE) / n AS a4
+      FROM t
+    ),
+    c AS (
+      SELECT l_returnflag, n,
+             a2 - a1 * a1 AS m2,
+             a3 - 3.0 * a1 * a2 + 2.0 * a1 * a1 * a1 AS m3,
+             a4 - 4.0 * a1 * a3 + 6.0 * a1 * a1 * a2
+                - 3.0 * a1 * a1 * a1 * a1 AS m4
+      FROM m
+    )
+    SELECT l_returnflag, n,
+           m2 / 10000.0 AS var_pop,
+           m3 / (m2 * sqrt(m2)) AS skewness,
+           m4 / (m2 * m2) - 3.0 AS kurtosis_ex,
+           CAST(n AS DOUBLE) / 6.0
+             * (m3 * m3 / (m2 * m2 * m2)
+                + (m4 / (m2 * m2) - 3.0) * (m4 / (m2 * m2) - 3.0) / 4.0)
+             AS jb_stat
+    FROM c
+    ORDER BY l_returnflag
+    """,
+    tags=("stats", "inference"),
+)
+def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JARQUE-BERA normality test per return flag on line quantity:
+    JB = n/6 * (skew^2 + kurt_ex^2/4), the moment-based goodness-of-fit
+    gate every z/t-based method in the kit implicitly assumes. The
+    anchored-power-sum trick keeps everything exact: pass 1 takes each
+    group's INTEGER floor mean m0 (exact decimal division), pass 2 sums
+    d, d^2, d^3, d^4 of the ANCHORED deviations d = 100*qty - m0 —
+    |d| is bounded by the value range (not the group sum), so t4 fits
+    DECIMAL(38,0) through ~10^13 rows where raw s1^4 would overflow at
+    ~10^6. Central moments follow by the standard anchored identities
+    in PINNED double shape (t_k exactly VARCHAR-rendered, then a fixed
+    polynomial in a1 = t1/n); skewness keeps its sign via one IEEE
+    sqrt.
+
+    Scale shape: two map-side-combinable aggregates over the same scan,
+    one 3-row broadcast join between them. Reference basis: SURVEY.md
+    §2.4 stats family (absent in reference)."""
+    li = table(spark, sf_dir, "lineitem")
+    q = li.select(
+        "l_returnflag",
+        (F.col("l_quantity") * 100).cast("long").alias("x"),
+    )
+    # Spark decimal "/" rounds; DuckDB "//" floors. Anchor both engines
+    # on the identical integer via the exact sum + integral division
+    # (both truncate; the sum is positive, so trunc == floor).
+    mu = q.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("s1"),
+    ).select(
+        "l_returnflag",
+        "n",
+        F.expr("s1 div cast(n as decimal(38,0))").alias("m0"),
+    )
+    d = q.join(F.broadcast(mu), "l_returnflag").select(
+        "l_returnflag",
+        "n",
+        (F.col("x") - F.col("m0")).cast("decimal(38,0)").alias("d"),
+    )
+    t = d.groupBy("l_returnflag", "n").agg(
+        F.sum("d").alias("t1"),
+        F.sum(F.col("d") * F.col("d")).alias("t2"),
+        F.sum(F.col("d") * F.col("d") * F.col("d")).alias("t3"),
+        F.sum(F.col("d") * F.col("d") * F.col("d") * F.col("d")).alias("t4"),
+    )
+    a1 = F.col("t1").cast("string").cast("double") / F.col("n")
+    a2 = F.col("t2").cast("string").cast("double") / F.col("n")
+    a3 = F.col("t3").cast("string").cast("double") / F.col("n")
+    a4 = F.col("t4").cast("string").cast("double") / F.col("n")
+    m = t.select(
+        "l_returnflag", "n",
+        a1.alias("a1"), a2.alias("a2"), a3.alias("a3"), a4.alias("a4"),
+    )
+    m2 = F.col("a2") - F.col("a1") * F.col("a1")
+    m3 = (
+        F.col("a3")
+        - F.lit(3.0) * F.col("a1") * F.col("a2")
+        + F.lit(2.0) * F.col("a1") * F.col("a1") * F.col("a1")
+    )
+    m4 = (
+        F.col("a4")
+        - F.lit(4.0) * F.col("a1") * F.col("a3")
+        + F.lit(6.0) * F.col("a1") * F.col("a1") * F.col("a2")
+        - F.lit(3.0) * F.col("a1") * F.col("a1") * F.col("a1")
+        * F.col("a1")
+    )
+    c = m.select(
+        "l_returnflag", "n",
+        m2.alias("m2"), m3.alias("m3"), m4.alias("m4"),
+    )
+    kurt = F.col("m4") / (F.col("m2") * F.col("m2")) - F.lit(3.0)
+    return c.select(
+        "l_returnflag",
+        "n",
+        (F.col("m2") / F.lit(10000.0)).alias("var_pop"),
+        (F.col("m3") / (F.col("m2") * F.sqrt(F.col("m2")))).alias(
+            "skewness"
+        ),
+        kurt.alias("kurtosis_ex"),
+        (
+            F.col("n").cast("double") / F.lit(6.0)
+            * (
+                F.col("m3") * F.col("m3")
+                / (F.col("m2") * F.col("m2") * F.col("m2"))
+                + kurt * kurt / F.lit(4.0)
+            )
+        ).alias("jb_stat"),
+    ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# Cliff's delta ordinal effect size (merged-cumulative pair counting)
+# ---------------------------------------------------------------------------
+@register(
+    "q_cliffs_delta",
+    oracle="""
+    WITH pv AS (
+      SELECT o_totalprice AS v,
+             CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                           THEN 0 ELSE 1 END) AS BIGINT) AS c2
+      FROM orders GROUP BY 1
+    ),
+    cum AS (
+      SELECT v, c1, c2,
+             SUM(c2) OVER (ORDER BY v) - c2 AS lo_below,
+             SUM(c2) OVER (ORDER BY v DESC) - c2 AS lo_above
+      FROM pv
+    ),
+    agg AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(c2) AS BIGINT) AS n2,
+             CAST(SUM(CAST(c1 AS HUGEINT) * lo_below) AS HUGEINT) AS gt,
+             CAST(SUM(CAST(c1 AS HUGEINT) * lo_above) AS HUGEINT) AS lt,
+             CAST(SUM(CAST(c1 AS HUGEINT) * c2) AS HUGEINT) AS eq
+      FROM cum
+    )
+    SELECT n1, n2,
+           CAST(gt AS BIGINT) AS gt_pairs,
+           CAST(lt AS BIGINT) AS lt_pairs,
+           CAST(eq AS BIGINT) AS eq_pairs,
+           CAST(CAST(gt - lt AS VARCHAR) AS DOUBLE)
+             / (CAST(n1 AS DOUBLE) * n2) AS cliffs_delta
+    FROM agg
+    """,
+    tags=("stats", "inference"),
+)
+def q_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIFF'S DELTA between urgent (priority 1-2) and normal orders on
+    order value: the ordinal effect size P(X>Y) - P(X<Y) that reviewers
+    quote NEXT TO q_mann_whitney's p-value — same split, but delta
+    reports magnitude where z_u reports significance, and unlike the
+    rank-biserial identity it exposes the three dominance counts
+    (gt/lt/eq pairs) as exact witnesses. All n1*n2 pairs are counted
+    WITHOUT forming any pair: per distinct value, the lo-group mass
+    strictly below and strictly above ride one ascending and one
+    descending running count over the distinct-value spine, and
+    gt = sum(c1 * lo_below), lt = sum(c1 * lo_above), eq = sum(c1*c2)
+    are map-side-combinable integer reduces — exact BIGINTs through
+    ~10^9 rows per side.
+
+    Scale shape: distinct-value agg, two range-partitioned prefix
+    scans, one scalar reduce; nothing pair-sized ever materializes.
+    Reference basis: SURVEY.md §2.4 stats family (absent in
+    reference)."""
+    from ..operators.scan import global_running_sum
+
+    o = table(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    pv = (
+        o.select(F.col("o_totalprice").alias("v"), hi.alias("g1"))
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("g1"), 1).otherwise(0)).alias("c1"),
+            F.sum(F.when(F.col("g1"), 0).otherwise(1)).alias("c2"),
+        )
+    )
+    up = global_running_sum(
+        pv, ["v"], "c2", out_col="ci_up", decimal_type="long"
+    ).withColumn("lo_below", F.col("ci_up") - F.col("c2"))
+    # descending running count: total - ascending inclusive
+    tot2 = up.agg(F.sum("c2").alias("n2_all"))
+    cum = up.crossJoin(F.broadcast(tot2)).withColumn(
+        "lo_above", F.col("n2_all") - F.col("ci_up")
+    )
+    agg = cum.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum(F.col("c1").cast("decimal(38,0)") * F.col("lo_below")).alias(
+            "gt"
+        ),
+        F.sum(F.col("c1").cast("decimal(38,0)") * F.col("lo_above")).alias(
+            "lt"
+        ),
+        F.sum(F.col("c1").cast("decimal(38,0)") * F.col("c2")).alias("eq"),
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        F.col("gt").cast("long").alias("gt_pairs"),
+        F.col("lt").cast("long").alias("lt_pairs"),
+        F.col("eq").cast("long").alias("eq_pairs"),
+        (
+            (F.col("gt") - F.col("lt")).cast("string").cast("double")
+            / (F.col("n1").cast("double") * F.col("n2"))
+        ).alias("cliffs_delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# McNemar's paired-proportion test (first-half vs second-half urgency)
+# ---------------------------------------------------------------------------
+@register(
+    "q_mcnemar",
+    oracle="""
+    WITH paired AS (
+      SELECT o_custkey,
+             MAX(CASE WHEN o_orderdate < DATE '1995-06-17'
+                      AND o_orderpriority IN ('1-URGENT','2-HIGH')
+                      THEN 1 ELSE 0 END) AS h1,
+             MAX(CASE WHEN o_orderdate >= DATE '1995-06-17'
+                      AND o_orderpriority IN ('1-URGENT','2-HIGH')
+                      THEN 1 ELSE 0 END) AS h2
+      FROM orders GROUP BY 1
+    ),
+    cells AS (
+      SELECT CAST(SUM(CASE WHEN h1 = 1 AND h2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN h1 = 1 AND h2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b,
+             CAST(SUM(CASE WHEN h1 = 0 AND h2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN h1 = 0 AND h2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d
+      FROM paired
+    )
+    SELECT a, b, c, d,
+           CAST((b - c) * (b - c) AS DOUBLE) / (b + c) AS mcnemar_chi2,
+           CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE) / (b + c)
+             AS mcnemar_cc
+    FROM cells
+    """,
+    tags=("stats", "inference"),
+)
+def q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNEMAR'S test on paired binary outcomes per customer: "placed
+    an urgent-priority order" in the first vs second half of the date
+    range (split at the fixed midpoint 1995-06-17). The marginal
+    homogeneity question — did urgency adoption CHANGE within the same
+    customers — is exactly what an unpaired chi-square (q_cramers_v)
+    gets wrong by ignoring the pairing. The 2x2 concordance table
+    (a,b,c,d) is two MAX-flags per customer and one scalar reduce;
+    the statistic (b-c)^2/(b+c) and its continuity-corrected variant
+    are single exact-integer ratios.
+
+    Scale shape: one map-side-combinable per-key agg, one scalar
+    reduce. Reference basis: SURVEY.md §2.4 stats family (absent in
+    reference)."""
+    o = table(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    mid = F.lit("1995-06-17").cast("date")
+    paired = o.groupBy("o_custkey").agg(
+        F.max(
+            F.when((F.col("o_orderdate") < mid) & urgent, 1).otherwise(0)
+        ).alias("h1"),
+        F.max(
+            F.when((F.col("o_orderdate") >= mid) & urgent, 1).otherwise(0)
+        ).alias("h2"),
+    )
+    cells = paired.agg(
+        F.sum(
+            F.when((F.col("h1") == 1) & (F.col("h2") == 1), 1).otherwise(0)
+        ).alias("a"),
+        F.sum(
+            F.when((F.col("h1") == 1) & (F.col("h2") == 0), 1).otherwise(0)
+        ).alias("b"),
+        F.sum(
+            F.when((F.col("h1") == 0) & (F.col("h2") == 1), 1).otherwise(0)
+        ).alias("c"),
+        F.sum(
+            F.when((F.col("h1") == 0) & (F.col("h2") == 0), 1).otherwise(0)
+        ).alias("d"),
+    )
+    diff = F.col("b") - F.col("c")
+    return cells.select(
+        "a", "b", "c", "d",
+        ((diff * diff).cast("double") / (F.col("b") + F.col("c"))).alias(
+            "mcnemar_chi2"
+        ),
+        (
+            ((F.abs(diff) - 1) * (F.abs(diff) - 1)).cast("double")
+            / (F.col("b") + F.col("c"))
+        ).alias("mcnemar_cc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact OLS simple regression per group (closed-form, integer moments)
+# ---------------------------------------------------------------------------
+@register(
+    "q_ols_price_on_qty",
+    oracle="""
+    WITH d AS (
+      SELECT l_returnflag,
+             CAST(l_quantity * 100 AS BIGINT) AS x,
+             CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * 100 AS BIGINT)
+               AS y
+      FROM lineitem
+    ),
+    s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+      FROM d GROUP BY 1
+    ),
+    m AS (
+      SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+             CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE) AS num,
+             CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) AS denx,
+             CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE) AS deny,
+             CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sxd,
+             CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS syd,
+             CAST(CAST(n AS VARCHAR) AS DOUBLE) AS nd
+      FROM s
+    )
+    SELECT l_returnflag, n,
+           num / denx AS slope,
+           (syd - num / denx * sxd) / nd / 100.0 AS intercept_dollars,
+           num * num / (denx * deny) AS r2
+    FROM m
+    ORDER BY l_returnflag
+    """,
+    tags=("stats", "inference"),
+)
+def q_ols_price_on_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-return-flag EXACT ordinary-least-squares fit of extended
+    price on quantity — slope, intercept, R^2 in closed form. The
+    parametric line q_corr_qty_price's coefficient only hints at, and
+    the baseline events_theil_sen's robust slope should be compared
+    against. NOT the built-in regr_slope/regr_r2 (their internal double
+    accumulation is partitioning-order-dependent, so Spark and DuckDB
+    diverge in final ulps): all six moments are exact DECIMAL(38,0)
+    integer sums over cent-scaled values, good through ~10^9 rows per
+    group (n*Syy peaks near n^2*y^2 ~ 10^37), VARCHAR-rendered; slope
+    = (n*Sxy - SxSy)/(n*Sxx - Sx^2), intercept and R^2 = num^2/
+    (denx*deny) are pinned double expressions (num^2 would burst 38
+    digits as a decimal — squared AFTER the exact render).
+
+    Scale shape: one map-side-combinable scalar pass, 3-row result.
+    Reference basis: SURVEY.md §2.4 stats family (absent in
+    reference)."""
+    li = table(spark, sf_dir, "lineitem")
+    d = li.select(
+        "l_returnflag",
+        (F.col("l_quantity") * 100).cast("long").alias("x"),
+        (F.col("l_extendedprice").cast("decimal(15,2)") * 100)
+        .cast("long")
+        .alias("y"),
+    )
+    s = d.groupBy("l_returnflag").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+    )
+    num = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("string")
+        .cast("double")
+    )
+    denx = (
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("string")
+        .cast("double")
+    )
+    deny = (
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .cast("string")
+        .cast("double")
+    )
+    m = s.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        num.alias("num"),
+        denx.alias("denx"),
+        deny.alias("deny"),
+        F.col("sx").cast("string").cast("double").alias("sxd"),
+        F.col("sy").cast("string").cast("double").alias("syd"),
+        F.col("n").cast("string").cast("double").alias("nd"),
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        (F.col("num") / F.col("denx")).alias("slope"),
+        (
+            (F.col("syd") - F.col("num") / F.col("denx") * F.col("sxd"))
+            / F.col("nd")
+            / F.lit(100.0)
+        ).alias("intercept_dollars"),
+        (
+            F.col("num") * F.col("num") / (F.col("denx") * F.col("deny"))
+        ).alias("r2"),
+    ).orderBy("l_returnflag")

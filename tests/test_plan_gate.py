@@ -235,6 +235,16 @@ _BNLJ_WAIVERS: dict[str, str] = {
     "q_priority_sample_sum": _R_SCALAR
     + " (1-row tau / exact-total frames cross-joined into the estimate)",
     "q_rollup_share_of_parent": _R_SCALAR,
+    "text_burrows_delta": _R_SPINE
+    + " (|sources| x top-F feature spine: both sides bounded — sources "
+    "categorical, F a literal constant)",
+    "q_cliffs_delta": _R_SCALAR
+    + " (1-row lo-group grand total broadcast into the descending-"
+    "cumulative identity lo_above = n2_all - inclusive)",
+    "events_cochran_q": _R_SCALAR
+    + " (three 1-row frames — k, column-sum, row-sum — crossed into "
+    "the single-row statistic; plus the 1-row k frame broadcast into "
+    "the saturated-row filter)",
 }
 
 

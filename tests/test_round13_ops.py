@@ -1,0 +1,507 @@
+"""Targeted invariants for the round-13 additions, beyond the oracle-parity
+hash gate: each test recomputes the operator's defining property from the
+raw parquet independently (pure Python / scipy-free closed forms), so a
+both-engines-wrong implementation cannot hide behind an agreeing oracle."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+
+from real_value_etl_spark.queries.all_queries import REGISTRY
+
+
+def _duck(sf_dir, sql):
+    return duckdb.connect().execute(sql.replace("$SF", sf_dir)).fetchall()
+
+
+def _midranks(values):
+    """value -> average rank (1-based) over the full list, ties averaged."""
+    s = sorted(values)
+    ranks = {}
+    i = 0
+    while i < len(s):
+        j = i
+        while j < len(s) and s[j] == s[i]:
+            j += 1
+        ranks[s[i]] = (i + 1 + j) / 2.0
+        i = j
+    return ranks
+
+
+def test_kruskal_wallis_matches_pure_python(spark, sf_dir):
+    """H (raw + tie-adjusted) matches a from-scratch midrank computation
+    over the raw order values."""
+    row = REGISTRY["q_kruskal_wallis"].fn(spark, sf_dir).collect()[0]
+    vals = _duck(
+        sf_dir,
+        "SELECT o_totalprice, o_orderpriority FROM '$SF/orders.parquet'",
+    )
+    ranks = _midranks([v for v, _ in vals])
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    n = len(vals)
+    rsum = {p: 0.0 for p in prios}
+    cnt = {p: 0 for p in prios}
+    for v, p in vals:
+        rsum[p] += ranks[v]
+        cnt[p] += 1
+    h = 12.0 / (n * (n + 1)) * sum(
+        rsum[p] ** 2 / cnt[p] for p in prios
+    ) - 3.0 * (n + 1)
+    from collections import Counter
+
+    tie = sum(c**3 - c for c in Counter(v for v, _ in vals).values())
+    h_adj = h / (1.0 - tie / (n**3 - n))
+    assert row["n"] == n
+    assert row["tie_term"] == tie
+    for i, p in enumerate(prios, 1):
+        assert row[f"n{i}"] == cnt[p]
+        assert row[f"r{i}_x2"] == round(2 * rsum[p])
+    assert math.isclose(row["h_raw"], h, rel_tol=1e-9)
+    assert math.isclose(row["h_adj"], h_adj, rel_tol=1e-9)
+
+
+def test_spearman_matches_pure_python(spark, sf_dir):
+    """rho equals Pearson correlation of midranks computed from scratch."""
+    row = REGISTRY["q_spearman_rho"].fn(spark, sf_dir).collect()[0]
+    vals = _duck(
+        sf_dir,
+        "SELECT l_quantity, l_extendedprice FROM '$SF/lineitem.parquet'",
+    )
+    rx = _midranks([x for x, _ in vals])
+    ry = _midranks([y for _, y in vals])
+    xs = [rx[x] for x, _ in vals]
+    ys = [ry[y] for _, y in vals]
+    n = len(vals)
+    mx, my = sum(xs) / n, sum(ys) / n
+    cov = sum((a - mx) * (b - my) for a, b in zip(xs, ys))
+    vx = sum((a - mx) ** 2 for a in xs)
+    vy = sum((b - my) ** 2 for b in ys)
+    rho = cov / math.sqrt(vx * vy)
+    assert row["n"] == n
+    assert math.isclose(row["rho_spearman"], rho, rel_tol=1e-9)
+
+
+def test_jarque_bera_matches_pure_python(spark, sf_dir):
+    """Per-group skewness / excess kurtosis / JB match the population-
+    moment definitions computed directly."""
+    rows = {
+        r["l_returnflag"]: r
+        for r in REGISTRY["q_jarque_bera"].fn(spark, sf_dir).collect()
+    }
+    vals = _duck(
+        sf_dir,
+        "SELECT l_returnflag, CAST(l_quantity * 100 AS BIGINT) "
+        "FROM '$SF/lineitem.parquet'",
+    )
+    by = {}
+    for g, x in vals:
+        by.setdefault(g, []).append(x)
+    for g, xs in by.items():
+        n = len(xs)
+        mean = sum(xs) / n
+        m2 = sum((x - mean) ** 2 for x in xs) / n
+        m3 = sum((x - mean) ** 3 for x in xs) / n
+        m4 = sum((x - mean) ** 4 for x in xs) / n
+        skew = m3 / m2**1.5
+        kurt = m4 / m2**2 - 3.0
+        jb = n / 6.0 * (skew**2 + kurt**2 / 4.0)
+        r = rows[g]
+        assert r["n"] == n
+        assert math.isclose(r["var_pop"], m2 / 1e4, rel_tol=1e-9)
+        assert math.isclose(r["skewness"], skew, rel_tol=1e-6)
+        assert math.isclose(r["kurtosis_ex"], kurt, rel_tol=1e-6)
+        assert math.isclose(r["jb_stat"], jb, rel_tol=1e-6)
+
+
+def test_cliffs_delta_matches_brute_force(spark, sf_dir):
+    """gt/lt/eq pair counts equal the brute-force O(n1*n2) dominance
+    matrix (sf0.001 is small enough), and delta = (gt-lt)/(n1*n2);
+    consistency with Mann-Whitney's rank-biserial identity implied."""
+    row = REGISTRY["q_cliffs_delta"].fn(spark, sf_dir).collect()[0]
+    vals = _duck(
+        sf_dir,
+        "SELECT o_totalprice, o_orderpriority IN ('1-URGENT','2-HIGH') "
+        "FROM '$SF/orders.parquet'",
+    )
+    hi = sorted(v for v, h in vals if h)
+    lo = sorted(v for v, h in vals if not h)
+    import bisect
+
+    gt = sum(bisect.bisect_left(lo, v) for v in hi)
+    le = sum(bisect.bisect_right(lo, v) for v in hi)
+    eq = le - gt
+    lt = len(hi) * len(lo) - le
+    assert (row["n1"], row["n2"]) == (len(hi), len(lo))
+    assert (row["gt_pairs"], row["lt_pairs"], row["eq_pairs"]) == (
+        gt,
+        lt,
+        eq,
+    )
+    assert math.isclose(
+        row["cliffs_delta"], (gt - lt) / (len(hi) * len(lo)), rel_tol=1e-12
+    )
+
+
+def test_mcnemar_cells_partition_customers(spark, sf_dir):
+    """The 2x2 cells partition the customer-with-orders set; the stat
+    matches (b-c)^2/(b+c) recomputed from independently derived cells."""
+    row = REGISTRY["q_mcnemar"].fn(spark, sf_dir).collect()[0]
+    vals = _duck(
+        sf_dir,
+        """SELECT o_custkey,
+                  MAX(CASE WHEN o_orderdate < DATE '1995-06-17' AND
+                       o_orderpriority IN ('1-URGENT','2-HIGH')
+                       THEN 1 ELSE 0 END),
+                  MAX(CASE WHEN o_orderdate >= DATE '1995-06-17' AND
+                       o_orderpriority IN ('1-URGENT','2-HIGH')
+                       THEN 1 ELSE 0 END)
+           FROM '$SF/orders.parquet' GROUP BY 1""",
+    )
+    a = sum(1 for _, h1, h2 in vals if h1 and h2)
+    b = sum(1 for _, h1, h2 in vals if h1 and not h2)
+    c = sum(1 for _, h1, h2 in vals if not h1 and h2)
+    d = sum(1 for _, h1, h2 in vals if not h1 and not h2)
+    assert (row["a"], row["b"], row["c"], row["d"]) == (a, b, c, d)
+    assert a + b + c + d == len(vals)
+    assert math.isclose(
+        row["mcnemar_chi2"], (b - c) ** 2 / (b + c), rel_tol=1e-12
+    )
+    assert math.isclose(
+        row["mcnemar_cc"], (abs(b - c) - 1) ** 2 / (b + c), rel_tol=1e-12
+    )
+
+
+def test_cochran_q_matches_pure_python(spark, sf_dir):
+    """Q matches the textbook formula over an independently built
+    user x type first-active-day incidence matrix with saturated rows
+    dropped."""
+    row = REGISTRY["events_cochran_q"].fn(spark, sf_dir).collect()[0]
+    vals = _duck(
+        sf_dir,
+        """WITH fd AS (SELECT user_id, CAST(MIN(ts) AS DATE) AS d0
+                       FROM '$SF/events.parquet' GROUP BY 1)
+           SELECT DISTINCT e.user_id, e.event_type
+           FROM '$SF/events.parquet' e JOIN fd ON fd.user_id = e.user_id
+           WHERE CAST(e.ts AS DATE) = fd.d0""",
+    )
+    k = len(
+        _duck(sf_dir, "SELECT DISTINCT event_type FROM '$SF/events.parquet'")
+    )
+    rows_by_user = {}
+    for u, t in vals:
+        rows_by_user.setdefault(u, set()).add(t)
+    keep = {u: ts for u, ts in rows_by_user.items() if len(ts) < k}
+    col = {}
+    for ts in keep.values():
+        for t in ts:
+            col[t] = col.get(t, 0) + 1
+    T = sum(col.values())
+    num = (k - 1) * (k * sum(c * c for c in col.values()) - T * T)
+    den = k * T - sum(len(ts) ** 2 for ts in keep.values())
+    assert row["k"] == k
+    assert row["n_users"] == len(keep)
+    assert row["total_marks"] == T
+    if den == 0:
+        assert row["q_cochran"] is None
+    else:
+        assert math.isclose(row["q_cochran"], num / den, rel_tol=1e-9)
+
+
+def test_yule_k_matches_pure_python(spark, sf_dir):
+    """K, the spectrum heads, and totals match a Counter-based
+    recomputation over whitespace tokens."""
+    from collections import Counter
+
+    row = REGISTRY["text_yule_k"].fn(spark, sf_dir).collect()[0]
+    docs = _duck(sf_dir, "SELECT text FROM '$SF/documents.parquet'")
+    cnt = Counter(
+        t for (text,) in docs for t in text.split(" ") if t != ""
+    )
+    n = sum(cnt.values())
+    assert row["n_tokens"] == n
+    assert row["n_types"] == len(cnt)
+    assert row["v1_hapax"] == sum(1 for c in cnt.values() if c == 1)
+    assert row["v2_dis"] == sum(1 for c in cnt.values() if c == 2)
+    k = 1e4 * (sum(c * c for c in cnt.values()) - n) / (n * n)
+    assert math.isclose(row["yule_k"], k, rel_tol=1e-12)
+
+
+def test_burrows_delta_matches_pure_python(spark, sf_dir):
+    """Every pair's Delta matches a from-scratch fixed-point z-score
+    computation (top-F selection, floor scaling, zero-variance drop,
+    mean-cancellation identity)."""
+    from collections import Counter
+
+    from real_value_etl_spark.queries.llm import BURROWS_F, BURROWS_SCALE
+
+    rows = REGISTRY["text_burrows_delta"].fn(spark, sf_dir).collect()
+    docs = _duck(
+        sf_dir, "SELECT source, text FROM '$SF/documents.parquet'"
+    )
+    corpus = Counter()
+    per_src = {}
+    tot_src = {}
+    for src, text in docs:
+        toks = [t for t in text.split(" ") if t != ""]
+        corpus.update(toks)
+        per_src.setdefault(src, Counter()).update(toks)
+        tot_src[src] = tot_src.get(src, 0) + len(toks)
+    top = sorted(corpus.items(), key=lambda kv: (-kv[1], kv[0]))[:BURROWS_F]
+    words = [w for w, _ in top]
+    sources = sorted(per_src)
+    S = len(sources)
+    fi = {
+        (s, w): per_src[s][w] * BURROWS_SCALE // tot_src[s]
+        for s in sources
+        for w in words
+    }
+    keep_words = []
+    vw = {}
+    for w in words:
+        sf_ = sum(fi[(s, w)] for s in sources)
+        sf2 = sum(fi[(s, w)] ** 2 for s in sources)
+        v = S * sf2 - sf_ * sf_
+        if v > 0:
+            keep_words.append(w)
+            vw[w] = v
+    got = {(r["src_a"], r["src_b"]): r for r in rows}
+    assert len(got) == S * (S - 1) // 2
+    for i, a in enumerate(sources):
+        for b in sources[i + 1 :]:
+            terms = [
+                abs(fi[(a, w)] - fi[(b, w)]) / math.sqrt(vw[w])
+                for w in sorted(keep_words)
+            ]
+            want = S * sum(terms) / len(keep_words)
+            r = got[(a, b)]
+            assert r["n_features"] == len(keep_words)
+            assert math.isclose(r["burrows_delta"], want, rel_tol=1e-9)
+
+
+def test_ols_matches_pure_python(spark, sf_dir):
+    """Per-group slope/intercept/r2 equal the closed-form least-squares
+    fit over exactly cent-scaled pairs."""
+    rows = {
+        r["l_returnflag"]: r
+        for r in REGISTRY["q_ols_price_on_qty"].fn(spark, sf_dir).collect()
+    }
+    vals = _duck(
+        sf_dir,
+        "SELECT l_returnflag, CAST(l_quantity * 100 AS BIGINT), "
+        "CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * 100 AS BIGINT) "
+        "FROM '$SF/lineitem.parquet'",
+    )
+    by = {}
+    for g, x, y in vals:
+        by.setdefault(g, []).append((x, y))
+    for g, xy in by.items():
+        n = len(xy)
+        sx = sum(x for x, _ in xy)
+        sy = sum(y for _, y in xy)
+        sxx = sum(x * x for x, _ in xy)
+        syy = sum(y * y for _, y in xy)
+        sxy = sum(x * y for x, y in xy)
+        num = n * sxy - sx * sy
+        denx = n * sxx - sx * sx
+        deny = n * syy - sy * sy
+        r = rows[g]
+        assert r["n"] == n
+        assert math.isclose(r["slope"], num / denx, rel_tol=1e-12)
+        assert math.isclose(
+            r["intercept_dollars"],
+            (sy - num / denx * sx) / n / 100.0,
+            rel_tol=1e-9,
+        )
+        assert math.isclose(
+            r["r2"], num * num / (denx * deny), rel_tol=1e-12
+        )
+
+
+def test_bipartite_squares_matches_brute_force(spark, sf_dir):
+    """Top-k supplier pairs and square counts equal a brute-force
+    common-neighborhood scan; the degree cap is not binding at fixture
+    scale (capped == exact)."""
+    from itertools import combinations
+
+    from real_value_etl_spark.queries.graph import SQ_DEG_CAP, SQ_TOPK
+
+    rows = REGISTRY["graph_bipartite_squares"].fn(spark, sf_dir).collect()
+    edges = _duck(
+        sf_dir,
+        """SELECT DISTINCT o_custkey, l_suppkey
+           FROM '$SF/orders.parquet'
+           JOIN '$SF/lineitem.parquet' ON l_orderkey = o_orderkey""",
+    )
+    by_cust = {}
+    for c, s in edges:
+        by_cust.setdefault(c, set()).add(s)
+    assert max(len(v) for v in by_cust.values()) <= SQ_DEG_CAP
+    pair_m = {}
+    for sups in by_cust.values():
+        for s1, s2 in combinations(sorted(sups), 2):
+            pair_m[(s1, s2)] = pair_m.get((s1, s2), 0) + 1
+    want = sorted(
+        pair_m.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+    )[:SQ_TOPK]
+    assert len(rows) == min(SQ_TOPK, len(pair_m))
+    for r, ((s1, s2), m) in zip(rows, want):
+        assert (r["s1"], r["s2"], r["common_customers"]) == (s1, s2, m)
+        assert r["squares"] == m * (m - 1) // 2
+
+
+def _gzip_build_python(doc_id: int, text: str) -> tuple[bytes, bytes]:
+    """Independent rebuild of the gzip recipe; returns (payload, data)."""
+    import zlib
+
+    dlen = doc_id % 37 + 12
+    cap = doc_id % 5 + 7
+    data = text.ljust(49)[:dlen].encode()
+    has_extra, has_name, has_comment = (
+        doc_id % 2 == 0,
+        doc_id % 3 != 0,
+        doc_id % 5 == 0,
+    )
+    flg = 4 * has_extra + 8 * has_name + 16 * has_comment
+    mtime = (doc_id * 37) % 2**31
+    out = bytes([0x1F, 0x8B, 8, flg]) + mtime.to_bytes(4, "little")
+    out += bytes([0, 255])
+    if has_extra:
+        xlen = doc_id % 7 + 4
+        out += xlen.to_bytes(2, "little") + b"\xab" * xlen
+    if has_name:
+        out += f"doc{doc_id}.txt".encode() + b"\x00"
+    if has_comment:
+        out += b"c" * (doc_id % 6 + 1) + b"\x00"
+    for i in range(0, dlen, cap):
+        chunk = data[i : i + cap]
+        final = i + len(chunk) == dlen
+        out += bytes([int(final)])
+        out += len(chunk).to_bytes(2, "little")
+        out += (65535 - len(chunk)).to_bytes(2, "little")
+        out += chunk
+    out += zlib.crc32(data).to_bytes(4, "little")
+    out += (dlen % 2**32).to_bytes(4, "little")
+    return out, data
+
+
+def test_gzip_codec_decompresses_with_stdlib(spark, sf_dir):
+    """The recipe's bytes ARE valid gzip: Python's gzip module (a third
+    implementation) decompresses the independent rebuild to the source
+    data; the query's parsed fields match an independent Python walker
+    over the same bytes."""
+    import gzip as gz
+
+    rows = (
+        REGISTRY["multimodal_gzip_member_parse"].fn(spark, sf_dir).collect()
+    )
+    docs = dict(
+        _duck(sf_dir, "SELECT doc_id, text FROM '$SF/documents.parquet'")
+    )
+    assert len(rows) == len(docs)
+    for r in rows:
+        payload, data = _gzip_build_python(r["doc_id"], docs[r["doc_id"]])
+        assert gz.decompress(payload) == data
+        # independent walker
+        flg = payload[3]
+        off = 10
+        xlen = 0
+        if flg & 4:
+            xlen = int.from_bytes(payload[10:12], "little")
+            off = 12 + xlen
+        fname = ""
+        if flg & 8:
+            end = payload.index(0, off)
+            fname = payload[off:end].decode()
+            off = end + 1
+        clen = 0
+        if flg & 16:
+            end = payload.index(0, off)
+            clen = end - off
+            off = end + 1
+        n_blocks = 0
+        raw = b""
+        while True:
+            hdr = payload[off]
+            blen = int.from_bytes(payload[off + 1 : off + 3], "little")
+            nlen = int.from_bytes(payload[off + 3 : off + 5], "little")
+            assert blen + nlen == 65535
+            raw += payload[off + 5 : off + 5 + blen]
+            off += 5 + blen
+            n_blocks += 1
+            if hdr & 1:
+                break
+        assert r["magic_ok"] and r["method_ok"]
+        assert r["flg"] == flg
+        assert r["xlen"] == xlen
+        assert r["fname"] == fname
+        assert r["comment_len"] == clen
+        assert r["n_blocks"] == n_blocks
+        assert r["sum_len"] == len(raw) == len(data)
+        assert r["nlen_ok"] and r["chain_complete"]
+        assert r["crc_ok"] and r["isize_ok"] and r["data_ok"]
+        assert r["total_len"] == len(payload) == off + 8
+
+
+def test_midi_codec_matches_python_walker(spark, sf_dir):
+    """The query's chunk walk and varint decode match an independent
+    Python SMF walker (real continuation-bit varint decoder) over
+    independently rebuilt bytes."""
+    rows = (
+        REGISTRY["multimodal_midi_track_walk"].fn(spark, sf_dir).collect()
+    )
+    for r in rows:
+        doc_id = r["doc_id"]
+        ntrks = doc_id % 4 + 1
+        payload = b"MThd" + (6).to_bytes(4, "big")
+        payload += (1).to_bytes(2, "big") + ntrks.to_bytes(2, "big")
+        payload += (480).to_bytes(2, "big")
+        deltas = []
+        for t in range(1, ntrks + 1):
+            delta = (doc_id * 31 + t * 97) % 2**21
+            deltas.append(delta)
+            # big-end-first 7-bit varint
+            groups = []
+            v = delta
+            while True:
+                groups.append(v & 127)
+                v >>= 7
+                if v == 0:
+                    break
+            body = bytes(
+                g | 128 for g in reversed(groups[1:])
+            ) + bytes([groups[0]])
+            body += bytes.fromhex("903C64") + bytes.fromhex("00FF2F00")
+            payload += b"MTrk" + len(body).to_bytes(4, "big") + body
+        # independent walk
+        assert payload[:4] == b"MThd"
+        off = 14
+        walked = 0
+        first_delta = None
+        sum_deltas = 0
+        while off < len(payload):
+            assert payload[off : off + 4] == b"MTrk"
+            blen = int.from_bytes(payload[off + 4 : off + 8], "big")
+            # real varint decode
+            v, i = 0, off + 8
+            while True:
+                b = payload[i]
+                v = (v << 7) | (b & 127)
+                i += 1
+                if not (b & 128):
+                    break
+            if first_delta is None:
+                first_delta = v
+            sum_deltas += v
+            assert payload[off + 8 + blen - 4 : off + 8 + blen] == (
+                bytes.fromhex("00FF2F00")
+            )
+            off += 8 + blen
+            walked += 1
+        assert r["mthd_ok"] and r["sigs_ok"] and r["eot_ok"]
+        assert (r["hdr_len"], r["fmt"], r["division"]) == (6, 1, 480)
+        assert r["ntrks"] == r["tracks_walked"] == walked == ntrks
+        assert r["first_delta"] == first_delta == deltas[0]
+        assert r["sum_deltas"] == sum_deltas == sum(deltas)
+        assert r["total_len"] == len(payload) and r["length_ok"]
