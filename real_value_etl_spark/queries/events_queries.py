@@ -4967,3 +4967,193 @@ def events_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(den.cast("string").cast("double"), F.lit(0.0))
         ).alias("q_cochran"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hurst rescaled-range (R/S) analysis over the hourly series, log-free
+# ---------------------------------------------------------------------------
+HURST_SCALES = (16, 64, 256)  # powers of 4: consecutive-scale R/S ratios
+# estimate H as log4(ratio) without any engine-side log (ln is not
+# engine-pinned; the ratio itself is the emitted statistic)
+
+
+def _hurst_oracle() -> str:
+    scales = ", ".join(str(s) for s in HURST_SCALES)
+    return f"""
+    WITH hc AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT event_type, MIN(h) AS lo, MAX(h) AS hi FROM hc GROUP BY 1
+    ),
+    spine AS (
+      SELECT b.event_type, g.h,
+             ROW_NUMBER() OVER (PARTITION BY b.event_type ORDER BY g.h)
+               AS rn
+      FROM b, LATERAL unnest(generate_series(b.lo, b.hi, 3600)) AS g(h)
+    ),
+    f AS (
+      SELECT s.event_type, s.h, s.rn,
+             COALESCE(hc.c, 0) AS c
+      FROM spine s LEFT JOIN hc
+        ON hc.event_type = s.event_type AND hc.h = s.h
+    ),
+    sc AS (
+      SELECT f.*, sch.scale,
+             CAST((f.rn - 1) // sch.scale AS BIGINT) AS blk
+      FROM f CROSS JOIN (SELECT unnest([{scales}]) AS scale) sch
+    ),
+    nblk AS (
+      SELECT event_type, scale, blk,
+             CAST(COUNT(*) AS BIGINT) AS nb_rows,
+             CAST(SUM(c) AS BIGINT) AS s1,
+             CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS s2
+      FROM sc GROUP BY 1, 2, 3
+    ),
+    dev AS (
+      SELECT sc.event_type, sc.scale, sc.blk, sc.rn,
+             SUM(sc.scale * sc.c - nb.s1)
+               OVER (PARTITION BY sc.event_type, sc.scale, sc.blk
+                     ORDER BY sc.rn) AS y
+      FROM sc JOIN nblk nb
+        ON nb.event_type = sc.event_type AND nb.scale = sc.scale
+       AND nb.blk = sc.blk
+      WHERE nb.nb_rows = sc.scale
+    ),
+    rng AS (
+      SELECT event_type, scale, blk,
+             CAST(MAX(y) - MIN(y) AS BIGINT) AS r_scaled
+      FROM dev GROUP BY 1, 2, 3
+    ),
+    rs AS (
+      SELECT r.event_type, r.scale, r.blk,
+             CAST(r.r_scaled AS DOUBLE)
+               / sqrt(CAST(CAST(CAST(r.scale AS HUGEINT) * nb.s2
+                                - CAST(nb.s1 AS HUGEINT) * nb.s1
+                                AS VARCHAR) AS DOUBLE)) AS rs_val
+      FROM rng r JOIN nblk nb
+        ON nb.event_type = r.event_type AND nb.scale = r.scale
+       AND nb.blk = r.blk
+      WHERE CAST(r.scale AS HUGEINT) * nb.s2
+            - CAST(nb.s1 AS HUGEINT) * nb.s1 > 0
+    )
+    SELECT event_type, CAST(scale AS BIGINT) AS scale,
+           CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           list_reduce(
+             list_prepend(CAST(0 AS DOUBLE), list(rs_val ORDER BY blk)),
+             (acc, x) -> acc + x) / COUNT(*) AS avg_rs
+    FROM rs GROUP BY 1, 2
+    """
+
+
+@register(
+    "events_hurst_rs",
+    oracle=_hurst_oracle(),
+    tags=("events", "timeseries", "stats"),
+)
+def events_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HURST rescaled-range analysis per event type: average R/S over
+    complete blocks at window scales 16/64/256 hours — the classical
+    long-range-dependence probe (H > 1/2 means bursts cluster across
+    scales, exactly what capacity planning needs to know beyond
+    events_acf_hourly's short lags and events_fano_burstiness's single
+    scale). The scales are POWERS OF 4, so consecutive avg_rs ratios
+    estimate H as log4(ratio) — emitted as the raw ratios, keeping the
+    whole plan log-free (ln is not engine-pinned). Exact to one sqrt
+    per block: within a complete block of n hours, cumulative
+    deviations are the integers y_k = sum(n*x_t - s_block), R*n =
+    max(y) - min(y), and n^2*Var = n*sum(x^2) - s^2 — so R/S =
+    r_scaled / sqrt(n*s2 - s1^2) is one division and one IEEE sqrt
+    from exact integers (VARCHAR-rendered). Zero-variance blocks drop
+    identically on both engines; per-(type, scale) averages fold in
+    block order (the ordered-fold doctrine).
+
+    Scale shape: one (type, hour) agg, a 3x literal scale explode over
+    the wall-clock-bounded spine, per-block window sums keyed (type,
+    scale, block), two key-sized reduces. Reference basis: SURVEY.md
+    §2.4/§2.5 stats-window family (absent in reference)."""
+    ev = table(spark, sf_dir, "events")
+    hc = ev.groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("hour", "ts")).alias("h"),
+    ).agg(F.count("*").alias("c"))
+    b = hc.groupBy("event_type").agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    spine = b.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.lit(3600))).alias("h"),
+    )
+    w_rn = Window.partitionBy("event_type").orderBy("h")
+    f = (
+        spine.join(hc, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            "h",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+        .withColumn("rn", F.row_number().over(w_rn))
+    )
+    sc = f.select(
+        "*",
+        F.explode(
+            F.array(*[F.lit(s) for s in HURST_SCALES])
+        ).alias("scale"),
+    ).withColumn(
+        "blk", F.expr("(rn - 1) div scale").cast("long")
+    )
+    nblk = sc.groupBy("event_type", "scale", "blk").agg(
+        F.count("*").alias("nb_rows"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("s2"),
+    )
+    w_blk = (
+        Window.partitionBy("event_type", "scale", "blk")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dev = (
+        sc.join(nblk, ["event_type", "scale", "blk"])
+        .filter(F.col("nb_rows") == F.col("scale"))
+        .withColumn(
+            "y",
+            F.sum(
+                F.col("scale").cast("long") * F.col("c") - F.col("s1")
+            ).over(w_blk),
+        )
+    )
+    rng = dev.groupBy("event_type", "scale", "blk").agg(
+        (F.max("y") - F.min("y")).alias("r_scaled")
+    )
+    var_num = (
+        F.col("scale").cast("decimal(38,0)") * F.col("s2")
+        - F.col("s1").cast("decimal(38,0)") * F.col("s1")
+    )
+    rs = (
+        rng.join(nblk, ["event_type", "scale", "blk"])
+        .withColumn("var_num", var_num)
+        .filter(F.col("var_num") > 0)
+        .select(
+            "event_type",
+            "scale",
+            "blk",
+            (
+                F.col("r_scaled").cast("double")
+                / F.sqrt(F.col("var_num").cast("string").cast("double"))
+            ).alias("rs_val"),
+        )
+    )
+    return rs.groupBy("event_type", F.col("scale").cast("long").alias("scale")).agg(
+        F.count("*").alias("n_blocks"),
+        (
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("blk", "rs_val"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["rs_val"],
+            )
+            / F.count("*")
+        ).alias("avg_rs"),
+    )

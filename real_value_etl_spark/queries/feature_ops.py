@@ -6877,3 +6877,406 @@ def multimodal_midi_track_walk(
         (F.octet_length(p).cast("long")).alias("total_len"),
         (F.octet_length(p) == F.col("off") - 1).alias("length_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ELF64 section-header walk — twenty-first byte codec: the first STRING-
+# TABLE INDIRECTION (section names are OFFSETS into a strtab section whose
+# own location comes from the e_shstrndx'th header entry — a two-level
+# pointer chase through the directory being parsed)
+# ---------------------------------------------------------------------------
+ELF_MAX_DATA_SECS = 3  # k = doc_id % 3 + 1 data sections
+
+
+def _elf_oracle() -> str:
+    # closed-form per-doc geometry
+    terms_sz = []
+    terms_nm = []
+    for i in range(1, ELF_MAX_DATA_SECS + 1):
+        sz = f"CASE WHEN k >= {i} THEN (doc_id + {i} * 7) % 19 + 5 ELSE 0 END"
+        terms_sz.append(sz)
+        terms_nm.append(
+            f"CASE WHEN k >= {i} THEN '.s{i}' ELSE NULL END"
+        )
+    return f"""
+    WITH src AS (
+      SELECT doc_id, doc_id % 3 + 1 AS k FROM documents
+    ),
+    g AS (
+      SELECT doc_id, k,
+             1 + 4 * k + 10 AS strtab_len,
+             {' + '.join(terms_sz)} AS sum_sizes
+      FROM src
+    )
+    SELECT doc_id,
+           TRUE AS magic_ok,
+           TRUE AS class64_ok,
+           TRUE AS le_ok,
+           CAST(2 AS BIGINT) AS e_type,
+           CAST(62 AS BIGINT) AS e_machine,
+           CAST((doc_id * 4096) % 4294967296 + 4194304 AS BIGINT)
+             AS e_entry,
+           CAST(k + 2 AS BIGINT) AS shnum,
+           CAST(k + 1 AS BIGINT) AS shstrndx,
+           CAST(64 AS BIGINT) AS shentsize,
+           concat_ws(',', {', '.join(terms_nm)}, '.shstrtab')
+             AS section_names,
+           CAST(sum_sizes AS BIGINT) AS sum_data_sizes,
+           CAST(strtab_len AS BIGINT) AS strtab_size,
+           TRUE AS null_entry_ok,
+           TRUE AS strtab_type_ok,
+           TRUE AS contiguous_ok,
+           TRUE AS data_ok,
+           CAST(64 + strtab_len + sum_sizes + 64 * (k + 2) AS BIGINT)
+             AS total_len
+    FROM g
+    """
+
+
+@register(
+    "multimodal_elf_section_walk",
+    oracle=_elf_oracle(),
+    tags=("multimodal", "llm", "binary"),
+)
+def multimodal_elf_section_walk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ELF64 section-header walk — the first codec with STRING-TABLE
+    INDIRECTION: a section's name is not bytes in its header but a u32
+    OFFSET into the .shstrtab section, whose own file position must be
+    read from the e_shstrndx'th entry of the very table being walked —
+    a two-level pointer chase (header -> directory entry -> string
+    table) one step deeper than ICO's direct offset chase. Each
+    document becomes a structurally valid little-endian ELF64
+    executable: 64-byte ehdr (magic / class / data / type EXEC /
+    machine x86-64 / data-dependent entry point), .shstrtab placed
+    first, k = doc_id%3+1 PROGBITS sections carrying doc-text slices,
+    then the section-header table with the required all-zero NULL
+    entry 0. The walk verifies magic/class/endianness, reads
+    e_shoff/e_shnum/e_shentsize/e_shstrndx, bounds-checks the NULL
+    entry, chases every entry's sh_name into the strtab (NUL scan),
+    requires PROGBITS file regions to be CONTIGUOUS and equal to the
+    source text slices, and cross-checks the total length. Unit test:
+    independent Python ELF walker over rebuilt bytes.
+
+    Scale shape: map-only JVM binary expressions, zero exchanges;
+    bytes never reach Python. Reference basis: SURVEY.md §2.12
+    multimodal family (absent in reference)."""
+    d = table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    empty = F.unhex(F.lit(""))
+
+    def hx(c, nbytes):
+        return F.lpad(F.hex(c.cast("long")), 2 * nbytes, "0")
+
+    def le_hex(c, nbytes):
+        h = hx(c, nbytes)
+        return F.concat(
+            *[
+                F.substring(h, 2 * nbytes - 1 - 2 * i, 2)
+                for i in range(nbytes)
+            ]
+        )
+
+    # ---- build: geometry ------------------------------------------------
+    g = d.select(
+        "doc_id",
+        (did % 3 + 1).cast("long").alias("k"),
+        ((did * 4096) % (1 << 32) + 0x400000).cast("long").alias("entry"),
+        F.encode(F.rpad(F.col("text"), 80, " "), "utf-8").alias("full"),
+    )
+    sizes = [
+        F.when(
+            F.col("k") >= i, ((did + i * 7) % 19 + 5).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(1, ELF_MAX_DATA_SECS + 1)
+    ]
+    g = g.select(
+        "*",
+        *[sz.alias(f"sz{i}") for i, sz in enumerate(sizes, 1)],
+        (F.lit(1) + 4 * F.col("k") + 10).cast("long").alias("strtab_len"),
+    )
+    sum_sz = sum(
+        (F.col(f"sz{i}") for i in range(2, ELF_MAX_DATA_SECS + 1)),
+        F.col("sz1"),
+    )
+    g = g.select("*", sum_sz.alias("sum_sz"))
+
+    # strtab: "\0" + ".s1\0"... + ".shstrtab\0"
+    strtab = F.unhex(F.lit("00"))
+    for i in range(1, ELF_MAX_DATA_SECS + 1):
+        strtab = F.concat(
+            strtab,
+            F.when(
+                F.col("k") >= i,
+                F.concat(
+                    F.encode(F.lit(f".s{i}"), "utf-8"), F.unhex(F.lit("00"))
+                ),
+            ).otherwise(empty),
+        )
+    strtab = F.concat(
+        strtab, F.encode(F.lit(".shstrtab"), "utf-8"), F.unhex(F.lit("00"))
+    )
+
+    # data blobs: consecutive text slices
+    blobs = empty
+    offs = []  # 0-based file offset expressions per data section
+    running = F.lit(64).cast("long") + F.col("strtab_len")
+    for i in range(1, ELF_MAX_DATA_SECS + 1):
+        offs.append(running)
+        start = sum(
+            (F.col(f"sz{j}") for j in range(1, i)), F.lit(1).cast("long")
+        )
+        blob = F.substring(
+            F.col("full"), start.cast("int"), F.col(f"sz{i}").cast("int")
+        )
+        blobs = F.concat(
+            blobs, F.when(F.col("k") >= i, blob).otherwise(empty)
+        )
+        running = running + F.col(f"sz{i}")
+    shoff = running
+
+    def sh_entry(name_off, sh_type, sh_off, sh_size):
+        return F.concat(
+            F.unhex(le_hex(name_off, 4)),
+            F.unhex(le_hex(sh_type, 4)),
+            F.unhex(F.lit("00" * 16)),  # flags, addr
+            F.unhex(le_hex(sh_off, 8)),
+            F.unhex(le_hex(sh_size, 8)),
+            F.unhex(F.lit("00" * 8)),  # link, info
+            F.unhex(le_hex(F.lit(1).cast("long"), 8)),  # addralign
+            F.unhex(F.lit("00" * 8)),  # entsize
+        )
+
+    sht = F.unhex(F.lit("00" * 64))  # NULL entry 0
+    for i in range(1, ELF_MAX_DATA_SECS + 1):
+        ent = sh_entry(
+            F.lit(1 + 4 * (i - 1)).cast("long"),
+            F.lit(1).cast("long"),
+            offs[i - 1],
+            F.col(f"sz{i}"),
+        )
+        sht = F.concat(
+            sht, F.when(F.col("k") >= i, ent).otherwise(empty)
+        )
+    sht = F.concat(
+        sht,
+        sh_entry(
+            (1 + 4 * F.col("k")).cast("long"),
+            F.lit(3).cast("long"),
+            F.lit(64).cast("long"),
+            F.col("strtab_len"),
+        ),
+    )
+
+    ehdr = F.concat(
+        F.unhex(F.lit("7F454C46020101" + "00" * 9)),  # ident
+        F.unhex(le_hex(F.lit(2).cast("long"), 2)),    # e_type EXEC
+        F.unhex(le_hex(F.lit(62).cast("long"), 2)),   # e_machine x86-64
+        F.unhex(le_hex(F.lit(1).cast("long"), 4)),    # e_version
+        F.unhex(le_hex(F.col("entry"), 8)),
+        F.unhex(F.lit("00" * 8)),                     # e_phoff
+        F.unhex(le_hex(shoff, 8)),
+        F.unhex(F.lit("00000000")),                   # e_flags
+        F.unhex(le_hex(F.lit(64).cast("long"), 2)),   # e_ehsize
+        F.unhex(F.lit("00000000")),                   # phentsize, phnum
+        F.unhex(le_hex(F.lit(64).cast("long"), 2)),   # e_shentsize
+        F.unhex(le_hex(F.col("k") + 2, 2)),           # e_shnum
+        F.unhex(le_hex(F.col("k") + 1, 2)),           # e_shstrndx
+    )
+    elf = g.select(
+        "doc_id",
+        "full",
+        F.concat(ehdr, strtab, blobs, sht).alias("payload"),
+    )
+    p = F.col("payload")
+
+    def rd_le(pos, nbytes):
+        b = [
+            F.conv(
+                F.hex(
+                    F.substring(
+                        p,
+                        (pos + i).cast("int")
+                        if hasattr(pos, "cast")
+                        else pos + i,
+                        1,
+                    )
+                ),
+                16,
+                10,
+            ).cast("long")
+            for i in range(nbytes)
+        ]
+        out = b[0]
+        for i in range(1, nbytes):
+            out = out + b[i] * (1 << (8 * i))
+        return out
+
+    # ---- parse: ehdr -----------------------------------------------------
+    st = elf.select(
+        "doc_id",
+        "payload",
+        "full",
+        (F.hex(F.substring(p, 1, 4)) == "7F454C46").alias("magic_ok"),
+        (rd_le(5, 1) == 2).alias("class64_ok"),
+        (rd_le(6, 1) == 1).alias("le_ok"),
+        rd_le(17, 2).alias("e_type"),
+        rd_le(19, 2).alias("e_machine"),
+        rd_le(25, 8).alias("e_entry"),
+        rd_le(41, 8).alias("shoff"),
+        rd_le(59, 2).alias("shentsize"),
+        rd_le(61, 2).alias("shnum"),
+        rd_le(63, 2).alias("shstrndx"),
+    )
+    # strtab location: chase the shstrndx'th ENTRY of the table itself
+    str_ent = F.col("shoff") + F.col("shstrndx") * F.col("shentsize")
+    st = st.select(
+        "*",
+        rd_le(str_ent + 25, 8).alias("strtab_off"),
+        rd_le(str_ent + 33, 8).alias("strtab_size"),
+        (rd_le(str_ent + 5, 4) == 3).alias("strtab_type_ok"),
+        (
+            F.hex(
+                F.substring(p, (F.col("shoff") + 1).cast("int"), 64)
+            )
+            == "00" * 64
+        ).alias("null_entry_ok"),
+    )
+
+    def name_at(off_expr):
+        return F.substring_index(
+            F.decode(
+                F.substring(
+                    p,
+                    (F.col("strtab_off") + off_expr + 1).cast("int"),
+                    16,
+                ),
+                "ISO-8859-1",
+            ),
+            "\x00",
+            1,
+        )
+
+    # walk data entries 1..k and the strtab entry, one projection per step
+    st = st.select(
+        "*",
+        F.lit("").alias("section_names"),
+        F.lit(0).cast("long").alias("sum_data_sizes"),
+        F.lit(True).alias("contiguous_ok"),
+        F.lit(True).alias("data_ok"),
+        (F.lit(64).cast("long") + F.col("strtab_size")).alias("expect_off"),
+        F.lit(0).cast("long").alias("consumed"),
+    )
+    carry = [
+        "doc_id", "payload", "full", "magic_ok", "class64_ok", "le_ok",
+        "e_type", "e_machine", "e_entry", "shoff", "shentsize", "shnum",
+        "shstrndx", "strtab_off", "strtab_size", "strtab_type_ok",
+        "null_entry_ok",
+    ]
+    for i in range(1, ELF_MAX_DATA_SECS + 1):
+        ent = F.col("shoff") + i * F.col("shentsize")
+        st = st.select(
+            *carry,
+            "section_names", "sum_data_sizes", "contiguous_ok", "data_ok",
+            "expect_off", "consumed",
+            (F.lit(i) < F.col("shstrndx")).alias("active"),
+            rd_le(ent + 1, 4).alias("nm_off"),
+            (rd_le(ent + 5, 4)).alias("ty_i"),
+            rd_le(ent + 25, 8).alias("off_i"),
+            rd_le(ent + 33, 8).alias("sz_i"),
+        )
+        sec_data = F.substring(
+            p, (F.col("off_i") + 1).cast("int"), F.col("sz_i").cast("int")
+        )
+        txt_slice = F.substring(
+            F.col("full"),
+            (F.col("consumed") + 1).cast("int"),
+            F.col("sz_i").cast("int"),
+        )
+        st = st.select(
+            *carry,
+            F.when(
+                F.col("active"),
+                F.concat_ws(
+                    ",",
+                    F.when(
+                        F.col("section_names") == "", name_at(F.col("nm_off"))
+                    ).otherwise(
+                        F.concat(
+                            F.col("section_names"),
+                            F.lit(","),
+                            name_at(F.col("nm_off")),
+                        )
+                    ),
+                ),
+            )
+            .otherwise(F.col("section_names"))
+            .alias("section_names"),
+            (
+                F.col("sum_data_sizes")
+                + F.when(F.col("active"), F.col("sz_i")).otherwise(0)
+            ).alias("sum_data_sizes"),
+            (
+                F.col("contiguous_ok")
+                & (
+                    ~F.col("active")
+                    | (
+                        (F.col("off_i") == F.col("expect_off"))
+                        & (F.col("ty_i") == 1)
+                    )
+                )
+            ).alias("contiguous_ok"),
+            (
+                F.col("data_ok")
+                & (~F.col("active") | (sec_data == F.encode(txt_slice, "utf-8")))
+            ).alias("data_ok"),
+            F.when(
+                F.col("active"), F.col("expect_off") + F.col("sz_i")
+            )
+            .otherwise(F.col("expect_off"))
+            .alias("expect_off"),
+            F.when(
+                F.col("active"), F.col("consumed") + F.col("sz_i")
+            )
+            .otherwise(F.col("consumed"))
+            .alias("consumed"),
+        )
+    # append the strtab name itself (chased like any other entry)
+    str_ent2 = F.col("shoff") + F.col("shstrndx") * F.col("shentsize")
+    st = st.select(
+        *carry,
+        F.concat(
+            F.col("section_names"),
+            F.lit(","),
+            name_at(rd_le(str_ent2 + 1, 4)),
+        ).alias("section_names"),
+        "sum_data_sizes",
+        "contiguous_ok",
+        "data_ok",
+        "expect_off",
+    )
+    return st.select(
+        "doc_id",
+        "magic_ok",
+        "class64_ok",
+        "le_ok",
+        "e_type",
+        "e_machine",
+        "e_entry",
+        F.col("shnum").alias("shnum"),
+        F.col("shstrndx").alias("shstrndx"),
+        F.col("shentsize").alias("shentsize"),
+        "section_names",
+        "sum_data_sizes",
+        "strtab_size",
+        "null_entry_ok",
+        "strtab_type_ok",
+        "contiguous_ok",
+        "data_ok",
+        (
+            F.col("expect_off") + F.col("shnum") * F.col("shentsize")
+        ).alias("computed_len"),
+    ).withColumn(
+        "total_len", F.col("computed_len")
+    ).drop("computed_len")

@@ -2749,3 +2749,345 @@ def q_ols_price_on_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("num") * F.col("num") / (F.col("denx") * F.col("deny"))
         ).alias("r2"),
     ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# Cramer-von Mises two-sample (tie-aware midranks, closed-form tie blocks)
+# ---------------------------------------------------------------------------
+@register(
+    "q_cramer_von_mises",
+    oracle=f"""
+    WITH pv AS (
+      SELECT o_totalprice AS v,
+             CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                           THEN 0 ELSE 1 END) AS BIGINT) AS c2
+      FROM orders GROUP BY 1
+    ),
+    cum AS (
+      SELECT v, c1, c2,
+             SUM(c1) OVER (ORDER BY v) - c1 AS a1,
+             SUM(c2) OVER (ORDER BY v) - c2 AS a2,
+             SUM(c1 + c2) OVER (ORDER BY v) - (c1 + c2) AS cb
+      FROM pv
+    ),
+    blocks AS (
+      -- 12 * sum over the tie block of (midrank - own_pos)^2, exact:
+      -- 2d = (2cb + c + 1) - 2a_own; 12*S = 3c(2d)^2 - 6(2d)c(c+1)
+      --      + 2c(c+1)(2c+1)
+      SELECT
+        CAST(SUM(3 * c1 * CAST((2*cb + c1 + c2 + 1 - 2*a1) AS HUGEINT)
+                        * (2*cb + c1 + c2 + 1 - 2*a1)
+                 - 6 * CAST((2*cb + c1 + c2 + 1 - 2*a1) AS HUGEINT)
+                     * c1 * (c1 + 1)
+                 + 2 * CAST(c1 AS HUGEINT) * (c1 + 1) * (2*c1 + 1))
+             AS HUGEINT) AS s1_12,
+        CAST(SUM(3 * c2 * CAST((2*cb + c1 + c2 + 1 - 2*a2) AS HUGEINT)
+                        * (2*cb + c1 + c2 + 1 - 2*a2)
+                 - 6 * CAST((2*cb + c1 + c2 + 1 - 2*a2) AS HUGEINT)
+                     * c2 * (c2 + 1)
+                 + 2 * CAST(c2 AS HUGEINT) * (c2 + 1) * (2*c2 + 1))
+             AS HUGEINT) AS s2_12,
+        CAST(SUM(c1) AS BIGINT) AS n,
+        CAST(SUM(c2) AS BIGINT) AS m
+      FROM cum
+    )
+    SELECT n, m,
+           CAST(CAST(CAST(n AS HUGEINT) * s1_12 + CAST(m AS HUGEINT)
+                     * s2_12 AS VARCHAR) AS DOUBLE) / 12.0 AS u_stat,
+           CAST(CAST(CAST(n AS HUGEINT) * s1_12 + CAST(m AS HUGEINT)
+                     * s2_12 AS VARCHAR) AS DOUBLE)
+             / (12.0 * CAST(n AS DOUBLE) * m * (n + m))
+           - (4.0 * CAST(n AS DOUBLE) * m - 1) / (6.0 * (n + m))
+             AS t_cvm
+    FROM blocks
+    """,
+    tags=("stats", "inference"),
+)
+def q_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRAMER-VON MISES two-sample test on the urgent-vs-rest order
+    split — the INTEGRATED-distance companion to q_ks_two_sample's
+    supremum: T is sensitive to distribution differences everywhere,
+    not just at the single worst point, so it catches spread/shape
+    drift KS misses. Anderson's rank form U = n*sum_i (r_i - i)^2 +
+    m*sum_j (s_j - j)^2 with TIE-AWARE midranks, each tie block's
+    inner sum collapsed CLOSED-FORM (own-sample positions in a block
+    are consecutive, so sum (d - t)^2 is a cubic identity — 12*S =
+    3c(2d)^2 - 6(2d)c(c+1) + 2c(c+1)(2c+1) stays integral because 2d =
+    2*midrank - 2*own_before is). Both samples' a1/a2/cb prefixes ride
+    ONE packed two-phase running count (the KS_PACK doctrine); 12*U is
+    exact DECIMAL(38,0), VARCHAR-rendered, and T = U/(nm(n+m)) -
+    (4mn-1)/(6(m+n)) is pinned double shape.
+
+    Scale shape: distinct-value agg, one range-partitioned prefix
+    scan, one scalar reduce. Reference basis: SURVEY.md §2.4 stats
+    family (absent in reference)."""
+    from ..operators.scan import global_running_sum
+
+    o = table(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    pv = (
+        o.select(F.col("o_totalprice").alias("v"), hi.alias("g1"))
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("g1"), 1).otherwise(0)).alias("c1"),
+            F.sum(F.when(F.col("g1"), 0).otherwise(1)).alias("c2"),
+        )
+        .withColumn(
+            "w",
+            F.col("c1").cast("decimal(38,0)") * F.lit(KS_PACK)
+            + F.col("c2"),
+        )
+    )
+    rs = global_running_sum(
+        pv, ["v"], "w", out_col="cw", decimal_type="decimal(38,0)"
+    )
+    cum = rs.select(
+        "v",
+        "c1",
+        "c2",
+        (
+            F.expr(f"cw div {KS_PACK}").cast("long") - F.col("c1")
+        ).alias("a1"),
+        (
+            F.pmod(F.col("cw"), F.lit(KS_PACK)).cast("long") - F.col("c2")
+        ).alias("a2"),
+    ).withColumn(
+        "cb", F.col("a1") + F.col("a2")
+    )
+
+    def block12(c, a):
+        c = F.col(c).cast("decimal(38,0)")
+        td = (
+            2 * F.col("cb") + F.col("c1") + F.col("c2") + 1 - 2 * F.col(a)
+        ).cast("decimal(38,0)")
+        return (
+            3 * c * td * td
+            - 6 * td * c * (c + 1)
+            + 2 * c * (c + 1) * (2 * c + 1)
+        )
+
+    blocks = cum.agg(
+        F.sum(block12("c1", "a1")).alias("s1_12"),
+        F.sum(block12("c2", "a2")).alias("s2_12"),
+        F.sum("c1").alias("n"),
+        F.sum("c2").alias("m"),
+    )
+    u12 = (
+        F.col("n").cast("decimal(38,0)") * F.col("s1_12")
+        + F.col("m").cast("decimal(38,0)") * F.col("s2_12")
+    )
+    u12d = u12.cast("string").cast("double")
+    return blocks.select(
+        "n",
+        "m",
+        (u12d / F.lit(12.0)).alias("u_stat"),
+        (
+            u12d
+            / (
+                F.lit(12.0)
+                * F.col("n").cast("double")
+                * F.col("m")
+                * (F.col("n") + F.col("m"))
+            )
+            - (
+                F.lit(4.0) * F.col("n").cast("double") * F.col("m") - 1
+            )
+            / (F.lit(6.0) * (F.col("n") + F.col("m")))
+        ).alias("t_cvm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jonckheere-Terpstra ordered-alternative trend test (5-group packed scan)
+# ---------------------------------------------------------------------------
+JT_PACK = 10**7  # per-group cumulative-count packing base: five fields in
+# one DECIMAL(38,0) word covers ~10^7 rows per group (bench scales are
+# ~10^6 at sf1); at larger corpora widen to two packed words of base
+# 10^12 each riding the same two-phase scan — the KS_PACK doctrine.
+
+
+def _jt_oracle() -> str:
+    pair_terms = []
+    for g in range(1, 6):
+        for h in range(g + 1, 6):
+            pair_terms.append(
+                f"2 * CAST(c{h} AS HUGEINT) * m{g} "
+                f"+ CAST(c{g} AS HUGEINT) * c{h}"
+            )
+    t2 = " + ".join(pair_terms)
+    ssq = " + ".join(
+        f"CAST(n{g} AS HUGEINT) * n{g} * (2 * n{g} + 3)" for g in range(1, 6)
+    )
+    nsq = " + ".join(f"CAST(n{g} AS HUGEINT) * n{g}" for g in range(1, 6))
+    cg = ",\n             ".join(
+        f"CAST(SUM(CASE WHEN o_orderpriority = '{p}' THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS c{i}"
+        for i, p in enumerate(_KW_PRIOS, 1)
+    )
+    mg = ",\n             ".join(
+        f"SUM(c{g}) OVER (ORDER BY v) - c{g} AS m{g}" for g in range(1, 6)
+    )
+    return f"""
+    WITH pv AS (
+      SELECT o_totalprice AS v,
+             {cg}
+      FROM orders GROUP BY 1
+    ),
+    cum AS (
+      SELECT v, c1, c2, c3, c4, c5,
+             {mg}
+      FROM pv
+    ),
+    agg AS (
+      SELECT CAST(SUM({t2}) AS HUGEINT) AS jt_x2,
+             {", ".join(f"CAST(SUM(c{g}) AS BIGINT) AS n{g}"
+                        for g in range(1, 6))}
+      FROM cum
+    ),
+    d AS (
+      SELECT jt_x2, n1, n2, n3, n4, n5,
+             n1 + n2 + n3 + n4 + n5 AS n,
+             ({nsq}) AS sum_nsq,
+             ({ssq}) AS sum_var
+      FROM agg
+    )
+    SELECT CAST(jt_x2 AS BIGINT) AS jt_x2,
+           CAST(n AS BIGINT) AS n,
+           (CAST(CAST(CAST(n AS HUGEINT) * n - sum_nsq AS VARCHAR)
+                 AS DOUBLE)) / 4.0 AS jt_mean,
+           (CAST(CAST(jt_x2 AS VARCHAR) AS DOUBLE) / 2.0
+            - CAST(CAST(CAST(n AS HUGEINT) * n - sum_nsq AS VARCHAR)
+                   AS DOUBLE) / 4.0)
+           / sqrt(CAST(CAST(CAST(n AS HUGEINT) * n * (2 * n + 3) - sum_var
+                            AS VARCHAR) AS DOUBLE) / 72.0) AS z_jt
+    FROM d
+    """
+
+
+@register(
+    "q_jonckheere_terpstra",
+    oracle=_jt_oracle(),
+    tags=("stats", "inference"),
+)
+def q_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JONCKHEERE-TERPSTRA trend test across the ORDERED priority
+    groups (1-URGENT < ... < 5-LOW) on order value — the ordered-
+    alternative counterpart of q_kruskal_wallis: KW asks "are the k
+    groups different", JT asks "do values RISE with the ordering",
+    gaining power exactly when the alternative is monotone. JT =
+    sum over ordered group pairs (g < h) of the Mann-Whitney count
+    #(x_g < x_h) + #(x_g = x_h)/2; doubled to stay integral, every
+    one of the 10 pair counts rides the SAME distinct-value scan:
+    2*JT = sum over values of sum_(g<h) [2*c_h*cumbefore_g + c_g*c_h],
+    with all five per-group prefixes packed into ONE DECIMAL(38,0)
+    running word (base {P}, the KS_PACK doctrine — ~10^7 rows/group;
+    widen to two words beyond). The null mean (N^2 - sum n_g^2)/4 and
+    the no-tie null variance [N^2(2N+3) - sum n_g^2(2n_g+3)]/72 are
+    exact-integer ratios (VARCHAR-rendered); z is the only derived
+    double. The tie-corrected variance is a documented refinement —
+    with ~15 distinct values per 10^4 rows here the no-tie z is the
+    standard textbook form both engines pin identically.
+
+    Scale shape: distinct-value pivot, one packed two-phase prefix
+    scan, one scalar reduce — 10 group pairs never materialize.
+    Reference basis: SURVEY.md §2.4 stats family (absent in
+    reference)."""
+    from ..operators.scan import global_running_sum
+
+    o = table(spark, sf_dir, "orders")
+    pv = (
+        o.select(
+            F.col("o_totalprice").alias("v"),
+            F.col("o_orderpriority").alias("g"),
+        )
+        .groupBy("v")
+        .agg(
+            *[
+                F.sum(F.when(F.col("g") == p, 1).otherwise(0)).alias(
+                    f"c{i}"
+                )
+                for i, p in enumerate(_KW_PRIOS, 1)
+            ]
+        )
+    )
+    word = None
+    for g in range(1, 6):
+        t = F.col(f"c{g}").cast("decimal(38,0)") * F.expr(
+            f"cast({JT_PACK ** (g - 1)} as decimal(38,0))"
+        )
+        word = t if word is None else word + t
+    pv = pv.withColumn("w", word)
+    rs = global_running_sum(
+        pv, ["v"], "w", out_col="cw", decimal_type="decimal(38,0)"
+    )
+    cum = rs.select(
+        "v",
+        *[F.col(f"c{g}") for g in range(1, 6)],
+        *[
+            (
+                # mod FIRST, then divide: `div` renders to BIGINT, so
+                # dividing the full 5-field word by a low power would
+                # overflow long for the high fields
+                F.expr(
+                    f"(cw % cast({JT_PACK ** g} as decimal(38,0)))"
+                    f" div cast({JT_PACK ** (g - 1)} as decimal(38,0))"
+                )
+                - F.col(f"c{g}")
+            ).alias(f"m{g}")
+            for g in range(1, 6)
+        ],
+    )
+    t2 = None
+    for g in range(1, 6):
+        for h in range(g + 1, 6):
+            term = 2 * F.col(f"c{h}").cast("decimal(38,0)") * F.col(
+                f"m{g}"
+            ) + F.col(f"c{g}").cast("decimal(38,0)") * F.col(f"c{h}")
+            t2 = term if t2 is None else t2 + term
+    agg = cum.agg(
+        F.sum(t2).alias("jt_x2"),
+        *[F.sum(f"c{g}").alias(f"n{g}") for g in range(1, 6)],
+    )
+    n = (
+        F.col("n1") + F.col("n2") + F.col("n3") + F.col("n4") + F.col("n5")
+    )
+    sum_nsq = None
+    sum_var = None
+    for g in range(1, 6):
+        nsq = F.col(f"n{g}").cast("decimal(38,0)") * F.col(f"n{g}")
+        vt = nsq * (2 * F.col(f"n{g}") + 3)
+        sum_nsq = nsq if sum_nsq is None else sum_nsq + nsq
+        sum_var = vt if sum_var is None else sum_var + vt
+    d = agg.select(
+        F.col("jt_x2").cast("long").alias("jt_x2"),
+        n.alias("n"),
+        (n.cast("decimal(38,0)") * n - sum_nsq)
+        .cast("string")
+        .cast("double")
+        .alias("mean_x4"),
+        (
+            n.cast("decimal(38,0)") * n * (2 * n + 3) - sum_var
+        )
+        .cast("string")
+        .cast("double")
+        .alias("var_x72"),
+    )
+    return d.select(
+        "jt_x2",
+        "n",
+        (F.col("mean_x4") / F.lit(4.0)).alias("jt_mean"),
+        (
+            (
+                F.col("jt_x2").cast("double") / F.lit(2.0)
+                - F.col("mean_x4") / F.lit(4.0)
+            )
+            / F.sqrt(F.col("var_x72") / F.lit(72.0))
+        ).alias("z_jt"),
+    )
+
+
+q_jonckheere_terpstra.__doc__ = q_jonckheere_terpstra.__doc__.format(
+    P=JT_PACK
+)

@@ -505,3 +505,193 @@ def test_midi_codec_matches_python_walker(spark, sf_dir):
         assert r["first_delta"] == first_delta == deltas[0]
         assert r["sum_deltas"] == sum_deltas == sum(deltas)
         assert r["total_len"] == len(payload) and r["length_ok"]
+
+
+def test_cramer_von_mises_matches_pure_python(spark, sf_dir):
+    """U and T match a naive midrank computation (sorted lists + own
+    indices), independently of the closed-form tie-block collapse."""
+    row = REGISTRY["q_cramer_von_mises"].fn(spark, sf_dir).collect()[0]
+    vals = _duck(
+        sf_dir,
+        "SELECT o_totalprice, o_orderpriority IN ('1-URGENT','2-HIGH') "
+        "FROM '$SF/orders.parquet'",
+    )
+    ranks = _midranks([v for v, _ in vals])
+    hi = sorted(v for v, h in vals if h)
+    lo = sorted(v for v, h in vals if not h)
+    n, m = len(hi), len(lo)
+    s1 = sum((ranks[v] - (i + 1)) ** 2 for i, v in enumerate(hi))
+    s2 = sum((ranks[v] - (j + 1)) ** 2 for j, v in enumerate(lo))
+    u = n * s1 + m * s2
+    t = u / (n * m * (n + m)) - (4 * m * n - 1) / (6 * (m + n))
+    assert (row["n"], row["m"]) == (n, m)
+    assert math.isclose(row["u_stat"], u, rel_tol=1e-12)
+    assert math.isclose(row["t_cvm"], t, rel_tol=1e-9)
+
+
+def test_jonckheere_matches_brute_force(spark, sf_dir):
+    """2*JT equals the brute-force sum of pairwise dominance counts
+    over the ordered group pairs; mean/z match the textbook null
+    moments."""
+    row = REGISTRY["q_jonckheere_terpstra"].fn(spark, sf_dir).collect()[0]
+    vals = _duck(
+        sf_dir,
+        "SELECT o_totalprice, o_orderpriority FROM '$SF/orders.parquet'",
+    )
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    groups = {p: sorted(v for v, g in vals if g == p) for p in prios}
+    import bisect
+
+    jt2 = 0
+    for gi in range(5):
+        for hi_ in range(gi + 1, 5):
+            a, b = groups[prios[gi]], groups[prios[hi_]]
+            for x in b:
+                lt = bisect.bisect_left(a, x)
+                eq = bisect.bisect_right(a, x) - lt
+                jt2 += 2 * lt + eq
+    n = len(vals)
+    ns = [len(groups[p]) for p in prios]
+    mean = (n * n - sum(x * x for x in ns)) / 4
+    var = (
+        n * n * (2 * n + 3) - sum(x * x * (2 * x + 3) for x in ns)
+    ) / 72
+    assert row["jt_x2"] == jt2
+    assert row["n"] == n
+    assert math.isclose(row["jt_mean"], mean, rel_tol=1e-12)
+    assert math.isclose(
+        row["z_jt"], (jt2 / 2 - mean) / math.sqrt(var), rel_tol=1e-9
+    )
+
+
+def test_hurst_rs_matches_pure_python(spark, sf_dir):
+    """Per-(type, scale) block counts and average R/S match a direct
+    recomputation over the zero-filled hourly series."""
+    from real_value_etl_spark.queries.events_queries import HURST_SCALES
+
+    rows = {
+        (r["event_type"], r["scale"]): r
+        for r in REGISTRY["events_hurst_rs"].fn(spark, sf_dir).collect()
+    }
+    hc = _duck(
+        sf_dir,
+        """SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT),
+                  COUNT(*) FROM '$SF/events.parquet' GROUP BY 1, 2""",
+    )
+    series = {}
+    for et, h, c in hc:
+        series.setdefault(et, {})[h] = c
+    for et, hmap in series.items():
+        lo, hi = min(hmap), max(hmap)
+        xs = [hmap.get(h, 0) for h in range(lo, hi + 1, 3600)]
+        for scale in HURST_SCALES:
+            rs_vals = []
+            for b0 in range(0, len(xs) - scale + 1, scale):
+                blk = xs[b0 : b0 + scale]
+                if len(blk) < scale:
+                    continue
+                s1 = sum(blk)
+                s2 = sum(x * x for x in blk)
+                var_num = scale * s2 - s1 * s1
+                if var_num <= 0:
+                    continue
+                ys, acc = [], 0
+                for x in blk:
+                    acc += scale * x - s1
+                    ys.append(acc)
+                r_scaled = max(ys) - min(ys)
+                rs_vals.append(r_scaled / math.sqrt(var_num))
+            key = (et, scale)
+            if not rs_vals:
+                assert key not in rows
+                continue
+            r = rows[key]
+            assert r["n_blocks"] == len(rs_vals)
+            assert math.isclose(
+                r["avg_rs"], sum(rs_vals) / len(rs_vals), rel_tol=1e-9
+            )
+
+
+def test_elf_codec_matches_python_walker(spark, sf_dir):
+    """The query's two-level name chase and section walk match an
+    independent Python ELF64 walker over independently rebuilt bytes."""
+    rows = (
+        REGISTRY["multimodal_elf_section_walk"].fn(spark, sf_dir).collect()
+    )
+    docs = dict(
+        _duck(sf_dir, "SELECT doc_id, text FROM '$SF/documents.parquet'")
+    )
+    for r in rows:
+        doc_id = r["doc_id"]
+        text = docs[doc_id].ljust(80)[:80]
+        k = doc_id % 3 + 1
+        sizes = [(doc_id + i * 7) % 19 + 5 for i in range(1, k + 1)]
+        strtab = b"\x00"
+        name_offs = []
+        for i in range(1, k + 1):
+            name_offs.append(len(strtab))
+            strtab += f".s{i}".encode() + b"\x00"
+        sh_name_str = len(strtab)
+        strtab += b".shstrtab\x00"
+        blobs, offs, consumed = b"", [], 0
+        for sz in sizes:
+            offs.append(64 + len(strtab) + len(blobs))
+            blobs += text[consumed : consumed + sz].encode()
+            consumed += sz
+        shoff = 64 + len(strtab) + len(blobs)
+        entry = (doc_id * 4096) % 2**32 + 0x400000
+
+        def ent(nm, ty, off, sz):
+            return (
+                nm.to_bytes(4, "little") + ty.to_bytes(4, "little")
+                + b"\x00" * 16 + off.to_bytes(8, "little")
+                + sz.to_bytes(8, "little") + b"\x00" * 8
+                + (1).to_bytes(8, "little") + b"\x00" * 8
+            )
+
+        sht = b"\x00" * 64
+        for i in range(k):
+            sht += ent(name_offs[i], 1, offs[i], sizes[i])
+        sht += ent(sh_name_str, 3, 64, len(strtab))
+        ehdr = bytes.fromhex("7F454C46020101") + b"\x00" * 9
+        ehdr += (2).to_bytes(2, "little") + (62).to_bytes(2, "little")
+        ehdr += (1).to_bytes(4, "little") + entry.to_bytes(8, "little")
+        ehdr += b"\x00" * 8 + shoff.to_bytes(8, "little")
+        ehdr += b"\x00" * 4 + (64).to_bytes(2, "little") + b"\x00" * 4
+        ehdr += (64).to_bytes(2, "little")
+        ehdr += (k + 2).to_bytes(2, "little")
+        ehdr += (k + 1).to_bytes(2, "little")
+        payload = ehdr + strtab + blobs + sht
+        # independent walker
+        assert payload[:4] == b"\x7fELF"
+        shoff_p = int.from_bytes(payload[40:48], "little")
+        shnum_p = int.from_bytes(payload[60:62], "little")
+        ndx = int.from_bytes(payload[62:64], "little")
+        se = shoff_p + ndx * 64
+        stroff = int.from_bytes(payload[se + 24 : se + 32], "little")
+        strsz = int.from_bytes(payload[se + 32 : se + 40], "little")
+        names = []
+        sum_sz = 0
+        for i in range(1, shnum_p):
+            e0 = shoff_p + i * 64
+            nm = int.from_bytes(payload[e0 : e0 + 4], "little")
+            ty = int.from_bytes(payload[e0 + 4 : e0 + 8], "little")
+            off = int.from_bytes(payload[e0 + 24 : e0 + 32], "little")
+            sz = int.from_bytes(payload[e0 + 32 : e0 + 40], "little")
+            end = payload.index(0, stroff + nm)
+            names.append(payload[stroff + nm : end].decode())
+            if ty == 1:
+                sum_sz += sz
+                assert payload[off : off + sz] in text.encode()
+        assert r["magic_ok"] and r["class64_ok"] and r["le_ok"]
+        assert (r["e_type"], r["e_machine"], r["e_entry"]) == (
+            2, 62, entry,
+        )
+        assert r["shnum"] == shnum_p == k + 2
+        assert r["shstrndx"] == ndx == k + 1
+        assert r["section_names"] == ",".join(names)
+        assert r["sum_data_sizes"] == sum_sz == sum(sizes)
+        assert r["strtab_size"] == strsz == len(strtab)
+        assert r["null_entry_ok"] and r["strtab_type_ok"]
+        assert r["contiguous_ok"] and r["data_ok"]
+        assert r["total_len"] == len(payload)
