@@ -5157,3 +5157,132 @@ def events_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("avg_rs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bandt-Pompe ordinal patterns over consecutive hourly triples (log-free)
+# ---------------------------------------------------------------------------
+@register(
+    "events_ordinal_patterns",
+    oracle="""
+    WITH hc AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT event_type, MIN(h) AS lo, MAX(h) AS hi FROM hc GROUP BY 1
+    ),
+    spine AS (
+      SELECT b.event_type, g.h
+      FROM b, LATERAL unnest(generate_series(b.lo, b.hi, 3600)) AS g(h)
+    ),
+    f AS (
+      SELECT s.event_type, s.h, COALESCE(hc.c, 0) AS c
+      FROM spine s
+      LEFT JOIN hc ON hc.event_type = s.event_type AND hc.h = s.h
+    ),
+    tri AS (
+      SELECT event_type, c AS a,
+             LEAD(c, 1) OVER (PARTITION BY event_type ORDER BY h) AS bb,
+             LEAD(c, 2) OVER (PARTITION BY event_type ORDER BY h) AS cc
+      FROM f
+    ),
+    coded AS (
+      SELECT event_type,
+             CAST(CASE WHEN a > bb THEN 4 ELSE 0 END
+                  + CASE WHEN bb > cc THEN 2 ELSE 0 END
+                  + CASE WHEN a > cc THEN 1 ELSE 0 END AS BIGINT) AS code
+      FROM tri WHERE bb IS NOT NULL AND cc IS NOT NULL
+    ),
+    cnts AS (
+      SELECT event_type, code, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM coded GROUP BY 1, 2
+    )
+    SELECT event_type, code,
+           CASE code WHEN 0 THEN 'a<=b<=c' WHEN 1 THEN 'impossible_1'
+                     WHEN 2 THEN 'a<=c<b'  WHEN 3 THEN 'c<a<=b'
+                     WHEN 4 THEN 'b<a<=c'  WHEN 5 THEN 'b<=c<a'
+                     WHEN 6 THEN 'impossible_6' ELSE 'c<b<a' END
+             AS pattern,
+           cnt,
+           CAST(cnt AS DOUBLE)
+             / SUM(cnt) OVER (PARTITION BY event_type) AS share
+    FROM cnts
+    """,
+    tags=("events", "timeseries", "stats"),
+)
+def events_ordinal_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BANDT-POMPE ordinal-pattern census over consecutive hourly
+    triples per event type — the permutation-entropy SUFFICIENT
+    STATISTIC, kept log-free per the engine-pinning doctrine: the six
+    achievable order patterns of (x_t, x_t+1, x_t+2) and their shares.
+    A white-noise hour series spreads mass near-uniformly over the
+    patterns; trends pile onto the monotone two, periodicity onto the
+    peak/valley two — regime structure events_acf_hourly's linear lags
+    cannot see. Ties (heavy in zero-filled hours) break by POSITION
+    (earlier index ranks lower, the standard stable convention),
+    encoded as three strict comparisons packed into an integer code —
+    transitivity makes codes 1 (a<=b<=c yet a>c) and 6 (a>b>c yet
+    a<=c) impossible, a built-in self-check (the unit test asserts
+    they never occur). Pure integer counting:
+    two LEADs over the spine, one (type, code) count, share the only
+    double.
+
+    Scale shape: one (type, hour) agg, two window LEADs over the
+    wall-clock-bounded spine, one key-sized count. Reference basis:
+    SURVEY.md §2.5 window family (absent in reference)."""
+    ev = table(spark, sf_dir, "events")
+    hc = ev.groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("hour", "ts")).alias("h"),
+    ).agg(F.count("*").alias("c"))
+    b = hc.groupBy("event_type").agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    spine = b.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.lit(3600))).alias("h"),
+    )
+    f = spine.join(hc, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    tri = f.select(
+        "event_type",
+        F.col("c").alias("a"),
+        F.lead("c", 1).over(w).alias("bb"),
+        F.lead("c", 2).over(w).alias("cc"),
+    ).filter(F.col("bb").isNotNull() & F.col("cc").isNotNull())
+    coded = tri.select(
+        "event_type",
+        (
+            F.when(F.col("a") > F.col("bb"), 4).otherwise(0)
+            + F.when(F.col("bb") > F.col("cc"), 2).otherwise(0)
+            + F.when(F.col("a") > F.col("cc"), 1).otherwise(0)
+        ).cast("long").alias("code"),
+    )
+    cnts = coded.groupBy("event_type", "code").agg(
+        F.count("*").alias("cnt")
+    )
+    wt = Window.partitionBy("event_type")
+    pattern = (
+        F.when(F.col("code") == 0, "a<=b<=c")
+        .when(F.col("code") == 1, "impossible_1")
+        .when(F.col("code") == 2, "a<=c<b")
+        .when(F.col("code") == 3, "c<a<=b")
+        .when(F.col("code") == 4, "b<a<=c")
+        .when(F.col("code") == 5, "b<=c<a")
+        .when(F.col("code") == 6, "impossible_6")
+        .otherwise("c<b<a")
+    )
+    return cnts.select(
+        "event_type",
+        "code",
+        pattern.alias("pattern"),
+        "cnt",
+        (
+            F.col("cnt").cast("double") / F.sum("cnt").over(wt)
+        ).alias("share"),
+    )

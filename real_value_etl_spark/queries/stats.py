@@ -3091,3 +3091,117 @@ def q_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_jonckheere_terpstra.__doc__ = q_jonckheere_terpstra.__doc__.format(
     P=JT_PACK
 )
+
+
+# ---------------------------------------------------------------------------
+# Extreme studentized deviate per group (Grubbs statistic + exact witness)
+# ---------------------------------------------------------------------------
+@register(
+    "q_extreme_studentized",
+    oracle="""
+    WITH d AS (
+      SELECT l_returnflag,
+             CAST(l_orderkey AS BIGINT) AS k,
+             CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * 100 AS BIGINT)
+               AS x
+      FROM lineitem
+    ),
+    s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS s1,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS s2
+      FROM d GROUP BY 1
+    ),
+    dev AS (
+      SELECT d.l_returnflag, d.k, d.x,
+             abs(s.n * CAST(d.x AS HUGEINT) - s.s1) AS ad,
+             s.n, s.s1, s.s2
+      FROM d JOIN s ON s.l_returnflag = d.l_returnflag
+    ),
+    pick AS (
+      SELECT l_returnflag, k, x, ad, n, s1, s2,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY ad DESC, k ASC) AS rn
+      FROM dev
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           k AS witness_orderkey,
+           CAST(x AS DOUBLE) / 100.0 AS witness_price,
+           CAST(CAST(ad AS VARCHAR) AS DOUBLE)
+             / (CAST(n AS DOUBLE)
+                * sqrt(CAST(CAST(n * s2 - s1 * s1 AS VARCHAR) AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * n))) AS g_stat
+    FROM pick WHERE rn = 1
+    ORDER BY l_returnflag
+    """,
+    tags=("stats", "inference"),
+)
+def q_extreme_studentized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRUBBS' extreme studentized deviate per return flag: the single
+    most-outlying extended price, G = max|x - mean| / sd_pop, with a
+    DETERMINISTIC witness row — the screening statistic behind every
+    "is this point an outlier" review, complementing the MAD-based
+    robust gates (events_mad_outliers) with the classical normal-
+    theory form. The argmax needs NO doubles: |x - mean| maximizes
+    exactly as the integer |n*x - s1| (ties break on the smaller order
+    key), so the witness is engine-pinned; G itself is the only
+    derived double — |n*x-s1| / (n * sd) with sd from the exact
+    integer variance numerator (VARCHAR-rendered past 2^53).
+
+    Scale shape: one scalar-moment pass, one broadcast join back, one
+    per-group TakeOrdered(1). Reference basis: SURVEY.md §2.4 stats
+    family (absent in reference)."""
+    li = table(spark, sf_dir, "lineitem")
+    d = li.select(
+        "l_returnflag",
+        F.col("l_orderkey").cast("long").alias("k"),
+        (F.col("l_extendedprice").cast("decimal(15,2)") * 100)
+        .cast("long")
+        .alias("x"),
+    )
+    s = d.groupBy("l_returnflag").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("s1"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("s2"),
+    )
+    dev = d.join(F.broadcast(s), "l_returnflag").select(
+        "l_returnflag",
+        "k",
+        "x",
+        F.abs(
+            F.col("n") * F.col("x").cast("decimal(38,0)") - F.col("s1")
+        ).alias("ad"),
+        "n",
+        "s1",
+        "s2",
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("ad"), F.asc("k")
+    )
+    pick = dev.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    var_num = (
+        F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    )
+    return pick.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        F.col("k").alias("witness_orderkey"),
+        (F.col("x").cast("double") / F.lit(100.0)).alias("witness_price"),
+        (
+            F.col("ad").cast("string").cast("double")
+            / (
+                F.col("n").cast("string").cast("double")
+                * F.sqrt(
+                    var_num.cast("string").cast("double")
+                    / (
+                        F.col("n").cast("string").cast("double")
+                        * F.col("n").cast("string").cast("double")
+                    )
+                )
+            )
+        ).alias("g_stat"),
+    ).orderBy("l_returnflag")

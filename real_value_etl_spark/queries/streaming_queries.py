@@ -664,3 +664,50 @@ def stream_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     state. The drained sums must equal a batch SQL replay
     bit-for-bit, strings included."""
     return jobs.stream_moments(spark, sf_dir)
+
+
+@register(
+    "stream_ams_f2",
+    oracle=f"""
+    WITH cnt AS (
+      SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    z AS (
+      SELECT event_type, t.r,
+             CAST(SUM((1 - 2 * (CAST(('0x' || substring(
+                       md5(CAST(t.r AS VARCHAR) || '#' ||
+                           CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                                 % 2)) * c) AS BIGINT) AS z
+      FROM cnt CROSS JOIN range(0, {{R}}) t(r)
+      GROUP BY 1, 2
+    ),
+    sk AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS rows_r,
+             CAST(SUM(CAST(z AS HUGEINT) * z) AS HUGEINT) AS zz
+      FROM z GROUP BY 1
+    ),
+    ex AS (
+      SELECT event_type,
+             CAST(SUM(CAST(c AS HUGEINT) * c) AS BIGINT) AS f2_exact
+      FROM cnt GROUP BY 1
+    )
+    SELECT sk.event_type, sk.rows_r,
+           CAST(sk.zz AS BIGINT) AS sum_z2,
+           CAST(CAST(sk.zz AS VARCHAR) AS DOUBLE) / sk.rows_r AS f2_est,
+           ex.f2_exact,
+           CAST(CAST(sk.zz AS VARCHAR) AS DOUBLE) / sk.rows_r
+             / CAST(ex.f2_exact AS DOUBLE) AS est_over_exact
+    FROM sk JOIN ex ON ex.event_type = sk.event_type
+    """.replace("{R}", str(jobs.AMS_R)),
+    tags=("stream", "stateful", "sketch", "pandas_udf"),
+)
+def stream_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming AMS (tug-of-war) F2 sketch per event type — the NINTH
+    streaming state family: R signed counters merged by pure addition
+    (batching/order independent; the sketch is a pure function of the
+    multiset, so the oracle replays the identical signed sums and the
+    drained state is bit-equal). mean(z_r^2) estimates the self-join
+    size F2; the exact F2 rides along for the error witness."""
+    return jobs.stream_ams_f2(spark, sf_dir)

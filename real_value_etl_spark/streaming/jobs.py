@@ -1630,3 +1630,155 @@ def stream_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         (m3 / (m2 * F.sqrt(m2))).alias("skewness"),
         (m4 / (m2 * m2) - F.lit(3.0)).alias("kurtosis_excess"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming AMS (AGMS / tug-of-war) F2 sketch — the NINTH streaming state
+# family: state = R signed counters z_r = sum_u sign_r(u) * c_u per event
+# type, merged by pure ADDITION (batching- and order-independent like
+# Count-Min / moments); E[z_r^2] = F2 = sum_u c_u^2, the self-join size /
+# repeat-rate the batch q_join_size_cm_sketch family estimates offline.
+# ---------------------------------------------------------------------------
+AMS_R = 16  # sketch rows: variance of the F2 estimate falls as 1/R
+
+_AMS_STATE_SCHEMA = StructType([StructField("z", ArrayType(LongType()))])
+_AMS_OUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("r", LongType()),
+        StructField("z", LongType()),
+        StructField("n_batches", LongType()),
+    ]
+)
+
+
+def _ams_state(
+    key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState kernel: one AMS sketch per event type,
+    state = AMS_R signed long counters. Signs are JVM-computed from the
+    portable md5 hash, so the kernel only ever np.add.at's +-1s — the
+    counter-family merge law (exactly-once via availableNow +
+    checkpointed state)."""
+    import numpy as np
+
+    z = (
+        np.array(state.get[0], dtype=np.int64)
+        if state.exists
+        else np.zeros(AMS_R, dtype=np.int64)
+    )
+    nb = 0
+    for pdf in pdfs:
+        if len(pdf):
+            np.add.at(
+                z,
+                pdf["r"].to_numpy(dtype=np.int64),
+                pdf["sgn"].to_numpy(dtype=np.int64),
+            )
+        nb += 1
+    state.update((z.tolist(),))
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]] * AMS_R,
+            "r": np.arange(AMS_R, dtype=np.int64),
+            "z": z,
+            "n_batches": [nb] * AMS_R,
+        }
+    )
+
+
+def stream_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming AMS/tug-of-war F2 sketch of the per-user event-count
+    distribution per event type — the NINTH streaming state family:
+    z_r = sum over users of sign_r(user) * count(user), a pure
+    merge-by-addition state, so the drained sketch is batching- and
+    arrival-order-independent (unlike SpaceSaving-style top-k state,
+    which is order-dependent and deliberately NOT in this suite's
+    contract). mean(z_r^2) estimates F2 = sum c_u^2 — the self-join
+    size / repeat-concentration — and because the sketch is a pure
+    FUNCTION of the multiset, the DuckDB oracle replays the identical
+    signed sums closed-form: the drained state is bit-equal, estimate
+    and exact F2 both emitted. The xAMS_R row fan-out (two small ints
+    per row) is the classic AMS ingest cost, linear and map-only."""
+    from ..functions.text import portable_hash32
+
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", WATERMARK)
+    fan = ev.select(
+        "event_type",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("long").alias("r"),
+                        (
+                            1
+                            - 2
+                            * (
+                                portable_hash32(
+                                    F.concat(
+                                        F.lit(f"{r}#"),
+                                        F.col("user_id").cast("string"),
+                                    )
+                                )
+                                % 2
+                            )
+                        ).cast("long").alias("sgn"),
+                    )
+                    for r in range(AMS_R)
+                ]
+            )
+        ).alias("rs"),
+    ).select(
+        "event_type",
+        F.col("rs.r").alias("r"),
+        F.col("rs.sgn").alias("sgn"),
+    )
+    out = fan.groupBy("event_type").applyInPandasWithState(
+        _ams_state,
+        outputStructType=_AMS_OUT_SCHEMA,
+        stateStructType=_AMS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    drained = _drain(spark, out, "mem_stream_ams_f2", "update")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type", "r").orderBy(
+        F.desc("n_batches")
+    )
+    last = (
+        drained.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "n_batches")
+    )
+    sk = last.groupBy("event_type").agg(
+        F.count("*").alias("rows_r"),
+        F.sum(F.col("z").cast("decimal(38,0)") * F.col("z")).alias("zz"),
+    )
+    # exact F2 from the static table (the batch replay the sketch is
+    # judged against, countmin-style)
+    exact = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("c"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+            .cast("long")
+            .alias("f2_exact")
+        )
+    )
+    return sk.join(exact, "event_type").select(
+        "event_type",
+        "rows_r",
+        F.col("zz").cast("long").alias("sum_z2"),
+        (
+            F.col("zz").cast("string").cast("double") / F.col("rows_r")
+        ).alias("f2_est"),
+        "f2_exact",
+        (
+            F.col("zz").cast("string").cast("double")
+            / F.col("rows_r")
+            / F.col("f2_exact").cast("double")
+        ).alias("est_over_exact"),
+    )

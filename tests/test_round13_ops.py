@@ -695,3 +695,128 @@ def test_elf_codec_matches_python_walker(spark, sf_dir):
         assert r["null_entry_ok"] and r["strtab_type_ok"]
         assert r["contiguous_ok"] and r["data_ok"]
         assert r["total_len"] == len(payload)
+
+
+def test_ams_f2_state_batching_independent_and_exact(spark, sf_dir):
+    """The AMS kernel lands the same counters whether fed one batch or
+    many (pure addition), and the query's drained sketch equals a
+    hashlib replay of the signed sums; estimate = mean z^2."""
+    import hashlib
+
+    import pandas as pd
+
+    from real_value_etl_spark.streaming import jobs
+
+    def sgn(r, u):
+        h = int(hashlib.md5(f"{r}#{u}".encode()).hexdigest()[:8], 16)
+        return 1 - 2 * (h % 2)
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+        @property
+        def exists(self):
+            return self._v is not None
+        @property
+        def get(self):
+            return self._v
+        def update(self, v):
+            self._v = v
+
+    rows = [(i % jobs.AMS_R, 1 if i % 3 else -1) for i in range(60)]
+
+    def run(batches):
+        st = FakeState()
+        for b in batches:
+            pdf = pd.DataFrame(
+                {"r": [r for r, _ in b], "sgn": [s for _, s in b]}
+            )
+            list(jobs._ams_state(("click",), iter([pdf]), st))
+        return st._v[0]
+
+    one = run([rows])
+    two = run([rows[:17], rows[17:]])
+    assert one == two
+
+    # full-query cross-check vs hashlib
+    got = {
+        r["event_type"]: r
+        for r in REGISTRY["stream_ams_f2"].fn(spark, sf_dir).collect()
+    }
+    cnt = {}
+    for et, u, c in _duck(
+        sf_dir,
+        "SELECT event_type, user_id, COUNT(*) FROM '$SF/events.parquet' "
+        "GROUP BY 1, 2",
+    ):
+        cnt.setdefault(et, {})[u] = c
+    for et, users in cnt.items():
+        zz = 0
+        for r_ in range(jobs.AMS_R):
+            z = sum(sgn(r_, u) * c for u, c in users.items())
+            zz += z * z
+        f2 = sum(c * c for c in users.values())
+        row = got[et]
+        assert row["rows_r"] == jobs.AMS_R
+        assert row["sum_z2"] == zz
+        assert row["f2_exact"] == f2
+        assert math.isclose(row["f2_est"], zz / jobs.AMS_R, rel_tol=1e-12)
+
+
+def test_ordinal_patterns_matches_pure_python(spark, sf_dir):
+    """Pattern census equals a direct Python triple scan; impossible
+    codes (1, 6) never occur; shares sum to 1 per type."""
+    rows = REGISTRY["events_ordinal_patterns"].fn(spark, sf_dir).collect()
+    hc = _duck(
+        sf_dir,
+        """SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT),
+                  COUNT(*) FROM '$SF/events.parquet' GROUP BY 1, 2""",
+    )
+    series = {}
+    for et, h, c in hc:
+        series.setdefault(et, {})[h] = c
+    want = {}
+    for et, hmap in series.items():
+        lo, hi = min(hmap), max(hmap)
+        xs = [hmap.get(h, 0) for h in range(lo, hi + 1, 3600)]
+        for i in range(len(xs) - 2):
+            a, b, c = xs[i], xs[i + 1], xs[i + 2]
+            code = 4 * (a > b) + 2 * (b > c) + (a > c)
+            want[(et, code)] = want.get((et, code), 0) + 1
+    got = {(r["event_type"], r["code"]): r["cnt"] for r in rows}
+    assert got == want
+    assert all(code not in (1, 6) for _, code in got)
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], 0.0)
+        by_type[r["event_type"]] += r["share"]
+    assert all(math.isclose(s, 1.0, rel_tol=1e-9) for s in by_type.values())
+
+
+def test_extreme_studentized_matches_pure_python(spark, sf_dir):
+    """G and the witness match a direct scan over cent-exact prices."""
+    rows = {
+        r["l_returnflag"]: r
+        for r in REGISTRY["q_extreme_studentized"].fn(spark, sf_dir).collect()
+    }
+    vals = _duck(
+        sf_dir,
+        "SELECT l_returnflag, l_orderkey, "
+        "CAST(CAST(l_extendedprice AS DECIMAL(15,2)) * 100 AS BIGINT) "
+        "FROM '$SF/lineitem.parquet'",
+    )
+    by = {}
+    for g, k, x in vals:
+        by.setdefault(g, []).append((k, x))
+    for g, kx in by.items():
+        n = len(kx)
+        s1 = sum(x for _, x in kx)
+        s2 = sum(x * x for _, x in kx)
+        best = max(kx, key=lambda t: (abs(n * t[1] - s1), -t[0]))
+        sd = math.sqrt((n * s2 - s1 * s1) / (n * n))
+        gstat = abs(n * best[1] - s1) / n / sd
+        r = rows[g]
+        assert r["n"] == n
+        assert r["witness_orderkey"] == best[0]
+        assert math.isclose(r["witness_price"], best[1] / 100.0, rel_tol=1e-12)
+        assert math.isclose(r["g_stat"], gstat, rel_tol=1e-9)
