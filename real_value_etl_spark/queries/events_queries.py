@@ -5286,3 +5286,405 @@ def events_ordinal_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").cast("double") / F.sum("cnt").over(wt)
         ).alias("share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival (signup -> first purchase, 7-day follow-up) and the
+# two-cohort log-rank test — the survival-analysis family, fold-exact
+# ---------------------------------------------------------------------------
+KM_WINDOW_H = 168  # follow-up horizon: 7 days of hours
+
+
+def _km_subjects_sql() -> str:
+    return f"""
+    su AS (
+      SELECT user_id, MIN(ts) AS t0
+      FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    tmax AS (SELECT MAX(ts) AS tm FROM events),
+    pu AS (
+      SELECT s.user_id, MIN(e.ts) AS tp
+      FROM su s JOIN events e
+        ON e.user_id = s.user_id AND e.event_type = 'purchase'
+       AND e.ts > s.t0 AND e.ts <= s.t0 + INTERVAL {KM_WINDOW_H} HOUR
+      GROUP BY 1
+    ),
+    subj AS (
+      SELECT su.user_id,
+             CASE WHEN EXTRACT(hour FROM su.t0) < 12
+                  THEN 'am' ELSE 'pm' END AS cohort,
+             CASE WHEN pu.tp IS NOT NULL THEN 1 ELSE 0 END AS evt,
+             CASE WHEN pu.tp IS NOT NULL
+                  THEN CAST(floor(epoch(pu.tp - su.t0) / 3600) AS BIGINT)
+                  ELSE LEAST(
+                    CAST({KM_WINDOW_H} AS BIGINT),
+                    CAST(floor(epoch(t.tm - su.t0) / 3600) AS BIGINT))
+             END AS dur
+      FROM su LEFT JOIN pu ON pu.user_id = su.user_id
+      CROSS JOIN tmax t
+    )"""
+
+
+@register(
+    "events_kaplan_meier",
+    oracle=f"""
+    WITH {_km_subjects_sql()},
+    byt AS (
+      SELECT dur AS t,
+             CAST(SUM(evt) AS BIGINT) AS d,
+             CAST(SUM(1 - evt) AS BIGINT) AS c
+      FROM subj GROUP BY 1
+    ),
+    risk AS (
+      SELECT t, d, c,
+             CAST((SELECT COUNT(*) FROM subj)
+                  - (SUM(d + c) OVER (ORDER BY t) - (d + c)) AS BIGINT)
+               AS n_risk
+      FROM byt
+    ),
+    steps AS (
+      SELECT t, d, c, n_risk,
+             CAST(d AS DOUBLE) / n_risk AS hazard,
+             list_reduce(
+               list_prepend(CAST(1 AS DOUBLE),
+                 list(1.0 - CAST(d AS DOUBLE) / n_risk)
+                   OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)),
+               (acc, x) -> acc * x) AS survival
+      FROM risk
+    )
+    SELECT t AS duration_h, d AS n_events, c AS n_censored, n_risk,
+           hazard, survival
+    FROM steps WHERE d > 0
+    """,
+    tags=("events", "stats", "survival"),
+)
+def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN-MEIER product-limit survival curve for signup -> first
+    purchase conversion within a {H}-hour follow-up window — THE
+    censoring-correct time-to-event estimator (a naive conversion-rate
+    cut ignores users whose window was cut short by the corpus edge;
+    KM keeps them at risk exactly as long as they were observed).
+    Subjects = signup users; event = first purchase within {H} h;
+    administrative censoring at the corpus end or the window edge,
+    with the classical deaths-before-censors tie convention. The curve
+    is EXACT: risk sets are descending integer cumulatives over the
+    BOUNDED duration spine (<= {H}+1 distinct hours, wall-clock-sized,
+    never data-sized), per-step hazards d/n are single pinned
+    divisions, and the survival product folds the factors in ascending
+    time order — a pinned MULTIPLY sequence, the multiplicative twin
+    of the ordered-sum doctrine — so both engines land bit-identical
+    doubles.
+
+    Scale shape: two per-user reduces (first signup, first qualifying
+    purchase), one bounded-spine agg + window. Reference basis:
+    SURVEY.md §2.4 stats family (absent in reference)."""
+    ev = table(spark, sf_dir, "events")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    tmax = ev.agg(F.max("ts").alias("tm"))
+    pu = (
+        su.join(ev, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("t0"))
+            & (
+                F.col("ts")
+                <= F.col("t0") + F.expr(f"INTERVAL {KM_WINDOW_H} HOUR")
+            )
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    subj = (
+        su.join(pu, "user_id", "left")
+        .crossJoin(F.broadcast(tmax))
+        .select(
+            "user_id",
+            F.when(F.hour("t0") < 12, "am").otherwise("pm").alias(
+                "cohort"
+            ),
+            F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("evt"),
+            F.when(
+                F.col("tp").isNotNull(),
+                F.floor(
+                    (
+                        F.unix_timestamp("tp") - F.unix_timestamp("t0")
+                    )
+                    / 3600
+                ),
+            )
+            .otherwise(
+                F.least(
+                    F.lit(KM_WINDOW_H).cast("long"),
+                    F.floor(
+                        (
+                            F.unix_timestamp("tm")
+                            - F.unix_timestamp("t0")
+                        )
+                        / 3600
+                    ),
+                )
+            )
+            .cast("long")
+            .alias("dur"),
+        )
+    )
+    byt = subj.groupBy(F.col("dur").alias("t")).agg(
+        F.sum("evt").alias("d"),
+        F.sum(1 - F.col("evt")).alias("c"),
+    )
+    total = subj.agg(F.count("*").alias("n_subj"))
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = byt.crossJoin(F.broadcast(total)).withColumn(
+        "n_risk",
+        F.col("n_subj")
+        - (F.sum(F.col("d") + F.col("c")).over(w_cum) - (F.col("d") + F.col("c"))),
+    )
+    w_fold = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    factor = F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk")
+    steps = risk.withColumn(
+        "survival",
+        F.aggregate(
+            F.collect_list(factor).over(w_fold),
+            F.lit(1.0),
+            lambda acc, x: acc * x,
+        ),
+    )
+    return steps.filter(F.col("d") > 0).select(
+        F.col("t").alias("duration_h"),
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        (F.col("d").cast("double") / F.col("n_risk")).alias("hazard"),
+        "survival",
+    )
+
+
+events_kaplan_meier.__doc__ = events_kaplan_meier.__doc__.format(
+    H=KM_WINDOW_H
+)
+
+
+@register(
+    "events_logrank_test",
+    oracle=f"""
+    WITH {_km_subjects_sql()},
+    byt AS (
+      SELECT dur AS t, cohort,
+             CAST(SUM(evt) AS BIGINT) AS d,
+             CAST(SUM(1 - evt) AS BIGINT) AS c
+      FROM subj GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT t,
+             CAST(COALESCE(SUM(CASE WHEN cohort = 'am' THEN d END), 0)
+                  AS BIGINT) AS d1,
+             CAST(COALESCE(SUM(CASE WHEN cohort = 'pm' THEN d END), 0)
+                  AS BIGINT) AS d2,
+             CAST(COALESCE(SUM(CASE WHEN cohort = 'am' THEN d + c END), 0)
+                  AS BIGINT) AS out1,
+             CAST(COALESCE(SUM(CASE WHEN cohort = 'pm' THEN d + c END), 0)
+                  AS BIGINT) AS out2
+      FROM byt GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(CASE WHEN cohort = 'am' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nn1,
+             CAST(SUM(CASE WHEN cohort = 'pm' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nn2
+      FROM subj
+    ),
+    risk AS (
+      SELECT t, d1, d2,
+             nn1 - (SUM(out1) OVER (ORDER BY t) - out1) AS n1,
+             nn2 - (SUM(out2) OVER (ORDER BY t) - out2) AS n2
+      FROM spine CROSS JOIN tot
+    ),
+    terms AS (
+      SELECT t, d1, n1, n2, d1 + d2 AS d, n1 + n2 AS n
+      FROM risk WHERE d1 + d2 > 0 AND n1 + n2 > 1
+    ),
+    folded AS (
+      SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(CAST(d AS DOUBLE) * n1 / n ORDER BY t)),
+               (acc, x) -> acc + x) AS e1,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(CAST(d AS DOUBLE) * (CAST(n1 AS DOUBLE) / n)
+                    * (CAST(n2 AS DOUBLE) / n)
+                    * (CAST(n - d AS DOUBLE) / (n - 1)) ORDER BY t)),
+               (acc, x) -> acc + x) AS v
+      FROM terms
+    )
+    SELECT tot.nn1 AS n_am, tot.nn2 AS n_pm, f.o1 AS observed_am,
+           f.e1 AS expected_am, f.v AS variance,
+           (f.o1 - f.e1) / sqrt(f.v) AS z_logrank
+    FROM folded f CROSS JOIN tot
+    """,
+    tags=("events", "stats", "survival", "inference"),
+)
+def events_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOG-RANK test between the morning- and evening-signup cohorts'
+    conversion curves — the standard censoring-correct two-group
+    survival comparison (a t-test on durations is WRONG under
+    censoring; log-rank compares the full hazard histories):
+    z = (O1 - E1)/sqrt(V) with E1 = sum d*n1/n and the hypergeometric
+    variance V = sum d*(n1/n)*(n2/n)*(n-d)/(n-1) over pooled event
+    times. O1 is an exact integer; E1 and V fold their per-time terms
+    in ascending time order over the BOUNDED duration spine (the
+    ordered-fold doctrine), so both engines land bit-identical
+    doubles. Shares events_kaplan_meier's subject construction
+    (deaths-before-censors, administrative censoring at the corpus
+    edge).
+
+    Scale shape: same two per-user reduces, a (time x cohort) pivot on
+    the bounded spine, one scalar fold. Reference basis: SURVEY.md
+    §2.4 stats family (absent in reference)."""
+    ev = table(spark, sf_dir, "events")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    tmax = ev.agg(F.max("ts").alias("tm"))
+    pu = (
+        su.join(ev, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("t0"))
+            & (
+                F.col("ts")
+                <= F.col("t0") + F.expr(f"INTERVAL {KM_WINDOW_H} HOUR")
+            )
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    subj = (
+        su.join(pu, "user_id", "left")
+        .crossJoin(F.broadcast(tmax))
+        .select(
+            F.when(F.hour("t0") < 12, "am").otherwise("pm").alias(
+                "cohort"
+            ),
+            F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("evt"),
+            F.when(
+                F.col("tp").isNotNull(),
+                F.floor(
+                    (F.unix_timestamp("tp") - F.unix_timestamp("t0"))
+                    / 3600
+                ),
+            )
+            .otherwise(
+                F.least(
+                    F.lit(KM_WINDOW_H).cast("long"),
+                    F.floor(
+                        (F.unix_timestamp("tm") - F.unix_timestamp("t0"))
+                        / 3600
+                    ),
+                )
+            )
+            .cast("long")
+            .alias("dur"),
+        )
+    )
+    byt = subj.groupBy(F.col("dur").alias("t"), "cohort").agg(
+        F.sum("evt").alias("d"),
+        F.sum(1 - F.col("evt")).alias("c"),
+    )
+    spine = byt.groupBy("t").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("cohort") == "am", F.col("d"))), F.lit(0)
+        ).alias("d1"),
+        F.coalesce(
+            F.sum(F.when(F.col("cohort") == "pm", F.col("d"))), F.lit(0)
+        ).alias("d2"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("cohort") == "am", F.col("d") + F.col("c"))
+            ),
+            F.lit(0),
+        ).alias("out1"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("cohort") == "pm", F.col("d") + F.col("c"))
+            ),
+            F.lit(0),
+        ).alias("out2"),
+    )
+    tot = subj.agg(
+        F.sum(F.when(F.col("cohort") == "am", 1).otherwise(0)).alias(
+            "nn1"
+        ),
+        F.sum(F.when(F.col("cohort") == "pm", 1).otherwise(0)).alias(
+            "nn2"
+        ),
+    )
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = spine.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d1",
+        "d2",
+        (
+            F.col("nn1")
+            - (F.sum("out1").over(w_cum) - F.col("out1"))
+        ).alias("n1"),
+        (
+            F.col("nn2")
+            - (F.sum("out2").over(w_cum) - F.col("out2"))
+        ).alias("n2"),
+        "nn1",
+        "nn2",
+    )
+    terms = risk.filter(
+        (F.col("d1") + F.col("d2") > 0)
+        & (F.col("n1") + F.col("n2") > 1)
+    ).select(
+        "t",
+        "d1",
+        "n1",
+        "n2",
+        "nn1",
+        "nn2",
+        (F.col("d1") + F.col("d2")).alias("d"),
+        (F.col("n1") + F.col("n2")).alias("n"),
+    )
+    e_term = F.col("d").cast("double") * F.col("n1") / F.col("n")
+    v_term = (
+        F.col("d").cast("double")
+        * (F.col("n1").cast("double") / F.col("n"))
+        * (F.col("n2").cast("double") / F.col("n"))
+        * ((F.col("n") - F.col("d")).cast("double") / (F.col("n") - 1))
+    )
+    folded = terms.groupBy("nn1", "nn2").agg(
+        F.sum("d1").alias("o1"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("t", e_term.alias("e")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["e"],
+        ).alias("e1"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("t", v_term.alias("v")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["v"],
+        ).alias("v"),
+    )
+    return folded.select(
+        F.col("nn1").alias("n_am"),
+        F.col("nn2").alias("n_pm"),
+        F.col("o1").alias("observed_am"),
+        F.col("e1").alias("expected_am"),
+        F.col("v").alias("variance"),
+        ((F.col("o1") - F.col("e1")) / F.sqrt(F.col("v"))).alias(
+            "z_logrank"
+        ),
+    )

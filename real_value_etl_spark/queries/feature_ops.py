@@ -7280,3 +7280,150 @@ def multimodal_elf_section_walk(
     ).withColumn(
         "total_len", F.col("computed_len")
     ).drop("computed_len")
+
+
+# ---------------------------------------------------------------------------
+# WebP VP8L header — twenty-second byte codec: LSB-FIRST bit fields packed
+# ACROSS byte boundaries inside a little-endian u32 (FLAC packed MSB-first
+# big-endian; this is the opposite bit order, the one modern codecs use)
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_webp_vp8l_parse",
+    oracle="""
+    WITH src AS (
+      SELECT doc_id,
+             (doc_id * 2654435761) % 16384 + 1 AS w,
+             (doc_id * 40503) % 16384 + 1 AS h,
+             doc_id % 2 AS alpha,
+             doc_id % 23 + 4 AS fill
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, w, h, alpha, fill,
+             1 + 4 + fill AS chunk_size
+      FROM src
+    )
+    SELECT doc_id,
+           TRUE AS riff_ok,
+           TRUE AS webp_ok,
+           TRUE AS vp8l_ok,
+           TRUE AS sig_ok,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(alpha AS BIGINT) AS alpha_hint,
+           CAST(0 AS BIGINT) AS version,
+           CAST(chunk_size AS BIGINT) AS chunk_size,
+           (chunk_size % 2 = 1) AS padded,
+           TRUE AS riff_size_ok,
+           CAST(12 + 8 + chunk_size + chunk_size % 2 AS BIGINT)
+             AS total_len
+    FROM g
+    """,
+    tags=("multimodal", "llm", "binary", "image"),
+)
+def multimodal_webp_vp8l_parse(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WebP VP8L header parse — the twenty-second byte codec and the
+    bit-order complement of FLAC: VP8L packs its 14-bit width, 14-bit
+    height, alpha hint, and 3-bit version LSB-FIRST across byte
+    boundaries inside one little-endian u32 (FLAC's STREAMINFO packs
+    MSB-first big-endian — reading both orders is what separates a
+    real bit-field parser from a byte parser). Each document becomes a
+    RIFF/WEBP container holding one VP8L chunk: signature 0x2F, the
+    packed u32 (dims span the full 14-bit range via a Knuth-hash
+    spread), then fake-LZ77 filler (entropy coding is the documented
+    stub; the container and bit-field layer is real) with the RIFF
+    even-padding rule (odd chunk sizes carry an uncounted pad byte —
+    the AVI walk's quirk, re-verified here at EOF). The parse checks
+    all three fourccs, the RIFF size chain, extracts the bit fields by
+    mask-and-shift from the LE u32, and verifies the pad lands EOF.
+
+    Scale shape: map-only JVM binary expressions, zero exchanges.
+    Reference basis: SURVEY.md §2.12 multimodal family (absent in
+    reference)."""
+    d = table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    empty = F.unhex(F.lit(""))
+
+    def hx(c, nbytes):
+        return F.lpad(F.hex(c.cast("long")), 2 * nbytes, "0")
+
+    def le_hex(c, nbytes):
+        h = hx(c, nbytes)
+        return F.concat(
+            *[
+                F.substring(h, 2 * nbytes - 1 - 2 * i, 2)
+                for i in range(nbytes)
+            ]
+        )
+
+    g = d.select(
+        "doc_id",
+        ((did * 2654435761) % 16384 + 1).cast("long").alias("w"),
+        ((did * 40503) % 16384 + 1).cast("long").alias("h"),
+        (did % 2).cast("long").alias("alpha"),
+        (did % 23 + 4).cast("long").alias("fill"),
+    ).withColumn("chunk_size", F.lit(5).cast("long") + F.col("fill"))
+    packed = (
+        (F.col("w") - 1)
+        + F.shiftleft(F.col("h") - 1, 14)
+        + F.shiftleft(F.col("alpha"), 28)
+    )  # version bits 29..31 = 0
+    chunk = F.concat(
+        F.encode(F.lit("VP8L"), "utf-8"),
+        F.unhex(le_hex(F.col("chunk_size"), 4)),
+        F.unhex(F.lit("2F")),
+        F.unhex(le_hex(packed, 4)),
+        F.unhex(F.repeat(F.lit("5A"), F.col("fill").cast("int"))),
+        F.when(
+            F.pmod(F.col("chunk_size"), 2) == 1, F.unhex(F.lit("00"))
+        ).otherwise(empty),
+    )
+    riff_size = F.lit(4).cast("long") + 8 + F.col("chunk_size") + F.pmod(
+        F.col("chunk_size"), 2
+    )
+    webp = g.select(
+        "doc_id",
+        F.concat(
+            F.encode(F.lit("RIFF"), "utf-8"),
+            F.unhex(le_hex(riff_size, 4)),
+            F.encode(F.lit("WEBP"), "utf-8"),
+            chunk,
+        ).alias("payload"),
+    )
+    p = F.col("payload")
+
+    def rd_le(pos, nbytes):
+        b = [
+            F.conv(F.hex(F.substring(p, pos + i, 1)), 16, 10).cast("long")
+            for i in range(nbytes)
+        ]
+        out = b[0]
+        for i in range(1, nbytes):
+            out = out + b[i] * (1 << (8 * i))
+        return out
+
+    u32 = rd_le(22, 4)
+    csize = rd_le(17, 4)
+    return webp.select(
+        "doc_id",
+        (F.decode(F.substring(p, 1, 4), "utf-8") == "RIFF").alias(
+            "riff_ok"
+        ),
+        (F.decode(F.substring(p, 9, 4), "utf-8") == "WEBP").alias(
+            "webp_ok"
+        ),
+        (F.decode(F.substring(p, 13, 4), "utf-8") == "VP8L").alias(
+            "vp8l_ok"
+        ),
+        (F.hex(F.substring(p, 21, 1)) == "2F").alias("sig_ok"),
+        (F.pmod(u32, 16384) + 1).alias("width"),
+        (F.pmod(F.shiftright(u32, 14), 16384) + 1).alias("height"),
+        F.pmod(F.shiftright(u32, 28), 2).alias("alpha_hint"),
+        F.shiftright(u32, 29).alias("version"),
+        csize.alias("chunk_size"),
+        (F.pmod(csize, 2) == 1).alias("padded"),
+        (rd_le(5, 4) == F.octet_length(p) - 8).alias("riff_size_ok"),
+        F.octet_length(p).cast("long").alias("total_len"),
+    )

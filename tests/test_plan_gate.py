@@ -67,6 +67,11 @@ _SINGLE_PARTITION_WAIVERS: dict[str, re.Pattern] = {
     # per-partition Pareto frontiers, each already running-min-filtered
     # (queries/stats.py q_skyline_parts; frontier << n by construction)
     "q_skyline_parts": re.compile(r"p_retailprice.*p_size"),
+    # Kaplan-Meier / log-rank risk-set windows run over the DURATION
+    # spine — <= KM_WINDOW_H + 1 distinct hours by construction
+    # (events_queries.py), wall-clock-bounded, never data-sized
+    "events_kaplan_meier": re.compile(r"n_subj"),
+    "events_logrank_test": re.compile(r"\bout1\b|\bnn1\b"),
 }
 
 # ---------------------------------------------------------------------------
@@ -241,6 +246,12 @@ _BNLJ_WAIVERS: dict[str, str] = {
     "q_cliffs_delta": _R_SCALAR
     + " (1-row lo-group grand total broadcast into the descending-"
     "cumulative identity lo_above = n2_all - inclusive)",
+    "events_kaplan_meier": _R_SCALAR
+    + " (1-row corpus-max-timestamp and subject-count frames broadcast "
+    "into the censoring rule and the risk-set identity)",
+    "events_logrank_test": _R_SCALAR
+    + " (1-row corpus-max-timestamp and per-cohort-count frames "
+    "broadcast into the censoring rule and the risk-set identity)",
     "events_cochran_q": _R_SCALAR
     + " (three 1-row frames — k, column-sum, row-sum — crossed into "
     "the single-row statistic; plus the 1-row k frame broadcast into "

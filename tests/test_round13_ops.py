@@ -820,3 +820,140 @@ def test_extreme_studentized_matches_pure_python(spark, sf_dir):
         assert r["witness_orderkey"] == best[0]
         assert math.isclose(r["witness_price"], best[1] / 100.0, rel_tol=1e-12)
         assert math.isclose(r["g_stat"], gstat, rel_tol=1e-9)
+
+
+def _km_subjects(sf_dir):
+    """Independent subject construction: (cohort, evt, duration_h)."""
+    rows = _duck(
+        sf_dir,
+        """SELECT user_id, ts, event_type FROM '$SF/events.parquet'""",
+    )
+    tmax = max(ts for _, ts, _ in rows)
+    first_signup = {}
+    for u, ts, et in rows:
+        if et == "signup" and (u not in first_signup or ts < first_signup[u]):
+            first_signup[u] = ts
+    first_purchase = {}
+    for u, ts, et in rows:
+        t0 = first_signup.get(u)
+        if (
+            et == "purchase"
+            and t0 is not None
+            and t0 < ts <= t0 + __import__("datetime").timedelta(hours=168)
+        ):
+            if u not in first_purchase or ts < first_purchase[u]:
+                first_purchase[u] = ts
+    subj = []
+    for u, t0 in first_signup.items():
+        cohort = "am" if t0.hour < 12 else "pm"
+        if u in first_purchase:
+            dur = int((first_purchase[u] - t0).total_seconds() // 3600)
+            subj.append((cohort, 1, dur))
+        else:
+            dur = min(168, int((tmax - t0).total_seconds() // 3600))
+            subj.append((cohort, 0, dur))
+    return subj
+
+
+def test_kaplan_meier_matches_pure_python(spark, sf_dir):
+    """Risk sets, hazards, and the survival product match a from-scratch
+    KM walk with the deaths-before-censors convention."""
+    rows = REGISTRY["events_kaplan_meier"].fn(spark, sf_dir).collect()
+    subj = _km_subjects(sf_dir)
+    times = sorted({d for _, _, d in subj})
+    n_risk = len(subj)
+    surv = 1.0
+    want = {}
+    for t in times:
+        d = sum(1 for _, e, dd in subj if e == 1 and dd == t)
+        c = sum(1 for _, e, dd in subj if e == 0 and dd == t)
+        if d > 0:
+            surv *= 1.0 - d / n_risk
+            want[t] = (d, c, n_risk, d / n_risk, surv)
+        else:
+            # no-event times still shrink the risk set but emit no step;
+            # the query's fold multiplies a factor of exactly 1.0 there
+            pass
+        n_risk -= d + c
+    got = {r["duration_h"]: r for r in rows}
+    assert set(got) == set(want)
+    for t, (d, c, nr, hz, sv) in want.items():
+        r = got[t]
+        assert (r["n_events"], r["n_censored"], r["n_risk"]) == (d, c, nr)
+        assert math.isclose(r["hazard"], hz, rel_tol=1e-12)
+        assert math.isclose(r["survival"], sv, rel_tol=1e-9)
+    # survival is nonincreasing and within (0, 1]
+    sv = [r["survival"] for r in sorted(rows, key=lambda r: r["duration_h"])]
+    assert all(a >= b for a, b in zip(sv, sv[1:]))
+    assert all(0.0 <= x <= 1.0 for x in sv)
+
+
+def test_logrank_matches_pure_python(spark, sf_dir):
+    """O/E/V/z match a from-scratch log-rank walk over pooled event
+    times."""
+    row = REGISTRY["events_logrank_test"].fn(spark, sf_dir).collect()[0]
+    subj = _km_subjects(sf_dir)
+    n1 = sum(1 for g, _, _ in subj if g == "am")
+    n2 = len(subj) - n1
+    times = sorted({d for _, _, d in subj})
+    r1, r2 = n1, n2
+    o1 = 0
+    e1 = 0.0
+    v = 0.0
+    for t in times:
+        d1 = sum(1 for g, e, dd in subj if g == "am" and e and dd == t)
+        d2 = sum(1 for g, e, dd in subj if g == "pm" and e and dd == t)
+        out1 = sum(1 for g, _, dd in subj if g == "am" and dd == t)
+        out2 = sum(1 for g, _, dd in subj if g == "pm" and dd == t)
+        d, n = d1 + d2, r1 + r2
+        if d > 0 and n > 1:
+            o1 += d1
+            e1 += d * r1 / n
+            v += d * (r1 / n) * (r2 / n) * (n - d) / (n - 1)
+        r1 -= out1
+        r2 -= out2
+    assert (row["n_am"], row["n_pm"]) == (n1, n2)
+    assert row["observed_am"] == o1
+    assert math.isclose(row["expected_am"], e1, rel_tol=1e-9)
+    assert math.isclose(row["variance"], v, rel_tol=1e-9)
+    assert math.isclose(
+        row["z_logrank"], (o1 - e1) / math.sqrt(v), rel_tol=1e-9
+    )
+
+
+def test_webp_codec_matches_python_walker(spark, sf_dir):
+    """Bit fields and RIFF geometry match an independent Python rebuild
+    + bit-twiddling walker."""
+    rows = (
+        REGISTRY["multimodal_webp_vp8l_parse"].fn(spark, sf_dir).collect()
+    )
+    for r in rows:
+        doc_id = r["doc_id"]
+        w = (doc_id * 2654435761) % 16384 + 1
+        h = (doc_id * 40503) % 16384 + 1
+        alpha = doc_id % 2
+        fill = doc_id % 23 + 4
+        chunk_size = 5 + fill
+        packed = (w - 1) | ((h - 1) << 14) | (alpha << 28)
+        body = b"\x2f" + packed.to_bytes(4, "little") + b"\x5a" * fill
+        chunk = b"VP8L" + chunk_size.to_bytes(4, "little") + body
+        if chunk_size % 2:
+            chunk += b"\x00"
+        payload = (
+            b"RIFF"
+            + (4 + len(chunk)).to_bytes(4, "little")
+            + b"WEBP"
+            + chunk
+        )
+        u32 = int.from_bytes(payload[21:25], "little")
+        assert r["riff_ok"] and r["webp_ok"] and r["vp8l_ok"] and r["sig_ok"]
+        assert r["width"] == (u32 & 0x3FFF) + 1 == w
+        assert r["height"] == ((u32 >> 14) & 0x3FFF) + 1 == h
+        assert r["alpha_hint"] == (u32 >> 28 & 1) == alpha
+        assert r["version"] == (u32 >> 29) == 0
+        assert r["chunk_size"] == chunk_size
+        assert r["padded"] == bool(chunk_size % 2)
+        assert r["riff_size_ok"]
+        assert r["total_len"] == len(payload) == 20 + chunk_size + (
+            chunk_size % 2
+        )
