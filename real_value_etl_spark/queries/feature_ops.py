@@ -7427,3 +7427,261 @@ def multimodal_webp_vp8l_parse(
         (rd_le(5, 4) == F.octet_length(p) - 8).alias("riff_size_ok"),
         F.octet_length(p).cast("long").alias("total_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EBML (Matroska/WebM) element walk — twenty-third byte codec: the third
+# varint dialect — LENGTH-PREFIXED vints where the byte count is announced
+# by the position of the first set bit (CLZ), not by per-byte continuation
+# flags (MIDI) or a sub-block chain (GIF); non-minimal encodings included
+# ---------------------------------------------------------------------------
+EBML_MAX_CHILDREN = 4
+
+
+def _ebml_oracle() -> str:
+    # closed-form per-child geometry
+    width = "((doc_id + {k}) % 3 + 1)"
+    size = "((doc_id * 7 + {k} * 13) % 100 + 5)"
+    child_len = []
+    child_sz = []
+    nonmin = []
+    for k in range(1, EBML_MAX_CHILDREN + 1):
+        w = width.format(k=k)
+        sz = size.format(k=k)
+        live = f"CASE WHEN nc >= {k} THEN"
+        child_len.append(f"{live} 1 + {w} + {sz} ELSE 0 END")
+        child_sz.append(f"{live} {sz} ELSE 0 END")
+        nonmin.append(f"{live} CASE WHEN {w} > 1 THEN 1 ELSE 0 END"
+                      " ELSE 0 END")
+    return f"""
+    WITH src AS (
+      SELECT doc_id, doc_id % 3 + 2 AS nc,
+             doc_id % 2 + 2 AS mw
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, nc, mw,
+             {' + '.join(child_len)} AS body_len,
+             {' + '.join(child_sz)} AS sum_sizes,
+             {' + '.join(nonmin)} AS nonminimal
+      FROM src
+    )
+    SELECT doc_id,
+           TRUE AS master_id_ok,
+           CAST(body_len AS BIGINT) AS master_size,
+           CAST(mw AS BIGINT) AS master_size_width,
+           CAST(nc AS BIGINT) AS n_children,
+           CAST(sum_sizes AS BIGINT) AS sum_child_sizes,
+           CAST(nonminimal AS BIGINT) AS nonminimal_vints,
+           TRUE AS ids_ok,
+           TRUE AS body_consistent,
+           CAST(4 + mw + body_len AS BIGINT) AS total_len
+    FROM g
+    """
+
+
+@register(
+    "multimodal_ebml_vint_walk",
+    oracle=_ebml_oracle(),
+    tags=("multimodal", "llm", "binary"),
+)
+def multimodal_ebml_vint_walk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EBML (Matroska/WebM) element walk — the THIRD varint dialect in
+    the suite and the one real containers stream at scale: a vint's
+    byte count is announced by the POSITION OF THE FIRST SET BIT of
+    its first byte (a CLZ decode — 1xxxxxxx is 1 byte, 01xxxxxx two,
+    001xxxxx three...), unlike MIDI's per-byte continuation flags or
+    GIF's length-byte sub-block chains. EBML also permits NON-MINIMAL
+    encodings — the same small size legally written 1, 2, or 3 bytes
+    wide — so a correct walker must trust the announced width, never
+    the value's magnitude; each document's children deliberately mix
+    widths (and the walk counts the non-minimal ones as a witness).
+    Layout: the 4-byte EBML master ID (0x1A45DFA3), a master-size vint
+    of varying width, then 2-4 child elements (1-byte IDs with the
+    MSB-set class bit, width-varied size vints, filler payloads). The
+    walk CLZ-decodes every vint, verifies IDs, requires the master
+    size to equal exactly the bytes the child walk consumed, and
+    checks EOF. Independent Python vint decoder in the unit test.
+
+    Scale shape: map-only JVM binary expressions, zero exchanges.
+    Reference basis: SURVEY.md §2.12 multimodal family (absent in
+    reference)."""
+    d = table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    empty = F.unhex(F.lit(""))
+
+    def hx(c, nbytes):
+        return F.lpad(F.hex(c.cast("long")), 2 * nbytes, "0")
+
+    def vint_hex(v, w):
+        """EBML vint of value v encoded w bytes wide (v < 2^(7w)-1)."""
+        # first byte: (0x80 >> (w-1)) | top bits of v
+        first = F.lit(0x80 >> (w - 1)) + F.shiftright(v, 8 * (w - 1))
+        rest = [
+            F.pmod(F.shiftright(v, 8 * (w - 1 - i)), 256)
+            for i in range(1, w)
+        ]
+        return F.concat(hx(first, 1), *[hx(b, 1) for b in rest])
+
+    g = d.select(
+        "doc_id",
+        (did % 3 + 2).cast("long").alias("nc"),
+        (did % 2 + 2).cast("int").alias("mw"),
+    )
+    body = empty
+    for k in range(1, EBML_MAX_CHILDREN + 1):
+        wk = (did.cast("long") + k) % 3 + 1  # data-dependent width 1..3
+        sk = ((did * 7 + k * 13) % 100 + 5).cast("long")
+        cid = F.lit(0x80 + k).cast("long")  # 1-byte class-bit IDs
+        # width is data-dependent -> emit the three encodings guarded
+        enc = (
+            F.when(wk == 1, F.unhex(F.concat(hx(cid, 1), vint_hex(sk, 1))))
+            .when(wk == 2, F.unhex(F.concat(hx(cid, 1), vint_hex(sk, 2))))
+            .otherwise(F.unhex(F.concat(hx(cid, 1), vint_hex(sk, 3))))
+        )
+        payload = F.unhex(
+            F.repeat(F.lit(format(0x40 + k, "02X")), sk.cast("int"))
+        )
+        body = F.concat(
+            body,
+            F.when(
+                F.col("nc") >= k, F.concat(enc, payload)
+            ).otherwise(empty),
+        )
+    g = g.select("doc_id", "nc", "mw", body.alias("body"))
+    blen = F.octet_length(F.col("body")).cast("long")
+    master_size = (
+        F.when(F.col("mw") == 2, F.unhex(vint_hex(blen, 2)))
+        .otherwise(F.unhex(vint_hex(blen, 3)))
+    )
+    ebml = g.select(
+        "doc_id",
+        F.concat(
+            F.unhex(F.lit("1A45DFA3")), master_size, F.col("body")
+        ).alias("payload"),
+    )
+    p = F.col("payload")
+
+    def rd(pos, nbytes=1):
+        return F.conv(
+            F.hex(
+                F.substring(
+                    p,
+                    pos.cast("int") if hasattr(pos, "cast") else pos,
+                    nbytes,
+                )
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    def vint_width(b):
+        """CLZ decode: 1 + number of leading zero bits of the first
+        byte (widths 1..4 supported here)."""
+        return (
+            F.when(b >= 128, 1)
+            .when(b >= 64, 2)
+            .when(b >= 32, 3)
+            .otherwise(4)
+            .cast("long")
+        )
+
+    def vint_value(pos, b, w):
+        """Value of the vint at pos whose first byte is b, width w.
+        The marker-bit subtraction is a CASE on w (shiftright needs a
+        literal bit count, and w is a column here)."""
+        first_payload = b - (
+            F.when(w == 1, 128)
+            .when(w == 2, 64)
+            .when(w == 3, 32)
+            .otherwise(16)
+        )
+        val = first_payload
+        for i in range(1, 4):  # up to width 4
+            val = F.when(
+                w > i, val * 256 + rd(pos + i)
+            ).otherwise(val)
+        return val
+
+    mb = rd(5)
+    m_w = vint_width(mb)
+    st = ebml.select(
+        "doc_id",
+        "payload",
+        (F.hex(F.substring(p, 1, 4)) == "1A45DFA3").alias("master_id_ok"),
+        vint_value(F.lit(5).cast("long"), mb, m_w).alias("master_size"),
+        m_w.alias("master_size_width"),
+        (F.lit(5).cast("long") + m_w).alias("off"),
+        F.lit(0).cast("long").alias("n_children"),
+        F.lit(0).cast("long").alias("sum_child_sizes"),
+        F.lit(0).cast("long").alias("nonminimal_vints"),
+        F.lit(True).alias("ids_ok"),
+    )
+    body_start = F.lit(5).cast("long") + F.col("master_size_width")
+    carry = ["doc_id", "payload", "master_id_ok", "master_size",
+             "master_size_width"]
+    for _ in range(EBML_MAX_CHILDREN):
+        cid_b = rd(F.col("off"))
+        sz_b = rd(F.col("off") + 1)
+        st = st.select(
+            *carry,
+            "off", "n_children", "sum_child_sizes", "nonminimal_vints",
+            "ids_ok",
+            (
+                F.col("off")
+                < F.lit(5) + F.col("master_size_width")
+                + F.col("master_size")
+            ).alias("active"),
+            cid_b.alias("cid"),
+            vint_width(sz_b).alias("w_i"),
+            vint_value(F.col("off") + 1, sz_b, vint_width(sz_b)).alias(
+                "sz_i"
+            ),
+        )
+        st = st.select(
+            *carry,
+            F.when(
+                F.col("active"),
+                F.col("off") + 1 + F.col("w_i") + F.col("sz_i"),
+            )
+            .otherwise(F.col("off"))
+            .alias("off"),
+            (
+                F.col("n_children")
+                + F.when(F.col("active"), 1).otherwise(0)
+            ).alias("n_children"),
+            (
+                F.col("sum_child_sizes")
+                + F.when(F.col("active"), F.col("sz_i")).otherwise(0)
+            ).alias("sum_child_sizes"),
+            (
+                F.col("nonminimal_vints")
+                + F.when(
+                    F.col("active")
+                    & (F.col("w_i") > 1)
+                    & (F.col("sz_i") < 127),
+                    1,
+                ).otherwise(0)
+            ).alias("nonminimal_vints"),
+            (
+                F.col("ids_ok")
+                & (~F.col("active") | (F.col("cid") >= 128))
+            ).alias("ids_ok"),
+        )
+    return st.select(
+        "doc_id",
+        "master_id_ok",
+        "master_size",
+        "master_size_width",
+        "n_children",
+        "sum_child_sizes",
+        "nonminimal_vints",
+        "ids_ok",
+        (
+            F.col("off")
+            == F.lit(5) + F.col("master_size_width") + F.col("master_size")
+        ).alias("body_consistent"),
+        F.octet_length(p).cast("long").alias("total_len"),
+    )

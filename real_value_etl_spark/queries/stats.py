@@ -3205,3 +3205,284 @@ def q_extreme_studentized(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g_stat"),
     ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA F across the priority groups (exact moments, fixed fold)
+# ---------------------------------------------------------------------------
+def _anova_oracle() -> str:
+    cg = ",\n             ".join(
+        f"""CAST(SUM(CASE WHEN o_orderpriority = '{p}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n{i},
+             CAST(SUM(CASE WHEN o_orderpriority = '{p}' THEN x ELSE 0 END)
+                  AS HUGEINT) AS s1_{i},
+             CAST(SUM(CASE WHEN o_orderpriority = '{p}'
+                           THEN CAST(x AS HUGEINT) * x ELSE 0 END)
+                  AS HUGEINT) AS s2_{i}"""
+        for i, p in enumerate(_KW_PRIOS, 1)
+    )
+    ssb_terms = " + ".join(
+        f"(CAST(CAST(s1_{i} * s1_{i} AS VARCHAR) AS DOUBLE)"
+        f" / CAST(n{i} AS DOUBLE))"
+        for i in range(1, 6)
+    )
+    s1_all = " + ".join(f"s1_{i}" for i in range(1, 6))
+    s2_all = " + ".join(f"s2_{i}" for i in range(1, 6))
+    n_all = " + ".join(f"n{i}" for i in range(1, 6))
+    return f"""
+    WITH d AS (
+      SELECT o_orderpriority,
+             CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT) AS x
+      FROM orders
+    ),
+    s AS (
+      SELECT {cg}
+      FROM d
+    ),
+    m AS (
+      SELECT n1, n2, n3, n4, n5,
+             CAST({n_all} AS BIGINT) AS n,
+             ({ssb_terms}) AS gsum,
+             CAST(CAST(({s1_all}) * ({s1_all}) AS VARCHAR) AS DOUBLE)
+               AS s1sq,
+             CAST(CAST({s2_all} AS VARCHAR) AS DOUBLE) AS s2d
+      FROM s
+    )
+    SELECT n, n1, n2, n3, n4, n5,
+           (gsum - s1sq / n) / 10000.0 AS ss_between,
+           (s2d - gsum) / 10000.0 AS ss_within,
+           ((gsum - s1sq / n) / 4.0) / ((s2d - gsum) / (n - 5))
+             AS f_stat
+    FROM m
+    """
+
+
+@register(
+    "q_anova_oneway",
+    oracle=_anova_oracle(),
+    tags=("stats", "inference"),
+)
+def q_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical ONE-WAY ANOVA F across the five order priorities on
+    order value — the parametric counterpart of q_kruskal_wallis and
+    the k-group extension of q_welch_t_test's 2-group t. All moments
+    exact: per-group n, sum, sum-of-squares in DECIMAL(38,0) cents
+    from ONE pivoted scalar pass (closed 5-literal enum); the between-
+    group sum folds s1_g^2/n_g in fixed literal order with each square
+    VARCHAR-rendered, SS_between = sum - S1^2/N and SS_within =
+    sum(s2) - sum follow by the standard identities in pinned double
+    shape, and F = (SSB/(k-1))/(SSW/(N-k)) is the only derived ratio.
+
+    Scale shape: one map-side-combinable scalar pass, one 1-row
+    projection. Reference basis: SURVEY.md §2.4 stats family (absent
+    in reference)."""
+    o = table(spark, sf_dir, "orders")
+    d = o.select(
+        "o_orderpriority",
+        (F.col("o_totalprice").cast("decimal(15,2)") * 100)
+        .cast("long")
+        .alias("x"),
+    )
+    aggs = []
+    for i, p in enumerate(_KW_PRIOS, 1):
+        hit = F.col("o_orderpriority") == p
+        aggs += [
+            F.sum(F.when(hit, 1).otherwise(0)).alias(f"n{i}"),
+            F.sum(
+                F.when(hit, F.col("x")).otherwise(0).cast("decimal(38,0)")
+            ).alias(f"s1_{i}"),
+            F.sum(
+                F.when(hit, F.col("x").cast("decimal(38,0)") * F.col("x"))
+                .otherwise(F.lit(0).cast("decimal(38,0)"))
+            ).alias(f"s2_{i}"),
+        ]
+    s = d.agg(*aggs)
+    gsum = None
+    s1_all = None
+    s2_all = None
+    n_all = None
+    for i in range(1, 6):
+        t = (
+            (F.col(f"s1_{i}") * F.col(f"s1_{i}"))
+            .cast("string")
+            .cast("double")
+            / F.col(f"n{i}").cast("double")
+        )
+        gsum = t if gsum is None else gsum + t
+        s1_all = (
+            F.col(f"s1_{i}")
+            if s1_all is None
+            else s1_all + F.col(f"s1_{i}")
+        )
+        s2_all = (
+            F.col(f"s2_{i}")
+            if s2_all is None
+            else s2_all + F.col(f"s2_{i}")
+        )
+        n_all = F.col(f"n{i}") if n_all is None else n_all + F.col(f"n{i}")
+    m = s.select(
+        *[F.col(f"n{i}") for i in range(1, 6)],
+        n_all.alias("n"),
+        gsum.alias("gsum"),
+        (s1_all * s1_all).cast("string").cast("double").alias("s1sq"),
+        s2_all.cast("string").cast("double").alias("s2d"),
+    )
+    ssb = F.col("gsum") - F.col("s1sq") / F.col("n")
+    ssw = F.col("s2d") - F.col("gsum")
+    return m.select(
+        "n", "n1", "n2", "n3", "n4", "n5",
+        (ssb / F.lit(10000.0)).alias("ss_between"),
+        (ssw / F.lit(10000.0)).alias("ss_within"),
+        ((ssb / F.lit(4.0)) / (ssw / (F.col("n") - 5))).alias("f_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brown-Forsythe / Levene variance-equality test (median-centered)
+# ---------------------------------------------------------------------------
+def _levene_oracle() -> str:
+    cg = ",\n             ".join(
+        f"""CAST(SUM(CASE WHEN o_orderpriority = '{p}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n{i},
+             CAST(SUM(CASE WHEN o_orderpriority = '{p}' THEN z2 ELSE 0 END)
+                  AS HUGEINT) AS t1_{i},
+             CAST(SUM(CASE WHEN o_orderpriority = '{p}'
+                           THEN CAST(z2 AS HUGEINT) * z2 ELSE 0 END)
+                  AS HUGEINT) AS t2_{i}"""
+        for i, p in enumerate(_KW_PRIOS, 1)
+    )
+    gsum_terms = " + ".join(
+        f"(CAST(CAST(t1_{i} * t1_{i} AS VARCHAR) AS DOUBLE)"
+        f" / CAST(n{i} AS DOUBLE))"
+        for i in range(1, 6)
+    )
+    t1_all = " + ".join(f"t1_{i}" for i in range(1, 6))
+    t2_all = " + ".join(f"t2_{i}" for i in range(1, 6))
+    n_all = " + ".join(f"n{i}" for i in range(1, 6))
+    return f"""
+    WITH d AS (
+      SELECT o_orderpriority,
+             CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT) AS x
+      FROM orders
+    ),
+    med AS (
+      SELECT o_orderpriority,
+             CAST(round(2 * quantile_cont(x, 0.5)) AS BIGINT) AS med2
+      FROM d GROUP BY 1
+    ),
+    z AS (
+      SELECT d.o_orderpriority,
+             abs(2 * d.x - m.med2) AS z2
+      FROM d JOIN med m ON m.o_orderpriority = d.o_orderpriority
+    ),
+    s AS (
+      SELECT {cg}
+      FROM z
+    ),
+    m2 AS (
+      SELECT n1, n2, n3, n4, n5,
+             CAST({n_all} AS BIGINT) AS n,
+             ({gsum_terms}) AS gsum,
+             CAST(CAST(({t1_all}) * ({t1_all}) AS VARCHAR) AS DOUBLE)
+               AS t1sq,
+             CAST(CAST({t2_all} AS VARCHAR) AS DOUBLE) AS t2d
+      FROM s
+    )
+    SELECT n, n1, n2, n3, n4, n5,
+           ((gsum - t1sq / n) / 4.0) / ((t2d - gsum) / (n - 5))
+             AS w_stat
+    FROM m2
+    """
+
+
+@register(
+    "q_levene_test",
+    oracle=_levene_oracle(),
+    tags=("stats", "inference"),
+)
+def q_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BROWN-FORSYTHE (median-centered Levene) variance-equality test
+    across the five priorities — the gate q_anova_oneway itself
+    assumes (equal variances) and the robust choice over the classical
+    mean-centered Levene (a heavy tail inflates the mean spread but
+    not the median spread). Exactness rides the half-integer trick:
+    each group's exact median of integer cents is a half-integer, so
+    z2 = |2x - 2*median| is a PURE INTEGER (both engines round the
+    interpolated median identically — 2*quantile is integral), and the
+    test is then literally q_anova_oneway's machinery applied to z2:
+    pivoted exact moments, fixed-order VARCHAR-rendered fold, one
+    F-shaped ratio W.
+
+    Scale shape: one per-group exact median (5 groups — sort-bounded),
+    one broadcast join back, one pivoted scalar pass. Reference basis:
+    SURVEY.md §2.4 stats family (absent in reference)."""
+    o = table(spark, sf_dir, "orders")
+    d = o.select(
+        "o_orderpriority",
+        (F.col("o_totalprice").cast("decimal(15,2)") * 100)
+        .cast("long")
+        .alias("x"),
+    )
+    med = d.groupBy("o_orderpriority").agg(
+        F.round(2 * F.expr("percentile(x, 0.5D)")).cast("long").alias(
+            "med2"
+        )
+    )
+    z = d.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority",
+        F.abs(2 * F.col("x") - F.col("med2")).alias("z2"),
+    )
+    aggs = []
+    for i, p in enumerate(_KW_PRIOS, 1):
+        hit = F.col("o_orderpriority") == p
+        aggs += [
+            F.sum(F.when(hit, 1).otherwise(0)).alias(f"n{i}"),
+            F.sum(
+                F.when(hit, F.col("z2")).otherwise(0).cast("decimal(38,0)")
+            ).alias(f"t1_{i}"),
+            F.sum(
+                F.when(hit, F.col("z2").cast("decimal(38,0)") * F.col("z2"))
+                .otherwise(F.lit(0).cast("decimal(38,0)"))
+            ).alias(f"t2_{i}"),
+        ]
+    s = z.agg(*aggs)
+    gsum = None
+    t1_all = None
+    t2_all = None
+    n_all = None
+    for i in range(1, 6):
+        t = (
+            (F.col(f"t1_{i}") * F.col(f"t1_{i}"))
+            .cast("string")
+            .cast("double")
+            / F.col(f"n{i}").cast("double")
+        )
+        gsum = t if gsum is None else gsum + t
+        t1_all = (
+            F.col(f"t1_{i}")
+            if t1_all is None
+            else t1_all + F.col(f"t1_{i}")
+        )
+        t2_all = (
+            F.col(f"t2_{i}")
+            if t2_all is None
+            else t2_all + F.col(f"t2_{i}")
+        )
+        n_all = F.col(f"n{i}") if n_all is None else n_all + F.col(f"n{i}")
+    m2 = s.select(
+        *[F.col(f"n{i}") for i in range(1, 6)],
+        n_all.alias("n"),
+        gsum.alias("gsum"),
+        (t1_all * t1_all).cast("string").cast("double").alias("t1sq"),
+        t2_all.cast("string").cast("double").alias("t2d"),
+    )
+    return m2.select(
+        "n", "n1", "n2", "n3", "n4", "n5",
+        (
+            (
+                (F.col("gsum") - F.col("t1sq") / F.col("n"))
+                / F.lit(4.0)
+            )
+            / ((F.col("t2d") - F.col("gsum")) / (F.col("n") - 5))
+        ).alias("w_stat"),
+    )

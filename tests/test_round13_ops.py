@@ -957,3 +957,118 @@ def test_webp_codec_matches_python_walker(spark, sf_dir):
         assert r["total_len"] == len(payload) == 20 + chunk_size + (
             chunk_size % 2
         )
+
+
+def test_anova_matches_pure_python(spark, sf_dir):
+    """SS_between / SS_within / F match the definitional group-mean
+    decomposition over exact cents."""
+    row = REGISTRY["q_anova_oneway"].fn(spark, sf_dir).collect()[0]
+    vals = _duck(
+        sf_dir,
+        "SELECT o_orderpriority, "
+        "CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT) "
+        "FROM '$SF/orders.parquet'",
+    )
+    by = {}
+    for g, x in vals:
+        by.setdefault(g, []).append(x)
+    n = len(vals)
+    grand = sum(x for _, x in vals) / n
+    ssb = sum(len(xs) * (sum(xs) / len(xs) - grand) ** 2 for xs in by.values())
+    ssw = sum(
+        sum((x - sum(xs) / len(xs)) ** 2 for x in xs) for xs in by.values()
+    )
+    f = (ssb / 4) / (ssw / (n - 5))
+    assert row["n"] == n
+    assert math.isclose(row["ss_between"], ssb / 1e4, rel_tol=1e-9)
+    assert math.isclose(row["ss_within"], ssw / 1e4, rel_tol=1e-9)
+    assert math.isclose(row["f_stat"], f, rel_tol=1e-9)
+
+
+def test_levene_matches_pure_python(spark, sf_dir):
+    """W matches the Brown-Forsythe statistic with exact per-group
+    medians (statistics.median on ints gives the same half-integer)."""
+    import statistics
+
+    row = REGISTRY["q_levene_test"].fn(spark, sf_dir).collect()[0]
+    vals = _duck(
+        sf_dir,
+        "SELECT o_orderpriority, "
+        "CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT) "
+        "FROM '$SF/orders.parquet'",
+    )
+    by = {}
+    for g, x in vals:
+        by.setdefault(g, []).append(x)
+    z_by = {
+        g: [abs(2 * x - round(2 * statistics.median(xs))) for x in xs]
+        for g, xs in by.items()
+    }
+    n = sum(len(z) for z in z_by.values())
+    grand = sum(sum(z) for z in z_by.values()) / n
+    ssb = sum(
+        len(z) * (sum(z) / len(z) - grand) ** 2 for z in z_by.values()
+    )
+    ssw = sum(
+        sum((v - sum(z) / len(z)) ** 2 for v in z) for z in z_by.values()
+    )
+    w = (ssb / 4) / (ssw / (n - 5))
+    assert row["n"] == n
+    assert math.isclose(row["w_stat"], w, rel_tol=1e-9)
+
+
+def test_ebml_codec_matches_python_walker(spark, sf_dir):
+    """The CLZ vint walk matches an independent Python EBML decoder
+    over independently rebuilt bytes, non-minimal widths included."""
+    rows = (
+        REGISTRY["multimodal_ebml_vint_walk"].fn(spark, sf_dir).collect()
+    )
+    for r in rows:
+        doc_id = r["doc_id"]
+        nc = doc_id % 3 + 2
+        mw = doc_id % 2 + 2
+
+        def vint(v, w):
+            out = bytearray(w)
+            out[0] = (0x80 >> (w - 1)) | (v >> (8 * (w - 1)))
+            for i in range(1, w):
+                out[i] = (v >> (8 * (w - 1 - i))) & 255
+            return bytes(out)
+
+        body = b""
+        nonmin = 0
+        for k in range(1, nc + 1):
+            wk = (doc_id + k) % 3 + 1
+            sk = (doc_id * 7 + k * 13) % 100 + 5
+            if wk > 1 and sk < 127:
+                nonmin += 1
+            body += bytes([0x80 + k]) + vint(sk, wk)
+            body += bytes([0x40 + k]) * sk
+        payload = bytes.fromhex("1A45DFA3") + vint(len(body), mw) + body
+
+        # independent decoder
+        def rd_vint(buf, pos):
+            b0 = buf[pos]
+            w = 1 if b0 >= 128 else 2 if b0 >= 64 else 3 if b0 >= 32 else 4
+            v = b0 - (0x80 >> (w - 1))
+            for i in range(1, w):
+                v = v * 256 + buf[pos + i]
+            return v, w
+
+        assert payload[:4] == bytes.fromhex("1A45DFA3")
+        msize, mwidth = rd_vint(payload, 4)
+        off = 4 + mwidth
+        kids, sizes = 0, 0
+        while off < 4 + mwidth + msize:
+            assert payload[off] >= 128
+            sz, w = rd_vint(payload, off + 1)
+            off += 1 + w + sz
+            kids += 1
+            sizes += sz
+        assert r["master_id_ok"] and r["ids_ok"] and r["body_consistent"]
+        assert r["master_size"] == msize == len(body)
+        assert r["master_size_width"] == mwidth == mw
+        assert r["n_children"] == kids == nc
+        assert r["sum_child_sizes"] == sizes
+        assert r["nonminimal_vints"] == nonmin
+        assert r["total_len"] == len(payload)
