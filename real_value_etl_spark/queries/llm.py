@@ -4557,3 +4557,139 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 text_burrows_delta.__doc__ = text_burrows_delta.__doc__.format(F=BURROWS_F)
+
+
+# ---------------------------------------------------------------------------
+# ROUGE-2 over the qualifying near-dup pairs (multiset bigram overlap)
+# ---------------------------------------------------------------------------
+@register(
+    "docs_rouge2_pairs",
+    oracle=f"""
+    WITH {{SHINGLE}}, {{JTAIL}},
+    qpairs AS (
+      SELECT doc_a, doc_b, jac FROM jac WHERE jac >= {JACCARD_THRESHOLD}
+    ),
+    bt AS (SELECT doc_id, {{TOKENS}} AS ts FROM documents),
+    bg AS (
+      SELECT doc_id, bgr, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, greatest(len(ts), 1)),
+                 i -> ts[i] || ' ' || ts[i + 1])) AS bgr
+        FROM bt
+      ) GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS nb FROM bg GROUP BY 1
+    ),
+    ov AS (
+      SELECT p.doc_a, p.doc_b, p.jac,
+             CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS overlap
+      FROM qpairs p
+      JOIN bg a ON a.doc_id = p.doc_a
+      JOIN bg b ON b.doc_id = p.doc_b AND b.bgr = a.bgr
+      GROUP BY 1, 2, 3
+    )
+    SELECT o.doc_a, o.doc_b, o.jac,
+           COALESCE(o.overlap, 0) AS bigram_overlap,
+           ta.nb AS n_bigrams_a, tb.nb AS n_bigrams_b,
+           CAST(o.overlap AS DOUBLE) / ta.nb AS rouge2_p,
+           CAST(o.overlap AS DOUBLE) / tb.nb AS rouge2_r,
+           2.0 * o.overlap / (ta.nb + tb.nb) AS rouge2_f
+    FROM ov o
+    JOIN tot ta ON ta.doc_id = o.doc_a
+    JOIN tot tb ON tb.doc_id = o.doc_b
+    """.format(
+        SHINGLE=_SHINGLE_IDX_CTE.strip(),
+        JTAIL=_JACCARD_TAIL_SQL.strip(),
+        TOKENS=T.tokens_sql("text"),
+    ),
+    tags=("dedup", "llm", "text", "join"),
+)
+def docs_rouge2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-2 precision/recall/F1 for every qualifying near-dup pair
+    (the dedup_ngram_jaccard pair set, jac >= 0.5) — the MULTISET
+    bigram view the set-Jaccard score cannot give: Jaccard counts a
+    repeated bigram once, ROUGE-2's sum-of-min counts every
+    occurrence, so template spam with heavy internal repetition
+    separates from genuine paraphrase at the same Jaccard. Rides the
+    SAME prefix-filtered candidate machinery as the dedup family
+    (pair generation is never all-pairs), then one bigram-count join
+    per pair side: overlap = sum min(c_a, c_b), P/R by each side's
+    bigram total, F1 = 2*ov/(na+nb) — pure integer counts, three
+    pinned divisions.
+
+    Scale shape: pair set from the lossless prefix filter; bigram
+    tables are (doc, bigram)-keyed aggregates joined per pair — df-
+    bounded like the tf-idf postings join. Reference basis: SURVEY.md
+    §2.12 dedup/text family (absent in reference)."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", JACCARD_THRESHOLD
+    ).select(
+        F.col("doc_a"), F.col("doc_b"), F.col("jac")
+    )
+    ts = docs.select("doc_id", T.tokens(F.col("text")).alias("ts"))
+    bg = (
+        ts.select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size("ts") >= 2,
+                    F.expr(
+                        "transform(sequence(0, size(ts) - 2), "
+                        "i -> concat(element_at(ts, i + 1), ' ', "
+                        "element_at(ts, i + 2)))"
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("bgr"),
+        )
+        .groupBy("doc_id", "bgr")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = bg.groupBy("doc_id").agg(F.sum("c").alias("nb"))
+    a = bg.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("bgr"),
+        F.col("c").alias("ca"),
+    )
+    b = bg.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("bgr"),
+        F.col("c").alias("cb"),
+    )
+    ov = (
+        pairs.join(a, "doc_a")
+        .join(b, ["doc_b", "bgr"])
+        .groupBy("doc_a", "doc_b", "jac")
+        .agg(F.sum(F.least("ca", "cb")).alias("overlap"))
+    )
+    ta = tot.select(
+        F.col("doc_id").alias("doc_a"), F.col("nb").alias("n_bigrams_a")
+    )
+    tb = tot.select(
+        F.col("doc_id").alias("doc_b"), F.col("nb").alias("n_bigrams_b")
+    )
+    return (
+        ov.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jac",
+            F.col("overlap").alias("bigram_overlap"),
+            "n_bigrams_a",
+            "n_bigrams_b",
+            (
+                F.col("overlap").cast("double") / F.col("n_bigrams_a")
+            ).alias("rouge2_p"),
+            (
+                F.col("overlap").cast("double") / F.col("n_bigrams_b")
+            ).alias("rouge2_r"),
+            (
+                F.lit(2.0) * F.col("overlap")
+                / (F.col("n_bigrams_a") + F.col("n_bigrams_b"))
+            ).alias("rouge2_f"),
+        )
+    )

@@ -1072,3 +1072,54 @@ def test_ebml_codec_matches_python_walker(spark, sf_dir):
         assert r["sum_child_sizes"] == sizes
         assert r["nonminimal_vints"] == nonmin
         assert r["total_len"] == len(payload)
+
+
+def test_rouge2_matches_pure_python(spark, sf_dir):
+    """Multiset bigram overlap, P/R/F1 match a Counter recomputation
+    over the same qualifying pair set (exact Jaccard >= 0.5)."""
+    from collections import Counter
+
+    rows = REGISTRY["docs_rouge2_pairs"].fn(spark, sf_dir).collect()
+    docs = dict(
+        _duck(sf_dir, "SELECT doc_id, text FROM '$SF/documents.parquet'")
+    )
+    toks = {d: [t for t in txt.split(" ") if t] for d, txt in docs.items()}
+    sh = {
+        d: {
+            " ".join(ts[i : i + 3])
+            for i in range(len(ts) - 2)
+        }
+        for d, ts in toks.items()
+    }
+    bg = {
+        d: Counter(
+            " ".join(ts[i : i + 2]) for i in range(len(ts) - 1)
+        )
+        for d, ts in toks.items()
+    }
+    want_pairs = set()
+    ids = sorted(docs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if not sh[a] or not sh[b]:
+                continue
+            inter = len(sh[a] & sh[b])
+            if inter and inter / (len(sh[a]) + len(sh[b]) - inter) >= 0.5:
+                want_pairs.add((a, b))
+    got = {(r["doc_a"], r["doc_b"]): r for r in rows}
+    # every truly-qualifying pair with nonzero bigram overlap appears
+    for a, b in want_pairs:
+        ov = sum((bg[a] & bg[b]).values())
+        if ov == 0:
+            assert (a, b) not in got  # inner join drops zero-overlap
+            continue
+        r = got[(a, b)]
+        na, nb = sum(bg[a].values()), sum(bg[b].values())
+        assert r["bigram_overlap"] == ov
+        assert (r["n_bigrams_a"], r["n_bigrams_b"]) == (na, nb)
+        assert math.isclose(r["rouge2_p"], ov / na, rel_tol=1e-12)
+        assert math.isclose(r["rouge2_r"], ov / nb, rel_tol=1e-12)
+        assert math.isclose(
+            r["rouge2_f"], 2 * ov / (na + nb), rel_tol=1e-12
+        )
+    assert set(got) <= want_pairs
