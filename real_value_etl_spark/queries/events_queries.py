@@ -5688,3 +5688,106 @@ def events_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "z_logrank"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-event-time burstiness (Goh-Barabasi B) per user, top-k witnesses
+# ---------------------------------------------------------------------------
+IEB_MIN_GAPS = 5
+IEB_TOPK = 20
+
+
+@register(
+    "events_interevent_burstiness",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               - CAST(floor(epoch(LAG(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id)))
+                      AS BIGINT) AS gap
+      FROM events
+    ),
+    s AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(gap) AS HUGEINT) AS s1,
+             CAST(SUM(CAST(gap AS HUGEINT) * gap) AS HUGEINT) AS s2
+      FROM g WHERE gap IS NOT NULL GROUP BY user_id
+      HAVING COUNT(*) >= {IEB_MIN_GAPS}
+    ),
+    b AS (
+      SELECT user_id, n,
+             CAST(s1 AS DOUBLE) / n AS mean_gap_s,
+             (sqrt(CAST(CAST(n * s2 - s1 * s1 AS VARCHAR) AS DOUBLE))
+              - CAST(CAST(s1 AS VARCHAR) AS DOUBLE))
+             / (sqrt(CAST(CAST(n * s2 - s1 * s1 AS VARCHAR) AS DOUBLE))
+                + CAST(CAST(s1 AS VARCHAR) AS DOUBLE)) AS b_stat
+      FROM s
+    )
+    SELECT user_id, n AS n_gaps, mean_gap_s, b_stat
+    FROM b ORDER BY b_stat DESC, user_id LIMIT {IEB_TOPK}
+    """,
+    tags=("events", "timeseries", "stats"),
+)
+def events_interevent_burstiness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GOH-BARABASI burstiness B = (sigma - mu)/(sigma + mu) of each
+    user's INTER-EVENT times — the other classic burstiness axis:
+    events_fano_burstiness sees count dispersion on a fixed clock grid,
+    B sees the gap-length distribution directly (B -> -1 metronome,
+    0 Poisson, +1 bursty), which is what abuse/bot review actually
+    reads. Gaps are exact integer seconds from one per-user LAG
+    (event_id tie-break pins simultaneous rows); per-user moments are
+    exact DECIMAL(38,0); B = (sqrt(n*s2 - s1^2) - s1)/(sqrt(...) + s1)
+    needs ONE IEEE sqrt, every input VARCHAR-rendered. The {K}
+    burstiest users (>= {M} gaps) emit with their witnesses; B-equal
+    ties break on user id.
+
+    Scale shape: one per-user window LAG, one map-side-combinable
+    per-user reduce, one TakeOrdered. Reference basis: SURVEY.md §2.5
+    window family (absent in reference)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        (
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lag("ts").over(w))
+        ).cast("long").alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    s = (
+        g.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("gap").cast("decimal(38,0)")).alias("s1"),
+            F.sum(
+                F.col("gap").cast("decimal(38,0)") * F.col("gap")
+            ).alias("s2"),
+        )
+        .filter(F.col("n") >= IEB_MIN_GAPS)
+    )
+    var_num = (
+        F.col("n").cast("decimal(38,0)") * F.col("s2")
+        - F.col("s1") * F.col("s1")
+    )
+    sq = F.sqrt(var_num.cast("string").cast("double"))
+    s1d = F.col("s1").cast("string").cast("double")
+    return (
+        s.select(
+            "user_id",
+            F.col("n").alias("n_gaps"),
+            (s1d / F.col("n")).alias("mean_gap_s"),
+            ((sq - s1d) / (sq + s1d)).alias("b_stat"),
+        )
+        .orderBy(F.desc("b_stat"), "user_id")
+        .limit(IEB_TOPK)
+    )
+
+
+events_interevent_burstiness.__doc__ = (
+    events_interevent_burstiness.__doc__.format(
+        K=IEB_TOPK, M=IEB_MIN_GAPS
+    )
+)

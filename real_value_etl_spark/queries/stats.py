@@ -3486,3 +3486,165 @@ def q_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             / ((F.col("t2d") - F.col("gsum")) / (F.col("n") - 5))
         ).alias("w_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic permutation (random-relabeling) test for the mean difference
+# ---------------------------------------------------------------------------
+PERM_K = 32  # deterministic hash relabelings; z stabilizes ~1/sqrt(K)
+
+
+def _perm_oracle() -> str:
+    h = (
+        "CAST(('0x' || substring(md5(CAST({k} AS VARCHAR) || '|' ||"
+        " CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0"
+    )
+    per_k = []
+    for k in range(1, PERM_K + 1):
+        hk = h.format(k=k)
+        per_k.append(
+            f"""CAST(SUM(CASE WHEN {hk} THEN x ELSE 0 END) AS HUGEINT)
+                 AS s0_{k},
+             CAST(SUM(CASE WHEN {hk} THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n0_{k}"""
+        )
+    dks = []
+    for k in range(1, PERM_K + 1):
+        dks.append(
+            f"(CAST(CAST(s0_{k} AS VARCHAR) AS DOUBLE) / n0_{k}"
+            f" - CAST(CAST(st - s0_{k} AS VARCHAR) AS DOUBLE)"
+            f" / (nt - n0_{k}))"
+        )
+    mean_fold = " + ".join(f"({d})" for d in dks)
+    var_fold = " + ".join(f"({d}) * ({d})" for d in dks)
+    return f"""
+    WITH d AS (
+      SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT) AS x,
+             o_orderpriority IN ('1-URGENT','2-HIGH') AS hi
+      FROM orders
+    ),
+    s AS (
+      SELECT CAST(SUM(CASE WHEN hi THEN x ELSE 0 END) AS HUGEINT) AS s_hi,
+             CAST(SUM(CASE WHEN hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+             CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS st,
+             CAST(COUNT(*) AS BIGINT) AS nt,
+             {", ".join(per_k)}
+      FROM d
+    ),
+    m AS (
+      SELECT n_hi, nt - n_hi AS n_lo,
+             CAST(CAST(s_hi AS VARCHAR) AS DOUBLE) / n_hi
+               - CAST(CAST(st - s_hi AS VARCHAR) AS DOUBLE)
+                 / (nt - n_hi) AS d_obs,
+             ({mean_fold}) / {PERM_K}.0 AS null_mean,
+             ({var_fold}) / {PERM_K}.0 AS null_m2
+      FROM s
+    )
+    SELECT n_hi, n_lo,
+           d_obs / 100.0 AS d_obs_dollars,
+           null_mean / 100.0 AS null_mean_dollars,
+           sqrt(null_m2 - null_mean * null_mean) / 100.0
+             AS null_sd_dollars,
+           (d_obs - null_mean)
+             / sqrt(null_m2 - null_mean * null_mean) AS z_perm
+    FROM m
+    """
+
+
+@register(
+    "q_permutation_test",
+    oracle=_perm_oracle(),
+    tags=("stats", "inference"),
+)
+def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC permutation test for the urgent-vs-rest mean order
+    value difference: {K} hash-driven label relabelings (the Monte
+    Carlo random-relabeling null — group sizes float binomially, the
+    bootstrap_ci doctrine's honest caveat) computed in ONE scalar
+    pass — every relabeling is just a pair of conditional exact sums
+    under md5(seed|key)%2, so the whole null distribution costs one
+    scan, no shuffle, no RNG state (rerunnable bit-identically
+    anywhere, the events_bootstrap_ci trick applied to label
+    exchange). d_obs, the {K} null diffs, their mean/sd (fixed-order
+    folds of VARCHAR-exact terms), and the permutation z emit from
+    exact integers; complements q_welch_t_test's parametric z with a
+    distribution-free one.
+
+    Scale shape: one map-side-combinable scalar pass ({K}x2 + 4
+    conditional aggregates), 1-row output. Reference basis: SURVEY.md
+    §2.4 stats family (absent in reference)."""
+    from ..functions.text import portable_hash32
+
+    o = table(spark, sf_dir, "orders")
+    d = o.select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(15,2)") * 100)
+        .cast("long")
+        .alias("x"),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("hi"),
+    )
+    aggs = [
+        F.sum(F.when(F.col("hi"), F.col("x")).otherwise(0).cast(
+            "decimal(38,0)"
+        )).alias("s_hi"),
+        F.sum(F.when(F.col("hi"), 1).otherwise(0)).alias("n_hi"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("st"),
+        F.count("*").alias("nt"),
+    ]
+    for k in range(1, PERM_K + 1):
+        hk = (
+            portable_hash32(
+                F.concat(F.lit(f"{k}|"), F.col("o_orderkey").cast("string"))
+            )
+            % 2
+            == 0
+        )
+        aggs += [
+            F.sum(
+                F.when(hk, F.col("x")).otherwise(0).cast("decimal(38,0)")
+            ).alias(f"s0_{k}"),
+            F.sum(F.when(hk, 1).otherwise(0)).alias(f"n0_{k}"),
+        ]
+    s = d.agg(*aggs)
+    dks = []
+    for k in range(1, PERM_K + 1):
+        dks.append(
+            F.col(f"s0_{k}").cast("string").cast("double")
+            / F.col(f"n0_{k}")
+            - (F.col("st") - F.col(f"s0_{k}")).cast("string").cast(
+                "double"
+            )
+            / (F.col("nt") - F.col(f"n0_{k}"))
+        )
+    mean_fold = None
+    var_fold = None
+    for dk in dks:
+        mean_fold = dk if mean_fold is None else mean_fold + dk
+        var_fold = dk * dk if var_fold is None else var_fold + dk * dk
+    d_obs = (
+        F.col("s_hi").cast("string").cast("double") / F.col("n_hi")
+        - (F.col("st") - F.col("s_hi")).cast("string").cast("double")
+        / (F.col("nt") - F.col("n_hi"))
+    )
+    m = s.select(
+        F.col("n_hi"),
+        (F.col("nt") - F.col("n_hi")).alias("n_lo"),
+        d_obs.alias("d_obs"),
+        (mean_fold / F.lit(float(PERM_K))).alias("null_mean"),
+        (var_fold / F.lit(float(PERM_K))).alias("null_m2"),
+    )
+    sd = F.sqrt(
+        F.col("null_m2") - F.col("null_mean") * F.col("null_mean")
+    )
+    return m.select(
+        "n_hi",
+        "n_lo",
+        (F.col("d_obs") / F.lit(100.0)).alias("d_obs_dollars"),
+        (F.col("null_mean") / F.lit(100.0)).alias("null_mean_dollars"),
+        (sd / F.lit(100.0)).alias("null_sd_dollars"),
+        ((F.col("d_obs") - F.col("null_mean")) / sd).alias("z_perm"),
+    )
+
+
+q_permutation_test.__doc__ = q_permutation_test.__doc__.format(K=PERM_K)

@@ -1123,3 +1123,77 @@ def test_rouge2_matches_pure_python(spark, sf_dir):
             r["rouge2_f"], 2 * ov / (na + nb), rel_tol=1e-12
         )
     assert set(got) <= want_pairs
+
+
+def test_interevent_burstiness_matches_pure_python(spark, sf_dir):
+    """Top-k B statistics match a from-scratch gap scan with the
+    (ts, event_id) tie order."""
+    rows = (
+        REGISTRY["events_interevent_burstiness"].fn(spark, sf_dir).collect()
+    )
+    ev = _duck(
+        sf_dir,
+        "SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT), event_id "
+        "FROM '$SF/events.parquet' ORDER BY user_id, ts, event_id",
+    )
+    by = {}
+    for u, t, _ in ev:
+        by.setdefault(u, []).append(t)
+    stats = []
+    for u, ts in by.items():
+        gaps = [b - a for a, b in zip(ts, ts[1:])]
+        if len(gaps) < 5:
+            continue
+        n, s1 = len(gaps), sum(gaps)
+        s2 = sum(g * g for g in gaps)
+        sq = math.sqrt(n * s2 - s1 * s1)
+        stats.append((u, n, s1 / n, (sq - s1) / (sq + s1)))
+    stats.sort(key=lambda t: (-t[3], t[0]))
+    want = stats[:20]
+    assert len(rows) == min(20, len(stats))
+    for r, (u, n, mg, b) in zip(rows, want):
+        assert (r["user_id"], r["n_gaps"]) == (u, n)
+        assert math.isclose(r["mean_gap_s"], mg, rel_tol=1e-12)
+        assert math.isclose(r["b_stat"], b, rel_tol=1e-9)
+
+
+def test_permutation_test_matches_pure_python(spark, sf_dir):
+    """Observed diff, the hash-relabeled null distribution, and z match
+    a hashlib recomputation."""
+    import hashlib
+
+    row = REGISTRY["q_permutation_test"].fn(spark, sf_dir).collect()[0]
+    vals = _duck(
+        sf_dir,
+        "SELECT o_orderkey, "
+        "CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT), "
+        "o_orderpriority IN ('1-URGENT','2-HIGH') "
+        "FROM '$SF/orders.parquet'",
+    )
+    st = sum(x for _, x, _ in vals)
+    nt = len(vals)
+    s_hi = sum(x for _, x, h in vals if h)
+    n_hi = sum(1 for _, _, h in vals if h)
+    d_obs = s_hi / n_hi - (st - s_hi) / (nt - n_hi)
+    dks = []
+    for k in range(1, 33):
+        s0 = n0 = 0
+        for key, x, _ in vals:
+            h = int(
+                hashlib.md5(f"{k}|{key}".encode()).hexdigest()[:8], 16
+            )
+            if h % 2 == 0:
+                s0 += x
+                n0 += 1
+        dks.append(s0 / n0 - (st - s0) / (nt - n0))
+    nm = sum(dks) / 32
+    sd = math.sqrt(sum(d * d for d in dks) / 32 - nm * nm)
+    assert (row["n_hi"], row["n_lo"]) == (n_hi, nt - n_hi)
+    assert math.isclose(row["d_obs_dollars"], d_obs / 100, rel_tol=1e-9)
+    assert math.isclose(
+        row["null_mean_dollars"], nm / 100, rel_tol=1e-6
+    )
+    assert math.isclose(row["null_sd_dollars"], sd / 100, rel_tol=1e-6)
+    assert math.isclose(
+        row["z_perm"], (d_obs - nm) / sd, rel_tol=1e-6
+    )
