@@ -7685,3 +7685,275 @@ def multimodal_ebml_vint_walk(
         ).alias("body_consistent"),
         F.octet_length(p).cast("long").alias("total_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BSON document walk — twenty-fourth byte codec: the first TYPE-TAG
+# DISPATCH (each element's size rule depends on a type byte read at walk
+# time: fixed-width ints/bools vs length-prefixed strings), plus rotated
+# element order so the dispatch sequence is data-dependent per document
+# ---------------------------------------------------------------------------
+BSON_TYPES = ("int64", "bool", "string", "int32")  # walk-time dispatch set
+
+
+def _bson_oracle() -> str:
+    return """
+    WITH src AS (
+      SELECT doc_id,
+             doc_id % 4 AS rot,
+             doc_id * 7 AS id_val,
+             doc_id % 2 AS flag_val,
+             'doc' || CAST(doc_id AS VARCHAR) AS name_val,
+             doc_id % 1000 AS n_val
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, rot, id_val, flag_val, name_val, n_val,
+             -- element byte lengths: type(1) + cstring name + value
+             (1 + 3 + 8) AS e_id,          -- "id" int64
+             (1 + 5 + 1) AS e_flag,        -- "flag" bool
+             (1 + 5 + 4 + length(name_val) + 1) AS e_name,
+             (1 + 2 + 4) AS e_n            -- "n" int32
+      FROM src
+    )
+    SELECT doc_id,
+           CAST(4 + e_id + e_flag + e_name + e_n + 1 AS BIGINT)
+             AS total_len,
+           TRUE AS len_ok,
+           TRUE AS terminator_ok,
+           CAST(4 AS BIGINT) AS n_elements,
+           CAST(id_val AS BIGINT) AS id_parsed,
+           (flag_val = 1) AS flag_parsed,
+           name_val AS name_parsed,
+           CAST(n_val AS BIGINT) AS n_parsed,
+           CAST(rot AS BIGINT) AS rot
+    FROM g
+    """
+
+
+@register(
+    "multimodal_bson_doc_walk",
+    oracle=_bson_oracle(),
+    tags=("multimodal", "llm", "binary"),
+)
+def multimodal_bson_doc_walk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BSON document walk — the twenty-fourth byte codec and the first
+    TYPE-TAG DISPATCH: at every element the walker reads a type byte
+    and only THEN knows the size rule (0x12 int64 = 8 fixed bytes,
+    0x08 bool = 1, 0x10 int32 = 4, 0x02 string = an int32 length
+    prefix it must read and skip) — the dispatch-then-size pattern of
+    every schemaless wire format, one level beyond chunk chains whose
+    size field sits at a fixed offset. Each document carries four
+    elements (int64 "id", bool "flag", string "name", int32 "n") in an
+    order ROTATED by doc_id%4, so the dispatch sequence differs per
+    row and no fixed-offset shortcut can pass; values are recovered BY
+    NAME during the walk (NUL-scanned cstrings), the trailing 0x00
+    terminator must land exactly at the declared total length, and the
+    leading int32 LE length must equal the byte count. Independent
+    Python BSON walker in the unit test.
+
+    Scale shape: map-only JVM binary expressions, zero exchanges.
+    Reference basis: SURVEY.md §2.12 multimodal family (absent in
+    reference)."""
+    d = table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    empty = F.unhex(F.lit(""))
+
+    def hx(c, nbytes):
+        return F.lpad(F.hex(c.cast("long")), 2 * nbytes, "0")
+
+    def le_hex(c, nbytes):
+        h = hx(c, nbytes)
+        return F.concat(
+            *[
+                F.substring(h, 2 * nbytes - 1 - 2 * i, 2)
+                for i in range(nbytes)
+            ]
+        )
+
+    def cstr(text_col):
+        return F.concat(F.encode(text_col, "utf-8"), F.unhex(F.lit("00")))
+
+    g = d.select(
+        "doc_id",
+        (did % 4).cast("long").alias("rot"),
+        (did * 7).cast("long").alias("id_val"),
+        (did % 2).cast("long").alias("flag_val"),
+        F.concat(F.lit("doc"), did.cast("string")).alias("name_val"),
+        (did % 1000).cast("long").alias("n_val"),
+    )
+    e_id = F.concat(
+        F.unhex(F.lit("12")), cstr(F.lit("id")),
+        F.unhex(le_hex(F.col("id_val"), 8)),
+    )
+    e_flag = F.concat(
+        F.unhex(F.lit("08")), cstr(F.lit("flag")),
+        F.unhex(hx(F.col("flag_val"), 1)),
+    )
+    slen = F.length(F.col("name_val")).cast("long") + 1
+    e_name = F.concat(
+        F.unhex(F.lit("02")), cstr(F.lit("name")),
+        F.unhex(le_hex(slen, 4)), cstr(F.col("name_val")),
+    )
+    e_n = F.concat(
+        F.unhex(F.lit("10")), cstr(F.lit("n")),
+        F.unhex(le_hex(F.col("n_val"), 4)),
+    )
+    elems = [e_id, e_flag, e_name, e_n]
+    body = empty
+    for r in range(4):
+        rotated = F.concat(*(elems[(r + i) % 4] for i in range(4)))
+        body = F.concat(
+            body, F.when(F.col("rot") == r, rotated).otherwise(empty)
+        )
+    total = F.octet_length(body).cast("long") + 5
+    bson = g.select(
+        "doc_id",
+        "rot",
+        F.concat(
+            F.unhex(le_hex(total, 4)), body, F.unhex(F.lit("00"))
+        ).alias("payload"),
+    )
+    p = F.col("payload")
+
+    def rd_le(pos, nbytes):
+        b = [
+            F.conv(
+                F.hex(
+                    F.substring(
+                        p,
+                        (pos + i).cast("int")
+                        if hasattr(pos, "cast")
+                        else pos + i,
+                        1,
+                    )
+                ),
+                16,
+                10,
+            ).cast("long")
+            for i in range(nbytes)
+        ]
+        out = b[0]
+        for i in range(1, nbytes):
+            out = out + b[i] * (1 << (8 * i))
+        return out
+
+    def name_at(pos):
+        return F.substring_index(
+            F.decode(F.substring(p, pos.cast("int"), 16), "ISO-8859-1"),
+            "\x00",
+            1,
+        )
+
+    st = bson.select(
+        "doc_id",
+        "rot",
+        "payload",
+        rd_le(F.lit(1).cast("long"), 4).alias("total_len"),
+        F.lit(5).cast("long").alias("off"),
+        F.lit(0).cast("long").alias("n_elements"),
+        F.lit(None).cast("long").alias("id_parsed"),
+        F.lit(None).cast("boolean").alias("flag_parsed"),
+        F.lit(None).cast("string").alias("name_parsed"),
+        F.lit(None).cast("long").alias("n_parsed"),
+    )
+    carry = ["doc_id", "rot", "payload", "total_len"]
+    for _ in range(4):
+        ty = rd_le(F.col("off"), 1)
+        nm = name_at(F.col("off") + 1)
+        st = st.select(
+            *carry,
+            "off", "n_elements", "id_parsed", "flag_parsed",
+            "name_parsed", "n_parsed",
+            (F.col("off") < F.col("total_len")).alias("active"),
+            ty.alias("ty"),
+            nm.alias("nm"),
+            (
+                F.col("off") + 1 + F.length(nm).cast("long") + 1
+            ).alias("vpos"),
+        )
+        # type-tag dispatch: the size rule depends on ty read just now
+        vlen = (
+            F.when(F.col("ty") == 0x12, 8)
+            .when(F.col("ty") == 0x08, 1)
+            .when(F.col("ty") == 0x10, 4)
+            .otherwise(4 + rd_le(F.col("vpos"), 4))  # 0x02 string
+        ).cast("long")
+        val_i64 = rd_le(F.col("vpos"), 8)
+        val_i32 = rd_le(F.col("vpos"), 4)
+        val_b = rd_le(F.col("vpos"), 1)
+        val_s = F.substring_index(
+            F.decode(
+                F.substring(
+                    p,
+                    (F.col("vpos") + 4).cast("int"),
+                    32,
+                ),
+                "ISO-8859-1",
+            ),
+            "\x00",
+            1,
+        )
+        st = st.select(
+            *carry,
+            F.when(F.col("active"), F.col("vpos") + vlen)
+            .otherwise(F.col("off"))
+            .alias("off"),
+            (
+                F.col("n_elements")
+                + F.when(F.col("active"), 1).otherwise(0)
+            ).alias("n_elements"),
+            F.coalesce(
+                F.col("id_parsed"),
+                F.when(
+                    F.col("active")
+                    & (F.col("nm") == "id")
+                    & (F.col("ty") == 0x12),
+                    val_i64,
+                ),
+            ).alias("id_parsed"),
+            F.coalesce(
+                F.col("flag_parsed"),
+                F.when(
+                    F.col("active")
+                    & (F.col("nm") == "flag")
+                    & (F.col("ty") == 0x08),
+                    val_b == 1,
+                ),
+            ).alias("flag_parsed"),
+            F.coalesce(
+                F.col("name_parsed"),
+                F.when(
+                    F.col("active")
+                    & (F.col("nm") == "name")
+                    & (F.col("ty") == 0x02),
+                    val_s,
+                ),
+            ).alias("name_parsed"),
+            F.coalesce(
+                F.col("n_parsed"),
+                F.when(
+                    F.col("active")
+                    & (F.col("nm") == "n")
+                    & (F.col("ty") == 0x10),
+                    val_i32,
+                ),
+            ).alias("n_parsed"),
+        )
+    return st.select(
+        "doc_id",
+        "total_len",
+        (F.octet_length(p) == F.col("total_len")).alias("len_ok"),
+        (
+            (F.col("off") == F.col("total_len"))
+            & (F.hex(F.substring(p, F.col("off").cast("int"), 1)) == "00")
+        ).alias("terminator_ok"),
+        "n_elements",
+        "id_parsed",
+        "flag_parsed",
+        "name_parsed",
+        "n_parsed",
+        "rot",
+    )

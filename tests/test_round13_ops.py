@@ -1197,3 +1197,65 @@ def test_permutation_test_matches_pure_python(spark, sf_dir):
     assert math.isclose(
         row["z_perm"], (d_obs - nm) / sd, rel_tol=1e-6
     )
+
+
+def test_bson_codec_matches_python_walker(spark, sf_dir):
+    """Type-tag dispatch walk matches an independent Python BSON
+    decoder over independently rebuilt bytes (rotated element order)."""
+    rows = (
+        REGISTRY["multimodal_bson_doc_walk"].fn(spark, sf_dir).collect()
+    )
+    for r in rows:
+        doc_id = r["doc_id"]
+        rot = doc_id % 4
+
+        def elem(ty, name, value):
+            return bytes([ty]) + name.encode() + b"\x00" + value
+
+        name_val = f"doc{doc_id}".encode()
+        elems = [
+            elem(0x12, "id", (doc_id * 7).to_bytes(8, "little")),
+            elem(0x08, "flag", bytes([doc_id % 2])),
+            elem(
+                0x02,
+                "name",
+                (len(name_val) + 1).to_bytes(4, "little")
+                + name_val
+                + b"\x00",
+            ),
+            elem(0x10, "n", (doc_id % 1000).to_bytes(4, "little")),
+        ]
+        body = b"".join(elems[(rot + i) % 4] for i in range(4))
+        total = 4 + len(body) + 1
+        payload = total.to_bytes(4, "little") + body + b"\x00"
+        # independent walker
+        assert int.from_bytes(payload[:4], "little") == total == len(payload)
+        off = 4
+        got = {}
+        while payload[off] != 0:
+            ty = payload[off]
+            end = payload.index(0, off + 1)
+            nm = payload[off + 1 : end].decode()
+            vp = end + 1
+            if ty == 0x12:
+                got[nm] = int.from_bytes(payload[vp : vp + 8], "little")
+                vp += 8
+            elif ty == 0x08:
+                got[nm] = bool(payload[vp])
+                vp += 1
+            elif ty == 0x10:
+                got[nm] = int.from_bytes(payload[vp : vp + 4], "little")
+                vp += 4
+            else:
+                sl = int.from_bytes(payload[vp : vp + 4], "little")
+                got[nm] = payload[vp + 4 : vp + 4 + sl - 1].decode()
+                vp += 4 + sl
+            off = vp
+        assert off == total - 1
+        assert r["total_len"] == total and r["len_ok"]
+        assert r["terminator_ok"] and r["n_elements"] == 4
+        assert r["id_parsed"] == got["id"] == doc_id * 7
+        assert r["flag_parsed"] == got["flag"] == bool(doc_id % 2)
+        assert r["name_parsed"] == got["name"] == f"doc{doc_id}"
+        assert r["n_parsed"] == got["n"] == doc_id % 1000
+        assert r["rot"] == rot
