@@ -197,6 +197,27 @@ SF1_HEAVY = [
     # codecs (0.96-1.17x — map-only).
     "text_suffix_lcp_dedup",
     "sim_kcenter_seeds",
+    # round-13 admissions, hand-probed first (tools/r13_sf1_probe.py,
+    # min-of-2 warm, graph_components_star control 3.28x on a ~30%
+    # noisier host — two full bench runs this session landed 66.3 /
+    # 57.7 s headline totals, so ratios, not absolute seconds, carry
+    # the round's signal): stream_ams_f2 4.50 -> 15.19 s (3.37x for
+    # 10x events — the x16 AMS ingest fan-out is the one new plan
+    # shape that grows with the stream) and graph_bipartite_squares
+    # 4.42 -> 7.45 s (1.68x — the degree-capped wedge join, a
+    # pair-generating shape no existing leg has). NOT admitted:
+    # q_kruskal_wallis / q_cramer_von_mises / q_jonckheere_terpstra /
+    # q_cliffs_delta-family (0.65-0.98x — orders UNSCALED in the
+    # fixture, flat by construction), events_hurst_rs /
+    # events_ordinal_patterns / events_cochran_q (1.14-1.49x —
+    # wall-clock-bounded spines), q_spearman_rho (1.20x — the rank
+    # maps grow but the scan dominates), text_yule_k /
+    # text_burrows_delta / q_jarque_bera / q_ols_price_on_qty /
+    # q_extreme_studentized (1.46-2.15x but 0.3-2 s absolute — token
+    # and scalar passes, no new plan shape vs admitted legs), the
+    # three codecs (0.81-1.05x — map-only).
+    "stream_ams_f2",
+    "graph_bipartite_squares",
 ]
 
 
