@@ -5373,7 +5373,9 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     divisions, and the survival product folds the factors in ascending
     time order — a pinned MULTIPLY sequence, the multiplicative twin
     of the ordered-sum doctrine — so both engines land bit-identical
-    doubles.
+    doubles. The fold's running collect_list costs O(spine^2) cells in
+    the window frame — fine at <= {H}+1 rows, but a data-sized spine
+    would need the segmented two-phase product rewrite instead.
 
     Scale shape: two per-user reduces (first signup, first qualifying
     purchase), one bounded-spine agg + window. Reference basis:

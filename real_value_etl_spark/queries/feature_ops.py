@@ -6246,6 +6246,9 @@ multimodal_avi_idx1_walk.__doc__ = multimodal_avi_idx1_walk.__doc__.format(
 # ---------------------------------------------------------------------------
 GZ_MAX_BLOCKS = 8  # dlen <= 48, cap >= 7 -> ceil(48/7) = 7 blocks max
 GZ_DLEN_MOD = 37  # dlen = doc_id % 37 + 12 (12..48 bytes of doc text)
+GZ_SCAN_WINDOW = 64  # NUL-scan window for FNAME/FCOMMENT: recipe
+# fields are <= ~16 bytes; the parse raises loudly if a field ever
+# reaches window size instead of silently desynchronizing the walk
 
 
 def _gz_oracle() -> str:
@@ -6490,17 +6493,32 @@ def multimodal_gzip_member_parse(
     # FNAME: NUL scan from off_name (bounded 64-byte window)
     # scan windows slice into binary block data -> decode with the
     # total single-byte charset (every byte valid), not utf-8 (ANSI
-    # decode raises on malformed sequences); the fields are ASCII
+    # decode raises on malformed sequences); the fields are ASCII.
+    # GZ_SCAN_WINDOW bounds the NUL scan: a field of >= window bytes
+    # would silently truncate and desynchronize the walk, so the guard
+    # below fails LOUDLY instead (r13 self-audit).
     nm_str = F.substring_index(
         F.decode(
-            F.substring(p, F.col("off_name").cast("int"), 64), "ISO-8859-1"
+            F.substring(
+                p, F.col("off_name").cast("int"), GZ_SCAN_WINDOW
+            ),
+            "ISO-8859-1",
         ),
         "\x00",
         1,
     )
+    nm_guarded = F.when(
+        F.length(nm_str) >= GZ_SCAN_WINDOW - 1,
+        F.expr(
+            "raise_error('multimodal_gzip_member_parse: FNAME exceeds "
+            "the NUL-scan window; widen GZ_SCAN_WINDOW')"
+        ),
+    ).otherwise(nm_str)
     st = st.select(
         "*",
-        F.when(F.col("f_name"), nm_str).otherwise(F.lit("")).alias("fname"),
+        F.when(F.col("f_name"), nm_guarded)
+        .otherwise(F.lit(""))
+        .alias("fname"),
     )
     st = st.select(
         "*",
@@ -6513,12 +6531,21 @@ def multimodal_gzip_member_parse(
     )
     cm_str = F.substring_index(
         F.decode(
-            F.substring(p, F.col("off_comment").cast("int"), 64),
+            F.substring(
+                p, F.col("off_comment").cast("int"), GZ_SCAN_WINDOW
+            ),
             "ISO-8859-1",
         ),
         "\x00",
         1,
     )
+    cm_str = F.when(
+        F.length(cm_str) >= GZ_SCAN_WINDOW - 1,
+        F.expr(
+            "raise_error('multimodal_gzip_member_parse: FCOMMENT exceeds "
+            "the NUL-scan window; widen GZ_SCAN_WINDOW')"
+        ),
+    ).otherwise(cm_str)
     st = st.select(
         "*",
         F.when(F.col("f_comment"), F.length(cm_str).cast("long"))

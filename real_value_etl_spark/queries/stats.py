@@ -2953,7 +2953,11 @@ def _jt_oracle() -> str:
              ({ssq}) AS sum_var
       FROM agg
     )
-    SELECT CAST(jt_x2 AS BIGINT) AS jt_x2,
+    SELECT CAST(jt_x2 AS BIGINT)
+             + CASE WHEN greatest(n1, n2, n3, n4, n5) >= {JT_PACK}
+                    THEN CAST(error('q_jonckheere_terpstra: packing bound'
+                                    ' exceeded') AS BIGINT)
+                    ELSE 0 END AS jt_x2,
            CAST(n AS BIGINT) AS n,
            (CAST(CAST(CAST(n AS HUGEINT) * n - sum_nsq AS VARCHAR)
                  AS DOUBLE)) / 4.0 AS jt_mean,
@@ -3060,8 +3064,18 @@ def q_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
         vt = nsq * (2 * F.col(f"n{g}") + 3)
         sum_nsq = nsq if sum_nsq is None else sum_nsq + nsq
         sum_var = vt if sum_var is None else sum_var + vt
+    # loud packing-bound guard (the Kadane doctrine): cum_g <= n_g, so
+    # n_g < JT_PACK proves every packed field stayed in its lane; a
+    # violation would corrupt the word IDENTICALLY on both engines, so
+    # the parity gate could not catch it — fail the job instead.
+    guard = F.expr(
+        "CASE WHEN greatest(n1, n2, n3, n4, n5) >= "
+        f"{JT_PACK} THEN CAST(raise_error('q_jonckheere_terpstra: "
+        "packing bound exceeded (per-group rows < 1e7); widen to two "
+        "packed words') AS BIGINT) ELSE 0 END"
+    )
     d = agg.select(
-        F.col("jt_x2").cast("long").alias("jt_x2"),
+        (F.col("jt_x2").cast("long") + guard).alias("jt_x2"),
         n.alias("n"),
         (n.cast("decimal(38,0)") * n - sum_nsq)
         .cast("string")

@@ -1259,3 +1259,30 @@ def test_bson_codec_matches_python_walker(spark, sf_dir):
         assert r["name_parsed"] == got["name"] == f"doc{doc_id}"
         assert r["n_parsed"] == got["n"] == doc_id % 1000
         assert r["rot"] == rot
+
+
+def test_jt_packing_guard_fires(spark):
+    """The Jonckheere packing-bound guard raises loudly when any group
+    exceeds the packed-field capacity (same doctrine as the Kadane
+    guard: a silent overflow would corrupt BOTH engines identically)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    df = spark.range(1).select(
+        *[F.lit(v).alias(f"n{i}") for i, v in enumerate(
+            [5, 12, 3, 1, 2], 1
+        )]
+    )
+    guard = F.expr(
+        "CASE WHEN greatest(n1, n2, n3, n4, n5) >= 10 THEN "
+        "CAST(raise_error('packing bound exceeded') AS BIGINT) "
+        "ELSE 0 END"
+    )
+    with pytest.raises(Exception, match="packing bound exceeded"):
+        df.select(guard.alias("g")).collect()
+    ok = spark.range(1).select(
+        *[F.lit(v).alias(f"n{i}") for i, v in enumerate(
+            [5, 9, 3, 1, 2], 1
+        )]
+    )
+    assert ok.select(guard.alias("g")).collect()[0]["g"] == 0
