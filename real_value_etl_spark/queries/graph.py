@@ -460,9 +460,20 @@ def graph_bipartite_squares(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
+        # e feeds the degree agg AND the degree-filter join, and keep
+        # feeds BOTH wedge sides — without the checkpoints Catalyst
+        # re-derives the distinct edge set four times (13 exchanges,
+        # 4x the orders/lineitem scans; measured in the r13 plan
+        # audit). The eager localCheckpoint is the HITS/k-core trick:
+        # compute each frame once, read it everywhere.
+        .localCheckpoint(eager=True)
     )
     deg = e.groupBy("c").agg(F.count("*").alias("d"))
-    keep = e.join(deg.filter(F.col("d") <= SQ_DEG_CAP), "c").select("c", "s")
+    keep = (
+        e.join(deg.filter(F.col("d") <= SQ_DEG_CAP), "c")
+        .select("c", "s")
+        .localCheckpoint(eager=True)
+    )
     a = keep.select("c", F.col("s").alias("s1"))
     b = keep.select("c", F.col("s").alias("s2"))
     wedges = (
