@@ -4504,7 +4504,11 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"(cast(coalesce(c_sw, 0) as decimal(38,0))"
             f" * {BURROWS_SCALE}) div cast(n_s as decimal(38,0))"
         ).alias("fi"),
-    )
+    # fi is a |sources| x F frame (tiny) whose plan contains the whole
+    # corpus token aggregation; it feeds the variance table and both
+    # pair sides, so without the checkpoint the corpus agg runs three
+    # times (r13 plan audit: 12 document scans)
+    ).localCheckpoint(eager=True)
     wstat = fi.groupBy("tok").agg(
         F.count("*").alias("s"),
         F.sum("fi").alias("sfi"),
@@ -4647,6 +4651,11 @@ def docs_rouge2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "bgr")
         .agg(F.count("*").alias("c"))
+        # bg feeds the totals AND both pair sides — checkpoint so the
+        # bigram explode+count runs once, not three times (the
+        # graph_bipartite_squares lesson; r13 plan audit: 10 document
+        # scans without it)
+        .localCheckpoint(eager=True)
     )
     tot = bg.groupBy("doc_id").agg(F.sum("c").alias("nb"))
     a = bg.select(
