@@ -644,6 +644,70 @@ def bench_shared_pairs(spark):
     return out
 
 
+def control_probe(spark) -> dict | None:
+    """Host-contention guard (VERDICT r10 ask #2). The r10 committed
+    artifact was recorded on a disclosed-noisy host (three identical-code
+    runs spanned 57.7-75.1 s; its q1 control read 0.855 s vs a 0.53 s
+    trailing median, +61%) and its sf1 decade exponents were refuted by
+    quiet-host re-probes — a record that silently absorbs 2x environmental
+    error will eventually hide a real 2x regression. So: BEFORE the suite,
+    time the untouched q1 control (min-of-3, standard warm protocol) and
+    compare to the median q1 across the committed BENCH_LOCAL_r*.json
+    artifacts not themselves stamped noisy. Deviation > 25% stamps the
+    payload {"noisy": true} so nobody reads absolute seconds from it;
+    ratios within one run remain valid either way."""
+    if not SF_DIR.rstrip("/").endswith("sf0.1"):
+        return None
+    import glob
+
+    from real_value_etl_spark.queries.registry import REGISTRY
+
+    spec = REGISTRY["q1_pricing_summary"]
+    for _warm in range(2):
+        spark.catalog.clearCache()
+        spec.fn(spark, SF_DIR).count()
+    reads = []
+    for _ in range(3):
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
+        t0 = time.perf_counter()
+        spec.fn(spark, SF_DIR).count()
+        reads.append(round(time.perf_counter() - t0, 4))
+    sec = min(reads)
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    trailing = []
+    for f in sorted(glob.glob(os.path.join(here, "BENCH_LOCAL_r*.json"))):
+        try:
+            d = json.load(open(f))
+        except Exception:
+            continue
+        if d.get("noisy"):
+            continue  # a contaminated record must not poison the baseline
+        v = d.get("queries", {}).get("q1_pricing_summary")
+        if v:
+            trailing.append(float(v))
+    out = {"query": "q1_pricing_summary", "sec": sec, "readings": reads}
+    if trailing:
+        trailing.sort()
+        med = trailing[len(trailing) // 2] if len(trailing) % 2 else (
+            trailing[len(trailing) // 2 - 1] + trailing[len(trailing) // 2]
+        ) / 2
+        out["trailing_median"] = round(med, 4)
+        out["deviation"] = round(sec / med - 1.0, 3)
+        out["noisy"] = out["deviation"] > 0.25
+        print(
+            f"# control q1: {sec:.3f}s (readings {reads}) vs trailing "
+            f"median {med:.3f}s -> deviation {out['deviation']:+.1%}"
+            + ("  ** NOISY HOST — artifact will be stamped noisy:true **"
+               if out["noisy"] else ""),
+            file=sys.stderr,
+        )
+    else:
+        out["noisy"] = False
+    return out
+
+
 ETL_ROWS_PER_PLATFORM = 50_000
 
 
@@ -796,6 +860,8 @@ def main() -> None:
     # silently hand the timed run a warm copy — making those numbers
     # cache-reads, not engine time. Each timed query pays for its own
     # materializations.
+    control = control_probe(spark)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = REGISTRY.get(name)
@@ -843,6 +909,10 @@ def main() -> None:
         exps = decade_exponents(t001, timings, sf1)
         if exps:
             payload["decade_exponents"] = exps
+    if control is not None:
+        payload["control"] = control
+        if control.get("noisy"):
+            payload["noisy"] = True
     shared = bench_shared_pairs(spark)
     if shared is not None:
         payload["shared_pairs"] = shared
@@ -884,6 +954,22 @@ def main() -> None:
         ]
         rnd = str(max(seen, default=0) + 1)
     local = os.path.join(here, f"BENCH_LOCAL_r{int(rnd):02d}.json")
+    if os.path.exists(local):
+        # Never clobber a committed record: the r10 builder ran internal
+        # sub-rounds that left BENCH_LOCAL_r11..r13 while PROGRESS still
+        # said 10, so the driver-round number can collide with an
+        # existing artifact. Bump past every committed index instead.
+        import glob
+        import re
+
+        taken = [
+            int(m.group(1))
+            for f in glob.glob(os.path.join(here, "BENCH_LOCAL_r*.json"))
+            if (m := re.search(r"BENCH_LOCAL_r(\d+)\.json$", f))
+        ]
+        local = os.path.join(
+            here, f"BENCH_LOCAL_r{max(taken) + 1:02d}.json"
+        )
     with open(local, "w") as fh:
         json.dump(payload, fh, indent=1, sort_keys=True)
         fh.write("\n")

@@ -34,79 +34,70 @@ from . import (  # noqa: F401
 )
 from .registry import REGISTRY
 
-# Round-11 window. Composition, mechanical from CORRECTNESS_r01..r09
-# latest-green rows (r1..r9 histogram after r9: {r4:1, r5:45, r6:49,
-# r7:50, r8:47, r9:50}); NOTE: no CORRECTNESS_r10.json artifact ever
-# landed, so the round-10 window's coverage is UNPROVEN — its leads are
-# re-booked here as insurance:
-#   (a) the 23 round-11 additions (never in any window);
-#   (b) the 16 round-10 additions (never in any window — r10's window
-#       held the r9 cohort, and the r10 artifact is missing anyway);
-#   (c) the 10 round-9 additions that led the r10 window (re-booked:
-#       without CORRECTNESS_r10 they still have zero driver evidence);
-#   (d) q_approx_stats — rows-only by construction, oldest evidence;
-#   (e) the first 1 (alphabetical) of the 6 r5 stragglers the r10
-#       rotation deferred (text_bpe_train, text_kmv_jaccard,
-#       text_postings, text_tfidf_cosine_pairs,
-#       text_tokenizer_fertility and the r6 cohort roll to r12 —
-#       additions take the slots).
-# 23 + 16 + 9 + 1 + 1 = 50 exactly.
+# Round-12 window (driver round 11). Mechanical composition from the
+# CORRECTNESS_r01..r10 union: after r10 landed (49 green + q_approx_stats
+# rows-only), exactly 49 registry entries had never appeared in ANY driver
+# window — the full classical-inference kit (16 q_* stats tests), the
+# survival/time-series events ops (11), 10 container codecs, the graph
+# four + sim_kcenter_seeds, stream_ams_f2/stream_moments, and the three
+# heavy text ops. VERDICT r10 ask #1: book all 49 this round; the 50th
+# slot re-probes q_hdr_histogram_price on driver record after its r10
+# shiftleft BIGINT fix (VERDICT r10 suggestion). 49 + 1 = 50 exactly —
+# cumulative driver coverage becomes 339/339 + 1 re-green when this
+# window lands.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- (a) round-11 additions, zero driver evidence
-    "docs_simpson_diversity",
-    "emb_pca_deflation",
-    "events_allan_variance",
-    "events_allen_relations",
-    "events_bootstrap_ci",
-    "events_runs_test",
-    "graph_degree_assortativity",
-    "multimodal_tar_header_parse",
-    "q_hoover_index",
-    "events_quartile_motifs",
-    "graph_modularity",
-    "graph_path_counts",
-    "graph_resource_allocation",
-    "graph_rich_club",
-    "multimodal_bmp_parse",
-    "multimodal_flac_streaminfo",
-    "multimodal_ogg_page_walk",
-    "multimodal_zip_eocd_walk",
-    "q_benford_audit",
-    "q_hhi_concentration",
-    "stream_minmax_witness",
-    "text_edit_distance_pairs",
-    "text_readability_fk",
-    # -- (b) round-10 additions, zero driver evidence
-    "events_chi2_uniform",
-    "events_mad_outliers",
-    "events_sliding_distinct_users",
-    "events_stl_seasonal",
-    "graph_k_truss",
-    "graph_link_prediction",
-    "graph_local_clustering",
-    "multimodal_deflate_fixed_huffman",
-    "multimodal_png_defilter",
-    "q_bitmap_intersect",
-    "sim_ari_clusterings",
-    "sim_radius_search",
-    "stream_bitmap_distinct",
-    "stream_hdr_quantile",
-    "text_bpe_apply",
-    "text_stupid_backoff",
-    # -- (c) round-9 additions re-booked (r10 artifact missing)
-    "docs_rep_ngram_coverage",
-    "events_holt_winters",
-    "events_max_burst_interval",
-    "graph_k_core",
-    "multimodal_mp3_frame_walk",
-    "multimodal_png_idat_parse",
-    "q_hll_set_ops",
-    "sim_mmr_rerank",
-    "stream_countmin",
-    # -- (d) rows-only, oldest evidence (r4)
-    "q_approx_stats",
-    # -- (e) r5 stragglers, first 1 alphabetical
-    "stream_kmv_distinct",
+    # -- the 49 never-driver-checked entries (sorted)
+    "docs_rouge2_pairs",
+    "docs_tv_distance",
+    "events_cochran_q",
+    "events_friedman_test",
+    "events_granger_lag1",
+    "events_hurst_rs",
+    "events_interevent_burstiness",
+    "events_kaplan_meier",
+    "events_kendall_tau",
+    "events_ljung_box",
+    "events_logrank_test",
+    "events_ordinal_patterns",
+    "events_theil_sen",
+    "graph_bipartite_squares",
+    "graph_double_sweep",
+    "graph_edge_jaccard",
+    "graph_katz_centrality",
+    "multimodal_avi_idx1_walk",
+    "multimodal_bson_doc_walk",
+    "multimodal_ebml_vint_walk",
+    "multimodal_elf_section_walk",
+    "multimodal_gif_frame_walk",
+    "multimodal_gzip_member_parse",
+    "multimodal_ico_parse",
+    "multimodal_midi_track_walk",
+    "multimodal_png_crc32",
+    "multimodal_webp_vp8l_parse",
+    "q_anova_oneway",
+    "q_cliffs_delta",
+    "q_cramer_von_mises",
+    "q_cramers_v",
+    "q_extreme_studentized",
+    "q_jarque_bera",
+    "q_jonckheere_terpstra",
+    "q_kruskal_wallis",
+    "q_ks_two_sample",
+    "q_levene_test",
+    "q_mann_whitney",
+    "q_mcnemar",
+    "q_ols_price_on_qty",
+    "q_permutation_test",
+    "q_spearman_rho",
+    "q_welch_t_test",
+    "sim_kcenter_seeds",
+    "stream_ams_f2",
+    "stream_moments",
+    "text_burrows_delta",
+    "text_suffix_lcp_dedup",
+    "text_yule_k",
+    # -- re-green the r10 shiftleft fix on driver record
+    "q_hdr_histogram_price",
 )
 
 
