@@ -1197,3 +1197,278 @@ def lang_id_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(2.0) * F.sum("pos") * F.sum("neg"))
         ).alias("auc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# URL/domain-level dedup + normalization (VERDICT r10 ask #6): the step a
+# CommonCrawl-style pipeline runs BEFORE content dedup — canonicalize URLs,
+# collapse crawl-variant duplicates by normalized URL, and cap any one
+# domain's share of the corpus. The reference's own URL surface (building
+# listing URLs from ids, transformation.py:36-38, and regex id-extraction
+# from scheme-relative URLs, transformation.py:371-384) is the single-site
+# special case of this family.
+#
+# The documents fixture has no url column, so a deterministic MESSY url is
+# derived per doc_id with IDENTICAL integer/string arithmetic in both
+# engines (same pattern as the codec queries' payload builders): crawl
+# variants differ in scheme case, host case, a www. prefix, a :443 default
+# port, a trailing slash, utm_* tracking params, param order, and a
+# fragment — all of which normalization must erase. Group structure:
+# canonical identity = doc_id % 50 (site = doc_id % 5 divides it), so every
+# normalized URL collapses n/50 messy variants at any scale.
+# ---------------------------------------------------------------------------
+_URL_HOSTS = (
+    "news.example.com",
+    "blog.example.org",
+    "docs.example.net",
+    "shop.example.io",
+    "forum.example.dev",
+)
+_URL_SQL_DERIVE = """
+      SELECT doc_id,
+             (CASE WHEN (doc_id // 50) % 2 = 1 THEN 'HTTPS' ELSE 'https' END)
+             || '://'
+             || (CASE WHEN (doc_id // 50) % 4 = 1 THEN 'www.' ELSE '' END)
+             || (CASE WHEN (doc_id // 50) % 3 = 1
+                      THEN upper(CASE doc_id % 5
+                                 WHEN 0 THEN 'news.example.com'
+                                 WHEN 1 THEN 'blog.example.org'
+                                 WHEN 2 THEN 'docs.example.net'
+                                 WHEN 3 THEN 'shop.example.io'
+                                 ELSE 'forum.example.dev' END)
+                      ELSE CASE doc_id % 5
+                           WHEN 0 THEN 'news.example.com'
+                           WHEN 1 THEN 'blog.example.org'
+                           WHEN 2 THEN 'docs.example.net'
+                           WHEN 3 THEN 'shop.example.io'
+                           ELSE 'forum.example.dev' END END)
+             || (CASE WHEN (doc_id // 50) % 5 = 1 THEN ':443' ELSE '' END)
+             || '/article/' || CAST(doc_id % 50 AS VARCHAR)
+             || (CASE WHEN (doc_id // 50) % 3 = 2 THEN '/' ELSE '' END)
+             || (CASE WHEN (doc_id // 50) % 2 = 0
+                      THEN '?utm_source=feed&ref=' || CAST(doc_id % 5 AS VARCHAR)
+                      ELSE '?ref=' || CAST(doc_id % 5 AS VARCHAR)
+                           || '&utm_campaign=x' END)
+             || (CASE WHEN (doc_id // 50) % 6 = 1 THEN '#top' ELSE '' END)
+             AS url
+      FROM documents
+"""
+# normalization, SQL side: lower scheme+host, strip www./:443, drop the
+# trailing slash and the fragment, drop utm_*/fbclid/gclid params, sort
+# the survivors
+_URL_SQL_NORM = """
+      SELECT doc_id, url,
+             regexp_extract(lower(regexp_extract(url,
+                 '^([A-Za-z]+)://([^/?#]+)', 2)),
+                 '^(?:www\\.)?(.*?)(?::443|:80)?$', 1) AS norm_host,
+             regexp_replace(regexp_extract(url,
+                 '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '/$', '') AS norm_path,
+             COALESCE(array_to_string(list_sort(list_filter(
+                 string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                 x -> substr(x, 1, 4) <> 'utm_'
+                      AND substr(x, 1, 7) <> 'fbclid='
+                      AND substr(x, 1, 6) <> 'gclid=')), '&'), '')
+               AS norm_q
+      FROM urls
+"""
+
+
+def _derive_url_spark(d: DataFrame):
+    did = F.col("doc_id")
+    v = (did / 50).cast("long")
+    host0 = (
+        F.when(did % 5 == 0, _URL_HOSTS[0])
+        .when(did % 5 == 1, _URL_HOSTS[1])
+        .when(did % 5 == 2, _URL_HOSTS[2])
+        .when(did % 5 == 3, _URL_HOSTS[3])
+        .otherwise(_URL_HOSTS[4])
+    )
+    url = F.concat(
+        F.when(v % 2 == 1, F.lit("HTTPS")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(v % 4 == 1, F.lit("www.")).otherwise(F.lit("")),
+        F.when(v % 3 == 1, F.upper(host0)).otherwise(host0),
+        F.when(v % 5 == 1, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/article/"),
+        (did % 50).cast("string"),
+        F.when(v % 3 == 2, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            v % 2 == 0,
+            F.concat(F.lit("?utm_source=feed&ref="), (did % 5).cast("string")),
+        ).otherwise(
+            F.concat(
+                F.lit("?ref="), (did % 5).cast("string"),
+                F.lit("&utm_campaign=x"),
+            )
+        ),
+        F.when(v % 6 == 1, F.lit("#top")).otherwise(F.lit("")),
+    )
+    return d.select("doc_id", url.alias("url"))
+
+
+def _normalize_url_spark(urls: DataFrame) -> DataFrame:
+    """The normalization operator itself: scheme/host case-folding,
+    www./default-port stripping, trailing-slash and fragment removal,
+    tracking-param filtering + param sort. Pure Catalyst string/array
+    expressions — map-only, runs at the scan at any scale."""
+    u = F.col("url")
+    host_raw = F.lower(F.regexp_extract(u, r"^([A-Za-z]+)://([^/?#]+)", 2))
+    norm_host = F.regexp_extract(
+        host_raw, r"^(?:www\.)?(.*?)(?::443|:80)?$", 1
+    )
+    norm_path = F.regexp_replace(
+        F.regexp_extract(u, r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1), r"/$", ""
+    )
+    norm_q = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(F.regexp_extract(u, r"\?([^#]*)", 1), "&"),
+                lambda x: (F.substring(x, 1, 4) != "utm_")
+                & (F.substring(x, 1, 7) != "fbclid=")
+                & (F.substring(x, 1, 6) != "gclid="),
+            )
+        ),
+        "&",
+    )
+    return urls.select(
+        "doc_id",
+        "url",
+        norm_host.alias("norm_host"),
+        F.concat(
+            F.lit("https://"),
+            norm_host,
+            norm_path,
+            F.when(norm_q == "", F.lit("")).otherwise(
+                F.concat(F.lit("?"), norm_q)
+            ),
+        ).alias("norm_url"),
+    )
+
+
+@register(
+    "docs_url_dedup",
+    oracle=f"""
+    WITH urls AS ({_URL_SQL_DERIVE}),
+    n AS ({_URL_SQL_NORM}),
+    canon AS (
+      SELECT doc_id, url,
+             'https://' || norm_host || norm_path
+             || (CASE WHEN norm_q = '' THEN '' ELSE '?' || norm_q END)
+             AS norm_url
+      FROM n
+    )
+    SELECT norm_url,
+           CAST(COUNT(*) AS BIGINT) AS n_variants,
+           CAST(COUNT(DISTINCT url) AS BIGINT) AS n_distinct_raw,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id
+    FROM canon
+    GROUP BY norm_url
+    """,
+    tags=("llm", "dedup", "url"),
+)
+def docs_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup by NORMALIZED URL — the first dedup pass of a
+    web-corpus pipeline (cheaper than any content hash: it runs on the
+    crawl index before bytes are even fetched). Each document's messy
+    crawl-variant URL (scheme/host case, www., :443, trailing slash,
+    utm_* params in shuffled order, fragments) is canonicalized by
+    `_normalize_url_spark` and duplicates collapse keep-first (min
+    doc_id), with the variant count and distinct-raw-URL count per
+    canonical URL as the dedup-savings evidence. Scale shape: one
+    map-side string normalization + ONE hash aggregation on the
+    normalized key — the same shuffle profile as dedup_exact_docs;
+    normalization is where all the leverage is (a byte-identical key
+    dedups 10-40% of a real crawl before MinHash ever runs).
+
+    Reference basis: the reference builds listing URLs from ids
+    (src/etl/transformation.py:36-38) and regex-extracts ids back out
+    of scheme-relative offer URLs (transformation.py:371-384) — the
+    one-site special case of URL canonicalization; SURVEY.md §2.12
+    (URL/domain family absent in reference)."""
+    d = table(spark, sf_dir, "documents")
+    canon = _normalize_url_spark(_derive_url_spark(d))
+    return canon.groupBy("norm_url").agg(
+        F.count("*").alias("n_variants"),
+        F.countDistinct("url").alias("n_distinct_raw"),
+        F.min("doc_id").alias("keep_doc_id"),
+    )
+
+
+@register(
+    "docs_domain_caps",
+    oracle=f"""
+    WITH urls AS ({_URL_SQL_DERIVE}),
+    n AS ({_URL_SQL_NORM}),
+    tot AS (SELECT COUNT(*) AS total FROM n),
+    ranked AS (
+      SELECT norm_host, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY norm_host ORDER BY doc_id)
+               AS rk,
+             total
+      FROM n, tot
+    )
+    SELECT norm_host AS domain,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rk <= GREATEST(20, total // 20)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rk <= GREATEST(20, total // 20)
+                         THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN rk <= GREATEST(20, total // 20)
+                         THEN doc_id ELSE 0 END) AS BIGINT)
+             AS kept_docid_sum,
+           CAST(COUNT(*) AS DOUBLE) / MIN(total) AS share
+    FROM ranked
+    GROUP BY norm_host
+    """,
+    tags=("llm", "dedup", "url"),
+)
+def docs_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document quota — the anti-concentration guard every
+    pretraining mix applies after URL dedup (no single host may dominate
+    the corpus): extract the normalized domain, rank that domain's
+    documents keep-first (doc_id order — swap any quality score in
+    unchanged), and cap retention at GREATEST(20, 5% of corpus). Emits
+    per-domain kept/dropped counts, the corpus share, and the kept-id
+    checksum that proves the rank actually selected the N smallest ids.
+    Scale shape: the global total is a 1-row aggregate broadcast back
+    (never a driver collect); the per-domain rank is ONE hash exchange
+    on domain, and the final per-domain aggregate reuses that
+    partitioning (no second exchange). A pathological mega-domain skews
+    the rank partition — at 100 TB the fix is the two-phase top-N (cap
+    is a small constant: per-partition top-cap, then merge), which this
+    plan degrades to under AQE skew handling; with realistic domain
+    cardinality (millions of hosts) hash partitioning is the right
+    default.
+
+    Reference basis: SURVEY.md §2.12 (URL/domain family absent in
+    reference); reference URL surface at src/etl/transformation.py:36-38,
+    371-384."""
+    d = table(spark, sf_dir, "documents")
+    n = _normalize_url_spark(_derive_url_spark(d))
+    total = n.agg(F.count("*").alias("total"))
+    ranked = (
+        n.crossJoin(F.broadcast(total))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("norm_host").orderBy("doc_id")
+            ),
+        )
+        .withColumn(
+            "cap",
+            F.greatest(F.lit(20).cast("long"), (F.col("total") / 20).cast("long")),
+        )
+    )
+    return ranked.groupBy(F.col("norm_host").alias("domain")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("rk") <= F.col("cap"), 1).otherwise(0)).alias(
+            "n_kept"
+        ),
+        F.sum(F.when(F.col("rk") <= F.col("cap"), 0).otherwise(1)).alias(
+            "n_dropped"
+        ),
+        F.sum(
+            F.when(F.col("rk") <= F.col("cap"), F.col("doc_id")).otherwise(0)
+        ).alias("kept_docid_sum"),
+        (F.count("*").cast("double") / F.min("total")).alias("share"),
+    )

@@ -274,8 +274,10 @@ def test_binary_source_to_multimodal(spark, tmp_path):
     assert rows == payloads
 
     decoded = decode_image(mm)
-    got = {r.doc_id: r.byte_len for r in decoded.collect()}
-    assert got == {i: len(d) for i, d in payloads.items()}
+    got = {r.doc_id: (r.byte_len, r.decode_ok, r.width) for r in decoded.collect()}
+    # raw non-PNG blobs: container metadata is real, decode honestly
+    # refuses (decode_ok False, null dims) instead of faking dimensions
+    assert got == {i: (len(d), False, None) for i, d in payloads.items()}
 
 
 def test_range_clustered_write_skips(spark, tmp_path, sf_dir):

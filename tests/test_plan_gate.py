@@ -197,6 +197,9 @@ _BNLJ_WAIVERS: dict[str, str] = {
     "text_kmv_jaccard": _R_PAIRS,
     # scalar-subquery shapes
     "dedup_bcubed_eval": _R_SCALAR,
+    "docs_domain_caps": _R_SCALAR
+    + " (1-row corpus-total frame broadcast into the per-domain rank "
+    "so the GREATEST(20, total/20) cap is computed without a collect)",
     "q_benford_audit": _R_SCALAR
     + " (9-digit spine x the 1-row total-order-count frame)",
     "q_hoover_index": _R_SCALAR

@@ -127,18 +127,32 @@ def test_checkpointed_sink_is_exactly_once(spark, tmp_path, sf_dir):
 
 
 def test_multimodal_decode_is_partition_parallel(spark):
-    """The decode stub must run per partition (no driver collect): row
-    counts survive an explicit repartition and results are deterministic."""
-    from real_value_etl_spark.operators.multimodal import attach_binary, decode_image
+    """The real decoder must run per partition (no driver collect): row
+    counts survive an explicit repartition, and a known payload decodes
+    to the real geometry + pixel sum."""
+    from real_value_etl_spark.operators.multimodal import (
+        attach_binary,
+        decode_image,
+        encode_png_gray,
+    )
 
     df = spark.createDataFrame(
         [(i, f"doc number {i}") for i in range(100)], "doc_id long, text string"
     )
-    out = decode_image(attach_binary(df, "doc_id", "text").repartition(8))
-    rows = out.collect()
+    binary = encode_png_gray(
+        attach_binary(df, "doc_id", "text").repartition(8)
+    )
+    rows = decode_image(binary).collect()
     assert len(rows) == 100
-    one = {r["doc_id"]: (r["byte_len"], r["width"]) for r in rows}
-    assert one[7] == (len("doc number 7"), len("doc number 7") % 640 + 16)
+    one = {r["doc_id"]: r for r in rows}
+    data = b"doc number 7"
+    w = len(data) % 11 + 5
+    h = -(-len(data) // w)
+    r7 = one[7]
+    assert r7["decode_ok"] is True
+    assert (r7["width"], r7["height"]) == (w, h)
+    assert r7["pix_sum"] == sum(data)  # zero padding adds nothing
+    assert r7["pixel_00"] == data[0]
 
 
 def test_foreachbatch_mv_folds_batches_and_restarts(spark, tmp_path):
