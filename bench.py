@@ -218,6 +218,27 @@ SF1_HEAVY = [
     # three codecs (0.81-1.05x — map-only).
     "stream_ams_f2",
     "graph_bipartite_squares",
+    # round-14 admissions, hand-probed first (tools/r14_sf1_probe.py,
+    # min-of-2 warm, graph_components_star control 3.49x — inside the
+    # r9-r13 quiet band): docs_rouge2_pairs 6.69 -> 43.70 s (6.53x for
+    # 10x docs — the LSH-candidate-scoped bigram-overlap pair join, the
+    # r12 heavy VERDICT r10 ask #7 flagged as probe-less; sublinear per
+    # unit, same family shape as the jaccard legs but with the
+    # rebuilt corpus bigram frame) and multimodal_decode 1.80 ->
+    # 14.82 s (8.24x against a 10x work floor — the real PNG
+    # encode+inflate+defilter Python kernel; the ONLY Arrow-kernel
+    # pure-map path whose per-doc Python work grows with the corpus,
+    # so it pins Arrow-batch throughput where phash_dedup pins
+    # kernel+join). NOT admitted from the same probe batch:
+    # text_burrows_delta 1.89x (matches the r13 probe's 1.46-2.15x
+    # non-admission — token aggs, 1.1 -> 2.0 s absolute, no new plan
+    # shape), multimodal_png_decode_gray 2.20x (map-only JVM codec,
+    # fixed overhead dominates — the standing codec rule),
+    # docs_url_dedup 1.74x / docs_domain_caps 1.23x (normalize+agg
+    # with a FIXED canonical-group count (doc_id % 50) — group size
+    # grows, group count doesn't, so the agg output is constant).
+    "docs_rouge2_pairs",
+    "multimodal_decode",
 ]
 
 
