@@ -717,9 +717,35 @@ def control_probe(spark) -> dict | None:
         out["trailing_median"] = round(med, 4)
         out["deviation"] = round(sec / med - 1.0, 3)
         out["noisy"] = out["deviation"] > 0.25
+        if out["noisy"]:
+            # VERDICT r10 ask #2's "retry later" arm: noisy neighbors on
+            # this host come and go on minute scales (r13: three runs in
+            # one session spanned 57.7-75.1 s) — wait one minute and
+            # re-probe ONCE before accepting the stamp.
+            print(
+                f"# control q1: {sec:.3f}s vs trailing median {med:.3f}s "
+                f"({out['deviation']:+.1%}) — noisy; retrying in 60 s",
+                file=sys.stderr,
+            )
+            time.sleep(60)
+            reads2 = []
+            for _ in range(3):
+                spark.catalog.clearCache()
+                spark._jvm.System.gc()
+                t0 = time.perf_counter()
+                spec.fn(spark, SF_DIR).count()
+                reads2.append(round(time.perf_counter() - t0, 4))
+            sec2 = min(reads2)
+            if sec2 < sec:
+                out["sec"], out["readings"] = sec2, reads2
+                out["deviation"] = round(sec2 / med - 1.0, 3)
+                out["noisy"] = out["deviation"] > 0.25
+            else:
+                out["retry_readings"] = reads2
         print(
-            f"# control q1: {sec:.3f}s (readings {reads}) vs trailing "
-            f"median {med:.3f}s -> deviation {out['deviation']:+.1%}"
+            f"# control q1: {out['sec']:.3f}s (readings {out['readings']}) "
+            f"vs trailing median {med:.3f}s -> deviation "
+            f"{out['deviation']:+.1%}"
             + ("  ** NOISY HOST — artifact will be stamped noisy:true **"
                if out["noisy"] else ""),
             file=sys.stderr,
