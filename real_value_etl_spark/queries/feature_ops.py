@@ -8293,10 +8293,7 @@ def multimodal_png_decode_gray(spark: SparkSession, sf_dir: str) -> DataFrame:
     png = _pngfull_build(table(spark, sf_dir, "documents")).localCheckpoint(
         eager=False
     )
-    zero = F.lit(0).cast("long")
     tbl = F.array(*[F.lit(v).cast("long") for v in CRC32_TABLE])
-    adler_over_hex = _pngfull_adler
-    paeth = _pngfull_paeth
 
     # ---- parse: fold-based, 6 projections total -----------------------
     # The first cut walked blocks and scanlines as ~30 CHAINED narrow
