@@ -1472,3 +1472,130 @@ def docs_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("kept_docid_sum"),
         (F.count("*").cast("double") / F.min("total")).alias("share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt longest-match evaluation (RFC 9309 §2.2.2) over the URL family:
+# the other half of crawl-side filtering — after URL normalization decides
+# WHICH document a URL names, robots rules decide whether the pipeline may
+# keep it at all. Longest-matching-prefix wins; on a length tie the ALLOW
+# rule wins (the RFC's least-restrictive tiebreak). Rule sets are small by
+# nature (a site's robots.txt), so they live as broadcast plan literals;
+# the per-document evaluation packs (prefix_len, allow) into one integer
+# score = len * 2 + allow, making "longest match, allow on ties" a plain
+# MAX — identical arithmetic in both engines.
+# ---------------------------------------------------------------------------
+# three rule-set shapes, assigned per site as site % 3; prefixes chosen so
+# longest-match genuinely decides (nested /article/1 < /article/1X)
+_ROBOTS_RULESETS = (
+    # (prefix, allow) — set 0: disallow one first-digit family, re-allow a
+    # nested subtree inside it
+    (("/", 1), ("/article/1", 0), ("/article/12", 1)),
+    # set 1: disallow two families outright
+    (("/", 1), ("/article/2", 0), ("/article/3", 0)),
+    # set 2: disallow everything, re-allow one family
+    (("/", 0), ("/article/4", 1)),
+)
+
+
+def _robots_sql_rules(alias: str) -> str:
+    """DuckDB literal for the per-site rule list (site % 3 selects)."""
+    cases = []
+    for i, rules in enumerate(_ROBOTS_RULESETS):
+        lst = ", ".join(
+            f"{{'p': '{p}', 'a': {a}}}" for p, a in rules
+        )
+        cases.append(f"WHEN {i} THEN [{lst}]")
+    return f"(CASE ({alias}) % 3 {' '.join(cases)} END)"
+
+
+@register(
+    "docs_robots_filter",
+    oracle=f"""
+    WITH urls AS ({_URL_SQL_DERIVE}),
+    n AS ({_URL_SQL_NORM}),
+    scored AS (
+      SELECT doc_id, norm_host, doc_id % 5 AS site,
+             list_max(list_transform(
+               list_filter({_robots_sql_rules('doc_id % 5')},
+                           r -> starts_with(norm_path, r.p)),
+               r -> length(r.p) * 2 + r.a)) AS best
+      FROM n
+    )
+    SELECT norm_host AS domain,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN best % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_allowed,
+           CAST(SUM(CASE WHEN best % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_disallowed,
+           CAST(SUM(CASE WHEN best % 2 = 0 THEN doc_id ELSE 0 END)
+                AS BIGINT) AS disallowed_docid_sum
+    FROM scored
+    GROUP BY norm_host
+    """,
+    tags=("llm", "dedup", "url"),
+)
+def docs_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt ALLOW/DISALLOW evaluation with RFC 9309 longest-match
+    semantics over the normalized URL paths: each domain's rule set (a
+    broadcast plan literal — robots files are tiny by nature) is matched
+    prefix-wise against every document's path; the longest matching
+    prefix decides, an ALLOW wins length ties, and the packed score
+    length*2+allow turns that whole policy into one integer MAX. Emits
+    per-domain allowed/disallowed counts and the disallowed-id checksum.
+    Scale shape: map-side literal-array evaluation + ONE hash aggregate —
+    no join, no shuffle beyond the final per-domain agg; a real crawl
+    swaps the literal for a broadcast per-domain rules table, same plan.
+
+    Reference basis: SURVEY.md §2.12 (crawl-side URL family, absent in
+    reference); URL surface at src/etl/transformation.py:36-38,371-384."""
+    d = table(spark, sf_dir, "documents")
+    n = _normalize_url_spark(_derive_url_spark(d))
+    rules_for = [
+        F.array(
+            *[
+                F.struct(F.lit(p).alias("p"), F.lit(a).alias("a"))
+                for p, a in rules
+            ]
+        )
+        for rules in _ROBOTS_RULESETS
+    ]
+    site = F.col("doc_id") % 5
+    rules = (
+        F.when(site % 3 == 0, rules_for[0])
+        .when(site % 3 == 1, rules_for[1])
+        .otherwise(rules_for[2])
+    )
+    norm_path = F.regexp_replace(
+        F.regexp_extract(F.col("url"), r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1),
+        r"/$",
+        "",
+    )
+    # _normalize_url_spark emits norm_url (host+path+query fused); the
+    # robots match needs the bare path, recomputed with the same pinned
+    # expression it uses internally
+    scored = n.select(
+        "doc_id",
+        "norm_host",
+        F.array_max(
+            F.transform(
+                F.filter(
+                    rules,
+                    lambda r: F.startswith(norm_path, r.getField("p")),
+                ),
+                lambda r: F.length(r.getField("p")) * 2 + r.getField("a"),
+            )
+        ).alias("best"),
+    )
+    return scored.groupBy(F.col("norm_host").alias("domain")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("best") % 2 == 1, 1).otherwise(0)).alias(
+            "n_allowed"
+        ),
+        F.sum(F.when(F.col("best") % 2 == 0, 1).otherwise(0)).alias(
+            "n_disallowed"
+        ),
+        F.sum(
+            F.when(F.col("best") % 2 == 0, F.col("doc_id")).otherwise(0)
+        ).alias("disallowed_docid_sum"),
+    )

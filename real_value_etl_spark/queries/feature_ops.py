@@ -8602,3 +8602,183 @@ def multimodal_png_decode_gray(spark: SparkSession, sf_dir: str) -> DataFrame:
         "idat_len",
         (F.octet_length(p)).cast("long").alias("total_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# WARC record walk — the container format 100 TB text pipelines actually
+# read (CommonCrawl ships WARC): TEXT headers, not binary fields, so the
+# offset chain is driven by parsing DECIMAL DIGITS out of the wire
+# ("Content-Length: 11\r\n") and by the VARIABLE WIDTH of the number and
+# the record-type token themselves — record N+1's offset is unknowable
+# without reading N's headers. A new chain-walk shape: locate()-driven
+# field discovery inside a sliced header window + string-digit
+# to-integer conversion, as one struct-accumulator fold.
+# ---------------------------------------------------------------------------
+WARC_MAX_RECORDS = 4  # nrec = doc_id % 3 + 2 (2..4)
+
+
+@register(
+    "multimodal_warc_record_walk",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, doc_id % 3 + 2 AS nrec,
+             rpad(text, 48, ' ') AS body48
+      FROM documents
+    ),
+    rec AS (
+      SELECT g.doc_id, g.nrec, g.body48, ii.i,
+             (g.doc_id + 3 * ii.i) % 9 + 4 AS bl,
+             CASE WHEN ii.i = 0 THEN 'warcinfo'
+                  WHEN ii.i = 2 THEN 'request'
+                  ELSE 'response' END AS rtype
+      FROM g, LATERAL (SELECT unnest(range(0, g.nrec)) AS i) ii
+    ),
+    sized AS (
+      SELECT doc_id, nrec, body48, i, bl, rtype,
+             47 + length(rtype)
+                + (CASE WHEN bl >= 10 THEN 2 ELSE 1 END) + bl AS rec_len
+      FROM rec
+    )
+    SELECT doc_id,
+           CAST(MIN(nrec) AS BIGINT) AS n_records,
+           TRUE AS version_ok, TRUE AS terminator_ok, TRUE AS length_ok,
+           CAST(SUM(bl) AS BIGINT) AS body_bytes_sum,
+           md5(substr(MIN(body48), 1, CAST(SUM(bl) AS INT))) AS bodies_md5,
+           MAX(CASE WHEN i = nrec - 1 THEN rtype END) AS last_type,
+           CAST(SUM(rec_len) AS BIGINT) AS total_len
+    FROM sized GROUP BY doc_id
+    """,
+    tags=("multimodal", "llm", "binary", "warc"),
+)
+def multimodal_warc_record_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WARC/1.0 record-chain walk — the first TEXT-header container
+    in the codec suite (CommonCrawl's wire format): each record is
+    'WARC/1.0\\r\\n WARC-Type: <t>\\r\\n Content-Length: <n>\\r\\n \\r\\n
+    <body> \\r\\n\\r\\n', so the walker must DISCOVER each field inside a
+    sliced header window (locate on the window — not a fixed offset:
+    both the record-type token and the decimal digit string vary in
+    width), convert the digits to an integer with string arithmetic, and
+    only then knows where the body ends and the next record begins. The
+    whole walk is ONE struct-accumulator `aggregate` fold (the
+    pushdown-safe idiom established by multimodal_png_decode_gray),
+    verifying the version magic and the CRLF-CRLF record trailer at every
+    data-dependent offset, re-deriving the record count, the summed
+    Content-Lengths against the reassembled bodies (md5-pinned against
+    the oracle's ground-truth slice), the LAST record's type token and
+    the exact total length. Map-only, zero exchanges at any scale; a
+    production reader swaps the synthesized payload for a binaryFile /
+    text scan of .warc shards, same parse.
+
+    Reference basis: SURVEY.md §2.12 multimodal/container family (absent
+    in reference)."""
+    d = table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    zero = F.lit(0).cast("long")
+
+    # ---- build: records with variable-width type + length fields ------
+    g = d.select(
+        "doc_id",
+        (did % 3 + 2).cast("long").alias("nrec"),
+        F.rpad(F.col("text"), 48, " ").alias("body48"),
+    )
+    parts = []
+    boff = F.lit(1).cast("long")  # running char offset into body48
+    for i in range(WARC_MAX_RECORDS):
+        bl = ((did + 3 * i) % 9 + 4).cast("long")
+        rtype = (
+            F.lit("warcinfo")
+            if i == 0
+            else (F.lit("request") if i == 2 else F.lit("response"))
+        )
+        rec = F.concat(
+            F.lit("WARC/1.0\r\n"),
+            F.lit("WARC-Type: "), rtype, F.lit("\r\n"),
+            F.lit("Content-Length: "), bl.cast("string"), F.lit("\r\n\r\n"),
+            F.substring("body48", boff.cast("int"), bl.cast("int")),
+            F.lit("\r\n\r\n"),
+        )
+        parts.append(
+            F.when(F.lit(i) < F.col("nrec"), rec).otherwise(F.lit(""))
+        )
+        boff = boff + F.when(F.lit(i) < F.col("nrec"), bl).otherwise(zero)
+    warc = g.select("doc_id", F.concat(*parts).alias("payload"))
+
+    # ---- parse: locate-driven header walk as ONE struct fold ----------
+    p = F.col("payload")
+
+    def walk_step(acc, _i):
+        off = acc.getField("off")
+        active = ~acc.getField("done")
+        seg = F.substring(p, off.cast("int"), 64)  # header window
+        hdr_end = F.locate("\r\n\r\n", seg).cast("long")  # 1-based in seg
+        tpos = (F.locate("WARC-Type: ", seg) + 11).cast("long")
+        tseg = F.substring(seg, tpos.cast("int"), 12)
+        rtype = F.substring(tseg, 1, (F.locate("\r", tseg) - 1).cast("int"))
+        cpos = (F.locate("Content-Length: ", seg) + 16).cast("long")
+        dseg = F.substring(seg, cpos.cast("int"), 4)
+        bl = F.substring(
+            dseg, 1, (F.locate("\r", dseg) - 1).cast("int")
+        ).cast("long")
+        body_at = off + hdr_end + 3
+        body = F.substring(p, body_at.cast("int"), bl.cast("int"))
+        trailer = F.substring(p, (body_at + bl).cast("int"), 4)
+        nxt = body_at + bl + 4
+        return F.struct(
+            F.when(active, nxt).otherwise(off).alias("off"),
+            (
+                acc.getField("done")
+                | (active & (nxt > F.length(p)))
+            ).alias("done"),
+            (
+                acc.getField("n_records") + F.when(active, 1).otherwise(0)
+            ).cast("long").alias("n_records"),
+            (
+                acc.getField("body_sum") + F.when(active, bl).otherwise(0)
+            ).cast("long").alias("body_sum"),
+            (
+                acc.getField("ver_ok")
+                & (~active | (F.substring(p, off.cast("int"), 10)
+                              == "WARC/1.0\r\n"))
+            ).alias("ver_ok"),
+            (
+                acc.getField("term_ok")
+                & (~active | (trailer == "\r\n\r\n"))
+            ).alias("term_ok"),
+            F.concat(
+                acc.getField("bodies"),
+                F.when(active, body).otherwise(F.lit("")),
+            ).alias("bodies"),
+            F.when(active, rtype).otherwise(
+                acc.getField("last_type")
+            ).alias("last_type"),
+        )
+
+    walk0 = F.struct(
+        F.lit(1).cast("long").alias("off"),
+        F.lit(False).alias("done"),
+        zero.alias("n_records"),
+        zero.alias("body_sum"),
+        F.lit(True).alias("ver_ok"),
+        F.lit(True).alias("term_ok"),
+        F.lit("").alias("bodies"),
+        F.lit("").alias("last_type"),
+    )
+    st = warc.select(
+        "doc_id",
+        "payload",
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(WARC_MAX_RECORDS)), walk0, walk_step
+        ).alias("wk"),
+    )
+    wk = F.col("wk")
+    return st.select(
+        "doc_id",
+        wk.getField("n_records").alias("n_records"),
+        wk.getField("ver_ok").alias("version_ok"),
+        wk.getField("term_ok").alias("terminator_ok"),
+        (wk.getField("off") == F.length(p) + 1).alias("length_ok"),
+        wk.getField("body_sum").alias("body_bytes_sum"),
+        F.md5(wk.getField("bodies")).alias("bodies_md5"),
+        wk.getField("last_type").alias("last_type"),
+        F.length(p).cast("long").alias("total_len"),
+    )

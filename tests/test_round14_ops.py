@@ -369,3 +369,92 @@ def test_domain_caps_invariants(spark):
         assert r["n_dropped"] == 75
         assert r["kept_docid_sum"] == sum(want_kept)
         assert abs(r["share"] - 0.2) < 1e-12
+
+
+def test_robots_longest_match_semantics(spark):
+    """RFC 9309 policy recomputed independently in pure Python for every
+    doc (longest matching prefix wins; allow wins length ties), then
+    compared against the query's per-domain aggregates."""
+    from real_value_etl_spark.queries.corpus_quality import _ROBOTS_RULESETS
+
+    hosts = [
+        "news.example.com", "blog.example.org", "docs.example.net",
+        "shop.example.io", "forum.example.dev",
+    ]
+    want = {
+        h: {"n_docs": 0, "n_allowed": 0, "n_disallowed": 0, "sum": 0}
+        for h in hosts
+    }
+    for doc_id in range(500):
+        site = doc_id % 5
+        path = f"/article/{doc_id % 50}"
+        rules = _ROBOTS_RULESETS[site % 3]
+        matches = [(len(p), a) for p, a in rules if path.startswith(p)]
+        # longest prefix wins, allow wins ties — max over (len, allow)
+        allow = max(matches)[1]
+        w = want[hosts[site]]
+        w["n_docs"] += 1
+        w["n_allowed"] += allow
+        w["n_disallowed"] += 1 - allow
+        w["sum"] += 0 if allow else doc_id
+    got = {
+        r["domain"]: r.asDict()
+        for r in REGISTRY["docs_robots_filter"].fn(spark, SF).collect()
+    }
+    assert set(got) == set(hosts)
+    for h in hosts:
+        assert got[h]["n_docs"] == want[h]["n_docs"], h
+        assert got[h]["n_allowed"] == want[h]["n_allowed"], h
+        assert got[h]["n_disallowed"] == want[h]["n_disallowed"], h
+        assert got[h]["disallowed_docid_sum"] == want[h]["sum"], h
+    # the fixture actually exercises both tiebreak directions
+    assert any(want[h]["n_disallowed"] for h in hosts)
+    assert any(want[h]["n_allowed"] for h in hosts)
+
+
+def test_warc_walk_against_python_writer(spark):
+    """Build the same WARC payloads with an independent pure-Python
+    writer, parse them with a trivial Python reader, and compare every
+    emitted field — pins the Catalyst builder AND walker to the actual
+    record grammar, not just to each other."""
+    import hashlib
+
+    fn = REGISTRY["multimodal_warc_record_walk"].fn
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in fn(spark, SF).filter(F.col("doc_id") < 30).collect()
+    }
+    assert len(got) == 30
+    import real_value_etl_spark.queries.feature_ops as FO
+
+    docs = FO.table(spark, SF, "documents").filter(F.col("doc_id") < 30)
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for doc_id, want in got.items():
+        body48 = texts[doc_id].ljust(48, " ")
+        nrec = doc_id % 3 + 2
+        payload, boff, bodies = "", 0, ""
+        for i in range(nrec):
+            bl = (doc_id + 3 * i) % 9 + 4
+            rtype = "warcinfo" if i == 0 else (
+                "request" if i == 2 else "response"
+            )
+            body = body48[boff : boff + bl]
+            payload += (
+                f"WARC/1.0\r\nWARC-Type: {rtype}\r\n"
+                f"Content-Length: {bl}\r\n\r\n{body}\r\n\r\n"
+            )
+            bodies += body
+            boff += bl
+        assert want["n_records"] == nrec, doc_id
+        assert want["version_ok"] is True
+        assert want["terminator_ok"] is True
+        assert want["length_ok"] is True
+        assert want["body_bytes_sum"] == boff
+        assert want["total_len"] == len(payload), doc_id
+        assert want["last_type"] == (
+            "warcinfo" if nrec - 1 == 0
+            else ("request" if nrec - 1 == 2 else "response")
+        )
+        assert want["bodies_md5"] == hashlib.md5(
+            bodies.encode("utf-8")
+        ).hexdigest(), doc_id
