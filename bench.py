@@ -938,6 +938,26 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # Fresh session for the SCALE section (round-11 finding): by the time
+    # the sf1 legs run, the bench JVM has executed ~36 headline queries
+    # plus the ETL, and its sf1 readings come out 1.5-2.5x ABOVE what the
+    # same code measures in a fresh-JVM probe the same hour (r14/r15
+    # artifacts: graph_components_star sf1 38.9/63.4 s vs the quiet probe's
+    # 25.1 s; r10's refuted exponents fit the same pattern) — aged-heap /
+    # GC-pressure tax, not host noise and not plans. Restarting the
+    # SparkSession (same JVM process, fresh context: listener state and
+    # block registry dropped, dead heap collectable) puts the scale legs
+    # in probe-equivalent conditions so decade exponents are an honest
+    # cross-round signal. Headline timings above are NOT affected (they
+    # run first, in the order every prior round used).
+    spark.stop()
+    from real_value_etl_spark.session import get_spark as _gs
+
+    spark = _gs(app_name="rve-bench-scale")
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
+
     sf1 = bench_sf1(spark, timings)
     t001 = bench_sf001(spark)
 
