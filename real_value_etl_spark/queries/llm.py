@@ -1244,44 +1244,142 @@ def docs_pretraining_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_resize",
     oracle="""
+    WITH s AS (
+      SELECT doc_id, octet_length(encode(text)) AS L,
+             octet_length(encode(text)) % 11 + 5 AS w,
+             hex(encode(text)) AS hx
+      FROM documents
+    ),
+    g AS (
+      SELECT *, GREATEST(1, (L + w - 1) // w) AS h FROM s
+    ),
+    dims AS (
+      SELECT *, (w + 1) // 2 AS ow, (h + 1) // 2 AS oh FROM g
+    ),
+    op AS (
+      SELECT d.doc_id, d.w, d.h, d.L, d.hx, d.ow, d.oh, kk.k2,
+             kk.k2 // d.ow AS r2, kk.k2 % d.ow AS c2
+      FROM dims d, LATERAL (SELECT unnest(range(0, d.ow * d.oh)) AS k2) kk
+    ),
+    blk AS (
+      SELECT doc_id, ow, oh, k2,
+             SUM(CASE WHEN 2 * r2 + (dd // 2) < h AND 2 * c2 + (dd % 2) < w
+                 THEN (CASE WHEN (2 * r2 + (dd // 2)) * w
+                                 + (2 * c2 + (dd % 2)) < L
+                       THEN CAST(('0x' || substring(hx,
+                            2 * ((2 * r2 + (dd // 2)) * w
+                                 + (2 * c2 + (dd % 2))) + 1, 2)) AS BIGINT)
+                       ELSE 0 END)
+                 END) AS bsum,
+             COUNT(CASE WHEN 2 * r2 + (dd // 2) < h
+                             AND 2 * c2 + (dd % 2) < w THEN 1 END) AS bn
+      FROM op, LATERAL (SELECT unnest(range(0, 4)) AS dd) t
+      GROUP BY doc_id, ow, oh, k2
+    ),
+    pxo AS (SELECT doc_id, ow, oh, k2, bsum // bn AS p FROM blk)
     SELECT doc_id,
-           CAST(least(256, octet_length(encode(text))) AS BIGINT) AS byte_len,
-           md5(substring(text, 1, 256)) AS thumb_md5
-    FROM documents
+           TRUE AS decode_ok,
+           CAST(MIN(ow) AS BIGINT) AS width,
+           CAST(MIN(oh) AS BIGINT) AS height,
+           CAST(MIN(ow) * MIN(oh) AS BIGINT) AS n_pixels,
+           CAST(SUM(p) AS BIGINT) AS pix_sum,
+           CAST(MIN(p) AS BIGINT) AS pix_min,
+           CAST(MAX(p) AS BIGINT) AS pix_max,
+           CAST(MAX(CASE WHEN k2 = 0 THEN p END) AS BIGINT) AS pixel_00,
+           CAST(MAX(CASE WHEN k2 = ow * oh - 1 THEN p END) AS BIGINT)
+             AS pixel_last
+    FROM pxo GROUP BY doc_id
     """,
     tags=("multimodal", "llm", "pandas_udf"),
 )
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stub resize: binary-in/binary-out Arrow kernel producing a 256-byte
-    'thumbnail' payload per document (the downscale shape; PIL/ffmpeg slot
-    in here in production). The binary output column is dropped for the
-    oracle compare — the digest proves the bytes. ASCII corpus => the
-    string-slice oracle is byte-exact."""
+    """REAL resize, wire-to-wire (round 12; the 256-byte-prefix stub is
+    deleted): encode each document's bytes into a real grayscale PNG,
+    DECODE it (CRC-32 + adler32 verified, all five filters inverted),
+    box-downscale 2x (floor-of-mean per up-to-2x2 block), RE-ENCODE the
+    thumbnail as a real PNG, then decode THAT wire payload again and emit
+    the recovered thumbnail statistics. The oracle recomputes the
+    downscale arithmetic from the ground-truth text bytes, so
+    hash-equality proves the full encode -> decode -> downscale ->
+    re-encode -> decode loop is pixel-exact. All three kernels are
+    Arrow-batched and partition-parallel; bytes never reach the driver.
+
+    Reference basis: SURVEY.md §2.12 multimodal family (absent in
+    reference — its pipeline is text-only pandas)."""
     docs = table(spark, sf_dir, "documents")
     binary = M.attach_binary(docs, "doc_id", "text")
-    return M.resize_image(binary).select("doc_id", "byte_len", "thumb_md5")
+    thumbs = M.resize_image(M.encode_png_gray(binary))
+    decoded = M.decode_image(thumbs)
+    return decoded.select(
+        "doc_id", "decode_ok", "width", "height", "n_pixels", "pix_sum",
+        "pix_min", "pix_max", "pixel_00", "pixel_last",
+    )
+
+
+# shared oracle CTE: the 4x4 block-mean decomposition of the text-derived
+# pixel grid (w = L % 11 + 5, h = ceil(L / w), pixel k = byte k, 0-padded)
+# — mirrors operators/multimodal.py:_feature_batches bit for bit.
+_BLOCK_FEATURES_CTE = """
+    s AS (
+      SELECT doc_id, octet_length(encode(text)) AS L,
+             octet_length(encode(text)) % 11 + 5 AS w,
+             hex(encode(text)) AS hx
+      FROM documents
+    ),
+    g AS (
+      SELECT *, GREATEST(1, (L + w - 1) // w) AS h FROM s
+    ),
+    px AS (
+      SELECT g.doc_id, kk.k,
+             CASE WHEN kk.k < g.L
+                  THEN CAST(('0x' || substring(g.hx, 2 * kk.k + 1, 2))
+                            AS BIGINT)
+                  ELSE 0 END AS p,
+             ((kk.k // g.w) * 4 // g.h) * 4
+               + ((kk.k % g.w) * 4 // g.w) AS b
+      FROM g, LATERAL (SELECT unnest(range(0, g.w * g.h)) AS k) kk
+    ),
+    f AS (
+      SELECT doc_id, b,
+             SUM(p) AS bsum,
+             COUNT(*) AS bn,
+             SUM(SUM(p)) OVER (PARTITION BY doc_id) AS tsum,
+             SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS tn
+      FROM px GROUP BY doc_id, b
+    )
+"""
 
 
 @register(
     "multimodal_features",
-    oracle="""
-    SELECT d.doc_id,
-           CAST(i AS INT) AS feature_idx,
-           CAST(('0x' || substring(md5(d.text), CAST(i * 2 + 1 AS BIGINT), 2))
-                AS BIGINT) / 255.0 AS value
-    FROM documents d, unnest(range(0, 16)) AS t(i)
+    oracle=f"""
+    WITH {_BLOCK_FEATURES_CTE}
+    SELECT doc_id,
+           CAST(b AS INT) AS feature_idx,
+           CAST(bsum AS DOUBLE) / (bn * 255.0) AS value,
+           CAST(bsum AS BIGINT) AS block_sum,
+           CAST(bn AS BIGINT) AS block_n,
+           CAST(tsum AS BIGINT) AS total_sum,
+           CAST(tn AS BIGINT) AS total_n
+    FROM f
     """,
     tags=("multimodal", "llm", "pandas_udf", "embedding"),
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stub feature extraction: payload -> 16-dim vector (long form) via an
-    Arrow-batched kernel — the binary-to-embedding bridge whose output
-    feeds the similarity/ANN operators. STUB features are md5 byte pairs
-    scaled to [0,1]; int/255.0 is exact in both engines, so a full
-    value-hash oracle applies (a real encoder would be rows-only)."""
+    """REAL feature extraction (round 12; the md5 fake is deleted):
+    payload -> real PNG -> Arrow-batched decode -> 4x4 spatial block-mean
+    vector in long form — the binary-to-embedding bridge whose output
+    feeds the similarity/ANN operators. Each value is ONE double division
+    of exact integers (block_sum / (block_n * 255.0)), so both engines
+    round identically and a full value-hash oracle applies; the exact
+    integer moments ride along and are what pHash quantizes against
+    (integer cross-multiply, zero float drift).
+
+    Reference basis: SURVEY.md §2.12 multimodal family (absent in
+    reference)."""
     docs = table(spark, sf_dir, "documents")
     binary = M.attach_binary(docs, "doc_id", "text")
-    return M.extract_features(binary)
+    return M.extract_features(M.encode_png_gray(binary))
 
 
 # ---------------------------------------------------------------------------

@@ -560,26 +560,25 @@ def docs_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Multimodal perceptual-hash dedup (feature kernel -> sign bits -> bands)
 # ---------------------------------------------------------------------------
-PHASH_BITS = 16  # one bit per stub feature dim (FEATURE_DIM)
+PHASH_BITS = 16  # one bit per spatial block-mean feature (FEATURE_DIM)
 PHASH_BAND_BITS = 8  # 2 bands of 8 bits: hamming<=1 implies one equal band
 PHASH_MAX_HAMMING = 1
 
 
 def _phash_oracle() -> str:
-    # mirrors operators/multimodal.py:_feature_batches — feature i is byte
-    # pair [2i, 2i+2) of md5(payload) scaled to [0,1]; payload is the utf-8
-    # text, so md5(payload) == md5(text). Sign bit: value >= 0.5.
+    # mirrors operators/multimodal.py:_feature_batches — REAL features
+    # since round 12: feature b is the mean of spatial block b of the
+    # decoded pixel grid; bit b = block at-least-average brightness,
+    # decided by exact integer cross-multiply (bsum * tn >= tsum * bn) so
+    # neither engine touches a float on the quantization path.
+    from .llm import _BLOCK_FEATURES_CTE
+
     return f"""
-    WITH f AS (
-      SELECT doc_id, CAST(i AS INTEGER) AS feature_idx,
-             CAST(('0x' || substring(md5(text), CAST(i * 2 + 1 AS BIGINT), 2))
-                  AS BIGINT) / 255.0 AS value
-      FROM documents, range(0, {PHASH_BITS}) t(i)
-    ),
+    WITH {_BLOCK_FEATURES_CTE},
     ph AS (
       SELECT doc_id,
-             CAST(SUM(CASE WHEN value >= 0.5
-                           THEN (CAST(1 AS BIGINT) << feature_idx)
+             CAST(SUM(CASE WHEN bsum * tn >= tsum * bn
+                           THEN (CAST(1 AS BIGINT) << b)
                            ELSE 0 END) AS BIGINT) AS phash
       FROM f GROUP BY doc_id
     ),
@@ -607,27 +606,32 @@ def _phash_oracle() -> str:
     tags=("multimodal", "dedup", "llm", "pandas_udf"),
 )
 def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual-hash near-dup over BINARY payloads: the Arrow
-    `mapInPandas` feature kernel (operators/multimodal.py:extract_features
-    — the honestly-stubbed stand-in for a vision encoder; the Spark
-    plumbing is real) produces {PHASH_BITS} features per payload, each
-    sign-quantized into one bit of a {PHASH_BITS}-bit perceptual hash.
-    Pairs are found SimHash-style: {PHASH_BITS // PHASH_BAND_BITS} bands
-    of {PHASH_BAND_BITS} bits, candidates share an identical band
+    """Perceptual-hash near-dup over BINARY payloads — REAL pHash since
+    round 12: payloads are wrapped into real grayscale PNGs, the Arrow
+    feature kernel (operators/multimodal.py:extract_features) DECODES
+    each one and emits {PHASH_BITS} spatial block-mean pixel statistics,
+    and bit b is set when block b is at-least-average brightness — the
+    classical mean-threshold pHash quantization, decided by exact integer
+    cross-multiply (block_sum * total_n >= total_sum * block_n) so no
+    float comparison can diverge between engines. Pairs are found
+    SimHash-style: {PHASH_BITS // PHASH_BAND_BITS} bands of
+    {PHASH_BAND_BITS} bits, candidates share an identical band
     (pigeonhole: hamming <= {PHASH_MAX_HAMMING} forces one equal band),
     verified by popcount of the XOR. This is how image dedup actually
-    ships — pHash + banded hamming join — with the encoder swapped in for
-    the stub. Pipeline shape: bytes never leave the executors (Arrow
-    batches), the hash aggregation is one groupBy(doc_id), and the band
-    self-join only meets same-bucket rows."""
+    ships — pHash + banded hamming join. Pipeline shape: bytes never
+    leave the executors (Arrow batches), the hash aggregation is one
+    groupBy(doc_id), and the band self-join only meets same-bucket rows."""
     from ..operators import multimodal as M
 
     d = table(spark, sf_dir, "documents")
-    feats = M.extract_features(M.attach_binary(d, "doc_id", "text"))
+    feats = M.extract_features(
+        M.encode_png_gray(M.attach_binary(d, "doc_id", "text"))
+    )
     ph = feats.groupBy("doc_id").agg(
         F.sum(
             F.when(
-                F.col("value") >= 0.5,
+                F.col("block_sum") * F.col("total_n")
+                >= F.col("total_sum") * F.col("block_n"),
                 F.expr("shiftleft(CAST(1 AS BIGINT), feature_idx)"),
             ).otherwise(F.lit(0).cast("long"))
         ).alias("phash")

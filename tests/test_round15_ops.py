@@ -1,0 +1,141 @@
+"""Targeted invariants for the round-15 rework (real resize / real
+features — VERDICT r11 ask #3) beyond the oracle-parity hash gate: each
+test recomputes the kernel's defining property independently in stdlib
+Python from the raw bytes, so a both-engines-wrong implementation cannot
+hide behind an agreeing oracle. Also locks the decoder's new strictness
+(interlace byte, missing IEND) from ADVICE r11."""
+
+from __future__ import annotations
+
+import zlib
+
+from real_value_etl_spark.operators import multimodal as M
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ref_grid(data: bytes) -> tuple[list[int], int, int]:
+    """Independent recomputation of the encoder's pixel-grid contract."""
+    w = len(data) % 11 + 5
+    h = max(1, -(-len(data) // w))
+    padded = data + b"\x00" * (w * h - len(data))
+    return list(padded), w, h
+
+
+def _ref_downscale(pix: list[int], w: int, h: int) -> tuple[list[int], int, int]:
+    ow, oh = (w + 1) // 2, (h + 1) // 2
+    out = []
+    for r2 in range(oh):
+        for c2 in range(ow):
+            block = [
+                pix[r * w + c]
+                for r in (2 * r2, 2 * r2 + 1)
+                for c in (2 * c2, 2 * c2 + 1)
+                if r < h and c < w
+            ]
+            out.append(sum(block) // len(block))
+    return out, ow, oh
+
+
+def test_resize_kernel_is_real_box_downscale(spark):
+    """encode -> resize -> decode the THUMB wire bytes: recovered pixels
+    must equal an independently computed floor-of-mean 2x downscale."""
+    samples = [b"the quick brown fox jumps over the lazy dog " * 3,
+               bytes(range(256)), b"Z" * 44]
+    df = spark.createDataFrame(
+        [(i, bytearray(s)) for i, s in enumerate(samples)],
+        "doc_id long, payload binary",
+    )
+    thumbs = {
+        r.doc_id: bytes(r.payload)
+        for r in M.resize_image(M.encode_png_gray(df)).collect()
+    }
+    for i, s in enumerate(samples):
+        pix, w, h = _ref_grid(s)
+        want, ow, oh = _ref_downscale(pix, w, h)
+        got = M._decode_png_gray_pixels(thumbs[i])
+        assert got is not None, f"thumb {i} not decodable"
+        gw, gh, gpix = got
+        assert (gw, gh) == (ow, oh)
+        assert gpix == want, f"doc {i}: downscaled pixels differ"
+
+
+def test_feature_kernel_is_real_block_means(spark):
+    """Features must be exact 4x4 spatial block means of the decoded grid,
+    with exact integer moments that sum back to the whole image."""
+    s = b"block mean feature extraction without any fakes left" * 2
+    df = spark.createDataFrame([(1, bytearray(s))], "doc_id long, payload binary")
+    rows = M.extract_features(M.encode_png_gray(df)).collect()
+    pix, w, h = _ref_grid(s)
+    want_sums: dict[int, int] = {}
+    want_cnts: dict[int, int] = {}
+    for k, p in enumerate(pix):
+        r, c = divmod(k, w)
+        b = (r * 4 // h) * 4 + (c * 4 // w)
+        want_sums[b] = want_sums.get(b, 0) + p
+        want_cnts[b] = want_cnts.get(b, 0) + 1
+    assert len(rows) == 16  # h, w >= 4 here => all blocks populated
+    for r in rows:
+        assert r.block_sum == want_sums[r.feature_idx]
+        assert r.block_n == want_cnts[r.feature_idx]
+        assert r.total_sum == sum(pix) and r.total_n == w * h
+        assert r.value == r.block_sum / (r.block_n * 255.0)
+    assert sum(r.block_sum for r in rows) == sum(pix)
+    assert sum(r.block_n for r in rows) == w * h
+
+
+def _flip_byte(png: bytes, off: int, val: int) -> bytes:
+    """Set one IHDR byte and re-stamp the IHDR CRC so only the semantic
+    validation (not the checksum) can reject the payload."""
+    b = bytearray(png)
+    b[off] = val
+    b[29:33] = (zlib.crc32(bytes(b[12:29])) & 0xFFFFFFFF).to_bytes(4, "big")
+    return bytes(b)
+
+
+def test_decoder_rejects_interlace_and_truncation():
+    """ADVICE r11: interlaced (Adam7) layout and IEND-truncated streams
+    must decode to None, never to misinterpreted pixels."""
+    png = M._encode_png_gray(b"strict validation please, thanks a lot!!")
+    assert M._decode_png_gray_pixels(png) is not None
+    # interlace byte (IHDR offset 28) = 1 -> Adam7 -> reject
+    assert M._decode_png_gray_pixels(_flip_byte(png, 28, 1)) is None
+    # nonzero compression / filter methods -> reject
+    assert M._decode_png_gray_pixels(_flip_byte(png, 26, 1)) is None
+    assert M._decode_png_gray_pixels(_flip_byte(png, 27, 1)) is None
+    # IEND sliced off -> truncated stream -> reject
+    assert M._decode_png_gray_pixels(png[:-12]) is None
+
+
+def test_phash_bits_match_exact_integer_quantization(spark, sf_dir):
+    """pHash bit b == (block b at-least-average brightness), recomputed
+    independently from the text bytes for a sample of documents."""
+    from real_value_etl_spark.queries.all_queries import REGISTRY
+    from real_value_etl_spark.queries.registry import table
+
+    d = table(spark, sf_dir, "documents").limit(8)
+    feats = M.extract_features(
+        M.encode_png_gray(M.attach_binary(d, "doc_id", "text"))
+    )
+    got: dict[int, int] = {}
+    for r in feats.collect():
+        if r.block_sum * r.total_n >= r.total_sum * r.block_n:
+            got[r.doc_id] = got.get(r.doc_id, 0) | (1 << r.feature_idx)
+        else:
+            got.setdefault(r.doc_id, 0)
+    texts = {r.doc_id: r.text for r in d.collect()}
+    for doc_id, text in texts.items():
+        pix, w, h = _ref_grid(text.encode())
+        sums: dict[int, int] = {}
+        cnts: dict[int, int] = {}
+        for k, p in enumerate(pix):
+            r_, c = divmod(k, w)
+            b = (r_ * 4 // h) * 4 + (c * 4 // w)
+            sums[b] = sums.get(b, 0) + p
+            cnts[b] = cnts.get(b, 0) + 1
+        want = 0
+        for b in sums:
+            if sums[b] * (w * h) >= sum(pix) * cnts[b]:
+                want |= 1 << b
+        assert got[doc_id] == want, f"doc {doc_id}: phash bits differ"
+    assert REGISTRY["multimodal_phash_dedup"].oracle  # still hash-gated

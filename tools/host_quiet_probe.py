@@ -29,6 +29,12 @@ def main() -> None:
         v = d.get("queries", {}).get("q1_pricing_summary")
         if v:
             trailing.append(float(v))
+    if not trailing:
+        # No quiet artifacts yet (all stamped noisy, or a fresh clone):
+        # nothing to compare against — mirror bench.py's `if trailing:`
+        # guard instead of crashing on an empty median.
+        print("no quiet BENCH_LOCAL baseline found -> no verdict")
+        return
     trailing.sort()
     med = (
         trailing[len(trailing) // 2]
