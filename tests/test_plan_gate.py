@@ -96,6 +96,7 @@ _ARROW_KERNEL_WAIVERS = {
     "multimodal_decode",
     "multimodal_features",
     "multimodal_frames",
+    "multimodal_inflate_dynamic_huffman",
     "multimodal_phash_dedup",
     "multimodal_resize",
     "text_heavy_hitters",
