@@ -34,70 +34,73 @@ from . import (  # noqa: F401
 )
 from .registry import REGISTRY
 
-# Round-12 window (driver round 11). Mechanical composition from the
-# CORRECTNESS_r01..r10 union: after r10 landed (49 green + q_approx_stats
-# rows-only), exactly 49 registry entries had never appeared in ANY driver
-# window — the full classical-inference kit (16 q_* stats tests), the
-# survival/time-series events ops (11), 10 container codecs, the graph
-# four + sim_kcenter_seeds, stream_ams_f2/stream_moments, and the three
-# heavy text ops. VERDICT r10 ask #1: book all 49 this round; the 50th
-# slot re-probes q_hdr_histogram_price on driver record after its r10
-# shiftleft BIGINT fix (VERDICT r10 suggestion). 49 + 1 = 50 exactly —
-# cumulative driver coverage becomes 339/339 + 1 re-green when this
-# window lands.
+# Round-13 window (driver round 12). Composition per VERDICT r11 asks #1
+# and #5: (a) the 5 never-driver-checked r11 additions; (b) the 5
+# evidence RESETS — queries whose semantics changed after their last
+# green row (multimodal_decode: stub -> real PNG loop in r11;
+# multimodal_resize / multimodal_features / multimodal_phash_dedup: stub
+# kernels -> real pixel kernels this round; docs_quality_funnel: robots
+# gate added as stage 1 this round); (c) the round-12 addition
+# multimodal_inflate_dynamic_huffman; (d) 39 oldest-evidence re-probes —
+# every remaining row whose only green is from round 5, six rounds of
+# shared-infrastructure drift ago (44 such rows exist; the 4
+# alphabetically-last text_* rows defer to the r13 rotation, noted in
+# COVERAGE.md). 5 + 5 + 1 + 39 = 50 exactly.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- the 49 never-driver-checked entries (sorted)
-    "docs_rouge2_pairs",
-    "docs_tv_distance",
-    "events_cochran_q",
-    "events_friedman_test",
-    "events_granger_lag1",
-    "events_hurst_rs",
-    "events_interevent_burstiness",
-    "events_kaplan_meier",
-    "events_kendall_tau",
-    "events_ljung_box",
-    "events_logrank_test",
-    "events_ordinal_patterns",
-    "events_theil_sen",
-    "graph_bipartite_squares",
-    "graph_double_sweep",
-    "graph_edge_jaccard",
-    "graph_katz_centrality",
-    "multimodal_avi_idx1_walk",
-    "multimodal_bson_doc_walk",
-    "multimodal_ebml_vint_walk",
-    "multimodal_elf_section_walk",
-    "multimodal_gif_frame_walk",
-    "multimodal_gzip_member_parse",
-    "multimodal_ico_parse",
-    "multimodal_midi_track_walk",
-    "multimodal_png_crc32",
-    "multimodal_webp_vp8l_parse",
-    "q_anova_oneway",
-    "q_cliffs_delta",
-    "q_cramer_von_mises",
-    "q_cramers_v",
-    "q_extreme_studentized",
-    "q_jarque_bera",
-    "q_jonckheere_terpstra",
-    "q_kruskal_wallis",
-    "q_ks_two_sample",
-    "q_levene_test",
-    "q_mann_whitney",
-    "q_mcnemar",
-    "q_ols_price_on_qty",
-    "q_permutation_test",
-    "q_spearman_rho",
-    "q_welch_t_test",
-    "sim_kcenter_seeds",
-    "stream_ams_f2",
-    "stream_moments",
-    "text_burrows_delta",
-    "text_suffix_lcp_dedup",
-    "text_yule_k",
-    # -- re-green the r10 shiftleft fix on driver record
-    "q_hdr_histogram_price",
+    # -- (a) never-driver-checked r11 additions
+    "docs_domain_caps",
+    "docs_robots_filter",
+    "docs_url_dedup",
+    "multimodal_png_decode_gray",
+    "multimodal_warc_record_walk",
+    # -- (b) evidence resets (semantics changed since last green)
+    "multimodal_decode",
+    "multimodal_resize",
+    "multimodal_features",
+    "multimodal_phash_dedup",
+    "docs_quality_funnel",
+    # -- (c) round-12 addition
+    "multimodal_inflate_dynamic_huffman",
+    # -- (d) oldest-evidence re-probes (every green is r5; sorted)
+    "asof_next_click",
+    "customer_via_csv_source",
+    "dedup_exact_docs",
+    "dedup_jaccard_prefix",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "docs_pack_sequences",
+    "docs_pretraining_mix",
+    "docs_quality_calibration",
+    "docs_span_pair_dedup",
+    "docs_udtf_token_spans",
+    "emb_power_iteration",
+    "emb_random_projection",
+    "etl_array_funcs",
+    "etl_scalar_funcs",
+    "events_ab_test_zscore",
+    "events_dedup_keepfirst",
+    "events_k_anonymity",
+    "events_late_arrival_audit",
+    "events_scd2_pointintime",
+    "events_seasonal_baseline",
+    "fuzzy_match_customers",
+    "graph_bfs_distance",
+    "graph_components_star",
+    "graph_pagerank_lineitem",
+    "graph_triangle_count",
+    "lang_id_auc",
+    "multimodal_wav_header_parse",
+    "orders_market_basket",
+    "q_null_semantics",
+    "q_percentile_disc",
+    "q_salted_hot_key_agg",
+    "q_try_arithmetic",
+    "sim_embedding_topk",
+    "sim_kmeans_train",
+    "sim_nprobe_recall_curve",
+    "sim_silhouette",
+    "stream_holt_forecast",
+    "text_bpe_train",
 )
 
 
