@@ -40,12 +40,13 @@ from .registry import REGISTRY
 # green row (multimodal_decode: stub -> real PNG loop in r11;
 # multimodal_resize / multimodal_features / multimodal_phash_dedup: stub
 # kernels -> real pixel kernels this round; docs_quality_funnel: robots
-# gate added as stage 1 this round); (c) the round-12 addition
-# multimodal_inflate_dynamic_huffman; (d) 39 oldest-evidence re-probes —
-# every remaining row whose only green is from round 5, six rounds of
-# shared-infrastructure drift ago (44 such rows exist; the 4
-# alphabetically-last text_* rows defer to the r13 rotation, noted in
-# COVERAGE.md). 5 + 5 + 1 + 39 = 50 exactly.
+# gate added as stage 1 this round); (c) the round-12 additions
+# multimodal_inflate_dynamic_huffman + multimodal_png_decode_real;
+# (d) 38 oldest-evidence re-probes — rows whose only green is from round
+# 5, six rounds of shared-infrastructure drift ago (44 such rows exist;
+# additions take slots before re-probes, so the 5 alphabetically-last —
+# text_bpe_train and the four text_* — defer to the r13 rotation, noted
+# in COVERAGE.md). 5 + 5 + 2 + 38 = 50 exactly.
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- (a) never-driver-checked r11 additions
     "docs_domain_caps",
@@ -59,8 +60,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "multimodal_features",
     "multimodal_phash_dedup",
     "docs_quality_funnel",
-    # -- (c) round-12 addition
+    # -- (c) round-12 additions
     "multimodal_inflate_dynamic_huffman",
+    "multimodal_png_decode_real",
     # -- (d) oldest-evidence re-probes (every green is r5; sorted)
     "asof_next_click",
     "customer_via_csv_source",
@@ -100,7 +102,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sim_nprobe_recall_curve",
     "sim_silhouette",
     "stream_holt_forecast",
-    "text_bpe_train",
 )
 
 

@@ -97,6 +97,7 @@ _ARROW_KERNEL_WAIVERS = {
     "multimodal_features",
     "multimodal_frames",
     "multimodal_inflate_dynamic_huffman",
+    "multimodal_png_decode_real",
     "multimodal_phash_dedup",
     "multimodal_resize",
     "text_heavy_hitters",
