@@ -100,7 +100,6 @@ SF1_HEAVY = [
     # stream row reflects a real 10x source)
     "graph_components_star",
     "docs_span_pair_dedup",
-    "multimodal_phash_dedup",
     "stream_kmv_distinct",
     # round-7 late additions: the two heaviest of the five new families —
     # HITS (6 shuffle-sums + per-round checkpoints over the distinct
@@ -238,7 +237,16 @@ SF1_HEAVY = [
     # with a FIXED canonical-group count (doc_id % 50) — group size
     # grows, group count doesn't, so the agg output is constant).
     "docs_rouge2_pairs",
-    "multimodal_decode",
+    "multimodal_decode",    # moved LAST in r12 (was mid-list): the real-pHash rework made this
+    # leg emit 1.67M pair rows at sf1 (70.8x the corpus growth — the
+    # hamming<=1 semantics on a 16-bit hash; see COVERAGE round-15
+    # probe). Three executions (warm + 2 timed) of that output mid-
+    # section measurably taxed every later leg in r18 (graph_k_truss
+    # read 17.6/28.5 s vs a fresh-session 7.94 s; shared-pairs 29.7 s vs
+    # 12.3 s) — the aged-JVM effect the scale-section restart exists to
+    # prevent, reintroduced mid-section. Last position bounds the blast
+    # radius to nothing.
+    "multimodal_phash_dedup",
 ]
 
 
