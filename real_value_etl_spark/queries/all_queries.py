@@ -41,12 +41,15 @@ from .registry import REGISTRY
 # multimodal_resize / multimodal_features / multimodal_phash_dedup: stub
 # kernels -> real pixel kernels this round; docs_quality_funnel: robots
 # gate added as stage 1 this round); (c) the round-12 additions
-# multimodal_inflate_dynamic_huffman + multimodal_png_decode_real;
-# (d) 38 oldest-evidence re-probes — rows whose only green is from round
-# 5, six rounds of shared-infrastructure drift ago (44 such rows exist;
-# additions take slots before re-probes, so the 5 alphabetically-last —
+# multimodal_inflate_dynamic_huffman + multimodal_png_decode_real +
+# multimodal_gzip_inflate + multimodal_zip_extract +
+# multimodal_warc_gzip_extract;
+# (d) 35 oldest-evidence re-probes — rows whose only green is from round
+# 5, six rounds of shared-infrastructure drift ago (additions take
+# slots before re-probes, so the alphabetically-last r5 rows —
+# sim_nprobe_recall_curve, sim_silhouette, stream_holt_forecast,
 # text_bpe_train and the four text_* — defer to the r13 rotation, noted
-# in COVERAGE.md). 5 + 5 + 2 + 38 = 50 exactly.
+# in COVERAGE.md). 5 + 5 + 5 + 35 = 50 exactly.
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- (a) never-driver-checked r11 additions
     "docs_domain_caps",
@@ -63,6 +66,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # -- (c) round-12 additions
     "multimodal_inflate_dynamic_huffman",
     "multimodal_png_decode_real",
+    "multimodal_gzip_inflate",
+    "multimodal_zip_extract",
+    "multimodal_warc_gzip_extract",
     # -- (d) oldest-evidence re-probes (every green is r5; sorted)
     "asof_next_click",
     "customer_via_csv_source",
@@ -99,9 +105,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q_try_arithmetic",
     "sim_embedding_topk",
     "sim_kmeans_train",
-    "sim_nprobe_recall_curve",
-    "sim_silhouette",
-    "stream_holt_forecast",
 )
 
 

@@ -9812,3 +9812,433 @@ def multimodal_png_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.getField("pixel_last").alias("pixel_last"),
         d.getField("mask").alias("filters_mask"),
     )
+
+
+# ---------------------------------------------------------------------------
+# gzip member decode, fully JVM-side (RFC 1952): the OTHER real-world
+# compressed container — crawl corpora (WARC/WET) ship as gzip members, so
+# with the full inflate this engine can open them without Python in the hot
+# path. multimodal_gzip_member_parse walked the framing; this query decodes
+# the CONTENT.
+# ---------------------------------------------------------------------------
+def _zdh_crc32_hex(s):
+    """Table-driven CRC-32 (the gzip/PNG polynomial) over a hex-string
+    column — the trailer check every gunzip performs on the recovered
+    bytes."""
+    tbl = F.array(*[F.lit(v).cast("long") for v in CRC32_TABLE])
+    nbytes = (F.length(s) / 2).cast("long")
+    raw = F.aggregate(
+        F.sequence(F.lit(1), nbytes),
+        F.lit(0xFFFFFFFF).cast("long"),
+        lambda acc, i: F.element_at(
+            tbl,
+            (F.pmod(acc.bitwiseXOR(_zdh_hexbyte1(s, i)), 256) + 1).cast(
+                "int"
+            ),
+        ).bitwiseXOR(F.shiftright(acc, 8)),
+    )
+    return raw.bitwiseXOR(F.lit(0xFFFFFFFF).cast("long"))
+
+
+def _zdh_rd_le_hex(s, pos, nbytes):
+    """LITTLE-endian nbytes read at 1-based BYTE position pos of a
+    hex-string column (gzip trailers are LE, unlike PNG's BE fields)."""
+    out = F.lit(0).cast("long")
+    for i in range(nbytes):
+        out = out + _zdh_hexbyte1(s, pos + i) * F.lit(1 << (8 * i))
+    return out
+
+
+@register(
+    "multimodal_gzip_inflate",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS L,
+             hex(encode(text)) AS hx
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, L, text, kk.k,
+             CAST(('0x' || substring(hx, 2 * kk.k + 1, 2)) AS BIGINT) AS byte
+      FROM s, LATERAL (SELECT unnest(range(0, L)) AS k) kk
+    )
+    SELECT doc_id,
+           TRUE AS gzip_hdr_ok, TRUE AS single_block_ok, TRUE AS lens_ok,
+           TRUE AS inflate_ok, TRUE AS crc32_ok, TRUE AS isize_ok,
+           CAST(MIN(L) AS BIGINT) AS n_bytes,
+           CAST(SUM(byte) AS BIGINT) AS byte_sum,
+           CAST(MAX(CASE WHEN k = 0 THEN byte END) AS BIGINT) AS first_byte,
+           CAST(MAX(CASE WHEN k = L - 1 THEN byte END) AS BIGINT)
+             AS last_byte,
+           md5(MIN(text)) AS out_md5
+    FROM b GROUP BY doc_id
+    """,
+    tags=("multimodal", "llm", "binary", "image"),
+)
+def multimodal_gzip_inflate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gzip member DECODE fully JVM-side — the composition that matters
+    for crawl pipelines: WARC/WET corpora arrive as RFC 1952 gzip
+    members, and with the full Catalyst inflate this engine opens them
+    without Python in the decode path. The fixture is genuine
+    `gzip.compress` output (Arrow kernel, mtime=0); the Catalyst side
+    validates the member framing (magic 1f 8b, CM=8 deflate, FLG=0 —
+    no optional fields, the fixed-header decode precondition), slices
+    the RAW deflate body out of the member (gzip carries bare RFC 1951
+    data — no zlib wrapper), re-frames it with a synthetic `78 01` zlib
+    header + dummy adler so the SAME catalyst_inflate_hex fold pipeline
+    decodes it (the fold never validates adler — that lives in the
+    stats layer, which this query replaces with gzip's own trailer
+    checks), then verifies RFC 1952's trailer on the RECOVERED bytes: a
+    table-driven CRC-32 (little-endian, unlike PNG's big-endian CRC
+    fields) and ISIZE = n_bytes mod 2^32. Byte statistics and md5 are
+    oracle-pinned to the ground-truth text. Map-only after the fixture
+    staging repartition.
+
+    Reference basis: SURVEY.md §2.12 multimodal family (absent in
+    reference — the reference pipeline reads plain CSV only,
+    src/etl/extraction.py)."""
+    from ..operators import multimodal as M
+
+    docs = table(spark, sf_dir, "documents")
+    gz = M.gzip_payload(M.attach_binary(docs, "doc_id", "text"))
+    gz = gz.repartition(32).localCheckpoint(eager=False)
+    return catalyst_gunzip(gz)
+
+
+def catalyst_gunzip_hex(gz: DataFrame) -> DataFrame:
+    """RFC 1952 gzip-member decode of a `payload` column as pure-Catalyst
+    folds, returning the RECOVERED BYTES as `out_hex` plus framing flags
+    and the member's own trailer checks (CRC-32 + ISIZE, verified against
+    the recovered stream). The composition surface — the WET extract
+    parses WARC records out of `out_hex`; catalyst_gunzip builds byte
+    statistics on top."""
+    p = F.col("payload")
+    gh = F.hex(p)
+    glen = F.octet_length(p).cast("long")
+    # member framing: the fixed 10-byte header slice REQUIRES FLG=0 (no
+    # optional extra/name/comment/hcrc fields — a decode precondition,
+    # unlike MTIME which is metadata and may be anything in real-world
+    # members); 8-byte LE trailer
+    hdr_ok = (
+        (_zdh_rd_hex(gh, F.lit(1).cast("long"), 2) == 0x1F8B)
+        & (_zdh_hexbyte1(gh, F.lit(3).cast("long")) == 8)
+        & (_zdh_hexbyte1(gh, F.lit(4).cast("long")) == 0)
+    )
+    st = gz.select(
+        "doc_id",
+        hdr_ok.alias("gzip_hdr_ok"),
+        _zdh_rd_le_hex(gh, glen - 7, 4).alias("crc_stored"),
+        _zdh_rd_le_hex(gh, glen - 3, 4).alias("isize_stored"),
+        F.concat(
+            F.unhex(F.lit("7801")),
+            p.substr(F.lit(11).cast("int"), (glen - 18).cast("int")),
+            F.unhex(F.lit("00000000")),
+        ).alias("payload"),
+    )
+    z = catalyst_inflate_hex(st)
+    n_bytes = (F.length("out_hex") / 2).cast("long")
+    return z.select(
+        "doc_id",
+        "gzip_hdr_ok",
+        "single_block_ok",
+        "lens_ok",
+        "inflate_ok",
+        (_zdh_crc32_hex(F.col("out_hex")) == F.col("crc_stored")).alias(
+            "crc32_ok"
+        ),
+        (F.pmod(n_bytes, F.lit(4294967296)) == F.col("isize_stored")).alias(
+            "isize_ok"
+        ),
+        "out_hex",
+    )
+
+
+def catalyst_gunzip(gz: DataFrame) -> DataFrame:
+    """Flag/byte-statistics view over catalyst_gunzip_hex — the frame the
+    registered query and the third-engine unit test consume."""
+    z = catalyst_gunzip_hex(gz)
+    n_bytes = (F.length("out_hex") / 2).cast("long")
+    stats = F.aggregate(
+        F.sequence(F.lit(1), n_bytes),
+        F.lit(0).cast("long"),
+        lambda a, i: a + _zdh_hexbyte1(F.col("out_hex"), i),
+    )
+    return z.select(
+        "doc_id",
+        "gzip_hdr_ok",
+        "single_block_ok",
+        "lens_ok",
+        "inflate_ok",
+        "crc32_ok",
+        "isize_ok",
+        n_bytes.alias("n_bytes"),
+        stats.alias("byte_sum"),
+        _zdh_hexbyte1(F.col("out_hex"), F.lit(1).cast("long")).alias(
+            "first_byte"
+        ),
+        _zdh_hexbyte1(F.col("out_hex"), n_bytes).alias("last_byte"),
+        F.md5(F.unhex(F.col("out_hex"))).alias("out_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ZIP entry EXTRACTION, fully JVM-side — the composition the EOCD walk
+# (multimodal_zip_eocd_walk, STORED entries, stubbed CRC) could not reach
+# before the full inflate existed: a REAL stdlib-`zipfile` archive (method 8
+# DEFLATE) is opened end-to-end — backward EOCD signature scan, central
+# directory -> local header pointer chase, the DEFLATE body inflated by the
+# pure-Catalyst RFC 1951 fold, and the central directory's REAL CRC-32
+# verified against the recovered bytes.
+# ---------------------------------------------------------------------------
+ZIP_X_TAIL = 62  # EOCD fixed part (22) + the fixture's <=39 comment bytes
+
+
+@register(
+    "multimodal_zip_extract",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS L,
+             hex(encode(text)) AS hx
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, L, text, kk.k,
+             CAST(('0x' || substring(hx, 2 * kk.k + 1, 2)) AS BIGINT) AS byte
+      FROM s, LATERAL (SELECT unnest(range(0, L)) AS k) kk
+    )
+    SELECT doc_id,
+           TRUE AS eocd_found,
+           CAST(doc_id % 40 AS BIGINT) AS comment_len,
+           CAST(1 AS BIGINT) AS n_entries,
+           'doc' || CAST(doc_id AS VARCHAR) || '.txt' AS fname,
+           CAST(8 AS BIGINT) AS method,
+           TRUE AS sig_chain_ok, TRUE AS names_match, TRUE AS sizes_ok,
+           TRUE AS inflate_ok, TRUE AS crc32_ok,
+           CAST(MIN(L) AS BIGINT) AS n_bytes,
+           CAST(SUM(byte) AS BIGINT) AS byte_sum,
+           md5(MIN(text)) AS out_md5
+    FROM b GROUP BY doc_id
+    """,
+    tags=("multimodal", "llm", "binary"),
+)
+def multimodal_zip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIP entry extraction fully JVM-side — datasets ship as ZIP
+    archives, and this opens one the way a real unzip does, with no
+    Python in the decode path. The fixture is a GENUINE stdlib
+    `zipfile` archive (one DEFLATE entry, level 9, a doc_id-dependent
+    archive comment). Catalyst side: (1) backward EOCD discovery — the
+    PK\\x05\\x06 signature is found as the LAST aligned occurrence in
+    the bounded tail window via a reversed-hex scan (real readers
+    rfind through up to 64 KiB of trailing comment; the fixture's
+    comment makes the distance data-dependent); (2) the central
+    directory record at the recovered offset yields method, CRC-32,
+    compressed/uncompressed sizes, name, and the local-header offset;
+    (3) the local header's redundant name/method copies are
+    cross-checked (the format's corruption defense); (4) the sliced
+    DEFLATE body — gzip-style RAW rfc1951 data — is re-framed with a
+    synthetic zlib header and inflated by the same catalyst_inflate_hex
+    fold pipeline (stored/fixed/dynamic blocks, LZ77 back-references);
+    (5) the central directory's REAL CRC-32 is verified against the
+    recovered bytes (table-driven fold — the check the EOCD walk's
+    stored-entry fixture had to stub), and EOCD arithmetic
+    (cd_offset + cd_size + 22 + comment_len == file size,
+    uncompressed_size == inflated length) closes the frame. Byte stats
+    and md5 are oracle-pinned to the ground-truth text. Map-only after
+    the fixture staging repartition.
+
+    Reference basis: SURVEY.md §2.12 multimodal family (absent in
+    reference — the reference pipeline reads plain CSV only,
+    src/etl/extraction.py)."""
+    from ..operators import multimodal as M
+
+    docs = table(spark, sf_dir, "documents")
+    zp = M.zip_payload(M.attach_binary(docs, "doc_id", "text"))
+    zp = zp.repartition(32).localCheckpoint(eager=False)
+    return catalyst_unzip(zp)
+
+
+def catalyst_unzip(zp: DataFrame) -> DataFrame:
+    """One-entry ZIP extraction of a `payload` column as pure-Catalyst
+    folds: EOCD scan -> CD -> LFH -> inflate -> CRC-32. The composition
+    surface the registered query and the third-engine unit test share.
+    Expects (doc_id, payload); comment up to ZIP_X_TAIL - 22 bytes."""
+    p = F.col("payload")
+    gh = F.hex(p)
+    plen = F.octet_length(p).cast("long")
+
+    # -- (1) backward EOCD scan: last aligned PK\x05\x06 in the tail --
+    tail_b = F.least(plen, F.lit(ZIP_X_TAIL).cast("long"))
+    tail_off = plen - tail_b + 1  # 1-based byte pos of the window
+    th = gh.substr(((tail_off - 1) * 2 + 1).cast("int"), (tail_b * 2).cast("int"))
+    rpos = F.instr(F.reverse(th), "6050B405").cast("long")  # reversed sig
+    s_hex = tail_b * 2 - rpos - 6  # 1-based hex pos of sig within window
+    eocd_found = (rpos > 0) & (F.pmod(s_hex, 2) == 1)
+    e_at = (tail_off + (s_hex - 1) / F.lit(2)).cast("long")  # exact: s_hex odd
+    n_entries = _zdh_rd_le_hex(gh, e_at + 10, 2)
+    cdsz = _zdh_rd_le_hex(gh, e_at + 12, 4)
+    cdof = _zdh_rd_le_hex(gh, e_at + 16, 4)
+    cl = _zdh_rd_le_hex(gh, e_at + 20, 2)
+
+    # -- (2) central directory record ---------------------------------
+    c_at = cdof + 1
+    cd_sig_ok = _zdh_rd_hex(gh, c_at, 4) == 0x504B0102
+    method = _zdh_rd_le_hex(gh, c_at + 10, 2)
+    crc_stored = _zdh_rd_le_hex(gh, c_at + 16, 4)
+    csz = _zdh_rd_le_hex(gh, c_at + 20, 4)
+    usz = _zdh_rd_le_hex(gh, c_at + 24, 4)
+    fnl = _zdh_rd_le_hex(gh, c_at + 28, 2)
+    exl = _zdh_rd_le_hex(gh, c_at + 30, 2)
+    lho = _zdh_rd_le_hex(gh, c_at + 42, 4)
+    cd_name = F.decode(p.substr((c_at + 46).cast("int"), fnl.cast("int")), "utf-8")
+
+    # -- (3) local header cross-check + (4) body slice ----------------
+    l_at = lho + 1
+    lfh_sig_ok = _zdh_rd_hex(gh, l_at, 4) == 0x504B0304
+    l_method = _zdh_rd_le_hex(gh, l_at + 8, 2)
+    l_fnl = _zdh_rd_le_hex(gh, l_at + 26, 2)
+    l_exl = _zdh_rd_le_hex(gh, l_at + 28, 2)
+    l_name = F.decode(p.substr((l_at + 30).cast("int"), l_fnl.cast("int")), "utf-8")
+    data_at = l_at + 30 + l_fnl + l_exl
+    comp = p.substr(data_at.cast("int"), csz.cast("int"))
+
+    st = zp.select(
+        "doc_id",
+        eocd_found.alias("eocd_found"),
+        cl.alias("comment_len"),
+        n_entries.alias("n_entries"),
+        cd_name.alias("fname"),
+        method.alias("method"),
+        (cd_sig_ok & lfh_sig_ok).alias("sig_chain_ok"),
+        ((cd_name == l_name) & (method == l_method)).alias("names_match"),
+        crc_stored.alias("crc_stored"),
+        usz.alias("usz"),
+        (plen == cdof + cdsz + 22 + cl).alias("eocd_arith_ok"),
+        F.concat(
+            F.unhex(F.lit("7801")), comp, F.unhex(F.lit("00000000"))
+        ).alias("payload"),
+    )
+    z = catalyst_inflate_hex(st)
+    n_bytes = (F.length("out_hex") / 2).cast("long")
+    stats = F.aggregate(
+        F.sequence(F.lit(1), n_bytes),
+        F.lit(0).cast("long"),
+        lambda a, i: a + _zdh_hexbyte1(F.col("out_hex"), i),
+    )
+    return z.select(
+        "doc_id",
+        "eocd_found",
+        "comment_len",
+        "n_entries",
+        "fname",
+        "method",
+        "sig_chain_ok",
+        "names_match",
+        (F.col("eocd_arith_ok") & (n_bytes == F.col("usz"))).alias("sizes_ok"),
+        "inflate_ok",
+        (_zdh_crc32_hex(F.col("out_hex")) == F.col("crc_stored")).alias(
+            "crc32_ok"
+        ),
+        n_bytes.alias("n_bytes"),
+        stats.alias("byte_sum"),
+        F.md5(F.unhex(F.col("out_hex"))).alias("out_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# WET-style crawl record ingestion end-to-end: gzip member -> inflate ->
+# WARC/1.0 header parse -> Content-Length-verified body, all JVM-side. The
+# composition of multimodal_gzip_inflate (the transport framing) and
+# multimodal_warc_record_walk (the record grammar) — the actual read path a
+# CommonCrawl-scale pipeline runs on every .wet.gz shard.
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_warc_gzip_extract",
+    oracle="""
+    SELECT doc_id,
+           TRUE AS gzip_hdr_ok, TRUE AS inflate_ok, TRUE AS crc32_ok,
+           TRUE AS version_ok, TRUE AS terminator_ok, TRUE AS length_ok,
+           'conversion' AS rec_type,
+           'https://example.com/doc/' || CAST(doc_id AS VARCHAR)
+             AS target_uri,
+           CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+           md5(text) AS body_md5
+    FROM documents
+    """,
+    tags=("multimodal", "llm", "binary", "warc"),
+)
+def multimodal_warc_gzip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WET shard read path end-to-end, fully JVM-side: CommonCrawl
+    text extracts ship as per-record gzip members whose content is a
+    WARC/1.0 'conversion' record, so ingesting one document means
+    gunzip -> WARC header parse -> Content-Length-verified body — and
+    this query does all three in pure Catalyst. The fixture is a
+    byte-faithful WET record (version line, WARC-Type/WARC-Target-URI/
+    Content-Length headers, CRLF-CRLF separator, body, CRLF-CRLF
+    trailer) compressed by a genuine `gzip.compress` Arrow kernel. The
+    decode side validates RFC 1952 framing, inflates via the full
+    RFC 1951 Catalyst fold, checks the member's own CRC-32 trailer
+    against the recovered bytes, then parses the recovered record the
+    way multimodal_warc_record_walk does — version magic, field
+    DISCOVERY inside the header window (both the type token and the
+    decimal length vary in width), Content-Length arithmetic locating
+    the body and the trailing CRLF-CRLF — and emits the verified body
+    (md5-pinned to the ground-truth text; the corpus is ASCII so char
+    and byte offsets agree — a production reader would slice on the
+    binary column instead). Map-only after fixture staging.
+
+    Reference basis: SURVEY.md §2.12 multimodal/crawl family (absent in
+    reference — the reference pipeline reads plain CSV only,
+    src/etl/extraction.py)."""
+    from ..operators import multimodal as M
+
+    docs = table(spark, sf_dir, "documents")
+    blen = F.octet_length(F.col("text")).cast("long")
+    rec = F.concat(
+        F.lit("WARC/1.0\r\n"),
+        F.lit("WARC-Type: conversion\r\n"),
+        F.lit("WARC-Target-URI: https://example.com/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("\r\n"),
+        F.lit("Content-Length: "),
+        blen.cast("string"),
+        F.lit("\r\n\r\n"),
+        F.col("text"),
+        F.lit("\r\n\r\n"),
+    )
+    gz = M.gzip_payload(
+        M.attach_binary(docs.select("doc_id", rec.alias("rec")), "doc_id", "rec")
+    )
+    gz = gz.repartition(32).localCheckpoint(eager=False)
+
+    z = catalyst_gunzip_hex(gz)
+    txt = F.decode(F.unhex(F.col("out_hex")), "utf-8")
+    hdr_end = F.locate("\r\n\r\n", txt).cast("long")  # 1-based
+    hdr = txt.substr(F.lit(1), (hdr_end + 1).cast("int"))
+    tpos = (F.locate("WARC-Type: ", hdr) + 11).cast("long")
+    tseg = hdr.substr(tpos.cast("int"), F.lit(24))
+    rtype = tseg.substr(F.lit(1), (F.locate("\r", tseg) - 1).cast("int"))
+    upos = (F.locate("WARC-Target-URI: ", hdr) + 17).cast("long")
+    useg = hdr.substr(upos.cast("int"), F.lit(64))
+    uri = useg.substr(F.lit(1), (F.locate("\r", useg) - 1).cast("int"))
+    cpos = (F.locate("Content-Length: ", hdr) + 16).cast("long")
+    cseg = hdr.substr(cpos.cast("int"), F.lit(8))
+    clen = cseg.substr(
+        F.lit(1), (F.locate("\r", cseg) - 1).cast("int")
+    ).cast("long")
+    body = txt.substr((hdr_end + 4).cast("int"), clen.cast("int"))
+    trailer = txt.substr((hdr_end + 4 + clen).cast("int"), F.lit(4))
+    return z.select(
+        "doc_id",
+        "gzip_hdr_ok",
+        "inflate_ok",
+        "crc32_ok",
+        txt.startswith("WARC/1.0\r\n").alias("version_ok"),
+        (trailer == "\r\n\r\n").alias("terminator_ok"),
+        (F.length(txt).cast("long") == hdr_end + 3 + clen + 4).alias(
+            "length_ok"
+        ),
+        rtype.alias("rec_type"),
+        uri.alias("target_uri"),
+        clen.alias("content_length"),
+        F.md5(body).alias("body_md5"),
+    )

@@ -201,3 +201,113 @@ def test_catalyst_inflate_third_engine(spark):
                 r.out_md5 == hashlib.md5(cases[1][0]).hexdigest()), (
         "corrupted stream decoded 'successfully' to the original bytes"
     )
+
+
+def test_catalyst_gunzip_third_engine(spark):
+    """Third-engine proof for the pure-Catalyst gzip-member decode:
+    members come from stdlib gzip.compress (varied mtime — MTIME is
+    metadata, not a decode precondition), the recovered bytes must match
+    CPython's gunzip, and the member's OWN trailer (CRC-32 + ISIZE) must
+    verify on the Catalyst side. A corrupted deflate body must surface
+    through the trailer check, never as silently wrong bytes."""
+    import gzip
+    import hashlib
+
+    from real_value_etl_spark.queries.feature_ops import catalyst_gunzip
+
+    cases = {
+        1: b"the quick brown fox jumps over the lazy dog " * 7,
+        2: b"abcabcabcX",
+        3: bytes(range(256)) * 3,  # low-redundancy spread of all bytes
+    }
+    payloads = {
+        1: gzip.compress(cases[1], 9, mtime=0),
+        2: gzip.compress(cases[2], 6, mtime=1234567890),  # nonzero MTIME
+        3: gzip.compress(cases[3], 9, mtime=0),
+    }
+    # corrupted copy of case 1: flip a byte inside the deflate body
+    bad = bytearray(payloads[1])
+    bad[12] ^= 0xFF
+    df = spark.createDataFrame(
+        [(k, bytearray(p)) for k, p in payloads.items()] + [(99, bad)],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r for r in catalyst_gunzip(df).collect()}
+    for k, raw in cases.items():
+        r = got[k]
+        assert r.gzip_hdr_ok and r.single_block_ok and r.lens_ok, (k, r)
+        assert r.inflate_ok and r.crc32_ok and r.isize_ok, (k, r)
+        assert r.n_bytes == len(raw)
+        assert r.byte_sum == sum(raw)
+        assert r.first_byte == raw[0] and r.last_byte == raw[-1]
+        assert r.out_md5 == hashlib.md5(raw).hexdigest(), k
+        # and the member really round-trips through CPython gzip too
+        assert gzip.decompress(payloads[k]) == raw
+    r = got[99]
+    assert not (r.inflate_ok and r.crc32_ok and
+                r.out_md5 == hashlib.md5(cases[1]).hexdigest()), (
+        "corrupted member decoded 'successfully' to the original bytes"
+    )
+
+
+def test_catalyst_unzip_third_engine(spark):
+    """Third-engine proof for the pure-Catalyst ZIP extraction: archives
+    come from stdlib `zipfile` (varied names, comment lengths, and
+    content classes — repetitive text, short strings, incompressible
+    bytes whose raw-deflate emits STORED blocks), CPython's ZipFile
+    must independently validate each fixture (testzip + CRC on read),
+    and the Catalyst side must recover the same metadata and bytes. A
+    corrupted deflate body must surface through the CD CRC-32 check,
+    never as silently wrong bytes."""
+    import hashlib
+    import io
+    import zipfile
+
+    from real_value_etl_spark.queries.feature_ops import catalyst_unzip
+
+    def _pseudo_random(n: int) -> bytes:
+        out, seed = b"", b"unzip"
+        while len(out) < n:
+            seed = hashlib.sha256(seed).digest()
+            out += seed
+        return out[:n]
+
+    cases = {
+        1: ("doc1.txt", b"spark catalyst inflate " * 20, 0),
+        2: ("nested/path/x.bin", b"tiny", 7),
+        3: ("r.dat", _pseudo_random(600), 39),  # stored-block deflate
+    }
+    payloads = {}
+    for k, (name, data, clen) in cases.items():
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.comment = b"c" * clen
+            zi = zipfile.ZipInfo(name)
+            zf.writestr(zi, data, compress_type=zipfile.ZIP_DEFLATED,
+                        compresslevel=9)
+        payloads[k] = buf.getvalue()
+        # CPython third engine: the fixture is a genuinely valid archive
+        with zipfile.ZipFile(io.BytesIO(payloads[k])) as zf:
+            assert zf.testzip() is None
+            assert zf.read(name) == data
+    # corrupted copy of case 1: flip a byte inside the deflate body
+    bad = bytearray(payloads[1])
+    bad[40] ^= 0xFF  # past the 30-byte LFH + 8-char name: deflate body
+    df = spark.createDataFrame(
+        [(k, bytearray(p)) for k, p in payloads.items()] + [(99, bad)],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r for r in catalyst_unzip(df).collect()}
+    for k, (name, data, clen) in cases.items():
+        r = got[k]
+        assert r.eocd_found and r.sig_chain_ok and r.names_match, (k, r)
+        assert r.comment_len == clen and r.n_entries == 1, (k, r)
+        assert r.fname == name and r.method == 8, (k, r)
+        assert r.sizes_ok and r.inflate_ok and r.crc32_ok, (k, r)
+        assert r.n_bytes == len(data) and r.byte_sum == sum(data)
+        assert r.out_md5 == hashlib.md5(data).hexdigest(), k
+    r = got[99]
+    assert not (r.inflate_ok and r.crc32_ok and
+                r.out_md5 == hashlib.md5(cases[1][1]).hexdigest()), (
+        "corrupted entry extracted 'successfully' to the original bytes"
+    )
