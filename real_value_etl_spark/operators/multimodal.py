@@ -302,6 +302,125 @@ def zip_payload(binary_df: DataFrame) -> DataFrame:
     )
 
 
+def _crc32c_table() -> list[int]:
+    """Castagnoli CRC-32C table (reflected poly 0x82F63B78) — the checksum
+    TFRecord frames every record with (twice: once over the length bytes,
+    once over the payload)."""
+    tbl = []
+    for n in range(256):
+        c = n
+        for _ in range(8):
+            c = (0x82F63B78 ^ (c >> 1)) if (c & 1) else (c >> 1)
+        tbl.append(c)
+    return tbl
+
+
+CRC32C_TABLE = _crc32c_table()
+
+
+def crc32c(data: bytes) -> int:
+    c = 0xFFFFFFFF
+    for b in data:
+        c = CRC32C_TABLE[(c ^ b) & 0xFF] ^ (c >> 8)
+    return c ^ 0xFFFFFFFF
+
+
+def tfrecord_mask(crc: int) -> int:
+    """TFRecord's masked CRC: rotate right by 15, add the mask constant."""
+    return (((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+
+
+TFRECORD_MAX_RECORDS = 4  # nrec = doc_id % 3 + 2 (2..4)
+TFRECORD_PAD = 120  # bodies are contiguous slices of the padded text
+
+
+def _tfrecord_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow kernel: frame each payload's leading slices as a REAL
+    TFRecord chain — per record an 8-byte LE length, the masked CRC-32C
+    of those length bytes, the data, and the masked CRC-32C of the data
+    (the TensorFlow tf.data wire format). nrec and the per-record slice
+    lengths are doc_id-deterministic so the oracle can mirror them."""
+    import struct
+
+    for pdf in batches:
+        out = []
+        for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+            did = int(doc_id)
+            pad = bytes(b)[:TFRECORD_PAD].ljust(TFRECORD_PAD, b" ")
+            nrec = did % 3 + 2
+            rec, off = b"", 0
+            for i in range(nrec):
+                bl = (did + 7 * i) % 23 + 5
+                data = pad[off : off + bl]
+                off += bl
+                lb = struct.pack("<Q", bl)
+                rec += (
+                    lb
+                    + struct.pack("<I", tfrecord_mask(crc32c(lb)))
+                    + data
+                    + struct.pack("<I", tfrecord_mask(crc32c(data)))
+                )
+            out.append(rec)
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
+
+
+def tfrecord_payload(binary_df: DataFrame) -> DataFrame:
+    """Arrow-batched TFRecord framing of a binary column: (doc_id,
+    payload) -> (doc_id, payload=tfrecord chain); partition-parallel."""
+    return binary_df.select("doc_id", "payload").mapInPandas(
+        _tfrecord_batches, schema="doc_id bigint, payload binary"
+    )
+
+
+SQLITE_DDL_TAIL = (
+    "(a INT, b TEXT, crawl_partition_fingerprint REAL, "
+    "ingestion_epoch_millis INT, source_shard_checksum BLOB)"
+)
+SQLITE_MAX_ROWS = 5  # nrows = doc_id % 5 + 1
+SQLITE_ROW_TEXT = 9  # chars of text per inserted row
+
+
+def _sqlite_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow kernel: materialize each document as a REAL serialized SQLite
+    database (stdlib sqlite3 `Connection.serialize`) — one table whose
+    name, DDL width (long filler columns push the sqlite_master record
+    past the 1-byte varint range), row count, int values, and text slices
+    are all doc_id-deterministic so the oracle can mirror them. Feeds the
+    pure-Catalyst page/record walk."""
+    import sqlite3
+
+    for pdf in batches:
+        out = []
+        for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+            did = int(doc_id)
+            text = bytes(b).decode("utf-8")
+            pad = text[: SQLITE_MAX_ROWS * SQLITE_ROW_TEXT].ljust(
+                SQLITE_MAX_ROWS * SQLITE_ROW_TEXT, " "
+            )
+            con = sqlite3.connect(":memory:")
+            con.execute(f"CREATE TABLE t{did}{SQLITE_DDL_TAIL}")
+            for r in range(did % 5 + 1):
+                con.execute(
+                    f"INSERT INTO t{did}(a, b) VALUES (?, ?)",
+                    (
+                        (did + 31 * r) % 1000,
+                        pad[r * SQLITE_ROW_TEXT : (r + 1) * SQLITE_ROW_TEXT],
+                    ),
+                )
+            con.commit()
+            out.append(con.serialize())
+            con.close()
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
+
+
+def sqlite_payload(binary_df: DataFrame) -> DataFrame:
+    """Arrow-batched SQLite pack of a binary column: (doc_id, payload) ->
+    (doc_id, payload=serialized sqlite db); partition-parallel."""
+    return binary_df.select("doc_id", "payload").mapInPandas(
+        _sqlite_batches, schema="doc_id bigint, payload binary"
+    )
+
+
 ENCODED_PNG_SCHEMA = "doc_id bigint, payload binary"
 
 

@@ -5793,3 +5793,114 @@ events_interevent_burstiness.__doc__ = (
         K=IEB_TOPK, M=IEB_MIN_GAPS
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# CEP-style sequence pattern matching over per-user journeys (the
+# MATCH_RECOGNIZE/Flink-CEP shape): regex over an ordered event-code string
+# ---------------------------------------------------------------------------
+EVENT_CODE = {
+    "signup": "s",
+    "view": "v",
+    "click": "c",
+    "purchase": "p",
+    "error": "e",
+}
+FUNNEL_PATTERN = "s[vc]*p"  # signup, any browsing, purchase
+
+
+@register(
+    "events_pattern_match",
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id, ts, event_id,
+             CASE event_type
+               WHEN 'signup' THEN 's' WHEN 'view' THEN 'v'
+               WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
+               ELSE 'e' END AS code
+      FROM events
+    ),
+    j AS (
+      SELECT user_id, COUNT(*) AS n_events,
+             string_agg(code, '' ORDER BY ts, event_id) AS journey
+      FROM c GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(n_events AS BIGINT) AS n_events,
+           md5(journey) AS journey_md5,
+           CAST(len(regexp_extract_all(journey, '{FUNNEL_PATTERN}'))
+                AS BIGINT) AS n_funnels,
+           COALESCE(regexp_extract(journey, '{FUNNEL_PATTERN}'), '')
+             AS first_funnel,
+           regexp_matches(journey, '{FUNNEL_PATTERN}') AS converted,
+           CAST(COALESCE(list_max(list_transform(
+                  regexp_extract_all(journey, 'c+'), x -> length(x))), 0)
+                AS BIGINT) AS longest_click_run
+    FROM j
+    """,
+    tags=("events", "window", "sequence"),
+)
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP-style sequence pattern matching — the MATCH_RECOGNIZE /
+    Flink-CEP shape expressed Spark-first: each user's event stream
+    becomes an ordered single-char journey string (pinned (ts,
+    event_id) order via array_sort over structs — ONE shuffle on
+    user_id, no window pass), and the pattern layer is plain regex over
+    that string, evaluated JVM-side: non-overlapping occurrence count
+    of the funnel pattern signup->(view|click)*->purchase, the first
+    matched funnel's exact event codes, a conversion flag, and the
+    longest consecutive-click run. At 100 TB the journey build is a
+    map-side combine into one hash aggregate keyed by the natural
+    per-entity key; the regex pass is embarrassingly parallel. Late
+    events fold in by construction (array_sort happens after
+    collection, not by arrival). The journey itself is md5'd in the
+    result so the full ordered reconstruction is value-checked without
+    hashing megabyte strings through the driver compare.
+
+    Reference basis: SURVEY.md §2.9/§2.12 events family (absent in
+    reference — the reference has zero sequence operators)."""
+    ev = table(spark, sf_dir, "events")
+    code = F.col("event_type")
+    code_expr = (
+        F.when(code == "signup", "s")
+        .when(code == "view", "v")
+        .when(code == "click", "c")
+        .when(code == "purchase", "p")
+        .otherwise("e")
+    )
+    j = (
+        ev.select("user_id", "ts", "event_id", code_expr.alias("code"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "code"))
+                    ),
+                    lambda x: x.getField("code"),
+                ),
+            ).alias("journey"),
+        )
+    )
+    pat = F.lit(FUNNEL_PATTERN)
+    runs = F.regexp_extract_all(F.col("journey"), F.lit("c+"), 0)
+    return j.select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.md5(F.col("journey")).alias("journey_md5"),
+        F.size(F.regexp_extract_all(F.col("journey"), pat, 0))
+        .cast("long")
+        .alias("n_funnels"),
+        F.regexp_extract(F.col("journey"), FUNNEL_PATTERN, 0).alias(
+            "first_funnel"
+        ),
+        F.col("journey").rlike(FUNNEL_PATTERN).alias("converted"),
+        F.coalesce(
+            F.array_max(F.transform(runs, lambda x: F.length(x))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("longest_click_run"),
+    )

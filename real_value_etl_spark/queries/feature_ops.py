@@ -10242,3 +10242,533 @@ def multimodal_warc_gzip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         clen.alias("content_length"),
         F.md5(body).alias("body_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TFRecord chain walk with REAL masked CRC-32C verification — the canonical
+# TRAINING-DATA container (tf.data's wire format): per record an 8-byte LE
+# length, the masked Castagnoli CRC of those length bytes, the data, and the
+# masked Castagnoli CRC of the data. The stride is data-dependent (read from
+# the wire), and integrity is TWO real checksums per record under TFRecord's
+# rotate-15-plus-constant masking.
+# ---------------------------------------------------------------------------
+def _tfr_crc32c_slice(s, start, nbytes):
+    """Table-driven CRC-32C (Castagnoli) over `nbytes` bytes of hex-string
+    column `s` beginning at 1-based BYTE offset `start` — both offsets may
+    be data-dependent Columns."""
+    from ..operators.multimodal import CRC32C_TABLE
+
+    tbl = F.array(*[F.lit(v).cast("long") for v in CRC32C_TABLE])
+    raw = F.aggregate(
+        F.sequence(F.lit(1).cast("long"), nbytes),
+        F.lit(0xFFFFFFFF).cast("long"),
+        lambda acc, i: F.element_at(
+            tbl,
+            (
+                F.pmod(acc.bitwiseXOR(_zdh_hexbyte1(s, start + i - 1)), 256)
+                + 1
+            ).cast("int"),
+        ).bitwiseXOR(F.shiftright(acc, 8)),
+    )
+    return raw.bitwiseXOR(F.lit(0xFFFFFFFF).cast("long"))
+
+
+def _tfr_mask(crc):
+    """TFRecord CRC masking: rotate right 15 within 32 bits, then add the
+    mask constant mod 2^32. The rotate's two halves occupy disjoint bit
+    ranges, so the OR is an exact ADD."""
+    return F.pmod(
+        F.shiftright(crc, 15)
+        + F.pmod(crc * F.lit(131072), F.lit(4294967296))
+        + F.lit(0xA282EAD8),
+        F.lit(4294967296),
+    )
+
+
+@register(
+    "multimodal_tfrecord_walk",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, doc_id % 3 + 2 AS nrec, rpad(text, 120, ' ') AS pad
+      FROM documents
+    ),
+    rec AS (
+      SELECT g.doc_id, g.nrec, g.pad, ii.i,
+             (g.doc_id + 7 * ii.i) % 23 + 5 AS bl
+      FROM g, LATERAL (SELECT unnest(range(0, g.nrec)) AS i) ii
+    )
+    SELECT doc_id,
+           CAST(MIN(nrec) AS BIGINT) AS n_records,
+           TRUE AS length_crc_ok, TRUE AS data_crc_ok, TRUE AS framing_ok,
+           CAST(SUM(bl) AS BIGINT) AS data_bytes_sum,
+           md5(substr(MIN(pad), 1, CAST(SUM(bl) AS INT))) AS bodies_md5,
+           CAST(MAX(CASE WHEN i = nrec - 1 THEN bl END) AS BIGINT)
+             AS last_len,
+           CAST(SUM(bl + 16) AS BIGINT) AS total_len
+    FROM rec GROUP BY doc_id
+    """,
+    tags=("multimodal", "llm", "binary"),
+)
+def multimodal_tfrecord_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TFRecord chain walk with BOTH masked CRC-32C checks recomputed
+    per record — the tf.data wire format every TensorFlow-era training
+    corpus ships in, and the checksum regime (Castagnoli polynomial,
+    rotate-15-plus-0xa282ead8 masking) that every TFRecord reader must
+    implement. The fixture is built by a CPython Arrow kernel (struct
+    packing + an independently-tabled CRC-32C, check-vector-pinned in
+    the unit test); the Catalyst side walks the chain as ONE struct
+    fold whose stride is READ FROM THE WIRE (8-byte LE length at a
+    data-dependent offset), recomputing the Castagnoli CRC over the
+    length bytes AND over the data slice via table-driven inner folds
+    at data-dependent offsets, applying the mask transform in exact
+    integer arithmetic (the rotate's halves are bit-disjoint, so
+    OR = ADD), and verifying both stored checksums per record. Record
+    count, summed body bytes, reassembled-body md5, the LAST record's
+    length, and exact total framing length are all re-derived from the
+    walk and oracle-pinned. Map-only, zero exchanges at any scale; a
+    production reader swaps the synthesized payload for a binaryFile
+    scan of .tfrecord shards, same parse.
+
+    Reference basis: SURVEY.md §2.12 multimodal/container family
+    (absent in reference — the reference pipeline reads plain CSV only,
+    src/etl/extraction.py)."""
+    from ..operators import multimodal as M
+
+    docs = table(spark, sf_dir, "documents")
+    tfr = M.tfrecord_payload(M.attach_binary(docs, "doc_id", "text"))
+    tfr = tfr.repartition(32).localCheckpoint(eager=False)
+    return catalyst_tfrecord_walk(tfr)
+
+
+def catalyst_tfrecord_walk(tfr: DataFrame) -> DataFrame:
+    """TFRecord chain walk of a `payload` column as ONE pure-Catalyst
+    struct fold: (doc_id, payload) -> framing + double-CRC verdicts +
+    body stats. The composition surface the registered query and the
+    third-engine unit test share."""
+    from ..operators.multimodal import TFRECORD_MAX_RECORDS
+
+    p = F.col("payload")
+    gh = F.hex(p)
+    plen = F.octet_length(p).cast("long")
+    zero = F.lit(0).cast("long")
+
+    def walk_step(acc, _i):
+        off = acc.getField("off")  # 1-based byte offset of the record
+        active = ~acc.getField("done")
+        bl = _zdh_rd_le_hex(gh, off, 8)
+        len_crc_ok = _tfr_mask(_tfr_crc32c_slice(gh, off, F.lit(8).cast("long"))) == _zdh_rd_le_hex(gh, off + 8, 4)
+        data_at = off + 12
+        data_crc_ok = _tfr_mask(_tfr_crc32c_slice(gh, data_at, bl)) == _zdh_rd_le_hex(gh, data_at + bl, 4)
+        nxt = off + 16 + bl
+        return F.struct(
+            F.when(active, nxt).otherwise(off).alias("off"),
+            (acc.getField("done") | (active & (nxt > plen))).alias("done"),
+            (
+                acc.getField("n_records") + F.when(active, 1).otherwise(0)
+            ).cast("long").alias("n_records"),
+            (
+                acc.getField("body_sum") + F.when(active, bl).otherwise(0)
+            ).cast("long").alias("body_sum"),
+            (
+                acc.getField("len_ok") & (~active | len_crc_ok)
+            ).alias("len_ok"),
+            (
+                acc.getField("data_ok") & (~active | data_crc_ok)
+            ).alias("data_ok"),
+            F.concat(
+                acc.getField("bodies"),
+                F.when(
+                    active,
+                    gh.substr(
+                        ((data_at - 1) * 2 + 1).cast("int"),
+                        (bl * 2).cast("int"),
+                    ),
+                ).otherwise(F.lit("")),
+            ).alias("bodies"),
+            F.when(active, bl).otherwise(
+                acc.getField("last_len")
+            ).cast("long").alias("last_len"),
+        )
+
+    walk0 = F.struct(
+        F.lit(1).cast("long").alias("off"),
+        (plen == 0).alias("done"),
+        zero.alias("n_records"),
+        zero.alias("body_sum"),
+        F.lit(True).alias("len_ok"),
+        F.lit(True).alias("data_ok"),
+        F.lit("").alias("bodies"),
+        zero.alias("last_len"),
+    )
+    st = tfr.select(
+        "doc_id",
+        "payload",
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(TFRECORD_MAX_RECORDS)), walk0, walk_step
+        ).alias("wk"),
+    )
+    wk = F.col("wk")
+    return st.select(
+        "doc_id",
+        wk.getField("n_records").alias("n_records"),
+        wk.getField("len_ok").alias("length_crc_ok"),
+        wk.getField("data_ok").alias("data_crc_ok"),
+        (wk.getField("off") == plen + 1).alias("framing_ok"),
+        wk.getField("body_sum").alias("data_bytes_sum"),
+        F.md5(F.unhex(wk.getField("bodies"))).alias("bodies_md5"),
+        wk.getField("last_len").alias("last_len"),
+        plen.alias("total_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQLite database-file scan — SELECT from a RAW .db file in pure Catalyst:
+# the serialized-database walk every embedded-DB reader performs (header ->
+# sqlite_master B-tree leaf -> data-page cell pointer array -> per-cell
+# varint record decoding with SQLite's serial-type system). The fixture is a
+# REAL stdlib-sqlite3 `Connection.serialize()` database; the long DDL pushes
+# the master record past the 1-byte varint range so genuine 2-byte varints
+# (payload length AND the sql serial type) are exercised on every row.
+# ---------------------------------------------------------------------------
+def _sq_vv(s, pos):
+    """SQLite varint VALUE at 1-based byte `pos` of hex column `s` (1- or
+    2-byte forms — the fixture's range; the format allows up to 9)."""
+    b0 = _zdh_hexbyte1(s, pos)
+    return F.when(b0 < 128, b0).otherwise(
+        F.pmod(b0, 128) * 128 + _zdh_hexbyte1(s, pos + 1)
+    )
+
+
+def _sq_vw(s, pos):
+    """SQLite varint WIDTH at `pos` (1 or 2 bytes)."""
+    return F.when(_zdh_hexbyte1(s, pos) < 128, F.lit(1).cast("long")).otherwise(
+        F.lit(2).cast("long")
+    )
+
+
+SQLITE_MAGIC_HEX = "53514C69746520666F726D6174203300"  # "SQLite format 3\0"
+
+
+def _sqlite_oracle() -> str:
+    from ..operators.multimodal import SQLITE_DDL_TAIL
+
+    return f"""
+    WITH g AS (
+      SELECT doc_id, doc_id % 5 + 1 AS nrows,
+             rpad(substr(text, 1, 45), 45, ' ') AS pad
+      FROM documents
+    ),
+    r AS (
+      SELECT g.doc_id, g.nrows, g.pad, ii.i,
+             (g.doc_id + 31 * ii.i) % 1000 AS a
+      FROM g, LATERAL (SELECT unnest(range(0, g.nrows)) AS i) ii
+    )
+    SELECT doc_id,
+           TRUE AS magic_ok,
+           CAST(4096 AS BIGINT) AS page_size,
+           CAST(2 AS BIGINT) AS n_pages,
+           TRUE AS enc_utf8,
+           TRUE AS master_ok,
+           TRUE AS wide_varints_ok,
+           't' || CAST(doc_id AS VARCHAR) AS tbl_name,
+           CAST(2 AS BIGINT) AS rootpage,
+           'CREATE TABLE t' || CAST(doc_id AS VARCHAR)
+             || '{SQLITE_DDL_TAIL}' AS sql,
+           CAST(MIN(nrows) AS BIGINT) AS n_rows,
+           TRUE AS rows_ok,
+           CAST(SUM(a) AS BIGINT) AS sum_a,
+           CAST(MIN(nrows) * (MIN(nrows) + 1) / 2 AS BIGINT) AS rowid_sum,
+           md5(substr(MIN(pad), 1, CAST(MIN(nrows) * 9 AS INT)))
+             AS bodies_md5
+    FROM r GROUP BY doc_id
+    """
+
+
+@register(
+    "multimodal_sqlite_table_scan",
+    oracle=_sqlite_oracle(),
+    tags=("multimodal", "llm", "binary"),
+)
+def multimodal_sqlite_table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT from a raw SQLite database FILE in pure Catalyst — many
+    datasets ship as .db/.sqlite files, and this reads one the way the
+    library does, with no Python in the decode path. The fixture is a
+    GENUINE `sqlite3.Connection.serialize()` database (one table,
+    doc_id-deterministic name/DDL/rows). The Catalyst walk: (1) the
+    100-byte header — magic string, big-endian page size, page count,
+    text encoding; (2) the sqlite_master B-tree leaf on page 1 — cell
+    pointer, then the cell's varint chain (payload length, rowid,
+    record header length, five serial types) decoded by a FOLD whose
+    cursor advances by each varint's own width; the long filler DDL
+    pushes payload length AND the sql serial type past 127, so real
+    2-byte varints are on every wire (verified by `wide_varints_ok`);
+    the schema row's redundant name/tbl_name copies are cross-checked
+    and the CREATE statement is recovered byte-exactly; (3) the data
+    page at the recovered root — cell POINTER ARRAY walk (cells sit at
+    arbitrary content-area offsets), per-cell varint records under
+    SQLite's serial-type system (1- and 2-byte big-endian ints, the
+    0/1-literal types 8/9, NULL type 0 for the uninserted columns,
+    odd-type text with (st-13)/2 length arithmetic), re-aggregating the
+    stored rows: COUNT, SUM(a), rowid sum, and the md5 of the
+    concatenated text column. Map-only, zero exchanges at any scale; a
+    production reader swaps the synthesized payload for a binaryFile
+    scan of .db blobs, same parse.
+
+    Reference basis: SURVEY.md §2.12 multimodal/container family
+    (absent in reference — the reference pipeline reads plain CSV only,
+    src/etl/extraction.py)."""
+    from ..operators import multimodal as M
+
+    docs = table(spark, sf_dir, "documents")
+    db = M.sqlite_payload(M.attach_binary(docs, "doc_id", "text"))
+    db = db.repartition(32).localCheckpoint(eager=False)
+    return catalyst_sqlite_scan(db)
+
+
+def catalyst_sqlite_scan(db: DataFrame) -> DataFrame:
+    """Serialized-SQLite scan of a `payload` column as pure-Catalyst
+    folds: header -> sqlite_master -> data-page cells. The composition
+    surface the registered query and the third-engine unit test share.
+    Expects the fixture's shape: one table, <= 5 rows on one leaf page."""
+    from ..operators.multimodal import SQLITE_MAX_ROWS, SQLITE_ROW_TEXT
+
+    p = F.col("payload")
+    gh = F.hex(p)
+
+    page_size = _zdh_rd_hex(gh, F.lit(17).cast("long"), 2)
+    n_pages = _zdh_rd_hex(gh, F.lit(29).cast("long"), 4)
+    enc = _zdh_rd_hex(gh, F.lit(57).cast("long"), 4)
+    magic_ok = gh.substr(1, 32) == SQLITE_MAGIC_HEX
+
+    # ---- sqlite_master leaf (page 1; file offset == page offset) ------
+    m_type = _zdh_hexbyte1(gh, F.lit(101).cast("long"))
+    m_ncells = _zdh_rd_hex(gh, F.lit(104).cast("long"), 2)
+    cp1 = _zdh_rd_hex(gh, F.lit(109).cast("long"), 2)
+    pos0 = cp1 + 1
+    wide_pl = _sq_vw(gh, pos0) == 2  # 2-byte payload-length varint
+    pos1 = pos0 + _sq_vw(gh, pos0)  # -> rowid varint
+    pos2 = pos1 + _sq_vw(gh, pos1)  # -> record header length varint
+    hl_m = _sq_vv(gh, pos2)
+    # five serial types decoded by a cursor fold (widths vary per type)
+    st0 = F.struct(
+        (pos2 + _sq_vw(gh, pos2)).alias("pos"),
+        F.array().cast("array<bigint>").alias("sts"),
+    )
+    stf = F.aggregate(
+        F.sequence(F.lit(1), F.lit(5)),
+        st0,
+        lambda acc, _i: _zdh_let(
+            acc.getField("pos"),
+            lambda pos: F.struct(
+                (pos + _sq_vw(gh, pos)).alias("pos"),
+                F.concat(
+                    acc.getField("sts"),
+                    F.array(_sq_vv(gh, pos).cast("bigint")),
+                ).alias("sts"),
+            ),
+        ),
+    )
+    hdr_end = pos2 + hl_m
+
+    def master_cols(stf_col):
+        sts = stf_col.getField("sts")
+        st_name = F.element_at(sts, 2)
+        st_sql = F.element_at(sts, 5)
+        name_len = ((st_name - 13) / F.lit(2)).cast("long")
+        sql_len = ((st_sql - 13) / F.lit(2)).cast("long")
+        body = hdr_end
+        typ = F.decode(p.substr(body.cast("int"), F.lit(5)), "utf-8")
+        name = F.decode(
+            p.substr((body + 5).cast("int"), name_len.cast("int")), "utf-8"
+        )
+        tbl = F.decode(
+            p.substr((body + 5 + name_len).cast("int"), name_len.cast("int")),
+            "utf-8",
+        )
+        rootpage = _zdh_hexbyte1(gh, body + 5 + 2 * name_len)
+        sql = F.decode(
+            p.substr(
+                (body + 5 + 2 * name_len + 1).cast("int"), sql_len.cast("int")
+            ),
+            "utf-8",
+        )
+        master_ok = (
+            (m_type == 13)
+            & (m_ncells == 1)
+            & (F.element_at(sts, 1) == 23)  # 'table' = 5-char text
+            & (F.element_at(sts, 4) == 1)  # rootpage as 1-byte int
+            & (typ == "table")
+            & (name == tbl)
+            & (stf_col.getField("pos") == hdr_end)  # header fully consumed
+        )
+        return master_ok, name, rootpage, sql, st_sql
+
+    # bind the fold result once; build the master fields inside the let
+    def _master_struct(s):
+        ok, name, rp, sql, st_sql = master_cols(s)
+        return F.struct(
+            ok.alias("ok"),
+            name.alias("name"),
+            rp.alias("rootpage"),
+            sql.alias("sql"),
+            (st_sql >= 128).alias("wide_st"),
+        )
+
+    master = _zdh_let(stf, _master_struct)
+
+    # ---- data page at the recovered rootpage --------------------------
+    pg = (page_size * (F.col("m").getField("rootpage") - 1)).alias("pg")
+
+    st_cells = F.struct(
+        F.lit(0).cast("long").alias("n"),
+        F.lit(0).cast("long").alias("sum_a"),
+        F.lit(0).cast("long").alias("rid_sum"),
+        F.lit("").alias("bodies"),
+        F.lit(True).alias("ok"),
+    )
+
+    def cell_step(acc, i):
+        base = F.col("pg")  # 0-based file offset of the data page
+        ncells = F.col("ncells")
+        active = i.cast("long") <= ncells
+        cptr = _zdh_rd_hex(gh, base + 8 + 2 * (i.cast("long") - 1) + 1, 2)
+        return _zdh_let(
+            base + cptr + 1,
+            lambda cpos: _zdh_let(
+                # -> [rowid_pos]: skip the payload-length varint
+                cpos + _sq_vw(gh, cpos),
+                lambda rpos: _zdh_let(
+                    # -> [header_pos]: skip the rowid varint
+                    rpos + _sq_vw(gh, rpos),
+                    lambda hpos: _zdh_let(
+                        F.struct(
+                            _sq_vv(gh, rpos).alias("rid"),
+                            (hpos + _sq_vv(gh, hpos)).alias("body"),
+                            _sq_vv(gh, hpos + 1).alias("st_a"),
+                            _sq_vv(gh, hpos + 2).alias("st_b"),
+                        ),
+                        lambda c: _zdh_let(
+                            F.when(
+                                c.getField("st_a") >= 8,
+                                F.lit(0).cast("long"),
+                            ).otherwise(c.getField("st_a")),
+                            lambda wa: F.struct(
+                                (acc.getField("n")
+                                 + F.when(active, 1).otherwise(0)
+                                 ).cast("long").alias("n"),
+                                (acc.getField("sum_a") + F.when(
+                                    active,
+                                    F.when(
+                                        c.getField("st_a") == 8,
+                                        F.lit(0).cast("long"),
+                                    )
+                                    .when(
+                                        c.getField("st_a") == 9,
+                                        F.lit(1).cast("long"),
+                                    )
+                                    .when(
+                                        c.getField("st_a") == 1,
+                                        _zdh_hexbyte1(gh, c.getField("body")),
+                                    )
+                                    .otherwise(
+                                        # st 2: big-endian 2-byte int
+                                        _zdh_hexbyte1(gh, c.getField("body"))
+                                        * 256
+                                        + _zdh_hexbyte1(
+                                            gh, c.getField("body") + 1
+                                        )
+                                    ),
+                                ).otherwise(0)).cast("long").alias("sum_a"),
+                                (acc.getField("rid_sum") + F.when(
+                                    active, c.getField("rid")
+                                ).otherwise(0)).cast("long").alias("rid_sum"),
+                                F.concat(
+                                    acc.getField("bodies"),
+                                    F.when(
+                                        active,
+                                        F.decode(
+                                            p.substr(
+                                                (c.getField("body") + wa)
+                                                .cast("int"),
+                                                F.lit(SQLITE_ROW_TEXT),
+                                            ),
+                                            "utf-8",
+                                        ),
+                                    ).otherwise(F.lit("")),
+                                ).alias("bodies"),
+                                (
+                                    acc.getField("ok")
+                                    & (
+                                        ~active
+                                        | (
+                                            (c.getField("st_b") == 31)
+                                            & c.getField("st_a").isin(
+                                                1, 2, 8, 9
+                                            )
+                                        )
+                                    )
+                                ).alias("ok"),
+                            ),
+                        ),
+                    ),
+                ),
+            ),
+        )
+
+    st = db.select(
+        "doc_id",
+        "payload",
+        master.alias("m"),
+    ).select(
+        "doc_id",
+        "payload",
+        "m",
+        pg,
+    ).select(
+        "doc_id",
+        "payload",
+        "m",
+        "pg",
+        _zdh_rd_hex(F.hex(F.col("payload")), F.col("pg") + 4, 2).alias(
+            "ncells"
+        ),
+        (_zdh_hexbyte1(F.hex(F.col("payload")), F.col("pg") + 1) == 13).alias(
+            "data_leaf_ok"
+        ),
+    )
+    st = st.select(
+        "doc_id",
+        "m",
+        "ncells",
+        "data_leaf_ok",
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(SQLITE_MAX_ROWS)), st_cells, cell_step
+        ).alias("ck"),
+        magic_ok.alias("magic_ok"),
+        page_size.alias("page_size"),
+        n_pages.alias("n_pages"),
+        (enc == 1).alias("enc_utf8"),
+        wide_pl.alias("wide_pl"),
+    )
+    m, ck = F.col("m"), F.col("ck")
+    return st.select(
+        "doc_id",
+        "magic_ok",
+        "page_size",
+        "n_pages",
+        "enc_utf8",
+        m.getField("ok").alias("master_ok"),
+        (F.col("wide_pl") & m.getField("wide_st")).alias("wide_varints_ok"),
+        m.getField("name").alias("tbl_name"),
+        m.getField("rootpage").alias("rootpage"),
+        m.getField("sql").alias("sql"),
+        ck.getField("n").alias("n_rows"),
+        (
+            F.col("data_leaf_ok")
+            & ck.getField("ok")
+            & (ck.getField("n") == F.col("ncells"))
+        ).alias("rows_ok"),
+        ck.getField("sum_a").alias("sum_a"),
+        ck.getField("rid_sum").alias("rowid_sum"),
+        F.md5(ck.getField("bodies")).alias("bodies_md5"),
+    )

@@ -311,3 +311,164 @@ def test_catalyst_unzip_third_engine(spark):
                 r.out_md5 == hashlib.md5(cases[1][1]).hexdigest()), (
         "corrupted entry extracted 'successfully' to the original bytes"
     )
+
+
+def test_catalyst_tfrecord_walk_third_engine(spark):
+    """Third-engine proof for the pure-Catalyst TFRecord walk: the
+    CRC-32C implementation is pinned to the public check vector, wires
+    are framed by an independent pure-Python writer here (not the Arrow
+    kernel), a minimal pure-Python TFRecord reader re-walks the Arrow
+    kernel's output, and a corrupted data CRC must flip data_crc_ok —
+    never pass silently."""
+    import hashlib
+    import struct
+
+    from real_value_etl_spark.operators.multimodal import (
+        crc32c,
+        tfrecord_mask,
+    )
+    from real_value_etl_spark.queries.feature_ops import (
+        catalyst_tfrecord_walk,
+    )
+
+    # the public Castagnoli check vector + a masking sanity identity
+    assert crc32c(b"123456789") == 0xE3069283
+    assert tfrecord_mask(0) == 0xA282EAD8
+
+    def frame(chunks):
+        out = b""
+        for c in chunks:
+            lb = struct.pack("<Q", len(c))
+            out += (
+                lb
+                + struct.pack("<I", tfrecord_mask(crc32c(lb)))
+                + c
+                + struct.pack("<I", tfrecord_mask(crc32c(c)))
+            )
+        return out
+
+    cases = {
+        1: [b"alpha record", b"second"],
+        2: [b"x", b"yy", b"zzz", b"tail record four"],
+        3: [b"single-record chain"],
+    }
+    payloads = {k: frame(v) for k, v in cases.items()}
+    # corrupted copy of case 1: flip one bit inside the FIRST data CRC
+    bad = bytearray(payloads[1])
+    bad[12 + len(cases[1][0])] ^= 0x01
+    df = spark.createDataFrame(
+        [(k, bytearray(p)) for k, p in payloads.items()] + [(99, bad)],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r for r in catalyst_tfrecord_walk(df).collect()}
+    for k, chunks in cases.items():
+        r = got[k]
+        assert r.n_records == len(chunks), (k, r)
+        assert r.length_crc_ok and r.data_crc_ok and r.framing_ok, (k, r)
+        assert r.data_bytes_sum == sum(len(c) for c in chunks)
+        assert r.bodies_md5 == hashlib.md5(b"".join(chunks)).hexdigest()
+        assert r.last_len == len(chunks[-1])
+        assert r.total_len == len(payloads[k])
+    r = got[99]
+    assert not r.data_crc_ok and r.length_crc_ok, r
+
+    # and the Arrow kernel's wire re-reads with an independent reader
+    from real_value_etl_spark.operators.multimodal import (
+        TFRECORD_PAD,
+        _tfrecord_batches,
+    )
+    import pandas as pd
+
+    src = pd.DataFrame(
+        {"doc_id": [7], "payload": [b"kernel wire check payload bytes"]}
+    )
+    wire = next(_tfrecord_batches(iter([src])))["payload"][0]
+    pos, bodies = 0, b""
+    while pos < len(wire):
+        (bl,) = struct.unpack("<Q", wire[pos : pos + 8])
+        (mc,) = struct.unpack("<I", wire[pos + 8 : pos + 12])
+        assert mc == tfrecord_mask(crc32c(wire[pos : pos + 8]))
+        data = wire[pos + 12 : pos + 12 + bl]
+        (dc,) = struct.unpack("<I", wire[pos + 12 + bl : pos + 16 + bl])
+        assert dc == tfrecord_mask(crc32c(data))
+        bodies += data
+        pos += 16 + bl
+    pad = b"kernel wire check payload bytes".ljust(TFRECORD_PAD, b" ")
+    assert bodies == pad[: len(bodies)]
+
+
+def test_catalyst_sqlite_scan_third_engine(spark):
+    """Third-engine proof for the pure-Catalyst SQLite scan: the Arrow
+    kernel's bytes must deserialize into a REAL queryable database
+    (stdlib sqlite3 runs actual SQL over them), the Catalyst walk must
+    recover the same schema row and data rows, and structural
+    corruption (magic, page type) must flip the verdict flags."""
+    import hashlib
+    import sqlite3
+
+    import pandas as pd
+
+    from real_value_etl_spark.operators.multimodal import (
+        SQLITE_DDL_TAIL,
+        _sqlite_batches,
+    )
+    from real_value_etl_spark.queries.feature_ops import catalyst_sqlite_scan
+
+    texts = {
+        11: b"the quick brown fox jumps over the lazy dog padding text",
+        1000: b"zero-valued first int row exercises serial type 8",
+        1001: b"one-valued first int row exercises serial type 9",
+        42137: b"large ints in later rows exercise the 2-byte int type",
+    }
+    src = pd.DataFrame(
+        {"doc_id": list(texts), "payload": list(texts.values())}
+    )
+    wire = {
+        int(d): bytes(b)
+        for d, b in zip(*(lambda w: (w["doc_id"], w["payload"]))(
+            next(_sqlite_batches(iter([src])))
+        ))
+    }
+    expected = {}
+    for did, b in wire.items():
+        con = sqlite3.connect(":memory:")
+        con.deserialize(b)
+        rows = con.execute(
+            f"SELECT rowid, a, b FROM t{did} ORDER BY rowid"
+        ).fetchall()
+        (sql,) = con.execute(
+            "SELECT sql FROM sqlite_master WHERE type='table'"
+        ).fetchone()
+        con.close()
+        assert sql == f"CREATE TABLE t{did}{SQLITE_DDL_TAIL}"
+        assert len(rows) == did % 5 + 1
+        assert [r[1] for r in rows] == [
+            (did + 31 * r) % 1000 for r in range(len(rows))
+        ]
+        expected[did] = (
+            len(rows),
+            sum(r[1] for r in rows),
+            sum(r[0] for r in rows),
+            hashlib.md5("".join(r[2] for r in rows).encode()).hexdigest(),
+            sql,
+        )
+    bad_magic = b"X" + wire[11][1:]
+    bad_page = bytearray(wire[11])
+    bad_page[4096] = 5  # interior-page type where the leaf should be
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in wire.items()]
+        + [(98, bytearray(bad_magic)), (99, bytes(bad_page))],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r for r in catalyst_sqlite_scan(df).collect()}
+    for did, (n, sum_a, rid_sum, bmd5, sql) in expected.items():
+        r = got[did]
+        assert r.magic_ok and r.enc_utf8 and r.master_ok, (did, r)
+        assert r.wide_varints_ok and r.rows_ok, (did, r)
+        assert (r.page_size, r.n_pages) == (4096, 2)
+        assert r.tbl_name == f"t{did}" and r.rootpage == 2
+        assert r.sql == sql
+        assert (r.n_rows, r.sum_a, r.rowid_sum) == (n, sum_a, rid_sum)
+        assert r.bodies_md5 == bmd5, did
+    assert not got[98].magic_ok
+    assert not got[99].rows_ok and got[99].master_ok
