@@ -44,14 +44,15 @@ from .registry import REGISTRY
 # multimodal_inflate_dynamic_huffman + multimodal_png_decode_real +
 # multimodal_gzip_inflate + multimodal_zip_extract +
 # multimodal_warc_gzip_extract + multimodal_tfrecord_walk +
-# multimodal_sqlite_table_scan + events_pattern_match;
-# (d) 32 oldest-evidence re-probes — rows whose only green is from round
+# multimodal_sqlite_table_scan + multimodal_avro_container_walk +
+# events_pattern_match;
+# (d) 31 oldest-evidence re-probes — rows whose only green is from round
 # 5, six rounds of shared-infrastructure drift ago (additions take
 # slots before re-probes, so the alphabetically-last r5 rows —
-# q_try_arithmetic, sim_embedding_topk, sim_kmeans_train,
-# sim_nprobe_recall_curve, sim_silhouette, stream_holt_forecast,
-# text_bpe_train and the four text_* — defer to the r13 rotation, noted
-# in COVERAGE.md). 5 + 5 + 8 + 32 = 50 exactly.
+# q_salted_hot_key_agg, q_try_arithmetic, sim_embedding_topk,
+# sim_kmeans_train, sim_nprobe_recall_curve, sim_silhouette,
+# stream_holt_forecast, text_bpe_train and the four text_* — defer to
+# the r13 rotation, noted in COVERAGE.md). 5 + 5 + 9 + 31 = 50 exactly.
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- (a) never-driver-checked r11 additions
     "docs_domain_caps",
@@ -73,6 +74,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "multimodal_warc_gzip_extract",
     "multimodal_tfrecord_walk",
     "multimodal_sqlite_table_scan",
+    "multimodal_avro_container_walk",
     "events_pattern_match",
     # -- (d) oldest-evidence re-probes (every green is r5; sorted)
     "asof_next_click",
@@ -106,7 +108,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "orders_market_basket",
     "q_null_semantics",
     "q_percentile_disc",
-    "q_salted_hot_key_agg",
 )
 
 

@@ -10772,3 +10772,399 @@ def catalyst_sqlite_scan(db: DataFrame) -> DataFrame:
         ck.getField("rid_sum").alias("rowid_sum"),
         F.md5(ck.getField("bodies")).alias("bodies_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Avro Object Container File walk — the Hadoop-ecosystem data container,
+# and the wire format whose primitive is the ZIGZAG BASE-128 VARINT
+# (LSB-first 7-bit groups with a continuation bit — protobuf's integer
+# encoding, vs SQLite's big-endian varints and EBML's length-prefixed
+# vints): magic -> metadata map (schema + codec) -> sync marker -> counted
+# data blocks, each re-synced and size-checked, records decoded field by
+# field.
+# ---------------------------------------------------------------------------
+def _av_vw(s, pos):
+    """Avro varint WIDTH at 1-based byte `pos` (1..4 — the fixture's
+    range; the format allows up to 10)."""
+    b0 = _zdh_hexbyte1(s, pos)
+    b1 = _zdh_hexbyte1(s, pos + 1)
+    b2 = _zdh_hexbyte1(s, pos + 2)
+    return (
+        F.lit(1).cast("long")
+        + (b0 >= 128).cast("long")
+        + ((b0 >= 128) & (b1 >= 128)).cast("long")
+        + ((b0 >= 128) & (b1 >= 128) & (b2 >= 128)).cast("long")
+    )
+
+
+def _av_vv(s, pos):
+    """Avro varint VALUE (zigzag-DECODED long) at `pos`: LSB-first 7-bit
+    groups while the continuation bit is set, then (n>>1)^-(n&1)."""
+    b0 = _zdh_hexbyte1(s, pos)
+    b1 = _zdh_hexbyte1(s, pos + 1)
+    b2 = _zdh_hexbyte1(s, pos + 2)
+    b3 = _zdh_hexbyte1(s, pos + 3)
+    raw = F.pmod(b0, 128) + F.when(b0 < 128, F.lit(0).cast("long")).otherwise(
+        F.pmod(b1, 128) * 128
+        + F.when(b1 < 128, F.lit(0).cast("long")).otherwise(
+            F.pmod(b2, 128) * 16384
+            + F.when(b2 < 128, F.lit(0).cast("long")).otherwise(
+                F.pmod(b3, 128) * 2097152
+            )
+        )
+    )
+    return (
+        F.when(F.pmod(raw, 2) == 0, raw / 2)
+        .otherwise(-((raw + 1) / 2))
+        .cast("long")
+    )
+
+
+def _avro_oracle() -> str:
+    from ..operators.multimodal import AVRO_SCHEMA_JSON
+
+    return f"""
+    WITH g AS (
+      SELECT doc_id, doc_id % 3 + 2 AS nrec,
+             rpad(substr(text, 1, 36), 36, ' ') AS pad
+      FROM documents
+    ),
+    r AS (
+      SELECT g.doc_id, g.nrec, g.pad, ii.i,
+             (g.doc_id * 7 + 131 * ii.i) % 100000 AS a
+      FROM g, LATERAL (SELECT unnest(range(0, g.nrec)) AS i) ii
+    )
+    SELECT doc_id,
+           TRUE AS magic_ok,
+           CAST(2 AS BIGINT) AS n_meta,
+           'null' AS codec,
+           CAST({len(AVRO_SCHEMA_JSON)} AS BIGINT) AS schema_len,
+           CAST(CASE WHEN MIN(nrec) > 2 THEN 2 ELSE 1 END AS BIGINT)
+             AS n_blocks,
+           CAST(MIN(nrec) AS BIGINT) AS n_records,
+           TRUE AS sync_ok, TRUE AS sizes_ok,
+           CAST(SUM(a) AS BIGINT) AS sum_a,
+           md5(substr(MIN(pad), 1, CAST(MIN(nrec) * 9 AS INT)))
+             AS bodies_md5
+    FROM r GROUP BY doc_id
+    """
+
+
+@register(
+    "multimodal_avro_container_walk",
+    oracle=_avro_oracle(),
+    tags=("multimodal", "llm", "binary"),
+)
+def multimodal_avro_container_walk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Avro Object Container File walk in pure Catalyst — the Hadoop
+    ecosystem's row container, whose every integer is a ZIGZAG BASE-128
+    varint (LSB-first 7-bit groups with a continuation bit; the third
+    distinct varint family in the codec suite after SQLite's big-endian
+    and EBML's length-prefixed forms). The fixture is a byte-faithful
+    OCF written by a pure-Python encoder (magic Obj\\x01, metadata map
+    carrying avro.schema + avro.codec=null, a 16-byte sync marker,
+    records split across TWO counted data blocks when more than two so
+    the multi-block walk is real; the long field's values span 1-3
+    varint bytes). The Catalyst walk decodes the metadata map by a
+    cursor fold (per entry: key-length varint, key, value-length
+    varint, value — avro.codec's VALUE is recovered and checked, the
+    schema's length captured), then walks the blocks: per block a
+    zigzag record count and byte size, an inner per-record fold
+    decoding the long field (multi-byte varint + zigzag) and the
+    string field (length + bytes), an exact consumed-bytes == declared-
+    size check, and the SYNC MARKER re-verified against the header's
+    after every block. Record count, block count, sum of the long
+    field, and the md5 of the concatenated strings are oracle-pinned.
+    Map-only, zero exchanges at any scale; a production reader swaps
+    the synthesized payload for a binaryFile scan of .avro shards, same
+    parse.
+
+    Reference basis: SURVEY.md §2.12 multimodal/container family
+    (absent in reference — the reference pipeline reads plain CSV only,
+    src/etl/extraction.py)."""
+    from ..operators import multimodal as M
+
+    docs = table(spark, sf_dir, "documents")
+    av = M.avro_payload(M.attach_binary(docs, "doc_id", "text"))
+    av = av.repartition(32).localCheckpoint(eager=False)
+    return catalyst_avro_walk(av)
+
+
+def catalyst_avro_walk(av: DataFrame) -> DataFrame:
+    """Avro OCF walk of a `payload` column as pure-Catalyst folds:
+    metadata map -> sync -> counted blocks -> per-record field decode.
+    The composition surface the registered query and the third-engine
+    unit test share. Expects the fixture's shape: <= 4 meta entries,
+    <= 2 blocks, <= 4 records per file."""
+    from ..operators.multimodal import AVRO_MAX_RECORDS, AVRO_ROW_TEXT
+
+    p = F.col("payload")
+    gh = F.hex(p)
+    plen = F.octet_length(p).cast("long")
+    zero = F.lit(0).cast("long")
+
+    magic_ok = gh.substr(1, 8) == "4F626A01"
+    mpos0 = F.lit(5).cast("long")
+    n_meta = _av_vv(gh, mpos0)
+
+    # ---- metadata map: cursor fold over entries -----------------------
+    meta0 = F.struct(
+        (mpos0 + _av_vw(gh, mpos0)).alias("pos"),
+        F.lit("").alias("codec"),
+        zero.alias("schema_len"),
+    )
+
+    def meta_step(acc, i):
+        active = i.cast("long") <= n_meta
+        return _zdh_let(
+            acc.getField("pos"),
+            lambda pos: _zdh_let(
+                F.struct(
+                    _av_vv(gh, pos).alias("kl"),
+                    (pos + _av_vw(gh, pos)).alias("kat"),
+                ),
+                lambda k: _zdh_let(
+                    F.struct(
+                        F.decode(
+                            p.substr(
+                                k.getField("kat").cast("int"),
+                                k.getField("kl").cast("int"),
+                            ),
+                            "utf-8",
+                        ).alias("key"),
+                        (k.getField("kat") + k.getField("kl")).alias("vpos"),
+                    ),
+                    lambda kv: _zdh_let(
+                        F.struct(
+                            _av_vv(gh, kv.getField("vpos")).alias("vl"),
+                            (
+                                kv.getField("vpos")
+                                + _av_vw(gh, kv.getField("vpos"))
+                            ).alias("vat"),
+                        ),
+                        lambda v: F.struct(
+                            F.when(
+                                active,
+                                v.getField("vat") + v.getField("vl"),
+                            ).otherwise(acc.getField("pos")).alias("pos"),
+                            F.when(
+                                active & (kv.getField("key") == "avro.codec"),
+                                F.decode(
+                                    p.substr(
+                                        v.getField("vat").cast("int"),
+                                        v.getField("vl").cast("int"),
+                                    ),
+                                    "utf-8",
+                                ),
+                            ).otherwise(acc.getField("codec")).alias("codec"),
+                            F.when(
+                                active
+                                & (kv.getField("key") == "avro.schema"),
+                                v.getField("vl"),
+                            )
+                            .otherwise(acc.getField("schema_len"))
+                            .cast("long")
+                            .alias("schema_len"),
+                        ),
+                    ),
+                ),
+            ),
+        )
+
+    meta = F.aggregate(F.sequence(F.lit(1), F.lit(4)), meta0, meta_step)
+
+    st = av.select("doc_id", "payload", meta.alias("mt"))
+    p = F.col("payload")
+    gh = F.hex(p)
+    plen = F.octet_length(p).cast("long")
+    mt = F.col("mt")
+    # terminating zero-count varint, then the 16-byte sync marker
+    sync_at = mt.getField("pos") + _av_vw(gh, mt.getField("pos"))
+    term_zero_ok = _av_vv(gh, mt.getField("pos")) == 0
+
+    st = st.select(
+        "doc_id",
+        "payload",
+        "mt",
+        term_zero_ok.alias("term_zero_ok"),
+        gh.substr(((sync_at - 1) * 2 + 1).cast("int"), F.lit(32)).alias("sync_hex"),
+        (sync_at + 16).alias("bpos0"),
+    )
+
+    # ---- data blocks: outer fold, inner per-record fold ---------------
+    blk0 = F.struct(
+        F.col("bpos0").alias("pos"),
+        zero.alias("n_blocks"),
+        zero.alias("n_records"),
+        zero.alias("sum_a"),
+        F.lit("").alias("bodies"),
+        F.lit(True).alias("sync_ok"),
+        F.lit(True).alias("sizes_ok"),
+    )
+
+    def rec_fold(data_at, cnt):
+        r0 = F.struct(
+            data_at.alias("pos"),
+            zero.alias("sum_a"),
+            F.lit("").alias("bodies"),
+        )
+
+        def rec_step(acc, j):
+            ractive = j.cast("long") <= cnt
+            return _zdh_let(
+                acc.getField("pos"),
+                lambda pos: _zdh_let(
+                    F.struct(
+                        _av_vv(gh, pos).alias("a"),
+                        (pos + _av_vw(gh, pos)).alias("spos"),
+                    ),
+                    lambda r: _zdh_let(
+                        F.struct(
+                            _av_vv(gh, r.getField("spos")).alias("sl"),
+                            (
+                                r.getField("spos")
+                                + _av_vw(gh, r.getField("spos"))
+                            ).alias("sat"),
+                        ),
+                        lambda sfld: F.struct(
+                            F.when(
+                                ractive,
+                                sfld.getField("sat") + sfld.getField("sl"),
+                            ).otherwise(acc.getField("pos")).alias("pos"),
+                            (
+                                acc.getField("sum_a")
+                                + F.when(ractive, r.getField("a")).otherwise(
+                                    0
+                                )
+                            ).cast("long").alias("sum_a"),
+                            F.concat(
+                                acc.getField("bodies"),
+                                F.when(
+                                    ractive,
+                                    F.decode(
+                                        p.substr(
+                                            sfld.getField("sat").cast("int"),
+                                            sfld.getField("sl").cast("int"),
+                                        ),
+                                        "utf-8",
+                                    ),
+                                ).otherwise(F.lit("")),
+                            ).alias("bodies"),
+                        ),
+                    ),
+                ),
+            )
+
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(AVRO_MAX_RECORDS)), r0, rec_step
+        )
+
+    def blk_step(acc, _i):
+        active = acc.getField("pos") <= plen
+        return _zdh_let(
+            acc.getField("pos"),
+            lambda pos: _zdh_let(
+                F.struct(
+                    _av_vv(gh, pos).alias("cnt"),
+                    (pos + _av_vw(gh, pos)).alias("szpos"),
+                ),
+                lambda h: _zdh_let(
+                    F.struct(
+                        _av_vv(gh, h.getField("szpos")).alias("sz"),
+                        (
+                            h.getField("szpos")
+                            + _av_vw(gh, h.getField("szpos"))
+                        ).alias("data_at"),
+                    ),
+                    lambda d: _zdh_let(
+                        rec_fold(d.getField("data_at"), h.getField("cnt")),
+                        lambda rk: F.struct(
+                            F.when(
+                                active, rk.getField("pos") + 16
+                            ).otherwise(acc.getField("pos")).alias("pos"),
+                            (
+                                acc.getField("n_blocks")
+                                + F.when(active, 1).otherwise(0)
+                            ).cast("long").alias("n_blocks"),
+                            (
+                                acc.getField("n_records")
+                                + F.when(active, h.getField("cnt")).otherwise(
+                                    0
+                                )
+                            ).cast("long").alias("n_records"),
+                            (
+                                acc.getField("sum_a")
+                                + F.when(
+                                    active, rk.getField("sum_a")
+                                ).otherwise(0)
+                            ).cast("long").alias("sum_a"),
+                            F.concat(
+                                acc.getField("bodies"),
+                                F.when(
+                                    active, rk.getField("bodies")
+                                ).otherwise(F.lit("")),
+                            ).alias("bodies"),
+                            (
+                                acc.getField("sync_ok")
+                                & (
+                                    ~active
+                                    | (
+                                        gh.substr(
+                                            (
+                                                (rk.getField("pos") - 1) * 2
+                                                + 1
+                                            ).cast("int"),
+                                            F.lit(32),
+                                        )
+                                        == F.col("sync_hex")
+                                    )
+                                )
+                            ).alias("sync_ok"),
+                            (
+                                acc.getField("sizes_ok")
+                                & (
+                                    ~active
+                                    | (
+                                        rk.getField("pos")
+                                        == d.getField("data_at")
+                                        + d.getField("sz")
+                                    )
+                                )
+                            ).alias("sizes_ok"),
+                        ),
+                    ),
+                ),
+            ),
+        )
+
+    st = st.select(
+        "doc_id",
+        "mt",
+        "term_zero_ok",
+        F.aggregate(F.sequence(F.lit(1), F.lit(2)), blk0, blk_step).alias(
+            "bk"
+        ),
+        magic_ok.alias("magic_ok"),
+        n_meta.alias("n_meta"),
+        plen.alias("plen"),
+    )
+    bk, mt = F.col("bk"), F.col("mt")
+    return st.select(
+        "doc_id",
+        "magic_ok",
+        "n_meta",
+        mt.getField("codec").alias("codec"),
+        mt.getField("schema_len").alias("schema_len"),
+        bk.getField("n_blocks").alias("n_blocks"),
+        bk.getField("n_records").alias("n_records"),
+        bk.getField("sync_ok").alias("sync_ok"),
+        (
+            bk.getField("sizes_ok")
+            & F.col("term_zero_ok")
+            & (bk.getField("pos") == F.col("plen") + 1)
+        ).alias("sizes_ok"),
+        bk.getField("sum_a").alias("sum_a"),
+        F.md5(bk.getField("bodies")).alias("bodies_md5"),
+    )

@@ -472,3 +472,70 @@ def test_catalyst_sqlite_scan_third_engine(spark):
         assert r.bodies_md5 == bmd5, did
     assert not got[98].magic_ok
     assert not got[99].rows_ok and got[99].master_ok
+
+
+def test_catalyst_avro_walk_third_engine(spark):
+    """Third-engine proof for the pure-Catalyst Avro OCF walk: wires are
+    framed by an independent writer HERE (not the Arrow kernel),
+    including a NEGATIVE long (zigzag's raison d'etre) and a 3-byte
+    varint; a corrupted sync marker and an inflated block size must flip
+    the verdicts, never pass silently."""
+    import hashlib
+
+    from real_value_etl_spark.operators.multimodal import (
+        AVRO_SCHEMA_JSON,
+        avro_zigzag_varint as zz,
+    )
+    from real_value_etl_spark.queries.feature_ops import catalyst_avro_walk
+
+    # zigzag unit identities (Avro spec examples)
+    assert zz(0) == b"\x00" and zz(-1) == b"\x01" and zz(1) == b"\x02"
+    assert zz(-64) == b"\x7f" and zz(64) == b"\x80\x01"
+
+    def ocf(blocks, sync):
+        meta = zz(2)
+        for k, v in ((b"avro.schema", AVRO_SCHEMA_JSON.encode()),
+                     (b"avro.codec", b"null")):
+            meta += zz(len(k)) + k + zz(len(v)) + v
+        meta += zz(0)
+        out = b"Obj\x01" + meta + sync
+        for blk in blocks:
+            data = b"".join(zz(a) + zz(len(s)) + s for a, s in blk)
+            out += zz(len(blk)) + zz(len(data)) + data + sync
+        return out
+
+    sync = hashlib.md5(b"avro-test").digest()
+    cases = {
+        1: [[(3, b"one block"), (70000, b"three-byte varint")]],
+        2: [[(0, b"a"), (127, b"bb")], [(-5, b"negative zigzag")]],
+    }
+    payloads = {k: ocf(v, sync) for k, v in cases.items()}
+    bad_sync = bytearray(payloads[1])
+    bad_sync[-1] ^= 0xFF  # trailing block sync no longer matches header
+    bad_size = bytearray(payloads[1])
+    # the block's declared byte size is the 2nd varint after the header
+    # sync; patch it (single byte here) to a wrong but parseable value
+    hdr_len = len(ocf([], sync))
+    assert bad_size[hdr_len + 1] == zz(len(b"".join(
+        zz(a) + zz(len(s)) + s for a, s in cases[1][0]
+    )))[0]
+    bad_size[hdr_len + 1] = zz(7)[0]
+    df = spark.createDataFrame(
+        [(k, bytearray(p)) for k, p in payloads.items()]
+        + [(98, bytes(bad_sync)), (99, bytes(bad_size))],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r for r in catalyst_avro_walk(df).collect()}
+    for k, blocks in cases.items():
+        r = got[k]
+        flat = [rec for blk in blocks for rec in blk]
+        assert r.magic_ok and r.sync_ok and r.sizes_ok, (k, r)
+        assert r.n_meta == 2 and r.codec == "null"
+        assert r.schema_len == len(AVRO_SCHEMA_JSON)
+        assert r.n_blocks == len(blocks) and r.n_records == len(flat)
+        assert r.sum_a == sum(a for a, _ in flat)
+        assert r.bodies_md5 == hashlib.md5(
+            b"".join(s for _, s in flat)
+        ).hexdigest(), k
+    assert not got[98].sync_ok
+    assert not got[99].sizes_ok
