@@ -45,14 +45,15 @@ from .registry import REGISTRY
 # multimodal_gzip_inflate + multimodal_zip_extract +
 # multimodal_warc_gzip_extract + multimodal_tfrecord_walk +
 # multimodal_sqlite_table_scan + multimodal_avro_container_walk +
-# events_pattern_match;
-# (d) 31 oldest-evidence re-probes — rows whose only green is from round
+# events_pattern_match + stream_pattern_match;
+# (d) 30 oldest-evidence re-probes — rows whose only green is from round
 # 5, six rounds of shared-infrastructure drift ago (additions take
 # slots before re-probes, so the alphabetically-last r5 rows —
-# q_salted_hot_key_agg, q_try_arithmetic, sim_embedding_topk,
-# sim_kmeans_train, sim_nprobe_recall_curve, sim_silhouette,
-# stream_holt_forecast, text_bpe_train and the four text_* — defer to
-# the r13 rotation, noted in COVERAGE.md). 5 + 5 + 9 + 31 = 50 exactly.
+# q_percentile_disc, q_salted_hot_key_agg, q_try_arithmetic,
+# sim_embedding_topk, sim_kmeans_train, sim_nprobe_recall_curve,
+# sim_silhouette, stream_holt_forecast, text_bpe_train and the four
+# text_* — defer to the r13 rotation, noted in COVERAGE.md).
+# 5 + 5 + 10 + 30 = 50 exactly.
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- (a) never-driver-checked r11 additions
     "docs_domain_caps",
@@ -76,6 +77,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "multimodal_sqlite_table_scan",
     "multimodal_avro_container_walk",
     "events_pattern_match",
+    "stream_pattern_match",
     # -- (d) oldest-evidence re-probes (every green is r5; sorted)
     "asof_next_click",
     "customer_via_csv_source",
@@ -107,7 +109,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "multimodal_wav_header_parse",
     "orders_market_basket",
     "q_null_semantics",
-    "q_percentile_disc",
 )
 
 

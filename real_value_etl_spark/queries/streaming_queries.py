@@ -711,3 +711,42 @@ def stream_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
     drained state is bit-equal). mean(z_r^2) estimates the self-join
     size F2; the exact F2 rides along for the error witness."""
     return jobs.stream_ams_f2(spark, sf_dir)
+
+
+@register(
+    "stream_pattern_match",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, ts, event_id,
+             CASE event_type
+               WHEN 'signup' THEN 's' WHEN 'view' THEN 'v'
+               WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
+               ELSE 'e' END AS code
+      FROM events
+    ),
+    j AS (
+      SELECT user_id, COUNT(*) AS n_events,
+             string_agg(code, '' ORDER BY ts, event_id) AS journey
+      FROM c GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(n_events AS BIGINT) AS n_events,
+           md5(journey) AS journey_md5,
+           CAST(len(regexp_extract_all(journey, 's[vc]*p'))
+                AS BIGINT) AS n_funnels,
+           COALESCE(regexp_extract(journey, 's[vc]*p'), '')
+             AS first_funnel,
+           regexp_matches(journey, 's[vc]*p') AS converted,
+           CAST(COALESCE(list_max(list_transform(
+                  regexp_extract_all(journey, 'c+'), x -> length(x))), 0)
+                AS BIGINT) AS longest_click_run
+    FROM j
+    """,
+    tags=("stream", "sequence", "state"),
+)
+def stream_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CEP pattern matching (custom arbitrary-stateful
+    operator): per-user journey state + live regex funnel metrics; the
+    final emission equals the batch events_pattern_match — streaming ==
+    batch == oracle, the §2.9 contract."""
+    return jobs.stream_pattern_match(spark, sf_dir)

@@ -1782,3 +1782,113 @@ def stream_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("f2_exact").cast("double")
         ).alias("est_over_exact"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CEP pattern matching — the live form of events_pattern_match:
+# per-user journey state advanced each micro-batch, regex funnel metrics
+# re-emitted on every update (the Flink-CEP / MATCH_RECOGNIZE ON STREAM
+# shape). State is one string + counter per user, bounded by the per-user
+# event volume like every journey-holding CEP engine.
+# ---------------------------------------------------------------------------
+_PATTERN_STATE_SCHEMA = StructType(
+    [
+        StructField("journey", StringType()),
+        StructField("n", LongType()),
+    ]
+)
+_PATTERN_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("journey_md5", StringType()),
+        StructField("n_funnels", LongType()),
+        StructField("first_funnel", StringType()),
+        StructField("converted", StringType()),  # 'T'/'F': see note below
+        StructField("longest_click_run", LongType()),
+    ]
+)
+_EVENT_CODES = {
+    "signup": "s",
+    "view": "v",
+    "click": "c",
+    "purchase": "p",
+}
+_FUNNEL_RE = "s[vc]*p"
+
+
+def _pattern_state(
+    key: Tuple[int], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState kernel: per-user journey string state.
+
+    Rows within the delivered batch are sorted by (ts, event_id) before
+    appending, so with the time-ordered AvailableNow replay the
+    accumulated journey equals the batch reconstruction exactly (the
+    stream_holt_forecast ordering contract); the regex metrics are then
+    recomputed per emission — Python `re`, Java regex, and DuckDB RE2
+    agree on this pattern class (leftmost non-overlapping, greedy)."""
+    import hashlib
+    import re
+
+    journey, n = state.get if state.exists else ("", 0)
+    rows = pd.concat(list(pdfs))
+    rows = rows.sort_values(["ts", "event_id"])
+    journey += "".join(
+        _EVENT_CODES.get(t, "e") for t in rows["event_type"]
+    )
+    n += len(rows)
+    state.update((journey, n))
+    funnels = re.findall(_FUNNEL_RE, journey)
+    runs = re.findall("c+", journey)
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "journey_md5": [hashlib.md5(journey.encode()).hexdigest()],
+            "n_funnels": [len(funnels)],
+            "first_funnel": [funnels[0] if funnels else ""],
+            "converted": ["T" if funnels else "F"],
+            "longest_click_run": [max((len(r) for r in runs), default=0)],
+        }
+    )
+
+
+def stream_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CEP: the events_pattern_match funnel metrics computed
+    live — journey state per user advanced each micro-batch, metrics
+    re-emitted on update, final emission per user equal to the batch
+    regex pass (and so to the same DuckDB oracle). The `converted` flag
+    rides as 'T'/'F' through the state kernel (Arrow state round-trip
+    keeps the schema all-long/string) and is surfaced as a real boolean
+    column."""
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", WATERMARK)
+    out = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _pattern_state,
+            outputStructType=_PATTERN_OUT_SCHEMA,
+            stateStructType=_PATTERN_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    drained = _drain(spark, out, "mem_stream_pattern", "update")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        drained.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .drop("__r")
+        .select(
+            "user_id",
+            "n_events",
+            "journey_md5",
+            "n_funnels",
+            "first_funnel",
+            (F.col("converted") == "T").alias("converted"),
+            "longest_click_run",
+        )
+    )

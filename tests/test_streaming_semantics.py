@@ -387,3 +387,55 @@ def test_cdc_sink_exactly_once_across_crash(spark, tmp_path):
             for r in spark.read.parquet(state).collect()}
     # latest op per user wins; n_ops counts EVERY op exactly once
     assert snap == {(1, 3, 2), (2, 4, 2)}
+
+
+def test_pattern_state_accumulates_across_batches():
+    """The streaming CEP kernel's journey state must compose across
+    micro-batches: two time-ordered deliveries end in exactly the same
+    emission as one combined delivery (the ordering contract
+    stream_holt_forecast documents), including the regex metrics."""
+    import pandas as pd
+
+    from real_value_etl_spark.streaming.jobs import _pattern_state
+
+    class _StubState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+            self.exists = True
+
+    rows = pd.DataFrame(
+        {
+            "user_id": [7] * 6,
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:0%d" % i for i in range(6)]
+            ),
+            "event_id": range(6),
+            "event_type": [
+                "signup", "view", "click", "click", "purchase", "error",
+            ],
+        }
+    )
+
+    def run(batches):
+        st = _StubState()
+        last = None
+        for b in batches:
+            last = next(_pattern_state((7,), iter([b]), st))
+        return last.iloc[0].to_dict()
+
+    whole = run([rows])
+    split = run([rows.iloc[:3], rows.iloc[3:]])
+    assert whole == split
+    assert whole["n_funnels"] == 1 and whole["first_funnel"] == "svccp"
+    assert whole["converted"] == "T" and whole["longest_click_run"] == 2
+    # out-of-order WITHIN a delivery is sorted back by (ts, event_id)
+    shuffled = run([rows.sample(frac=1, random_state=1)])
+    assert shuffled == whole
