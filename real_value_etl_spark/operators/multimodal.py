@@ -504,6 +504,64 @@ def avro_payload(binary_df: DataFrame) -> DataFrame:
     )
 
 
+PROTO_MAX_VALS = 4  # repeated-field count = doc_id % 4 + 1
+PROTO_BODY_TEXT = 9
+
+
+def proto_varint(n: int) -> bytes:
+    """Protobuf base-128 varint (plain, not zigzag — that is Avro/sint)."""
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _proto_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow kernel: encode each document as a protobuf wire message —
+    the serialization format TFRecord payloads (tf.train.Example) and
+    most RPC traffic actually use. Message shape: field 1 int64 (varint),
+    field 2 string (len-delimited), field 3 repeated packed int64
+    (len-delimited varint run), field 4 int32 (varint), plus a field 5
+    the reader's schema does NOT know — exercising protobuf's
+    unknown-field skip, the format's forward-compatibility property."""
+    for pdf in batches:
+        out = []
+        for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+            did = int(doc_id)
+            body = (
+                bytes(b)[:PROTO_BODY_TEXT]
+                .decode("utf-8")
+                .ljust(PROTO_BODY_TEXT, " ")
+                .encode()
+            )
+            nvals = did % 4 + 1
+            packed = b"".join(
+                proto_varint((did + 13 * r) % 1000) for r in range(nvals)
+            )
+            msg = (
+                proto_varint(1 << 3 | 0) + proto_varint(did * 3 + 1)
+                + proto_varint(2 << 3 | 2) + proto_varint(len(body)) + body
+                + proto_varint(3 << 3 | 2) + proto_varint(len(packed)) + packed
+                + proto_varint(4 << 3 | 0) + proto_varint(did % 7)
+                + proto_varint(5 << 3 | 0) + proto_varint(did % 50)
+            )
+            out.append(msg)
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": out})
+
+
+def proto_payload(binary_df: DataFrame) -> DataFrame:
+    """Arrow-batched protobuf encode of a binary column: (doc_id,
+    payload) -> (doc_id, payload=wire message); partition-parallel."""
+    return binary_df.select("doc_id", "payload").mapInPandas(
+        _proto_batches, schema="doc_id bigint, payload binary"
+    )
+
+
 ENCODED_PNG_SCHEMA = "doc_id bigint, payload binary"
 
 

@@ -10797,14 +10797,15 @@ def _av_vw(s, pos):
     )
 
 
-def _av_vv(s, pos):
-    """Avro varint VALUE (zigzag-DECODED long) at `pos`: LSB-first 7-bit
-    groups while the continuation bit is set, then (n>>1)^-(n&1)."""
+def _av_raw(s, pos):
+    """PLAIN base-128 varint VALUE at `pos`: LSB-first 7-bit groups while
+    the continuation bit is set (protobuf's integer encoding; Avro wraps
+    it in zigzag)."""
     b0 = _zdh_hexbyte1(s, pos)
     b1 = _zdh_hexbyte1(s, pos + 1)
     b2 = _zdh_hexbyte1(s, pos + 2)
     b3 = _zdh_hexbyte1(s, pos + 3)
-    raw = F.pmod(b0, 128) + F.when(b0 < 128, F.lit(0).cast("long")).otherwise(
+    return F.pmod(b0, 128) + F.when(b0 < 128, F.lit(0).cast("long")).otherwise(
         F.pmod(b1, 128) * 128
         + F.when(b1 < 128, F.lit(0).cast("long")).otherwise(
             F.pmod(b2, 128) * 16384
@@ -10813,6 +10814,12 @@ def _av_vv(s, pos):
             )
         )
     )
+
+
+def _av_vv(s, pos):
+    """Avro varint VALUE (zigzag-DECODED long) at `pos`: the plain
+    varint, then (n>>1)^-(n&1)."""
+    raw = _av_raw(s, pos)
     return (
         F.when(F.pmod(raw, 2) == 0, raw / 2)
         .otherwise(-((raw + 1) / 2))
@@ -11167,4 +11174,255 @@ def catalyst_avro_walk(av: DataFrame) -> DataFrame:
         ).alias("sizes_ok"),
         bk.getField("sum_a").alias("sum_a"),
         F.md5(bk.getField("bodies")).alias("bodies_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Protobuf wire-format walk — the serialization layer INSIDE TFRecord
+# payloads (tf.train.Example) and most RPC traffic: a tag-length-value
+# stream of (field_number << 3 | wire_type) varints, dispatching per wire
+# type, with a PACKED repeated field (varint run inside a length-delimited
+# slab) and an unknown field the reader must SKIP — protobuf's
+# forward-compatibility property, exercised on every row.
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_protobuf_message_walk",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, doc_id % 4 + 1 AS nvals,
+             rpad(substr(text, 1, 9), 9, ' ') AS body
+      FROM documents
+    ),
+    r AS (
+      SELECT g.doc_id, g.nvals, g.body, ii.i,
+             (g.doc_id + 13 * ii.i) % 1000 AS v
+      FROM g, LATERAL (SELECT unnest(range(0, g.nvals)) AS i) ii
+    )
+    SELECT doc_id,
+           CAST(5 AS BIGINT) AS n_fields,
+           CAST(doc_id * 3 + 1 AS BIGINT) AS id_val,
+           md5(MIN(body)) AS body_md5,
+           CAST(MIN(nvals) AS BIGINT) AS n_vals,
+           CAST(SUM(v) AS BIGINT) AS vals_sum,
+           CAST(doc_id % 7 AS BIGINT) AS flags,
+           CAST(1 AS BIGINT) AS unknown_skipped,
+           TRUE AS packed_ok, TRUE AS framing_ok
+    FROM r GROUP BY doc_id
+    """,
+    tags=("multimodal", "llm", "binary"),
+)
+def multimodal_protobuf_message_walk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Protobuf wire-format walk in pure Catalyst — the
+    tag-length-value grammar under TFRecord payloads (tf.train.Example)
+    and most RPC traffic. The fixture is a byte-faithful wire message
+    (pure-Python encoder): int64 via plain base-128 varint, a
+    length-delimited string, a PACKED repeated int64 field (a varint
+    run inside one length-delimited slab — proto3's default repeated
+    encoding), a second varint field, and a field number the reader's
+    schema does NOT know. The Catalyst walk is ONE struct fold over the
+    TLV stream: each step decodes the tag varint, splits field number
+    (tag div 8) from wire type (tag mod 8), dispatches — varint fields
+    read-and-bind by number, length-delimited fields slice by the
+    declared length, the packed field runs an INNER cursor fold
+    decoding its varints and checking consumed == declared, and the
+    unknown field is SKIPPED by wire type alone (the format's
+    forward-compatibility property, counted to prove it happened).
+    Field values, packed sum/count, body md5, and exact end-of-message
+    framing are oracle-pinned. Map-only, zero exchanges at any scale; a
+    production reader points the same walk at the bytes
+    multimodal_tfrecord_walk recovers — TFRecord framing outside,
+    protobuf inside.
+
+    Reference basis: SURVEY.md §2.12 multimodal/container family
+    (absent in reference — the reference pipeline reads plain CSV only,
+    src/etl/extraction.py)."""
+    from ..operators import multimodal as M
+
+    docs = table(spark, sf_dir, "documents")
+    pb = M.proto_payload(M.attach_binary(docs, "doc_id", "text"))
+    pb = pb.repartition(32).localCheckpoint(eager=False)
+    return catalyst_protobuf_walk(pb)
+
+
+def catalyst_protobuf_walk(pb: DataFrame) -> DataFrame:
+    """Protobuf TLV walk of a `payload` column as pure-Catalyst folds.
+    The composition surface the registered query and the third-engine
+    unit test share. Handles wire types 0 (varint) and 2 (length-
+    delimited); unknown field numbers are skipped by wire type."""
+    from ..operators.multimodal import PROTO_MAX_VALS
+
+    p = F.col("payload")
+    gh = F.hex(p)
+    plen = F.octet_length(p).cast("long")
+    zero = F.lit(0).cast("long")
+
+    def packed_fold(data_at, ln):
+        r0 = F.struct(
+            data_at.alias("pos"), zero.alias("n"), zero.alias("s")
+        )
+
+        def step(acc, _j):
+            active = acc.getField("pos") < data_at + ln
+            return _zdh_let(
+                acc.getField("pos"),
+                lambda pos: F.struct(
+                    F.when(active, pos + _av_vw(gh, pos))
+                    .otherwise(acc.getField("pos"))
+                    .alias("pos"),
+                    (
+                        acc.getField("n") + F.when(active, 1).otherwise(0)
+                    ).cast("long").alias("n"),
+                    (
+                        acc.getField("s")
+                        + F.when(active, _av_raw(gh, pos)).otherwise(0)
+                    ).cast("long").alias("s"),
+                ),
+            )
+
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(PROTO_MAX_VALS)), r0, step
+        )
+
+    fld0 = F.struct(
+        F.lit(1).cast("long").alias("pos"),
+        zero.alias("n_fields"),
+        zero.alias("id_val"),
+        F.lit("").alias("body_hex"),
+        zero.alias("n_vals"),
+        zero.alias("vals_sum"),
+        zero.alias("flags"),
+        zero.alias("unknown"),
+        F.lit(True).alias("packed_ok"),
+    )
+
+    def fld_step(acc, _i):
+        active = acc.getField("pos") <= plen
+        return _zdh_let(
+            acc.getField("pos"),
+            lambda pos: _zdh_let(
+                F.struct(
+                    _av_raw(gh, pos).alias("tag"),
+                    (pos + _av_vw(gh, pos)).alias("tpos"),
+                ),
+                lambda t: _zdh_let(
+                    F.struct(
+                        ((t.getField("tag") - F.pmod(t.getField("tag"), 8))
+                         / F.lit(8)).cast("long").alias("fn"),
+                        F.pmod(t.getField("tag"), 8).alias("wt"),
+                        _av_raw(gh, t.getField("tpos")).alias("v"),
+                        (
+                            t.getField("tpos") + _av_vw(gh, t.getField("tpos"))
+                        ).alias("vend"),
+                    ),
+                    lambda f: _zdh_let(
+                        # length-delimited geometry (valid when wt == 2)
+                        F.struct(
+                            f.getField("vend").alias("dat"),
+                            (f.getField("vend") + f.getField("v")).alias(
+                                "dend"
+                            ),
+                        ),
+                        lambda d: _zdh_let(
+                            packed_fold(d.getField("dat"), f.getField("v")),
+                            lambda pk: F.struct(
+                                F.when(
+                                    ~active, acc.getField("pos")
+                                ).when(
+                                    f.getField("wt") == 0, f.getField("vend")
+                                ).otherwise(d.getField("dend")).alias("pos"),
+                                (
+                                    acc.getField("n_fields")
+                                    + F.when(active, 1).otherwise(0)
+                                ).cast("long").alias("n_fields"),
+                                F.when(
+                                    active
+                                    & (f.getField("fn") == 1)
+                                    & (f.getField("wt") == 0),
+                                    f.getField("v"),
+                                ).otherwise(acc.getField("id_val")).alias(
+                                    "id_val"
+                                ),
+                                F.when(
+                                    active
+                                    & (f.getField("fn") == 2)
+                                    & (f.getField("wt") == 2),
+                                    gh.substr(
+                                        (
+                                            (d.getField("dat") - 1) * 2 + 1
+                                        ).cast("int"),
+                                        (f.getField("v") * 2).cast("int"),
+                                    ),
+                                ).otherwise(acc.getField("body_hex")).alias(
+                                    "body_hex"
+                                ),
+                                F.when(
+                                    active
+                                    & (f.getField("fn") == 3)
+                                    & (f.getField("wt") == 2),
+                                    pk.getField("n"),
+                                ).otherwise(acc.getField("n_vals"))
+                                .cast("long").alias("n_vals"),
+                                F.when(
+                                    active
+                                    & (f.getField("fn") == 3)
+                                    & (f.getField("wt") == 2),
+                                    pk.getField("s"),
+                                ).otherwise(acc.getField("vals_sum"))
+                                .cast("long").alias("vals_sum"),
+                                F.when(
+                                    active
+                                    & (f.getField("fn") == 4)
+                                    & (f.getField("wt") == 0),
+                                    f.getField("v"),
+                                ).otherwise(acc.getField("flags")).alias(
+                                    "flags"
+                                ),
+                                (
+                                    acc.getField("unknown")
+                                    + F.when(
+                                        active & (f.getField("fn") > 4), 1
+                                    ).otherwise(0)
+                                ).cast("long").alias("unknown"),
+                                (
+                                    acc.getField("packed_ok")
+                                    & (
+                                        ~(
+                                            active
+                                            & (f.getField("fn") == 3)
+                                            & (f.getField("wt") == 2)
+                                        )
+                                        | (
+                                            pk.getField("pos")
+                                            == d.getField("dend")
+                                        )
+                                    )
+                                ).alias("packed_ok"),
+                            ),
+                        ),
+                    ),
+                ),
+            ),
+        )
+
+    st = pb.select(
+        "doc_id",
+        "payload",
+        F.aggregate(F.sequence(F.lit(1), F.lit(6)), fld0, fld_step).alias(
+            "fk"
+        ),
+    )
+    fk = F.col("fk")
+    return st.select(
+        "doc_id",
+        fk.getField("n_fields").alias("n_fields"),
+        fk.getField("id_val").alias("id_val"),
+        F.md5(F.unhex(fk.getField("body_hex"))).alias("body_md5"),
+        fk.getField("n_vals").alias("n_vals"),
+        fk.getField("vals_sum").alias("vals_sum"),
+        fk.getField("flags").alias("flags"),
+        fk.getField("unknown").alias("unknown_skipped"),
+        fk.getField("packed_ok").alias("packed_ok"),
+        (fk.getField("pos") == plen + 1).alias("framing_ok"),
     )

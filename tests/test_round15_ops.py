@@ -539,3 +539,69 @@ def test_catalyst_avro_walk_third_engine(spark):
         ).hexdigest(), k
     assert not got[98].sync_ok
     assert not got[99].sizes_ok
+
+
+def test_catalyst_protobuf_walk_third_engine(spark):
+    """Third-engine proof for the pure-Catalyst protobuf walk: varint
+    encoding pinned to the protobuf docs' canonical example (300 ->
+    ac 02), wires framed by an independent encoder HERE, a message with
+    REORDERED fields (protobuf permits any field order) and one with a
+    2-byte-varint packed slab; an inflated packed-slab length must
+    never decode to the original message (it surfaces through framing
+    and field corruption — without a schema a longer slab legitimately
+    swallows the next field's bytes, exactly what real protobuf
+    decoders do)."""
+    import hashlib
+
+    from real_value_etl_spark.operators.multimodal import proto_varint as pv
+    from real_value_etl_spark.queries.feature_ops import (
+        catalyst_protobuf_walk,
+    )
+
+    assert pv(300) == b"\xac\x02"  # the protobuf encoding-doc example
+    assert pv(1) == b"\x01" and pv(127) == b"\x7f" and pv(128) == b"\x80\x01"
+
+    def msg(fields):
+        out = b""
+        for fn, wt, val in fields:
+            out += pv(fn << 3 | wt)
+            if wt == 0:
+                out += pv(val)
+            else:
+                out += pv(len(val)) + val
+        return out
+
+    body = b"nine char"
+    packed_small = pv(7) + pv(300) + pv(999)
+    cases = {
+        1: msg([(1, 0, 41), (2, 2, body), (3, 2, packed_small),
+                (4, 0, 6), (9, 0, 13)]),
+        # reordered fields + an unknown LEN-delimited field to skip
+        2: msg([(4, 0, 3), (3, 2, pv(500)), (2, 2, body),
+                (8, 2, b"opaque-ext"), (1, 0, 1000000)]),
+    }
+    expect = {
+        1: dict(n_fields=5, id_val=41, n_vals=3, vals_sum=7 + 300 + 999,
+                flags=6, unknown_skipped=1),
+        2: dict(n_fields=5, id_val=1000000, n_vals=1, vals_sum=500,
+                flags=3, unknown_skipped=1),
+    }
+    bad = bytearray(cases[1])
+    # inflate the packed slab's declared length past its actual varints
+    slab_off = cases[1].index(bytes([3 << 3 | 2])) + 1
+    assert bad[slab_off] == len(packed_small)
+    bad[slab_off] = len(packed_small) + 1
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in cases.items()]
+        + [(99, bytes(bad))],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r for r in catalyst_protobuf_walk(df).collect()}
+    for k, e in expect.items():
+        r = got[k]
+        for f, want in e.items():
+            assert getattr(r, f) == want, (k, f, getattr(r, f), want)
+        assert r.body_md5 == hashlib.md5(body).hexdigest()
+        assert r.packed_ok and r.framing_ok, (k, r)
+    r = got[99]
+    assert not (r.framing_ok and r.flags == 6 and r.unknown_skipped == 1), r
