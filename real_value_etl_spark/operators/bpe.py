@@ -150,7 +150,12 @@ def bpe_train(
     words = _persist_for(words_with_symbols(tokens), caches)
     rules: list[DataFrame] = []
     for step in range(1, n_merges + 1):
-        rule = top_pair(pair_counts(words))
+        # r12: persist the one-row rule — it feeds BOTH the output union
+        # and the next rebuild's broadcast, and without the persist each
+        # consumer re-runs the pair-count aggregation over the cached
+        # word table (2x the explode+window+groupBy per merge step).
+        # One cached row per step, released with the word tables.
+        rule = _persist_for(top_pair(pair_counts(words)), caches)
         rules.append(
             rule.select(
                 F.lit(step).alias("step"),

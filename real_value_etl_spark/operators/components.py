@@ -242,8 +242,14 @@ def connected_components_star(
         ls = large_star(cur).select(
             F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
         )
+        # r12: the intermediate ls.distinct() was dropped — duplicates in
+        # the large-star output change neither small_star's mins (dups
+        # collapse in the map-side partial agg) nor the final distinct'd
+        # edge set, so the extra (a, b) exchange per round bought nothing.
+        # Measured at sf0.1: graph_components_star 5.80 -> 4.80 s
+        # (min-of-3, same session), output verified identical.
         nxt = (
-            small_star(ls.distinct())
+            small_star(ls)
             .select(F.least("x", "m").alias("a"), F.greatest("x", "m").alias("b"))
             .distinct()
             .localCheckpoint(eager=True)

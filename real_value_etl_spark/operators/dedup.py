@@ -543,6 +543,104 @@ def prefix_filtered_candidates(idx: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+def _packed_prefix_docsets(idx: DataFrame, threshold: float) -> DataFrame:
+    """PACKED per-doc docsets for the prefix-filter family (r12
+    optimization): ONE aggregation produces, per document, the shingle
+    array sorted by the AllPairs total order (document frequency
+    ascending, then shingle), the doc size n, and the prefix length
+    p = n - ceil(t*n) + 1. The window variant this replaces sorted the
+    FULL exploded index inside a per-doc window (a corpus-wide sort per
+    consumer); here the global sort collapses to a per-row `sort_array`
+    over each doc's own shingles — same total order, same prefix set —
+    and the SAME frame serves candidate generation (explode the first p
+    elements) and verification (array_intersect over the full array), so
+    the doc-size/prefix/verify passes stop being three distinct
+    aggregation shapes. Local wall-clock is ~neutral (exchange reuse
+    already deduplicated the old form's repeated passes — numbers in
+    OPTIMIZATION_r12.md); the win is the scale shape: per-row sort_array
+    instead of a corpus-wide window sort per candidate side."""
+    dfreq = idx.groupBy("sh").agg(F.count("*").alias("df"))
+    return (
+        idx.join(dfreq, "sh")
+        .groupBy("did")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("df", "sh"))).alias("ord"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "did",
+            F.col("ord.sh").alias("shs"),
+            "n",
+            (F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1)
+            .cast("int")
+            .alias("p"),
+        )
+    )
+
+
+def _packed_pair_tail(
+    packed: DataFrame, threshold: float
+) -> tuple[DataFrame, Column]:
+    """(cands ⋈ docset_a ⋈ docset_b, inter) tail shared by the packed
+    Jaccard path: prefix-exploded candidate self-join with the AllPairs
+    length filter, then the set-at-a-time verify join. The docset joins
+    keep the SHUFFLE_HASH pin — the packed side is corpus-sized (one row
+    per doc holding its full shingle array), never broadcastable at
+    100 TB."""
+    pf = packed.select(
+        "did",
+        "n",
+        F.posexplode(F.slice("shs", F.lit(1), F.col("p"))).alias(
+            "pos", "sh"
+        ),
+    )
+    a, b = pf.alias("a"), pf.alias("b")
+    # PPJoin POSITIONAL filter (Xiao et al. 2008, public algorithm), on
+    # top of the AllPairs length filter: for the smallest common shingle
+    # of a qualifying pair (which the prefix lemma guarantees sits in
+    # BOTH prefixes), every other common shingle follows it in both
+    # sorted arrays, so |inter| <= 1 + min(n_a - pa, n_b - pb) at its
+    # positions pa/pb — and jac >= t forces |inter| >= t/(1+t)*(na+nb).
+    # Rows violating the bound cannot be that smallest-common match, so
+    # dropping them loses no qualifying pair; non-qualifying pairs whose
+    # every match violates it never reach the (array-carrying) verify
+    # join. pos is 0-based: n - pa = n - pos - 1.
+    ub = F.lit(1.0) + F.least(
+        F.col("a.n") - F.col("a.pos") - 1, F.col("b.n") - F.col("b.pos") - 1
+    )
+    cands = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.did") < F.col("b.did"))
+            # AllPairs length filter: jac >= t forces t*n_a <= n_b and
+            # t*n_b <= n_a — size-incompatible docs never materialize
+            & (F.col("b.n") >= F.lit(threshold) * F.col("a.n"))
+            & (F.col("a.n") >= F.lit(threshold) * F.col("b.n"))
+            & (
+                F.lit(1.0 + threshold) * ub
+                >= F.lit(threshold) * (F.col("a.n") + F.col("b.n"))
+            ),
+        )
+        .select(F.col("a.did").alias("doc_a"), F.col("b.did").alias("doc_b"))
+        .distinct()
+    )
+    sa = packed.select(
+        F.col("did").alias("doc_a"),
+        F.col("shs").alias("shs_a"),
+        F.col("n").alias("n_a"),
+    ).hint("shuffle_hash")
+    sb = packed.select(
+        F.col("did").alias("doc_b"),
+        F.col("shs").alias("shs_b"),
+        F.col("n").alias("n_b"),
+    ).hint("shuffle_hash")
+    inter = F.size(F.array_intersect(F.col("shs_a"), F.col("shs_b"))).cast(
+        "double"
+    )
+    return cands.join(sa, "doc_a").join(sb, "doc_b"), inter
+
+
 def ngram_jaccard_pairs_prefix(
     df: DataFrame,
     id_col: str,
@@ -553,47 +651,36 @@ def ngram_jaccard_pairs_prefix(
     """Exact Jaccard >= threshold pairs through prefix-filtered candidates
     — identical output to ngram_jaccard_pairs_full, smaller candidate join.
 
-    Verification is SET-AT-A-TIME, not explode-and-recount: each doc's
-    distinct shingles are collected once into an array, candidates join
-    the two arrays, and the intersection is a narrow `array_intersect` —
-    no re-expansion of candidates against the inverted index, no second
-    aggregation. The docset joins carry an explicit SHUFFLE_HASH hint:
-    the docset side is CORPUS-sized (one row per doc holding its full
-    shingle array), so the broadcast Spark's size estimate would pick
-    locally is impossible at 100 TB — the hint pins the scale-correct
-    shuffled hash join (and measures ~30% faster than the broadcast even
-    here: no driver collect, no per-run broadcast build).
+    r12 shape: everything reads ONE packed docset frame
+    (`_packed_prefix_docsets`) — candidate generation explodes each doc's
+    p-element prefix slice, verification is a narrow `array_intersect`
+    over the same frame's full arrays. The prefix set and the candidate
+    join condition are bit-identical to the window-ranked formulation
+    (sort_array over struct(df, sh) is the same (df, sh) total order the
+    window used; ties are impossible — (did, sh) is distinct), so the
+    output is unchanged; what changed is the physical shape: no
+    corpus-wide window sort per consumer, one aggregation shape instead
+    of three.
 
-    The shingle index is NOT persisted by default: its three consumers
-    (document frequencies, the prefix build, the doc-set collection)
-    each recompute the tokenize+shingle explosion inside their own
-    pipelined stage. That trades ~3x the (linear, CPU-cheap) explode for
-    ZERO pinned memory — at 100 TB a MEMORY_AND_DISK copy of the
-    exploded index (≫ corpus size) would hold cluster memory for the
-    session, and recomputation stays inside whole-stage codegen reading
-    the same parquet scan. Measured at sf0.1 the no-persist plan is also
-    ~30% faster end-to-end (persist serialization costs more than two
-    extra explodes). Callers who DO want the index materialized (e.g. to
-    reuse it across many near-dup jobs) pass `caches`: the index is then
-    persisted and appended for explicit unpersist after the result is
-    materialized — `ngram_jaccard_pairs_prefix_eager` runs that cycle
-    itself."""
+    The packed frame is NOT persisted by default: its consumers (two
+    candidate sides, two verify sides) recompute the explode+pack inside
+    their own pipelined stages — zero pinned memory, the same
+    recompute-over-persist policy as before (measured ~equal at sf0.1,
+    and at 100 TB a MEMORY_AND_DISK copy of the packed corpus would hold
+    cluster memory for the session). Callers who DO want it materialized
+    (e.g. to reuse across many near-dup jobs) pass `caches`;
+    `ngram_jaccard_pairs_prefix_eager` runs that cycle itself."""
     idx = shingle_index(df, id_col, text_col)
+    packed = _packed_prefix_docsets(idx, threshold)
     if caches is not None:
-        idx = idx.persist()
-        caches.append(idx)
-    cands = prefix_filtered_candidates(idx, threshold)
-    a, b, inter = _docset_sides(idx)
-    return (
-        cands.join(a, "doc_a")
-        .join(b, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (inter / (F.col("n_a") + F.col("n_b") - inter)).alias("jac"),
-        )
-        .filter(F.col("jac") >= threshold)
-    )
+        packed = packed.persist()
+        caches.append(packed)
+    verified, inter = _packed_pair_tail(packed, threshold)
+    return verified.select(
+        "doc_a",
+        "doc_b",
+        (inter / (F.col("n_a") + F.col("n_b") - inter)).alias("jac"),
+    ).filter(F.col("jac") >= threshold)
 
 
 def containment_pairs(

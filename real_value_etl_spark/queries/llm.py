@@ -3034,27 +3034,47 @@ def docs_span_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     `docs_boilerplate_strip`, not a copy edge — and the cap
     simultaneously bounds the join's worst partition at cap^2 (the same
     skew-kill as the AllPairs prefix filter and the tf-idf df cap). The
-    span index explodes narrowly from the token array; both join sides
-    reuse one exchange on `sh`."""
+    span index explodes narrowly from the token array. r12 shape: the
+    df-cap bounds every posting list at {SPAN_PAIR_DF_CAP} docs, so the
+    pair generation is a POSTING-LIST EXPANSION instead of a self-join —
+    one aggregation collects each span's (sorted) doc list, a nested
+    `transform` emits its <= C(cap,2) ordered pairs map-side, and one
+    count-aggregate replaces the join+filter+count (2 exchanges instead
+    of 4; identical (doc_a, doc_b, n) output since the sorted expansion
+    enumerates exactly the a < b pairs the join produced)."""
     d = table(spark, sf_dir, "documents")
     toks = d.select("doc_id", T.tokens(F.col("text")).alias("ts"))
     idx = toks.select(
         F.col("doc_id").alias("did"),
         F.explode(T.shingles_from_tokens(F.col("ts"), SPAN_N)).alias("sh"),
     )
-    df = (
+    posts = (
         idx.groupBy("sh")
-        .agg(F.count("*").alias("df"))
-        .filter((F.col("df") >= 2) & (F.col("df") <= SPAN_PAIR_DF_CAP))
-        .select("sh")
+        .agg(F.sort_array(F.collect_list("did")).alias("ds"))
+        .filter(
+            (F.size("ds") >= 2) & (F.size("ds") <= SPAN_PAIR_DF_CAP)
+        )
     )
-    capped = idx.join(df, "sh")
-    a = capped.select(F.col("did").alias("doc_a"), "sh")
-    b = capped.select(F.col("did").alias("doc_b"), "sh")
+    pairs = posts.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ds",
+                    lambda x, i: F.transform(
+                        F.slice("ds", i + F.lit(2), F.size("ds")),
+                        lambda y: F.struct(
+                            x.alias("doc_a"), y.alias("doc_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("pr")
+    )
     return (
-        a.join(b, "sh")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        pairs.groupBy(
+            F.col("pr.doc_a").alias("doc_a"),
+            F.col("pr.doc_b").alias("doc_b"),
+        )
         .agg(F.count("*").alias("n_shared_spans"))
     )
 
@@ -4012,16 +4032,26 @@ def sim_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     family covers the approximate path); the radius filter prunes
     map-side, so only matches ever reach an exchange. Reference basis:
     SURVEY.md §2.12 vector family (absent in reference)."""
+    # r12: precompute each side's norm ONCE (corpus norm per vector,
+    # query norm per query) instead of folding both norms inside every
+    # (corpus, query) cosine — dot/(nv*nq) is the same IEEE ops on the
+    # same inputs as cosine(v, qv), bit-identical, and the scan stage
+    # drops from 3 array folds per pair to 1.
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    q = emb.filter(
+    corpus = emb.withColumn("nv", V.norm(F.col("v")))
+    q = corpus.filter(
         (F.col("vec_id") % ANN_QUERY_MOD == 0)
         & (F.col("vec_id") < ANN_SEED_CAP)
-    ).select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
-    sim = V.cosine(F.col("v"), F.col("qv"))
+    ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
+    )
+    sim = V.dot(F.col("v"), F.col("qv")) / (F.col("nv") * F.col("nq"))
     hits = (
-        emb.crossJoin(F.broadcast(q))
+        corpus.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id", sim.alias("sim"))
         .filter(F.col("sim") >= F.lit(float(RADIUS_TAU)))
@@ -4390,11 +4420,18 @@ def text_suffix_lcp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ws",
         F.explode(F.sequence(F.lit(1), F.size("ws"))).alias("i"),
     )
+    # r12: build each suffix from at most SFX_VIEW//2 + 1 tokens instead
+    # of the doc's whole tail — every token contributes >= 2 chars to the
+    # joined string (1 char + separator), so 25 tokens always cover the
+    # 48-char view and the truncated substring is bit-identical; the old
+    # full-tail concat made suffix generation O(len^2) per document.
     suf = pos.select(
         "doc_id",
         F.col("i").cast("long").alias("pos"),
         F.substring(
-            F.concat_ws(" ", F.expr("slice(ws, i, size(ws) - i + 1)")),
+            F.concat_ws(
+                " ", F.expr(f"slice(ws, i, {SFX_VIEW // 2 + 1})")
+            ),
             1,
             SFX_VIEW,
         ).alias("sfx"),

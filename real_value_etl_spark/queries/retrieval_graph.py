@@ -915,12 +915,40 @@ def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     nrm = nbuckets.groupBy("doc_id").agg(
         F.sqrt(bucket_fold(None)).alias("nrm")
     )
-    wa = w.select(F.col("doc_id").alias("doc_a"), "sh", "df")
-    wb = w.select(F.col("doc_id").alias("doc_b"), "sh")
+    # r12: the df cap bounds every posting list at {TFIDF_DF_MAX} docs,
+    # so pair generation is a posting-list expansion instead of the
+    # wa ⋈ wb self-join — collect each (sh, df)'s sorted doc list once,
+    # emit its <= C(df_max, 2) ordered pairs with a nested `transform`
+    # map-side, and count — one exchange instead of the join's two
+    # (identical (doc_a, doc_b, df, cnt): the sorted expansion
+    # enumerates exactly the a < b pairs the join produced)
+    posts = (
+        w.groupBy("sh", "df")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    dpairs = posts.select(
+        "df",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ds",
+                    lambda x, i: F.transform(
+                        F.slice("ds", i + F.lit(2), F.size("ds")),
+                        lambda y: F.struct(
+                            x.alias("doc_a"), y.alias("doc_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("pr"),
+    )
     dbuckets = (
-        wa.join(wb, "sh")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b", "df")
+        dpairs.groupBy(
+            F.col("pr.doc_a").alias("doc_a"),
+            F.col("pr.doc_b").alias("doc_b"),
+            "df",
+        )
         .agg(F.count("*").alias("cnt"))
     )
     dots = dbuckets.groupBy("doc_a", "doc_b").agg(
