@@ -587,13 +587,22 @@ def _packed_pair_tail(
     keep the SHUFFLE_HASH pin — the packed side is corpus-sized (one row
     per doc holding its full shingle array), never broadcastable at
     100 TB."""
+    # r12: the candidate self-join matches on xxhash64(sh), not the
+    # shingle string — equal strings hash equal, so every string-match
+    # survives (candidate completeness is untouched); a 64-bit collision
+    # can only ADD a spurious candidate, which the exact string-array
+    # verify below discards. The join's shuffle rows shrink from a
+    # ~20-30 byte UTF8 shingle to an 8-byte long on BOTH sides of the
+    # hottest exchange (guide §2.3: shuffle keys, not payloads), and the
+    # join compares longs instead of strings. Prefix sets and the
+    # (df, sh) total order are byte-identical to before.
     pf = packed.select(
         "did",
         "n",
         F.posexplode(F.slice("shs", F.lit(1), F.col("p"))).alias(
             "pos", "sh"
         ),
-    )
+    ).select("did", "n", "pos", F.xxhash64("sh").alias("sh"))
     a, b = pf.alias("a"), pf.alias("b")
     # PPJoin POSITIONAL filter (Xiao et al. 2008, public algorithm), on
     # top of the AllPairs length filter: for the smallest common shingle

@@ -4795,10 +4795,20 @@ def docs_rouge2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram total, F1 = 2*ov/(na+nb) — pure integer counts, three
     pinned divisions.
 
-    Scale shape: pair set from the lossless prefix filter; bigram
-    tables are (doc, bigram)-keyed aggregates joined per pair — df-
-    bounded like the tf-idf postings join. Reference basis: SURVEY.md
-    §2.12 dedup/text family (absent in reference)."""
+    Scale shape (r12 optimization): pair set from the lossless prefix
+    filter; the per-pair overlap is a MAP-SIDE multiset intersection —
+    each doc's bigram counts are packed into ONE map row
+    (map_from_entries over the (doc, bigram) counts), the pair frame
+    attaches both maps with two doc-keyed joins, and
+    sum-min(map_zip_with) computes the overlap per pair with no
+    (pair x bigram) row explosion, no re-aggregation shuffle, and no
+    separate totals joins (nb rides the same packed row). The old
+    shape shuffled |pairs| x |bigrams_a| exploded rows by
+    (doc_b, bigram) and re-grouped them; identical output — overlap =
+    sum over common bigrams of least(c_a, c_b) either way, and the
+    overlap >= 1 filter reproduces the inner bigram-join's membership
+    (matched pairs always share >= 1 bigram). Reference basis:
+    SURVEY.md §2.12 dedup/text family (absent in reference)."""
     docs = table(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_pairs(
         docs, "doc_id", "text", JACCARD_THRESHOLD
@@ -4806,7 +4816,7 @@ def docs_rouge2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a"), F.col("doc_b"), F.col("jac")
     )
     ts = docs.select("doc_id", T.tokens(F.col("text")).alias("ts"))
-    bg = (
+    bgm = (
         ts.select(
             "doc_id",
             F.explode(
@@ -4822,38 +4832,52 @@ def docs_rouge2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "bgr")
         .agg(F.count("*").alias("c"))
-        # bg feeds the totals AND both pair sides — checkpoint so the
-        # bigram explode+count runs once, not three times (the
+        .groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("bgr", "c"))
+            ).alias("m"),
+            F.sum("c").alias("nb"),
+        )
+        # bgm feeds BOTH pair sides — checkpoint so the bigram
+        # explode+count+pack runs once, not twice (the
         # graph_bipartite_squares lesson; r13 plan audit: 10 document
-        # scans without it)
+        # scans without a fence here)
         .localCheckpoint(eager=True)
     )
-    tot = bg.groupBy("doc_id").agg(F.sum("c").alias("nb"))
-    a = bg.select(
+    # corpus-sized docset sides: SHUFFLE_HASH like the jaccard verify —
+    # one map row per doc is never broadcastable at 100 TB
+    ma = bgm.select(
         F.col("doc_id").alias("doc_a"),
-        F.col("bgr"),
-        F.col("c").alias("ca"),
-    )
-    b = bg.select(
+        F.col("m").alias("m_a"),
+        F.col("nb").alias("n_bigrams_a"),
+    ).hint("shuffle_hash")
+    mb = bgm.select(
         F.col("doc_id").alias("doc_b"),
-        F.col("bgr"),
-        F.col("c").alias("cb"),
-    )
-    ov = (
-        pairs.join(a, "doc_a")
-        .join(b, ["doc_b", "bgr"])
-        .groupBy("doc_a", "doc_b", "jac")
-        .agg(F.sum(F.least("ca", "cb")).alias("overlap"))
-    )
-    ta = tot.select(
-        F.col("doc_id").alias("doc_a"), F.col("nb").alias("n_bigrams_a")
-    )
-    tb = tot.select(
-        F.col("doc_id").alias("doc_b"), F.col("nb").alias("n_bigrams_b")
+        F.col("m").alias("m_b"),
+        F.col("nb").alias("n_bigrams_b"),
+    ).hint("shuffle_hash")
+    # multiset intersection size: sum over the key union of
+    # least(c_a, c_b) with one-sided keys contributing 0 (F.least would
+    # SKIP the null, not zero it, hence the explicit when)
+    overlap = F.aggregate(
+        F.map_values(
+            F.map_zip_with(
+                "m_a",
+                "m_b",
+                lambda _k, va, vb: F.when(
+                    va.isNull() | vb.isNull(), F.lit(0).cast("long")
+                ).otherwise(F.least(va, vb)),
+            )
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
     )
     return (
-        ov.join(ta, "doc_a")
-        .join(tb, "doc_b")
+        pairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .withColumn("overlap", overlap)
+        .filter(F.col("overlap") >= 1)
         .select(
             "doc_a",
             "doc_b",

@@ -235,7 +235,169 @@ def test_suffix_token_cap_is_exact(spark):
 
 
 # ---------------------------------------------------------------------------
-# 5. Radius search norm hoist
+# 5. Map-side multiset bigram overlap (docs_rouge2_pairs)
+# ---------------------------------------------------------------------------
+def test_map_multiset_overlap_matches_join_formulation(spark):
+    """sum-min over map_zip_with of the per-doc bigram-count maps must
+    equal the (pair x bigram) join + sum(least) it replaced — including
+    repeated bigrams (multiset counts), one-sided bigrams (contribute
+    0), and zero-overlap pairs (dropped by the join, dropped by the
+    overlap >= 1 filter)."""
+    bg_rows = [
+        # doc 1: "a b" x3, "b a" x2, "c d" x1
+        (1, "a b", 3), (1, "b a", 2), (1, "c d", 1),
+        # doc 2: "a b" x1, "b a" x5, "e f" x2  -> overlap with 1: 1+2=3
+        (2, "a b", 1), (2, "b a", 5), (2, "e f", 2),
+        # doc 3: no shared bigrams with 1      -> zero-overlap pair
+        (3, "x y", 4), (3, "y x", 1),
+        # doc 4: equal counts everywhere       -> overlap = all of doc 1
+        (4, "a b", 3), (4, "b a", 2), (4, "c d", 1),
+    ]
+    bg = spark.createDataFrame(bg_rows, ["doc_id", "bgr", "c"]).select(
+        "doc_id", "bgr", F.col("c").cast("long").alias("c")
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3)], ["doc_a", "doc_b"]
+    )
+
+    a = bg.select(F.col("doc_id").alias("doc_a"), "bgr", F.col("c").alias("ca"))
+    b = bg.select(F.col("doc_id").alias("doc_b"), "bgr", F.col("c").alias("cb"))
+    joined = {
+        tuple(r)
+        for r in (
+            pairs.join(a, "doc_a")
+            .join(b, ["doc_b", "bgr"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.sum(F.least("ca", "cb")).alias("overlap"))
+        ).collect()
+    }
+
+    bgm = bg.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("bgr", "c"))).alias("m")
+    )
+    ma = bgm.select(F.col("doc_id").alias("doc_a"), F.col("m").alias("m_a"))
+    mb = bgm.select(F.col("doc_id").alias("doc_b"), F.col("m").alias("m_b"))
+    overlap = F.aggregate(
+        F.map_values(
+            F.map_zip_with(
+                "m_a",
+                "m_b",
+                lambda _k, va, vb: F.when(
+                    va.isNull() | vb.isNull(), F.lit(0).cast("long")
+                ).otherwise(F.least(va, vb)),
+            )
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    mapped = {
+        tuple(r)
+        for r in (
+            pairs.join(ma, "doc_a")
+            .join(mb, "doc_b")
+            .withColumn("overlap", overlap)
+            .filter(F.col("overlap") >= 1)
+            .select("doc_a", "doc_b", "overlap")
+        ).collect()
+    }
+    assert joined == mapped
+    assert (1, 2, 3) in mapped          # multiset: 1 + 2, not 2 matches
+    assert (1, 4, 6) in mapped          # full self-overlap of doc 1
+    assert not any(p[:2] == (1, 3) for p in mapped)  # zero-overlap dropped
+
+
+# ---------------------------------------------------------------------------
+# 6. XOR-bit-flip hamming pairs (multimodal_phash_dedup)
+# ---------------------------------------------------------------------------
+def test_xor_enum_hamming_pairs_match_banded_join(spark):
+    """The XOR-bit-flip enumeration must emit exactly the banded join's
+    hamming <= 1 pairs — including hamming-0 groups (identity variant),
+    hamming-1 (every bit position), hamming-2 exclusions that still
+    share a band (the banded join's candidates the filter removed), and
+    NO duplicate rows without a distinct (unique bit decomposition)."""
+    hashes = [
+        (1, 0x00FF), (2, 0x00FF),            # hamming 0 pair
+        (3, 0x00FE),                         # hamming 1 vs 1/2 (bit 0)
+        (4, 0x80FF),                         # hamming 1 vs 1/2 (bit 15)
+        (5, 0x03FF),                         # hamming 2 vs 1/2: same low band
+        (6, 0x1234), (7, 0x1235), (8, 0x1234),  # another cluster
+        (9, 0x0F0F),                         # isolated
+    ]
+    ph = spark.createDataFrame(hashes, ["doc_id", "phash"]).select(
+        "doc_id", F.col("phash").cast("long").alias("phash")
+    )
+
+    bands = ph.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), (F.col("phash") % 256).alias("bkey")),
+                F.struct(F.lit(1).alias("band"), F.shiftright("phash", 8).alias("bkey")),
+            )
+        ).alias("bk"),
+    ).select("doc_id", "phash", "bk.band", "bk.bkey")
+    x, y = bands.alias("x"), bands.alias("y")
+    banded = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bkey") == F.col("y.bkey"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("x.phash").alias("ph_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("y.phash").alias("ph_b"),
+        )
+        .distinct()
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 1)
+    )
+
+    var = ph.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("phash").alias("ph_b"),
+        F.explode(
+            F.array(
+                F.col("phash"),
+                *[F.col("phash").bitwiseXOR(F.lit(1 << k)) for k in range(16)],
+            )
+        ).alias("vkey"),
+    )
+    enum_rows = (
+        ph.alias("x")
+        .join(
+            var,
+            (F.col("x.phash") == F.col("vkey"))
+            & (F.col("x.doc_id") < F.col("doc_b")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            "doc_b",
+            F.bit_count(F.col("x.phash").bitwiseXOR(F.col("ph_b")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 1)
+    ).collect()
+
+    banded_set = {tuple(r) for r in banded.collect()}
+    assert {tuple(r) for r in enum_rows} == banded_set
+    # no distinct needed: the enumeration emits each pair exactly once
+    assert len(enum_rows) == len(banded_set)
+    assert (1, 2, 0) in banded_set          # hamming-0 via identity variant
+    assert (1, 4, 1) in banded_set          # top-bit flip crosses bands
+    assert not any(r[:2] == (1, 5) for r in banded_set)  # hamming-2 dropped
+
+
+# ---------------------------------------------------------------------------
+# 7. Radius search norm hoist
 # ---------------------------------------------------------------------------
 def test_radius_norm_hoist_is_bit_identical(spark):
     """dot/(nv*nq) with hoisted norms must equal cosine(v, qv) computed

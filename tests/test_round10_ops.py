@@ -676,14 +676,19 @@ def test_bpe_persists_are_tracked(spark, sf_dir):
     scan.release_rank_caches()
     bpe_train(toks, BPE_MERGES).count()
     n1 = scan.release_rank_caches()
-    assert n1 == BPE_MERGES  # words + (n_merges - 1) rebuilds
+    # words + (n_merges - 1) rebuilds + n_merges one-row rules (the r12
+    # per-step rule persist — each rule feeds the output union AND the
+    # next rebuild)
+    assert n1 == 2 * BPE_MERGES
     bpe_encode(toks, BPE_MERGES).count()
     n2 = scan.release_rank_caches()
-    assert n2 == BPE_MERGES + 1  # words + n_merges rebuilds
+    # words + n_merges rebuilds; encode's rule has ONE consumer (the
+    # rebuild), so it is correctly NOT persisted
+    assert n2 == BPE_MERGES + 1
     # caches= list still takes precedence and tracker stays empty
     caches: list = []
     bpe_train(toks, BPE_MERGES, caches=caches).count()
-    assert len(caches) == BPE_MERGES
+    assert len(caches) == 2 * BPE_MERGES
     assert scan.release_rank_caches() == 0
     for f in caches:
         f.unpersist()
