@@ -16,6 +16,8 @@ Compat decisions (SURVEY §1.4):
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -70,8 +72,11 @@ _FILL_UNKNOWN = {
 _EMPTY_ARRAY = {"subway_distances", "subway_names"}
 
 
-def finalize_unified(df: DataFrame, uint8_wrap: bool = True) -> DataFrame:
-    """Cast the merged frame to UNIFIED_SCHEMA semantics (one select)."""
+# r12 optimization: the cast block is df-independent (keyed only on
+# uint8_wrap) but was rebuilt per run — same precompiled-plan-fragment
+# memoization as the transformer blocks (plans/transformers.py).
+@lru_cache(maxsize=None)
+def _finalize_cols(uint8_wrap: bool = True) -> tuple[Column, ...]:
     out: list[Column] = []
     for field in UNIFIED_SCHEMA.fields:
         name, dtype = field.name, field.dataType.simpleString()
@@ -97,7 +102,12 @@ def finalize_unified(df: DataFrame, uint8_wrap: bool = True) -> DataFrame:
         else:
             e = c
         out.append(e.try_cast(dtype).alias(name))
-    return df.select(*out)
+    return tuple(out)
+
+
+def finalize_unified(df: DataFrame, uint8_wrap: bool = True) -> DataFrame:
+    """Cast the merged frame to UNIFIED_SCHEMA semantics (one select)."""
+    return df.select(*_finalize_cols(uint8_wrap))
 
 
 def check_enum_domains(df: DataFrame) -> DataFrame:

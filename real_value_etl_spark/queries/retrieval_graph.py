@@ -613,14 +613,25 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     and bit b is set when block b is at-least-average brightness — the
     classical mean-threshold pHash quantization, decided by exact integer
     cross-multiply (block_sum * total_n >= total_sum * block_n) so no
-    float comparison can diverge between engines. Pairs are found
-    SimHash-style: {PHASH_BITS // PHASH_BAND_BITS} bands of
-    {PHASH_BAND_BITS} bits, candidates share an identical band
-    (pigeonhole: hamming <= {PHASH_MAX_HAMMING} forces one equal band),
-    verified by popcount of the XOR. This is how image dedup actually
-    ships — pHash + banded hamming join. Pipeline shape: bytes never
-    leave the executors (Arrow batches), the hash aggregation is one
-    groupBy(doc_id), and the band self-join only meets same-bucket rows."""
+    float comparison can diverge between engines. Pairs are found by
+    XOR-BIT-FLIP ENUMERATION (r12 optimization): hamming <= 1 on a
+    {PHASH_BITS}-bit hash means ph_b is ph_a or ph_a ^ (1<<k), so one
+    side explodes its hash into the {PHASH_BITS} + 1 variant keys and
+    the join matches full {PHASH_BITS}-bit values — the candidate
+    intermediate is OUTPUT-sized. The banded join this replaces
+    (2 bands of {PHASH_BAND_BITS} bits) keyed on only 256 distinct
+    values per band, so every bucket met ~n/256 of the corpus and the
+    join materialized ~23x the output (39M bucket-product rows for
+    1.67M pairs at sf1) before the hamming filter. Each qualifying
+    pair matches EXACTLY one variant (the XOR of two hashes has a
+    unique bit decomposition; the identity variant covers hamming 0),
+    so the old candidate distinct is provably a no-op and is dropped —
+    one exchange fewer on top of the smaller intermediate. Output is
+    identical pair-for-pair to the banded form (both enumerate exactly
+    the hamming <= {PHASH_MAX_HAMMING} pairs; oracle SQL unchanged).
+    Pipeline shape: bytes never leave the executors (Arrow batches),
+    the hash aggregation is one groupBy(doc_id), and the self-join
+    meets only exact-key rows."""
     from ..operators import multimodal as M
 
     d = table(spark, sf_dir, "documents")
@@ -636,40 +647,29 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(0).cast("long"))
         ).alias("phash")
     )
-    bands = ph.select(
-        "doc_id",
-        "phash",
+    var = ph.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("phash").alias("ph_b"),
         F.explode(
             F.array(
-                F.struct(
-                    F.lit(0).alias("band"),
-                    (F.col("phash") % 256).alias("bkey"),
-                ),
-                F.struct(
-                    F.lit(1).alias("band"),
-                    F.shiftright(F.col("phash"), PHASH_BAND_BITS).alias("bkey"),
-                ),
+                F.col("phash"),
+                *[
+                    F.col("phash").bitwiseXOR(F.lit(1 << k))
+                    for k in range(PHASH_BITS)
+                ],
             )
-        ).alias("bk"),
-    ).select(
-        "doc_id", "phash", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+        ).alias("vkey"),
     )
-    x = bands.alias("x")
-    y = bands.alias("y")
-    cand = (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bkey") == F.col("y.bkey"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("x.phash").alias("ph_a"),
-            F.col("y.doc_id").alias("doc_b"),
-            F.col("y.phash").alias("ph_b"),
-        )
-        .distinct()
+    x = ph.alias("x")
+    cand = x.join(
+        var,
+        (F.col("x.phash") == F.col("vkey"))
+        & (F.col("x.doc_id") < F.col("doc_b")),
+    ).select(
+        F.col("x.doc_id").alias("doc_a"),
+        F.col("x.phash").alias("ph_a"),
+        "doc_b",
+        "ph_b",
     )
     hamming = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))).cast("long")
     return cand.select(
